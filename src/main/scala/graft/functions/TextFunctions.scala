@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the training-data pipeline layer.
+  *
+  * Everything here is built from codegen'd Catalyst expressions
+  * (regexp/array/hash builtins) — no UDFs — so whole-stage codegen spans
+  * the full tokenize→shingle→hash pipeline and the operators scale
+  * linearly over 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** Word tokens: maximal [a-z0-9] runs, case-insensitive alnum. */
+  def words(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** BPE-ish tokens: alnum runs plus single non-space punctuation. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  /** Distinct word n-gram shingles (space-joined); empty array when the
+    * document has fewer than n words. */
+  def shingles(ws: Column, n: Int = 3): Column = {
+    val make = transform(
+      sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
+    when(size(ws) >= n, array_distinct(make)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Canonical-form fingerprint: md5 of the whitespace-normalized,
+    * lower-cased text (reference-style doc identity for exact dedup
+    * under formatting noise). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), lit("\\s+"), lit(" ")))
+
+  /** Per-language marker-word hit count. */
+  def markerHits(ws: Column, markers: Seq[String]): Column = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(ws, w => array_contains(arr, w)))
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une"),
+    "es" -> Seq("el", "los", "las", "y", "una", "que"))
+
+  /** N-gram/stopword heuristic language ID: argmax of marker hits with
+    * a fixed priority tie-break (en > de > fr > es); "und" when no
+    * marker matches. */
+  def langId(ws: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> markerHits(ws, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, sc), els) =>
+      when(sc > 0 && sc === best, lit(l)).otherwise(els)
+    }
+  }
+
+  private val stopwords =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+  /** Quality-score feature struct: length, word stats, stopword and
+    * punctuation ratios. All ratios double in [0,1], rounded. */
+  def qualityFeatures(text: Column): Column = {
+    val ws = words(text)
+    val nWords = size(ws)
+    val charLen = length(text)
+    val punct = length(regexp_replace(text, lit("[a-zA-Z0-9\\s]"), lit("")))
+    val stopHits = markerHits(ws, stopwords)
+    val totalWordChars = aggregate(ws, lit(0), (acc, w) => acc + length(w))
+    struct(
+      charLen.as("n_chars"),
+      nWords.as("n_words"),
+      round(when(nWords > 0, totalWordChars.cast("double") / nWords).otherwise(lit(0.0)), 4)
+        .as("avg_word_len"),
+      round(when(nWords > 0, stopHits.cast("double") / nWords).otherwise(lit(0.0)), 4)
+        .as("stopword_ratio"),
+      round(when(charLen > 0, punct.cast("double") / charLen).otherwise(lit(0.0)), 4)
+        .as("punct_ratio"))
+  }
+
+  /** 64-bit SimHash over word tokens (duplicates weighted): bit j of the
+    * output is set when the sum over words of ±1 votes (per bit of the
+    * word's xxhash64) is positive. */
+  def simhash64(ws: Column): Column = {
+    // votes[j] = sum over words of +/-1 depending on bit j of xxhash64(w)
+    val votes = aggregate(
+      ws,
+      expr("transform(sequence(0, 63), j -> 0)"),
+      (acc, w) =>
+        zip_with(acc, expr("sequence(0, 63)"),
+          (a, j) => a + when(call_function("bit_get", xxhash64(w), j) === 1, 1).otherwise(-1)))
+    // fold bits 62..0 MSB->LSB as acc*2+bit (stays within positive long
+    // range under ANSI arithmetic), then OR in the sign bit
+    val low63 = aggregate(
+      transform(sequence(lit(62), lit(0), lit(-1)),
+        j => when(element_at(votes, j + 1) > 0, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc * 2 + b)
+    when(element_at(votes, 64) > 0, low63.bitwiseOR(lit(Long.MinValue)))
+      .otherwise(low63)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over embedding columns
+  * (`array<float>` in storage, promoted to `array<double>` for math so
+  * results are bit-stable across engines).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set
+  * and streams the corpus once — a map-side cross product with a
+  * windowed top-k, no corpus shuffle. The IVF path first shuffles the
+  * corpus ONCE to assign coarse cells, then probes only matching cells.
+  */
+object Similarity {
+
+  /** Left-fold dot product over two equal-length double arrays.
+    * `aggregate` folds sequentially, giving a deterministic summation
+    * order (same as a scalar loop — and the same order DuckDB's list
+    * fold uses, which the oracle relies on). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (id, vec) rows
+    * @param queries (qid, qvec) rows — small; broadcast
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("id"), asDouble(col("vec")).as("vec"))
+    val q = queries.select(col("qid"), asDouble(col("qvec")).as("qvec"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim", cosine(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** IVF-style ANN: partition the corpus into coarse cells (here: the
+    * nearest of nCells hash-derived pseudo-random unit directions — a
+    * deterministic stand-in for k-means centroids, which at real scale
+    * would be trained with one sampled pass), then search only the
+    * `nProbe` best cells per query.
+    *
+    * The cell assignment is one narrow map over the corpus; the probe
+    * join is an equi-join on cell id, so Spark shuffles each corpus row
+    * once and each query row nProbe times.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col("id"), asDouble(col("vec")).as("vec"))
+    val q = queries.select(col("qid"), asDouble(col("qvec")).as("qvec"))
+
+    // Deterministic pseudo-random direction d_{cell}[j] in [-1,1]:
+    // derived from xxhash64(cell, j) — reproducible on any cluster.
+    def cellDir(cell: Column, dim: Column): Column =
+      (xxhash64(cell, dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+    def cellScores(vec: Column): Column =
+      transform(sequence(lit(0), lit(nCells - 1)), cell =>
+        aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, j) => x * cellDir(cell, j)),
+          lit(0.0), (acc, x) => acc + x))
+
+    // argmax cell for corpus rows
+    val cAssigned = c.withColumn("scores", cellScores(col("vec")))
+      .withColumn("cell", expr("array_position(scores, array_max(scores)) - 1").cast("int"))
+      .drop("scores")
+
+    // top-nProbe cells per query: sort (score desc, cell) pairs, take
+    // the first nProbe cell ids, explode (as its own projection step —
+    // generators cannot nest inside other expressions)
+    val qProbes = q.withColumn("scores", cellScores(col("qvec")))
+      .withColumn("probes", slice(
+        expr("transform(array_sort(arrays_zip(transform(scores, s -> -s), sequence(0, size(scores)-1))), p -> p['1'])"),
+        1, nProbe))
+      .select(col("qid"), col("qvec"), explode(col("probes")).as("cell"))
+
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    cAssigned.join(qProbes, "cell")
+      .filter(col("id") =!= col("qid"))
+      .withColumn("sim", cosine(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH (random-hyperplane
+    * signatures): docs whose sign-bit signatures agree on a band are
+    * candidates; exact cosine filters them. One corpus shuffle. */
+  def cosineNearDup(corpus: DataFrame, threshold: Double = 0.4,
+      bits: Int = 24, bands: Int = 8): DataFrame = {
+    val r = bits / bands
+    val c = corpus.select(col("id"), asDouble(col("vec")).as("vec"))
+    def hyper(bit: Column, dim: Column): Column =
+      xxhash64(bit, dim).cast("double") / lit(Long.MaxValue.toDouble)
+    val signed = c.withColumn("sigbits",
+      transform(sequence(lit(0), lit(bits - 1)), bit =>
+        when(aggregate(
+          zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
+            (x, j) => x * hyper(bit, j)),
+          lit(0.0), (acc, x) => acc + x) > 0, 1).otherwise(0)))
+    val banded = signed.select(col("id"), col("vec"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("sigbits"))
+      .withColumn("band_key", xxhash64(slice(col("sigbits"), col("band") * r + 1, lit(r)), col("band")))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    // distinct on the narrow (id, id) pair first; vectors re-joined after
+    // so the dedup shuffle doesn't move embedding payloads
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(c.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(c.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.ops.{Dedup, Similarity}
+
+/** Training-data pipeline operators over the `documents` and
+  * `embeddings` tables: dedup, text analysis, similarity search.
+  * See graft.ops / graft.functions for the reusable implementations.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Exact dedup by full text (hash-groupBy). */
+  def d01DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir)).orderBy("keep_id")
+
+  /** Exact dedup under whitespace/case normalization via md5
+    * fingerprint; md5 is reproducible in the oracle. */
+  def d02Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace-ish word tokens + BPE-ish tokens. */
+  def d03TokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(TextFunctions.words(col("text"))).as("n_words"),
+      size(TextFunctions.bpeTokens(col("text"))).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length/word/stopword/punctuation features. */
+  def d04Quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextFunctions.qualityFeatures(col("text")).as("q"))
+      .select(col("doc_id"), col("q.n_chars").as("n_chars"),
+        col("q.n_words").as("n_words"), col("q.avg_word_len").as("avg_word_len"),
+        col("q.stopword_ratio").as("stopword_ratio"),
+        col("q.punct_ratio").as("punct_ratio"))
+      .orderBy("doc_id")
+
+  /** Marker-word language ID heuristic. */
+  def d05LangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.langId(TextFunctions.words(col("text"))).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** MinHash+LSH near-dup pairs, exact-Jaccard-verified. The oracle is
+    * the exact O(n^2) Jaccard join: with b=32/r=4 the LSH recall at the
+    * J>=0.5 pairs present in this corpus (all >=0.9) is 1-1e-15, so the
+    * outputs coincide. */
+  def d06MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docs(s, dir)).orderBy("id_a", "id_b")
+
+  /** Exact n-gram Jaccard pairs (the small-corpus/verification path;
+    * capped to the first 500 docs — all of sf0.01 — because the exact
+    * variant is intentionally O(n^2): the scale path is d06). */
+  def d07NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardExact(docs(s, dir).filter(col("doc_id") < 500))
+      .orderBy("id_a", "id_b")
+
+  /** SimHash fingerprint + near-dup pairs (no oracle: xxhash64 is not
+    * reproducible in DuckDB; rows-only check). */
+  def d08SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir)).orderBy("id_a", "id_b")
+
+  private def knnInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("id") < 10).select(col("id").as("qid"), col("vec").as("qvec"))
+    (e, q)
+  }
+
+  /** Brute-force cosine top-5 for the first 10 vectors as queries. */
+  def e01KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val (e, q) = knnInputs(s, dir)
+    Similarity.bruteForceKnn(e, q, 5).orderBy("qid", "rank")
+  }
+
+  /** IVF-bucketed ANN over the same queries (approximate; rows-only). */
+  def e02KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val (e, q) = knnInputs(s, dir)
+    Similarity.ivfKnn(e, q, 5).orderBy("qid", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via sign-LSH (rows-only). */
+  def e03CosineNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDup(emb(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec")))
+      .orderBy("id_a", "id_b")
+
+  /** JSON property extraction from the events props column (scalar
+    * function surface: get_json_object). */
+  def d09JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_dedup_exact" -> d01DedupExact _,
+    "d02_fingerprint" -> d02Fingerprint _,
+    "d03_token_count" -> d03TokenCount _,
+    "d04_quality" -> d04Quality _,
+    "d05_langid" -> d05LangId _,
+    "d06_minhash_lsh" -> d06MinhashLsh _,
+    "d07_ngram_jaccard" -> d07NgramJaccard _,
+    "d08_simhash_pairs" -> d08SimhashPairs _,
+    "d09_json_extract" -> d09JsonExtract _,
+    "e01_knn_brute" -> e01KnnBrute _,
+    "e02_knn_ivf" -> e02KnnIvf _,
+    "e03_cosine_near_dup" -> e03CosineNearDup _)
+
+  private def jaccardOracle(where: String) =
+    s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents$where),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+      |  FROM w WHERE len(ws) >= 3)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      | round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |   / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "d02_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d03_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_words,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d04_quality" ->
+      """WITH f AS (SELECT doc_id, length(text) AS n_chars,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
+        |  length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars,
+        | CAST(len(ws) AS INTEGER) AS n_words,
+        | round(CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) ELSE 0.0 END, 4) AS avg_word_len,
+        | round(CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, w -> list_contains(['the','a','and','of','to','in','is','it','for','on'], w))) AS DOUBLE) / len(ws) ELSE 0.0 END, 4) AS stopword_ratio,
+        | round(CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END, 4) AS punct_ratio
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "d05_langid" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS s_en,
+        |  len(list_filter(ws, x -> list_contains(['der','die','und','das','ein','nicht'], x))) AS s_de,
+        |  len(list_filter(ws, x -> list_contains(['le','la','les','et','des','une'], x))) AS s_fr,
+        |  len(list_filter(ws, x -> list_contains(['el','los','las','y','una','que'], x))) AS s_es
+        |  FROM w)
+        |SELECT doc_id, CASE
+        |  WHEN s_en > 0 AND s_en >= greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |  WHEN s_de > 0 AND s_de >= greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |  WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |  WHEN s_es > 0 AND s_es >= greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+        |  ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "d06_minhash_lsh" -> jaccardOracle(""),
+    "d07_ngram_jaccard" -> jaccardOracle(" WHERE doc_id < 500"),
+    "d09_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "e01_knn_brute" ->
+      """WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+        |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 10),
+        |sims AS (SELECT qid, id,
+        |  list_sum(list_transform(range(1, len(vec) + 1), i -> vec[i] * qvec[i]))
+        |   / (sqrt(list_sum(list_transform(vec, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(qvec, x -> x * x)))) AS sim
+        |  FROM v CROSS JOIN q WHERE id <> qid),
+        |ranked AS (SELECT qid, id, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM sims)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+}
