@@ -1,0 +1,171 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.{ItemType, ParquetStore}
+
+/** Top-level container: one storage root + codelists + meta/doc stores
+  * (reference: ixmp/core/platform.py:25-108; doc/data-model.rst:21-34).
+  *
+  * Scale notes: codelists and catalogs are tiny broadcast-able tables;
+  * all fact data lives in the store partitioned by run_id, so every
+  * run-scoped read below is partition pruning, and the only all-runs
+  * scan (`exportTimeseriesData`) is a single distributed job rather
+  * than the reference's per-run loop.
+  */
+class Platform(val spark: SparkSession, val root: String) {
+
+  val store = new ParquetStore(spark, root)
+
+  // ---- scenario/run inventory (reference platform.py:159-195) --------
+
+  /** Run inventory; `defaultOnly=true` keeps only default versions
+    * (reference `scenario_list`, base.py:340-379). */
+  def scenarioList(defaultOnly: Boolean = true, model: Option[String] = None,
+      scenario: Option[String] = None): DataFrame =
+    store.listRuns(defaultOnly, model, scenario)
+
+  /** Per-(model, scenario) describe: N, min/max version, default
+    * version, regex name match (reference `format_scenario_list`,
+    * util/__init__.py:514-556). */
+  def describeScenarios(matchRegex: Option[String] = None): DataFrame = {
+    var runs = store.listRuns(defaultOnly = false, None, None)
+    matchRegex.foreach { pat =>
+      runs = runs.filter(col("model").rlike(pat) || col("scenario").rlike(pat))
+    }
+    runs.groupBy("model", "scenario")
+      .agg(count(lit(1)).as("n"),
+        min("version").as("min_version"),
+        max("version").as("max_version"),
+        max(when(col("is_default"), col("version"))).as("default_version"))
+      .orderBy("model", "scenario")
+  }
+
+  def getScenario(model: String, scenario: String, version: Option[Int] = None): Scenario =
+    new Scenario(this, store.getRun(model, scenario, version))
+
+  def newScenario(model: String, scenario: String, scheme: String = "",
+      annotation: String = ""): Scenario =
+    new Scenario(this, store.createRun(model, scenario, scheme, annotation))
+
+  /** Resolve an `ixmp://…` / `model/scenario#version` URL
+    * (reference util/__init__.py:340-408). */
+  def fromUrl(url: String): Scenario = {
+    val u = graft.util.Util.parseUrl(url)
+    u.version match {
+      case Some(Right(_)) => newScenario(u.model, u.scenario)
+      case Some(Left(v)) => getScenario(u.model, u.scenario, Some(v))
+      case None => getScenario(u.model, u.scenario, None)
+    }
+  }
+
+  // ---- codelists (reference base.py:203-408) -------------------------
+
+  def units(): Seq[String] = store.units()
+  def addUnit(u: String): Unit = store.addUnit(u)
+
+  def regions(): DataFrame = store.regions()
+  def addRegion(region: String, hierarchy: String, parent: Option[String] = None): Unit =
+    store.addRegion(region, hierarchy, parent)
+  def addRegionSynonym(region: String, mappedTo: String): Unit =
+    store.addRegionSynonym(region, mappedTo)
+
+  def timeslices(): DataFrame = store.timeslices()
+  def addTimeslice(name: String, category: String, duration: Double): Unit =
+    store.addTimeslice(name, category, duration)
+
+  // ---- meta key-value store (reference base.py:1115-1220) ------------
+
+  /** Set metadata on one of the four targets: (m,s,v), (m,s), (m,),
+    * (s,). Values stored as JSON strings (reference jdbc.py:222-256
+    * BigDecimal/ArrayList wrapping → JSON here). A name is unique
+    * across targets for a given (model, scenario) pair. */
+  def setMeta(name: String, valueJson: String, model: Option[String] = None,
+      scenario: Option[String] = None, version: Option[Int] = None): Unit = {
+    require(model.isDefined || scenario.isDefined, "meta target requires model or scenario")
+    require(version.isEmpty || (model.isDefined && scenario.isDefined),
+      "a version target requires model and scenario")
+    val cur = store.meta()
+    val without = cur.filter(!(
+      col("name") === name &&
+        col("target_model") <=> model.map(lit(_)).getOrElse(lit(null)) &&
+        col("target_scenario") <=> scenario.map(lit(_)).getOrElse(lit(null)) &&
+        col("target_version") <=> version.map(lit(_)).getOrElse(lit(null))))
+    val row = Row(model.orNull, scenario.orNull,
+      version.map(Integer.valueOf).orNull, name, valueJson)
+    store.writeMeta(without.unionByName(spark.createDataFrame(
+      java.util.Arrays.asList(row), ParquetStore.metaSchema)))
+  }
+
+  /** Non-strict read coalesces values from less-specific targets,
+    * most-specific-wins per name (reference base.py:1129-1158; SURVEY
+    * §2 #24: union of 4 filtered scans + priority window). */
+  def getMeta(model: Option[String] = None, scenario: Option[String] = None,
+      version: Option[Int] = None, strict: Boolean = false): DataFrame = {
+    val m = store.meta()
+    def eqOrNull(c: String, v: Option[Any]): org.apache.spark.sql.Column =
+      v.map(x => col(c) <=> lit(x)).getOrElse(col(c).isNull)
+    if (strict)
+      m.filter(eqOrNull("target_model", model) &&
+        eqOrNull("target_scenario", scenario) &&
+        eqOrNull("target_version", version.map(Integer.valueOf)))
+        .select("name", "value_json")
+    else {
+      // specificity: (m,s,v)=4 > (m,s)=3 > (m,)=2 > (s,)=1
+      val candidates = m.withColumn("specificity",
+        when(eqOrNull("target_model", model) && eqOrNull("target_scenario", scenario) &&
+          eqOrNull("target_version", version.map(Integer.valueOf)) &&
+          lit(version.isDefined), 4)
+          .when(eqOrNull("target_model", model) && eqOrNull("target_scenario", scenario) &&
+            col("target_version").isNull && lit(model.isDefined && scenario.isDefined), 3)
+          .when(eqOrNull("target_model", model) && col("target_scenario").isNull &&
+            col("target_version").isNull && lit(model.isDefined), 2)
+          .when(col("target_model").isNull && eqOrNull("target_scenario", scenario) &&
+            col("target_version").isNull && lit(scenario.isDefined), 1)
+          .otherwise(0))
+        .filter(col("specificity") > 0)
+      val w = Window.partitionBy("name").orderBy(col("specificity").desc)
+      candidates.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("name", "value_json")
+    }
+  }
+
+  def removeMeta(names: Seq[String], model: Option[String] = None,
+      scenario: Option[String] = None, version: Option[Int] = None): Unit = {
+    def eqOrNull(c: String, v: Option[Any]): org.apache.spark.sql.Column =
+      v.map(x => col(c) <=> lit(x)).getOrElse(col(c).isNull)
+    store.writeMeta(store.meta().filter(!(
+      col("name").isin(names: _*) &&
+        eqOrNull("target_model", model) &&
+        eqOrNull("target_scenario", scenario) &&
+        eqOrNull("target_version", version.map(Integer.valueOf)))))
+  }
+
+  // ---- multi-run TS export (reference platform.py:197-260) -----------
+
+  /** Filtered export across ALL runs as one distributed job, with the
+    * reference's `FIELDS["write_file"]` upper-cased IAMC columns
+    * (backend/common.py:35-46). `defaultOnly=false` + `allRuns` mirror
+    * the reference's `default`/`export_all_runs` flags. */
+  def exportTimeseriesData(
+      model: Option[String] = None, scenario: Option[String] = None,
+      variable: Seq[String] = Nil, unit: Seq[String] = Nil,
+      region: Seq[String] = Nil, defaultOnly: Boolean = true): DataFrame = {
+    var runs = store.listRuns(defaultOnly, model, scenario)
+      .select(col("run_id"), col("model"), col("scenario"), col("version"))
+    var fact = store.allTsData()
+    if (variable.nonEmpty) fact = fact.filter(col("variable").isin(variable: _*))
+    if (unit.nonEmpty) fact = fact.filter(col("unit").isin(unit: _*))
+    if (region.nonEmpty) fact = fact.filter(col("region").isin(region: _*))
+    fact.join(broadcast(runs), "run_id")
+      .select(col("model").as("MODEL"), col("scenario").as("SCENARIO"),
+        col("version").as("VERSION"), col("variable").as("VARIABLE"),
+        col("unit").as("UNIT"), col("region").as("REGION"),
+        col("meta").as("META"), col("subannual").as("SUBANNUAL"),
+        col("year").as("YEAR"), col("value").as("VALUE"))
+  }
+}

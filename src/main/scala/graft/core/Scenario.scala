@@ -1,0 +1,380 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.store.{ItemDef, ItemType, RunInfo}
+import graft.util.Util
+
+/** Scenario = TimeSeries + scheme + model data items
+  * (reference: ixmp/core/scenario.py:44-66; doc/data-model.rst:55-68).
+  */
+class Scenario(platform0: Platform, run0: RunInfo)
+    extends TimeSeries(platform0, run0) {
+
+  def scheme: String = run.scheme
+
+  // ---- item catalog (reference scenario.py:391-435, 562-608) ---------
+
+  def initItem(name: String, t: ItemType.Value, idxSets: Seq[String] = Nil,
+      idxNames: Seq[String] = Nil): Unit = {
+    requireCheckedOut()
+    val names = if (idxNames.nonEmpty) idxNames else idxSets
+    require(names.length == idxSets.length,
+      s"length mismatch: idx_names $names vs idx_sets $idxSets")
+    store.initItem(runId, ItemDef(name, t, idxSets, names))
+  }
+
+  def initSet(name: String, idxSets: Seq[String] = Nil, idxNames: Seq[String] = Nil): Unit =
+    initItem(name, ItemType.Set, idxSets, idxNames)
+  def initPar(name: String, idxSets: Seq[String], idxNames: Seq[String] = Nil): Unit =
+    initItem(name, ItemType.Par, idxSets, idxNames)
+  def initVar(name: String, idxSets: Seq[String] = Nil, idxNames: Seq[String] = Nil): Unit =
+    initItem(name, ItemType.Var, idxSets, idxNames)
+  def initEqu(name: String, idxSets: Seq[String] = Nil, idxNames: Seq[String] = Nil): Unit =
+    initItem(name, ItemType.Equ, idxSets, idxNames)
+
+  /** 0-D parameter = scalar (reference scenario.py:755-795). */
+  def initScalar(name: String, value: Double, unit: String): Unit = {
+    initPar(name, Nil)
+    changeScalar(name, value, unit)
+  }
+
+  def setList(): Seq[String] = store.listItems(runId, ItemType.Set)
+  def parList(): Seq[String] = store.listItems(runId, ItemType.Par)
+  def varList(): Seq[String] = store.listItems(runId, ItemType.Var)
+  def equList(): Seq[String] = store.listItems(runId, ItemType.Equ)
+  def hasItem(name: String): Boolean = store.itemDef(runId, name).isDefined
+  def idxSets(name: String): Seq[String] = itemDefOf(name).idxSets
+  def idxNames(name: String): Seq[String] = itemDefOf(name).idxNames
+  /** Items whose index sets include `setName` (scenario.py:391-435). */
+  def itemsIndexedBy(setName: String): Seq[String] = store.itemsIndexedBy(runId, setName)
+
+  private def itemDefOf(name: String): ItemDef =
+    store.itemDef(runId, name).getOrElse(
+      throw new NoSuchElementException(s"no item '$name' in run $runId"))
+
+  // ---- key validation (reference base.py:1070-1074; SURVEY §2 #21) ---
+
+  /** Every written key must be an element of its indexing set; the
+    * violation message mirrors the reference
+    * (tests/core/test_scenario.py:877-886). One left_anti per dim —
+    * each a broadcast join against a (small) index set. */
+  private def validateKeys(d: ItemDef, df: DataFrame): Unit = {
+    d.idxNames.zip(d.idxSets).foreach { case (dim, setName) =>
+      val sd = store.itemDef(runId, setName).getOrElse(
+        throw new NoSuchElementException(s"no index set '$setName' in run $runId"))
+      val elemCol = if (sd.idxNames.isEmpty) setName else sd.idxNames.head
+      val missing = df.select(col(dim).as("__elem")).distinct()
+        .join(itemData(setName).select(col(elemCol).as("__elem")).distinct(),
+          Seq("__elem"), "left_anti")
+        .limit(1).collect()
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"The index set '$setName' does not have an element '${missing.head.getString(0)}'!")
+    }
+  }
+
+  private def itemData(name: String, filters: Map[String, Seq[Any]] = Map.empty): DataFrame =
+    store.itemData(runId, name,
+      filters.map { case (k, v) => k -> Util.asStrList(v) })
+
+  // ---- sets (reference scenario.py:219-346) --------------------------
+
+  /** Read a set: simple sets come back as a single-column frame of
+    * elements; indexed sets as a frame of idx_names columns. */
+  def set(name: String, filters: Map[String, Seq[Any]] = Map.empty): DataFrame = {
+    val d = itemDefOf(name)
+    require(d.itemType == ItemType.Set, s"'$name' is not a set")
+    if (d.idxNames.isEmpty) itemData(name, filters).toDF(name)
+    else itemData(name, filters)
+  }
+
+  /** Add elements to a set; strings, sequences, or a DataFrame of
+    * idx_names columns. Keys are str-coerced; duplicates collapse. */
+  def addSet(name: String, elements: Seq[Any]): Unit = {
+    requireCheckedOut()
+    val d = itemDefOf(name)
+    require(d.itemType == ItemType.Set, s"'$name' is not a set")
+    if (d.idxNames.isEmpty) {
+      val rows = elements.map(e => Row(Util.asStr(e)))
+      addSetDf(name, spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField(name, StringType)))))
+    } else {
+      val rows = elements.map {
+        case s: Seq[_] => Row(s.map(Util.asStr): _*)
+        case p: Product => Row(p.productIterator.map(Util.asStr).toSeq: _*)
+        case one => Row(Util.asStr(one))
+      }
+      addSetDf(name, spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(d.idxNames.map(n => StructField(n, StringType)))))
+    }
+  }
+
+  def addSetDf(name: String, df: DataFrame): Unit = {
+    requireCheckedOut()
+    val d = itemDefOf(name)
+    require(d.itemType == ItemType.Set, s"'$name' is not a set")
+    val cols = if (d.idxNames.isEmpty) Seq(name) else d.idxNames
+    val incoming = df.select(cols.map(c => col(c).cast("string").as(c)): _*)
+    if (d.idxNames.nonEmpty) validateKeys(d, incoming)
+    val existing =
+      if (d.idxNames.isEmpty) itemData(name).toDF(name) else itemData(name)
+    store.writeItemData(runId, name,
+      existing.unionByName(incoming).distinct())
+  }
+
+  def removeSet(name: String, elements: Seq[Any]): Unit = {
+    requireCheckedOut()
+    val d = itemDefOf(name)
+    if (d.idxNames.isEmpty) {
+      val keep = itemData(name).toDF(name)
+        .filter(!col(name).isin(Util.asStrList(elements): _*))
+      store.writeItemData(runId, name, keep)
+    } else {
+      val rows = elements.map {
+        case s: Seq[_] => Row(s.map(Util.asStr): _*)
+        case p: Product => Row(p.productIterator.map(Util.asStr).toSeq: _*)
+        case one => Row(Util.asStr(one))
+      }
+      val toDrop = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(d.idxNames.map(n => StructField(n, StringType))))
+      store.writeItemData(runId, name,
+        itemData(name).join(toDrop, d.idxNames, "left_anti"))
+    }
+  }
+
+  /** Delete the whole item and its catalog entry
+    * (reference remove_set/remove_par without keys). */
+  def deleteItem(name: String): Unit = {
+    requireCheckedOut()
+    store.deleteItem(runId, name)
+  }
+
+  // ---- parameters (reference scenario.py:640-795) --------------------
+
+  /** Filtered parameter read; values absent from data are silently
+    * ignored (base.py:997-1005). 0-D parameters: use [[scalar]]. */
+  def par(name: String, filters: Map[String, Seq[Any]] = Map.empty): DataFrame = {
+    val d = itemDefOf(name)
+    require(d.itemType == ItemType.Par, s"'$name' is not a parameter")
+    itemData(name, filters)
+  }
+
+  /** Add/overwrite parameter rows from a DataFrame with idx_names +
+    * value (+ unit) columns. New keys replace existing ones (reference
+    * add_par upsert semantics). */
+  def addPar(name: String, df: DataFrame, defaultUnit: Option[String] = None): Unit = {
+    requireCheckedOut()
+    val d = itemDefOf(name)
+    require(d.itemType == ItemType.Par, s"'$name' is not a parameter")
+    var in = df
+    if (!in.columns.contains("unit"))
+      in = in.withColumn("unit",
+        lit(defaultUnit.getOrElse(
+          throw new IllegalArgumentException("no unit column and no default unit"))))
+    val incoming = in.select(
+      d.idxNames.map(c => col(c).cast("string").as(c)) ++
+        Seq(col("value").cast("double"), col("unit").cast("string")): _*)
+    validateKeys(d, incoming)
+    val existing = itemData(name)
+    val kept =
+      if (d.idxNames.isEmpty) existing.limit(0) // scalar overwrite
+      else existing.join(incoming.select(d.idxNames.map(col): _*).distinct(),
+        d.idxNames, "left_anti")
+    store.writeItemData(runId, name, kept.unionByName(incoming))
+  }
+
+  /** Convenience form: one key tuple + value + unit. */
+  def addPar(name: String, key: Seq[Any], value: Double, unit: String): Unit = {
+    val d = itemDefOf(name)
+    val row = Row(key.map(Util.asStr) :+ value :+ unit: _*)
+    addPar(name, spark.createDataFrame(java.util.Arrays.asList(row),
+      StructType(d.idxNames.map(n => StructField(n, StringType)) :+
+        StructField("value", DoubleType) :+ StructField("unit", StringType))))
+  }
+
+  /** update_par: add only keys not already present (SURVEY §2 #20). */
+  def updatePar(name: String, df: DataFrame, defaultUnit: Option[String] = None): Unit = {
+    val d = itemDefOf(name)
+    val onlyNew = Util.updatePar(itemData(name), df, d.idxNames)
+    if (!onlyNew.isEmpty) addPar(name, onlyNew, defaultUnit)
+  }
+
+  def removePar(name: String, keys: DataFrame): Unit = {
+    requireCheckedOut()
+    val d = itemDefOf(name)
+    store.writeItemData(runId, name,
+      itemData(name).join(
+        keys.select(d.idxNames.map(c => col(c).cast("string").as(c)): _*).distinct(),
+        d.idxNames, "left_anti"))
+  }
+
+  /** 0-D scalar read → (value, unit) (reference scenario.py:735-753;
+    * jdbc.py:1265-1270 returns {"value":…, "unit":…}). */
+  def scalar(name: String): (Double, String) = {
+    val d = itemDefOf(name)
+    require(d.itemType == ItemType.Par && d.idxNames.isEmpty, s"'$name' is not a scalar")
+    val r = itemData(name).select("value", "unit").head()
+    (r.getDouble(0), r.getString(1))
+  }
+
+  def changeScalar(name: String, value: Double, unit: String): Unit = {
+    requireCheckedOut()
+    val d = itemDefOf(name)
+    require(d.idxNames.isEmpty, s"'$name' is not a scalar")
+    store.writeItemData(runId, name, spark.createDataFrame(
+      java.util.Arrays.asList(Row(value, unit)),
+      StructType(Seq(StructField("value", DoubleType), StructField("unit", StringType)))))
+  }
+
+  // ---- solution var/equ (reference base.py:1075-1079) ----------------
+
+  def variable(name: String, filters: Map[String, Seq[Any]] = Map.empty): DataFrame = {
+    val d = itemDefOf(name)
+    require(d.itemType == ItemType.Var, s"'$name' is not a variable")
+    itemData(name, filters)
+  }
+
+  def equation(name: String, filters: Map[String, Seq[Any]] = Map.empty): DataFrame = {
+    val d = itemDefOf(name)
+    require(d.itemType == ItemType.Equ, s"'$name' is not an equation")
+    itemData(name, filters)
+  }
+
+  /** Written only by a model solve, not the user API (base.py:1075-1079). */
+  private[graft] def setSolution(name: String, df: DataFrame): Unit = {
+    val d = itemDefOf(name)
+    require(d.itemType == ItemType.Var || d.itemType == ItemType.Equ,
+      s"'$name' is not a solution item")
+    store.writeItemData(runId, name, df.select(
+      d.idxNames.map(c => col(c).cast("string").as(c)) ++
+        Seq(col("lvl").cast("double"), col("mrg").cast("double")): _*))
+  }
+
+  def hasSolution: Boolean =
+    (varList() ++ equList()).exists(n => !itemData(n).isEmpty)
+
+  /** Delete var/equ data + non-meta TS rows from `firstModelYear` on
+    * (reference scenario.py:951-972; jdbc.py:1410-1421). */
+  def removeSolution(firstModelYear: Option[Int] = None): Unit = {
+    require(hasSolution, "This Scenario does not have a solution!")
+    (varList() ++ equList()).foreach { n =>
+      store.writeItemData(runId, n, itemData(n).limit(0))
+    }
+    val ts = store.tsData(runId)
+    val kept = firstModelYear match {
+      case Some(y) => ts.filter(col("meta") || col("year") < y)
+      case None => ts.filter(col("meta"))
+    }
+    store.writeTsData(runId, kept)
+  }
+
+  // ---- categories (reference base.py:1231-1288) ----------------------
+
+  def catList(setName: String): Seq[String] =
+    store.categories(runId, setName).select("category").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  def cat(setName: String, category: String): Seq[String] =
+    store.categories(runId, setName).filter(col("category") === category)
+      .select("member").collect().map(_.getString(0)).toSeq.sorted
+
+  def addCatElement(setName: String, category: String, elements: Seq[Any],
+      isUnique: Boolean = false): Unit = {
+    requireCheckedOut()
+    val els = Util.asStrList(elements)
+    // elements must exist in the mapped set (same FK rule as items)
+    val d = itemDefOf(setName)
+    val elemCol = if (d.idxNames.isEmpty) setName else d.idxNames.head
+    val present = set(setName).select(col(elemCol)).collect().map(_.getString(0)).toSet
+    els.foreach(e => require(present.contains(e),
+      s"The index set '$setName' does not have an element '$e'!"))
+    if (isUnique) require(els.size == 1, s"one element expected for is_unique")
+    val cur = store.categories(runId, setName)
+    val base = if (isUnique) cur.filter(col("category") =!= category) else cur
+    val rows = els.map(e => Row(setName, category, e))
+    store.writeCategories(runId, setName,
+      base.select(col("category"), col("member")).unionByName(
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          graft.store.ParquetStore.catSchema)
+          .select(col("category"), col("member"))))
+  }
+
+  /** Category mapping as a quantity: (category, member) → 1.0 plus an
+    * 'all' row per member (reference map_as_qty, operator.py:204-241). */
+  def mapAsQty(setName: String): DataFrame = {
+    val d = itemDefOf(setName)
+    val elemCol = if (d.idxNames.isEmpty) setName else d.idxNames.head
+    store.categories(runId, setName)
+      .select(col("category"), col("member"))
+      .unionByName(set(setName).select(lit("all").as("category"),
+        col(elemCol).as("member")))
+      .withColumn("value", lit(1.0))
+  }
+
+  // ---- clone (reference scenario.py:870-945; SURVEY §2 #49) ----------
+
+  /** Copy this Scenario to a new run: metadata-plus-data copy with a
+    * new run_id (the reference's generic `_clone` path is the only
+    * path here). `shiftFirstModelYear` truncates non-meta TS rows at
+    * the year and drops the solution. */
+  def cloneScenario(model: Option[String] = None, scenario: Option[String] = None,
+      keepSolution: Boolean = true, shiftFirstModelYear: Option[Int] = None,
+      platformDest: Option[Platform] = None): Scenario = {
+    val dest = platformDest.getOrElse(platform)
+    val newRun = dest.store.createRun(model.getOrElse(this.model),
+      scenario.getOrElse(this.scenario), scheme, run.annotation)
+    val dropSolution = !keepSolution || shiftFirstModelYear.isDefined
+    // item catalog + data
+    for (t <- Seq(ItemType.Set, ItemType.Par, ItemType.Var, ItemType.Equ);
+        name <- store.listItems(runId, t)) {
+      val d = store.itemDef(runId, name).get
+      dest.store.initItem(newRun.runId, d)
+      val data = store.itemData(runId, name)
+      val copied =
+        if (dropSolution && (t == ItemType.Var || t == ItemType.Equ)) data.limit(0)
+        else data
+      dest.store.writeItemData(newRun.runId, name, copied)
+    }
+    // TS + geo facts: non-meta rows truncated before shift year
+    val ts = store.tsData(runId)
+    val tsKept = shiftFirstModelYear match {
+      case Some(y0) => ts.filter(col("meta") || col("year") < y0)
+      case None => if (keepSolution) ts else ts.filter(col("meta"))
+    }
+    dest.store.writeTsData(newRun.runId, tsKept)
+    dest.store.writeGeoData(newRun.runId, store.geoData(runId))
+    // categories
+    for (setName <- store.listItems(runId, ItemType.Set)) {
+      val cats = store.categories(runId, setName)
+      if (!cats.isEmpty)
+        dest.store.writeCategories(newRun.runId, setName,
+          cats.select("category", "member"))
+    }
+    dest.store.setDefault(newRun.runId)
+    new Scenario(dest, dest.store.getRunById(newRun.runId))
+  }
+
+  // ---- solve loop (reference scenario.py:974-1075) -------------------
+
+  /** Run the model, iterating with an optional convergence callback
+    * (reference solve(): loops model run + callback until truthy, with
+    * an iteration cap mirroring max_iterations). */
+  def solve(model: graft.model.ModelAdapter,
+      callback: Scenario => Boolean = _ => true,
+      maxIterations: Int = 100): Unit = {
+    require(!hasSolution, "Scenario contains a model solution; call removeSolution() first")
+    var it = 0
+    var done = false
+    while (!done && it < maxIterations) {
+      model.run(this)
+      it += 1
+      done = callback(this)
+    }
+    require(done, s"solve did not converge in $maxIterations iterations")
+  }
+}

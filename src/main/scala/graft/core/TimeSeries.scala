@@ -1,0 +1,170 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.RunInfo
+import graft.util.Util
+
+/** Container of IAMC time-series data keyed by (model, scenario,
+  * version) (reference: ixmp/core/timeseries.py:44-76).
+  *
+  * All writes are whole-DataFrame set operations against the run's
+  * partition — the reference's per-row JNI loops become single Spark
+  * jobs (SURVEY §4 "batched mutation").
+  */
+class TimeSeries(val platform: Platform, protected var run: RunInfo) {
+
+  protected def spark: SparkSession = platform.spark
+  protected def store = platform.store
+
+  def runId: Long = run.runId
+  def model: String = run.model
+  def scenario: String = run.scenario
+  def version: Int = run.version
+
+  // ---- transactions (reference timeseries.py:208-296) ----------------
+
+  protected var checkedOut = false
+
+  def checkOut(user: String = "local"): Unit = {
+    store.checkOut(runId, user)
+    checkedOut = true
+  }
+
+  def commit(comment: String = "", user: String = "local"): Unit = {
+    store.commit(runId, user, comment)
+    checkedOut = false
+  }
+
+  def discard(): Unit = { // reference discard_changes reloads state
+    store.commit(runId, "local", "(discarded)")
+    checkedOut = false
+  }
+
+  protected def requireCheckedOut(): Unit =
+    require(checkedOut, "this TimeSeries is not checked out — call checkOut() first")
+
+  /** transact loan pattern (reference timeseries.py:241-288). */
+  def transact[T](comment: String = "", discardOnError: Boolean = false)(f: => T): T = {
+    checkOut()
+    try { val r = f; commit(comment); r }
+    catch {
+      case e: Throwable =>
+        if (discardOnError) discard()
+        throw e
+    }
+  }
+
+  def setAsDefault(): Unit = store.setDefault(runId)
+  def isDefault: Boolean = store.getRunById(runId).isDefault
+
+  // ---- TS data (reference timeseries.py:338-518) ----------------------
+
+  private val tsKey = Seq("region", "variable", "unit", "subannual")
+
+  /** Resolve region synonyms to their canonical region via a broadcast
+    * join with the regions codelist (reference platform.py:335-349;
+    * SURVEY §2 #23). */
+  private def resolveRegions(df: DataFrame): DataFrame = {
+    val syn = store.regions().filter(col("mapped_to").isNotNull)
+      .select(col("region").as("__alias"), col("mapped_to").as("__canonical"))
+    df.join(broadcast(syn), df("region") === col("__alias"), "left")
+      .withColumn("region", coalesce(col("__canonical"), col("region")))
+      .drop("__alias", "__canonical")
+  }
+
+  /** Add/update TS data. Accepts long (`year`,`value` columns) or wide
+    * (integer-named year columns) input; normalizes via the IAMC layout
+    * rules; upserts on (region, variable, unit, subannual, year)
+    * (reference timeseries.py:338-418). */
+  def addTimeseries(df: DataFrame, meta: Boolean = false,
+      yearLim: (Option[Int], Option[Int]) = (None, None)): Unit = {
+    requireCheckedOut()
+    var longDf = Util.wideToLong(Util.toIamcLayout(df))
+    require(longDf.columns.contains("year") && longDf.columns.contains("value"),
+      "input needs year/value columns (long) or integer year columns (wide)")
+    yearLim._1.foreach(lo => longDf = longDf.filter(col("year") >= lo))
+    yearLim._2.foreach(hi => longDf = longDf.filter(col("year") <= hi))
+    val incoming = resolveRegions(longDf)
+      .select(col("region").cast("string"), col("variable").cast("string"),
+        col("unit").cast("string"), col("subannual").cast("string"),
+        col("year").cast("int"), col("value").cast("double"),
+        lit(meta).as("meta"))
+    val existing = store.tsData(runId)
+    val kept = existing.join(incoming.select((tsKey :+ "year").map(col): _*).distinct(),
+      tsKey :+ "year", "left_anti")
+    store.writeTsData(runId, kept.unionByName(incoming))
+  }
+
+  /** Filtered TS read (reference timeseries.py:419-492). `iamc=true`
+    * pivots years to columns; `subannual` is dropped when homogeneous
+    * "Year" (timeseries.py:470-479). */
+  def timeseries(region: Seq[String] = Nil, variable: Seq[String] = Nil,
+      unit: Seq[String] = Nil, year: Seq[Int] = Nil,
+      iamc: Boolean = false): DataFrame = {
+    var df = store.tsData(runId)
+    if (region.nonEmpty) df = df.filter(col("region").isin(region: _*))
+    if (variable.nonEmpty) df = df.filter(col("variable").isin(variable: _*))
+    if (unit.nonEmpty) df = df.filter(col("unit").isin(unit: _*))
+    if (year.nonEmpty) df = df.filter(col("year").isin(year: _*))
+    val withIds = df
+      .withColumn("model", lit(model))
+      .withColumn("scenario", lit(scenario))
+      .withColumn("version", lit(version))
+    val homogeneous = withIds.select("subannual").distinct().collect()
+      .forall(_.getString(0) == "Year")
+    val ordered = withIds.select("model", "scenario", "version", "region",
+      "variable", "subannual", "unit", "year", "value")
+    val out = if (homogeneous) ordered.drop("subannual") else ordered
+    if (iamc) {
+      val ids = out.columns.filterNot(Seq("year", "value").contains).toSeq
+      Util.longToWide(out, ids)
+    } else out.orderBy("region", "variable", "unit", "year")
+  }
+
+  /** Grouped delete by (region, variable, unit, subannual[, year])
+    * (reference timeseries.py:494-518): one anti-join rewrite. */
+  def removeTimeseries(keys: DataFrame): Unit = {
+    requireCheckedOut()
+    val norm = Util.toIamcLayout(keys)
+    val joinCols = if (norm.columns.contains("year")) tsKey :+ "year" else tsKey
+    store.writeTsData(runId,
+      store.tsData(runId).join(norm.select(joinCols.map(col): _*).distinct(),
+        joinCols, "left_anti"))
+  }
+
+  // ---- geodata (reference timeseries.py:550-599, values are strings) --
+
+  def addGeodata(df: DataFrame, meta: Boolean = false): Unit = {
+    requireCheckedOut()
+    val incoming = resolveRegions(Util.toIamcLayout(df))
+      .select(col("region").cast("string"), col("variable").cast("string"),
+        col("unit").cast("string"), col("subannual").cast("string"),
+        col("year").cast("int"), col("value").cast("string"),
+        lit(meta).as("meta"))
+    val kept = store.geoData(runId).join(
+      incoming.select((tsKey :+ "year").map(col): _*).distinct(),
+      tsKey :+ "year", "left_anti")
+    store.writeGeoData(runId, kept.unionByName(incoming))
+  }
+
+  def getGeodata(): DataFrame =
+    store.geoData(runId)
+      .withColumn("model", lit(model))
+      .withColumn("scenario", lit(scenario))
+      .orderBy("region", "variable", "year")
+
+  def removeGeodata(keys: DataFrame): Unit = {
+    requireCheckedOut()
+    val norm = Util.toIamcLayout(keys)
+    val joinCols = if (norm.columns.contains("year")) tsKey :+ "year" else tsKey
+    store.writeGeoData(runId,
+      store.geoData(runId).join(norm.select(joinCols.map(col): _*).distinct(),
+        joinCols, "left_anti"))
+  }
+
+  /** Preload = persist the run's TS slice (reference
+    * preload_timeseries, timeseries.py:334-336 → SURVEY §4). */
+  def preloadTimeseries(): Unit = { store.tsData(runId).persist(); () }
+}

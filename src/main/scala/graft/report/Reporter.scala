@@ -1,0 +1,289 @@
+package graft.report
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Scenario
+import graft.store.ItemType
+import graft.util.Units
+
+/** genno-style key: `name:dim1-dim2:tag` (reference: genno Key as used
+  * by ixmp/report/util.py:37-70; dims sorted for canonical lookup). */
+final case class Key(name: String, dims: Seq[String], tag: Option[String] = None) {
+  def sortedDims: Seq[String] = dims.sorted
+  override def toString: String =
+    s"$name:${dims.mkString("-")}" + tag.map(t => s":$t").getOrElse("")
+}
+
+object Key {
+  def parse(s: String): Key = s.split(":", -1) match {
+    case Array(n) => Key(n, Nil)
+    case Array(n, d) => Key(n, if (d.isEmpty) Nil else d.split("-").toSeq)
+    case Array(n, d, t) =>
+      Key(n, if (d.isEmpty) Nil else d.split("-").toSeq, Some(t).filter(_.nonEmpty))
+    case _ => throw new IllegalArgumentException(s"cannot parse key '$s'")
+  }
+}
+
+/** A quantity = long-format DataFrame[dims…, value: double] plus a unit
+  * attribute (reference genno.Quantity; unit handling per
+  * operator.py:114-139). */
+final case class Quantity(df: DataFrame, dims: Seq[String], unit: String) {
+  def value: Column = col("value")
+}
+
+/** DAG-based reporting engine (reference: ixmp/report/reporter.py +
+  * genno.Computer; doc/reporting.rst).
+  *
+  * Spark-first design (SURVEY §3.2): the graph holds **lazy DataFrame
+  * builders**; forcing one key hands Catalyst the entire
+  * scan→filter→join→agg chain as ONE logical plan, giving whole-query
+  * optimization the reference's dask graph cannot do across node
+  * boundaries. The 2^n all-subset sums lattice (reporter.py:64-79) is
+  * therefore *inferred on demand* — `get("d:i")` derives the partial
+  * sum from the full key without pre-registering the lattice.
+  */
+class Reporter {
+
+  private val graph = mutable.Map.empty[String, () => Quantity]
+  /** Ex-ante filters pushed into leaf scans (reporter.py:111-117). */
+  var filters: Map[String, Seq[String]] = Map.empty
+  /** RENAME_DIMS equivalent (report/common.py:1-3). */
+  var renameDims: Map[String, String] = Map.empty
+
+  def add(key: String, fn: () => Quantity): this.type = { graph(key) = fn; this }
+  def addDf(key: String, fn: () => DataFrame, dims: Seq[String], unit: String = ""): this.type =
+    add(key, () => Quantity(fn(), dims, unit))
+
+  def keys: Seq[String] = graph.keys.toSeq.sorted
+
+  def setFilters(f: Map[String, Seq[String]]): Unit = filters = f
+
+  /** Force a key. Exact graph hit first; else sum-lattice inference:
+    * a registered key with the same name whose dims ⊇ the requested
+    * dims is partially summed (the moral `cube` of SURVEY §2 #26,
+    * built lazily). */
+  def get(key: String): Quantity = {
+    val k = Key.parse(key)
+    graph.get(key).orElse(graph.get(k.toString)).map(_()) getOrElse {
+      val full = graph.keys
+        .map(Key.parse)
+        .filter(c => c.name == k.name && c.tag == k.tag &&
+          k.dims.forall(c.dims.contains))
+        .minByOption(_.dims.length)
+        .getOrElse(throw new NoSuchElementException(s"no key '$key' in the graph"))
+      val q = graph(full.toString)()
+      Operators.sumOver(q, keep = k.dims)
+    }
+  }
+
+  /** Force a key and return the DataFrame (dims + value). */
+  def getDf(key: String): DataFrame = get(key).df
+}
+
+object Reporter {
+
+  /** Build the quantity graph from a scenario (reference
+    * Reporter.from_scenario, reporter.py:44-99): every par gives a
+    * `name:dims` key; every var/equ gives level + `name-margin` keys;
+    * sets are registered as element lists. */
+  def fromScenario(s: Scenario): Reporter = {
+    val r = new Reporter
+
+    def register(name: String, t: ItemType.Value): Unit = {
+      val dims0 = s.idxNames(name)
+      val dims = dims0.map(d => r.renameDims.getOrElse(d, d))
+      val key = Key(name, dims).toString
+      t match {
+        case ItemType.Par =>
+          r.add(key, () => dataForQuantity(s, name, "value", r))
+        case ItemType.Var | ItemType.Equ =>
+          r.add(key, () => dataForQuantity(s, name, "lvl", r))
+          r.add(Key(s"$name-margin", dims).toString,
+            () => dataForQuantity(s, name, "mrg", r))
+        case _ =>
+      }
+    }
+
+    s.parList().foreach(register(_, ItemType.Par))
+    s.varList().foreach(register(_, ItemType.Var))
+    s.equList().foreach(register(_, ItemType.Equ))
+    r
+  }
+
+  /** Leaf scan → Quantity (reference data_for_quantity,
+    * operator.py:27-159): push ex-ante filters into the scan (after
+    * reverse dim-rename), pop the unit column into the quantity
+    * attribute — **mixed units are discarded with a warning**
+    * (operator.py:114-139) — and sum duplicate keys. */
+  private[report] def dataForQuantity(s: Scenario, name: String,
+      valueCol: String, r: Reporter): Quantity = {
+    val dims0 = s.idxNames(name)
+    val reverse = r.renameDims.map(_.swap)
+    val applicable = r.filters.collect {
+      case (dim, vals) if dims0.contains(reverse.getOrElse(dim, dim)) =>
+        reverse.getOrElse(dim, dim) -> vals.map(x => x: Any)
+    }
+    val base = valueCol match {
+      case "value" => s.par(name, applicable)
+      case "lvl" => solutionData(s, name, applicable).withColumnRenamed("lvl", "value")
+      case "mrg" => solutionData(s, name, applicable).withColumnRenamed("mrg", "value")
+    }
+    val unit: String =
+      if (!base.columns.contains("unit")) ""
+      else {
+        val us = base.select("unit").distinct().limit(2).collect().map(_.getString(0))
+        if (us.length > 1) "" // mixed units discarded (operator.py:136-139)
+        else us.headOption.getOrElse("")
+      }
+    val dims = dims0.map(d => r.renameDims.getOrElse(d, d))
+    val renamed = dims0.zip(dims).foldLeft(base) { case (df, (from, to)) =>
+      if (from != to) df.withColumnRenamed(from, to) else df
+    }
+    val df =
+      if (dims.isEmpty) renamed.select(col("value"))
+      else renamed.groupBy(dims.map(col): _*)
+        .agg(sum("value").as("value"))
+    Quantity(df, dims, unit)
+  }
+
+  private def solutionData(s: Scenario, name: String,
+      filters: Map[String, Seq[Any]]): DataFrame =
+    if (s.varList().contains(name)) s.variable(name, filters)
+    else s.equation(name, filters)
+}
+
+/** The reporting operator library (reference doc/reporting.rst:58-159;
+  * genno operators surfaced by ixmp). All whole-quantity
+  * DataFrame→DataFrame transforms — SURVEY §2.11. */
+object Operators {
+
+  /** Sum over all dims not in `keep` (genno sum / the all-subset sums
+    * of reporter.py:64-79). */
+  def sumOver(q: Quantity, keep: Seq[String]): Quantity = {
+    val dropped = q.dims.filterNot(keep.contains)
+    require(keep.forall(q.dims.contains),
+      s"cannot keep ${keep.filterNot(q.dims.contains).mkString(",")}: not dims of the quantity")
+    val df =
+      if (keep.isEmpty) q.df.agg(sum("value").as("value"))
+      else q.df.groupBy(keep.map(col): _*).agg(sum("value").as("value"))
+    Quantity(df, keep, q.unit)
+  }
+
+  /** genno `aggregate`: relabel members of one dim into named groups
+    * and sum within each group; `keep=true` appends the originals
+    * (doc/reporting.rst:77-86). */
+  def aggregate(q: Quantity, dim: String, groups: Map[String, Seq[String]],
+      keep: Boolean = false): Quantity = {
+    require(q.dims.contains(dim), s"'$dim' is not a dim of the quantity")
+    val spark = q.df.sparkSession
+    import spark.implicits._
+    val mapping = groups.toSeq.flatMap { case (g, members) => members.map(m => (m, g)) }
+      .toDF("__member", "__group")
+    val agg = q.df.join(broadcast(mapping), q.df(dim) === col("__member"))
+      .drop(dim, "__member").withColumnRenamed("__group", dim)
+      .groupBy(q.dims.map(col): _*).agg(sum("value").as("value"))
+    val df = if (keep) q.df.unionByName(agg) else agg
+    Quantity(df, q.dims, q.unit)
+  }
+
+  /** Element-wise product on the union of dims (genno mul /
+    * add_product, doc/reporting.rst:77-86): join on common dims,
+    * broadcast along the others; unit algebra multiplies. */
+  def product(a: Quantity, b: Quantity): Quantity =
+    combine(a, b, (x, y) => x * y,
+      (ua, ub) => (Units.parse(ua) * Units.parse(ub)).format)
+
+  /** Element-wise ratio; unit algebra divides. */
+  def ratio(a: Quantity, b: Quantity): Quantity =
+    combine(a, b, (x, y) => x / y,
+      (ua, ub) => (Units.parse(ua) / Units.parse(ub)).format)
+
+  /** Element-wise sum of same-unit quantities (genno add). */
+  def add(a: Quantity, b: Quantity): Quantity = {
+    require(a.dims.sorted == b.dims.sorted, "add requires identical dims")
+    val df = a.df.unionByName(b.df.select(a.df.columns.map(col).toSeq: _*))
+      .groupBy(a.dims.map(col): _*).agg(sum("value").as("value"))
+    Quantity(df, a.dims, if (a.unit == b.unit) a.unit else "")
+  }
+
+  private def combine(a: Quantity, b: Quantity, op: (Column, Column) => Column,
+      unitOp: (String, String) => String): Quantity = {
+    val common = a.dims.intersect(b.dims)
+    val outDims = (a.dims ++ b.dims).distinct
+    val joined =
+      if (common.nonEmpty)
+        a.df.withColumnRenamed("value", "__va")
+          .join(b.df.withColumnRenamed("value", "__vb"), common)
+      else a.df.withColumnRenamed("value", "__va")
+        .crossJoin(b.df.withColumnRenamed("value", "__vb"))
+    val df = joined.withColumn("value", op(col("__va"), col("__vb")))
+      .select(outDims.map(col) :+ col("value"): _*)
+    Quantity(df, outDims, unitOp(a.unit, b.unit))
+  }
+
+  /** genno select: keep only given labels along dims (ex-post filter). */
+  def select(q: Quantity, selectors: Map[String, Seq[String]]): Quantity =
+    Quantity(selectors.foldLeft(q.df) { case (df, (dim, vals)) =>
+      df.filter(col(dim).isin(vals: _*))
+    }, q.dims, q.unit)
+
+  /** genno concat: union quantities with identical dims. */
+  def concat(qs: Seq[Quantity]): Quantity = {
+    require(qs.nonEmpty, "concat of no quantities")
+    val dims = qs.head.dims
+    require(qs.forall(_.dims.sorted == dims.sorted), "concat requires identical dims")
+    val df = qs.map(_.df.select(qs.head.df.columns.map(col).toSeq: _*)).reduce(_ unionByName _)
+    Quantity(df, dims, if (qs.map(_.unit).distinct.size == 1) qs.head.unit else "")
+  }
+
+  /** broadcast_map (reference operator.py:204-241 + SURVEY §2 #25):
+    * join data with a (category, member, value) mapping along `dim`,
+    * re-aggregate onto the category labels. */
+  def broadcastMap(q: Quantity, mapping: DataFrame, dim: String,
+      renameTo: Option[String] = None): Quantity = {
+    val outDim = renameTo.getOrElse(dim)
+    val outDims = q.dims.map(d => if (d == dim) outDim else d)
+    val m = mapping.select(col("category"), col("member"),
+      col("value").as("__weight"))
+    val df = q.df.join(broadcast(m), q.df(dim) === m("member"))
+      .withColumn("value", col("value") * col("__weight"))
+      .drop(dim, "member", "__weight")
+      .withColumnRenamed("category", outDim)
+      .groupBy(outDims.map(col): _*)
+      .agg(sum(col("value")).as("value"))
+    Quantity(df, outDims, q.unit)
+  }
+
+  /** Disaggregate along a new dim using a share mapping
+    * (doc/reporting.rst:77-86 `disaggregate_shares`): cross with
+    * (newDim, share) rows and multiply. */
+  def disaggregate(q: Quantity, shares: DataFrame, newDim: String): Quantity = {
+    val df = q.df.crossJoin(broadcast(shares.select(col(newDim), col("share"))))
+      .withColumn("value", col("value") * col("share")).drop("share")
+    Quantity(df, q.dims :+ newDim, q.unit)
+  }
+
+  /** convert_pyam-ish IAMC projection (reference util/__init__.py:411-452
+    * column contract): map a quantity onto IAMC columns. */
+  def toIamc(q: Quantity, model: String, scenario: String, variable: String,
+      regionDim: Option[String], yearDim: Option[String]): DataFrame = {
+    var df = q.df
+      .withColumn("model", lit(model))
+      .withColumn("scenario", lit(scenario))
+      .withColumn("variable", lit(variable))
+      .withColumn("unit", lit(q.unit))
+    df = regionDim match {
+      case Some(rd) => df.withColumnRenamed(rd, "region")
+      case None => df.withColumn("region", lit("World"))
+    }
+    df = yearDim match {
+      case Some(yd) => df.withColumn("year", col(yd).cast("int"))
+      case None => df
+    }
+    df.select(Seq("model", "scenario", "region", "variable", "unit")
+      .map(col) ++ (if (yearDim.isDefined) Seq(col("year")) else Nil) :+ col("value"): _*)
+  }
+}

@@ -190,6 +190,10 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   private def dataSchema(d: ItemDef): StructType = {
     val dims = StructType(d.idxNames.map(n => StructField(n, StringType)))
     d.itemType match {
+      // a simple (0-D) set is a single column of elements, named after
+      // the set itself (reference base.py:1008-1010 returns a Series)
+      case ItemType.Set if d.idxNames.isEmpty =>
+        StructType(Seq(StructField(d.name, StringType)))
       case ItemType.Set => dims
       case ItemType.Par =>
         StructType(dims.fields :+ StructField("value", DoubleType) :+ StructField("unit", StringType))

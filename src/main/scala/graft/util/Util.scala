@@ -1,0 +1,206 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Platform-URL coordinates (reference: ixmp/util/__init__.py:340-408 —
+  * `ixmp://PLATFORM/MODEL/SCENARIO#VERSION`; model may not contain "/",
+  * scenario may; version is an int or "new"). */
+final case class ScenarioUrl(
+    platform: Option[String],
+    model: String,
+    scenario: String,
+    version: Option[Either[Int, String]])
+
+/** Pure utility layer mirroring ixmp/util/__init__.py (public knowledge
+  * only; semantics re-derived from the cited reference lines). */
+object Util {
+
+  /** Universal stringification of dimension keys / filter values
+    * (reference: util/__init__.py:86-110 — ints become "42", so
+    * {'foo':[42]} ≡ {'foo':['42']}). */
+  def asStrList(vs: Iterable[Any]): Seq[String] = vs.map(asStr).toSeq
+
+  def asStr(v: Any): String = v match {
+    case s: String => s
+    case d: Double if d.isWhole => d.toLong.toString
+    case other => other.toString
+  }
+
+  /** check_year (util/__init__.py:127-133): None passes, non-int raises. */
+  def checkYear(y: Option[Any], name: String): Option[Int] = y.map {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other =>
+      throw new IllegalArgumentException(s"$name ($other) must be an integer")
+  }
+
+  /** Parse `ixmp://PLATFORM/MODEL/SCENARIO#VERSION` or
+    * `MODEL/SCENARIO#VERSION` (reference: util/__init__.py:340-408). */
+  def parseUrl(url: String): ScenarioUrl = {
+    val (platform, rest) =
+      if (url.startsWith("ixmp://")) {
+        val tail = url.stripPrefix("ixmp://")
+        val slash = tail.indexOf('/')
+        require(slash > 0, s"no model/scenario in URL '$url'")
+        (Some(tail.substring(0, slash)), tail.substring(slash + 1))
+      } else (None, url)
+    val (coords, version) = rest.indexOf('#') match {
+      case -1 => (rest, None)
+      case i =>
+        val v = rest.substring(i + 1)
+        (rest.substring(0, i),
+          Some(if (v == "new") Right("new")
+          else Left(v.toIntOption.getOrElse(
+            throw new IllegalArgumentException(s"version '$v' is not an int or 'new'")))))
+    }
+    // model may not contain "/"; scenario may (split on the FIRST slash)
+    val slash = coords.indexOf('/')
+    require(slash > 0 && slash < coords.length - 1,
+      s"URL '$url' does not contain model/scenario")
+    ScenarioUrl(platform, coords.substring(0, slash), coords.substring(slash + 1), version)
+  }
+
+  /** Conjunction of per-column isin masks (reference `util.filtered`,
+    * util/__init__.py:467-479); values absent from the data are silently
+    * ignored, non-strings coerced. Dims absent from the frame are
+    * ignored (the reference intersects with df.columns). */
+  def filtered(df: DataFrame, filters: Map[String, Seq[Any]]): DataFrame =
+    filters.filter { case (dim, _) => df.columns.contains(dim) }
+      .foldLeft(df) { case (d, (dim, vals)) =>
+        d.filter(col(dim).isin(asStrList(vals): _*))
+      }
+
+  /** Year columns of a wide frame = names castable to int
+    * (reference `year_list`, util/__init__.py:455-464). */
+  def yearColumns(df: DataFrame): Seq[String] =
+    df.columns.filter(_.toIntOption.isDefined).toSeq
+
+  /** IAMC layout normalization (reference `to_iamc_layout`,
+    * util/__init__.py:411-452): lower-case column names, node→region
+    * rename, inject subannual="Year" default; region/variable/unit
+    * required. */
+  def toIamcLayout(df: DataFrame): DataFrame = {
+    var out = df.toDF(df.columns.map(_.toLowerCase): _*)
+    if (out.columns.contains("node") && !out.columns.contains("region"))
+      out = out.withColumnRenamed("node", "region")
+    val missing = Seq("region", "variable", "unit").filterNot(out.columns.contains)
+    require(missing.isEmpty, s"missing required columns ${missing.mkString(", ")}")
+    if (!out.columns.contains("subannual"))
+      out = out.withColumn("subannual", lit("Year"))
+    out
+  }
+
+  /** Wide (year columns) → long (year, value) melt. Non-year columns are
+    * carried as id columns. */
+  def wideToLong(df: DataFrame, valueCol: String = "value"): DataFrame = {
+    val years = yearColumns(df)
+    if (years.isEmpty) df
+    else {
+      val ids = df.columns.filterNot(years.contains)
+      val stackExpr = years.map(y => s"'$y', `$y`").mkString(", ")
+      df.select(ids.map(col).toSeq :+
+        expr(s"stack(${years.size}, $stackExpr) as (year, `$valueCol`)"): _*)
+        .withColumn("year", col("year").cast("int"))
+        .filter(col(valueCol).isNotNull)
+    }
+  }
+
+  /** Long → wide pivot on year (IAMC output layout). */
+  def longToWide(df: DataFrame, idCols: Seq[String], valueCol: String = "value"): DataFrame =
+    df.groupBy(idCols.map(col): _*).pivot("year").agg(first(col(valueCol)))
+
+  /** Scenario data diff (reference `util.diff`, util/__init__.py:136-204):
+    * full outer join of two item frames on the dimension columns, with
+    * `_a`/`_b` suffixed value columns and a merge-provenance column. */
+  def diff(a: DataFrame, b: DataFrame, on: Seq[String]): DataFrame = {
+    val valueCols = a.columns.filterNot(on.contains)
+    val ra = valueCols.foldLeft(a) { (d, c) => d.withColumnRenamed(c, s"${c}_a") }
+    val rb = b.columns.filterNot(on.contains)
+      .foldLeft(b) { (d, c) => d.withColumnRenamed(c, s"${c}_b") }
+    val probeA = s"${valueCols.headOption.getOrElse("value")}_a"
+    val probeB = b.columns.filterNot(on.contains).headOption.map(c => s"${c}_b")
+      .getOrElse("value_b")
+    ra.join(rb, on, "full_outer")
+      .withColumn("merge_ind",
+        when(col(probeA).isNull, "right_only")
+          .when(col(probeB).isNull, "left_only")
+          .otherwise("both"))
+      .orderBy(on.map(col): _*)
+  }
+
+  /** update_par semantics (reference util/__init__.py:677-690): keep only
+    * rows of `newData` whose key is not already in `existing` — an
+    * anti-join on the key columns. */
+  def updatePar(existing: DataFrame, newData: DataFrame, keys: Seq[String]): DataFrame =
+    newData.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** drop_duplicates(keep=False) symmetric-difference semantics
+    * (reference util/__init__.py:687): keep rows whose key occurs
+    * exactly once across the frame. */
+  def dropAllDuplicates(df: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt") === 1).drop("__cnt")
+  }
+
+  /** Invalid-path-char scrub (reference model/base.py:41-44). */
+  def cleanPath(s: String): String = s.replaceAll("""[<>:"/\\|?*]""", "_")
+}
+
+/** Minimal pint-like unit expression algebra (reference operator.py:61,
+  * 116-139 uses pint; we need parse / multiply / divide / format of
+  * simple `a*b/c**2`-style unit strings — SURVEY §7.4). */
+final case class Units(exponents: Map[String, Int]) {
+  def *(other: Units): Units = Units.combine(exponents, other.exponents, 1)
+  def /(other: Units): Units = Units.combine(exponents, other.exponents, -1)
+  def isDimensionless: Boolean = exponents.isEmpty
+
+  /** pint "{:~}" short-format style: `USD / km`, `km ** 2`, `` for 1. */
+  def format: String = {
+    val (pos, neg) = exponents.toSeq.sortBy(_._1).partition(_._2 > 0)
+    def term(t: (String, Int)): String =
+      if (math.abs(t._2) == 1) t._1 else s"${t._1} ** ${math.abs(t._2)}"
+    (pos.map(term), neg.map(term)) match {
+      case (Nil, Nil) => ""
+      case (p, Nil) => p.mkString(" * ")
+      case (Nil, n) => "1 / " + n.mkString(" / ")
+      case (p, n) => p.mkString(" * ") + " / " + n.mkString(" / ")
+    }
+  }
+}
+
+object Units {
+  val dimensionless: Units = Units(Map.empty)
+
+  /** Parse `USD/km`, `km**2`, `a * b / c` (and the reference's literal
+    * unit strings like `cases`). Unknown tokens are treated as base
+    * units, like pint's define-on-use. "%" and "???"/"" map to
+    * dimensionless flavors the reference tolerates (jdbc/io tests). */
+  def parse(s: String): Units = {
+    val cleaned = s.trim
+    if (cleaned.isEmpty || cleaned == "???" || cleaned == "unitless" || cleaned == "1")
+      return dimensionless
+    var exps = Map.empty[String, Int].withDefaultValue(0)
+    var sign = 1
+    for (tok <- cleaned.split("(?=[*/])|(?<=[*/])").map(_.trim).filter(_.nonEmpty)) tok match {
+      case "/" => sign = -1
+      case "*" => // keep current sign only for the following token chain
+      case t =>
+        val (name, exp) = t.split("\\*\\*").map(_.trim) match {
+          case Array(n) => (n, 1)
+          case Array(n, e) => (n, e.toInt)
+          case _ => throw new IllegalArgumentException(s"cannot parse unit '$s'")
+        }
+        exps = exps.updated(name, exps(name) + sign * exp)
+        if (sign == -1) sign = 1 // division binds to one token (pint-style)
+    }
+    Units(exps.filter(_._2 != 0))
+  }
+
+  private[util] def combine(a: Map[String, Int], b: Map[String, Int], mult: Int): Units =
+    Units((a.keySet ++ b.keySet).map { k =>
+      k -> (a.getOrElse(k, 0) + mult * b.getOrElse(k, 0))
+    }.filter(_._2 != 0).toMap)
+}

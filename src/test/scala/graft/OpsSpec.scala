@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.ops.{Dedup, Similarity}
+
+/** Unit-level checks of the pipeline operators on tiny in-memory data
+  * (the sf-level correctness is covered by the driver's DuckDB gate). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while the " +
+    "patient cat watches from the old wooden fence near the garden gate"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base.replace("jumps", "leaps")), // near dup of 1 (J ≈ 0.73)
+    (4L, "completely different content about spark engines and shuffles"),
+    (5L, "El rapido zorro marron salta sobre el perro perezoso y que")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(1L) == 2L) // ids 1,2 collapse, min id kept
+    assert(d(3L) == 1L && d(4L) == 1L)
+  }
+
+  test("fingerprint dedup is whitespace/case-insensitive") {
+    val noisy = Seq((1L, "Hello  World"), (2L, "hello world "), (3L, "other"))
+      .toDF("doc_id", "text")
+    val d = Dedup.byFingerprint(noisy)
+    assert(d.count() == 2)
+    assert(d.filter(col("n_copies") === 2).select("keep_id").as[Long].head() == 1L)
+  }
+
+  test("minhash LSH finds the near-dup pair and skips distinct docs") {
+    val pairs = Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // agrees with the exact O(n^2) variant on this corpus
+    val exact = Dedup.ngramJaccardExact(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == exact)
+  }
+
+  test("simhash pairs near-dups within hamming budget") {
+    val pairs = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical text, hamming 0
+  }
+
+  test("language id picks marker language") {
+    val langs = docs.select(col("doc_id"),
+      TextFunctions.langId(TextFunctions.words(col("text"))).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) == "en" && langs(5L) == "es")
+  }
+
+  test("shingles: distinct joined n-grams; short docs give empty array") {
+    val sh = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.shingles(TextFunctions.words(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L).isEmpty)
+  }
+
+  test("brute-force knn ranks by cosine with deterministic tie-break") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.05f))
+    ).toDF("id", "vec")
+    val queries = corpus.filter(col("id") === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = Similarity.bruteForceKnn(corpus, queries, 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 3L), (2, 1L))) // 3 closer than 1; 2 excluded
+  }
+
+  test("ivf knn returns k ranked neighbors from probed cells") {
+    val corpus = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 2)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = Similarity.ivfKnn(corpus, queries, 3, nCells = 4, nProbe = 2)
+    assert(got.count() == 6)
+    assert(got.select("rank").as[Int].collect().toSet == Set(1, 2, 3))
+  }
+}

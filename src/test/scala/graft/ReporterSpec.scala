@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Platform
+import graft.model.DantzigModel
+import graft.report.{Key, Operators, Quantity, Reporter}
+
+/** Mirrors tests/report/test_reporter.py and test_operator.py behavior
+  * on the Dantzig scenario. */
+class ReporterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def solvedScenario() = {
+    val mp = new Platform(spark, tmpDir("graft-rep"))
+    val s = mp.newScenario("canning problem", "standard")
+    s.checkOut()
+    DantzigModel.initialize(s)
+    s.commit("data")
+    s.solve(DantzigModel)
+    s
+  }
+
+  test("Key parse/format round-trip") {
+    assert(Key.parse("d:i-j") == Key("d", Seq("i", "j")))
+    assert(Key.parse("x:") == Key("x", Nil))
+    assert(Key.parse("d:i-j:tag") == Key("d", Seq("i", "j"), Some("tag")))
+    assert(Key("d", Seq("i", "j")).toString == "d:i-j")
+  }
+
+  test("from_scenario registers pars, var levels and margins") {
+    val s = solvedScenario()
+    val r = Reporter.fromScenario(s)
+    assert(r.keys.contains("d:i-j"))
+    assert(r.keys.contains("x:i-j"))
+    assert(r.keys.contains("x-margin:i-j"))
+    assert(r.keys.contains("z:"))
+    val d = r.get("d:i-j")
+    assert(d.unit == "km")
+    assert(d.df.count() == 6)
+  }
+
+  test("sums lattice is inferred lazily: d:i, d:j, d: (test_reporter.py:48-53)") {
+    val s = solvedScenario()
+    val r = Reporter.fromScenario(s)
+    val di = r.get("d:i")
+    val got = di.df.collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(math.abs(got("seattle") - 6.0) < 1e-9) // 2.5+1.7+1.8
+    assert(math.abs(got("san-diego") - 5.7) < 1e-9) // 2.5+1.8+1.4
+    val total = r.get("d:").df.as[Double].head()
+    assert(math.abs(total - 11.7) < 1e-9)
+  }
+
+  test("ex-ante filters are pushed into the leaf scan (test_reporter.py:207-278)") {
+    val s = solvedScenario()
+    val r = Reporter.fromScenario(s)
+    r.setFilters(Map("i" -> Seq("seattle")))
+    assert(r.get("d:i-j").df.count() == 3)
+    assert(math.abs(r.get("d:").df.as[Double].head() - 6.0) < 1e-9)
+    r.setFilters(Map.empty)
+    assert(r.get("d:i-j").df.count() == 6)
+  }
+
+  test("rename_dims applied at load (report/common.py RENAME_DIMS)") {
+    val s = solvedScenario()
+    val r = Reporter.fromScenario(s)
+    r.renameDims = Map("i" -> "plant")
+    val q = Reporter.fromScenario(s) // rebuild graph with rename visible
+    // simpler: force through a fresh reporter carrying the rename
+    val r2 = new Reporter
+    r2.renameDims = Map("i" -> "plant")
+    val rep = {
+      val rr = Reporter.fromScenario(s)
+      rr.renameDims = Map("i" -> "plant")
+      rr
+    }
+    // keys were registered pre-rename; dataForQuantity renames at load
+    val dq = rep.get("d:i-j")
+    assert(dq.df.columns.contains("plant"))
+    // filters are reverse-mapped before pushdown (operator.py:63-89)
+    rep.setFilters(Map("plant" -> Seq("seattle")))
+    assert(rep.get("d:i-j").df.count() == 3)
+  }
+
+  test("product and ratio with unit algebra (#29, #44)") {
+    val s = solvedScenario()
+    val r = Reporter.fromScenario(s)
+    val d = r.get("d:i-j")
+    val f = r.get("f:")
+    val cost = Operators.product(d, f)
+    assert(cost.unit == "USD") // km * USD/km
+    val got = cost.df.filter(col("i") === "seattle" && col("j") === "chicago")
+      .select("value").as[Double].head()
+    assert(math.abs(got - 1.7 * 90.0) < 1e-9)
+    val back = Operators.ratio(cost, f)
+    assert(back.unit == "km")
+    // x * d = case-km shipped
+    val xd = Operators.product(r.get("x:i-j"), d)
+    assert(xd.dims.toSet == Set("i", "j"))
+    assert(xd.df.count() == 6)
+  }
+
+  test("aggregate along a dim with named groups; keep=true appends") {
+    val s = solvedScenario()
+    val r = Reporter.fromScenario(s)
+    val d = r.get("d:i-j")
+    val agg = Operators.aggregate(d, "j",
+      Map("east" -> Seq("new-york"), "central" -> Seq("chicago", "topeka")))
+    val got = agg.df.collect()
+      .map(row => (row.getString(0), row.getString(1)) -> row.getDouble(2)).toMap
+    assert(math.abs(got(("seattle", "central")) - (1.7 + 1.8)) < 1e-9)
+    val kept = Operators.aggregate(d, "j", Map("east" -> Seq("new-york")), keep = true)
+    assert(kept.df.count() == 6 + 2)
+  }
+
+  test("broadcast_map re-aggregates along a category mapping (#25)") {
+    val s = solvedScenario()
+    s.transact("cats") {
+      s.addCatElement("i", "west", Seq("seattle", "san-diego"))
+    }
+    val r = Reporter.fromScenario(s)
+    val mapping = s.mapAsQty("i").filter(col("category") =!= "all")
+    val q = Operators.broadcastMap(r.get("x:i-j"), mapping, "i", Some("region"))
+    assert(q.dims == Seq("region", "j"))
+    val west = q.df.filter(col("region") === "west")
+      .select(sum("value")).as[Double].head()
+    assert(math.abs(west - 900.0) < 1e-9) // all shipped cases: 325+300+275
+  }
+
+  test("mixed units are discarded with empty unit attr (#30)") {
+    val s = solvedScenario()
+    s.transact("mixed") {
+      s.platform.addUnit("miles")
+      s.addPar("d", Seq(("seattle", "topeka", 1.8, "miles")).toDF("i", "j", "value", "unit"))
+    }
+    val r = Reporter.fromScenario(s)
+    assert(r.get("d:i-j").unit == "")
+  }
+
+  test("select, concat, add, disaggregate, toIamc") {
+    val s = solvedScenario()
+    val r = Reporter.fromScenario(s)
+    val d = r.get("d:i-j")
+    val sel = Operators.select(d, Map("i" -> Seq("seattle")))
+    assert(sel.df.count() == 3)
+    val both = Operators.concat(Seq(sel, Operators.select(d, Map("i" -> Seq("san-diego")))))
+    assert(both.df.count() == 6)
+    val doubled = Operators.add(d, d)
+    assert(math.abs(doubled.df.agg(sum("value")).as[Double].head() - 23.4) < 1e-9)
+    val shares = Seq(("h1", 0.4), ("h2", 0.6)).toDF("half", "share")
+    val disagg = Operators.disaggregate(r.get("d:i"), shares, "half")
+    assert(disagg.df.count() == 4)
+    assert(math.abs(disagg.df.agg(sum("value")).as[Double].head() - 11.7) < 1e-9)
+    val iamc = Operators.toIamc(r.get("x:i"), "canning problem", "standard",
+      "shipments", regionDim = Some("i"), yearDim = None)
+    assert(iamc.columns.toSeq == Seq("model", "scenario", "region", "variable", "unit", "value"))
+    assert(iamc.count() == 2)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.util.{Units, Util}
+
+class UtilSpec extends AnyFunSuite {
+
+  test("asStr coerces ints like the reference ({'foo':[42]} ≡ {'foo':['42']})") {
+    assert(Util.asStr(42) == "42")
+    assert(Util.asStr(42L) == "42")
+    assert(Util.asStr("x") == "x")
+    assert(Util.asStrList(Seq(1, "two", 3.0)) == Seq("1", "two", "3"))
+  }
+
+  test("parseUrl full form") {
+    val u = Util.parseUrl("ixmp://platform/model name/scen/with/slashes#42")
+    assert(u == graft.util.ScenarioUrl(Some("platform"), "model name",
+      "scen/with/slashes", Some(Left(42))))
+  }
+
+  test("parseUrl version 'new' and bare coords") {
+    assert(Util.parseUrl("m/s#new").version == Some(Right("new")))
+    assert(Util.parseUrl("m/s") ==
+      graft.util.ScenarioUrl(None, "m", "s", None))
+    intercept[IllegalArgumentException](Util.parseUrl("m/s#notanint"))
+    intercept[IllegalArgumentException](Util.parseUrl("ixmp://p/modelonly"))
+  }
+
+  test("checkYear") {
+    assert(Util.checkYear(Some(2020), "y") == Some(2020))
+    assert(Util.checkYear(None, "y").isEmpty)
+    intercept[IllegalArgumentException](Util.checkYear(Some("foo"), "y"))
+  }
+
+  test("unit algebra: parse, multiply, divide, format") {
+    val usdPerKm = Units.parse("USD/km")
+    assert(usdPerKm.exponents == Map("USD" -> 1, "km" -> -1))
+    val km = Units.parse("km")
+    assert((usdPerKm * km).format == "USD")
+    assert((km * km).format == "km ** 2")
+    assert((km / km).isDimensionless)
+    assert(Units.parse("cases").format == "cases")
+    assert(Units.parse("").isDimensionless)
+    assert(Units.parse("???").isDimensionless)
+    assert((Units.parse("USD") / Units.parse("km")).format == "USD / km")
+    assert(Units.parse("a*b/c").exponents == Map("a" -> 1, "b" -> 1, "c" -> -1))
+  }
+
+  test("cleanPath scrubs invalid chars (model/base.py:41-44)") {
+    assert(Util.cleanPath("""a<b>c:d"e/f\g|h?i*j""") == "a_b_c_d_e_f_g_h_i_j")
+  }
+}
