@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as
+  * opaque `binary` columns with a typed metadata struct, processed by
+  * codegen'd binary/array builtins so the pipeline stays inside
+  * whole-stage codegen at 100 TB.
+  *
+  * The actual media DECODE step (JPEG→pixels, PCM→samples) needs
+  * codec libraries that are not in this container; those entry points
+  * are deterministic STUBS (clearly marked) — the Spark-side plumbing
+  * (schema, partitioning, batch shape, feature extraction over bytes)
+  * is real and tested.
+  */
+object Multimodal {
+
+  /** Canonical asset schema: payload + typed metadata. */
+  def withAssetMeta(df: DataFrame, content: Column, mime: Column): DataFrame =
+    df.withColumn("content", content)
+      .withColumn("asset_meta", struct(
+        mime.as("mime"),
+        length(content).as("n_bytes"),
+        xxhash64(content).as("content_hash")))
+
+  /** Deterministic mime guess from leading bytes (magic numbers). */
+  def sniffMime(content: Column): Column = {
+    val head = hex(substring(content, 1, 4))
+    when(head.startsWith("FFD8"), "image/jpeg")
+      .when(head.startsWith("89504E47"), "image/png")
+      .when(head.startsWith("494433"), "audio/mpeg")
+      .when(head.startsWith("1A45DFA3"), "video/webm")
+      .otherwise("application/octet-stream")
+  }
+
+  /** STUB decode: a real deployment plugs a codec here (e.g. a
+    * `mapPartitions` over a JNI codec, or `mapInArrow` to a Python
+    * worker). The deterministic fake derives a fixed-length
+    * "pixel"/"sample" feature vector from the bytes so downstream
+    * operators (similarity, dedup, quality) are exercised for real. */
+  def decodeFeaturesStub(content: Column, dims: Int = 16): Column =
+    transform(sequence(lit(0), lit(dims - 1)), i =>
+      (xxhash64(content, i).cast("double") / lit(Long.MaxValue.toDouble)))
+
+  /** Byte-level content statistics (real, not stubbed): size, a
+    * distinct-byte diversity ratio over a leading sample (compression/
+    * corruption heuristic), and the leading magic bytes. */
+  def byteStats(content: Column): Column = {
+    val sampled = substring(content, 1, 1024)
+    val hexStr = hex(sampled) // 2 hex chars per byte
+    val bytes = transform(sequence(lit(1), length(sampled)),
+      i => hexStr.substr(i * 2 - 1, lit(2)))
+    struct(
+      length(content).as("n_bytes"),
+      round(size(array_distinct(bytes)).cast("double") / 256.0, 4).as("byte_diversity"),
+      hex(substring(content, 1, 8)).as("magic"))
+  }
+
+  /** Frame/chunk sampling: split the payload into fixed-size chunks
+    * and keep every `stride`-th one — the binary analogue of video
+    * frame sampling. Pure per-row slicing; no shuffle. */
+  def sampleChunksDf(df: DataFrame, contentCol: String, chunkBytes: Int,
+      stride: Int): DataFrame = {
+    val nChunks = ceil(length(col(contentCol)).cast("double") / chunkBytes).cast("int")
+    df.withColumn("chunk_idx",
+        explode(filter(sequence(lit(0), greatest(nChunks - 1, lit(0))),
+          i => i % stride === 0)))
+      .withColumn("chunk",
+        expr(s"substring($contentCol, chunk_idx * $chunkBytes + 1, $chunkBytes)"))
+  }
+
+  /** "Resize"/re-encode stub: deterministic truncation standing in for
+    * a codec round-trip, preserving the metadata contract. */
+  def resizeStub(content: Column, targetBytes: Int): Column =
+    substring(content, 1, targetBytes)
+}

@@ -96,6 +96,22 @@ object Pipeline {
       .select(col("vec_id").as("id"), col("embedding").as("vec")))
       .orderBy("id_a", "id_b")
 
+  /** Multimodal binary plumbing: documents' text payloads treated as
+    * opaque binary assets — byte stats + strided chunk sampling
+    * (graft.ops.Multimodal; decode is stubbed, plumbing is real). */
+  def m01Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val assets = docs(s, dir)
+      .withColumn("content", col("text").cast("binary"))
+    val stats = assets.withColumn("bs", Multimodal.byteStats(col("content")))
+    val chunks = Multimodal.sampleChunksDf(assets, "content", chunkBytes = 256, stride = 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_chunks_sampled"))
+    stats.select(col("doc_id"), col("bs.n_bytes").as("n_bytes"),
+        col("bs.magic").as("magic"))
+      .join(chunks, "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** JSON property extraction from the events props column (scalar
     * function surface: get_json_object). */
   def d09JsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -116,6 +132,7 @@ object Pipeline {
     "d07_ngram_jaccard" -> d07NgramJaccard _,
     "d08_simhash_pairs" -> d08SimhashPairs _,
     "d09_json_extract" -> d09JsonExtract _,
+    "m01_multimodal" -> m01Multimodal _,
     "e01_knn_brute" -> e01KnnBrute _,
     "e02_knn_ivf" -> e02KnnIvf _,
     "e03_cosine_near_dup" -> e03CosineNearDup _)
@@ -178,6 +195,12 @@ object Pipeline {
     "d09_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "m01_multimodal" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        | substring(hex(encode(text)), 1, 16) AS magic,
+        | CAST(floor((greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT), 1) - 1) / 2) + 1 AS BIGINT) AS n_chunks_sampled
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "e01_knn_brute" ->
       """WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
         |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 10),
