@@ -83,22 +83,8 @@ object TextFunctions {
 
   /** 64-bit SimHash over word tokens (duplicates weighted): bit j of the
     * output is set when the sum over words of ±1 votes (per bit of the
-    * word's xxhash64) is positive. */
-  def simhash64(ws: Column): Column = {
-    // votes[j] = sum over words of +/-1 depending on bit j of xxhash64(w)
-    val votes = aggregate(
-      ws,
-      expr("transform(sequence(0, 63), j -> 0)"),
-      (acc, w) =>
-        zip_with(acc, expr("sequence(0, 63)"),
-          (a, j) => a + when(call_function("bit_get", xxhash64(w), j) === 1, 1).otherwise(-1)))
-    // fold bits 62..0 MSB->LSB as acc*2+bit (stays within positive long
-    // range under ANSI arithmetic), then OR in the sign bit
-    val low63 = aggregate(
-      transform(sequence(lit(62), lit(0), lit(-1)),
-        j => when(element_at(votes, j + 1) > 0, lit(1L)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc * 2 + b)
-    when(element_at(votes, 64) > 0, low63.bitwiseOR(lit(Long.MinValue)))
-      .otherwise(low63)
-  }
+    * word's hash) is positive. Native Catalyst expression
+    * (graft.functions.SimHash64Expr) — the builtin-composed fold was a
+    * 64-wide interpreted zip per word. */
+  def simhash64(ws: Column): Column = CatalystFunctions.simhash64(ws)
 }

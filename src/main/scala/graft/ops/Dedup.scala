@@ -28,17 +28,30 @@ object Dedup {
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-document distinct word n-gram shingle sets. */
+  /** Spread a small-file source across the cluster before CPU-dense
+    * per-row sketching: testdata parquet is a single row group (one
+    * task); at 100 TB the same repartition decouples compute
+    * parallelism from file-split geometry. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(p)
+  }
+
+  /** Per-document distinct HASHED word n-gram shingle sets
+    * (array<long>). Minhash, banding, and Jaccard verification only
+    * consume shingle identity, so the 64-bit hash stands in for the
+    * string (graft.functions.ShingleHashes — native expression, no
+    * per-shingle string allocation). */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      shingles(words(col(textCol)), n).as("sh"))
+    spread(docs).select(col(idCol).as("doc_id"),
+      graft.functions.CatalystFunctions.shingleHashes(words(col(textCol)), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** MinHash signature column: k minima of per-shingle 64-bit hashes,
-    * seeded per-row of the signature. Pure codegen'd builtins. */
+  /** MinHash signature column: k minima of per-shingle 64-bit hashes.
+    * Native Catalyst expression — one string hash per shingle, then
+    * cheap long-mixing per signature slot (graft.functions.MinHashSig). */
   def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+    graft.functions.CatalystFunctions.minhashSignature(sh, k)
 
   /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
     *
@@ -66,7 +79,11 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // The shingle sets feed FOUR plan references (both self-join sides
+    // and both Jaccard-verify joins); persist so tokenize+shingle runs
+    // once, not four times. Storage is (id, shingle-array) only.
     val sets = shingleSets(docs, idCol, textCol, nGram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val sig = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
     val banded = sig
@@ -110,6 +127,7 @@ object Dedup {
       nGram: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val sets = shingleSets(docs, idCol, textCol, nGram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = sets.select(col("doc_id").as("id_a")).crossJoin(
       sets.select(col("doc_id").as("id_b")))
       .filter(col("id_a") < col("id_b"))
@@ -120,7 +138,7 @@ object Dedup {
     * bucket key; near-dup candidates share a bucket on at least one of
     * the 4 16-bit sub-keys (classic Charikar block permutation). */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"), simhash64(words(col(textCol))).as("simhash"))
+    spread(docs).select(col(idCol).as("doc_id"), simhash64(words(col(textCol))).as("simhash"))
 
   /** SimHash candidate pairs: docs whose fingerprints agree on one of
     * the four 16-bit blocks and are within `maxHamming` overall. */

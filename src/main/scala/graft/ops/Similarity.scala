@@ -15,12 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product over two equal-length double arrays.
-    * `aggregate` folds sequentially, giving a deterministic summation
-    * order (same as a scalar loop — and the same order DuckDB's list
-    * fold uses, which the oracle relies on). */
+  /** Dot product over two equal-length double arrays: native Catalyst
+    * expression with a sequential compiled loop — deterministic
+    * summation order (same as a scalar loop — and the same order
+    * DuckDB's list fold uses, which the oracle relies on). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.CatalystFunctions.vecDot(a, b)
+
+  /** Spread a small-file corpus before CPU-dense per-row math (the
+    * testdata parquet is one row group = one task; at 100 TB this same
+    * repartition decouples compute from file-split geometry). */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -34,7 +40,7 @@ object Similarity {
     * @param queries (qid, qvec) rows — small; broadcast
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("id"), asDouble(col("vec")).as("vec"))
+    val c = spread(corpus).select(col("id"), asDouble(col("vec")).as("vec"))
     val q = queries.select(col("qid"), asDouble(col("qvec")).as("qvec"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     c.crossJoin(broadcast(q))
@@ -57,7 +63,7 @@ object Similarity {
     */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = corpus.select(col("id"), asDouble(col("vec")).as("vec"))
+    val c = spread(corpus).select(col("id"), asDouble(col("vec")).as("vec"))
     val q = queries.select(col("qid"), asDouble(col("qvec")).as("qvec"))
 
     // Deterministic pseudo-random direction d_{cell}[j] in [-1,1]:
@@ -97,11 +103,18 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs via LSH (random-hyperplane
     * signatures): docs whose sign-bit signatures agree on a band are
-    * candidates; exact cosine filters them. One corpus shuffle. */
+    * candidates; exact cosine filters them. One corpus shuffle.
+    *
+    * Bandwidth tradeoff: with r=6-bit bands a random pair collides on
+    * some band with p ≈ 1-(1-2^-6)^8 ≈ 12% (candidate set ~12% of the
+    * quadratic), while a sim=0.5 pair (per-bit agreement 2/3) is
+    * recalled with p ≈ 0.52 per pass. Sign-LSH is sharp for
+    * high-similarity near-dups (sim≥0.9 → recall ≈ 1); for mid-range
+    * thresholds raise `bands` or fall back to [[ivfKnn]] blocking. */
   def cosineNearDup(corpus: DataFrame, threshold: Double = 0.4,
-      bits: Int = 24, bands: Int = 8): DataFrame = {
+      bits: Int = 48, bands: Int = 8): DataFrame = {
     val r = bits / bands
-    val c = corpus.select(col("id"), asDouble(col("vec")).as("vec"))
+    val c = spread(corpus).select(col("id"), asDouble(col("vec")).as("vec"))
     def hyper(bit: Column, dim: Column): Column =
       xxhash64(bit, dim).cast("double") / lit(Long.MaxValue.toDouble)
     val signed = c.withColumn("sigbits",
