@@ -218,6 +218,20 @@ object Relational {
       .orderBy("urgency")
   }
 
+  /** #26 — the all-subset partial-sums lattice (Reporter sums=True) as
+    * one `cube`: every aggregation across subsets of the dims in a
+    * single shuffle instead of 2^n separate jobs. */
+  def q19Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** All relational queries with their DuckDB oracles. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter_agg" -> q01ScanFilterAgg _,
@@ -237,7 +251,8 @@ object Relational {
     "q15_union" -> q15Union _,
     "q16_ts_export" -> q16TsExport _,
     "q17_year_range" -> q17YearRange _,
-    "q18_mapping_join" -> q18MappingJoin _)
+    "q18_mapping_join" -> q18MappingJoin _,
+    "q19_cube" -> q19Cube _)
 
   /** DuckDB SQL equivalents. Table names resolve to parquet files; the
     * driver registers each table from the same sfDir. */
@@ -342,5 +357,11 @@ object Relational {
         |  ('4-NOT SPECIFIED','normal'), ('5-LOW','low'))
         |SELECT urgency, count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
         |FROM orders JOIN mapping USING (o_orderpriority)
-        |GROUP BY urgency ORDER BY urgency""".stripMargin)
+        |GROUP BY urgency ORDER BY urgency""".stripMargin,
+    "q19_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        | coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
 }
