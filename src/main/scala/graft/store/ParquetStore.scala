@@ -127,6 +127,9 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   }
 
   override def discardRun(runId: Long): Unit = synchronized {
+    itemCache.keys.filter(_._1 == runId).foreach { k =>
+      itemCache.remove(k).foreach(_.unpersist())
+    }
     writePointerTable("catalog/runs", runsDf.filter(col("run_id") =!= runId))
     writePointerTable("catalog/items",
       itemsDf.filter(col("run_id") =!= runId))
@@ -173,6 +176,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     d.foreach { dd =>
       val fam = family(dd.itemType)
       fs.delete(new Path(itemPath(fam, runId, name)), true)
+      invalidate(runId, name, isSet = dd.itemType == ItemType.Set)
     }
   }
 
@@ -202,15 +206,41 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     }
   }
 
+  // Item result cache, mirroring the reference's CachingBackend
+  // (base.py:1291-1454 + SURVEY §4): the UNFILTERED item frame is
+  // persisted and filtered reads are served by re-filtering it
+  // (util/__init__.py:467-479's trick, free under Catalyst). A write
+  // to an item invalidates that item; any change to a SET invalidates
+  // every item of the run (membership validation may depend on it —
+  // jdbc.py:1358-1362's global invalidation).
+  private val itemCache =
+    scala.collection.concurrent.TrieMap.empty[(Long, String), DataFrame]
+
+  private def invalidate(runId: Long, name: String, isSet: Boolean): Unit = {
+    if (isSet) {
+      itemCache.keys.filter(_._1 == runId).foreach { k =>
+        itemCache.remove(k).foreach(_.unpersist())
+      }
+    } else itemCache.remove((runId, name)).foreach(_.unpersist())
+  }
+
+  def clearCache(): Unit = {
+    itemCache.values.foreach(_.unpersist())
+    itemCache.clear()
+  }
+
   override def itemData(runId: Long, name: String,
       filters: Map[String, Seq[String]]): DataFrame = {
     val d = itemDef(runId, name).getOrElse(
       throw new NoSuchElementException(s"no item '$name' in run $runId"))
-    val path = itemPath(family(d.itemType), runId, name)
-    val schema = dataSchema(d)
-    val base =
-      if (fs.exists(new Path(path))) spark.read.schema(schema).parquet(path)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val base = itemCache.getOrElseUpdate((runId, name), {
+      val path = itemPath(family(d.itemType), runId, name)
+      val schema = dataSchema(d)
+      val df =
+        if (fs.exists(new Path(path))) spark.read.schema(schema).parquet(path)
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
     filters.foldLeft(base) { case (df, (dim, vals)) =>
       require(d.idxNames.contains(dim),
         s"'$dim' is not an index name of item '$name' (${d.idxNames.mkString(",")})")
@@ -229,6 +259,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     df.selectExpr(cols.map(c => s"`$c`"): _*).write.mode("overwrite").parquet(tmp)
     fs.delete(new Path(path), true)
     fs.rename(new Path(tmp), new Path(path))
+    invalidate(runId, name, isSet = d.itemType == ItemType.Set)
   }
 
   // ---- time series -----------------------------------------------------
@@ -307,6 +338,29 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
         spark.createDataFrame(java.util.Arrays.asList(
           Row(name, category, duration)), timeslicesSchema)))
     }
+
+  // ---- documentation KV store (base.py:131-162) ---------------------------
+
+  /** (domain ∈ {model, scenario, region, metadata, timeseries},
+    * identifier) → text. */
+  def docs(domain: String): DataFrame =
+    readPointerTable("docs", docsSchema).filter(col("domain") === domain)
+
+  def setDoc(domain: String, identifier: String, text: String): Unit = synchronized {
+    val cur = readPointerTable("docs", docsSchema)
+      .filter(!(col("domain") === domain && col("identifier") === identifier))
+    writePointerTable("docs", cur.unionByName(spark.createDataFrame(
+      java.util.Arrays.asList(Row(domain, identifier, text)), docsSchema)))
+  }
+
+  def getDoc(domain: String, identifier: String): Option[String] =
+    docs(domain).filter(col("identifier") === identifier)
+      .collect().headOption.map(_.getString(2))
+
+  def removeDoc(domain: String, identifier: String): Unit = synchronized {
+    writePointerTable("docs", readPointerTable("docs", docsSchema)
+      .filter(!(col("domain") === domain && col("identifier") === identifier)))
+  }
 
   // ---- categories ---------------------------------------------------------
 
@@ -389,6 +443,11 @@ object ParquetStore {
     StructField("name", StringType),
     StructField("category", StringType),
     StructField("duration", DoubleType)))
+
+  val docsSchema: StructType = StructType(Seq(
+    StructField("domain", StringType, nullable = false),
+    StructField("identifier", StringType, nullable = false),
+    StructField("text", StringType)))
 
   val catSchema: StructType = StructType(Seq(
     StructField("set_name", StringType),

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, user_id, event_type, ts, value, props).
+  *
+  * The reference has NO streaming surface (SURVEY §2.10) — its closest
+  * analogue is the versioned commit log — so this layer is part of the
+  * beyond-reference training-pipeline capability: the same codegen'd
+  * aggregations as the batch battery, driven incrementally with
+  * watermarks bounding state. All operators take a DataFrame that may
+  * be either `readStream` or batch (identical plans, Spark decides).
+  */
+object EventStream {
+
+  /** Event-time windowed activity rollup: the streaming analogue of
+    * q16_ts_export. Watermark bounds the aggregation state; window
+    * state is dropped once the watermark passes. */
+  def windowedActivity(events: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("value"))
+
+  /** Session windows per user with an inactivity gap — the built-in
+    * `session_window` keeps per-key state until watermark + gap. */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("value"))
+
+  final case class UserTotal(userId: Long, nEvents: Long, total: Double)
+
+  /** Custom keyed state: running per-user totals via
+    * `mapGroupsWithState` (the KeyValueGroupedDataset path for
+    * semantics `session_window` can't express). Update output mode. */
+  def runningTotals(events: DataFrame): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Double)], state: GroupState[UserTotal]) =>
+          val prior = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+          var n = prior.nEvents
+          var tot = prior.total
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserTotal(userId, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}

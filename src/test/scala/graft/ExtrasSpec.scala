@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.Platform
+import graft.model.DantzigModel
+import graft.report.ScenarioOperators
+
+class ExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("documentation KV store (base.py:131-162)") {
+    val mp = new Platform(spark, tmpDir("graft-docs"))
+    mp.store.setDoc("model", "canning problem", "Dantzig 1963 transport LP")
+    mp.store.setDoc("region", "World", "everything")
+    assert(mp.store.getDoc("model", "canning problem")
+      .contains("Dantzig 1963 transport LP"))
+    mp.store.setDoc("model", "canning problem", "updated")
+    assert(mp.store.getDoc("model", "canning problem").contains("updated"))
+    assert(mp.store.docs("model").count() == 1)
+    mp.store.removeDoc("model", "canning problem")
+    assert(mp.store.getDoc("model", "canning problem").isEmpty)
+  }
+
+  test("item cache: unfiltered frame persisted, invalidated on write") {
+    val mp = new Platform(spark, tmpDir("graft-cache"))
+    val s = mp.newScenario("m", "s")
+    s.checkOut()
+    DantzigModel.initialize(s)
+    s.commit("data")
+    val first = s.par("d")
+    first.count()
+    // second (filtered) read re-filters the same cached plan
+    assert(s.par("d", Map("i" -> Seq("seattle"))).count() == 3)
+    // a write invalidates: the next read must see the new row
+    s.transact("w") {
+      s.addSet("j", Seq("boston"))
+      s.addPar("d", Seq(("seattle", "boston", 4.0, "km")).toDF("i", "j", "value", "unit"))
+    }
+    assert(s.par("d").count() == 7)
+    // set change invalidated everything but reads still work
+    assert(s.par("a").count() == 2)
+    mp.store.clearCache()
+    assert(s.par("d").count() == 7)
+  }
+
+  test("scenario operators: store_ts/get_ts/remove_ts(after)/update_scenario") {
+    val mp = new Platform(spark, tmpDir("graft-ops"))
+    val s = mp.newScenario("m", "s")
+    s.checkOut()
+    DantzigModel.initialize(s)
+    s.commit("data")
+    ScenarioOperators.storeTs(s, Seq(
+      ("World", "GDP", "USD", 2000, 1.0), ("World", "GDP", "USD", 2010, 2.0),
+      ("World", "GDP", "USD", 2020, 3.0))
+      .toDF("region", "variable", "unit", "year", "value"))
+    assert(ScenarioOperators.getTs(s, variable = Seq("GDP")).count() == 3)
+    ScenarioOperators.removeTs(s,
+      Seq(("World", "GDP", "USD")).toDF("region", "variable", "unit"),
+      after = Some(2010))
+    assert(ScenarioOperators.getTs(s).select("year").as[Int].collect().toSeq == Seq(2000))
+    ScenarioOperators.updateScenario(s, "d",
+      Seq(("seattle", "chicago", 2.2, "km")).toDF("i", "j", "value", "unit"))
+    assert(s.par("d", Map("i" -> Seq("seattle"), "j" -> Seq("chicago")))
+      .select("value").as[Double].head() == 2.2)
+    assert(ScenarioOperators.fromUrl(mp, s"m/s#${s.version}").runId == s.runId)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+
+case class Ev(user_id: Long, event_type: String, ts: Timestamp, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed activity with watermark emits closed windows (append)") {
+    val input = MemoryStream[Ev](spark)
+    val q = EventStream.windowedActivity(input.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("agg_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Ev(1, "purchase", t("2026-01-01 10:05:00"), 10.0),
+        Ev(2, "purchase", t("2026-01-01 10:40:00"), 5.0),
+        Ev(3, "signup", t("2026-01-01 10:50:00"), 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past the 10:00-11:00 window
+      input.addData(Ev(4, "purchase", t("2026-01-01 13:00:00"), 2.0))
+      q.processAllAvailable()
+      val out = spark.table("agg_out")
+        .select("event_type", "n_events", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out.contains(("purchase", 2L, 15.0)))
+      assert(out.contains(("signup", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("session windows split on the inactivity gap") {
+    val input = MemoryStream[Ev](spark)
+    val q = EventStream.sessions(input.toDF(), gap = "30 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Ev(7, "a", t("2026-01-01 10:00:00"), 1.0),
+        Ev(7, "a", t("2026-01-01 10:10:00"), 1.0), // same session
+        Ev(7, "a", t("2026-01-01 12:00:00"), 1.0)) // new session
+      q.processAllAvailable()
+      input.addData(Ev(8, "a", t("2026-01-01 15:00:00"), 0.0)) // advance watermark
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").filter(col("user_id") === 7)
+        .select("n_events").as[Long].collect().sorted.toSeq
+      assert(sessions == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals accumulate across batches") {
+    val input = MemoryStream[Ev](spark)
+    val q = EventStream.runningTotals(input.toDF())
+      .writeStream.format("memory").queryName("tot_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Ev(1, "a", t("2026-01-01 10:00:00"), 2.0),
+        Ev(1, "a", t("2026-01-01 10:01:00"), 3.0))
+      q.processAllAvailable()
+      input.addData(Ev(1, "a", t("2026-01-01 10:02:00"), 5.0))
+      q.processAllAvailable()
+      val last = spark.table("tot_out").filter(col("userId") === 1)
+        .orderBy(col("nEvents").desc).select("nEvents", "total")
+        .collect().head
+      assert(last.getLong(0) == 3L && last.getDouble(1) == 10.0)
+    } finally q.stop()
+  }
+}
