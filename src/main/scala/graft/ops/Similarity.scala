@@ -51,46 +51,38 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
   }
 
-  /** IVF-style ANN: partition the corpus into coarse cells (here: the
-    * nearest of nCells hash-derived pseudo-random unit directions — a
-    * deterministic stand-in for k-means centroids, which at real scale
-    * would be trained with one sampled pass), then search only the
-    * `nProbe` best cells per query.
+  /** IVF ANN: coarse-quantize the corpus to `nCells` centroids, then
+    * search only the `nProbe` best cells per query.
     *
-    * The cell assignment is one narrow map over the corpus; the probe
-    * join is an equi-join on cell id, so Spark shuffles each corpus row
-    * once and each query row nProbe times.
-    */
+    * Centroids are a deterministic hash-ordered sample of the corpus
+    * itself (the classic IVF bootstrap; at real scale you would refine
+    * them with a few sampled k-means iterations — the assignment
+    * machinery below is unchanged by that). Assignment is one
+    * broadcast-join + windowed argmax over n×nCells rows; the probe
+    * join is an equi-join on cell id, so each corpus row shuffles once
+    * and each query row nProbe times. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
     val c = spread(corpus).select(col("id"), asDouble(col("vec")).as("vec"))
     val q = queries.select(col("qid"), asDouble(col("qvec")).as("qvec"))
 
-    // Deterministic pseudo-random direction d_{cell}[j] in [-1,1]:
-    // derived from xxhash64(cell, j) — reproducible on any cluster.
-    def cellDir(cell: Column, dim: Column): Column =
-      (xxhash64(cell, dim).cast("double") / lit(Long.MaxValue.toDouble))
+    // deterministic sampled centroids (small: nCells × dim)
+    val centroids = broadcast(
+      c.orderBy(xxhash64(col("id")), col("id")).limit(nCells)
+        .select(monotonically_increasing_id().as("cell"), col("vec").as("cvec")))
 
-    def cellScores(vec: Column): Column =
-      transform(sequence(lit(0), lit(nCells - 1)), cell =>
-        aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, j) => x * cellDir(cell, j)),
-          lit(0.0), (acc, x) => acc + x))
+    def argmaxCells(df: DataFrame, idC: String, vecC: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(idC).orderBy(col("__score").desc, col("cell"))
+      df.crossJoin(centroids)
+        .withColumn("__score", dot(col(vecC), col("cvec")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= keep)
+        .drop("cvec", "__score", "__rk")
+    }
 
-    // argmax cell for corpus rows
-    val cAssigned = c.withColumn("scores", cellScores(col("vec")))
-      .withColumn("cell", expr("array_position(scores, array_max(scores)) - 1").cast("int"))
-      .drop("scores")
-
-    // top-nProbe cells per query: sort (score desc, cell) pairs, take
-    // the first nProbe cell ids, explode (as its own projection step —
-    // generators cannot nest inside other expressions)
-    val qProbes = q.withColumn("scores", cellScores(col("qvec")))
-      .withColumn("probes", slice(
-        expr("transform(array_sort(arrays_zip(transform(scores, s -> -s), sequence(0, size(scores)-1))), p -> p['1'])"),
-        1, nProbe))
-      .select(col("qid"), col("qvec"), explode(col("probes")).as("cell"))
+    val cAssigned = argmaxCells(c, "id", "vec", 1)
+    val qProbes = argmaxCells(q, "qid", "qvec", nProbe)
 
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     cAssigned.join(qProbes, "cell")
