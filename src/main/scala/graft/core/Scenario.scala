@@ -180,6 +180,13 @@ class Scenario(platform0: Platform, run0: RunInfo)
       d.idxNames.map(c => col(c).cast("string").as(c)) ++
         Seq(col("value").cast("double"), col("unit").cast("string")): _*)
     validateKeys(d, incoming)
+    // units must exist in the Platform unit codelist
+    // (doc/data-model.rst:275-284)
+    val known = platform.units().toSet
+    val unknown = incoming.select("unit").distinct().collect()
+      .map(_.getString(0)).filterNot(known.contains)
+    require(unknown.isEmpty,
+      s"The unit '${unknown.head}' does not exist in the database!")
     val existing = itemData(name)
     val kept =
       if (d.idxNames.isEmpty) existing.limit(0) // scalar overwrite
@@ -226,6 +233,8 @@ class Scenario(platform0: Platform, run0: RunInfo)
     requireCheckedOut()
     val d = itemDefOf(name)
     require(d.idxNames.isEmpty, s"'$name' is not a scalar")
+    require(platform.units().contains(unit),
+      s"The unit '$unit' does not exist in the database!")
     store.writeItemData(runId, name, spark.createDataFrame(
       java.util.Arrays.asList(Row(value, unit)),
       StructType(Seq(StructField("value", DoubleType), StructField("unit", StringType)))))

@@ -40,12 +40,16 @@ object Similarity {
     * @param queries (qid, qvec) rows — small; broadcast
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // norms precomputed per side: each candidate pair then costs one
+    // array pass (dot) instead of three
     val c = spread(corpus).select(col("id"), asDouble(col("vec")).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
     val q = queries.select(col("qid"), asDouble(col("qvec")).as("qvec"))
+      .withColumn("qnrm", norm(col("qvec")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
-      .withColumn("sim", cosine(col("vec"), col("qvec")))
+      .withColumn("sim", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
@@ -129,10 +133,11 @@ object Similarity {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val withNorm = c.withColumn("nrm", norm(col("vec")))
     candidates
-      .join(c.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
-      .join(c.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .join(withNorm.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na")), "id_a")
+      .join(withNorm.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }

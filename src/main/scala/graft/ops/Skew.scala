@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew-mitigation helpers for the cases AQE's runtime
+  * skew-join splitting can't reach (e.g. a hot aggregation key, or a
+  * join where one side must not be broadcast). At 100 TB a single hot
+  * key (an empty-document fingerprint, a default region, a null-ish
+  * dimension value) can pin a whole stage on one task; salting trades
+  * one extra narrow shuffle for even distribution.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: groupBy (keys + salt) computes
+    * partial aggregates across `salts` partitions per key, then the
+    * tiny partial-result table re-aggregates without the salt. Works
+    * for any algebraic aggregate expression list (sum/count/min/max). */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      salts: Int = 16): DataFrame =
+    // salt derives from row identity, not value: identical hot values
+    // must land on DIFFERENT salts for the split to help
+    df.withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(valueCol).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("__partial").as(s"sum_$valueCol"))
+
+  /** Salted join of a skewed fact against a small-ish dimension that
+    * is still too large (or unwanted) to broadcast: the fact side gets
+    * a random salt in [0, salts); the dim side is exploded `salts`
+    * ways, so the join key (key, salt) spreads each hot key over
+    * `salts` tasks. Inner/left semantics preserved. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -15,6 +15,7 @@ class PerfSpec extends SparkSpec {
 
   test("bulk add_par at 1e5 rows: one set-based write, filtered read back") {
     val mp = new Platform(spark, tmpDir("graft-perf"))
+    mp.addUnit("kg")
     val s = mp.newScenario("perf", "bulk")
     val n = 100000
     val nI = 500
