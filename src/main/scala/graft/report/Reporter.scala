@@ -89,8 +89,9 @@ object Reporter {
     * Reporter.from_scenario, reporter.py:44-99): every par gives a
     * `name:dims` key; every var/equ gives level + `name-margin` keys;
     * sets are registered as element lists. */
-  def fromScenario(s: Scenario): Reporter = {
+  def fromScenario(s: Scenario, renameDims: Map[String, String] = Map.empty): Reporter = {
     val r = new Reporter
+    r.renameDims = renameDims
 
     def register(name: String, t: ItemType.Value): Unit = {
       val dims0 = s.idxNames(name)

@@ -61,25 +61,18 @@ class ReporterSpec extends SparkSpec {
     assert(r.get("d:i-j").df.count() == 6)
   }
 
-  test("rename_dims applied at load (report/common.py RENAME_DIMS)") {
+  test("rename_dims applied at registration and load (RENAME_DIMS)") {
     val s = solvedScenario()
-    val r = Reporter.fromScenario(s)
-    r.renameDims = Map("i" -> "plant")
-    val q = Reporter.fromScenario(s) // rebuild graph with rename visible
-    // simpler: force through a fresh reporter carrying the rename
-    val r2 = new Reporter
-    r2.renameDims = Map("i" -> "plant")
-    val rep = {
-      val rr = Reporter.fromScenario(s)
-      rr.renameDims = Map("i" -> "plant")
-      rr
-    }
-    // keys were registered pre-rename; dataForQuantity renames at load
-    val dq = rep.get("d:i-j")
+    val rep = Reporter.fromScenario(s, renameDims = Map("i" -> "plant"))
+    // keys carry the renamed dim
+    assert(rep.keys.contains("d:plant-j"))
+    val dq = rep.get("d:plant-j")
     assert(dq.df.columns.contains("plant"))
+    // lattice inference works on renamed dims too
+    assert(rep.get("d:plant").df.count() == 2)
     // filters are reverse-mapped before pushdown (operator.py:63-89)
     rep.setFilters(Map("plant" -> Seq("seattle")))
-    assert(rep.get("d:i-j").df.count() == 3)
+    assert(rep.get("d:plant-j").df.count() == 3)
   }
 
   test("product and ratio with unit algebra (#29, #44)") {
