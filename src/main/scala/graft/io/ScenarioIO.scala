@@ -75,7 +75,7 @@ object ScenarioIO {
       spark.read.option("header", true).csv(s"$dir/item=$name")
 
     // --- pass 1+2: sets, index sets before indexed sets (io.py:232-308)
-    val setQueue = mutable.Queue(mapping.collect { case (n, "set") => n }: _*)
+    val setQueue = mutable.Queue(mapping.collect { case (n, "set") => n }.toIndexedSeq: _*)
     var stalls = 0
     while (setQueue.nonEmpty && stalls <= setQueue.size) {
       val name = setQueue.dequeue()

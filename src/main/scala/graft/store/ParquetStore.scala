@@ -256,7 +256,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     val path = itemPath(family(d.itemType), runId, name)
     val cols = dataSchema(d).fieldNames
     val tmp = path + ".tmp"
-    df.selectExpr(cols.map(c => s"`$c`"): _*).write.mode("overwrite").parquet(tmp)
+    df.selectExpr(cols.map(c => s"`$c`").toIndexedSeq: _*).write.mode("overwrite").parquet(tmp)
     fs.delete(new Path(path), true)
     fs.rename(new Path(tmp), new Path(path))
     invalidate(runId, name, isSet = d.itemType == ItemType.Set)
@@ -275,7 +275,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   private def writeRunFact(fam: String, runId: Long, df: DataFrame, schema: StructType): Unit = {
     val p = runFactPath(fam, runId)
     val tmp = p + ".tmp"
-    df.selectExpr(schema.fieldNames.map(c => s"`$c`"): _*)
+    df.selectExpr(schema.fieldNames.map(c => s"`$c`").toIndexedSeq: _*)
       .write.mode("overwrite").parquet(tmp)
     fs.delete(new Path(p), true)
     fs.rename(new Path(tmp), new Path(p))

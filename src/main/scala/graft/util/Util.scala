@@ -81,7 +81,7 @@ object Util {
     * rename, inject subannual="Year" default; region/variable/unit
     * required. */
   def toIamcLayout(df: DataFrame): DataFrame = {
-    var out = df.toDF(df.columns.map(_.toLowerCase): _*)
+    var out = df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
     if (out.columns.contains("node") && !out.columns.contains("region"))
       out = out.withColumnRenamed("node", "region")
     val missing = Seq("region", "variable", "unit").filterNot(out.columns.contains)
