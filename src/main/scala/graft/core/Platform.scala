@@ -88,12 +88,16 @@ class Platform(val spark: SparkSession, val root: String) {
     require(model.isDefined || scenario.isDefined, "meta target requires model or scenario")
     require(version.isEmpty || (model.isDefined && scenario.isDefined),
       "a version target requires model and scenario")
+    // a name is unique ACROSS targets (doc/data-model.rst:145-169):
+    // replace the name on every target that shares this model/scenario
+    // context, not just the exact target row
     val cur = store.meta()
-    val without = cur.filter(!(
-      col("name") === name &&
-        col("target_model") <=> model.map(lit(_)).getOrElse(lit(null)) &&
-        col("target_scenario") <=> scenario.map(lit(_)).getOrElse(lit(null)) &&
-        col("target_version") <=> version.map(lit(_)).getOrElse(lit(null))))
+    val sharesContext =
+      (model.map(m => col("target_model") === m).getOrElse(lit(true)) ||
+        col("target_model").isNull) &&
+      (scenario.map(sc => col("target_scenario") === sc).getOrElse(lit(true)) ||
+        col("target_scenario").isNull)
+    val without = cur.filter(!(col("name") === name && sharesContext))
     val row = Row(model.orNull, scenario.orNull,
       version.map(Integer.valueOf).orNull, name, valueJson)
     store.writeMeta(without.unionByName(spark.createDataFrame(

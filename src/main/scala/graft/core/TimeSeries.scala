@@ -37,8 +37,10 @@ class TimeSeries(val platform: Platform, protected var run: RunInfo) {
     checkedOut = false
   }
 
-  def discard(): Unit = { // reference discard_changes reloads state
-    store.commit(runId, "local", "(discarded)")
+  /** Roll back all staged writes since checkOut (reference
+    * discard_changes — the store drops the staged generations). */
+  def discard(): Unit = {
+    store.discardChanges(runId)
     checkedOut = false
   }
 

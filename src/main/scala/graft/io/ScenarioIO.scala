@@ -43,14 +43,8 @@ object ScenarioIO {
     }
 
     s.setList().foreach(n => writeItem(n, "set", s.set(n), keepEmpty = true))
-    s.parList().foreach { n =>
-      val df =
-        if (s.idxNames(n).isEmpty)
-          // scalar → 1-row value/unit frame (io.py:95-98)
-          s.par(n)
-        else s.par(n)
-      writeItem(n, "par", df, keepEmpty = false)
-    }
+    // scalars come through par() as 1-row value/unit frames (io.py:95-98)
+    s.parList().foreach(n => writeItem(n, "par", s.par(n), keepEmpty = false))
     if (includeSolution) {
       s.varList().foreach(n => writeItem(n, "var", s.variable(n), keepEmpty = false))
       s.equList().foreach(n => writeItem(n, "equ", s.equation(n), keepEmpty = false))

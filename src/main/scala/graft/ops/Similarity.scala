@@ -85,13 +85,13 @@ object Similarity {
         .drop("cvec", "__score", "__rk")
     }
 
-    val cAssigned = argmaxCells(c, "id", "vec", 1)
-    val qProbes = argmaxCells(q, "qid", "qvec", nProbe)
+    val cAssigned = argmaxCells(c, "id", "vec", 1).withColumn("nrm", norm(col("vec")))
+    val qProbes = argmaxCells(q, "qid", "qvec", nProbe).withColumn("qnrm", norm(col("qvec")))
 
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     cAssigned.join(qProbes, "cell")
       .filter(col("id") =!= col("qid"))
-      .withColumn("sim", cosine(col("vec"), col("qvec")))
+      .withColumn("sim", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))

@@ -271,7 +271,13 @@ object Operators {
     * column contract): map a quantity onto IAMC columns. */
   def toIamc(q: Quantity, model: String, scenario: String, variable: String,
       regionDim: Option[String], yearDim: Option[String]): DataFrame = {
-    var df = q.df
+    // dims beyond region/year are summed out first — never silently
+    // dropped, which would emit duplicate IAMC keys
+    val keep = (regionDim.toSeq ++ yearDim.toSeq)
+    val q2 =
+      if (q.dims.forall(keep.contains)) q
+      else Operators.sumOver(q, keep.filter(q.dims.contains))
+    var df = q2.df
       .withColumn("model", lit(model))
       .withColumn("scenario", lit(scenario))
       .withColumn("variable", lit(variable))

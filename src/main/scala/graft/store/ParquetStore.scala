@@ -1,6 +1,8 @@
 package graft.store
 
-import java.net.{URLDecoder, URLEncoder}
+import java.net.URLEncoder
+
+import scala.collection.concurrent.TrieMap
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -11,21 +13,36 @@ import org.apache.spark.sql.types._
   *
   * Layout (all under `root`):
   * {{{
-  *   catalog/runs/           runs table (atomic rewrite)
-  *   catalog/items/          item catalog (atomic rewrite)
-  *   data/set|par|sol/run_id=N/name=X/   long-format item rows
-  *   data/ts/run_id=N/  data/geo/run_id=N/
-  *   meta/  codelists/units|regions|timeslices/  cat/run_id=N/
+  *   catalog/runs.gN/        runs table (generational rewrite)
+  *   catalog/items.gN/       item catalog
+  *   catalog/manifest.gN/    committed (run_id, name) -> data generation
+  *   data/set|par|sol/run_id=N/name=X/gG/   long-format item rows
+  *   data/ts|geo|cat/run_id=N/name=__ts/gG/ per-run fact tables
+  *   meta.gN/  codelists/units|regions|timeslices.gN/  docs.gN/
   * }}}
   *
-  * Scale design: item/TS facts are partitioned by `run_id` (and item
-  * `name`), so run- and item-scoped reads are pure partition pruning —
-  * a scan of one item never lists, let alone reads, another run's data.
-  * Catalog tables are tiny and rewritten copy-on-write; the swap is a
-  * pointer-file update, the Spark-native stand-in for the reference's
-  * RDBMS row locks (SURVEY §7.5 hard part 1). Unlike the reference's
-  * per-element JNI write loop (jdbc.py:1295-1310), writes here are
-  * whole-DataFrame parquet appends.
+  * Durability/atomicity model (SURVEY §7.5 hard part 1 — check-out/
+  * commit on immutable storage):
+  *  - Every table write goes to a FRESH generation directory; readers
+  *    resolve the newest generation whose parquet `_SUCCESS` marker
+  *    exists, so a crashed or in-flight write is invisible (the commit
+  *    protocol's marker is the atomic step — no pointer-file race).
+  *  - Old generations are retained (catalogs GC down to the last few),
+  *    so lazy DataFrames handed to callers stay readable across later
+  *    writes instead of hitting deleted files.
+  *  - Item/fact writes during a check-out are staged: the new
+  *    generation is recorded only in the in-memory `pending` overlay
+  *    (visible to this session's reads, like the reference's
+  *    uncommitted state). `commit` publishes the overlay into the
+  *    manifest in one generational write; `discardChanges` deletes the
+  *    staged directories — a REAL rollback. Writes outside a check-out
+  *    (e.g. a model storing its solution) publish immediately.
+  *
+  * Scale design: item/TS facts are partitioned by `run_id` and item
+  * `name`, so run- and item-scoped reads touch only their own
+  * directories, and writes are whole-DataFrame parquet jobs — the
+  * reference's per-element JNI write loop (jdbc.py:1295-1310) has no
+  * analogue here.
   */
 class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   import ParquetStore._
@@ -33,37 +50,34 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   fs.mkdirs(new Path(root))
 
-  // ---- generic atomic-pointer table helpers -------------------------
+  // ---- generational table helpers -----------------------------------
 
-  /** Read the current generation of an atomically-rewritten table. */
-  private def readPointerTable(name: String, schema: StructType): DataFrame = {
-    val ptr = new Path(s"$root/$name.current")
-    if (!fs.exists(ptr)) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else {
-      val gen = readSmallFile(ptr)
-      spark.read.schema(schema).parquet(s"$root/$name.g$gen")
+  /** Newest generation number of `name` with a _SUCCESS marker. */
+  private def currentGenOf(name: String): Option[Long] = {
+    val parent = new Path(s"$root/$name").getParent
+    val base = new Path(s"$root/$name").getName
+    if (!fs.exists(parent)) return None
+    val gens = fs.listStatus(parent).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith(base + ".g"))
+      .flatMap(n => n.stripPrefix(base + ".g").toLongOption)
+      .filter(g => fs.exists(new Path(parent, s"$base.g$g/_SUCCESS")))
+      .toSeq
+    if (gens.isEmpty) None else Some(gens.max)
+  }
+
+  private def readPointerTable(name: String, schema: StructType): DataFrame =
+    currentGenOf(name) match {
+      case None => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      case Some(g) => spark.read.schema(schema).parquet(s"$root/$name.g$g")
     }
-  }
 
-  /** Rewrite a table copy-on-write: write generation g+1, then swap the
-    * pointer file (create-temp + rename = the atomic step). */
+  /** Write the next generation; retain the trailing `KeepGens` so
+    * previously-returned lazy frames stay readable. */
   private def writePointerTable(name: String, df: DataFrame): Unit = synchronized {
-    val ptr = new Path(s"$root/$name.current")
-    val gen = if (fs.exists(ptr)) readSmallFile(ptr).toLong + 1 else 0L
-    df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name.g$gen")
-    val tmp = new Path(s"$root/$name.current.tmp")
-    val out = fs.create(tmp, true)
-    out.write(gen.toString.getBytes("UTF-8"))
-    out.close()
-    fs.delete(ptr, false)
-    fs.rename(tmp, ptr)
-    if (gen > 0) fs.delete(new Path(s"$root/$name.g${gen - 1}"), true)
-  }
-
-  private def readSmallFile(p: Path): String = {
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
+    val next = currentGenOf(name).getOrElse(-1L) + 1
+    df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name.g$next")
+    val old = next - KeepGens
+    if (old >= 0) fs.delete(new Path(s"$root/$name.g$old"), true)
   }
 
   // ---- runs catalog --------------------------------------------------
@@ -127,9 +141,10 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   }
 
   override def discardRun(runId: Long): Unit = synchronized {
-    itemCache.keys.filter(_._1 == runId).foreach { k =>
-      itemCache.remove(k).foreach(_.unpersist())
-    }
+    invalidateRun(runId)
+    pending.keys.filter(_._1 == runId).foreach(pending.remove)
+    manifest --= manifest.keys.filter(_._1 == runId)
+    persistManifest()
     writePointerTable("catalog/runs", runsDf.filter(col("run_id") =!= runId))
     writePointerTable("catalog/items",
       itemsDf.filter(col("run_id") =!= runId))
@@ -175,12 +190,33 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
       itemsDf.filter(!(col("run_id") === runId && col("name") === name)))
     d.foreach { dd =>
       val fam = family(dd.itemType)
-      fs.delete(new Path(itemPath(fam, runId, name)), true)
+      pending.remove((runId, name))
+      if (manifest.remove((runId, name)).isDefined) persistManifest()
+      fs.delete(new Path(itemDir(fam, runId, name)), true)
       invalidate(runId, name, isSet = dd.itemType == ItemType.Set)
     }
   }
 
-  // ---- item data -------------------------------------------------------
+  // ---- generational item/fact data -----------------------------------
+
+  /** Committed (run_id, name) -> generation; the pending overlay holds
+    * staged writes of checked-out runs. Loaded once, persisted on every
+    * publish (the manifest is tiny: one row per item per run). */
+  private val manifest: TrieMap[(Long, String), Long] = {
+    val m = TrieMap.empty[(Long, String), Long]
+    readPointerTable("catalog/manifest", manifestSchema).collect().foreach { r =>
+      m((r.getLong(0), r.getString(1))) = r.getLong(2)
+    }
+    m
+  }
+  private val pending = TrieMap.empty[(Long, String), Long]
+  private val checkedOut = TrieMap.empty[Long, String]
+
+  private def persistManifest(): Unit = {
+    val rows = manifest.toSeq.map { case ((r, n), g) => Row(r, n, g) }
+    writePointerTable("catalog/manifest", spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), manifestSchema))
+  }
 
   private def family(t: ItemType.Value): String = t match {
     case ItemType.Set => "set"
@@ -188,8 +224,42 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     case _ => "sol"
   }
 
-  private def itemPath(fam: String, runId: Long, name: String): String =
+  private def itemDir(fam: String, runId: Long, name: String): String =
     s"$root/data/$fam/run_id=$runId/name=${URLEncoder.encode(name, "UTF-8")}"
+
+  private def genPath(fam: String, runId: Long, name: String, gen: Long): String =
+    s"${itemDir(fam, runId, name)}/g$gen"
+
+  private def currentDataGen(runId: Long, name: String): Option[Long] =
+    pending.get((runId, name)).orElse(manifest.get((runId, name)))
+
+  private def readVersioned(fam: String, runId: Long, name: String,
+      schema: StructType): DataFrame =
+    currentDataGen(runId, name) match {
+      case Some(g) => spark.read.schema(schema).parquet(genPath(fam, runId, name, g))
+      case None => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+
+  /** Write a fresh generation; stage it when the run is checked out,
+    * publish immediately otherwise. */
+  private def writeVersioned(fam: String, runId: Long, name: String,
+      df: DataFrame, schema: StructType): Unit = {
+    val next = currentDataGen(runId, name).getOrElse(-1L) + 1
+    df.selectExpr(schema.fieldNames.map(c => s"`$c`").toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(genPath(fam, runId, name, next))
+    if (checkedOut.contains(runId)) pending((runId, name)) = next
+    else synchronized {
+      manifest((runId, name)) = next
+      persistManifest()
+      gcGens(fam, runId, name, next)
+    }
+  }
+
+  /** Retain the trailing KeepGens generations of an item. */
+  private def gcGens(fam: String, runId: Long, name: String, newest: Long): Unit = {
+    val old = newest - KeepGens
+    if (old >= 0) fs.delete(new Path(genPath(fam, runId, name, old)), true)
+  }
 
   private def dataSchema(d: ItemDef): StructType = {
     val dims = StructType(d.idxNames.map(n => StructField(n, StringType)))
@@ -213,16 +283,16 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   // to an item invalidates that item; any change to a SET invalidates
   // every item of the run (membership validation may depend on it —
   // jdbc.py:1358-1362's global invalidation).
-  private val itemCache =
-    scala.collection.concurrent.TrieMap.empty[(Long, String), DataFrame]
+  private val itemCache = TrieMap.empty[(Long, String), DataFrame]
 
-  private def invalidate(runId: Long, name: String, isSet: Boolean): Unit = {
-    if (isSet) {
-      itemCache.keys.filter(_._1 == runId).foreach { k =>
-        itemCache.remove(k).foreach(_.unpersist())
-      }
-    } else itemCache.remove((runId, name)).foreach(_.unpersist())
-  }
+  private def invalidate(runId: Long, name: String, isSet: Boolean): Unit =
+    if (isSet) invalidateRun(runId)
+    else itemCache.remove((runId, name)).foreach(_.unpersist())
+
+  private def invalidateRun(runId: Long): Unit =
+    itemCache.keys.filter(_._1 == runId).foreach { k =>
+      itemCache.remove(k).foreach(_.unpersist())
+    }
 
   def clearCache(): Unit = {
     itemCache.values.foreach(_.unpersist())
@@ -233,14 +303,9 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
       filters: Map[String, Seq[String]]): DataFrame = {
     val d = itemDef(runId, name).getOrElse(
       throw new NoSuchElementException(s"no item '$name' in run $runId"))
-    val base = itemCache.getOrElseUpdate((runId, name), {
-      val path = itemPath(family(d.itemType), runId, name)
-      val schema = dataSchema(d)
-      val df =
-        if (fs.exists(new Path(path))) spark.read.schema(schema).parquet(path)
-        else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    val base = itemCache.getOrElseUpdate((runId, name),
+      readVersioned(family(d.itemType), runId, name, dataSchema(d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     filters.foldLeft(base) { case (df, (dim, vals)) =>
       require(d.idxNames.contains(dim),
         s"'$dim' is not an index name of item '$name' (${d.idxNames.mkString(",")})")
@@ -253,49 +318,41 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   override def writeItemData(runId: Long, name: String, df: DataFrame): Unit = {
     val d = itemDef(runId, name).getOrElse(
       throw new NoSuchElementException(s"no item '$name' in run $runId"))
-    val path = itemPath(family(d.itemType), runId, name)
-    val cols = dataSchema(d).fieldNames
-    val tmp = path + ".tmp"
-    df.selectExpr(cols.map(c => s"`$c`").toIndexedSeq: _*).write.mode("overwrite").parquet(tmp)
-    fs.delete(new Path(path), true)
-    fs.rename(new Path(tmp), new Path(path))
+    writeVersioned(family(d.itemType), runId, name, df, dataSchema(d))
     invalidate(runId, name, isSet = d.itemType == ItemType.Set)
   }
 
-  // ---- time series -----------------------------------------------------
+  // ---- time series / geodata / categories ------------------------------
 
-  private def runFactPath(fam: String, runId: Long) = s"$root/data/$fam/run_id=$runId"
-
-  private def readRunFact(fam: String, runId: Long, schema: StructType): DataFrame = {
-    val p = runFactPath(fam, runId)
-    if (fs.exists(new Path(p))) spark.read.schema(schema).parquet(p)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-  }
-
-  private def writeRunFact(fam: String, runId: Long, df: DataFrame, schema: StructType): Unit = {
-    val p = runFactPath(fam, runId)
-    val tmp = p + ".tmp"
-    df.selectExpr(schema.fieldNames.map(c => s"`$c`").toIndexedSeq: _*)
-      .write.mode("overwrite").parquet(tmp)
-    fs.delete(new Path(p), true)
-    fs.rename(new Path(tmp), new Path(p))
-  }
-
-  override def tsData(runId: Long): DataFrame = readRunFact("ts", runId, tsSchema)
+  override def tsData(runId: Long): DataFrame =
+    readVersioned("ts", runId, TsName, tsSchema)
   override def writeTsData(runId: Long, df: DataFrame): Unit =
-    writeRunFact("ts", runId, df, tsSchema)
-  override def geoData(runId: Long): DataFrame = readRunFact("geo", runId, geoSchema)
+    writeVersioned("ts", runId, TsName, df, tsSchema)
+  override def geoData(runId: Long): DataFrame =
+    readVersioned("geo", runId, GeoName, geoSchema)
   override def writeGeoData(runId: Long, df: DataFrame): Unit =
-    writeRunFact("geo", runId, df, geoSchema)
+    writeVersioned("geo", runId, GeoName, df, geoSchema)
 
   override def allTsData(): DataFrame = {
-    val base = new Path(s"$root/data/ts")
-    if (!fs.exists(base))
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        tsSchema.add("run_id", LongType))
-    // basePath preserves the run_id partition column for the all-runs scan
-    spark.read.option("basePath", s"$root/data/ts").schema(tsSchema.add("run_id", LongType))
-      .parquet(s"$root/data/ts/run_id=*")
+    // union of per-run current-generation scans: each branch carries
+    // its run_id as a literal, so a run_id filter above the union
+    // constant-folds away the other branches (partition pruning by
+    // construction, and staged/crashed generations are never globbed)
+    val runIds = runsDf.select("run_id").collect().map(_.getLong(0)).toSeq
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tsSchema)
+      .withColumn("run_id", lit(0L)).limit(0)
+    runIds.map(id => tsData(id).withColumn("run_id", lit(id)))
+      .foldLeft(empty)(_ unionByName _)
+  }
+
+  override def categories(runId: Long, setName: String): DataFrame =
+    readVersioned("cat", runId, CatName, catSchema).filter(col("set_name") === setName)
+
+  override def writeCategories(runId: Long, setName: String, df: DataFrame): Unit = {
+    val others = readVersioned("cat", runId, CatName, catSchema)
+      .filter(col("set_name") =!= setName)
+    writeVersioned("cat", runId, CatName, others.unionByName(
+      df.select(lit(setName).as("set_name"), col("category"), col("member"))), catSchema)
   }
 
   // ---- meta + codelists -------------------------------------------------
@@ -362,33 +419,57 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
       .filter(!(col("domain") === domain && col("identifier") === identifier)))
   }
 
-  // ---- categories ---------------------------------------------------------
-
-  override def categories(runId: Long, setName: String): DataFrame =
-    readRunFact("cat", runId, catSchema).filter(col("set_name") === setName)
-
-  override def writeCategories(runId: Long, setName: String, df: DataFrame): Unit = {
-    val others = readRunFact("cat", runId, catSchema).filter(col("set_name") =!= setName)
-    writeRunFact("cat", runId, others.unionByName(
-      df.select(lit(setName).as("set_name"), col("category"), col("member"))), catSchema)
-  }
-
   // ---- transactions ---------------------------------------------------------
 
   override def checkOut(runId: Long, user: String): Unit = synchronized {
     val r = getRunById(runId)
     require(r.lockUser.isEmpty, s"run $runId is already checked out by ${r.lockUser.get}")
+    checkedOut(runId) = user
     mutateRun(runId)(df => df.withColumn("lock_user",
       when(col("run_id") === runId, lit(user)).otherwise(col("lock_user"))))
   }
 
+  /** Publish this run's staged generations into the manifest (one
+    * generational write) and release the lock. */
   override def commit(runId: Long, user: String, comment: String): Unit = synchronized {
+    val staged = pending.filter(_._1._1 == runId)
+    if (staged.nonEmpty) {
+      staged.foreach { case (k, g) => manifest(k) = g; pending.remove(k) }
+      persistManifest()
+    }
+    checkedOut.remove(runId)
+    mutateRun(runId)(df => df.withColumn("lock_user",
+      when(col("run_id") === runId, lit(null).cast(StringType)).otherwise(col("lock_user"))))
+  }
+
+  /** Drop this run's staged generations — rollback to the last commit
+    * (reference discard_changes reloads state, timeseries.py:230-239). */
+  def discardChanges(runId: Long): Unit = synchronized {
+    pending.filter(_._1._1 == runId).foreach { case (k @ (_, name), g) =>
+      pending.remove(k)
+      // staged gens are above the committed one: delete every dir the
+      // manifest doesn't own
+      val committed = manifest.get(k)
+      for (fam <- Seq("set", "par", "sol", "ts", "geo", "cat")) {
+        val p = new Path(genPath(fam, runId, name, g))
+        if (fs.exists(p) && !committed.contains(g)) fs.delete(p, true)
+      }
+    }
+    invalidateRun(runId)
+    checkedOut.remove(runId)
     mutateRun(runId)(df => df.withColumn("lock_user",
       when(col("run_id") === runId, lit(null).cast(StringType)).otherwise(col("lock_user"))))
   }
 }
 
 object ParquetStore {
+  /** Generations retained per table so lazy frames survive later writes. */
+  val KeepGens = 4
+
+  private val TsName = "__ts"
+  private val GeoName = "__geo"
+  private val CatName = "__cat"
+
   val runsSchema: StructType = StructType(Seq(
     StructField("run_id", LongType, nullable = false),
     StructField("model", StringType, nullable = false),
@@ -405,6 +486,11 @@ object ParquetStore {
     StructField("type", StringType, nullable = false),
     StructField("idx_sets", ArrayType(StringType), nullable = false),
     StructField("idx_names", ArrayType(StringType), nullable = false)))
+
+  val manifestSchema: StructType = StructType(Seq(
+    StructField("run_id", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("gen", LongType, nullable = false)))
 
   val tsSchema: StructType = StructType(Seq(
     StructField("region", StringType),

@@ -96,4 +96,7 @@ trait Store {
   // --- transactions ---------------------------------------------------
   def checkOut(runId: Long, user: String): Unit
   def commit(runId: Long, user: String, comment: String): Unit
+  /** Roll back every staged write since checkOut and release the lock
+    * (reference discard_changes, timeseries.py:230-239). */
+  def discardChanges(runId: Long): Unit
 }

@@ -187,6 +187,7 @@ object Units {
     for (tok <- cleaned.split("(?=[*/])|(?<=[*/])").map(_.trim).filter(_.nonEmpty)) tok match {
       case "/" => sign = -1
       case "*" => // keep current sign only for the following token chain
+      case "1" => // dimensionless numerator (our own format emits "1 / x")
       case t =>
         val (name, exp) = t.split("\\*\\*").map(_.trim) match {
           case Array(n) => (n, 1)

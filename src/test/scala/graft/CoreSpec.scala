@@ -185,21 +185,26 @@ class CoreSpec extends SparkSpec {
     assert(s.getGeodata().count() == 0)
   }
 
-  test("meta: target hierarchy with most-specific-wins coalescing (#24)") {
+  test("meta: target hierarchy, cross-target name uniqueness, coalescing (#24)") {
     val (mp, s) = dantzigScenario()
     mp.setMeta("author", "\"model-level\"", model = Some(s.model))
+    // coalescing: a version-level read falls back to the (m,) target
+    val fallback = mp.getMeta(Some(s.model), Some(s.scenario), Some(s.version))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fallback("author") == "\"model-level\"")
+    // a name is unique ACROSS targets (data-model.rst:145-169): writing
+    // the same name on a more specific target replaces the old row
     mp.setMeta("author", "\"version-level\"", model = Some(s.model),
       scenario = Some(s.scenario), version = Some(s.version))
     mp.setMeta("reviewed", "true", model = Some(s.model), scenario = Some(s.scenario))
     val m = mp.getMeta(Some(s.model), Some(s.scenario), Some(s.version))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(m("author") == "\"version-level\"") // (m,s,v) beats (m,)
+    assert(m("author") == "\"version-level\"")
     assert(m("reviewed") == "true") // coalesced from (m,s)
-    val strict = mp.getMeta(Some(s.model), None, None, strict = true)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(strict == Map("author" -> "\"model-level\""))
-    mp.removeMeta(Seq("author"), model = Some(s.model))
     assert(mp.getMeta(Some(s.model), None, None, strict = true).count() == 0)
+    mp.removeMeta(Seq("author"), model = Some(s.model),
+      scenario = Some(s.scenario), version = Some(s.version))
+    assert(mp.getMeta(Some(s.model), Some(s.scenario), Some(s.version)).count() == 1)
   }
 
   test("categories: cat_list/cat_get/cat_set with is_unique (#52)") {

@@ -45,6 +45,35 @@ class ExtrasSpec extends SparkSpec {
     assert(s.par("d").count() == 7)
   }
 
+  test("discard rolls back staged writes; transact(discardOnError) leaves no trace") {
+    val mp = new Platform(spark, tmpDir("graft-rollback"))
+    val s = mp.newScenario("m", "s")
+    s.checkOut()
+    DantzigModel.initialize(s)
+    s.commit("base")
+    // explicit discard: staged par write must vanish
+    s.checkOut()
+    s.addPar("d", Seq(("seattle", "chicago", 99.0, "km")).toDF("i", "j", "value", "unit"))
+    assert(s.par("d", Map("i" -> Seq("seattle"), "j" -> Seq("chicago")))
+      .select("value").as[Double].head() == 99.0) // uncommitted writes visible
+    s.discard()
+    assert(s.par("d", Map("i" -> Seq("seattle"), "j" -> Seq("chicago")))
+      .select("value").as[Double].head() == 1.7) // rolled back
+    // discardOnError: partial writes from a failed transact are dropped
+    intercept[RuntimeException] {
+      s.transact("boom", discardOnError = true) {
+        s.addPar("d", Seq(("seattle", "topeka", 55.0, "km")).toDF("i", "j", "value", "unit"))
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(s.par("d", Map("i" -> Seq("seattle"), "j" -> Seq("topeka")))
+      .select("value").as[Double].head() == 1.8)
+    // catalogs held across writes stay readable (generation retention)
+    val held = mp.scenarioList(defaultOnly = false)
+    mp.newScenario("m", "s2")
+    assert(held.count() >= 1)
+  }
+
   test("scenario operators: store_ts/get_ts/remove_ts(after)/update_scenario") {
     val mp = new Platform(spark, tmpDir("graft-ops"))
     val s = mp.newScenario("m", "s")
