@@ -37,6 +37,17 @@ object Dedup {
     df.repartition(p)
   }
 
+  // At most one persisted shingle-set per JVM: each new pipeline run
+  // evicts the previous one, so repeated runs don't accumulate cached
+  // blocks for the SparkContext's lifetime.
+  private var lastPersisted: Option[DataFrame] = None
+  private def persistBounded(df: DataFrame): DataFrame = synchronized {
+    lastPersisted.foreach(_.unpersist(blocking = false))
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastPersisted = Some(p)
+    p
+  }
+
   /** Per-document distinct HASHED word n-gram shingle sets
     * (array<long>). Minhash, banding, and Jaccard verification only
     * consume shingle identity, so the 64-bit hash stands in for the
@@ -82,8 +93,7 @@ object Dedup {
     // The shingle sets feed FOUR plan references (both self-join sides
     // and both Jaccard-verify joins); persist so tokenize+shingle runs
     // once, not four times. Storage is (id, shingle-array) only.
-    val sets = shingleSets(docs, idCol, textCol, nGram)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = persistBounded(shingleSets(docs, idCol, textCol, nGram))
 
     val sig = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
     val banded = sig
@@ -126,8 +136,7 @@ object Dedup {
       textCol: String = "text",
       nGram: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, nGram)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = persistBounded(shingleSets(docs, idCol, textCol, nGram))
     val pairs = sets.select(col("doc_id").as("id_a")).crossJoin(
       sets.select(col("doc_id").as("id_b")))
       .filter(col("id_a") < col("id_b"))
