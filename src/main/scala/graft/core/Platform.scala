@@ -20,6 +20,11 @@ class Platform(val spark: SparkSession, val root: String) {
 
   val store = new ParquetStore(spark, root)
 
+  // the "Year" timeslice is predefined with duration 1.0
+  // (doc/data-model.rst:115-128; base.py:260-298)
+  if (store.timeslices().isEmpty)
+    store.addTimeslice("Year", "Common", 1.0)
+
   // ---- scenario/run inventory (reference platform.py:159-195) --------
 
   /** Run inventory; `defaultOnly=true` keeps only default versions

@@ -143,6 +143,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   override def discardRun(runId: Long): Unit = synchronized {
     invalidateRun(runId)
     pending.keys.filter(_._1 == runId).foreach(pending.remove)
+    itemDefs.keys.filter(_._1 == runId).foreach(itemDefs.remove)
     manifest --= manifest.keys.filter(_._1 == runId)
     persistManifest()
     writePointerTable("catalog/runs", runsDf.filter(col("run_id") =!= runId))
@@ -156,8 +157,22 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     writePointerTable("catalog/runs", f(runsDf))
 
   // ---- item catalog ---------------------------------------------------
+  // The catalog is consulted on EVERY item read/write (schema lookup,
+  // validation), so it is mirrored driver-side like the reference's
+  // in-process backend state; the parquet table is the durable copy.
 
   private def itemsDf: DataFrame = readPointerTable("catalog/items", itemsSchema)
+
+  private val itemDefs: TrieMap[(Long, String), ItemDef] = {
+    val m = TrieMap.empty[(Long, String), ItemDef]
+    itemsDf.collect().foreach { r =>
+      m((r.getAs[Long]("run_id"), r.getAs[String]("name"))) =
+        ItemDef(r.getAs[String]("name"), ItemType.fromString(r.getAs[String]("type")),
+          r.getSeq[String](r.fieldIndex("idx_sets")).toList,
+          r.getSeq[String](r.fieldIndex("idx_names")).toList)
+    }
+    m
+  }
 
   override def initItem(runId: Long, d: ItemDef): Unit = synchronized {
     require(itemDef(runId, d.name).isEmpty,
@@ -165,24 +180,22 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     val row = Row(runId, d.name, d.itemType.toString.toLowerCase, d.idxSets, d.idxNames)
     writePointerTable("catalog/items", itemsDf.unionByName(
       spark.createDataFrame(java.util.Arrays.asList(row), itemsSchema)))
+    itemDefs((runId, d.name)) = d
   }
 
   override def listItems(runId: Long, t: ItemType.Value): Seq[String] =
-    itemsDf.filter(col("run_id") === runId && col("type") === t.toString.toLowerCase)
-      .select("name").collect().map(_.getString(0)).toSeq.sorted
+    itemDefs.collect {
+      case ((r, n), d) if r == runId && d.itemType == t => n
+    }.toSeq.sorted
 
   /** Items whose index sets include `setName` (scenario.py:391-435). */
   def itemsIndexedBy(runId: Long, setName: String): Seq[String] =
-    itemsDf.filter(col("run_id") === runId && array_contains(col("idx_sets"), setName))
-      .select("name").collect().map(_.getString(0)).toSeq.sorted
+    itemDefs.collect {
+      case ((r, n), d) if r == runId && d.idxSets.contains(setName) => n
+    }.toSeq.sorted
 
   override def itemDef(runId: Long, name: String): Option[ItemDef] =
-    itemsDf.filter(col("run_id") === runId && col("name") === name)
-      .collect().headOption.map { r =>
-        ItemDef(r.getAs[String]("name"), ItemType.fromString(r.getAs[String]("type")),
-          r.getSeq[String](r.fieldIndex("idx_sets")).toList,
-          r.getSeq[String](r.fieldIndex("idx_names")).toList)
-      }
+    itemDefs.get((runId, name))
 
   override def deleteItem(runId: Long, name: String): Unit = synchronized {
     val d = itemDef(runId, name)
@@ -190,6 +203,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
       itemsDf.filter(!(col("run_id") === runId && col("name") === name)))
     d.foreach { dd =>
       val fam = family(dd.itemType)
+      itemDefs.remove((runId, name))
       pending.remove((runId, name))
       if (manifest.remove((runId, name)).isDefined) persistManifest()
       fs.delete(new Path(itemDir(fam, runId, name)), true)
