@@ -52,6 +52,9 @@ class Reporter {
   var filters: Map[String, Seq[String]] = Map.empty
   /** RENAME_DIMS equivalent (report/common.py:1-3). */
   var renameDims: Map[String, String] = Map.empty
+  /** `units/apply` config (operator.py:114-139): item name → unit to
+    * apply, overriding whatever the data carries (incl. mixed units). */
+  var unitOverrides: Map[String, String] = Map.empty
 
   def add(key: String, fn: () => Quantity): this.type = { graph(key) = fn; this }
   def addDf(key: String, fn: () => DataFrame, dims: Seq[String], unit: String = ""): this.type =
@@ -132,13 +135,14 @@ object Reporter {
       case "lvl" => solutionData(s, name, applicable).withColumnRenamed("lvl", "value")
       case "mrg" => solutionData(s, name, applicable).withColumnRenamed("mrg", "value")
     }
-    val unit: String =
+    val unit: String = r.unitOverrides.get(name).getOrElse {
       if (!base.columns.contains("unit")) ""
       else {
         val us = base.select("unit").distinct().limit(2).collect().map(_.getString(0))
         if (us.length > 1) "" // mixed units discarded (operator.py:136-139)
         else us.headOption.getOrElse("")
       }
+    }
     val dims = dims0.map(d => r.renameDims.getOrElse(d, d))
     val renamed = dims0.zip(dims).foldLeft(base) { case (df, (from, to)) =>
       if (from != to) df.withColumnRenamed(from, to) else df

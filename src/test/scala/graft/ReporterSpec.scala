@@ -128,6 +128,9 @@ class ReporterSpec extends SparkSpec {
     }
     val r = Reporter.fromScenario(s)
     assert(r.get("d:i-j").unit == "")
+    // units/apply config overrides the discard (operator.py:114-139)
+    r.unitOverrides = Map("d" -> "km")
+    assert(r.get("d:i-j").unit == "km")
   }
 
   test("select, concat, add, disaggregate, toIamc") {
