@@ -122,7 +122,28 @@ object Pipeline {
       .agg(count(lit(1)).as("n"))
       .orderBy("k")
 
+  /** Composed curation pipeline (the realistic shape: quality filter →
+    * language gate → exact dedup → per-language stats), all one
+    * Catalyst plan — filters fuse into the scan, one aggregation
+    * shuffle for the dedup, one for the stats. */
+  def d10PipelineCompose(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextFunctions.words(col("text"))
+    val curated = docs(s, dir)
+      .withColumn("q", TextFunctions.qualityFeatures(col("text")))
+      .filter(col("q.n_words") >= 20 && col("q.stopword_ratio") >= 0.02)
+      .withColumn("lang", TextFunctions.langId(ws))
+      .filter(col("lang").isin("en", "de", "fr", "es"))
+      .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), first("lang").as("lang"),
+        first(col("q.n_words")).as("n_words"))
+    curated.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_words"), 4).as("avg_words"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_pipeline_compose" -> d10PipelineCompose _,
     "d01_dedup_exact" -> d01DedupExact _,
     "d02_fingerprint" -> d02Fingerprint _,
     "d03_token_count" -> d03TokenCount _,
@@ -195,6 +216,39 @@ object Pipeline {
     "d09_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "d10_pipeline_compose" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |q AS (SELECT doc_id, text, ws, len(ws) AS n_words,
+        |  CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, w -> list_contains(['the','a','and','of','to','in','is','it','for','on'], w))) AS DOUBLE) / len(ws) ELSE 0.0 END AS stopword_ratio
+        |  FROM f),
+        |langed AS (SELECT doc_id, text, n_words, CASE
+        |  WHEN len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is'], x))) > 0
+        |   AND len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is'], x))) >= greatest(
+        |     len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is'], x))),
+        |     len(list_filter(ws, x -> list_contains(['der','die','und','das','ein','nicht'], x))),
+        |     len(list_filter(ws, x -> list_contains(['le','la','les','et','des','une'], x))),
+        |     len(list_filter(ws, x -> list_contains(['el','los','las','y','una','que'], x)))) THEN 'en'
+        |  WHEN len(list_filter(ws, x -> list_contains(['der','die','und','das','ein','nicht'], x))) > 0
+        |   AND len(list_filter(ws, x -> list_contains(['der','die','und','das','ein','nicht'], x))) >= greatest(
+        |     len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is'], x))),
+        |     len(list_filter(ws, x -> list_contains(['der','die','und','das','ein','nicht'], x))),
+        |     len(list_filter(ws, x -> list_contains(['le','la','les','et','des','une'], x))),
+        |     len(list_filter(ws, x -> list_contains(['el','los','las','y','una','que'], x)))) THEN 'de'
+        |  WHEN len(list_filter(ws, x -> list_contains(['le','la','les','et','des','une'], x))) > 0
+        |   AND len(list_filter(ws, x -> list_contains(['le','la','les','et','des','une'], x))) >= greatest(
+        |     len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is'], x))),
+        |     len(list_filter(ws, x -> list_contains(['der','die','und','das','ein','nicht'], x))),
+        |     len(list_filter(ws, x -> list_contains(['le','la','les','et','des','une'], x))),
+        |     len(list_filter(ws, x -> list_contains(['el','los','las','y','una','que'], x)))) THEN 'fr'
+        |  WHEN len(list_filter(ws, x -> list_contains(['el','los','las','y','una','que'], x))) > 0 THEN 'es'
+        |  ELSE 'und' END AS lang
+        |  FROM q WHERE n_words >= 20 AND stopword_ratio >= 0.02),
+        |deduped AS (SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, min(lang) AS lang, min(n_words) AS n_words
+        |  FROM langed WHERE lang IN ('en','de','fr','es') GROUP BY 1)
+        |SELECT lang, count(*) AS n_docs, round(avg(n_words), 4) AS avg_words
+        |FROM deduped GROUP BY lang ORDER BY lang""".stripMargin,
     "m01_multimodal" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
