@@ -87,4 +87,18 @@ class OpsSpec extends SparkSpec {
     assert(got.count() == 6)
     assert(got.select("rank").as[Int].collect().toSet == Set(1, 2, 3))
   }
+
+  test("ivf knn recall vs brute force on the driver embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 8).select(col("id").as("qid"), col("vec").as("qvec"))
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = topSet(Similarity.bruteForceKnn(emb, q, 5))
+    val approx = topSet(Similarity.ivfKnn(emb, q, 5, nCells = 8, nProbe = 4))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // probing half the cells on clustered synthetic data must recover
+    // a solid majority of the true neighbors
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
 }
