@@ -160,6 +160,51 @@ class CoreSpec extends SparkSpec {
     assert(s.timeseries().select("year").as[Int].collect().toSeq == Seq(2010))
   }
 
+  test("subannual column survives when heterogeneous (timeseries.py:470-479)") {
+    val (_, s) = dantzigScenario()
+    s.transact("subannual") {
+      s.addTimeseries(Seq(
+        ("World", "Load", "GW", "Summer", 2020, 1.0),
+        ("World", "Load", "GW", "Winter", 2020, 2.0))
+        .toDF("region", "variable", "unit", "subannual", "year", "value"))
+    }
+    val long = s.timeseries()
+    assert(long.columns.contains("subannual"))
+    assert(long.select("subannual").as[String].collect().sorted.toSeq
+      == Seq("Summer", "Winter"))
+  }
+
+  test("repeated index set with distinct idx_names (item.py coords vs dims)") {
+    val (_, s) = dantzigScenario()
+    s.transact("matrix") {
+      s.initPar("dist2", Seq("i", "i"), Seq("i_from", "i_to"))
+      s.addPar("dist2", Seq(("seattle", "san-diego", 2.0, "km"))
+        .toDF("i_from", "i_to", "value", "unit"))
+    }
+    assert(s.idxSets("dist2") == Seq("i", "i"))
+    assert(s.idxNames("dist2") == Seq("i_from", "i_to"))
+    assert(s.par("dist2", Map("i_from" -> Seq("seattle"))).count() == 1)
+    // both dims validate against set i
+    val err = intercept[IllegalArgumentException] {
+      s.transact("bad") {
+        s.addPar("dist2", Seq(("seattle", "mars", 1.0, "km"))
+          .toDF("i_from", "i_to", "value", "unit"))
+      }
+    }
+    assert(err.getMessage.contains("The index set 'i' does not have an element 'mars'!"))
+  }
+
+  test("cross-platform clone (scenario.py:870-945 CrossPlatformClone)") {
+    val (_, s) = dantzigScenario()
+    s.solve(DantzigModel)
+    val mp2 = new Platform(spark, tmpDir("graft-dest"))
+    val copied = s.cloneScenario(platformDest = Some(mp2))
+    assert(copied.platform eq mp2)
+    assert(copied.par("d").count() == 6)
+    assert(copied.hasSolution)
+    assert(mp2.getScenario("canning problem", "standard").runId == copied.runId)
+  }
+
   test("region synonym resolution on TS write (platform.py:335-349)") {
     val (mp, s) = dantzigScenario()
     mp.addRegion("United States", "country")
