@@ -433,6 +433,38 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
       .filter(!(col("domain") === domain && col("identifier") === identifier)))
   }
 
+  // ---- maintenance -----------------------------------------------------------
+
+  /** Delete item/fact generation directories that are neither the
+    * committed generation, a staged one, nor inside the retention
+    * window — orphans from crashed writes and discarded checkouts.
+    * Returns the number of directories removed. */
+  def vacuum(): Int = synchronized {
+    var removed = 0
+    val dataRoot = new Path(s"$root/data")
+    if (!fs.exists(dataRoot)) return 0
+    for (famStatus <- fs.listStatus(dataRoot);
+        runStatus <- fs.listStatus(famStatus.getPath)
+          if runStatus.getPath.getName.startsWith("run_id=");
+        nameStatus <- fs.listStatus(runStatus.getPath)
+          if nameStatus.getPath.getName.startsWith("name=")) {
+      val runId = runStatus.getPath.getName.stripPrefix("run_id=").toLong
+      val name = java.net.URLDecoder.decode(
+        nameStatus.getPath.getName.stripPrefix("name="), "UTF-8")
+      val keep = (manifest.get((runId, name)).toSeq ++ pending.get((runId, name)).toSeq)
+        .flatMap(g => (math.max(0, g - KeepGens) to g)).toSet
+      for (genStatus <- fs.listStatus(nameStatus.getPath)
+          if genStatus.getPath.getName.startsWith("g")) {
+        val g = genStatus.getPath.getName.stripPrefix("g").toLongOption
+        if (g.isEmpty || !keep.contains(g.get)) {
+          fs.delete(genStatus.getPath, true)
+          removed += 1
+        }
+      }
+    }
+    removed
+  }
+
   // ---- transactions ---------------------------------------------------------
 
   override def checkOut(runId: Long, user: String): Unit = synchronized {
