@@ -72,6 +72,16 @@ class Platform(val spark: SparkSession, val root: String) {
   def units(): Seq[String] = store.units()
   def addUnit(u: String): Unit = store.addUnit(u)
 
+  /** Model/scenario name codelists (reference base.py:300-338 —
+    * auto-extended when runs are created, so the distinct projection
+    * of the runs catalog IS the codelist). */
+  def modelNames(): Seq[String] =
+    store.listRuns(defaultOnly = false, None, None)
+      .select("model").distinct().collect().map(_.getString(0)).toSeq.sorted
+  def scenarioNames(): Seq[String] =
+    store.listRuns(defaultOnly = false, None, None)
+      .select("scenario").distinct().collect().map(_.getString(0)).toSeq.sorted
+
   def regions(): DataFrame = store.regions()
   def addRegion(region: String, hierarchy: String, parent: Option[String] = None): Unit =
     store.addRegion(region, hierarchy, parent)
