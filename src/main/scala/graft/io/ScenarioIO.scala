@@ -32,13 +32,16 @@ object ScenarioIO {
 
   /** Write SET|PAR (default) or also VAR/EQU item data under `dir`. */
   def writeScenario(s: Scenario, dir: String, includeSolution: Boolean = false): Unit = {
-    val entries = mutable.ListBuffer.empty[(String, String)]
+    val entries = mutable.ListBuffer.empty[(String, String, String)]
 
     def writeItem(name: String, t: String, df: DataFrame, keepEmpty: Boolean): Unit = {
       if (keepEmpty || !df.isEmpty) {
         df.write.mode(SaveMode.Overwrite).option("header", true)
           .csv(s"$dir/item=$name")
-        entries += ((name, t))
+        // Record the column list: Spark writes no files (hence no header)
+        // for an empty DataFrame, so an empty set's schema must survive
+        // through the mapping table for the read side (ADVICE r1).
+        entries += ((name, t, df.columns.mkString("|")))
       }
     }
 
@@ -51,7 +54,7 @@ object ScenarioIO {
     }
     val spark = s.platform.spark
     import spark.implicits._
-    entries.toSeq.toDF("item", "ix_type")
+    entries.toSeq.toDF("item", "ix_type", "columns")
       .coalesce(1).write.mode(SaveMode.Overwrite).option("header", true)
       .csv(s"$dir/$MappingFile")
   }
@@ -62,11 +65,30 @@ object ScenarioIO {
     * value/unit are dims indexed by the same-named sets). */
   def readScenario(s: Scenario, dir: String, initItems: Boolean = false): Unit = {
     val spark = s.platform.spark
-    val mapping = spark.read.option("header", true).csv(s"$dir/$MappingFile")
-      .collect().map(r => r.getString(0) -> r.getString(1))
+    val mappingDf = spark.read.option("header", true).csv(s"$dir/$MappingFile")
+    val hasColumnList = mappingDf.columns.contains("columns")
+    val mapping = mappingDf.collect().map(r => r.getString(0) -> r.getString(1))
+    val declaredCols: Map[String, Seq[String]] =
+      if (!hasColumnList) Map.empty
+      else mappingDf.collect().map { r =>
+        r.getString(0) -> Option(r.getAs[String]("columns"))
+          .map(_.split("\\|", -1).toSeq).getOrElse(Nil)
+      }.toMap
 
     def loadItem(name: String): DataFrame =
-      spark.read.option("header", true).csv(s"$dir/item=$name")
+      try spark.read.option("header", true).csv(s"$dir/item=$name")
+      catch {
+        // An empty item writes no part files, so schema inference has
+        // nothing to read; rebuild an empty frame from the recorded
+        // column list (all dims are strings in the data model, §1.4).
+        case e: org.apache.spark.sql.AnalysisException =>
+          val cols = declaredCols.getOrElse(name, Nil).filter(_.nonEmpty)
+          if (cols.isEmpty) throw e
+          import org.apache.spark.sql.types.{StringType, StructField, StructType}
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(cols.map(c => StructField(c, StringType))))
+      }
 
     // --- pass 1+2: sets, index sets before indexed sets (io.py:232-308)
     val setQueue = mutable.Queue(mapping.collect { case (n, "set") => n }.toIndexedSeq: _*)

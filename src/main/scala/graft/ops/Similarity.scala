@@ -71,10 +71,16 @@ object Similarity {
     val c = spread(corpus).select(col("id"), asDouble(col("vec")).as("vec"))
     val q = queries.select(col("qid"), asDouble(col("qvec")).as("qvec"))
 
-    // deterministic sampled centroids (small: nCells × dim)
+    // deterministic sampled centroids (small: nCells × dim). Cell ids
+    // come from row_number over the hash ordering — NOT
+    // monotonically_increasing_id, whose values depend on the physical
+    // partitioning of the subplan and could differ between the two
+    // evaluations of this broadcast (ADVICE r1).
+    val cellOrder = Window.orderBy(xxhash64(col("id")), col("id"))
     val centroids = broadcast(
       c.orderBy(xxhash64(col("id")), col("id")).limit(nCells)
-        .select(monotonically_increasing_id().as("cell"), col("vec").as("cvec")))
+        .withColumn("cell", row_number().over(cellOrder))
+        .select(col("cell"), col("vec").as("cvec")))
 
     def argmaxCells(df: DataFrame, idC: String, vecC: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(idC).orderBy(col("__score").desc, col("cell"))

@@ -254,18 +254,38 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
       case None => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
 
+  /** Per-(run,item) generation allocator. Synchronized so two concurrent
+    * writers to the same item never pick the same generation number and
+    * overwrite each other's in-flight directory (ADVICE r1): each writer
+    * gets a distinct directory, and publish keeps the highest one. */
+  private val allocatedGen = TrieMap.empty[(Long, String), Long]
+
+  private def allocateGen(runId: Long, name: String): Long = synchronized {
+    val next = math.max(
+      allocatedGen.getOrElse((runId, name), -1L) + 1,
+      currentDataGen(runId, name).getOrElse(-1L) + 1)
+    allocatedGen((runId, name)) = next
+    next
+  }
+
   /** Write a fresh generation; stage it when the run is checked out,
     * publish immediately otherwise. */
   private def writeVersioned(fam: String, runId: Long, name: String,
       df: DataFrame, schema: StructType): Unit = {
-    val next = currentDataGen(runId, name).getOrElse(-1L) + 1
+    val next = allocateGen(runId, name)
     df.selectExpr(schema.fieldNames.map(c => s"`$c`").toIndexedSeq: _*)
       .write.mode("overwrite").parquet(genPath(fam, runId, name, next))
-    if (checkedOut.contains(runId)) pending((runId, name)) = next
+    if (checkedOut.contains(runId)) synchronized {
+      if (pending.get((runId, name)).forall(_ < next)) pending((runId, name)) = next
+    }
     else synchronized {
-      manifest((runId, name)) = next
-      persistManifest()
-      gcGens(fam, runId, name, next)
+      // monotonic publish: a slower writer with an older generation must
+      // not roll the manifest pointer backwards
+      if (manifest.get((runId, name)).forall(_ < next)) {
+        manifest((runId, name)) = next
+        persistManifest()
+        gcGens(fam, runId, name, next)
+      }
     }
   }
 

@@ -184,12 +184,16 @@ object Units {
       return dimensionless
     var exps = Map.empty[String, Int].withDefaultValue(0)
     var sign = 1
-    for (tok <- cleaned.split("(?=[*/])|(?<=[*/])").map(_.trim).filter(_.nonEmpty)) tok match {
+    // Collapse exponent syntax (`km ** 2`, `km^2`) into a single token
+    // before splitting on single '*'/'/' — a bare split would shred
+    // `km**2` into ['km','*','*','2'].
+    val normalized = cleaned.replaceAll("\\s*(\\*\\*|\\^)\\s*", "^")
+    for (tok <- normalized.split("(?=[*/])|(?<=[*/])").map(_.trim).filter(_.nonEmpty)) tok match {
       case "/" => sign = -1
       case "*" => // keep current sign only for the following token chain
       case "1" => // dimensionless numerator (our own format emits "1 / x")
       case t =>
-        val (name, exp) = t.split("\\*\\*").map(_.trim) match {
+        val (name, exp) = t.split("\\^").map(_.trim) match {
           case Array(n) => (n, 1)
           case Array(n, e) => (n, e.toInt)
           case _ => throw new IllegalArgumentException(s"cannot parse unit '$s'")

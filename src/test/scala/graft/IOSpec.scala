@@ -39,6 +39,29 @@ class IOSpec extends SparkSpec {
     assert(v == 1.7)
   }
 
+  test("declared-but-empty set round-trips (io.py:85-101 empty sets ARE written)") {
+    val mp = new Platform(spark, tmpDir("graft-io-empty"))
+    val s = mp.newScenario("m", "s")
+    s.checkOut()
+    s.initSet("i")
+    s.addSet("i", Seq("seattle"))
+    s.initSet("empty_simple")                       // declared, never filled
+    s.initSet("empty_indexed", Seq("i"), Seq("i"))  // indexed, never filled
+    s.commit("data")
+    val dir = tmpDir("graft-io-empty-dump")
+    ScenarioIO.writeScenario(s, dir)
+
+    val t = mp.newScenario("m-e", "s-e")
+    t.checkOut()
+    ScenarioIO.readScenario(t, dir, initItems = true)
+    t.commit("imported")
+    assert(t.setList().contains("empty_simple"))
+    assert(t.set("empty_simple").isEmpty)
+    assert(t.setList().contains("empty_indexed"))
+    assert(t.set("empty_indexed").isEmpty)
+    assert(t.set("i").count() == 1)
+  }
+
   test("readScenario without initItems fails on unknown items") {
     val mp = new Platform(spark, tmpDir("graft-io3"))
     val s = mp.newScenario("m", "s")

@@ -47,6 +47,23 @@ class UtilSpec extends AnyFunSuite {
     assert(Units.parse("a*b/c").exponents == Map("a" -> 1, "b" -> 1, "c" -> -1))
   }
 
+  test("unit exponent syntax round-trips through parse(format(u))") {
+    assert(Units.parse("km ** 2").exponents == Map("km" -> 2))
+    assert(Units.parse("km**2").exponents == Map("km" -> 2))
+    assert(Units.parse("km^2").exponents == Map("km" -> 2))
+    assert(Units.parse("USD / km ** 2").exponents == Map("USD" -> 1, "km" -> -2))
+    val cases = Seq("km ** 2", "USD / km ** 2", "a ** 3 * b / c ** 2", "1 / km ** 2")
+    for (s <- cases) {
+      val u = Units.parse(s)
+      assert(Units.parse(u.format) == u, s"round-trip failed for '$s' via '${u.format}'")
+    }
+    // chained algebra: (d*d)/d must format+reparse identically
+    val d = Units.parse("km")
+    val sq = d * d
+    assert(Units.parse(sq.format) == sq)
+    assert((sq / d).format == "km")
+  }
+
   test("cleanPath scrubs invalid chars (model/base.py:41-44)") {
     assert(Util.cleanPath("""a<b>c:d"e/f\g|h?i*j""") == "a_b_c_d_e_f_g_h_i_j")
   }
