@@ -226,6 +226,53 @@ object VecDot {
   }
 }
 
+/** Sign-LSH signature: array<double> vector → long whose low `bits`
+  * bits are the signs of dot products against pseudo-random hyperplanes
+  * (random-hyperplane LSH, Charikar). Hyperplane component (bit, dim)
+  * is derived from XXH64 so the signature is deterministic across JVMs
+  * and partitionings. Replaces a transform/zip_with/aggregate
+  * composition that Spark evaluates interpreted with per-element
+  * boxing — this is the hot per-row loop of embedding near-dup. */
+final case class HyperplaneSig(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneSig.compute(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HyperplaneSig.compute($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+object HyperplaneSig {
+  private final val Inv = 1.0 / Long.MaxValue.toDouble
+
+  def compute(vec: ArrayData, bits: Int): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        // deterministic pseudo-random component in [-1, 1]
+        acc += vec.getDouble(j) * (XXH64.hashLong(j.toLong, b.toLong) * Inv)
+        j += 1
+      }
+      if (acc > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
 /** Column-API entry points for the native expressions. */
 object CatalystFunctions {
   def vecDot(a: Column, b: Column): Column =
@@ -237,4 +284,6 @@ object CatalystFunctions {
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(ws), n))
   def simhash64(ws: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(ws)))
+  def hyperplaneSig(vec: Column, bits: Int): Column =
+    ExpressionUtils.column(HyperplaneSig(ExpressionUtils.expression(vec), bits))
 }

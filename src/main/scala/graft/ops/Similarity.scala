@@ -103,6 +103,34 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Exact cosine near-duplicate pairs: blocked all-pairs comparison.
+    *
+    * The cross join is Spark's CartesianProductExec, which executes as
+    * partition-pair TILES — each task compares one (block_i, block_j)
+    * tile, the distributed blocked-matrix-multiply pattern. Both sides
+    * are repartitioned to ~sqrt(2·parallelism) blocks so the tile count
+    * matches the cluster, and each row ships its precomputed norm so a
+    * tile costs one native-codegen dot per pair. Exact and
+    * oracle-checkable; use [[cosineNearDup]] (sign-LSH) when the
+    * threshold is high enough (>=~0.7) for hashing to prune.
+    *
+    * `sim` is rounded to 4 decimals BEFORE the threshold filter so
+    * boundary pairs resolve identically across engines. */
+  def cosineNearDupExact(corpus: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val blocks = math.max(1, math.ceil(math.sqrt(2.0 * par)).toInt)
+    val c = corpus.select(col("id"), asDouble(col("vec")).as("vec"))
+      .withColumn("nrm", norm(col("vec")))
+      .repartition(blocks)
+    val a = c.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))
+    val b = c.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH (random-hyperplane
     * signatures): docs whose sign-bit signatures agree on a band are
     * candidates; exact cosine filters them. One corpus shuffle.
@@ -112,23 +140,24 @@ object Similarity {
     * quadratic), while a sim=0.5 pair (per-bit agreement 2/3) is
     * recalled with p ≈ 0.52 per pass. Sign-LSH is sharp for
     * high-similarity near-dups (sim≥0.9 → recall ≈ 1); for mid-range
-    * thresholds raise `bands` or fall back to [[ivfKnn]] blocking. */
+    * thresholds use [[cosineNearDupExact]] — hashing cannot separate
+    * sim 0.4 (bit agreement 0.63) from random (0.5) without a
+    * quadratic-defeating band budget. */
   def cosineNearDup(corpus: DataFrame, threshold: Double = 0.4,
       bits: Int = 48, bands: Int = 8): DataFrame = {
     val r = bits / bands
+    val mask = (1L << r) - 1
     val c = spread(corpus).select(col("id"), asDouble(col("vec")).as("vec"))
-    def hyper(bit: Column, dim: Column): Column =
-      xxhash64(bit, dim).cast("double") / lit(Long.MaxValue.toDouble)
-    val signed = c.withColumn("sigbits",
-      transform(sequence(lit(0), lit(bits - 1)), bit =>
-        when(aggregate(
-          zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
-            (x, j) => x * hyper(bit, j)),
-          lit(0.0), (acc, x) => acc + x) > 0, 1).otherwise(0)))
-    val banded = signed.select(col("id"), col("vec"),
+    // native codegen'd signature (one long of sign bits per row); band
+    // keys are then plain bit ops, and the banded/exploded rows carry
+    // only (id, band, key) — the embedding payload never fans out
+    val signed = c.select(col("id"),
+      graft.functions.CatalystFunctions.hyperplaneSig(col("vec"), bits).as("sig"))
+    val banded = signed.select(col("id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"),
-        col("sigbits"))
-      .withColumn("band_key", xxhash64(slice(col("sigbits"), col("band") * r + 1, lit(r)), col("band")))
+        col("sig"))
+      .withColumn("band_key", expr(s"shiftright(sig, band * $r) & ${mask}L"))
+      .select("id", "band", "band_key")
     val a = banded.alias("a")
     val b = banded.alias("b")
     // distinct on the narrow (id, id) pair first; vectors re-joined after

@@ -90,9 +90,14 @@ object Pipeline {
     Similarity.ivfKnn(e, q, 5).orderBy("qid", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs via sign-LSH (rows-only). */
+  /** Embedding-cosine near-duplicate pairs, exact blocked all-pairs.
+    * This corpus's true near-dups sit at cosine 0.4-0.5, where sign-LSH
+    * cannot prune (bit agreement 0.63 vs 0.5 random) — the exact tiled
+    * path is the correct tool and is DuckDB-oracle-checked; the LSH
+    * variant (Similarity.cosineNearDup) is the high-threshold scale
+    * path, covered by OpsSpec. */
   def e03CosineNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDup(emb(s, dir)
+    Similarity.cosineNearDupExact(emb(s, dir)
       .select(col("vec_id").as("id"), col("embedding").as("vec")))
       .orderBy("id_a", "id_b")
 
@@ -266,5 +271,15 @@ object Pipeline {
         |ranked AS (SELECT qid, id, sim,
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM sims)
         |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim
-        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "e03_cosine_near_dup" ->
+      """WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+        |n AS (SELECT id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        | round(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]))
+        |   / (a.nrm * b.nrm), 4) AS sim
+        |FROM n a JOIN n b ON a.id < b.id
+        |WHERE round(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]))
+        |   / (a.nrm * b.nrm), 4) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin)
 }

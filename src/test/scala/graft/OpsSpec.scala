@@ -101,4 +101,56 @@ class OpsSpec extends SparkSpec {
     // a solid majority of the true neighbors
     assert(recall >= 0.5, s"IVF recall $recall too low")
   }
+
+  private def cosRef(a: Array[Double], b: Array[Double]): Double = {
+    val d = a.zip(b).map { case (x, y) => x * y }.sum
+    d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  test("exact cosine near-dup matches brute-force ground truth") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val got = Similarity.cosineNearDupExact(emb, threshold = 0.4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val v = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val ids = v.keys.toSeq.sorted
+    val want = (for {
+      i <- ids; j <- ids if i < j
+      s = BigDecimal(cosRef(v(i), v(j))).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if s >= 0.4
+    } yield ((i, j), s)).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, s) <- want) assert(math.abs(got(k) - s) <= 1e-4, s"pair $k")
+  }
+
+  test("sign-LSH near-dup recalls high-similarity pairs") {
+    // constructed corpus: 3 clusters of near-identical vectors (cosine
+    // >= 0.99 within a cluster) + noise vectors that share no cluster
+    val rnd = new scala.util.Random(7)
+    def unit(d: Int): Array[Double] = {
+      val a = Array.fill(d)(rnd.nextGaussian()); val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / n)
+    }
+    val dim = 64
+    val bases = Seq.fill(3)(unit(dim))
+    val members = for {
+      (b, ci) <- bases.zipWithIndex
+      m <- 0 until 3
+    } yield (ci.toLong * 10 + m, b.zip(unit(dim)).map { case (x, e) => x + 0.05 * e })
+    val noise = (100 until 130).map(i => (i.toLong, unit(dim)))
+    import spark.implicits._
+    val df = (members ++ noise).toDF("id", "vec")
+    val pairs = Similarity.cosineNearDup(df, threshold = 0.7).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val vm = (members ++ noise).toMap
+    // all within-cluster pairs (cosine ~0.995) must be recovered...
+    for {
+      ci <- 0 until 3; a <- 0 until 3; b <- a + 1 until 3
+      k = (ci.toLong * 10 + a, ci.toLong * 10 + b)
+    } assert(pairs.contains(k), s"missed within-cluster pair $k")
+    // ...every reported sim is exact, ordered, above threshold
+    assert(pairs.keys.forall { case (a, b) => a < b })
+    for (((a, b), s) <- pairs)
+      assert(math.abs(s - cosRef(vm(a).toArray, vm(b).toArray)) < 1e-3)
+  }
 }
