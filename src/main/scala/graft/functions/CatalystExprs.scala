@@ -226,6 +226,63 @@ object VecDot {
   }
 }
 
+/** SimHash over md5 word hashes (first 8 bytes of md5(word) as the
+  * 64-bit hash, big-endian). Same Charikar voting as [[SimHash64Expr]]
+  * but the word hash is reproducible in any engine with an md5
+  * builtin, so the full fingerprint computation can be DuckDB-oracle
+  * checked. XXH64 ([[SimHash64Expr]]) stays the production scale path
+  * (~6× cheaper per word); this variant exists to prove the logic. */
+final case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashMd5Expr.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashMd5Expr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5Expr =
+    copy(child = newChild)
+}
+
+object SimHashMd5Expr {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    val md = digest.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // first 8 md5 bytes, big-endian — matches ('0x' || substr(md5(w),1,16))::UBIGINT
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
 /** Sign-LSH signature: array<double> vector → long whose low `bits`
   * bits are the signs of dot products against pseudo-random hyperplanes
   * (random-hyperplane LSH, Charikar). Hyperplane component (bit, dim)
@@ -286,4 +343,6 @@ object CatalystFunctions {
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(ws)))
   def hyperplaneSig(vec: Column, bits: Int): Column =
     ExpressionUtils.column(HyperplaneSig(ExpressionUtils.expression(vec), bits))
+  def simhashMd5(ws: Column): Column =
+    ExpressionUtils.column(SimHashMd5Expr(ExpressionUtils.expression(ws)))
 }

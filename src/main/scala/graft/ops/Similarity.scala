@@ -58,15 +58,17 @@ object Similarity {
   /** IVF ANN: coarse-quantize the corpus to `nCells` centroids, then
     * search only the `nProbe` best cells per query.
     *
-    * Centroids are a deterministic hash-ordered sample of the corpus
-    * itself (the classic IVF bootstrap; at real scale you would refine
-    * them with a few sampled k-means iterations — the assignment
-    * machinery below is unchanged by that). Assignment is one
-    * broadcast-join + windowed argmax over n×nCells rows; the probe
-    * join is an equi-join on cell id, so each corpus row shuffles once
-    * and each query row nProbe times. */
+    * Centroids bootstrap from a deterministic hash-ordered sample of
+    * the corpus, then optionally refine with `refineIters` distributed
+    * Lloyd iterations (assign → per-cell mean). Each iteration is one
+    * broadcast-join assignment plus one small aggregation
+    * (posexplode → groupBy(cell,pos) avg → rebuild), so the corpus is
+    * scanned refineIters+1 times and never reshuffled by key.
+    * Assignment is a broadcast-join + windowed argmax over n×nCells
+    * rows; the probe join is an equi-join on cell id, so each corpus
+    * row shuffles once and each query row nProbe times. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     val c = spread(corpus).select(col("id"), asDouble(col("vec")).as("vec"))
     val q = queries.select(col("qid"), asDouble(col("qvec")).as("qvec"))
@@ -77,19 +79,45 @@ object Similarity {
     // partitioning of the subplan and could differ between the two
     // evaluations of this broadcast (ADVICE r1).
     val cellOrder = Window.orderBy(xxhash64(col("id")), col("id"))
-    val centroids = broadcast(
-      c.orderBy(xxhash64(col("id")), col("id")).limit(nCells)
-        .withColumn("cell", row_number().over(cellOrder))
-        .select(col("cell"), col("vec").as("cvec")))
+    val seeds = c.orderBy(xxhash64(col("id")), col("id")).limit(nCells)
+      .withColumn("cell", row_number().over(cellOrder))
+      .select(col("cell"), col("vec").as("cvec"))
 
-    def argmaxCells(df: DataFrame, idC: String, vecC: String, keep: Int): DataFrame = {
+    def argmaxWith(cent: DataFrame)(df: DataFrame, idC: String, vecC: String,
+        keep: Int): DataFrame = {
       val w = Window.partitionBy(idC).orderBy(col("__score").desc, col("cell"))
-      df.crossJoin(centroids)
+      df.crossJoin(broadcast(cent))
         .withColumn("__score", dot(col(vecC), col("cvec")))
         .withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= keep)
         .drop("cvec", "__score", "__rk")
     }
+
+    // Lloyd refinement: per-cell element-wise mean of the assigned
+    // vectors. The mean is computed long-format (cell, pos, x) so it is
+    // one partial-aggregated shuffle of nCells×dim doubles, then the
+    // (tiny) centroid table is rebuilt in order. Cells that lose all
+    // members keep their previous centroid.
+    val centroids = (0 until refineIters).foldLeft(seeds) { (cent, _) =>
+      val materialized = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(cent.collect(): _*), cent.schema))
+      val means = argmaxWith(materialized)(c, "id", "vec", 1)
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("x"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+          s => s.getField("x")).as("mvec"))
+      materialized.join(means, Seq("cell"), "left_outer")
+        .select(col("cell"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+    }
+
+    // materialize once: the refined centroid plan would otherwise be
+    // recomputed for each of the corpus-assignment and query-probe joins
+    val centMat = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(centroids.collect(): _*), centroids.schema))
+
+    def argmaxCells(df: DataFrame, idC: String, vecC: String, keep: Int): DataFrame =
+      argmaxWith(centMat)(df, idC, vecC, keep)
 
     val cAssigned = argmaxCells(c, "id", "vec", 1).withColumn("nrm", norm(col("vec")))
     val qProbes = argmaxCells(q, "qid", "qvec", nProbe).withColumn("qnrm", norm(col("qvec")))

@@ -117,6 +117,16 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** SimHash fingerprint with an engine-reproducible word hash (first
+    * 8 md5 bytes), emitted as a 64-char bit string: proves the Charikar
+    * voting logic against the DuckDB oracle. The production path (d08)
+    * keeps XXH64 word hashes, which no SQL engine reproduces. */
+  def d11SimhashVerify(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      lpad(bin(graft.functions.CatalystFunctions.simhashMd5(
+        TextFunctions.words(col("text")))), 64, "0").as("sig"))
+      .orderBy("doc_id")
+
   /** JSON property extraction from the events props column (scalar
     * function surface: get_json_object). */
   def d09JsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -158,6 +168,7 @@ object Pipeline {
     "d07_ngram_jaccard" -> d07NgramJaccard _,
     "d08_simhash_pairs" -> d08SimhashPairs _,
     "d09_json_extract" -> d09JsonExtract _,
+    "d11_simhash_verify" -> d11SimhashVerify _,
     "m01_multimodal" -> m01Multimodal _,
     "e01_knn_brute" -> e01KnnBrute _,
     "e02_knn_ivf" -> e02KnnIvf _,
@@ -221,6 +232,14 @@ object Pipeline {
     "d09_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "d11_simhash_verify" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |h AS (SELECT doc_id, list_transform(ws, w -> ('0x' || substr(md5(w), 1, 16))::UBIGINT) AS hs FROM w)
+        |SELECT doc_id,
+        | list_aggregate(list_transform(range(0, 64), b ->
+        |   CASE WHEN 2 * len(list_filter(hs, x -> (x >> (63 - b)) & 1 = 1)) > len(hs)
+        |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+        |FROM h ORDER BY doc_id""".stripMargin,
     "d10_pipeline_compose" ->
       """WITH f AS (SELECT doc_id, text,
         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
