@@ -68,7 +68,7 @@ object Similarity {
     * rows; the probe join is an equi-join on cell id, so each corpus
     * row shuffles once and each query row nProbe times. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 2): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     val c = spread(corpus).select(col("id"), asDouble(col("vec")).as("vec"))
     val q = queries.select(col("qid"), asDouble(col("qvec")).as("qvec"))
@@ -83,7 +83,20 @@ object Similarity {
       .withColumn("cell", row_number().over(cellOrder))
       .select(col("cell"), col("vec").as("cvec"))
 
-    def argmaxWith(cent: DataFrame)(df: DataFrame, idC: String, vecC: String,
+    // keep=1 assignment as max_by aggregation, NOT a window: the
+    // n×nCells scored rows partial-aggregate map-side (the broadcast
+    // join never left the mapper), so only n rows shuffle — a window
+    // would shuffle and sort all n×nCells. Tie-break (score desc, cell
+    // asc) matches the windowed top-k used for query probes.
+    def assignCell(cent: DataFrame, df: DataFrame, idC: String, vecC: String): DataFrame =
+      df.crossJoin(broadcast(cent))
+        .withColumn("__score", dot(col(vecC), col("cvec")))
+        .groupBy(col(idC))
+        .agg(
+          max_by(col("cell"), struct(col("__score"), -col("cell"))).as("cell"),
+          first(col(vecC)).as(vecC))
+
+    def topCells(cent: DataFrame, df: DataFrame, idC: String, vecC: String,
         keep: Int): DataFrame = {
       val w = Window.partitionBy(idC).orderBy(col("__score").desc, col("cell"))
       df.crossJoin(broadcast(cent))
@@ -97,11 +110,13 @@ object Similarity {
     // vectors. The mean is computed long-format (cell, pos, x) so it is
     // one partial-aggregated shuffle of nCells×dim doubles, then the
     // (tiny) centroid table is rebuilt in order. Cells that lose all
-    // members keep their previous centroid.
+    // members keep their previous centroid. The corpus is cached for
+    // the duration of the (eager) refinement jobs.
+    val cCached = if (refineIters > 0) c.persist() else c
     val centroids = (0 until refineIters).foldLeft(seeds) { (cent, _) =>
-      val materialized = broadcast(spark.createDataFrame(
-        java.util.Arrays.asList(cent.collect(): _*), cent.schema))
-      val means = argmaxWith(materialized)(c, "id", "vec", 1)
+      val materialized = spark.createDataFrame(
+        java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+      val means = assignCell(materialized, cCached, "id", "vec")
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("x"))
         .groupBy("cell")
@@ -113,14 +128,12 @@ object Similarity {
 
     // materialize once: the refined centroid plan would otherwise be
     // recomputed for each of the corpus-assignment and query-probe joins
-    val centMat = broadcast(spark.createDataFrame(
-      java.util.Arrays.asList(centroids.collect(): _*), centroids.schema))
+    val centMat = spark.createDataFrame(
+      java.util.Arrays.asList(centroids.collect(): _*), centroids.schema)
+    if (refineIters > 0) cCached.unpersist(blocking = false)
 
-    def argmaxCells(df: DataFrame, idC: String, vecC: String, keep: Int): DataFrame =
-      argmaxWith(centMat)(df, idC, vecC, keep)
-
-    val cAssigned = argmaxCells(c, "id", "vec", 1).withColumn("nrm", norm(col("vec")))
-    val qProbes = argmaxCells(q, "qid", "qvec", nProbe).withColumn("qnrm", norm(col("qvec")))
+    val cAssigned = assignCell(centMat, c, "id", "vec").withColumn("nrm", norm(col("vec")))
+    val qProbes = topCells(centMat, q, "qid", "qvec", nProbe).withColumn("qnrm", norm(col("qvec")))
 
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     cAssigned.join(qProbes, "cell")
