@@ -41,6 +41,35 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("value"))
 
+  /** Streaming ingestion dedup for a document stream: exact dedup by
+    * content fingerprint with state bounded by the event-time
+    * watermark (`dropDuplicatesWithinWatermark` — a duplicate arriving
+    * within the watermark horizon of its first copy is dropped; state
+    * for older fingerprints is reclaimed). The batch curation pipeline
+    * (graft.ops.Dedup) shares the same fingerprint expression, so a
+    * backfill and the incremental path agree on identity.
+    *
+    * @param docs streaming frame with `text` and an event-time `ts` */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Stateless curation gate over a document stream: quality features +
+    * language ID run unchanged in streaming (no state, no watermark
+    * needed) — the same codegen'd expressions as batch d04/d05. */
+  def curateStream(docs: DataFrame, minWords: Int = 20,
+      langs: Seq[String] = Seq("en", "de", "fr", "es")): DataFrame = {
+    val ws = graft.functions.TextFunctions.words(col("text"))
+    docs
+      .withColumn("q", graft.functions.TextFunctions.qualityFeatures(col("text")))
+      .filter(col("q.n_words") >= minWords && col("q.stopword_ratio") >= 0.02)
+      .withColumn("lang", graft.functions.TextFunctions.langId(ws))
+      .filter(col("lang").isin(langs: _*))
+      .drop("q")
+  }
+
   final case class UserTotal(userId: Long, nEvents: Long, total: Double)
 
   /** Custom keyed state: running per-user totals via

@@ -74,6 +74,30 @@ class ExtrasSpec extends SparkSpec {
     assert(held.count() >= 1)
   }
 
+  test("concurrent writers to one item never corrupt the published generation") {
+    import graft.store.{ItemDef, ItemType}
+    val mp = new Platform(spark, tmpDir("graft-conc"))
+    val run = mp.store.createRun("m", "s", "scheme", "")
+    mp.store.initItem(run.runId, ItemDef("x", ItemType.Par, Nil, Nil))
+    // 8 threads race distinct single-row payloads into the same item;
+    // generation allocation is synchronized, publish is monotonic, so
+    // the surviving read must be EXACTLY one writer's payload
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        try mp.store.writeItemData(run.runId, "x",
+          Seq((i.toDouble, "kg")).toDF("value", "unit"))
+        catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"writer failed: ${Option(errors.peek()).map(_.getMessage)}")
+    val rows = mp.store.itemData(run.runId, "x", Map.empty).collect()
+    assert(rows.length == 1)
+    assert((1 to 8).map(_.toDouble).contains(rows(0).getDouble(0)))
+    assert(rows(0).getString(1) == "kg")
+  }
+
   test("vacuum removes orphaned generations but keeps live data") {
     val mp = new Platform(spark, tmpDir("graft-vacuum"))
     val s = mp.newScenario("m", "s")

@@ -56,6 +56,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-horizon duplicates, keeps distinct docs") {
+    case class Doc(doc_id: Long, text: String, ts: Timestamp)
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStream.dedupStream(docs, watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox", t("2026-01-01 10:00:00")),
+        (2L, "a different document", t("2026-01-01 10:01:00")),
+        (3L, "The  Quick   Brown Fox", t("2026-01-01 10:02:00"))) // dup of 1 under normalization
+      q.processAllAvailable()
+      input.addData(
+        (4L, "the quick brown fox", t("2026-01-01 10:30:00"))) // in-horizon dup
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("stateless curation gate runs in streaming unchanged") {
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStream.curateStream(docs, minWords = 5)
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "the cat and the dog sat on a mat in the sun for an hour", t("2026-01-01 10:00:00")),
+        (2L, "short", t("2026-01-01 10:01:00")),
+        (3L, "zzz qqq xxx www vvv uuu ttt sss rrr nnn", t("2026-01-01 10:02:00")))
+      q.processAllAvailable()
+      val rows = spark.table("curate_out").select("doc_id", "lang").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set(1L))
+      assert(rows(1L) == "en")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     val input = MemoryStream[Ev](spark)
     val q = EventStream.runningTotals(input.toDF())
