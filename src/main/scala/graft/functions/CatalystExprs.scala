@@ -330,6 +330,111 @@ object HyperplaneSig {
   }
 }
 
+/** All per-document text features in ONE tokenization pass:
+  * struct(n_chars, n_words, avg_word_len, stopword_ratio, punct_ratio,
+  * lang). The builtin-composed forms re-ran `regexp_extract_all(lower
+  * (text))` once per reference — the d10 physical plan expanded it 30+
+  * times per row, each an interpreted higher-order `filter` — and
+  * CodegenFallback defeats common-subexpression elimination. This
+  * expression is codegen'd, so WSCG's CSE computes it once per row per
+  * stage regardless of how many struct fields are referenced.
+  *
+  * Semantics mirror the composed forms exactly (same regexes, marker
+  * lists, HALF_UP rounding) so the DuckDB oracles are unchanged. */
+final case class TextFeaturesExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = TextFeaturesExpr.schema
+  override def prettyName: String = "text_features"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    TextFeaturesExpr.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextFeaturesExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextFeaturesExpr =
+    copy(child = newChild)
+}
+
+object TextFeaturesExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("avg_word_len", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("lang", StringType, nullable = false)))
+
+  /** Canonical marker/stopword lists — the single source of truth also
+    * used by the composed TextFunctions forms and the DuckDB oracles. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une"),
+    "es" -> Seq("el", "los", "las", "y", "una", "que"))
+
+  private val stopSet = stopwords.toSet
+  private val markerSets = langMarkers.map { case (l, m) => (l, m.toSet) }.toArray
+
+  private val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+
+  private def r4(x: Double): Double =
+    new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def compute(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val nChars = s.codePointCount(0, s.length)
+    // punct = chars outside [a-zA-Z0-9\s] (same classes as the
+    // regexp_replace form: java \s is ASCII whitespace)
+    var punct = 0
+    var ci = 0
+    while (ci < s.length) {
+      val c = s.charAt(ci)
+      val alnum = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (!alnum && !ws) punct += 1
+      ci += 1
+    }
+    val m = wordRe.matcher(s.toLowerCase(java.util.Locale.ROOT))
+    var nWords = 0
+    var wordChars = 0L
+    var stopHits = 0
+    val scores = new Array[Int](markerSets.length)
+    while (m.find()) {
+      val w = m.group()
+      nWords += 1
+      wordChars += w.length
+      if (stopSet.contains(w)) stopHits += 1
+      var li = 0
+      while (li < markerSets.length) {
+        if (markerSets(li)._2.contains(w)) scores(li) += 1
+        li += 1
+      }
+    }
+    var best = 0
+    var li = 0
+    while (li < scores.length) { if (scores(li) > best) best = scores(li); li += 1 }
+    var lang = "und"
+    li = 0
+    while (li < scores.length && lang == "und") {
+      if (scores(li) > 0 && scores(li) == best) lang = markerSets(li)._1
+      li += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nChars,
+      nWords,
+      if (nWords > 0) r4(wordChars.toDouble / nWords) else 0.0,
+      if (nWords > 0) r4(stopHits.toDouble / nWords) else 0.0,
+      if (nChars > 0) r4(punct.toDouble / nChars) else 0.0,
+      UTF8String.fromString(lang)))
+  }
+}
+
 /** Column-API entry points for the native expressions. */
 object CatalystFunctions {
   def vecDot(a: Column, b: Column): Column =
@@ -345,4 +450,6 @@ object CatalystFunctions {
     ExpressionUtils.column(HyperplaneSig(ExpressionUtils.expression(vec), bits))
   def simhashMd5(ws: Column): Column =
     ExpressionUtils.column(SimHashMd5Expr(ExpressionUtils.expression(ws)))
+  def textFeatures(text: Column): Column =
+    ExpressionUtils.column(TextFeaturesExpr(ExpressionUtils.expression(text)))
 }

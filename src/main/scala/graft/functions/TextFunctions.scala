@@ -41,11 +41,7 @@ object TextFunctions {
     size(filter(ws, w => array_contains(arr, w)))
   }
 
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
-    "de" -> Seq("der", "die", "und", "das", "ein", "nicht"),
-    "fr" -> Seq("le", "la", "les", "et", "des", "une"),
-    "es" -> Seq("el", "los", "las", "y", "una", "que"))
+  private val langMarkers: Seq[(String, Seq[String])] = TextFeaturesExpr.langMarkers
 
   /** N-gram/stopword heuristic language ID: argmax of marker hits with
     * a fixed priority tie-break (en > de > fr > es); "und" when no
@@ -58,8 +54,13 @@ object TextFunctions {
     }
   }
 
-  private val stopwords =
-    Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+  private val stopwords = TextFeaturesExpr.stopwords
+
+  /** All text features (n_chars, n_words, avg_word_len, stopword_ratio,
+    * punct_ratio, lang) in ONE native tokenization pass — use this in
+    * pipelines that consume several features; the composed single-
+    * feature forms below re-tokenize per reference. */
+  def textFeatures(text: Column): Column = CatalystFunctions.textFeatures(text)
 
   /** Quality-score feature struct: length, word stats, stopword and
     * punctuation ratios. All ratios double in [0,1], rounded. */

@@ -36,21 +36,22 @@ object Pipeline {
       size(TextFunctions.bpeTokens(col("text"))).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
-  /** Quality scoring: length/word/stopword/punctuation features. */
+  /** Quality scoring: length/word/stopword/punctuation features, all
+    * from the single-pass native expression. */
   def d04Quality(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), TextFunctions.qualityFeatures(col("text")).as("q"))
+      .select(col("doc_id"), TextFunctions.textFeatures(col("text")).as("q"))
       .select(col("doc_id"), col("q.n_chars").as("n_chars"),
         col("q.n_words").as("n_words"), col("q.avg_word_len").as("avg_word_len"),
         col("q.stopword_ratio").as("stopword_ratio"),
         col("q.punct_ratio").as("punct_ratio"))
       .orderBy("doc_id")
 
-  /** Marker-word language ID heuristic. */
+  /** Marker-word language ID heuristic (native single-pass). */
   def d05LangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
-        TextFunctions.langId(TextFunctions.words(col("text"))).as("lang_pred"))
+        TextFunctions.textFeatures(col("text")).getField("lang").as("lang_pred"))
       .orderBy("doc_id")
 
   /** MinHash+LSH near-dup pairs, exact-Jaccard-verified. The oracle is
@@ -142,11 +143,10 @@ object Pipeline {
     * Catalyst plan — filters fuse into the scan, one aggregation
     * shuffle for the dedup, one for the stats. */
   def d10PipelineCompose(s: SparkSession, dir: String): DataFrame = {
-    val ws = TextFunctions.words(col("text"))
     val curated = docs(s, dir)
-      .withColumn("q", TextFunctions.qualityFeatures(col("text")))
+      .withColumn("q", TextFunctions.textFeatures(col("text")))
       .filter(col("q.n_words") >= 20 && col("q.stopword_ratio") >= 0.02)
-      .withColumn("lang", TextFunctions.langId(ws))
+      .withColumn("lang", col("q.lang"))
       .filter(col("lang").isin("en", "de", "fr", "es"))
       .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
       .agg(min("doc_id").as("keep_id"), first("lang").as("lang"),

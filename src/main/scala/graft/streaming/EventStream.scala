@@ -60,15 +60,13 @@ object EventStream {
     * language ID run unchanged in streaming (no state, no watermark
     * needed) — the same codegen'd expressions as batch d04/d05. */
   def curateStream(docs: DataFrame, minWords: Int = 20,
-      langs: Seq[String] = Seq("en", "de", "fr", "es")): DataFrame = {
-    val ws = graft.functions.TextFunctions.words(col("text"))
+      langs: Seq[String] = Seq("en", "de", "fr", "es")): DataFrame =
     docs
-      .withColumn("q", graft.functions.TextFunctions.qualityFeatures(col("text")))
+      .withColumn("q", graft.functions.TextFunctions.textFeatures(col("text")))
       .filter(col("q.n_words") >= minWords && col("q.stopword_ratio") >= 0.02)
-      .withColumn("lang", graft.functions.TextFunctions.langId(ws))
+      .withColumn("lang", col("q.lang"))
       .filter(col("lang").isin(langs: _*))
       .drop("q")
-  }
 
   final case class UserTotal(userId: Long, nEvents: Long, total: Double)
 
