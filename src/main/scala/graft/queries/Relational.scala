@@ -191,11 +191,15 @@ object Relational {
       .agg(round(sum("value"), 4).as("value"))
       .orderBy("user_id", "event_type", "year", "month")
 
-  /** #14 — year-range predicate (add_timeseries year_lim). */
+  /** #14 — year-range predicate (add_timeseries year_lim). The filter
+    * is a direct date-range on the column — NOT `year(col)`, which
+    * wraps the column in a function and defeats parquet row-group
+    * pruning; as a date interval it reaches PushedFilters. */
   def q17YearRange(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
       .withColumn("o_year", year(col("o_orderdate")))
-      .filter(col("o_year").between(1996, 1998))
       .groupBy("o_year")
       .agg(count(lit(1)).as("n_orders"),
         round(sum("o_totalprice"), 4).as("sum_price"))
