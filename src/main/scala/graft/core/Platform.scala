@@ -27,11 +27,18 @@ class Platform(val spark: SparkSession, val root: String) {
 
   // ---- scenario/run inventory (reference platform.py:159-195) --------
 
-  /** Run inventory; `defaultOnly=true` keeps only default versions
-    * (reference `scenario_list`, base.py:340-379). */
+  /** Run inventory in the reference's 13-column FIELDS["get_scenarios"]
+    * order (backend/common.py:18-32): model, scenario, scheme,
+    * is_default, is_locked, cre_user, cre_date, upd_user, upd_date,
+    * lock_user, lock_date, annotation, version. `defaultOnly=true`
+    * keeps only default versions (scenario_list, base.py:340-379). */
   def scenarioList(defaultOnly: Boolean = true, model: Option[String] = None,
       scenario: Option[String] = None): DataFrame =
     store.listRuns(defaultOnly, model, scenario)
+      .withColumn("is_locked", col("lock_user").isNotNull)
+      .select("model", "scenario", "scheme", "is_default", "is_locked",
+        "cre_user", "cre_date", "upd_user", "upd_date",
+        "lock_user", "lock_date", "annotation", "version")
 
   /** Per-(model, scenario) describe: N, min/max version, default
     * version, regex name match (reference `format_scenario_list`,

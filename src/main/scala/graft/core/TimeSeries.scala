@@ -19,6 +19,11 @@ class TimeSeries(val platform: Platform, protected var run: RunInfo) {
   protected def store = platform.store
 
   def runId: Long = run.runId
+
+  /** Timestamp of the last committed update (creation time before the
+    * first commit) — reference TimeSeries.last_update,
+    * timeseries.py:298-304. */
+  def lastUpdate: Option[String] = platform.store.lastUpdate(runId)
   def model: String = run.model
   def scenario: String = run.scenario
   def version: Int = run.version

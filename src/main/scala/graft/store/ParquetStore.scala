@@ -95,11 +95,29 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
       .agg(max("version")).head()
     val version = (if (prior.isNullAt(0)) 0 else prior.getInt(0)) + 1
     val id = nextRunId()
-    val row = Row(id, model, scenario, version, scheme, false, annotation, null)
+    val row = Row(id, model, scenario, version, scheme, false, annotation, null,
+      localUser, nowStamp(), null, null, null)
     writePointerTable("catalog/runs",
       runsDf.unionByName(spark.createDataFrame(
         java.util.Arrays.asList(row), runsSchema)))
     RunInfo(id, model, scenario, version, scheme, isDefault = false, annotation, None)
+  }
+
+  /** Backend-auth user recorded in audit columns (the reference gets
+    * this from the DB connection; a local store has one principal). */
+  private val localUser: String =
+    sys.props.getOrElse("user.name", "local")
+
+  private def nowStamp(): String =
+    java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+
+  /** Timestamp of the last committed update of a run (reference
+    * Backend.last_update / TimeSeries.last_update, timeseries.py:298). */
+  override def lastUpdate(runId: Long): Option[String] = {
+    val r = runsDf.filter(col("run_id") === runId)
+      .select(coalesce(col("upd_date"), col("cre_date"))).collect()
+    r.headOption.flatMap(row => Option(row.getString(0)))
   }
 
   override def getRun(model: String, scenario: String, version: Option[Int]): RunInfo = {
@@ -491,8 +509,11 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     val r = getRunById(runId)
     require(r.lockUser.isEmpty, s"run $runId is already checked out by ${r.lockUser.get}")
     checkedOut(runId) = user
-    mutateRun(runId)(df => df.withColumn("lock_user",
-      when(col("run_id") === runId, lit(user)).otherwise(col("lock_user"))))
+    mutateRun(runId)(df => df
+      .withColumn("lock_user",
+        when(col("run_id") === runId, lit(user)).otherwise(col("lock_user")))
+      .withColumn("lock_date",
+        when(col("run_id") === runId, lit(nowStamp())).otherwise(col("lock_date"))))
   }
 
   /** Publish this run's staged generations into the manifest (one
@@ -504,8 +525,15 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
       persistManifest()
     }
     checkedOut.remove(runId)
-    mutateRun(runId)(df => df.withColumn("lock_user",
-      when(col("run_id") === runId, lit(null).cast(StringType)).otherwise(col("lock_user"))))
+    mutateRun(runId)(df => df
+      .withColumn("lock_user",
+        when(col("run_id") === runId, lit(null).cast(StringType)).otherwise(col("lock_user")))
+      .withColumn("lock_date",
+        when(col("run_id") === runId, lit(null).cast(StringType)).otherwise(col("lock_date")))
+      .withColumn("upd_user",
+        when(col("run_id") === runId, lit(user)).otherwise(col("upd_user")))
+      .withColumn("upd_date",
+        when(col("run_id") === runId, lit(nowStamp())).otherwise(col("upd_date"))))
   }
 
   /** Drop this run's staged generations — rollback to the last commit
@@ -523,8 +551,11 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     }
     invalidateRun(runId)
     checkedOut.remove(runId)
-    mutateRun(runId)(df => df.withColumn("lock_user",
-      when(col("run_id") === runId, lit(null).cast(StringType)).otherwise(col("lock_user"))))
+    mutateRun(runId)(df => df
+      .withColumn("lock_user",
+        when(col("run_id") === runId, lit(null).cast(StringType)).otherwise(col("lock_user")))
+      .withColumn("lock_date",
+        when(col("run_id") === runId, lit(null).cast(StringType)).otherwise(col("lock_date"))))
   }
 }
 
@@ -544,7 +575,14 @@ object ParquetStore {
     StructField("scheme", StringType),
     StructField("is_default", BooleanType, nullable = false),
     StructField("annotation", StringType),
-    StructField("lock_user", StringType)))
+    StructField("lock_user", StringType),
+    // audit columns of the reference's 13-field run inventory
+    // (FIELDS["get_scenarios"], backend/common.py:18-32)
+    StructField("cre_user", StringType),
+    StructField("cre_date", StringType),
+    StructField("upd_user", StringType),
+    StructField("upd_date", StringType),
+    StructField("lock_date", StringType)))
 
   val itemsSchema: StructType = StructType(Seq(
     StructField("run_id", LongType, nullable = false),

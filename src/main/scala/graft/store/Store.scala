@@ -53,6 +53,8 @@ trait Store {
       scenario: Option[String] = None): DataFrame
   def setDefault(runId: Long): Unit
   def discardRun(runId: Long): Unit
+  /** Timestamp of the last committed update (Backend.last_update). */
+  def lastUpdate(runId: Long): Option[String]
 
   // --- item catalog -------------------------------------------------
   def initItem(runId: Long, d: ItemDef): Unit

@@ -295,6 +295,17 @@ class CoreSpec extends SparkSpec {
     }
     assert(mp.scenarioList().count() == 1)
     assert(mp.scenarioList(defaultOnly = false).count() == 2)
+    // 13-column FIELDS["get_scenarios"] inventory with audit stamps
+    assert(mp.scenarioList().columns.toSeq == Seq(
+      "model", "scenario", "scheme", "is_default", "is_locked",
+      "cre_user", "cre_date", "upd_user", "upd_date",
+      "lock_user", "lock_date", "annotation", "version"))
+    val inv = mp.scenarioList().collect().head
+    assert(!inv.getAs[Boolean]("is_locked"))
+    assert(inv.getAs[String]("cre_date") != null)
+    assert(inv.getAs[String]("upd_date") != null)   // stamped by commit
+    assert(inv.getAs[String]("lock_date") == null)  // released
+    assert(s1.lastUpdate.isDefined)
     val desc = mp.describeScenarios().collect().head
     assert(desc.getAs[Long]("n") == 2 && desc.getAs[Int]("max_version") == 2
       && desc.getAs[Int]("default_version") == 1)
