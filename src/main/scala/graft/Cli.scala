@@ -7,14 +7,15 @@ import graft.model.Models
 import graft.report.Reporter
 
 /** Command-line entry mirroring the reference CLI's surface
-  * (reference: ixmp/cli.py:57-259 — `platform list`, `solve`,
+  * (reference: ixmp/cli.py:57-259 — `list`, `import`, `solve`,
   * `export`, `report`).
   *
   * Usage:
   * {{{
-  *   graft.Cli <storeRoot> scenarios
+  *   graft.Cli <storeRoot> scenarios [matchRegex]   (alias: list)
   *   graft.Cli <storeRoot> solve  <model>/<scenario> [modelName]
   *   graft.Cli <storeRoot> export <model>/<scenario> <outDir>
+  *   graft.Cli <storeRoot> import <model>/<scenario> <csvPath>
   *   graft.Cli <storeRoot> report <model>/<scenario> <key>
   * }}}
   */
@@ -33,8 +34,18 @@ object Cli {
   }
 
   private[graft] def run(mp: Platform, args: Array[String]): Unit = args(0) match {
-    case "scenarios" =>
-      mp.describeScenarios().show(100, truncate = false)
+    case "scenarios" | "list" =>
+      // `list --match` of the reference CLI (cli.py `list`, util
+      // format_scenario_list's match regex)
+      mp.describeScenarios(args.lift(1)).show(100, truncate = false)
+
+    case "import" =>
+      // reference `import` command: TS data file into a scenario
+      val s = scenario(mp, args(1))
+      s.transact("imported timeseries via CLI") {
+        graft.io.ScenarioIO.readTimeseriesCsv(s, args(2))
+      }
+      println(s"imported ${args(2)} into ${args(1)}")
 
     case "solve" =>
       val s = scenario(mp, args(1))
