@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.GraftExtensions
+
+/** SQL-facing registration of the native expressions: both the
+  * `SparkSessionExtensions` injection path (spark.sql.extensions) and
+  * runtime registration into an existing session. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("register(spark) makes the native functions SQL-callable") {
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT vec_dot(array(1.0d,2.0d), array(3.0d,4.0d)) v")
+      .head().getDouble(0) == 11.0)
+    val sig = spark.sql(
+      "SELECT minhash_sig(shingle_hashes(array('a','b','c','d'), 2), 4) s")
+      .head().getSeq[Long](0)
+    assert(sig.length == 4)
+    assert(spark.sql("SELECT simhash64(array('x','y')) h").head().getLong(0) !=
+      spark.sql("SELECT simhash64(array('p','q')) h").head().getLong(0))
+    val tf = spark.sql("SELECT text_features('the cat and the dog') f")
+      .select("f.n_words", "f.lang").head()
+    assert(tf.getInt(0) == 5 && tf.getString(1) == "en")
+    // non-literal k is rejected with a clear message
+    val err = intercept[Exception](
+      spark.sql("SELECT minhash_sig(array(1L), cast(rand()*4 as int)) s").collect())
+    assert(err.getMessage.contains("integer literal"))
+  }
+
+  test("SparkSessionExtensions injection path applies cleanly") {
+    // a suite-shared session already exists, so building a second one
+    // with spark.sql.extensions would silently reuse it; apply the
+    // extension object directly instead (what the config path invokes)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // and the full surface resolves through the runtime registration
+    GraftExtensions.register(spark)
+    for (fn <- Seq("vec_dot", "shingle_hashes", "minhash_sig", "simhash64",
+        "simhash_md5", "hyperplane_sig", "text_features"))
+      assert(spark.catalog.functionExists(fn), fn)
+    assert(spark.sql("SELECT hyperplane_sig(array(0.5d, -0.25d), 16) h")
+      .head().getLong(0) >= 0L)
+    assert(spark.sql("SELECT simhash_md5(array('w')) h").head().getLong(0) != 0L)
+  }
+}
