@@ -79,15 +79,13 @@ class Platform(val spark: SparkSession, val root: String) {
   def units(): Seq[String] = store.units()
   def addUnit(u: String): Unit = store.addUnit(u)
 
-  /** Model/scenario name codelists (reference base.py:300-338 —
-    * auto-extended when runs are created, so the distinct projection
-    * of the runs catalog IS the codelist). */
-  def modelNames(): Seq[String] =
-    store.listRuns(defaultOnly = false, None, None)
-      .select("model").distinct().collect().map(_.getString(0)).toSeq.sorted
-  def scenarioNames(): Seq[String] =
-    store.listRuns(defaultOnly = false, None, None)
-      .select("scenario").distinct().collect().map(_.getString(0)).toSeq.sorted
+  /** Model/scenario name codelists (reference base.py:300-338):
+    * explicit `add*` entries plus the names auto-extended by run
+    * creation — a name registered with no run still lists. */
+  def modelNames(): Seq[String] = store.modelNames()
+  def addModelName(name: String): Unit = store.addModelName(name)
+  def scenarioNames(): Seq[String] = store.scenarioNames()
+  def addScenarioName(name: String): Unit = store.addScenarioName(name)
 
   def regions(): DataFrame = store.regions()
   def addRegion(region: String, hierarchy: String, parent: Option[String] = None): Unit =
@@ -193,5 +191,20 @@ class Platform(val spark: SparkSession, val root: String) {
         col("unit").as("UNIT"), col("region").as("REGION"),
         col("meta").as("META"), col("subannual").as("SUBANNUAL"),
         col("year").as("YEAR"), col("value").as("VALUE"))
+  }
+}
+
+object Platform {
+  /** Resolve a full `ixmp://PLATFORM/MODEL/SCENARIO#VERSION` URL:
+    * open the NAMED platform through the registry (so the platform
+    * component is honored, not dropped — reference
+    * TimeSeries.from_url + Config.get_platform_info,
+    * _config.py:374-424), then the scenario within it. URLs without a
+    * platform component use the registry default. */
+  def fromUrl(spark: SparkSession, url: String,
+      registry: PlatformRegistry = PlatformRegistry()): (Platform, Scenario) = {
+    val u = graft.util.Util.parseUrl(url)
+    val mp = PlatformRegistry.open(spark, u.platform.getOrElse("default"), registry)
+    (mp, mp.fromUrl(url))
   }
 }

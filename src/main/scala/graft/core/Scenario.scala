@@ -51,6 +51,19 @@ class Scenario(platform0: Platform, run0: RunInfo)
   /** Items whose index sets include `setName` (scenario.py:391-435). */
   def itemsIndexedBy(setName: String): Seq[String] = store.itemsIndexedBy(runId, setName)
 
+  /** Bulk preload: warm the unfiltered item cache for EVERY item of
+    * this run plus the TS slice (reference load_scenario_data,
+    * scenario.py:145-160 — the bulk sibling of preloadTimeseries).
+    * Each item frame enters the store's persisted CachingBackend
+    * equivalent; the count() forces materialization so subsequent
+    * reads — filtered or not — are served from memory. */
+  def loadScenarioData(): Unit = {
+    (setList() ++ parList() ++ varList() ++ equList()).foreach { n =>
+      store.itemData(runId, n, Map.empty).count()
+    }
+    preloadTimeseries()
+  }
+
   private def itemDefOf(name: String): ItemDef =
     store.itemDef(runId, name).getOrElse(
       throw new NoSuchElementException(s"no item '$name' in run $runId"))

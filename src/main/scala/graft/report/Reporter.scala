@@ -48,13 +48,23 @@ final case class Quantity(df: DataFrame, dims: Seq[String], unit: String) {
 class Reporter {
 
   private val graph = mutable.Map.empty[String, () => Quantity]
+  // Config lives behind setters so ANY change clears the quantity
+  // cache — a cached frame computed under the old filters/units would
+  // otherwise be served stale.
+  private var _filters: Map[String, Seq[String]] = Map.empty
+  private var _renameDims: Map[String, String] = Map.empty
+  private var _unitOverrides: Map[String, String] = Map.empty
+
   /** Ex-ante filters pushed into leaf scans (reporter.py:111-117). */
-  var filters: Map[String, Seq[String]] = Map.empty
+  def filters: Map[String, Seq[String]] = _filters
+  def filters_=(f: Map[String, Seq[String]]): Unit = { _filters = f; clearQuantityCache() }
   /** RENAME_DIMS equivalent (report/common.py:1-3). */
-  var renameDims: Map[String, String] = Map.empty
+  def renameDims: Map[String, String] = _renameDims
+  def renameDims_=(m: Map[String, String]): Unit = { _renameDims = m; clearQuantityCache() }
   /** `units/apply` config (operator.py:114-139): item name → unit to
     * apply, overriding whatever the data carries (incl. mixed units). */
-  var unitOverrides: Map[String, String] = Map.empty
+  def unitOverrides: Map[String, String] = _unitOverrides
+  def unitOverrides_=(m: Map[String, String]): Unit = { _unitOverrides = m; clearQuantityCache() }
 
   def add(key: String, fn: () => Quantity): this.type = { graph(key) = fn; this }
   def addDf(key: String, fn: () => DataFrame, dims: Seq[String], unit: String = ""): this.type =
@@ -62,13 +72,43 @@ class Reporter {
 
   def keys: Seq[String] = graph.keys.toSeq.sorted
 
-  def setFilters(f: Map[String, Seq[String]]): Unit = filters = f
+  def setFilters(f: Map[String, Seq[String]]): Unit = { filters = f }
 
-  /** Force a key. Exact graph hit first; else sum-lattice inference:
-    * a registered key with the same name whose dims ⊇ the requested
-    * dims is partially summed (the moral `cube` of SURVEY §2 #26,
-    * built lazily). */
-  def get(key: String): Quantity = {
+  // Quantity-level result cache (reference CachingBackend,
+  // base.py:1291-1454, lifted from the item level to computed
+  // quantities): a forced key keeps its persisted frame until the
+  // underlying store mutates — `versionProvider` snapshots
+  // store.mutationCount, which ticks on EVERY item write, giving the
+  // any-set-change global invalidation of jdbc.py:1358-1362 — or the
+  // filter config changes. Repeated `get`s of a hot key are then
+  // memory-served instead of re-scanned (VERDICT r2 #8).
+  private val qCache = mutable.Map.empty[String, (Long, Quantity)]
+  private[report] var versionProvider: () => Long = () => 0L
+
+  def clearQuantityCache(): Unit = synchronized {
+    qCache.values.foreach(_._2.df.unpersist(blocking = false))
+    qCache.clear()
+  }
+
+  /** Force a key (cached). Exact graph hit first; else sum-lattice
+    * inference: a registered key with the same name whose dims ⊇ the
+    * requested dims is partially summed (the moral `cube` of SURVEY
+    * §2 #26, built lazily). */
+  def get(key: String): Quantity = synchronized {
+    val ver = versionProvider()
+    qCache.get(key) match {
+      case Some((v, q)) if v == ver => q
+      case stale =>
+        stale.foreach(_._2.df.unpersist(blocking = false))
+        val q = compute(key)
+        val cached = q.copy(df = q.df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        qCache(key) = (ver, cached)
+        cached
+    }
+  }
+
+  private def compute(key: String): Quantity = {
     val k = Key.parse(key)
     graph.get(key).orElse(graph.get(k.toString)).map(_()) getOrElse {
       val full = graph.keys
@@ -95,6 +135,9 @@ object Reporter {
   def fromScenario(s: Scenario, renameDims: Map[String, String] = Map.empty): Reporter = {
     val r = new Reporter
     r.renameDims = renameDims
+    // cache staleness tracks the scenario's store: any item write
+    // anywhere invalidates cached quantities on the next get
+    r.versionProvider = () => s.platform.store.mutationCount
 
     def register(name: String, t: ItemType.Value): Unit = {
       val dims0 = s.idxNames(name)

@@ -85,6 +85,19 @@ trait Store {
   def writeMeta(df: DataFrame): Unit
   def units(): Seq[String]
   def addUnit(u: String): Unit
+  /** Explicit model/scenario name codelists (reference base.py:300-338
+    * set_model_name/get_model_names): names exist INDEPENDENTLY of
+    * runs — a name registered without a run must list; run creation
+    * auto-extends the lists. */
+  def modelNames(): Seq[String]
+  def addModelName(name: String): Unit
+  def scenarioNames(): Seq[String]
+  def addScenarioName(name: String): Unit
+  /** Monotonic count of item-data mutations in this session; consumers
+    * (e.g. the Reporter quantity cache) compare snapshots to detect
+    * staleness — the quantity-level analogue of the reference's
+    * CachingBackend invalidation (jdbc.py:1358-1362). */
+  def mutationCount: Long
   def regions(): DataFrame
   def addRegion(region: String, hierarchy: String, parent: Option[String]): Unit
   def addRegionSynonym(region: String, mappedTo: String): Unit

@@ -42,4 +42,37 @@ class CliSpec extends SparkSpec {
 
     intercept[IllegalArgumentException](Cli.run(mp, Array("bogus")))
   }
+
+  test("platform registry: add/list/remove + named ixmp:// URL resolution") {
+    import graft.core.PlatformRegistry
+    val cfg = java.nio.file.Paths.get(tmpDir("graft-reg"), "platforms.properties")
+    val reg = new PlatformRegistry(cfg)
+
+    // CLI group (cli.py:332-360): add two platforms, first is default
+    val rootA = tmpDir("graft-regA")
+    val rootB = tmpDir("graft-regB")
+    Cli.platformCmd(Array("add", "alpha", rootA), reg)
+    Cli.platformCmd(Array("add", "beta", rootB), reg)
+    Cli.platformCmd(Array("list"), reg)
+    assert(reg.list() == Seq("alpha" -> rootA, "beta" -> rootB))
+    assert(reg.defaultName.contains("alpha"))
+    reg.setDefault("beta")
+    assert(reg.resolve("default") == rootB)
+    assert(reg.resolve("alpha") == rootA)
+
+    // a scenario stored on beta opens through its NAMED URL
+    val mpB = new Platform(spark, rootB)
+    val s = mpB.newScenario("m", "s")
+    s.setAsDefault()
+    val (mp2, opened) = graft.core.Platform.fromUrl(spark, "ixmp://beta/m/s", reg)
+    assert(mp2.root == rootB && opened.runId == s.runId)
+    // the default platform resolves when the URL names none
+    val (mp3, _) = graft.core.Platform.fromUrl(spark, "ixmp://default/m/s", reg)
+    assert(mp3.root == rootB)
+
+    Cli.platformCmd(Array("remove", "alpha"), reg)
+    assert(reg.list().map(_._1) == Seq("beta"))
+    intercept[IllegalArgumentException](reg.resolve("alpha"))
+    intercept[IllegalArgumentException](Cli.platformCmd(Array("bogus"), reg))
+  }
 }

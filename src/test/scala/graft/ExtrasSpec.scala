@@ -45,6 +45,64 @@ class ExtrasSpec extends SparkSpec {
     assert(s.par("d").count() == 7)
   }
 
+  test("allTsData is ONE partitioned FileScan, not a union of runs") {
+    val mp = new Platform(spark, tmpDir("graft-allts"))
+    (1 to 30).foreach { i =>
+      val s = mp.newScenario(s"m$i", "s")
+      s.transact("ts") {
+        s.addTimeseries(Seq(("World", "v", "u", 2020, i.toDouble))
+          .toDF("region", "variable", "unit", "year", "value"))
+      }
+    }
+    val all = mp.store.allTsData()
+    // sparkPlan (pre-AQE-wrapping) so collect() sees the leaf scans
+    val plan = all.filter(col("run_id") === 7L).queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val unions = plan.collect {
+      case u: org.apache.spark.sql.execution.UnionExec => u
+    }
+    assert(scans.size == 1, s"expected one FileScan, got ${scans.size}")
+    assert(unions.isEmpty, "all-runs TS read must not be a union of per-run branches")
+    // run_id survives as a partition filter, so only one run's
+    // directory is read (the 10k-run warehouse case of VERDICT r2 #2)
+    assert(scans.head.partitionFilters.nonEmpty,
+      "run_id predicate must reach the scan's partition filters")
+    assert(all.filter(col("run_id") === 7L).select("value")
+      .as[Double].collect().toSeq == Seq(7.0))
+    assert(all.count() == 30)
+  }
+
+  test("model/scenario name codelists list names with no run (base.py:300-338)") {
+    val mp = new Platform(spark, tmpDir("graft-names"))
+    mp.newScenario("existing model", "existing scenario")
+    mp.addModelName("planned model")
+    mp.addScenarioName("planned scenario")
+    assert(mp.modelNames() == Seq("existing model", "planned model"))
+    assert(mp.scenarioNames() == Seq("existing scenario", "planned scenario"))
+    // idempotent re-add; run-derived names need no explicit entry
+    mp.addModelName("planned model")
+    mp.addModelName("existing model")
+    assert(mp.modelNames() == Seq("existing model", "planned model"))
+  }
+
+  test("loadScenarioData preloads every item in one call (scenario.py:145-160)") {
+    val mp = new Platform(spark, tmpDir("graft-preload"))
+    val s = mp.newScenario("m", "s")
+    s.checkOut()
+    DantzigModel.initialize(s)
+    s.commit("data")
+    s.loadScenarioData()
+    // every item's unfiltered frame is now cache-resident: reads come
+    // back persisted without any further scan setup
+    (s.setList() ++ s.parList()).foreach { n =>
+      val df = mp.store.itemData(s.runId, n)
+      assert(df.storageLevel.useMemory || df.storageLevel.useDisk,
+        s"item '$n' not persisted after loadScenarioData")
+    }
+  }
+
   test("discard rolls back staged writes; transact(discardOnError) leaves no trace") {
     val mp = new Platform(spark, tmpDir("graft-rollback"))
     val s = mp.newScenario("m", "s")

@@ -51,6 +51,48 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L))) // identical text, hamming 0
   }
 
+  test("simhash block layout covers 64 bits with maxHamming+1 blocks") {
+    for (h <- Seq(0, 3, 8, 15)) {
+      val layout = Dedup.blockLayout(h)
+      assert(layout.size == h + 1)
+      assert(layout.map(_._3).sum == 64)
+      // contiguous, non-overlapping
+      layout.sliding(2).foreach {
+        case Seq((_, o1, w1), (_, o2, _)) => assert(o1 + w1 == o2)
+        case _ =>
+      }
+    }
+  }
+
+  test("simhash pair recall is exact at the configured radius (pigeonhole)") {
+    // fingerprints differing in exactly `h` bits SPREAD ACROSS as many
+    // blocks as possible — the adversarial case that broke the old
+    // fixed 4×16 layout (hamming 4-8 pairs touching all four blocks
+    // were silently missed; VERDICT r2 defect #1)
+    for (h <- Seq(3, 8)) {
+      val bits = (0 until h).map(i => (i * 64) / h) // one per region
+      val a = 0x0F0F0F0F0F0F0F0FL
+      val b = bits.foldLeft(a)((acc, bit) => acc ^ (1L << bit))
+      val fp = Seq((1L, a), (2L, b), (3L, ~a)).toDF("doc_id", "simhash")
+      val got = Dedup.simhashPairsFrom(fp, maxHamming = h).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+      assert(got.keySet == Set((1L, 2L)), s"radius $h: expected exactly (1,2), got ${got.keySet}")
+      assert(got((1L, 2L)) == h)
+    }
+  }
+
+  test("ivf knn auto-sizes cells to sqrt(n) and keeps recall at sf0.01") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 8).select(col("id").as("qid"), col("vec").as("qvec"))
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = topSet(Similarity.bruteForceKnn(emb, q, 5))
+    val approx = topSet(Similarity.ivfKnn(emb, q, 5)) // auto nCells/nProbe
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF auto-sized recall $recall too low at sf0.01")
+  }
+
   test("language id picks marker language") {
     val langs = docs.select(col("doc_id"),
       TextFunctions.langId(TextFunctions.words(col("text"))).as("lang"))

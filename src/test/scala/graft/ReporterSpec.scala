@@ -51,6 +51,31 @@ class ReporterSpec extends SparkSpec {
     assert(math.abs(total - 11.7) < 1e-9)
   }
 
+  test("quantity cache: repeated get is memory-served; writes invalidate") {
+    val s = solvedScenario()
+    val r = Reporter.fromScenario(s)
+    val first = r.get("d:i")
+    first.df.count() // force materialization into the persisted frame
+    // cache hit: the SAME persisted Quantity comes back — no rebuild,
+    // no new scan plan (CachingBackend semantics at quantity level)
+    val second = r.get("d:i")
+    assert(second eq first, "second get must return the cached quantity")
+    assert(second.df.storageLevel.useMemory || second.df.storageLevel.useDisk)
+    // any item write ticks store.mutationCount -> stale entry replaced
+    s.transact("w") {
+      s.addPar("d", Seq(("seattle", "new-york", 9.9, "km")).toDF("i", "j", "value", "unit"))
+    }
+    val third = r.get("d:i")
+    assert(!(third eq first), "a store mutation must invalidate the cache")
+    val got = third.df.collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(math.abs(got("seattle") - 13.4) < 1e-9) // 9.9 (upserted) + 1.7 + 1.8
+    // filter-config change also clears
+    r.setFilters(Map("i" -> Seq("seattle")))
+    val filtered = r.get("d:i")
+    assert(!(filtered eq third))
+    assert(filtered.df.collect().map(_.getString(0)).toSet == Set("seattle"))
+  }
+
   test("ex-ante filters are pushed into the leaf scan (test_reporter.py:207-278)") {
     val s = solvedScenario()
     val r = Reporter.fromScenario(s)
