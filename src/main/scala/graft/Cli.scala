@@ -68,10 +68,13 @@ object Cli {
       mp.describeScenarios(args.lift(1)).show(100, truncate = false)
 
     case "import" =>
-      // reference `import` command: TS data file into a scenario
+      // reference `import` command: TS data file into a scenario;
+      // ts_read_file dispatches on extension (io.py:25-52)
       val s = scenario(mp, args(1))
       s.transact("imported timeseries via CLI") {
-        graft.io.ScenarioIO.readTimeseriesCsv(s, args(2))
+        if (args(2).endsWith(".xlsx"))
+          graft.io.ScenarioIO.readTimeseriesXlsx(s, args(2))
+        else graft.io.ScenarioIO.readTimeseriesCsv(s, args(2))
       }
       println(s"imported ${args(2)} into ${args(1)}")
 

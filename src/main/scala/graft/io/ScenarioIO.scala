@@ -2,7 +2,7 @@ package graft.io
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.core.Scenario
@@ -90,6 +90,15 @@ object ScenarioIO {
             StructType(cols.map(c => StructField(c, StringType))))
       }
 
+    loadItems(s, mapping.toSeq, loadItem, initItems)
+  }
+
+  /** Shared item-loading core for the CSV-directory and .xlsx readers:
+    * 2-pass set topology (index sets before indexed sets, with requeue
+    * — io.py:232-308), optional item inference, var/equ skipped
+    * (doc/file-io.rst:48-51). */
+  private def loadItems(s: Scenario, mapping: Seq[(String, String)],
+      loadItem: String => DataFrame, initItems: Boolean): Unit = {
     // --- pass 1+2: sets, index sets before indexed sets (io.py:232-308)
     val setQueue = mutable.Queue(mapping.collect { case (n, "set") => n }.toIndexedSeq: _*)
     var stalls = 0
@@ -124,6 +133,113 @@ object ScenarioIO {
       }
       s.addPar(name, df.withColumn("value", col("value").cast("double")))
     }
+  }
+
+  // ---- native .xlsx round-trip (reference s_write_excel /
+  // s_read_excel, io.py:55-154 and 206-362) --------------------------
+
+  /** Write the scenario to a real .xlsx workbook: one sheet per item,
+    * split at `maxRowsPerSheet` rows into `name(2)`, `name(3)`, …
+    * sheets (EXCEL_MAX_ROWS contract, io.py:22 + 126-139), plus an
+    * `ix_type_mapping` sheet of (item, ix_type). Empty sets ARE
+    * written (header-only sheet); empty par/var/equ are omitted;
+    * scalars become 1-row value/unit frames; var/equ only on request
+    * (io.py:85-101).
+    *
+    * Rows stream through `toLocalIterator`, so driver memory stays
+    * O(sheet chunk) — the reference collects whole items into pandas
+    * (scenario.py:1078-1117); items are catalog-small by contract. */
+  def writeScenarioXlsx(s: Scenario, path: String,
+      includeSolution: Boolean = false,
+      maxRowsPerSheet: Int = Xlsx.MaxRows): Unit = {
+    require(maxRowsPerSheet >= 2, "need at least a header and one data row per sheet")
+    import scala.jdk.CollectionConverters._
+    val sheets = mutable.ListBuffer.empty[(String, Iterator[Seq[Any]])]
+    val mapping = mutable.ListBuffer.empty[(String, String)]
+
+    def add(name: String, t: String, df: DataFrame, keepEmpty: Boolean): Unit = {
+      val n = df.count()
+      if (n > 0 || keepEmpty) {
+        mapping += ((name, t))
+        val header: Seq[Any] = df.columns.toSeq
+        val chunkRows = maxRowsPerSheet - 1 // header occupies one row
+        val nChunks = math.max(1, math.ceil(n.toDouble / chunkRows).toInt)
+        // one shared row iterator per item, consumed chunk-by-chunk as
+        // the writer reaches each sheet (sheet names must be known up
+        // front for workbook.xml, the data must not be resident)
+        lazy val groups =
+          df.toLocalIterator().asScala.map(_.toSeq).grouped(chunkRows)
+        (0 until nChunks).foreach { ci =>
+          val sheetName = if (ci == 0) name else s"$name(${ci + 1})"
+          sheets += ((sheetName, Iterator(header) ++ new Iterator[Seq[Any]] {
+            private lazy val chunk =
+              if (groups.hasNext) groups.next().iterator else Iterator.empty
+            def hasNext: Boolean = chunk.hasNext
+            def next(): Seq[Any] = chunk.next()
+          }))
+        }
+      }
+    }
+
+    s.setList().foreach(n => add(n, "set", s.set(n), keepEmpty = true))
+    s.parList().foreach(n => add(n, "par", s.par(n), keepEmpty = false))
+    if (includeSolution) {
+      s.varList().foreach(n => add(n, "var", s.variable(n), keepEmpty = false))
+      s.equList().foreach(n => add(n, "equ", s.equation(n), keepEmpty = false))
+    }
+    val mappingSheet = Iterator[Seq[Any]](Seq("item", "ix_type")) ++
+      mapping.iterator.map { case (n, t) => Seq[Any](n, t) }
+    Xlsx.write(path, ("ix_type_mapping", mappingSheet) +: sheets.toSeq)
+  }
+
+  /** Read a .xlsx workbook written by [[writeScenarioXlsx]] (or the
+    * reference's to_excel) into the checked-out scenario: reassembles
+    * `name(2)`… split sheets in order (io.py:236-248), then the shared
+    * 2-pass item load. */
+  def readScenarioXlsx(s: Scenario, path: String, initItems: Boolean = false): Unit = {
+    val spark = s.platform.spark
+    val all = Xlsx.read(path)
+    val byName = all.toMap
+    val mappingRows = byName.getOrElse("ix_type_mapping",
+      throw new IllegalArgumentException(s"'$path' has no ix_type_mapping sheet"))
+    val mapping = mappingRows.drop(1).map(r => (r(0), r(1)))
+
+    def itemDf(name: String): DataFrame = {
+      val partPattern = java.util.regex.Pattern.quote(name) + "\\(\\d+\\)"
+      val parts = all.map(_._1)
+        .filter(k => k == name || k.matches(partPattern))
+        .sortBy(k => if (k == name) 1 else k.stripPrefix(name + "(").stripSuffix(")").toInt)
+      require(parts.nonEmpty, s"no sheet for item '$name' in $path")
+      val header = byName(parts.head).head
+      val data = parts.flatMap(p => byName(p).drop(1))
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val schema = StructType(header.map(c => StructField(c, StringType)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(data.map(r => Row(r: _*)): _*), schema)
+    }
+
+    loadItems(s, mapping, itemDf, initItems)
+  }
+
+  /** TS convenience: read an .xlsx of long or wide IAMC rows and
+    * upsert (ts_read_file's Excel branch, io.py:25-52). First sheet
+    * only; year/value columns re-typed from the untyped cells. */
+  def readTimeseriesXlsx(s: Scenario, path: String,
+      firstYear: Option[Int] = None, lastYear: Option[Int] = None): Unit = {
+    val spark = s.platform.spark
+    val rows = Xlsx.read(path).head._2
+    require(rows.nonEmpty, s"'$path' first sheet is empty")
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val header = rows.head
+    val schema = StructType(header.map(c => StructField(c, StringType)))
+    val df0 = spark.createDataFrame(
+      java.util.Arrays.asList(rows.drop(1).map(r => Row(r: _*)): _*), schema)
+    val df = df0.columns.foldLeft(df0) { (d, c) =>
+      if (c == "value" || c.toIntOption.isDefined) d.withColumn(c, col(c).cast("double"))
+      else if (c == "year") d.withColumn(c, col(c).cast("int"))
+      else d
+    }
+    s.addTimeseries(df, yearLim = (firstYear, lastYear))
   }
 
   /** TS convenience: read a CSV of long or wide IAMC rows and upsert

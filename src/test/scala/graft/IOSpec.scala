@@ -62,6 +62,128 @@ class IOSpec extends SparkSpec {
     assert(t.set("i").count() == 1)
   }
 
+  test("scenario .xlsx round-trip: real workbook, inference, empty sets, scalars") {
+    val mp = new Platform(spark, tmpDir("graft-xlsx"))
+    val s = mp.newScenario("m", "s")
+    s.checkOut()
+    DantzigModel.initialize(s)
+    s.initSet("empty_simple") // empty sets ARE written (io.py:85-101)
+    s.commit("data")
+    s.solve(DantzigModel)
+    val path = tmpDir("graft-xlsx-dump") + "/scen.xlsx"
+    ScenarioIO.writeScenarioXlsx(s, path, includeSolution = true)
+
+    // the workbook is structurally sound: mapping sheet + per-item sheets
+    val sheets = graft.io.Xlsx.read(path)
+    val names = sheets.map(_._1)
+    assert(names.head == "ix_type_mapping")
+    assert(names.contains("i") && names.contains("d") && names.contains("f"))
+    assert(names.contains("empty_simple") && names.contains("x")) // solution on request
+    // empty set sheet = header only; scalar = 1-row value/unit frame
+    assert(sheets.toMap.apply("empty_simple") == Seq(Seq("empty_simple")))
+    assert(sheets.toMap.apply("f").head == Seq("value", "unit"))
+
+    val mp2 = new Platform(spark, tmpDir("graft-xlsx2"))
+    mp2.addUnit("cases"); mp2.addUnit("km"); mp2.addUnit("USD/km")
+    val t = mp2.newScenario("m2", "s2")
+    t.checkOut()
+    ScenarioIO.readScenarioXlsx(t, path, initItems = true)
+    t.commit("imported")
+    assert(t.setList() == Seq("empty_simple", "i", "j"))
+    assert(t.set("empty_simple").isEmpty)
+    assert(t.parList() == Seq("a", "b", "d", "f"))
+    assert(t.scalar("f") == ((90.0, "USD/km")))
+    // var/equ sheets exist but are NOT read back (doc/file-io.rst:48-51)
+    assert(!t.hasItem("x"))
+    val v = t.par("d", Map("i" -> Seq("seattle"), "j" -> Seq("chicago")))
+      .select("value").as[Double].head()
+    assert(v == 1.7)
+  }
+
+  test("xlsx sheet split at the row cap into name(2)… and reassembly (io.py:22,126-139)") {
+    val mp = new Platform(spark, tmpDir("graft-xlsx-split"))
+    val s = mp.newScenario("m", "s")
+    s.checkOut()
+    s.initSet("i")
+    val elements = (1 to 25).map(n => f"e$n%02d")
+    s.addSet("i", elements)
+    s.commit("data")
+    val path = tmpDir("graft-xlsx-split-dump") + "/scen.xlsx"
+    // cap chosen so 25 rows split across 3 sheets (9 data rows each)
+    ScenarioIO.writeScenarioXlsx(s, path, maxRowsPerSheet = 10)
+    val names = graft.io.Xlsx.read(path).map(_._1)
+    assert(names.count(n => n == "i" || n.matches("i\\(\\d+\\)")) == 3)
+    assert(names.contains("i") && names.contains("i(2)") && names.contains("i(3)"))
+
+    val t = mp.newScenario("m2", "s2")
+    t.checkOut()
+    ScenarioIO.readScenarioXlsx(t, path, initItems = true)
+    t.commit("imported")
+    assert(t.set("i").as[String].collect().sorted.toSeq == elements)
+  }
+
+  test("xlsx reader resolves sharedStrings + typed cells (foreign writers)") {
+    // files written by Excel/pandas use a sharedStrings table and t="s"
+    // cells — our writer never emits them, so synthesize a minimal one
+    val path = tmpDir("graft-xlsx-foreign") + "/f.xlsx"
+    val zip = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(name: String, body: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(body.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+        |</Types>""".stripMargin)
+    entry("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="data" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2">
+        |<si><t>region</t></si><si><t>World &amp; co</t></si></sst>""".stripMargin)
+    // row 2 skips column A (sparse, explicit refs) + bool + plain number
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="str"><v>meta</v></c></row>
+        |<row r="2"><c r="B2" t="b"><v>1</v></c><c r="C2"><v>42.5</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>1</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+
+    val sheets = graft.io.Xlsx.read(path)
+    assert(sheets.map(_._1) == Seq("data"))
+    val rows = sheets.head._2
+    assert(rows(0) == Seq("region", "meta", ""))
+    assert(rows(1) == Seq("", "true", "42.5")) // sparse A2 filled, bool mapped
+    assert(rows(2) == Seq("World & co", "", "")) // shared string + escape
+  }
+
+  test("timeseries .xlsx read (ts_read_file Excel branch, io.py:25-52)") {
+    val mp = new Platform(spark, tmpDir("graft-xlsx-ts"))
+    val path = tmpDir("graft-xlsx-ts-dump") + "/ts.xlsx"
+    graft.io.Xlsx.write(path, Seq(("ts", Iterator[Seq[Any]](
+      Seq("region", "variable", "unit", "year", "value"),
+      Seq("World", "GDP", "USD", 2000, 1.0),
+      Seq("World", "GDP", "USD", 2010, 2.0)))))
+    val t = mp.newScenario("m", "s")
+    t.checkOut()
+    ScenarioIO.readTimeseriesXlsx(t, path, firstYear = Some(2005))
+    t.commit("ts in")
+    assert(t.timeseries().select("year").as[Int].collect().toSeq == Seq(2010))
+  }
+
   test("readScenario without initItems fails on unknown items") {
     val mp = new Platform(spark, tmpDir("graft-io3"))
     val s = mp.newScenario("m", "s")
