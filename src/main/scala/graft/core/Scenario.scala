@@ -326,6 +326,23 @@ class Scenario(platform0: Platform, run0: RunInfo)
           .select(col("category"), col("member"))))
   }
 
+  // ---- Excel facade (reference Scenario.to_excel / read_excel,
+  // scenario.py:1078-1153) --------------------------------------------
+
+  /** Write this scenario to a real .xlsx workbook (to_excel: sheet per
+    * item, EXCEL_MAX_ROWS split, write filters on parameters). */
+  def toExcel(path: String, includeSolution: Boolean = false,
+      filters: Map[String, Seq[Any]] = Map.empty,
+      maxRowsPerSheet: Int = graft.io.Xlsx.MaxRows): Unit =
+    graft.io.ScenarioIO.writeScenarioXlsx(this, path, includeSolution,
+      maxRowsPerSheet, filters)
+
+  /** Read an .xlsx workbook into this (checked-out) scenario
+    * (read_excel: init_items inference, add_units registration). */
+  def readExcel(path: String, initItems: Boolean = false,
+      addUnits: Boolean = false): Unit =
+    graft.io.ScenarioIO.readScenarioXlsx(this, path, initItems, addUnits)
+
   /** Category mapping as a quantity: (category, member) → 1.0 plus an
     * 'all' row per member (reference map_as_qty, operator.py:204-241). */
   def mapAsQty(setName: String): DataFrame = {

@@ -63,7 +63,8 @@ object ScenarioIO {
     * Existing declarations are reused; with `initItems` missing items
     * are inferred (sets: all-string columns; pars: columns minus
     * value/unit are dims indexed by the same-named sets). */
-  def readScenario(s: Scenario, dir: String, initItems: Boolean = false): Unit = {
+  def readScenario(s: Scenario, dir: String, initItems: Boolean = false,
+      addUnits: Boolean = false): Unit = {
     val spark = s.platform.spark
     val mappingDf = spark.read.option("header", true).csv(s"$dir/$MappingFile")
     val hasColumnList = mappingDf.columns.contains("columns")
@@ -90,7 +91,7 @@ object ScenarioIO {
             StructType(cols.map(c => StructField(c, StringType))))
       }
 
-    loadItems(s, mapping.toSeq, loadItem, initItems)
+    loadItems(s, mapping.toSeq, loadItem, initItems, addUnits)
   }
 
   /** Shared item-loading core for the CSV-directory and .xlsx readers:
@@ -98,7 +99,8 @@ object ScenarioIO {
     * — io.py:232-308), optional item inference, var/equ skipped
     * (doc/file-io.rst:48-51). */
   private def loadItems(s: Scenario, mapping: Seq[(String, String)],
-      loadItem: String => DataFrame, initItems: Boolean): Unit = {
+      loadItem: String => DataFrame, initItems: Boolean,
+      addUnits: Boolean = false): Unit = {
     // --- pass 1+2: sets, index sets before indexed sets (io.py:232-308)
     val setQueue = mutable.Queue(mapping.collect { case (n, "set") => n }.toIndexedSeq: _*)
     var stalls = 0
@@ -124,12 +126,20 @@ object ScenarioIO {
       s"circular or unsatisfiable index-set references among ${setQueue.mkString(", ")}")
 
     // --- pars; var/equ are intentionally skipped (doc/file-io.rst:48-51)
+    var knownUnits = s.platform.units().toSet
     mapping.collect { case (n, "par") => n }.foreach { name =>
       val df = loadItem(name)
       if (!s.hasItem(name)) {
         require(initItems, s"item '$name' does not exist and initItems=false")
         val dims = df.columns.filterNot(Seq("value", "unit").contains).toSeq
         s.initPar(name, dims, dims)
+      }
+      if (addUnits && df.columns.contains("unit")) {
+        // register units this parameter introduces (io.py:328-340)
+        val fresh = df.select("unit").distinct().collect()
+          .map(_.getString(0)).filter(u => u != null && !knownUnits.contains(u))
+        fresh.foreach(s.platform.addUnit)
+        knownUnits ++= fresh
       }
       s.addPar(name, df.withColumn("value", col("value").cast("double")))
     }
@@ -151,11 +161,19 @@ object ScenarioIO {
     * (scenario.py:1078-1117); items are catalog-small by contract. */
   def writeScenarioXlsx(s: Scenario, path: String,
       includeSolution: Boolean = false,
-      maxRowsPerSheet: Int = Xlsx.MaxRows): Unit = {
+      maxRowsPerSheet: Int = Xlsx.MaxRows,
+      filters: Map[String, Seq[Any]] = Map.empty): Unit = {
     require(maxRowsPerSheet >= 2, "need at least a header and one data row per sheet")
     import scala.jdk.CollectionConverters._
     val sheets = mutable.ListBuffer.empty[(String, Iterator[Seq[Any]])]
     val mapping = mutable.ListBuffer.empty[(String, String)]
+
+    // write filters apply to PARAMETERS only, and per item only the
+    // filters naming one of its dimensions (io.py:96-103)
+    def parFilters(name: String): Map[String, Seq[Any]] = {
+      val dims = s.idxNames(name).toSet
+      filters.filter { case (k, _) => dims.contains(k) }
+    }
 
     def add(name: String, t: String, df: DataFrame, keepEmpty: Boolean): Unit = {
       val n = df.count()
@@ -182,7 +200,7 @@ object ScenarioIO {
     }
 
     s.setList().foreach(n => add(n, "set", s.set(n), keepEmpty = true))
-    s.parList().foreach(n => add(n, "par", s.par(n), keepEmpty = false))
+    s.parList().foreach(n => add(n, "par", s.par(n, parFilters(n)), keepEmpty = false))
     if (includeSolution) {
       s.varList().foreach(n => add(n, "var", s.variable(n), keepEmpty = false))
       s.equList().foreach(n => add(n, "equ", s.equation(n), keepEmpty = false))
@@ -196,7 +214,8 @@ object ScenarioIO {
     * reference's to_excel) into the checked-out scenario: reassembles
     * `name(2)`… split sheets in order (io.py:236-248), then the shared
     * 2-pass item load. */
-  def readScenarioXlsx(s: Scenario, path: String, initItems: Boolean = false): Unit = {
+  def readScenarioXlsx(s: Scenario, path: String, initItems: Boolean = false,
+      addUnits: Boolean = false): Unit = {
     val spark = s.platform.spark
     val all = Xlsx.read(path)
     val byName = all.toMap
@@ -218,7 +237,7 @@ object ScenarioIO {
         java.util.Arrays.asList(data.map(r => Row(r: _*)): _*), schema)
     }
 
-    loadItems(s, mapping, itemDf, initItems)
+    loadItems(s, mapping, itemDf, initItems, addUnits)
   }
 
   /** TS convenience: read an .xlsx of long or wide IAMC rows and

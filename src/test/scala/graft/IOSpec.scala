@@ -122,6 +122,36 @@ class IOSpec extends SparkSpec {
     assert(t.set("i").as[String].collect().sorted.toSeq == elements)
   }
 
+  test("toExcel/readExcel facade: write filters + add_units (scenario.py:1078-1153)") {
+    val mp = new Platform(spark, tmpDir("graft-xlsx-fac"))
+    val s = mp.newScenario("m", "s")
+    s.checkOut()
+    DantzigModel.initialize(s)
+    s.commit("data")
+    val path = tmpDir("graft-xlsx-fac-dump") + "/scen.xlsx"
+    // write filters apply to parameters only, and only the dims an
+    // item actually has (io.py:96-103)
+    s.toExcel(path, filters = Map("i" -> Seq("seattle"), "nosuchdim" -> Seq("x")))
+    val byName = graft.io.Xlsx.read(path).toMap
+    assert(byName("d").size == 4) // header + the 3 seattle rows
+    assert(byName("i").size == 3) // sets NOT filtered
+    assert(byName("b").size == 4) // 'b' has no dim 'i' -> unfiltered
+
+    // read into a platform MISSING the units: addUnits=false fails,
+    // addUnits=true registers them on the fly (io.py:328-340)
+    val mp2 = new Platform(spark, tmpDir("graft-xlsx-fac2"))
+    val t = mp2.newScenario("m2", "s2")
+    t.checkOut()
+    intercept[IllegalArgumentException](t.readExcel(path, initItems = true))
+    t.discard()
+    val u = mp2.newScenario("m3", "s3")
+    u.checkOut()
+    u.readExcel(path, initItems = true, addUnits = true)
+    u.commit("imported")
+    assert(mp2.units().contains("km") && mp2.units().contains("cases"))
+    assert(u.par("d").count() == 3) // only the filtered rows were written
+  }
+
   test("xlsx reader resolves sharedStrings + typed cells (foreign writers)") {
     // files written by Excel/pandas use a sharedStrings table and t="s"
     // cells — our writer never emits them, so synthesize a minimal one
