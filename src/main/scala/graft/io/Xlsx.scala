@@ -117,7 +117,7 @@ object Xlsx {
        |</Relationships>""".stripMargin
   }
 
-  private[io] def colLetters(i: Int): String = {
+  private[graft] def colLetters(i: Int): String = {
     var n = i
     val sb = new StringBuilder
     while (n >= 0) {
@@ -301,7 +301,7 @@ object Xlsx {
     rows.map(rw => rw ++ Seq.fill(width - rw.size)("")).toSeq
   }
 
-  private[io] def colIndex(ref: String): Int = {
+  private[graft] def colIndex(ref: String): Int = {
     var i = 0
     var n = 0
     while (i < ref.length && ref.charAt(i).isLetter) {
