@@ -81,6 +81,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("IvfIndex: build once, query many batches, results match one-shot ivfKnn") {
+    import graft.ops.IvfIndex
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("id", "vec")
+    def batch(lo: Long, hi: Long) = corpus.filter(col("id") >= lo && col("id") < hi)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val idx = IvfIndex.build(corpus, nCells = 6, refineIters = 1)
+    try {
+      assert(idx.centroids.count() == 6)
+      val r1 = idx.query(batch(0, 2), 3, nProbe = 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val r2 = idx.query(batch(2, 4), 3, nProbe = 3)
+      assert(r1.size == 6 && r2.count() == 6)
+      // the index is deterministic: a one-shot ivfKnn with the same
+      // parameters returns the same neighbor set
+      val oneShot = graft.ops.Similarity
+        .ivfKnn(corpus, batch(0, 2), 3, nCells = 6, nProbe = 3, refineIters = 1)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(r1 == oneShot)
+    } finally idx.close()
+  }
+
   test("ivf knn auto-sizes cells to sqrt(n) and keeps recall at sf0.01") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
