@@ -70,6 +70,49 @@ class Reporter {
   def addDf(key: String, fn: () => DataFrame, dims: Seq[String], unit: String = ""): this.type =
     add(key, () => Quantity(fn(), dims, unit))
 
+  /** Register a FILE as a quantity node (reference Computer.add_file /
+    * genno load_file, doc/reporting.rst:82): CSV, parquet or .xlsx by
+    * extension; non-value columns are the dims. The read is lazy like
+    * every other node — forcing the key hands Catalyst the scan. */
+  def addFile(key: String, path: String, spark: org.apache.spark.sql.SparkSession,
+      unit: String = ""): this.type = {
+    val dims = Key.parse(key).dims
+    add(key, () => {
+      val df =
+        if (path.endsWith(".parquet")) spark.read.parquet(path)
+        else if (path.endsWith(".xlsx")) {
+          val rows = graft.io.Xlsx.read(path).head._2
+          val header = rows.head
+          val schema = org.apache.spark.sql.types.StructType(header.map(c =>
+            org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.StringType)))
+          spark.createDataFrame(java.util.Arrays.asList(
+            rows.drop(1).map(r => org.apache.spark.sql.Row(r: _*)): _*), schema)
+        }
+        else spark.read.option("header", true).csv(path)
+      Quantity(df.select((dims.map(col) :+ col("value").cast("double")): _*), dims, unit)
+    })
+  }
+
+  /** Human-readable resolution tree for a key (reference
+    * Computer.describe, doc/reporting.rst:69): how `get(key)` would
+    * compute — a registered node, or a partial sum inferred from the
+    * registered full-dimensionality key. */
+  def describe(key: String): String = {
+    val k = Key.parse(key)
+    if (graph.contains(key) || graph.contains(k.toString))
+      s"'$key' (registered node)"
+    else
+      graph.keys.map(Key.parse)
+        .filter(c => c.name == k.name && c.tag == k.tag && k.dims.forall(c.dims.contains))
+        .minByOption(_.dims.length) match {
+        case Some(full) =>
+          val summed = full.dims.filterNot(k.dims.contains)
+          s"'$key' = sum of '${full.toString}' over [${summed.mkString(", ")}]"
+        case None => s"'$key' (NOT RESOLVABLE)"
+      }
+  }
+
   def keys: Seq[String] = graph.keys.toSeq.sorted
 
   def setFilters(f: Map[String, Seq[String]]): Unit = { filters = f }

@@ -158,6 +158,25 @@ class ReporterSpec extends SparkSpec {
     assert(r.get("d:i-j").unit == "km")
   }
 
+  test("addFile registers a file node; describe explains resolution (reporting.rst:69,82)") {
+    val s = solvedScenario()
+    val r = Reporter.fromScenario(s)
+    // file node: a CSV quantity joins the DAG like any scenario item
+    val dir = tmpDir("graft-rep-file")
+    val p = java.nio.file.Paths.get(dir, "prices.csv")
+    java.nio.file.Files.writeString(p,
+      "i,value\nseattle,2.0\nsan-diego,3.0\n")
+    r.addFile("price:i", p.toString, spark, unit = "USD")
+    val price = r.get("price:i")
+    assert(price.unit == "USD")
+    assert(price.df.collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+      == Map("seattle" -> 2.0, "san-diego" -> 3.0))
+    // describe: registered vs inferred partial sum vs unresolvable
+    assert(r.describe("price:i").contains("registered"))
+    assert(r.describe("d:i") == "'d:i' = sum of 'd:i-j' over [j]")
+    assert(r.describe("nope:x").contains("NOT RESOLVABLE"))
+  }
+
   test("select, concat, add, disaggregate, toIamc") {
     val s = solvedScenario()
     val r = Reporter.fromScenario(s)
