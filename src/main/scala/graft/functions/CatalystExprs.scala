@@ -435,6 +435,84 @@ object TextFeaturesExpr {
   }
 }
 
+/** Winnowed rolling-hash document fingerprints (Schleimer/Wilkerson/
+  * Aiken 2003, the MOSS scheme): character k-gram Rabin hashes
+  * (Horner base 31, mod 2^20 — small enough that a SQL oracle can
+  * reproduce every value exactly), then each window of `w` consecutive
+  * hashes contributes its minimum. Output: sorted distinct selected
+  * hashes — a compact position-independent sketch with the winnowing
+  * guarantee (any shared substring of length >= k + w - 1 yields at
+  * least one shared fingerprint). Feed it NORMALIZED text (lowercase,
+  * punctuation collapsed) so the alphabet stays ASCII and engines
+  * agree on character codes. */
+final case class WinnowHashes(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, "winnow_hashes: k and w must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_hashes"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(WinnowHashes.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.WinnowHashes.compute($c, $k, $w))")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
+    copy(child = newChild)
+}
+
+object WinnowHashes {
+  private val Mod = 1048576L // 2^20
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String, k: Int, w: Int): Array[Long] = {
+    val str = s.toString
+    val n = str.length
+    val nk = n - k + 1
+    if (nk <= 0) return Array.emptyLongArray
+    // per-position Horner (k is small; O(n·k) beats maintaining the
+    // rolling subtraction term and matches the oracle's list_reduce)
+    val hashes = new Array[Long](nk)
+    var i = 0
+    while (i < nk) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        h = (h * 31 + str.charAt(i + j)) % Mod
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    val nw = nk - w + 1
+    if (nw <= 0) return Array.emptyLongArray
+    val sel = new Array[Long](nw)
+    i = 0
+    while (i < nw) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < w) {
+        if (hashes(i + j) < m) m = hashes(i + j)
+        j += 1
+      }
+      sel(i) = m
+      i += 1
+    }
+    java.util.Arrays.sort(sel)
+    var out = 1
+    i = 1
+    while (i < nw) {
+      if (sel(i) != sel(i - 1)) { sel(out) = sel(i); out += 1 }
+      i += 1
+    }
+    if (out == nw) sel else java.util.Arrays.copyOf(sel, out)
+  }
+}
+
 /** Column-API entry points for the native expressions. */
 object CatalystFunctions {
   def vecDot(a: Column, b: Column): Column =
@@ -452,4 +530,6 @@ object CatalystFunctions {
     ExpressionUtils.column(SimHashMd5Expr(ExpressionUtils.expression(ws)))
   def textFeatures(text: Column): Column =
     ExpressionUtils.column(TextFeaturesExpr(ExpressionUtils.expression(text)))
+  def winnowHashes(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowHashes(ExpressionUtils.expression(text), k, w))
 }

@@ -52,7 +52,11 @@ object GraftExtensions {
       (es: Seq[Expression]) => HyperplaneSig(es(0), intArg(es(1), "hyperplane_sig", 2))),
     ("text_features",
       info("text_features", "text_features(text) - quality/language feature struct"),
-      (es: Seq[Expression]) => TextFeaturesExpr(es(0))))
+      (es: Seq[Expression]) => TextFeaturesExpr(es(0))),
+    ("winnow_hashes",
+      info("winnow_hashes", "winnow_hashes(text, k, w) - winnowed k-gram rolling-hash fingerprints"),
+      (es: Seq[Expression]) => WinnowHashes(es(0),
+        intArg(es(1), "winnow_hashes", 2), intArg(es(2), "winnow_hashes", 3))))
 
   /** Register into an already-built session's function registry. */
   def register(spark: SparkSession): Unit =

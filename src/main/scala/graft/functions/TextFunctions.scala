@@ -35,6 +35,16 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), lit("\\s+"), lit(" ")))
 
+  /** Winnowed rolling-hash fingerprints (MOSS scheme) over normalized
+    * text: lowercase, non-alphanumerics collapsed to single spaces, so
+    * the alphabet is ASCII and any SQL engine reproduces the hashes.
+    * Returns the sorted distinct selected k-gram hashes; any shared
+    * substring of >= k+w-1 normalized chars yields a shared
+    * fingerprint (the winnowing guarantee). */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 8): Column =
+    CatalystFunctions.winnowHashes(
+      trim(regexp_replace(lower(text), lit("[^a-z0-9]+"), lit(" "))), k, w)
+
   /** Per-language marker-word hit count. */
   def markerHits(ws: Column, markers: Seq[String]): Column = {
     val arr = array(markers.map(lit): _*)

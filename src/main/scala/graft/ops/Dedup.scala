@@ -205,4 +205,37 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame =
     simhashPairsFrom(simhash(docs, idCol, textCol), maxHamming)
+
+  /** Partial-overlap (containment) pairs via winnowed rolling-hash
+    * fingerprints (MOSS): docs sharing at least `threshold` of the
+    * smaller doc's fingerprints. Complements Jaccard near-dup — a
+    * short doc EMBEDDED in a long one scores high containment but low
+    * Jaccard.
+    *
+    * Scale shape: inverted-index equi-join on fingerprint value — the
+    * shuffle moves only (hash, id) pairs, never text. A fingerprint
+    * shared by m docs contributes m^2 candidate pairs; at corpus scale
+    * drop ultra-common "stop fingerprints" first (document-frequency
+    * cap) — the same remedy as stopword removal; AQE splits the
+    * residual skewed buckets. */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8, w: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val fps = spread(docs).select(col(idCol).as("doc_id"),
+      graft.functions.TextFunctions.winnowFingerprints(col(textCol), k, w).as("fps"))
+      .filter(size(col("fps")) > 0)
+    val inv = persistBounded(fps.select(col("doc_id"), explode(col("fps")).as("fp")))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val a = inv.alias("a")
+    val b = inv.alias("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_fp").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_fp").as("nb")), "id_b")
+      .withColumn("containment",
+        round(col("n_shared") / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
 }

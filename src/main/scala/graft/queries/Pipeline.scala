@@ -142,6 +142,20 @@ object Pipeline {
       maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** Winnowed rolling-hash fingerprints (MOSS document sketch) per
+    * doc, exploded long-format; mod-2^20 Rabin hashes are reproduced
+    * exactly by the DuckDB oracle's list_reduce. */
+  def d13WinnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      explode(TextFunctions.winnowFingerprints(col("text"), 8, 8)).as("fp"))
+      .orderBy("doc_id", "fp")
+
+  /** Partial-overlap pairs by fingerprint containment (inverted-index
+    * join; threshold 0.3 so the corpus's near-dup clusters surface). */
+  def d14WinnowOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowOverlapPairs(docs(s, dir), threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
   /** JSON property extraction from the events props column (scalar
     * function surface: get_json_object). */
   def d09JsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -184,6 +198,8 @@ object Pipeline {
     "d09_json_extract" -> d09JsonExtract _,
     "d11_simhash_verify" -> d11SimhashVerify _,
     "d12_simhash_pairs_verify" -> d12SimhashPairsVerify _,
+    "d13_winnow_fingerprint" -> d13WinnowFingerprint _,
+    "d14_winnow_overlap" -> d14WinnowOverlap _,
     "m01_multimodal" -> m01Multimodal _,
     "e01_knn_brute" -> e01KnnBrute _,
     "e02_knn_ivf" -> e02KnnIvf _,
@@ -267,6 +283,35 @@ object Pipeline {
         | CAST(len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS INTEGER) AS hamming
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d13_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s FROM documents),
+        |kg AS (SELECT doc_id, list_transform(range(1, len(s) - 8 + 2), i ->
+        |   list_reduce(list_transform(range(0, 8), j -> unicode(substr(s, i + j, 1))),
+        |               (a, b) -> (a * 31 + b) % 1048576)) AS hs
+        | FROM t WHERE len(s) >= 8),
+        |win AS (SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(hs) - 8 + 2), i ->
+        |   list_aggregate(hs[i:i+7], 'min')))) AS fps
+        | FROM kg WHERE len(hs) >= 8)
+        |SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM win ORDER BY doc_id, fp""".stripMargin,
+    "d14_winnow_overlap" ->
+      """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s FROM documents),
+        |kg AS (SELECT doc_id, list_transform(range(1, len(s) - 8 + 2), i ->
+        |   list_reduce(list_transform(range(0, 8), j -> unicode(substr(s, i + j, 1))),
+        |               (a, b) -> (a * 31 + b) % 1048576)) AS hs
+        | FROM t WHERE len(s) >= 8),
+        |win AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 8 + 2), i ->
+        |   list_aggregate(hs[i:i+7], 'min'))) AS fps
+        | FROM kg WHERE len(hs) >= 8),
+        |inv AS (SELECT doc_id, unnest(fps) AS fp FROM win),
+        |sz AS (SELECT doc_id, len(fps) AS n_fp FROM win)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(CAST(count(*) AS DOUBLE) / least(min(sa.n_fp), min(sb.n_fp)), 4) AS containment
+        |FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |JOIN sz sa ON sa.doc_id = a.doc_id
+        |JOIN sz sb ON sb.doc_id = b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING round(CAST(count(*) AS DOUBLE) / least(min(sa.n_fp), min(sb.n_fp)), 4) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     "d10_pipeline_compose" ->
       """WITH f AS (SELECT doc_id, text,

@@ -20,6 +20,11 @@ class ExtensionsSpec extends SparkSpec {
     val tf = spark.sql("SELECT text_features('the cat and the dog') f")
       .select("f.n_words", "f.lang").head()
     assert(tf.getInt(0) == 5 && tf.getString(1) == "en")
+    // identical 15-char windows share a winnowed fingerprint
+    val wf = spark.sql(
+      "SELECT winnow_hashes('abcdefghijklmnop', 8, 8) a, " +
+        "winnow_hashes('zzz abcdefghijklmnop zzz', 8, 8) b").head()
+    assert(wf.getSeq[Long](0).toSet.intersect(wf.getSeq[Long](1).toSet).nonEmpty)
     // non-literal k is rejected with a clear message
     val err = intercept[Exception](
       spark.sql("SELECT minhash_sig(array(1L), cast(rand()*4 as int)) s").collect())
@@ -35,7 +40,7 @@ class ExtensionsSpec extends SparkSpec {
     // and the full surface resolves through the runtime registration
     GraftExtensions.register(spark)
     for (fn <- Seq("vec_dot", "shingle_hashes", "minhash_sig", "simhash64",
-        "simhash_md5", "hyperplane_sig", "text_features"))
+        "simhash_md5", "hyperplane_sig", "text_features", "winnow_hashes"))
       assert(spark.catalog.functionExists(fn), fn)
     assert(spark.sql("SELECT hyperplane_sig(array(0.5d, -0.25d), 16) h")
       .head().getLong(0) >= 0L)

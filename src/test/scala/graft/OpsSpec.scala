@@ -115,6 +115,34 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF auto-sized recall $recall too low at sf0.01")
   }
 
+  test("winnow fingerprints: shared substring guarantee + embedded-doc containment") {
+    import graft.functions.TextFunctions
+    val common = "the shared middle passage that both documents quote verbatim " +
+      "word for word across many characters"
+    val data = Seq(
+      (1L, s"unique prefix alpha beta. $common"),
+      (2L, s"$common and then a completely different ending tail gamma delta"),
+      (3L, common), // fully embedded in 1 and 2
+      (4L, "nothing in common with the others at all, entirely disjoint text body")
+    ).toDF("doc_id", "text")
+    val fps = data.select(col("doc_id"),
+      TextFunctions.winnowFingerprints(col("text")).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // winnowing guarantee: a shared normalized substring of length
+    // >= k+w-1 (15) must yield at least one shared fingerprint
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+    // sorted distinct encoding
+    assert(fps.values.forall(s => s.toSeq.sorted == s.toSeq.sorted.distinct))
+
+    val pairs = graft.ops.Dedup.winnowOverlapPairs(data, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 3 is contained in both 1 and 2 -> containment ~1.0
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.9)
+    assert(pairs.contains((2L, 3L)) && pairs((2L, 3L)) > 0.9)
+    // disjoint doc 4 pairs with nothing
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("language id picks marker language") {
     val langs = docs.select(col("doc_id"),
       TextFunctions.langId(TextFunctions.words(col("text"))).as("lang"))
