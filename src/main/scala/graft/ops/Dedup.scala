@@ -214,17 +214,31 @@ object Dedup {
     *
     * Scale shape: inverted-index equi-join on fingerprint value — the
     * shuffle moves only (hash, id) pairs, never text. A fingerprint
-    * shared by m docs contributes m^2 candidate pairs; at corpus scale
-    * drop ultra-common "stop fingerprints" first (document-frequency
-    * cap) — the same remedy as stopword removal; AQE splits the
-    * residual skewed buckets. */
+    * shared by m docs contributes C(m,2) candidate pairs, so "stop
+    * fingerprints" (boilerplate phrases — the inverted-index analogue
+    * of stopwords) are dropped first via an ABSOLUTE document-
+    * frequency cap: df > `stopDocFreq` excludes a fingerprint from
+    * BOTH the join and the containment denominator. The cap is
+    * deliberately NOT proportional to corpus size — a constant cap
+    * bounds every join bucket to C(cap,2) pairs at ANY scale (a
+    * MOSS-style "shared by too many to mean provenance" rule), where
+    * a percentage cap would grow buckets quadratically with the
+    * corpus. `stopDocFreq <= 0` disables. */
   def winnowOverlapPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8, w: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, stopDocFreq: Int = 20): DataFrame = {
     val fps = spread(docs).select(col(idCol).as("doc_id"),
       graft.functions.TextFunctions.winnowFingerprints(col(textCol), k, w).as("fps"))
       .filter(size(col("fps")) > 0)
-    val inv = persistBounded(fps.select(col("doc_id"), explode(col("fps")).as("fp")))
+    val inv0 = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val inv = persistBounded {
+      if (stopDocFreq <= 0) inv0
+      else {
+        val keep = inv0.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= stopDocFreq).select("fp")
+        inv0.join(keep, "fp")
+      }
+    }
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val a = inv.alias("a")
     val b = inv.alias("b")

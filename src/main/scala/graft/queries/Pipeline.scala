@@ -303,8 +303,11 @@ object Pipeline {
         |win AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs) - 8 + 2), i ->
         |   list_aggregate(hs[i:i+7], 'min'))) AS fps
         | FROM kg WHERE len(hs) >= 8),
-        |inv AS (SELECT doc_id, unnest(fps) AS fp FROM win),
-        |sz AS (SELECT doc_id, len(fps) AS n_fp FROM win)
+        |inv0 AS (SELECT doc_id, unnest(fps) AS fp FROM win),
+        |freq AS (SELECT fp, count(*) AS df FROM inv0 GROUP BY fp),
+        |inv AS (SELECT i.doc_id, i.fp FROM inv0 i JOIN freq USING (fp)
+        |        WHERE freq.df <= 20),
+        |sz AS (SELECT doc_id, count(*) AS n_fp FROM inv GROUP BY doc_id)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         | round(CAST(count(*) AS DOUBLE) / least(min(sa.n_fp), min(sb.n_fp)), 4) AS containment
         |FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
