@@ -513,6 +513,88 @@ object WinnowHashes {
   }
 }
 
+/** Per-document repetition statistics (the Gopher/MassiveText repetition
+  * rules — Rae et al. 2021 §A1.1 — in their token-count form): documents
+  * dominated by a few repeated n-grams are boilerplate/spam and score
+  * high here. One tokenization pass per row, counts in per-row hash
+  * maps bounded by document length; no shuffle, no explode — the
+  * composed `explode(ngrams) → groupBy(doc_id)` shape would shuffle
+  * every token of a 100 TB corpus just to count within-document.
+  *
+  * Fields: `n_words`; `distinct_word_ratio` = |types|/|tokens|;
+  * `top_2gram_frac` = occurrences of the most frequent word 2-gram /
+  * total 2-grams; `dup_3gram_frac` = fraction of 3-gram tokens whose
+  * gram occurs more than once. Tokenization and rounding match
+  * [[TextFeaturesExpr]] (lowercase `[a-z0-9]+`, HALF_UP to 4 dp) so a
+  * SQL oracle reproduces every value exactly. */
+final case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RepetitionStatsExpr.schema
+  override def prettyName: String = "repetition_stats"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStatsExpr.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionStatsExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
+object RepetitionStatsExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("distinct_word_ratio", DoubleType, nullable = false),
+    StructField("top_2gram_frac", DoubleType, nullable = false),
+    StructField("dup_3gram_frac", DoubleType, nullable = false)))
+
+  private val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+
+  private def r4(x: Double): Double =
+    new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def compute(text: UTF8String): InternalRow = {
+    val m = wordRe.matcher(text.toString.toLowerCase(java.util.Locale.ROOT))
+    val words = new java.util.ArrayList[String]()
+    while (m.find()) words.add(m.group())
+    val n = words.size
+    val types = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) { types.add(words.get(i)); i += 1 }
+    // n-gram counts; grams keyed by space-joined words (the tokenizer
+    // never emits spaces, so the join is collision-free)
+    val g2 = new java.util.HashMap[String, Int]()
+    i = 0
+    while (i < n - 1) {
+      g2.merge(words.get(i) + " " + words.get(i + 1), 1, Integer.sum)
+      i += 1
+    }
+    var top2 = 0
+    val it2 = g2.values().iterator()
+    while (it2.hasNext) { val c = it2.next(); if (c > top2) top2 = c }
+    val g3 = new java.util.HashMap[String, Int]()
+    i = 0
+    while (i < n - 2) {
+      g3.merge(words.get(i) + " " + words.get(i + 1) + " " + words.get(i + 2), 1, Integer.sum)
+      i += 1
+    }
+    var dup3 = 0
+    val it3 = g3.values().iterator()
+    while (it3.hasNext) { val c = it3.next(); if (c > 1) dup3 += c }
+    val n2 = n - 1
+    val n3 = n - 2
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      n,
+      if (n > 0) r4(types.size.toDouble / n) else 0.0,
+      if (n2 > 0) r4(top2.toDouble / n2) else 0.0,
+      if (n3 > 0) r4(dup3.toDouble / n3) else 0.0))
+  }
+}
+
 /** Column-API entry points for the native expressions. */
 object CatalystFunctions {
   def vecDot(a: Column, b: Column): Column =
@@ -532,4 +614,6 @@ object CatalystFunctions {
     ExpressionUtils.column(TextFeaturesExpr(ExpressionUtils.expression(text)))
   def winnowHashes(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowHashes(ExpressionUtils.expression(text), k, w))
+  def repetitionStats(text: Column): Column =
+    ExpressionUtils.column(RepetitionStatsExpr(ExpressionUtils.expression(text)))
 }

@@ -56,7 +56,10 @@ object GraftExtensions {
     ("winnow_hashes",
       info("winnow_hashes", "winnow_hashes(text, k, w) - winnowed k-gram rolling-hash fingerprints"),
       (es: Seq[Expression]) => WinnowHashes(es(0),
-        intArg(es(1), "winnow_hashes", 2), intArg(es(2), "winnow_hashes", 3))))
+        intArg(es(1), "winnow_hashes", 2), intArg(es(2), "winnow_hashes", 3))),
+    ("repetition_stats",
+      info("repetition_stats", "repetition_stats(text) - within-document n-gram repetition struct"),
+      (es: Seq[Expression]) => RepetitionStatsExpr(es(0))))
 
   /** Register into an already-built session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -185,6 +185,38 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Within-document repetition stats (Gopher/MassiveText repetition
+    * rules, token-count form): one native per-row pass, no explode —
+    * counting n-grams inside a document must not shuffle the corpus. */
+  def d15Repetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.CatalystFunctions.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+        col("r.distinct_word_ratio").as("distinct_word_ratio"),
+        col("r.top_2gram_frac").as("top_2gram_frac"),
+        col("r.dup_3gram_frac").as("dup_3gram_frac"))
+      .orderBy("doc_id")
+
+  /** Deterministic per-domain quota: at most 15 docs per source, chosen
+    * by md5-hash order (graft.ops.Sampling.groupQuota — the corpus-mix
+    * rebalancing op; engine-reproducible, so the oracle recomputes the
+    * identical kept set). */
+  def d16GroupQuota(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.groupQuota(
+      docs(s, dir).select(col("doc_id"), col("source")),
+      "doc_id", "source", cap = 15)
+      .orderBy("doc_id")
+
+  /** Stratified deterministic sample by language: en kept at 50%,
+    * de at 25%, everything else at 10% — the corpus-mixing primitive
+    * (hash-filter only; no shuffle, no RNG). */
+  def d17StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratified(
+      docs(s, dir).select(col("doc_id"), col("lang")),
+      "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_pipeline_compose" -> d10PipelineCompose _,
     "d01_dedup_exact" -> d01DedupExact _,
@@ -200,6 +232,9 @@ object Pipeline {
     "d12_simhash_pairs_verify" -> d12SimhashPairsVerify _,
     "d13_winnow_fingerprint" -> d13WinnowFingerprint _,
     "d14_winnow_overlap" -> d14WinnowOverlap _,
+    "d15_repetition" -> d15Repetition _,
+    "d16_group_quota" -> d16GroupQuota _,
+    "d17_stratified_sample" -> d17StratifiedSample _,
     "m01_multimodal" -> m01Multimodal _,
     "e01_knn_brute" -> e01KnnBrute _,
     "e02_knn_ivf" -> e02KnnIvf _,
@@ -316,6 +351,30 @@ object Pipeline {
         |GROUP BY a.doc_id, b.doc_id
         |HAVING round(CAST(count(*) AS DOUBLE) / least(min(sa.n_fp), min(sb.n_fp)), 4) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    "d15_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws,
+        |  list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2,
+        |  list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+        | FROM t)
+        |SELECT doc_id,
+        | CAST(len(ws) AS INTEGER) AS n_words,
+        | CASE WHEN len(ws) = 0 THEN 0.0 ELSE round(len(list_distinct(ws))::DOUBLE / len(ws), 4) END AS distinct_word_ratio,
+        | CASE WHEN len(g2) = 0 THEN 0.0 ELSE round(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x))))::DOUBLE / len(g2), 4) END AS top_2gram_frac,
+        | CASE WHEN len(g3) = 0 THEN 0.0 ELSE round(list_sum(list_transform(g3, x -> CASE WHEN len(list_filter(g3, y -> y = x)) > 1 THEN 1 ELSE 0 END))::DOUBLE / len(g3), 4) END AS dup_3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "d16_group_quota" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 10000 AS hb
+        | FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY hb, doc_id) AS rk FROM h)
+        |SELECT doc_id, source FROM r WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+    "d17_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 10000
+        |  < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
     "d10_pipeline_compose" ->
       """WITH f AS (SELECT doc_id, text,
         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),

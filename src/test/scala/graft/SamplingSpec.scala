@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** Deterministic sampling / quota operators (graft.ops.Sampling) and
+  * the repetition-stats native expression. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = (1L to 2000L).map(i =>
+    (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "other"))
+    .toDF("id", "lang")
+
+  test("bernoulli sample is deterministic and near the nominal rate") {
+    val a = Sampling.bernoulli(rows, "id", 0.3).select("id").as[Long].collect().toSet
+    val b = Sampling.bernoulli(rows.repartition(7), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "partitioning must not change the sample")
+    assert(math.abs(a.size - 600) < 80, s"rate off: ${a.size}/2000 at 0.3")
+  }
+
+  test("bernoulli sample is monotone in rate (kept set only grows)") {
+    val lo = Sampling.bernoulli(rows, "id", 0.2).select("id").as[Long].collect().toSet
+    val hi = Sampling.bernoulli(rows, "id", 0.5).select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+  }
+
+  test("stratified sample applies per-stratum rates") {
+    val s = Sampling.stratified(rows, "id", "lang",
+      Map("en" -> 1.0, "de" -> 0.0), defaultRate = 0.25)
+    val byLang = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == 500L, "rate 1.0 keeps every row")
+    assert(!byLang.contains("de"), "rate 0.0 keeps none")
+    assert(math.abs(byLang("other") - 250L) < 60, s"default rate off: ${byLang.get("other")}")
+  }
+
+  test("groupQuota keeps exactly cap rows per over-quota group") {
+    val capped = Sampling.groupQuota(rows, "id", "lang", cap = 100)
+    val byLang = capped.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.forall(_ == 100L), s"got $byLang")
+    // determinism: same kept set under different partitioning
+    val again = Sampling.groupQuota(rows.repartition(5), "id", "lang", cap = 100)
+    assert(capped.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+  }
+
+  test("groupQuota keeps under-quota groups whole") {
+    val capped = Sampling.groupQuota(rows, "id", "lang", cap = 5000)
+    assert(capped.count() == 2000L)
+  }
+
+  test("groupQuotaApprox lands near cap without sorting any group") {
+    val capped = Sampling.groupQuotaApprox(rows, "id", "lang", cap = 100)
+    val byLang = capped.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binomial spread around cap: ~sqrt(100)=10; allow 4 sigma
+    assert(byLang.values.forall(n => math.abs(n - 100L) <= 40), s"got $byLang")
+    val whole = Sampling.groupQuotaApprox(rows, "id", "lang", cap = 5000)
+    assert(whole.count() == 2000L, "groups within quota are kept whole")
+  }
+
+  test("repetition stats flag repeated n-grams and boilerplate") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "a b c a b c a b c"),
+      (4L, "x"),
+      (5L, "")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+        graft.functions.CatalystFunctions.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words"), col("r.distinct_word_ratio"),
+        col("r.top_2gram_frac"), col("r.dup_3gram_frac"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r(1L) == ((6, 0.1667, 1.0, 1.0)), s"got ${r(1L)}") // all one gram
+    assert(r(2L) == ((8, 1.0, 0.1429, 0.0)), s"got ${r(2L)}") // no repetition
+    // "a b c"×3: 8 2-grams, "a b"+"b c" 3 each -> top2 3/8; all 7
+    // 3-gram tokens belong to grams seen >1 time
+    assert(r(3L) == ((9, 0.3333, 0.375, 1.0)), s"got ${r(3L)}")
+    assert(r(4L) == ((1, 1.0, 0.0, 0.0)), "single word: no grams")
+    assert(r(5L) == ((0, 0.0, 0.0, 0.0)), "empty text")
+  }
+
+  test("repetition_stats is registered as a SQL function") {
+    graft.functions.GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT repetition_stats('go go go').top_2gram_frac AS f").head()
+    assert(row.getDouble(0) == 1.0)
+  }
+}
