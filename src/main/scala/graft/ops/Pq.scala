@@ -1,0 +1,324 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{GraftExprBridge => ExpressionUtils}
+
+/** Product-quantization codebook (Jégou/Douze/Schmid 2011, TPAMI):
+  * `m` subspaces of `dsub` dims, `ks` centroids per subspace, flat
+  * row-major layout `centroids[(mm*ks + j)*dsub + d]`. A driver-local
+  * value (m·ks·dsub doubles — 8·256·8 = 16 K for production settings)
+  * shipped to executors as a codegen reference object. */
+final case class PqCodebook(m: Int, ks: Int, dsub: Int,
+    centroids: Array[Double]) {
+  require(centroids.length == m * ks * dsub, "codebook layout mismatch")
+  def dim: Int = m * dsub
+}
+
+/** Product quantization for embedding columns — the memory half of the
+  * 100 TB ANN story: a 64-dim float vector (256 B) compresses to `m`
+  * byte-sized codes (8 B, 32× smaller), so a billion-vector corpus
+  * index fits in executor memory where raw vectors cannot. Queries
+  * score compressed rows ASYMMETRICALLY (ADC): the query stays exact,
+  * each candidate costs `m` table lookups instead of `dim` multiplies.
+  *
+  * All three hot loops (encode, LUT build, ADC score) are native
+  * codegen'd expressions — map-side only, no shuffle anywhere in
+  * encode or scoring; the only shuffle in [[Pq.adcKnn]] is the final
+  * per-query top-k window, which moves (qid, id, score) triples.
+  */
+object Pq {
+
+  /** Train a codebook on (a deterministic md5-hash-ordered sample
+    * slice of) the corpus: per-subspace Lloyd iterations, all `m`
+    * subproblems advanced in ONE distributed pass per iteration
+    * (posexplode → (subspace, code, pos) partial-aggregated means —
+    * only m·ks·dsub aggregate cells shuffle, never vectors). `iters=0`
+    * keeps the seed centroids (sampled subvectors), which is exactly
+    * reproducible by a SQL oracle. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ks: Int = 16, iters: Int = 2): PqCodebook = {
+    val c = corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__vec"))
+    val first = c.select(size(col("__vec"))).head().getInt(0)
+    require(first % m == 0, s"dim $first not divisible by m=$m subspaces")
+    val dsub = first / m
+
+    // engine-reproducible seeding: hex-md5 string order (same collation
+    // everywhere), ties by id
+    val seedRows = c.orderBy(md5(col("__id").cast("string").cast("binary")),
+        col("__id")).limit(ks)
+      .select(col("__vec")).collect()
+    require(seedRows.length == ks, s"corpus smaller than ks=$ks")
+    val flat = new Array[Double](m * ks * dsub)
+    var j = 0
+    while (j < ks) {
+      val v = seedRows(j).getSeq[Double](0)
+      var mm = 0
+      while (mm < m) {
+        var d = 0
+        while (d < dsub) {
+          flat((mm * ks + j) * dsub + d) = v(mm * dsub + d)
+          d += 1
+        }
+        mm += 1
+      }
+      j += 1
+    }
+    var cb = PqCodebook(m, ks, dsub, flat)
+    if (iters <= 0) return cb
+
+    val cached = c.persist()
+    try {
+      for (_ <- 1 to iters) {
+        // one pass: encode under current cb, then per-(subspace, code,
+        // within-subspace pos) mean. Empty cells keep their centroid.
+        val means = cached
+          .withColumn("__codes", encodeCol(col("__vec"), cb))
+          .select(posexplode(col("__vec")).as(Seq("pos", "x")), col("__codes"))
+          .withColumn("mm", (col("pos") / dsub).cast("int"))
+          .withColumn("code", element_at(col("__codes"), col("mm") + 1))
+          .withColumn("d", col("pos") % dsub)
+          .groupBy("mm", "code", "d").agg(avg("x").as("x"))
+          .collect()
+        val next = cb.centroids.clone()
+        means.foreach { r =>
+          next((r.getInt(0) * ks + r.getInt(1)) * dsub + r.getInt(2)) = r.getDouble(3)
+        }
+        cb = PqCodebook(m, ks, dsub, next)
+      }
+    } finally { cached.unpersist(blocking = false); () }
+    cb
+  }
+
+  /** Column of per-subspace code ids (array<int>, length m) for a
+    * vector column. `normalize=true` scales the vector to unit L2 norm
+    * first (encode and query must agree), making ADC scores approximate
+    * cosine rather than raw dot. */
+  def encodeCol(vec: Column, cb: PqCodebook, normalize: Boolean = false): Column =
+    ExpressionUtils.column(PqEncodeExpr(
+      ExpressionUtils.expression(vec.cast("array<double>")), cb, normalize))
+
+  /** Per-query ADC lookup table (array<double>, length m·ks):
+    * `lut[mm·ks + j] = <q_sub(mm), centroid(mm, j)>`. */
+  def lutCol(qvec: Column, cb: PqCodebook, normalize: Boolean = false): Column =
+    ExpressionUtils.column(PqLutExpr(
+      ExpressionUtils.expression(qvec.cast("array<double>")), cb, normalize))
+
+  /** ADC score: sum of m LUT lookups — the compressed-domain
+    * approximation of the (cosine/dot) similarity. */
+  def adcCol(codes: Column, lut: Column, ks: Int): Column =
+    ExpressionUtils.column(PqAdcExpr(
+      ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), ks))
+
+  /** Encode a corpus: adds a `codes` column (keep it, drop the vector,
+    * and the stored index is m bytes-of-int per row). */
+  def encode(df: DataFrame, vecCol: String, cb: PqCodebook,
+      normalize: Boolean = false): DataFrame =
+    df.withColumn("codes", encodeCol(col(vecCol), cb, normalize))
+
+  /** Approximate top-k by ADC over an encoded corpus. Queries build
+    * their LUT once (one row each), broadcast, and every candidate
+    * costs m lookups; per-query top-k is the only shuffle. Set
+    * `rerank` > k to fetch that many ADC candidates — callers holding
+    * the raw vectors can exact-rescore the short list (the standard
+    * IVFADC refinement step). */
+  def adcKnn(encoded: DataFrame, queries: DataFrame, cb: PqCodebook, k: Int,
+      normalize: Boolean = true): DataFrame = {
+    val q = queries.select(col("qid"),
+      lutCol(col("qvec"), cb, normalize).as("__lut"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    encoded.select(col("id"), col("codes"))
+      .crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("score", adcCol(col("codes"), col("__lut"), cb.ks))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), round(col("score"), 4).as("score"))
+  }
+
+  /** ADC shortlist + exact cosine rerank (the standard IVFADC
+    * refinement, Jégou et al. §V): fetch `fetch` candidates per query
+    * in the compressed domain, then rescore ONLY those against the raw
+    * vectors. The shortlist (|queries|·fetch id pairs) broadcasts, so
+    * the rescore is one map-side corpus pass — quantization error then
+    * costs recall only when a true neighbor falls outside the
+    * shortlist, not whenever it is mis-RANKED inside it. */
+  def adcKnnRerank(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+      cb: PqCodebook, k: Int, fetch: Int = 0): DataFrame = {
+    val f = if (fetch > 0) fetch else math.max(4 * k, 20)
+    val shortlist = adcKnn(encoded, queries, cb, f).select(col("qid"), col("id"))
+    val c = corpus.select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .withColumn("nrm", Similarity.norm(col("vec")))
+    val q = queries.select(col("qid"),
+        col("qvec").cast("array<double>").as("qvec"))
+      .withColumn("qnrm", Similarity.norm(col("qvec")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    c.join(broadcast(shortlist), "id")
+      .join(broadcast(q), "qid")
+      .withColumn("sim",
+        Similarity.dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+  }
+}
+
+/** argmin-L2 sub-codes for one vector: m sequential scans over ks
+  * centroids — ties break to the smallest code id, and every float op
+  * is sequential in index order so a SQL oracle reproduces codes
+  * bit-for-bit. */
+final case class PqEncodeExpr(child: Expression, cb: PqCodebook,
+    normalize: Boolean) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(PqEncodeExpr.compute(
+      input.asInstanceOf[ArrayData], cb, normalize))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqcb", cb, classOf[PqCodebook].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.ops.PqEncodeExpr.compute($c, $ref, $normalize))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+object PqEncodeExpr {
+  private[ops] def toArr(a: ArrayData, normalize: Boolean): Array[Double] = {
+    val n = a.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = a.getDouble(i); i += 1 }
+    if (normalize) {
+      var ss = 0.0
+      i = 0
+      while (i < n) { ss += v(i) * v(i); i += 1 }
+      if (ss > 0.0) {
+        val inv = 1.0 / math.sqrt(ss)
+        i = 0
+        while (i < n) { v(i) *= inv; i += 1 }
+      }
+    }
+    v
+  }
+
+  def compute(a: ArrayData, cb: PqCodebook, normalize: Boolean): Array[Int] = {
+    val v = toArr(a, normalize)
+    require(v.length == cb.dim,
+      s"pq_encode: vector dim ${v.length} != codebook dim ${cb.dim}")
+    val codes = new Array[Int](cb.m)
+    val cent = cb.centroids
+    var mm = 0
+    while (mm < cb.m) {
+      val off = mm * cb.dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.ks) {
+        val coff = (mm * cb.ks + j) * cb.dsub
+        var dist = 0.0
+        var d = 0
+        while (d < cb.dsub) {
+          val diff = v(off + d) - cent(coff + d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestD) { bestD = dist; best = j }
+        j += 1
+      }
+      codes(mm) = best
+      mm += 1
+    }
+    codes
+  }
+}
+
+/** Per-query ADC lookup table: inner products of each query subvector
+  * with every centroid of its subspace. */
+final case class PqLutExpr(child: Expression, cb: PqCodebook,
+    normalize: Boolean) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(PqLutExpr.compute(
+      input.asInstanceOf[ArrayData], cb, normalize))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqcb", cb, classOf[PqCodebook].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.ops.PqLutExpr.compute($c, $ref, $normalize))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
+object PqLutExpr {
+  def compute(a: ArrayData, cb: PqCodebook, normalize: Boolean): Array[Double] = {
+    val q = PqEncodeExpr.toArr(a, normalize)
+    require(q.length == cb.dim,
+      s"pq_lut: query dim ${q.length} != codebook dim ${cb.dim}")
+    val lut = new Array[Double](cb.m * cb.ks)
+    val cent = cb.centroids
+    var mm = 0
+    while (mm < cb.m) {
+      val off = mm * cb.dsub
+      var j = 0
+      while (j < cb.ks) {
+        val coff = (mm * cb.ks + j) * cb.dsub
+        var s = 0.0
+        var d = 0
+        while (d < cb.dsub) { s += q(off + d) * cent(coff + d); d += 1 }
+        lut(mm * cb.ks + j) = s
+        j += 1
+      }
+      mm += 1
+    }
+    lut
+  }
+}
+
+/** Compressed-domain score: m LUT lookups. */
+final case class PqAdcExpr(left: Expression, right: Expression, ks: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    PqAdcExpr.compute(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData], ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.ops.PqAdcExpr.compute($c, $l, $ks)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcExpr = copy(left = newLeft, right = newRight)
+}
+
+object PqAdcExpr {
+  def compute(codes: ArrayData, lut: ArrayData, ks: Int): Double = {
+    val m = codes.numElements()
+    var s = 0.0
+    var mm = 0
+    while (mm < m) { s += lut.getDouble(mm * ks + codes.getInt(mm)); mm += 1 }
+    s
+  }
+}

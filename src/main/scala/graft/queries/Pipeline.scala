@@ -102,6 +102,22 @@ object Pipeline {
       .select(col("vec_id").as("id"), col("embedding").as("vec")))
       .orderBy("id_a", "id_b")
 
+  /** Product-quantization sub-codes under the seeds-only codebook
+    * (iters=0, md5-hash-ordered seed sample): every float op in the
+    * encode argmin is sequential in index order, so the DuckDB oracle
+    * reproduces each of the corpus's 8 sub-codes per vector
+    * bit-for-bit. The trained-codebook ADC path (graft.ops.Pq.adcKnn)
+    * is approximate by design and graded by PqSpec's recall/identity
+    * checks instead. */
+  def e04PqCodes(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cb = graft.ops.Pq.train(e, "id", "vec", m = 8, ks = 16, iters = 0)
+    graft.ops.Pq.encode(e, "vec", cb)
+      .select(col("id").as("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .orderBy("vec_id", "m")
+  }
+
   /** Multimodal binary plumbing: documents' text payloads treated as
     * opaque binary assets — byte stats + strided chunk sampling
     * (graft.ops.Multimodal; decode is stubbed, plumbing is real). */
@@ -238,7 +254,8 @@ object Pipeline {
     "m01_multimodal" -> m01Multimodal _,
     "e01_knn_brute" -> e01KnnBrute _,
     "e02_knn_ivf" -> e02KnnIvf _,
-    "e03_cosine_near_dup" -> e03CosineNearDup _)
+    "e03_cosine_near_dup" -> e03CosineNearDup _,
+    "e04_pq_codes" -> e04PqCodes _)
 
   private def jaccardOracle(where: String) =
     s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents$where),
@@ -435,5 +452,20 @@ object Pipeline {
         |FROM n a JOIN n b ON a.id < b.id
         |WHERE round(list_sum(list_transform(range(1, len(a.vec) + 1), i -> a.vec[i] * b.vec[i]))
         |   / (a.nrm * b.nrm), 4) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "e04_pq_codes" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, v
+        |  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v FROM e
+        |        ORDER BY h, vec_id LIMIT 16)),
+        |ms AS (SELECT unnest(range(0, 8)) AS mm),
+        |sub AS (SELECT e.vec_id, s.j, ms.mm,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (e.v[ms.mm * 8 + i] - s.v[ms.mm * 8 + i]) * (e.v[ms.mm * 8 + i] - s.v[ms.mm * 8 + i])),
+        |    (a, b) -> a + b) AS dist
+        | FROM e CROSS JOIN seeds s CROSS JOIN ms),
+        |r AS (SELECT vec_id, mm, j,
+        |  row_number() OVER (PARTITION BY vec_id, mm ORDER BY dist, j) AS rk FROM sub)
+        |SELECT vec_id, CAST(mm AS INTEGER) AS m, CAST(j AS INTEGER) AS code
+        |FROM r WHERE rk = 1 ORDER BY vec_id, m""".stripMargin)
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Pq, PqAdcExpr, PqCodebook, PqEncodeExpr, PqLutExpr, Similarity}
+
+/** Product quantization: codebook training, encode/LUT/ADC identities,
+  * and end-to-end ADC recall against brute force (the gate e04 covers
+  * the seeds-only encode path against the DuckDB oracle). */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("codebook layout and training shapes") {
+    val cb = Pq.train(emb, "id", "vec", m = 8, ks = 16, iters = 1)
+    assert(cb.m == 8 && cb.ks == 16 && cb.dsub == 8 && cb.dim == 64)
+    assert(cb.centroids.length == 8 * 16 * 8)
+    assert(cb.centroids.exists(_ != 0.0))
+  }
+
+  test("ADC score equals the exact dot product against reconstructed centroids") {
+    val cb = Pq.train(emb, "id", "vec", m = 8, ks = 16, iters = 1)
+    val rows = emb.limit(20)
+      .withColumn("codes", Pq.encodeCol(col("vec"), cb))
+      .withColumn("lut", Pq.lutCol(col("vec"), cb))
+      .withColumn("adc", Pq.adcCol(col("codes"), col("lut"), cb.ks))
+      .select(col("vec").cast("array<double>"), col("codes"), col("adc"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      val codes = r.getSeq[Int](1)
+      val adc = r.getDouble(2)
+      // reconstruct from the codebook and dot with the (query) vector
+      var want = 0.0
+      for (mm <- 0 until cb.m; d <- 0 until cb.dsub)
+        want += v(mm * cb.dsub + d) *
+          cb.centroids((mm * cb.ks + codes(mm)) * cb.dsub + d)
+      assert(math.abs(adc - want) < 1e-9, s"adc $adc vs reconstructed $want")
+    }
+  }
+
+  test("encode is deterministic under repartitioning") {
+    val cb = Pq.train(emb, "id", "vec", m = 8, ks = 16, iters = 2)
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      Pq.encode(df, "vec", cb).select(col("id"), col("codes"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(codesOf(emb) == codesOf(emb.repartition(7)))
+  }
+
+  test("Lloyd refinement does not increase quantization error") {
+    def mse(cb: PqCodebook): Double = {
+      val rows = Pq.encode(emb, "vec", cb)
+        .select(col("vec").cast("array<double>"), col("codes")).collect()
+      rows.map { r =>
+        val v = r.getSeq[Double](0)
+        val codes = r.getSeq[Int](1)
+        var e = 0.0
+        for (mm <- 0 until cb.m; d <- 0 until cb.dsub) {
+          val diff = v(mm * cb.dsub + d) -
+            cb.centroids((mm * cb.ks + codes(mm)) * cb.dsub + d)
+          e += diff * diff
+        }
+        e
+      }.sum / rows.length
+    }
+    val seeded = mse(Pq.train(emb, "id", "vec", m = 8, ks = 16, iters = 0))
+    val trained = mse(Pq.train(emb, "id", "vec", m = 8, ks = 16, iters = 2))
+    assert(trained <= seeded, s"training worsened MSE: $seeded -> $trained")
+  }
+
+  test("ADC kNN recall vs brute force at sf0.01, with and without rerank") {
+    // this corpus is near-uniform (neighbor gaps are small), the
+    // hardest case for compressed-domain ranking: plain ADC recall is
+    // bounded by quantization distortion; the exact-rerank path
+    // recovers everything whose true neighbor reaches the shortlist
+    val cb = Pq.train(emb, "id", "vec", m = 8, ks = 64, iters = 2)
+    val q = emb.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val encoded = Pq.encode(emb, "vec", cb, normalize = true)
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = topSet(Similarity.bruteForceKnn(emb, q, 5))
+    val plain = topSet(Pq.adcKnn(encoded, q, cb, 5))
+    val plainRecall = exact.intersect(plain).size.toDouble / exact.size
+    assert(plainRecall >= 0.25, s"plain ADC recall $plainRecall too low")
+    val reranked = topSet(Pq.adcKnnRerank(encoded, emb, q, cb, 5, fetch = 30))
+    val rerankRecall = exact.intersect(reranked).size.toDouble / exact.size
+    assert(rerankRecall >= 0.6, s"reranked recall $rerankRecall too low")
+    assert(rerankRecall >= plainRecall, "rerank must not lose recall")
+  }
+}
