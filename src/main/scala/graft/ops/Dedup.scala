@@ -80,7 +80,16 @@ object Dedup {
     * With b=32, r=4 the collision probability at J=0.9 is
     * 1-(1-0.9^4)^32 ≈ 1-1.5e-15, so recall at the 0.5 threshold is
     * effectively exact for corpora whose near-dups sit above ~0.8.
-    */
+    *
+    * `maxBucket` (0 = off) caps band-bucket size: a bucket of m docs
+    * emits C(m,2) candidate pairs, so one boilerplate cluster of 10^5
+    * identical-ish docs would emit 5·10^9 pairs from a single join
+    * key — salting cannot split that (pair generation NEEDS the key
+    * co-located) and AQE can only split oversized partitions, not one
+    * key's quadratic output. Dropping over-cap buckets is the standard
+    * remedy: such docs are exact/fingerprint-dup material anyway (run
+    * [[exact]] first), and a genuinely near-dup pair keeps b-1 other
+    * bands to collide in. */
   def minhashLsh(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -88,7 +97,8 @@ object Dedup {
       nGram: Int = 3,
       numHashes: Int = 128,
       bands: Int = 32,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // The shingle sets feed FOUR plan references (both self-join sides
@@ -97,12 +107,13 @@ object Dedup {
     val sets = persistBounded(shingleSets(docs, idCol, textCol, nGram))
 
     val sig = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = sig
+    val banded0 = sig
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"),
         col("sig"))
       .select(col("doc_id"), col("band"),
         xxhash64(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")).as("band_hash"))
+    val banded = capBuckets(banded0, Seq("band", "band_hash"), maxBucket)
 
     val a = banded.alias("a")
     val b = banded.alias("b")
@@ -115,6 +126,18 @@ object Dedup {
 
     verifyJaccard(candidates, sets, threshold)
   }
+
+  /** Drop bucket keys with more than `max` members (0/negative = off):
+    * the anti-quadratic guard shared by the LSH-style self-joins. The
+    * count is one partial-aggregated shuffle of key pairs — never
+    * payloads — and bounds every bucket's pair output to C(max,2). */
+  private[ops] def capBuckets(df: DataFrame, keys: Seq[String], max: Int): DataFrame =
+    if (max <= 0) df
+    else {
+      val ok = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= max).drop("__n")
+      df.join(ok, keys)
+    }
 
   /** Exact Jaccard on a candidate pair set against per-doc shingle sets. */
   def verifyJaccard(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
@@ -176,9 +199,14 @@ object Dedup {
     * bucket counts shrink as 2^width and bucket-internal pair
     * generation grows — keep the radius tight (default 3 → 4×16-bit
     * blocks, 65k buckets/block) and let AQE split skewed buckets; at
-    * billion-doc scale pre-salt hot buckets via [[Skew.saltedJoin]]. */
-  def simhashPairsFrom(fp: DataFrame, maxHamming: Int): DataFrame = {
-    val blocked = fp.select(col("doc_id"), col("simhash"),
+    * billion-doc scale ALSO set `maxBucket` (0 = off): exact-dup
+    * clusters share all blocks and emit C(m,2) pairs per block —
+    * see [[minhashLsh]]'s cap rationale (dedup exact first; capping
+    * over-cap buckets bounds the quadratic blowup at the cost of
+    * recall only for docs that collide with > maxBucket others). */
+  def simhashPairsFrom(fp: DataFrame, maxHamming: Int,
+      maxBucket: Int = 0): DataFrame = {
+    val blocked0 = fp.select(col("doc_id"), col("simhash"),
         explode(array(blockLayout(maxHamming).map { case (blk, off, w) =>
           val mask = if (w == 64) -1L else (1L << w) - 1
           struct(
@@ -187,6 +215,7 @@ object Dedup {
         }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.block").as("block"), col("bk.block_key").as("block_key"))
+    val blocked = capBuckets(blocked0, Seq("block", "block_key"), maxBucket)
     val a = blocked.alias("a")
     val b = blocked.alias("b")
     a.join(b,
@@ -203,8 +232,9 @@ object Dedup {
     * production path; see [[simhashPairsFrom]] for the recall
     * guarantee). */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 3): DataFrame =
-    simhashPairsFrom(simhash(docs, idCol, textCol), maxHamming)
+      textCol: String = "text", maxHamming: Int = 3,
+      maxBucket: Int = 0): DataFrame =
+    simhashPairsFrom(simhash(docs, idCol, textCol), maxHamming, maxBucket)
 
   /** Partial-overlap (containment) pairs via winnowed rolling-hash
     * fingerprints (MOSS): docs sharing at least `threshold` of the

@@ -51,6 +51,27 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L))) // identical text, hamming 0
   }
 
+  test("bucket cap drops boilerplate mega-buckets, keeps ordinary pairs") {
+    // 30 identical boilerplate docs (one quadratic bucket) + one real
+    // near-dup pair: the cap suppresses the boilerplate's C(30,2)
+    // explosion while the genuine pair still surfaces
+    val boiler = (100L until 130L).map(i => (i, base + " standard footer"))
+    val all = (boiler ++ Seq(
+      (1L, base), (3L, base.replace("jumps", "leaps")))).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLsh(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size >= 30 * 29 / 2, "uncapped finds the full quadratic set")
+    val capped = Dedup.minhashLsh(all, maxBucket = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 3L)), "genuine near-dup pair survives the cap")
+    assert(!capped.exists(p => p._1 >= 100L && p._2 >= 100L),
+      s"boilerplate bucket suppressed, got ${capped.size} pairs")
+    // simhash path: same guard
+    val sCapped = Dedup.simhashPairs(all, maxBucket = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sCapped.exists(p => p._1 >= 100L && p._2 >= 100L))
+  }
+
   test("simhash block layout covers 64 bits with maxHamming+1 blocks") {
     for (h <- Seq(0, 3, 8, 15)) {
       val layout = Dedup.blockLayout(h)
