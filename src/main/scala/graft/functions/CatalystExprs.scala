@@ -513,6 +513,78 @@ object WinnowHashes {
   }
 }
 
+/** Unit-L2-normalize a double array (zero vectors pass through
+  * unchanged). Native so normalize-then-encode pipelines stay inside
+  * whole-stage codegen — the `transform(v, x -> x / nrm)` HOF form is
+  * interpreted with per-element boxing. */
+final case class VecUnit(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_unit"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(VecUnit.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VecUnit.compute($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): VecUnit =
+    copy(child = newChild)
+}
+
+object VecUnit {
+  def compute(a: ArrayData): Array[Double] = {
+    val n = a.numElements()
+    val v = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); v(i) = x; ss += x * x; i += 1 }
+    if (ss > 0.0) {
+      val inv = 1.0 / math.sqrt(ss)
+      i = 0
+      while (i < n) { v(i) *= inv; i += 1 }
+    }
+    v
+  }
+}
+
+/** Element-wise difference of two equal-length double arrays (residual
+  * computation for IVF-PQ: r = x - centroid(cell(x))). */
+final case class VecSub(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_sub"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    new GenericArrayData(VecSub.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.VecSub.compute($a, $b))")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecSub = copy(left = newLeft, right = newRight)
+}
+
+object VecSub {
+  def compute(a: ArrayData, b: ArrayData): Array[Double] = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"vec_sub: length mismatch ${n} vs ${b.numElements()}")
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) - b.getDouble(i); i += 1 }
+    out
+  }
+}
+
 /** Per-document repetition statistics (the Gopher/MassiveText repetition
   * rules — Rae et al. 2021 §A1.1 — in their token-count form): documents
   * dominated by a few repeated n-grams are boilerplate/spam and score
@@ -616,4 +688,9 @@ object CatalystFunctions {
     ExpressionUtils.column(WinnowHashes(ExpressionUtils.expression(text), k, w))
   def repetitionStats(text: Column): Column =
     ExpressionUtils.column(RepetitionStatsExpr(ExpressionUtils.expression(text)))
+  def vecUnit(a: Column): Column =
+    ExpressionUtils.column(VecUnit(ExpressionUtils.expression(a)))
+  def vecSub(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecSub(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -59,7 +59,13 @@ object GraftExtensions {
         intArg(es(1), "winnow_hashes", 2), intArg(es(2), "winnow_hashes", 3))),
     ("repetition_stats",
       info("repetition_stats", "repetition_stats(text) - within-document n-gram repetition struct"),
-      (es: Seq[Expression]) => RepetitionStatsExpr(es(0))))
+      (es: Seq[Expression]) => RepetitionStatsExpr(es(0))),
+    ("vec_unit",
+      info("vec_unit", "vec_unit(a) - unit-L2-normalized copy of a double array"),
+      (es: Seq[Expression]) => VecUnit(es(0))),
+    ("vec_sub",
+      info("vec_sub", "vec_sub(a, b) - element-wise difference of two double arrays"),
+      (es: Seq[Expression]) => VecSub(es(0), es(1))))
 
   /** Register into an already-built session's function registry. */
   def register(spark: SparkSession): Unit =

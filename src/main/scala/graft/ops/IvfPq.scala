@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CatalystFunctions.{vecSub, vecUnit}
+
+/** IVF-PQ (IVFADC, Jégou et al. 2011 §V): the production billion-scale
+  * ANN index. Coarse cells prune the candidate set (only `nProbe` of
+  * ~sqrt(n) cells are scanned per query); RESIDUAL product-quantization
+  * codes score survivors in the compressed domain (m table lookups per
+  * candidate); an optional exact rerank rescores the shortlist against
+  * raw vectors.
+  *
+  * Memory story at 100 TB: the queryable index is (id, cell, codes) —
+  * 8-16 bytes of codes replacing a 256-byte raw vector (the raw corpus
+  * stays in cold storage, touched only by the broadcast-shortlist
+  * rerank pass). Residuals (x − centroid of x's cell) are tighter than
+  * raw vectors around zero, so the same codebook budget quantizes them
+  * with less error — the standard IVFADC refinement over plain PQ.
+  *
+  * All vectors are unit-normalized at build/query time (native
+  * `VecUnit`), so every score is a cosine: dot(q, x) = dot(q, c_cell)
+  * + dot(q, residual), with the first term exact from cell probing and
+  * the second approximated by ADC.
+  */
+final class IvfPqIndex private[ops] (
+    val ivf: IvfIndex,
+    val cb: PqCodebook,
+    encoded: DataFrame, // (id, cell, codes) — the compact queryable index
+    corpusUnit: DataFrame, // raw unit vectors, only for the rerank pass
+    persisted: Boolean) {
+
+  def nCells: Int = ivf.nCells
+  def defaultProbe: Int = ivf.defaultProbe
+
+  /** Top-k per (qid, qvec) query row. `nProbe` <= 0 probes the default
+    * quarter of the cells; `fetch` > 0 enables the exact rerank: that
+    * many ADC candidates are fetched per query and rescored against
+    * raw vectors (one broadcast-shortlist map-side corpus pass). */
+  def query(queries: DataFrame, k: Int, nProbe: Int = 0,
+      fetch: Int = 0): DataFrame = {
+    val probes = if (nProbe > 0) nProbe else defaultProbe
+    val q = queries.select(col("qid"),
+        vecUnit(col("qvec").cast("array<double>")).as("qvec"))
+      .withColumn("__lut", graft.ops.Pq.lutCol(col("qvec"), cb))
+    // per-probe rows carry the exact dot(q, centroid) term (__score)
+    // and the query's LUT; candidates join on cell id only
+    val qProbes = Similarity.topCells(ivf.centroids, q, "qid", "qvec",
+      probes, keepScore = true)
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    val take = if (fetch > 0) fetch else k
+    val adcTop = encoded.join(qProbes.drop("qvec"), "cell")
+      .filter(col("id") =!= col("qid"))
+      .withColumn("score",
+        col("__score") + graft.ops.Pq.adcCol(col("codes"), col("__lut"), cb.ks))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= take)
+    if (fetch <= 0)
+      adcTop.select(col("qid"), col("rank"), col("id"),
+        round(col("score"), 4).as("sim"))
+    else {
+      val shortlist = adcTop.select(col("qid"), col("id"))
+      val wr = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+      corpusUnit.join(broadcast(shortlist), "id")
+        .join(broadcast(q.drop("__lut")), "qid")
+        .withColumn("sim", Similarity.dot(col("vec"), col("qvec")))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+    }
+  }
+
+  /** Release persisted state (later queries recompute lazily). */
+  def close(): Unit = if (persisted) { encoded.unpersist(blocking = false); () }
+}
+
+object IvfPq {
+
+  /** Build the index: IVF coarse quantizer (sqrt(n) cells by default,
+    * deterministic seeding, Lloyd-refined), then a residual PQ codebook
+    * trained on (x − centroid) and codes for every row. Build cost is a
+    * handful of corpus passes; nothing ever shuffles by vector payload
+    * — the only wide exchange is the IVF assignment's (id-keyed) rows
+    * and the m·ks·dsub-cell codebook aggregations. */
+  def build(corpus: DataFrame, nCells: Int = 0, m: Int = 8, ks: Int = 64,
+      pqIters: Int = 2, refineIters: Int = 1,
+      persist: Boolean = true): IvfPqIndex = {
+    val unit = corpus.select(col("id"),
+      vecUnit(col("vec").cast("array<double>")).as("vec"))
+    val ivf = IvfIndex.build(unit, nCells, refineIters, persist = false)
+    val residuals = ivf.assigned
+      .join(broadcast(ivf.centroids), "cell")
+      .select(col("id"), col("cell"),
+        vecSub(col("vec"), col("cvec")).as("rvec"))
+    val cb = Pq.train(residuals, "id", "rvec", m, ks, pqIters)
+    val encoded0 = residuals.select(col("id"), col("cell"),
+      Pq.encodeCol(col("rvec"), cb).as("codes"))
+    val encoded =
+      if (persist)
+        encoded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else encoded0
+    new IvfPqIndex(ivf, cb, encoded, unit, persist)
+  }
+}

@@ -94,13 +94,14 @@ object Similarity {
         first(col(vecC)).as(vecC))
 
   private[ops] def topCells(cent: DataFrame, df: DataFrame, idC: String,
-      vecC: String, keep: Int): DataFrame = {
+      vecC: String, keep: Int, keepScore: Boolean = false): DataFrame = {
     val w = Window.partitionBy(idC).orderBy(col("__score").desc, col("cell"))
-    df.crossJoin(broadcast(cent))
+    val ranked = df.crossJoin(broadcast(cent))
       .withColumn("__score", dot(col(vecC), col("cvec")))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= keep)
-      .drop("cvec", "__score", "__rk")
+      .drop("cvec", "__rk")
+    if (keepScore) ranked else ranked.drop("__score")
   }
 
   private[ops] def toDouble(c: Column): Column = asDouble(c)
@@ -193,7 +194,7 @@ object Similarity {
   */
 final class IvfIndex private[ops] (
     val centroids: DataFrame,
-    private val assigned: DataFrame,
+    private[ops] val assigned: DataFrame,
     val nCells: Int,
     persisted: Boolean) {
 

@@ -118,6 +118,18 @@ object Pipeline {
       .orderBy("vec_id", "m")
   }
 
+  /** IVF-PQ (IVFADC) top-5 with exact rerank — the production
+    * billion-scale ANN shape: coarse cells prune, residual PQ codes
+    * score, raw vectors rerank the shortlist. Approximate by design
+    * (rows-only check); the encode path is oracle-proven by e04 and
+    * the recall ladder by PqSpec. */
+  def e05KnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (e, q) = knnInputs(s, dir)
+    val idx = graft.ops.IvfPq.build(e, m = 8, ks = 64, pqIters = 1,
+      persist = false)
+    idx.query(q, 5, fetch = 30).orderBy("qid", "rank")
+  }
+
   /** Multimodal binary plumbing: documents' text payloads treated as
     * opaque binary assets — byte stats + strided chunk sampling
     * (graft.ops.Multimodal; decode is stubbed, plumbing is real). */
@@ -255,7 +267,8 @@ object Pipeline {
     "e01_knn_brute" -> e01KnnBrute _,
     "e02_knn_ivf" -> e02KnnIvf _,
     "e03_cosine_near_dup" -> e03CosineNearDup _,
-    "e04_pq_codes" -> e04PqCodes _)
+    "e04_pq_codes" -> e04PqCodes _,
+    "e05_knn_ivfpq" -> e05KnnIvfPq _)
 
   private def jaccardOracle(where: String) =
     s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents$where),

@@ -91,4 +91,31 @@ class PqSpec extends SparkSpec {
     assert(rerankRecall >= 0.6, s"reranked recall $rerankRecall too low")
     assert(rerankRecall >= plainRecall, "rerank must not lose recall")
   }
+
+  test("IVF-PQ: residual codes + probe pruning + rerank recall ladder") {
+    val q2 = emb.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = topSet(Similarity.bruteForceKnn(emb, q2, 5))
+    val idx = graft.ops.IvfPq.build(emb, m = 8, ks = 64, pqIters = 2)
+    try {
+      // compressed-domain only, default probe breadth
+      val adcOnly = topSet(idx.query(q2, 5))
+      val r0 = exact.intersect(adcOnly).size.toDouble / exact.size
+      assert(r0 >= 0.3, s"IVF-PQ plain ADC recall $r0 too low")
+      // + exact rerank of the 30-candidate shortlist
+      val rr = topSet(idx.query(q2, 5, fetch = 30))
+      val r1 = exact.intersect(rr).size.toDouble / exact.size
+      assert(r1 >= 0.5, s"IVF-PQ reranked recall $r1 too low")
+      // probing every cell removes the IVF term: shortlist ceiling
+      val all = topSet(idx.query(q2, 5, nProbe = idx.nCells, fetch = 30))
+      val r2 = exact.intersect(all).size.toDouble / exact.size
+      assert(r2 >= 0.65, s"IVF-PQ full-probe recall $r2 too low")
+      assert(r2 >= r1 - 1e-9, "more probes must not lose recall")
+      // determinism under repartitioning of the query side
+      val again = topSet(idx.query(q2.repartition(5), 5, fetch = 30))
+      assert(again == rr)
+    } finally idx.close()
+  }
 }
