@@ -245,6 +245,26 @@ object Pipeline {
       "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
       .orderBy("doc_id")
 
+  /** Curation-at-scale composition v2: repetition/boilerplate gate →
+    * stratified language sample → per-source quota → per-source stats.
+    * The whole chain is ONE Catalyst plan: the repetition filter fuses
+    * into the scan projection (no shuffle), the stratified sample is a
+    * broadcast-join hash filter (no shuffle), and only the quota
+    * window and final aggregation exchange data. */
+  def d18CurationSample(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("r", graft.functions.CatalystFunctions.repetitionStats(col("text")))
+      .filter(col("r.n_words") >= 20 && col("r.dup_3gram_frac") <= 0.1)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("r.n_words").as("n_words"))
+    val sampled = graft.ops.Sampling.stratified(base, "doc_id", "lang",
+      Map("en" -> 0.8, "de" -> 0.5), defaultRate = 0.3)
+    val capped = graft.ops.Sampling.groupQuota(sampled, "doc_id", "source", 10)
+    capped.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), round(avg("n_words"), 4).as("avg_words"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_pipeline_compose" -> d10PipelineCompose _,
     "d01_dedup_exact" -> d01DedupExact _,
@@ -263,6 +283,7 @@ object Pipeline {
     "d15_repetition" -> d15Repetition _,
     "d16_group_quota" -> d16GroupQuota _,
     "d17_stratified_sample" -> d17StratifiedSample _,
+    "d18_curation_sample" -> d18CurationSample _,
     "m01_multimodal" -> m01Multimodal _,
     "e01_knn_brute" -> e01KnnBrute _,
     "e02_knn_ivf" -> e02KnnIvf _,
@@ -405,6 +426,23 @@ object Pipeline {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 10000
         |  < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,
+    "d18_curation_sample" ->
+      """WITH t AS (SELECT doc_id, lang, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |g AS (SELECT doc_id, lang, source, len(ws) AS n_words,
+        |  list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+        | FROM t),
+        |f AS (SELECT doc_id, lang, source, n_words FROM g
+        | WHERE n_words >= 20 AND
+        |  (CASE WHEN len(g3) = 0 THEN 0.0 ELSE round(list_sum(list_transform(g3, x -> CASE WHEN len(list_filter(g3, y -> y = x)) > 1 THEN 1 ELSE 0 END))::DOUBLE / len(g3), 4) END) <= 0.1),
+        |sm AS (SELECT doc_id, source, n_words FROM f
+        | WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 10000
+        |   < CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000 ELSE 3000 END),
+        |cp AS (SELECT doc_id, source, n_words,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 10000, doc_id) AS rk
+        | FROM sm)
+        |SELECT source, count(*) AS n_docs, round(avg(n_words), 4) AS avg_words
+        |FROM cp WHERE rk <= 10 GROUP BY source ORDER BY source""".stripMargin,
     "d10_pipeline_compose" ->
       """WITH f AS (SELECT doc_id, text,
         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),

@@ -85,6 +85,33 @@ class SamplingSpec extends SparkSpec {
     assert(r(5L) == ((0, 0.0, 0.0, 0.0)), "empty text")
   }
 
+  test("plan shapes: sampling filters add no shuffle; quota shuffles once") {
+    // exchanges are inserted by EnsureRequirements, so count them on
+    // the prepared (executed) plan; string match traverses through the
+    // AQE wrapper too
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    // multi-partition source (a single-partition local relation would
+    // let the window skip its exchange and mask the plan shape)
+    val wide = spark.range(0, 2000, 1, 8)
+      .select(col("id"), (col("id") % 4).cast("string").as("lang"))
+    // Bernoulli and stratified are map-side hash filters: at 100 TB the
+    // sample costs exactly one scan, no exchange of corpus rows
+    assert(shuffles(Sampling.bernoulli(wide, "id", 0.3)) == 0,
+      "bernoulli must be a pure filter")
+    assert(shuffles(Sampling.stratified(wide, "id", "lang",
+      Map("1" -> 0.5), 0.1)) == 0,
+      "stratified must be filter + broadcast only")
+    // exact quota: one exchange for the per-group window
+    assert(shuffles(Sampling.groupQuota(wide, "id", "lang", 10)) == 1,
+      "exact quota is one window shuffle")
+    // approximate quota: one aggregation exchange for (group, count) —
+    // the corpus side itself never shuffles
+    assert(shuffles(Sampling.groupQuotaApprox(wide, "id", "lang", 10)) == 1,
+      "approx quota shuffles only the narrow count aggregate")
+  }
+
   test("repetition_stats is registered as a SQL function") {
     graft.functions.GraftExtensions.register(spark)
     val row = spark.sql(

@@ -96,6 +96,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deterministic sampling + repetition gate compose in streaming") {
+    // stateless hash-filters (Sampling.bernoulli) and the per-row
+    // repetition expression run unchanged on a stream — and the kept
+    // set is the SAME set a batch run over the same rows keeps
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val gated = graft.ops.Sampling.bernoulli(docs, "doc_id", 0.5)
+      .withColumn("r", graft.functions.CatalystFunctions.repetitionStats(col("text")))
+      .filter(col("r.top_2gram_frac") < 0.9)
+      .select("doc_id")
+    val q = gated.writeStream.format("memory").queryName("sample_out")
+      .outputMode(OutputMode.Append()).start()
+    val data = (1L to 40L).map(i =>
+      (i, if (i % 10 == 0) "spam spam spam spam" else s"unique words number $i here",
+        t("2026-01-01 10:00:00")))
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sample_out").as[Long].collect().toSet
+      val batch = graft.ops.Sampling.bernoulli(
+          data.toDF("doc_id", "text", "ts"), "doc_id", 0.5)
+        .withColumn("r", graft.functions.CatalystFunctions.repetitionStats(col("text")))
+        .filter(col("r.top_2gram_frac") < 0.9)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch, "stream and batch must keep the same sample")
+      assert(streamed.nonEmpty && streamed.size < 40)
+      // the boilerplate docs (every 10th) are pure repetition — the
+      // gate drops them no matter how the sample fell
+      assert(!streamed.exists(_ % 10 == 0))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     val input = MemoryStream[Ev](spark)
     val q = EventStream.runningTotals(input.toDF())
