@@ -25,6 +25,47 @@ class Platform(val spark: SparkSession, val root: String) {
   if (store.timeslices().isEmpty)
     store.addTimeslice("Year", "Common", 1.0)
 
+  // ---- logging (reference platform.py:118-157) -----------------------
+
+  private var currentLogLevel: String = "WARN"
+
+  /** Set the log level for the underlying engine (reference
+    * set_log_level; here that engine is Spark, so the level maps to
+    * log4j via SparkContext). Accepts the reference's Python names;
+    * CRITICAL/NOTSET map to their closest log4j levels. */
+  def setLogLevel(level: String): Unit = {
+    val l4j = level.toUpperCase match {
+      case "CRITICAL" => "FATAL"
+      case "WARNING" => "WARN"
+      case "NOTSET" => "TRACE"
+      case other => other
+    }
+    require(Seq("ALL", "DEBUG", "ERROR", "FATAL", "INFO", "OFF", "TRACE", "WARN")
+      .contains(l4j), s"invalid log level: $level")
+    spark.sparkContext.setLogLevel(l4j)
+    currentLogLevel = l4j
+  }
+
+  def getLogLevel: String = currentLogLevel
+
+  /** Per-model access check (reference platform.py:399-430 /
+    * base.py:177-200). Access control is OPTIONAL for a backend; a
+    * filesystem-rooted store has exactly the filesystem's permissions,
+    * so every registered model is readable and writability equals the
+    * store root's writability — per-user grants would be a fiction
+    * this backend cannot enforce and so does not pretend to. */
+  def checkAccess(user: String, models: Seq[String],
+      access: String = "view"): Map[String, Boolean] = {
+    require(models.nonEmpty, "must supply at least 1 model name")
+    require(Seq("view", "read", "edit", "write", "modify").contains(access),
+      s"invalid access kind: $access")
+    val known = modelNames().toSet
+    val writable = new java.io.File(root).canWrite
+    models.map { m =>
+      m -> (known(m) && (access == "view" || access == "read" || writable))
+    }.toMap
+  }
+
   // ---- scenario/run inventory (reference platform.py:159-195) --------
 
   /** Run inventory in the reference's 13-column FIELDS["get_scenarios"]

@@ -64,6 +64,42 @@ class Scenario(platform0: Platform, run0: RunInfo)
     preloadTimeseries()
   }
 
+  /** Iterate (name, data) over every item of type `t`, applying to each
+    * item only the filter keys that overlap its dimensions; when a
+    * non-empty filter shares NO key with an item, that item is skipped
+    * entirely (reference iter_item_data, scenario.py:437-532). Lazy —
+    * each DataFrame plan is built when the iterator reaches it, so
+    * consuming only a prefix costs only that prefix. */
+  def iterItemData(t: ItemType.Value,
+      filters: Map[String, Seq[Any]] = Map.empty,
+      indexedBy: Option[String] = None): Iterator[(String, DataFrame)] = {
+    val names = indexedBy match {
+      case Some(s) =>
+        store.itemsIndexedBy(runId, s).filter(n => itemDefOf(n).itemType == t)
+      case None => store.listItems(runId, t)
+    }
+    names.iterator.flatMap { n =>
+      val dims = idxNames(n).toSet
+      if (filters.nonEmpty && filters.keySet.intersect(dims).isEmpty) None
+      else {
+        val f = filters.filter { case (k, _) => dims(k) }
+        val data = t match {
+          case ItemType.Set => set(n, f)
+          case ItemType.Par => par(n, f)
+          case ItemType.Var => variable(n, f)
+          case _ => equation(n, f)
+        }
+        Some(n -> data)
+      }
+    }
+  }
+
+  /** Iterate (name, data) over parameters (reference iter_par_data,
+    * scenario.py:437-473). */
+  def iterParData(filters: Map[String, Seq[Any]] = Map.empty,
+      indexedBy: Option[String] = None): Iterator[(String, DataFrame)] =
+    iterItemData(ItemType.Par, filters, indexedBy)
+
   private def itemDefOf(name: String): ItemDef =
     store.itemDef(runId, name).getOrElse(
       throw new NoSuchElementException(s"no item '$name' in run $runId"))

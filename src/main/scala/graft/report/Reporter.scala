@@ -357,6 +357,91 @@ object Operators {
     Quantity(df, q.dims :+ newDim, q.unit)
   }
 
+  /** genno relabel: rename coordinate labels along dims (no
+    * re-aggregation — distinct labels stay distinct; collapsing labels
+    * is [[aggregate]]'s job). */
+  def relabel(q: Quantity, mapping: Map[String, Map[String, String]]): Quantity = {
+    require(mapping.keys.forall(q.dims.contains),
+      s"relabel dims ${mapping.keys.filterNot(q.dims.contains).mkString(",")} not in quantity")
+    val df = mapping.foldLeft(q.df) { case (d, (dim, m)) =>
+      val mapped = m.foldLeft(col(dim)) { case (c, (from, to)) =>
+        when(col(dim) === from, lit(to)).otherwise(c)
+      }
+      d.withColumn(dim, mapped)
+    }
+    Quantity(df, q.dims, q.unit)
+  }
+
+  /** genno index_to: values relative to the slice at `label` along
+    * `dim` (e.g. index every year to 2020 = 1.0). The base slice joins
+    * broadcast on the remaining dims; groups with no base row drop
+    * (0/0 would otherwise poison downstream sums). Dimensionless. */
+  def indexTo(q: Quantity, dim: String, label: String): Quantity = {
+    require(q.dims.contains(dim), s"'$dim' is not a dim of the quantity")
+    val others = q.dims.filterNot(_ == dim)
+    val base = q.df.filter(col(dim) === label)
+      .select(others.map(col) :+ col("value").as("__base"): _*)
+    val joined =
+      if (others.isEmpty) q.df.crossJoin(broadcast(base))
+      else q.df.join(broadcast(base), others)
+    Quantity(joined.withColumn("value", col("value") / col("__base"))
+      .drop("__base"), q.dims, "")
+  }
+
+  /** genno combine: weighted sum Σ wᵢ·qᵢ of same-dim quantities (one
+    * union + one aggregation — the weights fold into the map side). */
+  def combineWeighted(qs: Seq[Quantity], weights: Seq[Double]): Quantity = {
+    require(qs.nonEmpty && qs.size == weights.size,
+      "combine needs one weight per quantity")
+    val dims = qs.head.dims
+    require(qs.forall(_.dims.sorted == dims.sorted),
+      "combine requires identical dims")
+    val cols = qs.head.df.columns.map(col).toSeq
+    val weighted = qs.zip(weights).map { case (q, w) =>
+      q.df.select(cols: _*).withColumn("value", col("value") * lit(w))
+    }
+    val df = weighted.reduce(_ unionByName _)
+      .groupBy(dims.map(col): _*).agg(sum("value").as("value"))
+    Quantity(df, dims,
+      if (qs.map(_.unit).distinct.size == 1) qs.head.unit else "")
+  }
+
+  /** genno pow: integer power of a quantity; units exponentiate. */
+  def pow(q: Quantity, n: Int): Quantity =
+    Quantity(q.df.withColumn("value", org.apache.spark.sql.functions.pow(col("value"), n)),
+      q.dims, Units.parse(q.unit).pow(n).format)
+
+  /** genno interpolate (linear, along one NUMERIC dim — the year-fill
+    * workflow): produce values at `targets` coordinates per group of
+    * the remaining dims. One aggregation shuffle: each (group, target)
+    * pair reduces the bracketing coordinates with conditional max/min —
+    * no window, no sort. Targets outside a group's coordinate range
+    * drop (xarray's NaN rows). Existing coordinates pass through
+    * exactly. */
+  def interpolate(q: Quantity, dim: String, targets: Seq[Double]): Quantity = {
+    require(q.dims.contains(dim), s"'$dim' is not a dim of the quantity")
+    val spark = q.df.sparkSession
+    import spark.implicits._
+    val others = q.dims.filterNot(_ == dim)
+    val t = broadcast(targets.toDF("__t"))
+    val y = col(dim).cast("double")
+    val joined = q.df.crossJoin(t)
+    val grouped = joined.groupBy((others.map(col) :+ col("__t")): _*)
+      .agg(
+        max(when(y <= col("__t"), y)).as("__y0"),
+        min(when(y >= col("__t"), y)).as("__y1"),
+        max_by(col("value"), when(y <= col("__t"), y)).as("__v0"),
+        min_by(col("value"), when(y >= col("__t"), y)).as("__v1"))
+      .filter(col("__y0").isNotNull && col("__y1").isNotNull)
+      .withColumn("value",
+        when(col("__y0") === col("__y1"), col("__v0"))
+          .otherwise(col("__v0") + (col("__v1") - col("__v0")) *
+            (col("__t") - col("__y0")) / (col("__y1") - col("__y0"))))
+    val df = grouped.select(
+      (others.map(col) :+ col("__t").as(dim) :+ col("value")): _*)
+    Quantity(df, q.dims, q.unit)
+  }
+
   /** convert_pyam-ish IAMC projection (reference util/__init__.py:411-452
     * column contract): map a quantity onto IAMC columns. */
   def toIamc(q: Quantity, model: String, scenario: String, variable: String,

@@ -155,6 +155,11 @@ object Util {
 final case class Units(exponents: Map[String, Int]) {
   def *(other: Units): Units = Units.combine(exponents, other.exponents, 1)
   def /(other: Units): Units = Units.combine(exponents, other.exponents, -1)
+  /** Integer power (genno pow unit algebra): exponents scale by n;
+    * n = 0 is dimensionless. */
+  def pow(n: Int): Units =
+    if (n == 0) Units.dimensionless
+    else Units(exponents.map { case (k, e) => k -> e * n })
   def isDimensionless: Boolean = exponents.isEmpty
 
   /** pint "{:~}" short-format style: `USD / km`, `km ** 2`, `` for 1. */

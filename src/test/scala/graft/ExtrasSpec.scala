@@ -87,6 +87,52 @@ class ExtrasSpec extends SparkSpec {
     assert(mp.modelNames() == Seq("existing model", "planned model"))
   }
 
+  test("iterParData/iterItemData apply overlapping filters, skip disjoint items") {
+    val mp = new Platform(spark, tmpDir("graft-iter"))
+    val s = mp.newScenario("m", "s")
+    s.checkOut()
+    DantzigModel.initialize(s)
+    s.commit("data")
+    // unfiltered: every parameter appears
+    val allPars = s.iterParData().toSeq
+    assert(allPars.map(_._1).sorted == s.parList().sorted)
+    // filtered on i: parameters without an i dimension are SKIPPED
+    // (reference scenario.py:462-466), overlapping ones filter to it
+    val filtered = s.iterParData(Map("i" -> Seq("seattle"))).toMap
+    assert(filtered.keySet.forall(n => s.idxNames(n).contains("i")))
+    assert(filtered.keySet.nonEmpty)
+    filtered.foreach { case (n, df) =>
+      assert(df.select("i").distinct().as[String].collect().toSeq == Seq("seattle"),
+        s"item $n not filtered")
+    }
+    // sets via the generic iterator
+    val sets = s.iterItemData(graft.store.ItemType.Set).map(_._1).toSeq
+    assert(sets.sorted == s.setList().sorted)
+  }
+
+  test("checkAccess: known models readable, writability from the store root") {
+    val mp = new Platform(spark, tmpDir("graft-access"))
+    mp.newScenario("canning problem", "standard")
+    val r = mp.checkAccess("anyone", Seq("canning problem", "no such model"))
+    assert(r("canning problem") && !r("no such model"))
+    val w = mp.checkAccess("anyone", Seq("canning problem"), access = "edit")
+    assert(w("canning problem"), "tmp store root is writable")
+    intercept[IllegalArgumentException] { mp.checkAccess("u", Nil) }
+    intercept[IllegalArgumentException] {
+      mp.checkAccess("u", Seq("canning problem"), access = "admin")
+    }
+  }
+
+  test("setLogLevel maps reference level names onto Spark") {
+    val mp = new Platform(spark, tmpDir("graft-log"))
+    mp.setLogLevel("WARNING")
+    assert(mp.getLogLevel == "WARN")
+    mp.setLogLevel("CRITICAL")
+    assert(mp.getLogLevel == "FATAL")
+    intercept[IllegalArgumentException] { mp.setLogLevel("verbose") }
+    mp.setLogLevel("WARN") // restore for other specs
+  }
+
   test("loadScenarioData preloads every item in one call (scenario.py:145-160)") {
     val mp = new Platform(spark, tmpDir("graft-preload"))
     val s = mp.newScenario("m", "s")

@@ -131,6 +131,59 @@ class ReporterSpec extends SparkSpec {
     assert(kept.df.count() == 6 + 2)
   }
 
+  test("relabel, index_to, combine, pow (genno operator parity)") {
+    val s = solvedScenario()
+    val r = Reporter.fromScenario(s)
+    val d = r.get("d:i-j")
+    // relabel: coords rename, values untouched, no re-aggregation
+    val rl = Operators.relabel(d, Map("i" -> Map("seattle" -> "SEA")))
+    assert(rl.df.filter(col("i") === "SEA").count() == 3)
+    assert(rl.df.count() == d.df.count())
+    // index_to: seattle row / its new-york value; base slice = 1.0
+    val ix = Operators.indexTo(d, "j", "new-york")
+    assert(ix.unit == "")
+    val seaNy = d.df.filter(col("i") === "seattle" && col("j") === "new-york")
+      .select("value").as[Double].head()
+    val seaChi = d.df.filter(col("i") === "seattle" && col("j") === "chicago")
+      .select("value").as[Double].head()
+    val got = ix.df.filter(col("i") === "seattle" && col("j") === "chicago")
+      .select("value").as[Double].head()
+    assert(math.abs(got - seaChi / seaNy) < 1e-9)
+    assert(ix.df.filter(col("j") === "new-york" && col("value") =!= 1.0).count() == 0)
+    // combine: 2a - b with weights
+    val c = Operators.combineWeighted(Seq(d, d), Seq(2.0, -1.0))
+    val cv = c.df.filter(col("i") === "seattle" && col("j") === "chicago")
+      .select("value").as[Double].head()
+    assert(math.abs(cv - seaChi) < 1e-9, "2d - d = d")
+    assert(c.unit == d.unit)
+    // pow: value squared, unit exponentiates (km -> km ** 2)
+    val p2 = Operators.pow(d, 2)
+    assert(p2.unit == "km ** 2")
+    val pv = p2.df.filter(col("i") === "seattle" && col("j") === "chicago")
+      .select("value").as[Double].head()
+    assert(math.abs(pv - seaChi * seaChi) < 1e-9)
+    assert(graft.util.Units.parse(p2.unit).pow(0).format == "")
+  }
+
+  test("interpolate linearly along a numeric dim; out-of-range drops") {
+    import spark.implicits._
+    val df = Seq(
+      ("World", 2020, 10.0), ("World", 2030, 30.0), ("World", 2050, 70.0),
+      ("North", 2020, 2.0), ("North", 2030, 6.0))
+      .toDF("region", "year", "value")
+    val q = Quantity(df, Seq("region", "year"), "EJ")
+    val out = Operators.interpolate(q, "year", Seq(2020.0, 2025.0, 2040.0, 2060.0))
+    val m = out.df.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(m(("World", 2020.0)) == 10.0, "existing coordinate passes through")
+    assert(math.abs(m(("World", 2025.0)) - 20.0) < 1e-9, "midpoint of 10..30")
+    assert(math.abs(m(("World", 2040.0)) - 50.0) < 1e-9, "midpoint of 30..70")
+    assert(!m.contains(("World", 2060.0)), "beyond the range: dropped")
+    assert(!m.contains(("North", 2040.0)), "per-group range respected")
+    assert(math.abs(m(("North", 2025.0)) - 4.0) < 1e-9)
+    assert(out.unit == "EJ")
+  }
+
   test("broadcast_map re-aggregates along a category mapping (#25)") {
     val s = solvedScenario()
     s.transact("cats") {
