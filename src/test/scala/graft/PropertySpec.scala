@@ -112,4 +112,82 @@ class PropertySpec extends AnyFunSuite {
       assert(Util.asStrList(xs.map(_.toString)) == xs.map(_.toString))
     }
   }
+
+  test("Units.pow: laws vs repeated multiplication, format round-trip") {
+    forAllG(Gen.zip(unitsGen, Gen.choose(1, 4))) { case (u, n) =>
+      assert(u.pow(0) == Units.dimensionless)
+      assert(u.pow(1) == u)
+      assert(u.pow(n) == (1 until n).foldLeft(u)((acc, _) => acc * u))
+      assert(Units.parse(u.pow(n).format) == u.pow(n),
+        s"format='${u.pow(n).format}'")
+    }
+  }
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaLowerChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('.', ',', '!', '9'))).map(_.mkString)
+
+  test("repetition stats: bounded fractions, token count matches the regex") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val re = "[a-z0-9]+".r
+    forAllG(textGen, n = 200) { s =>
+      val row = graft.functions.RepetitionStatsExpr.compute(
+        UTF8String.fromString(s))
+      val words = re.findAllIn(s.toLowerCase).toList
+      assert(row.getInt(0) == words.size)
+      // independent recomputation of the distinct-word ratio
+      if (words.nonEmpty)
+        assert(math.abs(row.getDouble(1) -
+          words.distinct.size.toDouble / words.size) < 5e-5)
+      (1 to 3).foreach(i => assert(row.getDouble(i) >= 0.0 && row.getDouble(i) <= 1.0))
+    }
+  }
+
+  test("winnow guarantee: shared substring of length k+w-1 shares a fingerprint") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = Gen.listOf(Gen.alphaLowerChar).map(_.mkString)
+    val gen = Gen.zip(ascii, ascii, Gen.listOfN(15, Gen.alphaLowerChar).map(_.mkString))
+    forAllG(gen, n = 200) { case (pre, post, shared) =>
+      def fps(s: String) = graft.functions.WinnowHashes
+        .compute(UTF8String.fromString(s), 8, 8).toSet
+      val a = fps(pre + shared)
+      val b = fps(shared + post)
+      // k + w - 1 = 15 shared characters guarantee a common selected
+      // fingerprint (Schleimer et al. 2003, the winnowing property)
+      assert(a.intersect(b).nonEmpty,
+        s"no shared fp for pre='$pre' post='$post'")
+    }
+  }
+
+  test("pq encode: codes in range; a centroid encodes to itself") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-100, 100).map(_ / 10.0))
+    forAllG(Gen.listOfN(4, vecGen), n = 100) { cents =>
+      val distinct = cents.distinct
+      val m = 2
+      val dsub = 8
+      val ks = distinct.size
+      if (ks >= 2) {
+        val flat = new Array[Double](m * ks * dsub)
+        for (mm <- 0 until m; j <- 0 until ks; d <- 0 until dsub)
+          flat((mm * ks + j) * dsub + d) = distinct(j)(mm * dsub + d)
+        val cb = graft.ops.PqCodebook(m, ks, dsub, flat)
+        distinct.zipWithIndex.foreach { case (v, j) =>
+          val codes = graft.ops.PqEncodeExpr.compute(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray),
+            cb, normalize = false)
+          assert(codes.length == m)
+          assert(codes.forall(c => c >= 0 && c < ks))
+          // the centroid's own subvectors are distance 0 from slot j —
+          // argmin ties break to the SMALLEST code id, so allow an
+          // earlier identical subvector
+          codes.zipWithIndex.foreach { case (c, mm) =>
+            val sub = distinct(c).slice(mm * dsub, (mm + 1) * dsub)
+            assert(sub == v.slice(mm * dsub, (mm + 1) * dsub),
+              s"code $c is not a zero-distance slot for subspace $mm")
+          }
+        }
+      }
+    }
+  }
 }
