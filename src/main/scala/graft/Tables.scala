@@ -19,11 +19,12 @@ object Tables {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read it as a long and convert (truncating to
-      // micros, Spark's native timestamp precision).
+      // micros, Spark's native timestamp precision). Integer `div`, not
+      // `/`: nanos ~1.7e18 exceed double's 53-bit mantissa, so float
+      // division is off by ±1 µs on some rows.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -194,6 +194,50 @@ object Pipeline {
       .agg(count(lit(1)).as("n"))
       .orderBy("k")
 
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Backward as-of join (graft.ops.Temporal): each purchase picks the
+    * latest preceding view of the same user — the tagged-union/window
+    * form (one key shuffle, no pair blowup); DuckDB's native ASOF JOIN
+    * is the oracle. Inner-asof: unmatched purchases drop. */
+  def q20AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("view_value"))
+    graft.ops.Temporal.asOfJoin(purchases, views, Seq("user_id"), "ts",
+        Seq("view_value"))
+      .filter(col("__rtime").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("__rtime")).as("view_ts_us"),
+        col("view_value"))
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization (1-hour inactivity): per-user ordinal
+    * session ids from one lag + running sum over a single key shuffle;
+    * the oracle re-derives sessions with the same window algebra. */
+  def q21Sessionize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Temporal.sessionize(events(s, dir), Seq("user_id"), "ts",
+        gapSec = 3600)
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .orderBy("user_id", "session_id")
+
+  /** Tumbling hourly window aggregation per event type (the batch twin
+    * of EventStream's watermarked windows). */
+  def q22WindowAgg(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Temporal.tumblingAgg(events(s, dir), "ts", "hour",
+        Seq("event_type"),
+        Seq(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value")))
+      .select(unix_micros(col("window_start")).as("window_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_us", "event_type")
+
   /** Composed curation pipeline (the realistic shape: quality filter →
     * language gate → exact dedup → per-language stats), all one
     * Catalyst plan — filters fuse into the scan, one aggregation
@@ -284,6 +328,9 @@ object Pipeline {
     "d16_group_quota" -> d16GroupQuota _,
     "d17_stratified_sample" -> d17StratifiedSample _,
     "d18_curation_sample" -> d18CurationSample _,
+    "q20_asof_join" -> q20AsofJoin _,
+    "q21_sessionize" -> q21Sessionize _,
+    "q22_window_agg" -> q22WindowAgg _,
     "m01_multimodal" -> m01Multimodal _,
     "e01_knn_brute" -> e01KnnBrute _,
     "e02_knn_ivf" -> e02KnnIvf _,
@@ -443,6 +490,32 @@ object Pipeline {
         | FROM sm)
         |SELECT source, count(*) AS n_docs, round(avg(n_words), 4) AS avg_words
         |FROM cp WHERE rk <= 10 GROUP BY source ORDER BY source""".stripMargin,
+    "q20_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        | epoch_us(p.ts) AS ts_us, epoch_us(v.ts) AS view_ts_us,
+        | v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q21_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |x AS (SELECT user_id, tus,
+        |  CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+        |        OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > 3600000000
+        |       THEN 1 ELSE 0 END AS nw
+        | FROM e),
+        |s AS (SELECT user_id, tus,
+        |  CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY tus
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM x)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(tus) AS start_us, max(tus) AS end_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q22_window_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_us, event_type,
+        | count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_us, event_type""".stripMargin,
     "d10_pipeline_compose" ->
       """WITH f AS (SELECT doc_id, text,
         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Temporal
+
+/** As-of join, sessionization, tumbling windows (graft.ops.Temporal). */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val quotes = Seq(
+    (1L, t("2026-01-01 10:00:00"), 100.0),
+    (1L, t("2026-01-01 10:05:00"), 101.0),
+    (1L, t("2026-01-01 11:00:00"), 110.0),
+    (2L, t("2026-01-01 10:30:00"), 50.0)
+  ).toDF("user_id", "ts", "px")
+
+  private lazy val trades = Seq(
+    (10L, 1L, t("2026-01-01 09:59:00")), // before any quote -> no match
+    (11L, 1L, t("2026-01-01 10:05:00")), // exact tie -> quote at 10:05
+    (12L, 1L, t("2026-01-01 10:30:00")), // -> 10:05 quote
+    (13L, 1L, t("2026-01-01 12:00:00")), // -> 11:00 quote
+    (14L, 2L, t("2026-01-01 10:31:00")), // -> 10:30 quote
+    (15L, 3L, t("2026-01-01 10:00:00")) // unseen key -> no match
+  ).toDF("trade_id", "user_id", "ts")
+
+  test("asOfJoin: latest preceding right row per key, ties inclusive") {
+    val j = Temporal.asOfJoin(trades, quotes, Seq("user_id"), "ts", Seq("px"))
+      .select(col("trade_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(j(10L).isEmpty && j(15L).isEmpty)
+    assert(j(11L).contains(101.0), "same-timestamp right row is visible")
+    assert(j(12L).contains(101.0))
+    assert(j(13L).contains(110.0))
+    assert(j(14L).contains(50.0))
+  }
+
+  test("asOfJoin tolerance nulls stale matches") {
+    val j = Temporal.asOfJoin(trades, quotes, Seq("user_id"), "ts", Seq("px"),
+        toleranceSec = Some(600))
+      .select(col("trade_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(j(11L).contains(101.0), "age 0 stays within tolerance")
+    assert(j(12L).isEmpty, "10:05 quote is 25 min before 10:30: stale")
+    assert(j(13L).isEmpty, "11:00 quote is 1 h before 12:00: stale")
+    assert(j(14L).contains(50.0), "1 min old")
+  }
+
+  test("sessionize splits on the gap, counts per-key sessions") {
+    val ev = Seq(
+      (1L, t("2026-01-01 10:00:00")), (1L, t("2026-01-01 10:20:00")),
+      (1L, t("2026-01-01 12:00:00")), // > 1h gap -> new session
+      (2L, t("2026-01-01 10:00:00"))
+    ).toDF("user_id", "ts")
+    val s = Temporal.sessionize(ev, Seq("user_id"), "ts", gapSec = 3600)
+      .groupBy("user_id", "session_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(s((1L, 1L)) == 2 && s((1L, 2L)) == 1 && s((2L, 1L)) == 1)
+  }
+
+  test("tumblingAgg buckets by truncated time") {
+    val ev = Seq(
+      (t("2026-01-01 10:05:00"), "a", 1.0), (t("2026-01-01 10:55:00"), "a", 2.0),
+      (t("2026-01-01 11:05:00"), "a", 4.0), (t("2026-01-01 10:30:00"), "b", 8.0)
+    ).toDF("ts", "k", "v")
+    val out = Temporal.tumblingAgg(ev, "ts", "hour", Seq("k"),
+        Seq(sum("v").as("s"))).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("2026-01-01 10:00:00.0", "a")) == 3.0)
+    assert(out(("2026-01-01 11:00:00.0", "a")) == 4.0)
+    assert(out(("2026-01-01 10:00:00.0", "b")) == 8.0)
+  }
+}
