@@ -202,6 +202,48 @@ class ExtrasSpec extends SparkSpec {
     assert(rows(0).getString(1) == "kg")
   }
 
+  test("manifest is sharded by run: a commit rewrites only its own shard") {
+    import graft.store.{ItemDef, ItemType, ParquetStore}
+    val root = tmpDir("graft-shard")
+    val mp = new Platform(spark, root)
+    // a miniature warehouse: many runs, one committed item each — the
+    // point is that writing to ONE run must not touch the others'
+    // manifest shards (pre-r5 every commit rewrote one global manifest
+    // with one row per item per run across ALL runs, i.e. commit I/O
+    // scaled with warehouse size, not with the commit)
+    val nRuns = 24
+    val runs = (1 to nRuns).map { i =>
+      val r = mp.store.createRun(s"m$i", "s", "scheme", "")
+      mp.store.initItem(r.runId, ItemDef("x", ItemType.Par, Nil, Nil))
+      mp.store.writeItemData(r.runId, "x",
+        Seq((i.toDouble, "kg")).toDF("value", "unit"))
+      r
+    }
+    def shardGens(): Map[String, Set[String]] = {
+      val files = new java.io.File(s"$root/catalog/manifest").listFiles()
+      files.map(_.getName).groupBy(_.takeWhile(_ != '.'))
+        .map { case (k, v) => k -> v.toSet }
+    }
+    val before = shardGens()
+    assert(before.size == nRuns, "one shard family per run")
+    val target = runs.head
+    mp.store.writeItemData(target.runId, "x",
+      Seq((99.0, "kg")).toDF("value", "unit"))
+    val after = shardGens()
+    val changed = after.filter { case (k, v) => !before.get(k).contains(v) }.keySet
+    assert(changed == Set(s"run_id=${target.runId}"),
+      s"commit touched shards $changed — must touch exactly its own run")
+    // no legacy whole-warehouse manifest table is ever written
+    assert(!new java.io.File(s"$root/catalog").listFiles()
+      .exists(_.getName.startsWith("manifest.g")))
+    // a fresh store instance reconstructs the same state from shards
+    val reloaded = new ParquetStore(spark, root)
+    assert(reloaded.itemData(target.runId, "x", Map.empty)
+      .select("value").as[Double].head() == 99.0)
+    assert(reloaded.itemData(runs.last.runId, "x", Map.empty)
+      .select("value").as[Double].head() == nRuns.toDouble)
+  }
+
   test("vacuum removes orphaned generations but keeps live data") {
     val mp = new Platform(spark, tmpDir("graft-vacuum"))
     val s = mp.newScenario("m", "s")
