@@ -30,6 +30,12 @@ object Bench {
     // (VERDICT r2: the driver-env d09 "regression" was one noisy rep).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = names.map { name =>
+      // Per-query isolation: drop every cached/persisted frame left over
+      // from earlier queries (index builds, bounded shingle persists) so
+      // each query is graded on its own plan, not on heap history —
+      // VERDICT r3: e05's index-build reps inflated the next queries'
+      // driver-measured times 3-6× while a fresh JVM measured them fine.
+      spark.catalog.clearCache()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
