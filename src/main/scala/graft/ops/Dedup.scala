@@ -254,6 +254,119 @@ object Dedup {
     * MOSS-style "shared by too many to mean provenance" rule), where
     * a percentage cap would grow buckets quadratically with the
     * corpus. `stopDocFreq <= 0` disables. */
+  /** Connected components over an undirected candidate-pair edge list
+    * (`id_a`, `id_b`) — the cluster-collapse step every near-dup
+    * operator here feeds into: [[minhashLsh]]/[[simhashPairs]]/
+    * [[winnowOverlapPairs]] emit PAIRS, but a curation run needs one
+    * canonical keep-doc per duplicate GROUP, and near-dup relations are
+    * not transitive-closed pairwise (a~b, b~c but not a~c still must
+    * collapse to one cluster).
+    *
+    * Algorithm: alternating large-star/small-star (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond" — the standard
+    * post-LSH step in MinHash dedup deployments). Each round is two
+    * equi-join + min-aggregate passes over (id, id) pairs — no
+    * quadratic step, no vertex ever needs its full neighbor list
+    * materialized (the per-node min is a groupBy aggregate, not a
+    * collect_list) — and converges in O(log n) rounds to per-component
+    * stars centered at the component's minimum id. Convergence is
+    * detected by an (edge-count, order-independent hash-sum) signature
+    * of the edge set: one tiny aggregate per round.
+    *
+    * Returns (node, label): every node that appears in some pair, with
+    * label = the smallest id in its component. Singleton docs never
+    * appear (no edges) — [[clusterPairs]] re-attaches them. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = pairs.sparkSession
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      und.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val und = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val dir = und.filter(col("v") < col("u")) // point large -> small
+      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val moved = dir.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = mins.select(col("u"), col("m").as("v"))
+      moved.union(self).distinct()
+    }
+
+    // order-independent set signature: XOR of per-edge hashes (edges are
+    // distinct, so XOR self-cancellation can't occur; bit_xor never
+    // overflows where an ANSI-mode sum() of hashes would)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // localCheckpoint (not persist): each round's plan must START from
+    // the materialized previous round — un-truncated lineage would
+    // stack one union+join+aggregate per round and melt the analyzer
+    // after a few iterations (driver-side blowup, not an executor cost)
+    var edges = pairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      edges.unpersist(blocking = false)
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
+      it += 1
+    }
+    require(converged, s"connectedComponents: no convergence in $maxIter rounds")
+
+    // fixed point = stars (x, root) with root < x; roots label themselves
+    val nodes = edges.select(greatest(col("u"), col("v")).as("node"),
+      least(col("u"), col("v")).as("label"))
+    val roots = edges.select(least(col("u"), col("v")).as("node"))
+      .distinct().withColumn("label", col("node"))
+    val out = nodes.union(roots).distinct()
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  /** Collapse near-dup pairs into clusters over the full corpus:
+    * (doc_id, cluster_id, is_canonical) for EVERY doc — members of a
+    * pair-connected component get the component's min id as cluster_id,
+    * singletons cluster with themselves, and `is_canonical = 1` marks
+    * the one doc per cluster a curation run keeps (the deterministic
+    * min-id rule, matching [[exact]]'s `min(id)` keep choice). The
+    * component labels are tiny relative to the corpus ((node, label)
+    * pairs for clustered docs only), so the re-attach join is narrow;
+    * docs never shuffle their bodies. */
+  def clusterPairs(pairs: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .withColumnRenamed("node", "__cc_id")
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(comp, col("doc_id") === col("__cc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical",
+        (col("doc_id") === col("cluster_id")).cast("int"))
+  }
+
   def winnowOverlapPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8, w: Int = 8,
       threshold: Double = 0.5, stopDocFreq: Int = 20): DataFrame = {

@@ -74,6 +74,24 @@ final class IvfPqIndex private[ops] (
 
   /** Release persisted state (later queries recompute lazily). */
   def close(): Unit = if (persisted) { encoded.unpersist(blocking = false); () }
+
+  /** Persist the full index under `path` as parquet tables: centroids,
+    * the PQ codebook, the compact (id, cell, codes) queryable index,
+    * and the unit-normalized corpus for the rerank pass (at real scale
+    * this table IS the cold-storage corpus copy — the hot index is the
+    * codes table, 32× smaller). The `meta` marker is written LAST so a
+    * crashed save never looks complete. */
+  def save(path: String): Unit = {
+    val spark = ivf.centroids.sparkSession
+    import spark.implicits._
+    ivf.centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((cb.m, cb.ks, cb.dsub, cb.centroids.toSeq))
+      .toDF("m", "ks", "dsub", "centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    encoded.write.mode("overwrite").parquet(s"$path/encoded")
+    corpusUnit.write.mode("overwrite").parquet(s"$path/corpus")
+    IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells)
+  }
 }
 
 object IvfPq {
@@ -83,13 +101,19 @@ object IvfPq {
     * trained on (x − centroid) and codes for every row. Build cost is a
     * handful of corpus passes; nothing ever shuffles by vector payload
     * — the only wide exchange is the IVF assignment's (id-keyed) rows
-    * and the m·ks·dsub-cell codebook aggregations. */
+    * and the m·ks·dsub-cell codebook aggregations.
+    *
+    * `md5Seeds = true` makes BOTH seeding passes (coarse cells and PQ
+    * codebook) hex-md5-ordered, i.e. reproducible by a SQL oracle —
+    * with `refineIters = 0` and `pqIters = 0` the whole
+    * cells→codes→ADC→rerank pipeline is then engine-exact (gate e06). */
   def build(corpus: DataFrame, nCells: Int = 0, m: Int = 8, ks: Int = 64,
       pqIters: Int = 2, refineIters: Int = 1,
-      persist: Boolean = true): IvfPqIndex = {
+      persist: Boolean = true, md5Seeds: Boolean = false): IvfPqIndex = {
     val unit = corpus.select(col("id"),
       vecUnit(col("vec").cast("array<double>")).as("vec"))
-    val ivf = IvfIndex.build(unit, nCells, refineIters, persist = false)
+    val ivf = IvfIndex.build(unit, nCells, refineIters, persist = false,
+      md5Seeds = md5Seeds)
     val residuals = ivf.assigned
       .join(broadcast(ivf.centroids), "cell")
       .select(col("id"), col("cell"),
@@ -103,4 +127,36 @@ object IvfPq {
       else encoded0
     new IvfPqIndex(ivf, cb, encoded, unit, persist)
   }
+
+  /** Reload a [[IvfPqIndex.save]]d index: query results are
+    * bit-identical to the freshly-built index (the spec asserts this) —
+    * centroids, codebook, and codes round-trip exactly; the embedded
+    * coarse index's per-row assignment is reconstructed lazily from the
+    * saved tables (only consulted if the coarse index is queried
+    * directly). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      persist: Boolean = true): IvfPqIndex = {
+    val cells = IvfIndex.readMeta(spark, s"$path/meta")
+    val cent = spark.read.parquet(s"$path/centroids")
+    val centMat = spark.createDataFrame(
+      java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+    val cbRow = spark.read.parquet(s"$path/codebook").head()
+    val cb = PqCodebook(cbRow.getAs[Int]("m"), cbRow.getAs[Int]("ks"),
+      cbRow.getAs[Int]("dsub"), cbRow.getAs[Seq[Double]]("centroids").toArray)
+    val corpusUnit = spark.read.parquet(s"$path/corpus")
+    val encoded0 = spark.read.parquet(s"$path/encoded")
+    val encoded =
+      if (persist)
+        encoded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else encoded0
+    val assigned = corpusUnit
+      .join(encoded0.select(col("id"), col("cell")), "id")
+      .withColumn("nrm", Similarity.norm(col("vec")))
+    new IvfPqIndex(new IvfIndex(centMat, assigned, cells, persisted = false),
+      cb, encoded, corpusUnit, persist)
+  }
+
+  /** True when `path` holds a complete saved index. */
+  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    IvfIndex.exists(spark, path)
 }

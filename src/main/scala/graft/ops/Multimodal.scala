@@ -44,18 +44,14 @@ object Multimodal {
       (xxhash64(content, i).cast("double") / lit(Long.MaxValue.toDouble)))
 
   /** Byte-level content statistics (real, not stubbed): size, a
-    * distinct-byte diversity ratio over a leading sample (compression/
-    * corruption heuristic), and the leading magic bytes. */
-  def byteStats(content: Column): Column = {
-    val sampled = substring(content, 1, 1024)
-    val hexStr = hex(sampled) // 2 hex chars per byte
-    val bytes = transform(sequence(lit(1), length(sampled)),
-      i => hexStr.substr(i * 2 - 1, lit(2)))
-    struct(
-      length(content).as("n_bytes"),
-      round(size(array_distinct(bytes)).cast("double") / 256.0, 4).as("byte_diversity"),
-      hex(substring(content, 1, 8)).as("magic"))
-  }
+    * distinct-byte diversity ratio over a leading 1024-byte sample
+    * (compression/corruption heuristic), and the leading 8 magic bytes
+    * as uppercase hex. One native compiled pass over the sampled bytes
+    * (graft.functions.ByteStatsExpr) — stays inside whole-stage
+    * codegen; the previous composed-HOF form allocated a string per
+    * sampled byte. */
+  def byteStats(content: Column): Column =
+    graft.functions.CatalystFunctions.byteStats(content)
 
   /** Frame/chunk sampling: split the payload into fixed-size chunks
     * and keep every `stride`-th one — the binary analogue of video

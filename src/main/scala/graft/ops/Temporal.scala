@@ -13,38 +13,53 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
-  /** Backward as-of join: each left row picks the LATEST right row with
-    * `right.time <= left.time` on the same key (ties: the right row
-    * wins, i.e. a same-timestamp right row is visible).
+  /** As-of join: each left row picks the nearest right row on the same
+    * key — `direction = "backward"` (default) the LATEST right row with
+    * `right.time <= left.time`, `direction = "forward"` the EARLIEST
+    * right row with `right.time >= left.time`. Ties: a same-timestamp
+    * right row is visible in both directions.
     *
-    * Shape: tag both sides, union, and carry the most recent right
-    * payload forward with `last(_, ignoreNulls)` over a per-key
-    * time-ordered running window — one hash shuffle on `keys`, one
-    * sort, zero joins. `rightCols` are the right-side payload columns
-    * to surface (pre-rename them if they collide with left columns);
-    * `__rtime` additionally surfaces the matched right timestamp.
-    * Rows with no preceding right match keep null payloads (drop them
-    * for inner-asof semantics). `toleranceSec` (if set) nulls matches
-    * older than the tolerance. */
+    * Shape: tag both sides, union, and carry the nearest right payload
+    * with `last(_, ignoreNulls)` over a per-key time-ordered running
+    * window (time DESCENDING for forward — the same plan, one sort
+    * direction flipped) — one hash shuffle on `keys`, one sort, zero
+    * joins. `rightCols` are the right-side payload columns to surface
+    * (pre-rename them if they collide with left columns); `__rtime`
+    * additionally surfaces the matched right timestamp. Rows with no
+    * match in the chosen direction keep null payloads (drop them for
+    * inner-asof semantics). `toleranceSec` (if set) nulls matches
+    * further than the tolerance from the left timestamp. */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, rightCols: Seq[String],
-      toleranceSec: Option[Long] = None): DataFrame = {
+      toleranceSec: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asOfJoin: direction must be backward|forward, got '$direction'")
+    val fwd = direction == "forward"
     val payload = struct(
       (col(timeCol).as("__rtime") +: rightCols.map(col)): _*)
     val r2 = right.select((keys.map(col) :+ col(timeCol) :+
       payload.as("__rpay")): _*).withColumn("__side", lit(0))
     val l2 = left.withColumn("__side", lit(1))
     val unioned = l2.unionByName(r2, allowMissingColumns = true)
+    // Backward scans time ascending; forward scans descending, so the
+    // running `last` right payload is the earliest one at-or-after the
+    // left row. `__side` ascending keeps an equal-timestamp right row
+    // (side 0) ahead of the left row in BOTH sort directions.
+    val timeOrder = if (fwd) col(timeCol).desc else col(timeCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol), col("__side"))
+      .orderBy(timeOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     val bounded = toleranceSec match {
-      case Some(tol) => carried.withColumn("__match",
-        when(unix_micros(col(timeCol)) - unix_micros(col("__match.__rtime"))
-          <= tol * 1000000L, col("__match")))
+      case Some(tol) =>
+        val gapUs =
+          if (fwd) unix_micros(col("__match.__rtime")) - unix_micros(col(timeCol))
+          else unix_micros(col(timeCol)) - unix_micros(col("__match.__rtime"))
+        carried.withColumn("__match",
+          when(gapUs <= tol * 1000000L, col("__match")))
       case None => carried
     }
     val outRight = col("__match.__rtime").as("__rtime") +:

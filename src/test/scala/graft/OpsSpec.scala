@@ -266,4 +266,150 @@ class OpsSpec extends SparkSpec {
     for (((a, b), s) <- pairs)
       assert(math.abs(s - cosRef(vm(a).toArray, vm(b).toArray)) < 1e-3)
   }
+
+  // ---- cluster collapse (connected components) ------------------------
+
+  /** Driver-side union-find ground truth for component labels. */
+  private def ufComponents(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // label every node with the MIN id of its component
+    val byRoot = nodes.groupBy(find)
+    byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
+  }
+
+  test("connectedComponents labels chains, triangles and hubs with the min id") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), // chain 1-2-3-4
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (20L, 21L), (20L, 22L), (20L, 23L)) // star/hub
+    val pairs = edges.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ufComponents(edges.flatMap(e => Seq(e._1, e._2)).distinct, edges)
+    assert(got == want)
+  }
+
+  test("connectedComponents matches union-find on a pseudo-random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val edges = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(got == ufComponents(nodes, edges))
+  }
+
+  test("clusterPairs: every doc labeled, min id canonical, singletons self-clustered") {
+    val allDocs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val rows = Dedup.clusterPairs(pairs, allDocs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(rows.keySet == (1L to 8L).toSet, "every doc appears exactly once")
+    assert(rows(1L) == ((1L, 1)) && rows(2L) == ((1L, 0)) && rows(3L) == ((1L, 0)))
+    assert(rows(5L) == ((5L, 1)) && rows(6L) == ((5L, 0)))
+    assert(Seq(4L, 7L, 8L).forall(i => rows(i) == ((i, 1))), "singletons self-canonical")
+  }
+
+  test("connectedComponents of an empty pair set is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
+  // ---- native byteStats ----------------------------------------------
+
+  test("byteStats native expression matches the composed-HOF reference form") {
+    import graft.ops.Multimodal
+    // (empty payloads excluded: the old HOF's sequence(1, 0) descends
+    // [1,0] and fabricated diversity 1/256 for zero bytes — the native
+    // expression returns the correct 0.0, asserted separately below)
+    val data = Seq(
+      (1L, "hello world, a plain ascii text payload"),
+      (2L, new String(Array.tabulate(2000)(i => (i % 251).toChar))), // > sample window
+      (3L, "aaaa") // low diversity
+    ).toDF("id", "txt").withColumn("content", col("txt").cast("binary"))
+    // the pre-r5 interpreted-HOF formulation, kept here as the reference
+    val sampled = substring(col("content"), 1, 1024)
+    val hexStr = hex(sampled)
+    val bytes = transform(sequence(lit(1), length(sampled)),
+      i => hexStr.substr(i * 2 - 1, lit(2)))
+    val ref = data.select(col("id"),
+        length(col("content")).as("n_bytes"),
+        round(size(array_distinct(bytes)).cast("double") / 256.0, 4).as("byte_diversity"),
+        hex(substring(col("content"), 1, 8)).as("magic"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getString(3)))).toMap
+    val got = data.select(col("id"), Multimodal.byteStats(col("content")).as("bs"))
+      .select(col("id"), col("bs.n_bytes"), col("bs.byte_diversity"), col("bs.magic"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getString(3)))).toMap
+    assert(got == ref)
+    // empty payload: size 0, diversity 0.0, empty magic
+    val empty = Seq(Tuple1("")).toDF("txt")
+      .select(Multimodal.byteStats(col("txt").cast("binary")).as("bs"))
+      .select(col("bs.n_bytes"), col("bs.byte_diversity"), col("bs.magic")).head()
+    assert(empty.getInt(0) == 0 && empty.getDouble(1) == 0.0 && empty.getString(2) == "")
+  }
+
+  test("byteStats plan stays native: no interpreted higher-order function") {
+    import graft.ops.Multimodal
+    // range source (not a local Seq): a LocalRelation input would let
+    // the optimizer evaluate the whole projection eagerly and hide the
+    // expression from the plan
+    val df = spark.range(3)
+      .select(Multimodal.byteStats(col("id").cast("string").cast("binary")).as("bs"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction") && !plan.contains("transform("),
+      s"byteStats plan contains an interpreted HOF:\n$plan")
+    assert(plan.contains("byte_stats"), s"native byte_stats expression missing:\n$plan")
+  }
+
+  // ---- IVF / IVF-PQ persistence ---------------------------------------
+
+  test("IvfIndex save/load round-trips bit-identical query results") {
+    import graft.ops.IvfIndex
+    val corpus = (0 until 80).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("id", "vec")
+    val q = corpus.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val idx = IvfIndex.build(corpus, nCells = 6, refineIters = 1, persist = false)
+    val path = tmpDir("ivf-idx")
+    idx.save(path)
+    assert(IvfIndex.exists(spark, path))
+    val loaded = IvfIndex.load(spark, path, persist = false)
+    try {
+      assert(loaded.nCells == idx.nCells)
+      val a = idx.query(q, 4, nProbe = 3).collect().map(_.toSeq).toSet
+      val b = loaded.query(q, 4, nProbe = 3).collect().map(_.toSeq).toSet
+      assert(a == b && a.nonEmpty)
+    } finally loaded.close()
+  }
+
+  test("IvfPqIndex save/load round-trips bit-identical query results") {
+    import graft.ops.IvfPq
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 4).select(col("id").as("qid"), col("vec").as("qvec"))
+    val idx = IvfPq.build(emb, nCells = 6, m = 8, ks = 16, pqIters = 1,
+      persist = false)
+    val path = tmpDir("ivfpq-idx")
+    idx.save(path)
+    assert(IvfPq.exists(spark, path))
+    val loaded = IvfPq.load(spark, path, persist = false)
+    try {
+      val a = idx.query(q, 5, nProbe = 3, fetch = 15).collect().map(_.toSeq).toSet
+      val b = loaded.query(q, 5, nProbe = 3, fetch = 15).collect().map(_.toSeq).toSet
+      assert(a == b && a.nonEmpty)
+      // incomplete save (missing meta marker) is not mistaken for an index
+      val partial = tmpDir("ivfpq-partial")
+      idx.ivf.centroids.write.parquet(s"$partial/centroids")
+      assert(!IvfPq.exists(spark, partial))
+    } finally loaded.close()
+  }
 }

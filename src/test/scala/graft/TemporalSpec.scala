@@ -50,6 +50,29 @@ class TemporalSpec extends SparkSpec {
     assert(j(14L).contains(50.0), "1 min old")
   }
 
+  test("asOfJoin forward: earliest following right row per key") {
+    val j = Temporal.asOfJoin(trades, quotes, Seq("user_id"), "ts", Seq("px"),
+        direction = "forward")
+      .select(col("trade_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(j(10L).contains(100.0), "9:59 trade -> 10:00 quote")
+    assert(j(11L).contains(101.0), "same-timestamp right row is visible")
+    assert(j(12L).contains(110.0), "10:30 trade -> next quote at 11:00")
+    assert(j(13L).isEmpty, "no quote after 12:00")
+    assert(j(14L).isEmpty, "user 2's only quote precedes the trade")
+    assert(j(15L).isEmpty, "unseen key")
+  }
+
+  test("asOfJoin forward tolerance nulls far-future matches") {
+    val j = Temporal.asOfJoin(trades, quotes, Seq("user_id"), "ts", Seq("px"),
+        toleranceSec = Some(600), direction = "forward")
+      .select(col("trade_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(j(10L).contains(100.0), "1 min ahead: within tolerance")
+    assert(j(11L).contains(101.0), "gap 0")
+    assert(j(12L).isEmpty, "next quote is 30 min ahead: beyond tolerance")
+  }
+
   test("sessionize splits on the gap, counts per-key sessions") {
     val ev = Seq(
       (1L, t("2026-01-01 10:00:00")), (1L, t("2026-01-01 10:20:00")),
