@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-rehearsal runner: times the heavy gates at two data
+  * directories (e.g. sf0.1 vs a 10× target/sf1) and prints per-query
+  * seconds for both, so super-linear scaling is visible directly.
+  * Dev tooling — not part of the driver contract. */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/root/repo/target/sf1")
+    val names = Seq("d06_minhash_lsh", "d08_simhash_pairs", "d14_winnow_overlap",
+      "d18_curation_sample", "d19_dedup_clusters", "e05_knn_ivfpq",
+      "q21_sessionize", "q22_window_agg")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup pass compiles every plan shape once
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case e: Throwable => System.err.println(s"warmup $n: ${e.getMessage}") }
+    }
+    for (dir <- dirs; name <- names) {
+      spark.catalog.clearCache()
+      val reps = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(name)(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val best = reps.map(_._1).min
+      println(f"SCALE $dir%-28s $name%-22s ${best}%8.2f s  rows=${reps.head._2}")
+    }
+    spark.stop()
+  }
+}

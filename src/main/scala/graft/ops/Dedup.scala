@@ -281,6 +281,9 @@ object Dedup {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = pairs.sparkSession
 
+    // no distinct here: duplicate edges don't change any min-aggregate,
+    // and smallStar's final distinct canonicalizes the round's output —
+    // one less shuffle per round
     def largeStar(e: DataFrame): DataFrame = {
       val und = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -289,7 +292,6 @@ object Dedup {
       und.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
 
     def smallStar(e: DataFrame): DataFrame = {
@@ -317,16 +319,19 @@ object Dedup {
     // the materialized previous round — un-truncated lineage would
     // stack one union+join+aggregate per round and melt the analyzer
     // after a few iterations (driver-side blowup, not an executor cost)
+    // lazy checkpoints: the signature aggregate is the action that
+    // materializes each round, so a round costs ONE job, not a
+    // checkpoint job plus an aggregate job
     var edges = pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var sig = signature(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val nextSig = signature(next)
       edges.unpersist(blocking = false)
       edges = next
