@@ -180,6 +180,53 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the IVF coarse
+    * quantizer, call two docs semantic duplicates when their UNIT
+    * vectors' cosine within the SAME cluster clears `threshold`, and
+    * collapse the duplicate graph to one canonical (min-id) keeper per
+    * group — the embedding-space twin of [[Dedup.clusterPairs]] over
+    * text near-dup pairs.
+    *
+    * Scale shape: one corpus pass to normalize + assign (broadcast
+    * centroids, map-side max_by — no shuffle), ONE shuffle keyed by
+    * cell for the within-cell self-join, then the O(log n)
+    * large/small-star collapse over (id, id) pairs only. With sqrt(n)
+    * auto-sized cells the expected within-cell pair work is
+    * O(n·sqrt(n)) total and embarrassingly parallel across cells;
+    * `maxCell` (0 = off) drops cells larger than the cap from pairing
+    * — the same anti-quadratic guard as the LSH `maxBucket` caps
+    * (an over-cap cell is a boilerplate/mode-collapse signature;
+    * run exact dedup first).
+    *
+    * `sim` is rounded to 4 decimals BEFORE thresholding so boundary
+    * pairs resolve identically across engines (`md5Seeds = true` +
+    * `refineIters = 0` makes the whole operator engine-reproducible —
+    * gate e07).
+    *
+    * Returns (id, cluster_id, is_canonical ∈ {0,1}) for EVERY corpus
+    * row. */
+  def semanticDedup(corpus: DataFrame, threshold: Double = 0.9,
+      nCells: Int = 0, refineIters: Int = 1, maxCell: Int = 0,
+      md5Seeds: Boolean = false): DataFrame = {
+    val unit = corpus.select(col("id"),
+      graft.functions.CatalystFunctions.vecUnit(
+        asDouble(col("vec"))).as("vec"))
+    val ivf = IvfIndex.build(unit, nCells, refineIters, persist = false,
+      md5Seeds = md5Seeds)
+    val assigned0 = ivf.assigned.select(col("cell"), col("id"), col("vec"))
+    val assigned = Dedup.capBuckets(assigned0, Seq("cell"), maxCell)
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("vec").as("va"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("vec").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(dot(col("va"), col("vb")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    Dedup.clusterPairs(pairs, corpus.select(col("id")), "id")
+      .select(col("doc_id").as("id"), col("cluster_id"), col("is_canonical"))
+  }
 }
 
 /** Build-once / query-many IVF index — the production ANN shape: the

@@ -156,6 +156,19 @@ object Pipeline {
     idx.query(q, 5, nProbe = 2, fetch = 20).orderBy("qid", "rank")
   }
 
+  /** SemDeDup-style semantic dedup over the embeddings table
+    * (cluster → within-cell cosine pairs → connected-component
+    * collapse → canonical keep-set), fully deterministic (md5-seeded
+    * cells, no refinement) so the DuckDB oracle reproduces the whole
+    * operator: assignment, rounded-cosine thresholding, and the
+    * recursive-CTE component labels. */
+  def e07SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(
+        emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.4, nCells = 4, refineIters = 0, md5Seeds = true)
+      .select(col("id").as("vec_id"), col("cluster_id"), col("is_canonical"))
+      .orderBy("vec_id")
+
   /** Multimodal binary plumbing: documents' text payloads treated as
     * opaque binary assets — byte stats + strided chunk sampling
     * (graft.ops.Multimodal; decode is stubbed, plumbing is real). */
@@ -405,7 +418,8 @@ object Pipeline {
     "e03_cosine_near_dup" -> e03CosineNearDup _,
     "e04_pq_codes" -> e04PqCodes _,
     "e05_knn_ivfpq" -> e05KnnIvfPq _,
-    "e06_knn_ivfpq_verify" -> e06KnnIvfPqVerify _)
+    "e06_knn_ivfpq_verify" -> e06KnnIvfPqVerify _,
+    "e07_semantic_dedup" -> e07SemanticDedup _)
 
   private def jaccardOracle(where: String) =
     s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents$where),
@@ -750,5 +764,37 @@ object Pipeline {
         |  FROM short s JOIN u cu ON cu.id = s.id JOIN qu q ON q.qid = s.qid)
         |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim FROM
         |  (SELECT qid, id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM rer)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Same deterministic-assignment prefix as e06, then rounded-cosine
+    // within-cell pairs and the d19-style recursive-CTE component
+    // labels with min-id canonicals.
+    "e07_semantic_dedup" ->
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nrm AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS ss FROM e),
+        |u AS (SELECT id, CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0 / sqrt(ss))) ELSE v END AS v FROM nrm),
+        |cent AS (SELECT row_number() OVER (ORDER BY h, id) AS cell, cv FROM
+        |  (SELECT md5(CAST(id AS VARCHAR)) AS h, id, v AS cv FROM u ORDER BY h, id LIMIT 4)),
+        |asg AS (SELECT id, v, cell FROM
+        |  (SELECT u.id, u.v, c.cell,
+        |     row_number() OVER (PARTITION BY u.id
+        |       ORDER BY list_sum(list_transform(range(1, 65), i -> u.v[i] * c.cv[i])) DESC, c.cell) AS rk
+        |   FROM u CROSS JOIN cent c) WHERE rk = 1),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+        |  WHERE round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])), 4) >= 0.4),
+        |edges AS (SELECT id_a AS eu, id_b AS ev FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT eu, ev FROM edges
+        |  UNION
+        |  SELECT r.src, g.ev FROM reach r JOIN edges g ON g.eu = r.dst),
+        |lab AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+        |        FROM reach GROUP BY src)
+        |SELECT e.id AS vec_id,
+        | coalesce(l.cluster_id, e.id) AS cluster_id,
+        | CAST(CASE WHEN coalesce(l.cluster_id, e.id) = e.id
+        |      THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+        |FROM e LEFT JOIN lab l ON l.id = e.id
+        |ORDER BY vec_id""".stripMargin)
 }

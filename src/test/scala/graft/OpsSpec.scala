@@ -324,6 +324,37 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("semanticDedup collapses embedding near-dups to min-id canonicals") {
+    val rnd = new scala.util.Random(11)
+    def unitv(d: Int): Array[Float] = {
+      val a = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(x => (x / n).toFloat)
+    }
+    val dim = 16
+    // 3 groups of 3 near-identical vectors + far-apart noise
+    val bases = Seq.fill(3)(unitv(dim))
+    val members = for {
+      (b, ci) <- bases.zipWithIndex; m <- 0 until 3
+    } yield (ci.toLong * 10 + m,
+      b.zip(unitv(dim)).map { case (x, e) => x + 0.02f * e })
+    val noise = (100 until 120).map(i => (i.toLong, unitv(dim)))
+    val df = (members ++ noise).toDF("id", "vec")
+    val out = Similarity.semanticDedup(df, threshold = 0.95, nCells = 4,
+        refineIters = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out.size == members.size + noise.size, "every row labeled")
+    // group members share a cluster labeled by the min id; min is canonical
+    for (ci <- 0 until 3; m <- 0 until 3) {
+      val id = ci.toLong * 10 + m
+      assert(out(id)._1 == ci.toLong * 10, s"member $id mislabeled: ${out(id)}")
+      assert(out(id)._2 == (if (m == 0) 1 else 0))
+    }
+    // a random 16-dim pair clears cosine 0.95 with probability ~0:
+    // noise stays self-canonical
+    assert(noise.forall { case (i, _) => out(i) == ((i, 1)) })
+  }
+
   // ---- native byteStats ----------------------------------------------
 
   test("byteStats native expression matches the composed-HOF reference form") {
