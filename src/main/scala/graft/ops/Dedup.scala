@@ -254,6 +254,33 @@ object Dedup {
     * MOSS-style "shared by too many to mean provenance" rule), where
     * a percentage cap would grow buckets quadratically with the
     * corpus. `stopDocFreq <= 0` disables. */
+  /** Benchmark decontamination: flag training docs that share at least
+    * `minHits` distinct word n-gram shingles with ANY doc of a
+    * benchmark/eval set — the standard pre-training leakage check
+    * (13-gram overlap in GPT-3/PaLM-style reports; `n` is a parameter
+    * because the testdata's documents are short).
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus, so
+    * its distinct hashed shingles BROADCAST; the corpus side explodes
+    * to (doc_id, shingle-hash) pairs map-side and the join never
+    * shuffles the corpus (one aggregation shuffle of (doc_id, count)
+    * survivors). Shingles are 64-bit hashes (native ShingleHashes), so
+    * intersection counts equal string-shingle counts w.h.p. — the same
+    * equivalence d06/d07's Jaccard oracle relies on.
+    *
+    * Returns (doc_id, n_hits) for contaminated docs only. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      nGram: Int = 3, minHits: Int = 1): DataFrame = {
+    val d = shingleSets(docs, idCol, textCol, nGram)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val b = shingleSets(benchmark, idCol, textCol, nGram)
+      .select(explode(col("sh")).as("g")).distinct()
+    d.join(broadcast(b), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** Connected components over an undirected candidate-pair edge list
     * (`id_a`, `id_b`) — the cluster-collapse step every near-dup
     * operator here feeds into: [[minhashLsh]]/[[simhashPairs]]/

@@ -185,6 +185,28 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Mime sniffing over synthetic media containers: deterministic magic
+    * bytes (JPEG/PNG/ID3 by doc_id mod 4) prepended to the text payload
+    * on BOTH engines, then graft.ops.Multimodal.sniffMime classifies
+    * and the per-mime distribution is compared — proves the magic-byte
+    * dispatch, not just the plumbing. */
+  def m02MimeSniff(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val magic = when(col("doc_id") % 4 === 0,
+        lit(Array(0xFF, 0xD8).map(_.toByte)))
+      .when(col("doc_id") % 4 === 1,
+        lit(Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)))
+      .when(col("doc_id") % 4 === 2,
+        lit(Array(0x49, 0x44, 0x33).map(_.toByte)))
+      .otherwise(lit(Array.empty[Byte]))
+    docs(s, dir)
+      .withColumn("content", concat(magic, col("text").cast("binary")))
+      .select(col("doc_id"), Multimodal.sniffMime(col("content")).as("mime"))
+      .groupBy("mime")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+      .orderBy("mime")
+  }
+
   /** SimHash fingerprint with an engine-reproducible word hash (first
     * 8 md5 bytes), emitted as a 64-char bit string: proves the Charikar
     * voting logic against the DuckDB oracle. The production path (d08)
@@ -222,6 +244,19 @@ object Pipeline {
   def d14WinnowOverlap(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowOverlapPairs(docs(s, dir), threshold = 0.3)
       .orderBy("id_a", "id_b")
+
+  /** Benchmark decontamination: docs 480+ play the held-out benchmark,
+    * the rest the training corpus; any training doc sharing a distinct
+    * 3-gram shingle with a benchmark doc is flagged with its overlap
+    * count (the corpus's near-dup clusters straddle the split, so the
+    * gate exercises real hits). Shingle-hash counts equal string-
+    * shingle counts w.h.p., which the DuckDB oracle verifies. */
+  def d20Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.decontaminate(d.filter(col("doc_id") < 480),
+        d.filter(col("doc_id") >= 480))
+      .orderBy("doc_id")
+  }
 
   /** Near-dup cluster collapse — the last mile of the dedup suite
     * (VERDICT r3 missing #1): md5-simhash candidate pairs (the
@@ -408,11 +443,13 @@ object Pipeline {
     "d17_stratified_sample" -> d17StratifiedSample _,
     "d18_curation_sample" -> d18CurationSample _,
     "d19_dedup_clusters" -> d19DedupClusters _,
+    "d20_decontaminate" -> d20Decontaminate _,
     "q20_asof_join" -> q20AsofJoin _,
     "q21_sessionize" -> q21Sessionize _,
     "q22_window_agg" -> q22WindowAgg _,
     "q23_asof_forward" -> q23AsofForward _,
     "m01_multimodal" -> m01Multimodal _,
+    "m02_mime_sniff" -> m02MimeSniff _,
     "e01_knn_brute" -> e01KnnBrute _,
     "e02_knn_ivf" -> e02KnnIvf _,
     "e03_cosine_near_dup" -> e03CosineNearDup _,
@@ -599,6 +636,18 @@ object Pipeline {
         |      THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
         |FROM documents d LEFT JOIN lab l USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "d20_decontaminate" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id >= 480),
+        |d AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id < 480)
+        |SELECT d.doc_id, count(*) AS n_hits
+        |FROM d JOIN b USING (g)
+        |GROUP BY d.doc_id HAVING count(*) >= 1
+        |ORDER BY doc_id""".stripMargin,
     "q20_asof_join" ->
       """SELECT p.event_id, p.user_id,
         | epoch_us(p.ts) AS ts_us, epoch_us(v.ts) AS view_ts_us,
@@ -673,6 +722,23 @@ object Pipeline {
         | substring(hex(encode(text)), 1, 16) AS magic,
         | CAST(floor((greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT), 1) - 1) / 2) + 1 AS BIGINT) AS n_chunks_sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "m02_mime_sniff" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN from_hex('FFD8')
+        |       WHEN doc_id % 4 = 1 THEN from_hex('89504E47')
+        |       WHEN doc_id % 4 = 2 THEN from_hex('494433')
+        |       ELSE from_hex('') END || encode(text) AS payload
+        | FROM documents),
+        |m AS (SELECT doc_id, hex(payload) AS h FROM p),
+        |c AS (SELECT doc_id, CASE
+        |  WHEN substr(h, 1, 4) = 'FFD8' THEN 'image/jpeg'
+        |  WHEN substr(h, 1, 8) = '89504E47' THEN 'image/png'
+        |  WHEN substr(h, 1, 6) = '494433' THEN 'audio/mpeg'
+        |  WHEN substr(h, 1, 8) = '1A45DFA3' THEN 'video/webm'
+        |  ELSE 'application/octet-stream' END AS mime
+        | FROM m)
+        |SELECT mime, count(*) AS n, min(doc_id) AS first_doc
+        |FROM c GROUP BY mime ORDER BY mime""".stripMargin,
     "e01_knn_brute" ->
       """WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
         |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 10),

@@ -324,6 +324,21 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("decontaminate flags docs overlapping the benchmark, skips disjoint ones") {
+    val bench = Seq((100L, "the secret benchmark passage nobody should train on ever"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words then the secret benchmark passage nobody should train on ever and a tail"),
+      (2L, "entirely unrelated content speaking of spark shuffles and parquet files"),
+      (3L, "short")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(train, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(1L) && hits(1L) >= 7,
+      s"embedded passage must share its 3-gram shingles, got $hits")
+    assert(!hits.contains(2L) && !hits.contains(3L))
+  }
+
   test("semanticDedup collapses embedding near-dups to min-id canonicals") {
     val rnd = new scala.util.Random(11)
     def unitv(d: Int): Array[Float] = {
