@@ -339,6 +339,16 @@ class OpsSpec extends SparkSpec {
     assert(!hits.contains(2L) && !hits.contains(3L))
   }
 
+  test("decontaminate broadcasts the benchmark side; corpus never cartesians") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val plan = Dedup.decontaminate(train, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs step:\n$plan")
+  }
+
   test("semanticDedup collapses embedding near-dups to min-id canonicals") {
     val rnd = new scala.util.Random(11)
     def unitv(d: Int): Array[Float] = {
