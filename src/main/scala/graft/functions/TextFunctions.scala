@@ -92,6 +92,33 @@ object TextFunctions {
         .as("punct_ratio"))
   }
 
+  // PII patterns, deliberately restricted to syntax that means the same
+  // thing in java.util.regex AND RE2-family engines (no lookaround, no
+  // backrefs): any SQL oracle can re-run them verbatim.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII occurrence counts (emails, IPv4s, dashed intl phone numbers):
+    * three codegen'd regexp passes, map-side only. */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(emailRe)).as("n_emails"),
+    regexp_count(text, lit(ipv4Re)).as("n_ips"),
+    regexp_count(text, lit(phoneRe)).as("n_phones"))
+
+  /** PII redaction: replace every email/IPv4/phone occurrence with a
+    * typed placeholder token. Emails first (an address can embed
+    * digit runs), then phones, then IPs; the placeholders contain no
+    * digits or '@', so later passes cannot re-match earlier
+    * replacements. Pure map-side regexp_replace chain — scales as one
+    * scan, composes with scan pruning. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(emailRe), lit("<EMAIL>")),
+        lit(phoneRe), lit("<PHONE>")),
+      lit(ipv4Re), lit("<IP>"))
+
   /** 64-bit SimHash over word tokens (duplicates weighted): bit j of the
     * output is set when the sum over words of ±1 votes (per bit of the
     * word's hash) is positive. Native Catalyst expression

@@ -281,6 +281,85 @@ object Dedup {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Corpus-level LINE dedup (the C4/RefinedWeb boilerplate rule):
+    * split every document on `sep`, count each line's occurrences
+    * across the WHOLE corpus, drop every occurrence of any line seen
+    * `minCount`+ times (nav bars, cookie banners, license headers —
+    * exact-duplicate lines are overwhelmingly boilerplate), and
+    * reassemble the surviving lines in original order.
+    *
+    * Scale shape: two shuffles. The frequency table groups by the md5
+    * DIGEST of the line, so the counting shuffle moves (16-byte hash)
+    * keys, not line text; the anti-join back to the exploded lines is
+    * an equi-join on the same digest (boilerplate lines are a tiny
+    * minority of distinct lines, but the anti-join form stays correct
+    * even when they are not); reassembly is one groupBy on the doc id.
+    * Documents whose every line is boilerplate survive with empty
+    * text and `n_kept = 0`.
+    *
+    * Returns (doc_id, n_lines, n_kept, text) with `text` rebuilt from
+    * the kept lines. */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minCount: Int = 2,
+      sep: String = "\n"): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val lines = spread(docs).select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), sepLit)).as(Seq("pos", "line")))
+      .withColumn("__h", md5(col("line").cast("binary")))
+    val boiler = lines.groupBy("__h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount).select("__h")
+    val kept = lines.join(boiler, Seq("__h"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")), sep).as("__text"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), sepLit)).as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("__text"), lit("")).as("text"))
+  }
+
+  /** [[decontaminate]] for benchmark sets too large to broadcast as a
+    * join side: a Bloom filter over the benchmark's distinct shingle
+    * hashes (kilobytes-to-megabytes for millions of shingles at 1%
+    * fpp) ships to every task as a literal and kills non-matching
+    * corpus shingles map-side, BEFORE any shuffle; only the tiny
+    * candidate residue pays the exact confirmation join. Because Bloom
+    * filters have no false negatives and the confirm join removes the
+    * false positives, the output is bit-identical to [[decontaminate]]
+    * — this is a pure execution-strategy variant (the classic
+    * "broadcast a filter, not the data" move for semi-joins whose
+    * build side outgrows the broadcast budget). */
+  def bloomDecontaminate(docs: DataFrame, benchmark: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      nGram: Int = 3, minHits: Int = 1, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftExprBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val b = shingleSets(benchmark, idCol, textCol, nGram)
+      .select(explode(col("sh")).as("g")).distinct()
+    val bc = persistBounded(b)
+    val nItems = math.max(bc.count(), 1L)
+    val bf = bc.stat.bloomFilter("g", nItems, fpp)
+    val bytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      os.toByteArray
+    }
+    val mightContain = GraftExprBridge.column(BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      GraftExprBridge.expression(col("g"))))
+    val candidates = shingleSets(docs, idCol, textCol, nGram)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .filter(mightContain)
+    candidates.join(bc, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** Connected components over an undirected candidate-pair edge list
     * (`id_a`, `id_b`) — the cluster-collapse step every near-dup
     * operator here feeds into: [[minhashLsh]]/[[simhashPairs]]/

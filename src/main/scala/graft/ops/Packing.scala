@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-packing planners: map curated documents onto fixed
+  * token-budget training sequences. Two standard disciplines:
+  *
+  *  - [[concatChunkPlan]] — GPT-style "concatenate everything, slice
+  *    every `budget` tokens": documents may straddle chunk boundaries,
+  *    zero padding waste. Pure window algebra (one shuffle on the
+  *    group key), every row's chunk span is a closed-form function of
+  *    the running token sum.
+  *  - [[greedyPack]] — first-fit-in-order bin packing: a document
+  *    never straddles bins (needed when examples must stay intact);
+  *    bins are closed when the next document would overflow. The
+  *    per-group scan is inherently sequential, so it runs as the
+  *    secondary-sort pattern: hash-partition by group, sort within
+  *    partitions, one streaming pass per partition — the corpus
+  *    shuffles ONCE and no group ever needs to fit in memory (the
+  *    iterator is consumed lazily).
+  *
+  * Both are deterministic (doc-id order), so reruns and SQL oracles
+  * reproduce the identical packing.
+  */
+object Packing {
+
+  /** Plan the concat-and-chunk layout per `groupCol` (shard/source):
+    * documents ordered by `idCol`, `tokensCol` tokens each, sliced
+    * into `budget`-token chunks. Returns the input plus
+    * `token_offset` (this doc's start in the group's token stream),
+    * `chunk_first` (index of the chunk containing the first token)
+    * and `n_chunks` (how many chunks the doc spans). */
+  def concatChunkPlan(docs: DataFrame, idCol: String, groupCol: String,
+      tokensCol: Column, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    docs.withColumn("__n", tokensCol.cast("long"))
+      .withColumn("__end", sum(col("__n")).over(w))
+      .withColumn("token_offset", col("__end") - col("__n"))
+      .withColumn("chunk_first", floor(col("token_offset") / budget))
+      .withColumn("n_chunks",
+        floor((col("__end") - 1) / budget) - col("chunk_first") + 1)
+      .drop("__n", "__end")
+  }
+
+  /** First-fit-in-order greedy packing: within each group (docs in
+    * `idCol` order), a document joins the current bin unless that
+    * would exceed `budget`, in which case it opens the next bin; a
+    * document larger than the whole budget gets a bin of its own.
+    * Returns (group, id, n_tokens, bin_id) with bins numbered from 0
+    * per group. */
+  def greedyPack(docs: DataFrame, idCol: String, groupCol: String,
+      tokensCol: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(groupCol).cast("string").as("group"),
+        col(idCol).cast("long").as("id"),
+        tokensCol.cast("long").as("n_tokens"))
+      .repartition(col("group"))
+      .sortWithinPartitions(col("group"), col("id"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        // streaming pass: state is (current group, bin, fill) only —
+        // group size never matters
+        var g: String = null
+        var bin = 0L
+        var used = 0L
+        it.map { case (grp, id, n) =>
+          if (grp != g) { g = grp; bin = 0L; used = 0L }
+          if (used > 0 && used + n > budget) { bin += 1; used = 0L }
+          used += n
+          (grp, id, n, bin)
+        }
+      }
+      .toDF("group", "id", "n_tokens", "bin_id")
+  }
+}

@@ -67,6 +67,40 @@ object Temporal {
     bounded.select(left.columns.map(col).toSeq ++ outRight: _*)
   }
 
+  /** Point-in-interval (range) join: pair each point row with every
+    * interval row of the same key whose `[startTs, endTs)` contains
+    * the point's `pointTs`.
+    *
+    * Spark would plan the naive `p.key = i.key AND p.ts >= i.start AND
+    * p.ts < i.end` as a key-equi join whose per-key output is pruned
+    * AFTER |P|·|I| comparisons — quadratic in key skew. The scalable
+    * shape is temporal bucketing: each interval explodes to the
+    * `bucket`-granularity buckets it covers (intervals are short
+    * relative to the bucket in event workloads, so the explosion is a
+    * small constant), each point maps to exactly ONE bucket, and the
+    * join becomes an equi-join on (key, bucket) with a residual
+    * containment filter. A (point, interval) pair can only meet in the
+    * point's single bucket, so no post-join dedup is needed.
+    *
+    * `bucket` is a date_trunc unit ("minute" | "hour" | "day") and
+    * must be chosen >= the typical interval length; longer intervals
+    * stay correct but explode to more buckets. Column names must not
+    * collide across the two sides (pre-rename, as with [[asOfJoin]]). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
+      pointTs: String, startTs: String, endTs: String,
+      bucket: String = "hour"): DataFrame = {
+    require(Set("minute", "hour", "day")(bucket),
+      s"rangeJoin: bucket must be minute|hour|day, got '$bucket'")
+    val step = expr(s"interval 1 $bucket")
+    val p = points.withColumn("__bkt", date_trunc(bucket, col(pointTs)))
+    val i = intervals.withColumn("__bkt",
+      explode(sequence(date_trunc(bucket, col(startTs)),
+        date_trunc(bucket, col(endTs)), step)))
+    p.join(i, keys :+ "__bkt")
+      .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
+      .drop("__bkt")
+  }
+
   /** Sessionize: per-key ordinal session ids, a new session whenever
     * the gap since the previous event exceeds `gapSec`. One shuffle on
     * the key; the running sum reuses the same sort as the lag. */

@@ -277,6 +277,118 @@ object Pipeline {
     Dedup.clusterPairs(pairs, d).orderBy("doc_id")
   }
 
+  /** C4/RefinedWeb-style corpus-level line dedup: the documents table
+    * has no newlines (single-line word soup), so the gate first lays
+    * each doc out as 10-word lines — deterministically, on BOTH
+    * engines (the m02 fixture pattern) — then runs the real operator:
+    * global line frequency, drop every occurrence of any line seen
+    * twice+ corpus-wide, reassemble survivors in order. 127 of the
+    * sf0.01 corpus's 2798 lines repeat across docs (near-dup docs
+    * share aligned runs), so the gate exercises real removals. */
+  def d21LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextFunctions.words(col("text"))
+    val nch = ceil(size(ws) / lit(10.0)).cast("int")
+    val lined = docs(s, dir).select(col("doc_id"),
+      array_join(transform(sequence(lit(0), nch - 1),
+        i => array_join(slice(ws, i * lit(10) + 1, lit(10)), " ")), "\n")
+        .as("text"))
+    graft.ops.Dedup.lineDedup(lined, "doc_id", "text", minCount = 2)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        md5(col("text").cast("binary")).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scrubbing: count and redact emails / IPv4s / phone numbers.
+    * The corpus contains no PII, so the gate injects deterministic
+    * synthetic PII per doc_id on BOTH engines (the m02 fixture
+    * pattern) — docs get an email unless doc_id%3=0, an IP unless
+    * doc_id%4=0, a phone unless doc_id%5=0 — then the real operator
+    * counts and redacts; the md5 of the redacted text proves the
+    * replacement positions, not just the counts. */
+  def d22PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 > 0,
+          concat(lit(" reach user"), col("doc_id").cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 > 0,
+          concat(lit(" from 10."), (col("doc_id") % 200).cast("string"),
+            lit(".7.44"))).otherwise(lit("")),
+        when(col("doc_id") % 5 > 0,
+          concat(lit(" tel +1-555-"),
+            (lit(1000) + col("doc_id") % 9000).cast("string")))
+          .otherwise(lit(""))).as("text"))
+    injected.select(col("doc_id"),
+        TextFunctions.piiCounts(col("text")).as("p"),
+        md5(TextFunctions.redactPii(col("text")).cast("binary")).as("red_fp"))
+      .select(col("doc_id"), col("p.n_emails").as("n_emails"),
+        col("p.n_ips").as("n_ips"), col("p.n_phones").as("n_phones"),
+        col("red_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Decontamination via a broadcast Bloom filter instead of a
+    * broadcast join build side — the shape for benchmark suites too
+    * big to broadcast whole. No false negatives + exact confirm join
+    * on the survivors ⇒ bit-identical to the d20 semantics (here on a
+    * different 450/50 split), so the same SQL oracles it. */
+  def d23BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ops.Dedup.bloomDecontaminate(d.filter(col("doc_id") < 450),
+        d.filter(col("doc_id") >= 450))
+      .orderBy("doc_id")
+  }
+
+  /** GPT-style concat-and-chunk packing plan: per source, docs in id
+    * order, 256-token chunks; each doc's offset and chunk span is
+    * closed-form window algebra — the zero-padding-waste packing
+    * discipline. */
+  def p01PackChunks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.concatChunkPlan(
+        docs(s, dir).select(col("doc_id"), col("source"),
+          size(TextFunctions.words(col("text"))).as("n_words")),
+        "doc_id", "source", col("n_words"), budget = 256)
+      .select(col("doc_id"), col("source"), col("n_words"),
+        col("token_offset"), col("chunk_first"), col("n_chunks"))
+      .orderBy("doc_id")
+
+  /** First-fit greedy bin packing (docs stay intact): per source, in
+    * id order, 120-token bins. The Spark side is the secondary-sort
+    * streaming pass; the oracle re-derives the same bins with a
+    * recursive CTE stepping row-by-row — sequential semantics nobody
+    * could fake with a window function, which is what makes it a
+    * trustworthy oracle. */
+  def p02PackGreedy(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.greedyPack(docs(s, dir), "doc_id", "source",
+        size(TextFunctions.words(col("text"))), budget = 120)
+      .select(col("id").as("doc_id"), col("group").as("source"),
+        col("n_tokens"), col("bin_id"))
+      .orderBy("doc_id")
+
+  /** Bucketed range join (graft.ops.Temporal.rangeJoin): views landing
+    * inside each purchase's 2-hour attribution window, per user —
+    * hour-bucket equi-join + residual containment, never the |P|·|I|
+    * per-key blowup of a naive inequality join. Purchases with no
+    * views keep zero counts (left semantics). */
+  def q24RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("interval 2 hours")).as("end_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("value").as("v_value"))
+    val joined = graft.ops.Temporal.rangeJoin(views, purchases,
+      Seq("user_id"), "v_ts", "start_ts", "end_ts", "hour")
+    val agg = joined.groupBy("p_id")
+      .agg(count(lit(1)).as("n_views"),
+        round(sum("v_value"), 4).as("sum_view_value"))
+    purchases.select("p_id").join(agg, Seq("p_id"), "left_outer")
+      .select(col("p_id"), coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("sum_view_value"), lit(0.0)).as("sum_view_value"))
+      .orderBy("p_id")
+  }
+
   /** JSON property extraction from the events props column (scalar
     * function surface: get_json_object). */
   def d09JsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -444,6 +556,12 @@ object Pipeline {
     "d18_curation_sample" -> d18CurationSample _,
     "d19_dedup_clusters" -> d19DedupClusters _,
     "d20_decontaminate" -> d20Decontaminate _,
+    "d21_line_dedup" -> d21LineDedup _,
+    "d22_pii_redact" -> d22PiiRedact _,
+    "d23_bloom_decontaminate" -> d23BloomDecontaminate _,
+    "p01_pack_chunks" -> p01PackChunks _,
+    "p02_pack_greedy" -> p02PackGreedy _,
+    "q24_range_join" -> q24RangeJoin _,
     "q20_asof_join" -> q20AsofJoin _,
     "q21_sessionize" -> q21Sessionize _,
     "q22_window_agg" -> q22WindowAgg _,
@@ -636,6 +754,96 @@ object Pipeline {
         |      THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
         |FROM documents d LEFT JOIN lab l USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Same deterministic 10-word-line fixture as the Spark side, then
+    // the line-dedup algebra: global line frequency, anti-join, ordered
+    // string_agg reassembly.
+    "d21_line_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |c0 AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS INT)),
+        |    i -> array_to_string(ws[i*10+1 : i*10+10], ' ')) AS chunks FROM w),
+        |c AS (SELECT doc_id, unnest(range(0, len(chunks))) AS pos, unnest(chunks) AS line FROM c0),
+        |boiler AS (SELECT line FROM c GROUP BY line HAVING count(*) >= 2),
+        |kept AS (SELECT doc_id, pos, line FROM c WHERE line NOT IN (SELECT line FROM boiler)),
+        |reb AS (SELECT doc_id, count(*) AS n_kept,
+        |        string_agg(line, chr(10) ORDER BY pos) AS txt
+        |        FROM kept GROUP BY doc_id)
+        |SELECT c0.doc_id, CAST(len(chunks) AS INT) AS n_lines,
+        | CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+        | md5(coalesce(reb.txt, '')) AS kept_fp
+        |FROM c0 LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Same deterministic PII injection as the Spark side, then the
+    // identical RE2/java-compatible patterns: count, and redact in the
+    // same email -> phone -> ip order.
+    "d22_pii_redact" ->
+      """WITH inj AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 3 > 0 THEN ' reach user' || doc_id || '@mail.example.com' ELSE '' END
+        |  || CASE WHEN doc_id % 4 > 0 THEN ' from 10.' || (doc_id % 200) || '.7.44' ELSE '' END
+        |  || CASE WHEN doc_id % 5 > 0 THEN ' tel +1-555-' || (1000 + doc_id % 9000) ELSE '' END AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+        | CAST(len(regexp_extract_all(text, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS red_fp
+        |FROM inj ORDER BY doc_id""".stripMargin,
+    // The Bloom pre-filter is execution strategy only (no false
+    // negatives + exact confirm), so the oracle is d20's shingle
+    // intersection on the 450/50 split.
+    "d23_bloom_decontaminate" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id >= 450),
+        |d AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id < 450)
+        |SELECT d.doc_id, count(*) AS n_hits
+        |FROM d JOIN b USING (g)
+        |GROUP BY d.doc_id HAVING count(*) >= 1
+        |ORDER BY doc_id""".stripMargin,
+    "p01_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_words
+        | FROM documents),
+        |c AS (SELECT doc_id, source, n_words,
+        |  sum(n_words) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS e FROM t)
+        |SELECT doc_id, source, n_words,
+        | CAST(e - n_words AS BIGINT) AS token_offset,
+        | CAST((e - n_words) // 256 AS BIGINT) AS chunk_first,
+        | CAST((e - 1) // 256 - (e - n_words) // 256 + 1 AS BIGINT) AS n_chunks
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // Row-by-row first-fit recursion: the recursive CTE steps each
+    // source's docs in id order carrying (bin, fill) — genuinely
+    // sequential semantics, so it cross-checks the secondary-sort
+    // streaming pass rather than re-deriving it the same way.
+    "p02_pack_greedy" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        | FROM documents),
+        |step(source, rn, doc_id, n, bin, used) AS (
+        |  SELECT source, rn, doc_id, n, CAST(0 AS BIGINT), n FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.rn, t.doc_id, t.n,
+        |    CASE WHEN s.used + t.n > 120 THEN s.bin + 1 ELSE s.bin END,
+        |    CASE WHEN s.used + t.n > 120 THEN t.n ELSE s.used + t.n END
+        |  FROM step s JOIN t ON t.source = s.source AND t.rn = s.rn + 1)
+        |SELECT doc_id, source, n AS n_tokens, bin AS bin_id
+        |FROM step ORDER BY doc_id""".stripMargin,
+    "q24_range_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS start_ts,
+        |  ts + INTERVAL 2 HOUR AS end_ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts AS v_ts, value AS v_value FROM events
+        |      WHERE event_type = 'view')
+        |SELECT p.p_id, count(v.v_ts) AS n_views,
+        | coalesce(round(sum(v.v_value), 4), 0.0) AS sum_view_value
+        |FROM p LEFT JOIN v ON v.user_id = p.user_id
+        |  AND v.v_ts >= p.start_ts AND v.v_ts < p.end_ts
+        |GROUP BY p.p_id ORDER BY p_id""".stripMargin,
     "d20_decontaminate" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
         |sh AS (SELECT doc_id,

@@ -286,6 +286,62 @@ class OpsSpec extends SparkSpec {
     byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
   }
 
+  test("lineDedup drops corpus-repeated lines, keeps order, survives all-boilerplate docs") {
+    val d = Seq(
+      (1L, "keep one\nCOOKIE BANNER\nkeep two"),
+      (2L, "COOKIE BANNER\nother text"),
+      (3L, "COOKIE BANNER"), // all lines boilerplate -> empty survivor
+      (4L, "unique line a\nunique line b")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, minCount = 2).orderBy("doc_id")
+      .as[(Long, Int, Long, String)].collect()
+    assert(out(0) == (1L, 3, 2L, "keep one\nkeep two"))
+    assert(out(1) == (2L, 2, 1L, "other text"))
+    assert(out(2) == (3L, 1, 0L, ""))
+    assert(out(3) == (4L, 2, 2L, "unique line a\nunique line b"))
+  }
+
+  test("lineDedup counts repeats within one document too") {
+    val d = Seq((1L, "same\nsame\nmiddle"), (2L, "other")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, minCount = 2).filter(col("doc_id") === 1)
+      .select("text").as[String].head()
+    assert(out == "middle") // "same" appears twice (in one doc) -> dropped
+  }
+
+  test("bloomDecontaminate is bit-identical to the exact broadcast decontaminate") {
+    val corpus = docs
+    val bench = Seq((100L, base.replace("fox", "wolf")),
+      (101L, "nothing in common here at all zzz qqq")).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(corpus, bench).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    val bloom = Dedup.bloomDecontaminate(corpus, bench).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(exact.nonEmpty && bloom == exact)
+  }
+
+  test("bloomDecontaminate filters map-side: plan has no join before the bloom probe") {
+    val corpus = docs
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val plan = Dedup.bloomDecontaminate(corpus, bench)
+      .queryExecution.executedPlan.toString
+    // the bloom probe must appear as a filter condition, proving the
+    // corpus side is pruned before any shuffle/join
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+  }
+
+  test("piiCounts/redactPii find and replace emails, IPs, phones") {
+    val d = Seq((1L, "mail a.b+c@ex-1.org or 192.168.0.1 or +41-555-1234 end"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextFunctions.piiCounts(col("text")).as("p"),
+        TextFunctions.redactPii(col("text")).as("r"))
+      .select(col("doc_id"), col("p.n_emails"), col("p.n_ips"),
+        col("p.n_phones"), col("r"))
+      .orderBy("doc_id").as[(Long, Int, Int, Int, String)].collect()
+    assert(out(0) == (1L, 1, 1, 1, "mail <EMAIL> or <IP> or <PHONE> end"))
+    assert(out(1) == (2L, 0, 0, 0, "no pii here"))
+  }
+
   test("connectedComponents labels chains, triangles and hubs with the min id") {
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), // chain 1-2-3-4
       (10L, 11L), (11L, 12L), (10L, 12L), // triangle

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Packing
+
+/** Sequence-packing planners (graft.ops.Packing). */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (id, group, tokens): group a = 50+60+30+100, group b = 10+200+10
+  private lazy val docs = Seq(
+    (1L, "a", 50L), (2L, "a", 60L), (3L, "a", 30L), (4L, "a", 100L),
+    (5L, "b", 10L), (6L, "b", 200L), (7L, "b", 10L)
+  ).toDF("id", "grp", "n")
+
+  test("concatChunkPlan: offsets are the running sum, chunks the closed-form span") {
+    val out = Packing.concatChunkPlan(docs, "id", "grp", col("n"), budget = 100)
+      .select("id", "token_offset", "chunk_first", "n_chunks")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // group a stream: [0,50) [50,110) [110,140) [140,240)
+    assert(out(1L) == (0L, 0L, 1L))
+    assert(out(2L) == (50L, 0L, 2L)) // straddles chunk 0 -> 1
+    assert(out(3L) == (110L, 1L, 1L))
+    assert(out(4L) == (140L, 1L, 2L)) // spans chunks 1,2
+    // group b stream restarts at 0: [0,10) [10,210) [210,220)
+    assert(out(5L) == (0L, 0L, 1L))
+    assert(out(6L) == (10L, 0L, 3L))
+    assert(out(7L) == (210L, 2L, 1L))
+  }
+
+  test("greedyPack: first-fit in id order, oversize docs get their own bin") {
+    val out = Packing.greedyPack(docs, "id", "grp", col("n"), budget = 100)
+      .select("id", "bin_id").as[(Long, Long)].collect().toMap
+    // a: 50 -> bin0; 60 overflows -> bin1; 30 fits bin1 (90); 100 -> bin2
+    assert(out(1L) == 0L && out(2L) == 1L && out(3L) == 1L && out(4L) == 2L)
+    // b: 10 -> bin0; 200 (oversize) -> bin1 alone; 10 -> bin2 (200 overflowed its bin)
+    assert(out(5L) == 0L && out(6L) == 1L && out(7L) == 2L)
+  }
+
+  test("greedyPack never splits a doc and never overfills a bin (except oversize singletons)") {
+    val out = Packing.greedyPack(docs, "id", "grp", col("n"), budget = 100)
+    val bins = out.groupBy("group", "bin_id")
+      .agg(sum("n_tokens").as("fill"), count(lit(1)).as("m"))
+      .as[(String, Long, Long, Long)].collect()
+    bins.foreach { case (_, _, fill, m) =>
+      assert(fill <= 100 || m == 1, s"overfilled multi-doc bin: fill=$fill m=$m")
+    }
+    assert(out.count() == 7) // every doc packed exactly once
+  }
+
+  test("greedyPack matches a driver-side reference fold on pseudo-random sizes") {
+    val rows = (1L to 200L).map { i =>
+      (i, s"g${i % 3}", 1L + math.abs(java.util.Arrays.hashCode(Array(i)) % 97))
+    }
+    val df = rows.toDF("id", "grp", "n")
+    val got = Packing.greedyPack(df, "id", "grp", col("n"), budget = 150)
+      .select("id", "bin_id").as[(Long, Long)].collect().toMap
+    val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      var bin = 0L; var used = 0L
+      rs.sortBy(_._1).map { case (id, _, n) =>
+        if (used > 0 && used + n > 150) { bin += 1; used = 0L }
+        used += n
+        id -> bin
+      }
+    }
+    assert(got == want)
+  }
+}

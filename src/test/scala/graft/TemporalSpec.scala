@@ -73,6 +73,43 @@ class TemporalSpec extends SparkSpec {
     assert(j(12L).isEmpty, "next quote is 30 min ahead: beyond tolerance")
   }
 
+  test("rangeJoin: point-in-interval matches, exclusive end, no duplicate pairs") {
+    val points = Seq(
+      (1L, 1L, t("2026-01-01 10:30:00")), // inside iv A
+      (2L, 1L, t("2026-01-01 12:00:00")), // == iv A end (exclusive) -> no match
+      (3L, 1L, t("2026-01-01 10:00:00")), // == iv A start (inclusive)
+      (4L, 2L, t("2026-01-01 10:30:00")), // right key, but only iv for key 1
+      (5L, 1L, t("2026-01-01 23:00:00")) // outside all
+    ).toDF("pt_id", "user_id", "v_ts")
+    val ivs = Seq(
+      (10L, 1L, t("2026-01-01 10:00:00"), t("2026-01-01 12:00:00")), // A
+      (11L, 1L, t("2026-01-01 10:15:00"), t("2026-01-01 10:45:00")) // B overlaps A
+    ).toDF("iv_id", "user_id", "start_ts", "end_ts")
+    val out = Temporal.rangeJoin(points, ivs, Seq("user_id"),
+        "v_ts", "start_ts", "end_ts", "hour")
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+    // point 1 is in BOTH intervals; 3 only in A; 2/4/5 nowhere
+    assert(out == Set((1L, 10L), (1L, 11L), (3L, 10L)))
+  }
+
+  test("rangeJoin matches the naive inequality join on pseudo-random data") {
+    val points = (1L to 300L).map { i =>
+      (i, i % 5, t(f"2026-01-01 ${(i * 7) % 24}%02d:${(i * 13) % 60}%02d:00"))
+    }.toDF("pt_id", "user_id", "v_ts")
+    val ivs = (1L to 40L).map { j =>
+      val h = (j * 3) % 22
+      (j, j % 5, t(f"2026-01-01 $h%02d:${(j * 11) % 60}%02d:00"),
+        t(f"2026-01-01 ${h + 2}%02d:${(j * 11) % 60}%02d:00"))
+    }.toDF("iv_id", "user_id", "start_ts", "end_ts")
+    val bucketed = Temporal.rangeJoin(points, ivs, Seq("user_id"),
+        "v_ts", "start_ts", "end_ts", "hour")
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+    val naive = points.join(ivs, Seq("user_id"))
+      .filter(col("v_ts") >= col("start_ts") && col("v_ts") < col("end_ts"))
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive && naive.nonEmpty)
+  }
+
   test("sessionize splits on the gap, counts per-key sessions") {
     val ev = Seq(
       (1L, t("2026-01-01 10:00:00")), (1L, t("2026-01-01 10:20:00")),
