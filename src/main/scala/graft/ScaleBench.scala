@@ -11,8 +11,9 @@ object ScaleBench {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/root/repo/target/sf1")
     val names = Seq("d06_minhash_lsh", "d08_simhash_pairs", "d14_winnow_overlap",
-      "d18_curation_sample", "d19_dedup_clusters", "e05_knn_ivfpq",
-      "q21_sessionize", "q22_window_agg")
+      "d18_curation_sample", "d19_dedup_clusters", "d21_line_dedup",
+      "d23_bloom_decontaminate", "e05_knn_ivfpq", "p02_pack_greedy",
+      "q21_sessionize", "q22_window_agg", "q24_range_join")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -297,19 +297,33 @@ object Dedup {
     * Documents whose every line is boilerplate survive with empty
     * text and `n_kept = 0`.
     *
+    * `keepFirst = true` switches from the boilerplate rule (drop ALL
+    * occurrences) to C4's dedup rule: the globally-first occurrence —
+    * min (doc_id, pos) — of a repeated line survives, later copies
+    * drop. Same shuffle shape (the frequency aggregate additionally
+    * carries one (doc_id, pos) struct per distinct repeated line).
+    *
     * Returns (doc_id, n_lines, n_kept, text) with `text` rebuilt from
     * the kept lines. */
   def lineDedup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minCount: Int = 2,
-      sep: String = "\n"): DataFrame = {
+      sep: String = "\n", keepFirst: Boolean = false): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val sepLit = java.util.regex.Pattern.quote(sep)
     val lines = spread(docs).select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), sepLit)).as(Seq("pos", "line")))
       .withColumn("__h", md5(col("line").cast("binary")))
-    val boiler = lines.groupBy("__h").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minCount).select("__h")
-    val kept = lines.join(boiler, Seq("__h"), "left_anti")
+    val occ = struct(col("doc_id"), col("pos"))
+    val boiler0 = lines.groupBy("__h")
+      .agg(count(lit(1)).as("__n"), min(occ).as("__first"))
+      .filter(col("__n") >= minCount)
+    val kept =
+      if (keepFirst)
+        lines.join(boiler0.select(col("__h"), col("__first")),
+            Seq("__h"), "left_outer")
+          .filter(col("__first").isNull || occ === col("__first"))
+          .drop("__first")
+      else lines.join(boiler0.select("__h"), Seq("__h"), "left_anti")
     val rebuilt = kept.groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
@@ -382,7 +396,31 @@ object Dedup {
     * Returns (node, label): every node that appears in some pair, with
     * label = the smallest id in its component. Singleton docs never
     * appear (no edges) — [[clusterPairs]] re-attaches them. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** Driver-side union-find over a collected edge array: path-
+    * compressed, always attaching the larger root under the smaller,
+    * so every final root is its component's minimum id — the same
+    * labeling contract as the distributed path. */
+  private def unionFindLocal(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val ru = find(u)
+      val rv = find(v)
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    parent.keysIterator.map(k => k -> find(k)).toSeq
+  }
+
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+      driverThreshold: Long = 0L): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = pairs.sparkSession
@@ -434,6 +472,21 @@ object Dedup {
       .distinct()
       .localCheckpoint(eager = false)
     var sig = signature(edges)
+    // Small-graph fast path: the initial signature already counted the
+    // edges, so the check is free. Candidate-pair graphs are usually
+    // tiny relative to the corpus (pairs come out of LSH buckets, not
+    // the corpus itself) — below the threshold, log(n) distributed
+    // rounds of ~0.5 s scheduling overhead each lose badly to one
+    // collect + union-find; above it, the distributed path is the only
+    // thing that scales. Opt-in (0 = always distributed) so gates and
+    // scale runs exercise the distributed algorithm by default.
+    if (driverThreshold > 0 && sig._1 <= driverThreshold) {
+      import spark.implicits._
+      val local = unionFindLocal(
+        edges.select(col("u"), col("v")).as[(Long, Long)].collect())
+      edges.unpersist(blocking = false)
+      return local.toDF("node", "label")
+    }
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -467,8 +520,8 @@ object Dedup {
     * pairs for clustered docs only), so the re-attach join is narrow;
     * docs never shuffle their bodies. */
   def clusterPairs(pairs: DataFrame, docs: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
-    val comp = connectedComponents(pairs)
+      idCol: String = "doc_id", driverThreshold: Long = 0L): DataFrame = {
+    val comp = connectedComponents(pairs, driverThreshold = driverThreshold)
       .withColumnRenamed("node", "__cc_id")
     docs.select(col(idCol).cast("long").as("doc_id"))
       .join(comp, col("doc_id") === col("__cc_id"), "left_outer")

@@ -117,6 +117,38 @@ object Pq {
     ExpressionUtils.column(PqAdcExpr(
       ExpressionUtils.expression(codes), ExpressionUtils.expression(lut), ks))
 
+  /** Deterministic decorrelating rotation — the cheap member of the
+    * OPQ family. Product quantization quantizes each `dsub`-dim slice
+    * independently, so correlated/unbalanced input dimensions waste
+    * codebook capacity; a random orthogonal transform spreads energy
+    * across subspaces (Jégou et al. 2011 use a random rotation
+    * baseline; full OPQ learns the rotation). This one is a signed
+    * permutation — multiply by (±1 diagonal)·(permutation matrix) —
+    * which is exactly orthogonal, costs d moves instead of a d×d
+    * matmul per vector, and is engine-reproducible: slot j of the
+    * output is `sign(j) · v[perm(j)]` with `perm` = dimensions in
+    * md5-hex order and `sign(j)` an md5 coin, so a SQL oracle
+    * re-derives the identical transform. */
+  def rotation(d: Int): (Array[Int], Array[Double]) = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val perm = (0 until d).sortBy(i => (md5hex(i.toString), i)).toArray
+    val signs = Array.tabulate(d)(j =>
+      if (md5hex("s" + j).charAt(0) <= '7') -1.0 else 1.0)
+    (perm, signs)
+  }
+
+  /** Apply [[rotation]] to a vector column: a literal-indexed
+    * projection (d element_at's — plain codegen'd expressions, no
+    * interpreted HOF; ±1 multiplies are IEEE-exact, so rotated
+    * vectors are bit-reproducible cross-engine). */
+  def rotateCol(vec: Column, d: Int): Column = {
+    val (perm, signs) = rotation(d)
+    val v = vec.cast("array<double>")
+    array((0 until d).map(j => element_at(v, perm(j) + 1) * lit(signs(j))): _*)
+  }
+
   /** Encode a corpus: adds a `codes` column (keep it, drop the vector,
     * and the stored index is m bytes-of-int per row). */
   def encode(df: DataFrame, vecCol: String, cb: PqCodebook,

@@ -118,6 +118,23 @@ object Pipeline {
       .orderBy("vec_id", "m")
   }
 
+  /** Rotated product quantization (OPQ-lite): the e04 pipeline under
+    * graft.ops.Pq.rotateCol's deterministic signed-permutation
+    * rotation — PQ wastes codebook capacity on correlated dimensions,
+    * and a cheap orthogonal transform is the standard decorrelation
+    * step. The rotation is ±1·permute (IEEE-exact), so the whole
+    * rotate→seed→encode chain stays bit-reproducible by the DuckDB
+    * oracle, which re-derives perm and signs from the same md5 rule. */
+  def e08PqRotated(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"),
+      graft.ops.Pq.rotateCol(col("embedding"), 64).as("vec"))
+    val cb = graft.ops.Pq.train(e, "id", "vec", m = 8, ks = 16, iters = 0)
+    graft.ops.Pq.encode(e, "vec", cb)
+      .select(col("id").as("vec_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .orderBy("vec_id", "m")
+  }
+
   /** IVF-PQ (IVFADC) top-5 with exact rerank — the production
     * billion-scale ANN shape: coarse cells prune, residual PQ codes
     * score, raw vectors rerank the shortlist. Approximate by design
@@ -574,7 +591,8 @@ object Pipeline {
     "e04_pq_codes" -> e04PqCodes _,
     "e05_knn_ivfpq" -> e05KnnIvfPq _,
     "e06_knn_ivfpq_verify" -> e06KnnIvfPqVerify _,
-    "e07_semantic_dedup" -> e07SemanticDedup _)
+    "e07_semantic_dedup" -> e07SemanticDedup _,
+    "e08_pq_rotated" -> e08PqRotated _)
 
   private def jaccardOracle(where: String) =
     s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents$where),
@@ -984,6 +1002,32 @@ object Pipeline {
         |  row_number() OVER (PARTITION BY vec_id, mm ORDER BY dist, j) AS rk FROM sub)
         |SELECT vec_id, CAST(mm AS INTEGER) AS m, CAST(j AS INTEGER) AS code
         |FROM r WHERE rk = 1 ORDER BY vec_id, m""".stripMargin,
+    // e04's seeds-only PQ encode, applied to md5-signed-permutation
+    // ROTATED vectors: perm = dims in md5-hex order, sign(j) = -1 when
+    // md5('s'||j) starts 0-7 — re-derived here from the same rule, so
+    // the rotation needs no side channel. ±1 multiplies are IEEE-exact.
+    "e08_pq_rotated" ->
+      """WITH pm AS (SELECT list(i ORDER BY md5(CAST(i AS VARCHAR)), i) AS perm
+        |  FROM range(0, 64) t(i)),
+        |sg AS (SELECT list(CASE WHEN substr(md5('s' || CAST(i AS VARCHAR)), 1, 1) <= '7'
+        |    THEN -1.0 ELSE 1.0 END ORDER BY i) AS signs FROM range(0, 64) t(i)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+        |r AS (SELECT vec_id,
+        |  list_transform(range(1, 65), j -> e.v0[pm.perm[j] + 1] * sg.signs[j]) AS v
+        | FROM e, pm, sg),
+        |seeds AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, v
+        |  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v FROM r
+        |        ORDER BY h, vec_id LIMIT 16)),
+        |ms AS (SELECT unnest(range(0, 8)) AS mm),
+        |sub AS (SELECT r.vec_id, s.j, ms.mm,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (r.v[ms.mm * 8 + i] - s.v[ms.mm * 8 + i]) * (r.v[ms.mm * 8 + i] - s.v[ms.mm * 8 + i])),
+        |    (a, b) -> a + b) AS dist
+        | FROM r CROSS JOIN seeds s CROSS JOIN ms),
+        |rk AS (SELECT vec_id, mm, j,
+        |  row_number() OVER (PARTITION BY vec_id, mm ORDER BY dist, j) AS rk FROM sub)
+        |SELECT vec_id, CAST(mm AS INTEGER) AS m, CAST(j AS INTEGER) AS code
+        |FROM rk WHERE rk = 1 ORDER BY vec_id, m""".stripMargin,
     // Mirrors every float op of the deterministic IVF-PQ build+query in
     // Spark's exact sequential order: unit-normalize multiplies by
     // (1/sqrt(ss)) — NOT divides — because VecUnit does; dots/dists are

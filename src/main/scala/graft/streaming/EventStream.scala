@@ -58,15 +58,23 @@ object EventStream {
 
   /** Stateless curation gate over a document stream: quality features +
     * language ID run unchanged in streaming (no state, no watermark
-    * needed) — the same codegen'd expressions as batch d04/d05. */
+    * needed) — the same codegen'd expressions as batch d04/d05.
+    * `redact = true` additionally scrubs PII in-flight (the batch d22
+    * operator; also stateless, so it streams for free). */
   def curateStream(docs: DataFrame, minWords: Int = 20,
-      langs: Seq[String] = Seq("en", "de", "fr", "es")): DataFrame =
-    docs
+      langs: Seq[String] = Seq("en", "de", "fr", "es"),
+      redact: Boolean = false): DataFrame = {
+    val gated = docs
       .withColumn("q", graft.functions.TextFunctions.textFeatures(col("text")))
       .filter(col("q.n_words") >= minWords && col("q.stopword_ratio") >= 0.02)
       .withColumn("lang", col("q.lang"))
       .filter(col("lang").isin(langs: _*))
       .drop("q")
+    if (redact)
+      gated.withColumn("text",
+        graft.functions.TextFunctions.redactPii(col("text")))
+    else gated
+  }
 
   final case class UserTotal(userId: Long, nEvents: Long, total: Double)
 

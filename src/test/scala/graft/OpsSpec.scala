@@ -301,6 +301,20 @@ class OpsSpec extends SparkSpec {
     assert(out(3) == (4L, 2, 2L, "unique line a\nunique line b"))
   }
 
+  test("lineDedup keepFirst keeps the globally-first occurrence, drops later copies") {
+    val d = Seq(
+      (1L, "keep one\nCOOKIE BANNER\nkeep two"),
+      (2L, "COOKIE BANNER\nother text"),
+      (3L, "COOKIE BANNER")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, minCount = 2, keepFirst = true).orderBy("doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // first occurrence is (doc 1, pos 1) -> doc 1 keeps the banner
+    assert(out(0) == (1L, "keep one\nCOOKIE BANNER\nkeep two"))
+    assert(out(1) == (2L, "other text"))
+    assert(out(2) == (3L, ""))
+  }
+
   test("lineDedup counts repeats within one document too") {
     val d = Seq((1L, "same\nsame\nmiddle"), (2L, "other")).toDF("doc_id", "text")
     val out = Dedup.lineDedup(d, minCount = 2).filter(col("doc_id") === 1)
@@ -373,6 +387,20 @@ class OpsSpec extends SparkSpec {
     assert(rows(1L) == ((1L, 1)) && rows(2L) == ((1L, 0)) && rows(3L) == ((1L, 0)))
     assert(rows(5L) == ((5L, 1)) && rows(6L) == ((5L, 0)))
     assert(Seq(4L, 7L, 8L).forall(i => rows(i) == ((i, 1))), "singletons self-canonical")
+  }
+
+  test("connectedComponents driver fast path matches the distributed labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 20L), (5L, 40L)).toDF("id_a", "id_b")
+    val dist = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    val fast = Dedup.connectedComponents(pairs, driverThreshold = 1000L)
+      .as[(Long, Long)].collect().toSet
+    assert(fast == dist && fast.nonEmpty)
+    // over-threshold graphs fall through to the distributed path
+    val forced = Dedup.connectedComponents(pairs, driverThreshold = 2L)
+      .as[(Long, Long)].collect().toSet
+    assert(forced == dist)
   }
 
   test("connectedComponents of an empty pair set is empty") {

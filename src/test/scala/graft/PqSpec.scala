@@ -21,6 +21,25 @@ class PqSpec extends SparkSpec {
     assert(cb.centroids.exists(_ != 0.0))
   }
 
+  test("rotation is a signed permutation: orthogonal, deterministic, invertible") {
+    val (perm, signs) = Pq.rotation(64)
+    assert(perm.sorted.sameElements(0 until 64)) // bijection on dims
+    assert(signs.forall(s => s == 1.0 || s == -1.0))
+    assert(signs.count(_ == -1.0) > 10 && signs.count(_ == 1.0) > 10)
+    val (perm2, signs2) = Pq.rotation(64)
+    assert(perm.sameElements(perm2) && signs.sameElements(signs2))
+    // orthogonality on data: pairwise dots and norms are preserved
+    // (up to float re-association from the permuted summation order)
+    val rows = emb.limit(6)
+      .select(col("vec").cast("array<double>").as("v"),
+        Pq.rotateCol(col("vec"), 64).as("r"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    for ((va, ra) <- rows; (vb, rb) <- rows)
+      assert(math.abs(dot(va, vb) - dot(ra, rb)) < 1e-9)
+  }
+
   test("ADC score equals the exact dot product against reconstructed centroids") {
     val cb = Pq.train(emb, "id", "vec", m = 8, ks = 16, iters = 1)
     val rows = emb.limit(20)

@@ -96,6 +96,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream redacts PII in-flight when asked") {
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStream.curateStream(docs, minWords = 5, redact = true)
+      .writeStream.format("memory").queryName("curate_pii_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "the cat and the dog wrote to a.b@ex.org from 10.0.0.1 today",
+          t("2026-01-01 10:00:00")))
+      q.processAllAvailable()
+      val txt = spark.table("curate_pii_out").select("text").as[String].head()
+      assert(txt == "the cat and the dog wrote to <EMAIL> from <IP> today")
+    } finally q.stop()
+  }
+
   test("deterministic sampling + repetition gate compose in streaming") {
     // stateless hash-filters (Sampling.bernoulli) and the per-row
     // repetition expression run unchanged on a stream — and the kept
