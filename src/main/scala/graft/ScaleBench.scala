@@ -14,7 +14,7 @@ object ScaleBench {
       "d18_curation_sample", "d19_dedup_clusters", "d21_line_dedup",
       "d23_bloom_decontaminate", "e05_knn_ivfpq", "p02_pack_greedy",
       "q21_sessionize", "q22_window_agg", "q24_range_join")
-    val spark = SparkSession.builder()
+    val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")

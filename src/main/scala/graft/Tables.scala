@@ -15,6 +15,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Shuffle/spill scratch directory: prefer tmpfs when the host has
+    * one. Local-mode shuffles write partitions×tasks files per stage;
+    * on hosts whose /tmp sits on a slow overlay/virtual disk that
+    * fixed cost dominates small-stage latency (measured here: a
+    * 2-shuffle micro-bench medians 1.75 s on /tmp vs 0.99 s on
+    * tmpfs). The cluster-scale analogue is provisioning fast local
+    * disks for shuffle — this is that decision in local[n] form.
+    * Spark removes its subdirectory on clean JVM exit. */
+  def scratchDir: Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-spark-local")
+    else None
+  }
+
+  /** Apply [[scratchDir]] to a session builder (no-op without tmpfs). */
+  def withScratch(b: SparkSession.Builder): SparkSession.Builder =
+    scratchDir.fold(b)(d => b.config("spark.local.dir", d))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized

@@ -1,0 +1,54 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** JSONL corpus interchange for the training-data pipeline layer —
+  * the lingua franca for document dumps (one JSON object per line,
+  * optionally compressed). Built entirely on Spark's native JSON
+  * source: splittable-compressed or plain files stream through the
+  * scan in parallel, schema is ENFORCED (never inferred — inference
+  * costs an extra full pass and drifts with the data), and malformed
+  * lines are quarantined rather than failing the job (PERMISSIVE +
+  * corrupt-record column), which is how a 100 TB ingest must behave:
+  * one bad line in a billion must not kill the run, and must stay
+  * auditable. */
+object DocumentIO {
+
+  /** Write a corpus as JSONL part files. `compression`: "none",
+    * "gzip", "lz4", … (whatever codecs the runtime's Hadoop build
+    * provides). Compressed TEXT files are not splittable — one file =
+    * one read task — so at scale the parallelism lever is the number
+    * of part files (one per write task), not the codec: repartition
+    * before writing to set it. */
+  def writeJsonl(df: DataFrame, path: String,
+      compression: String = "gzip"): Unit =
+    df.write.mode("overwrite")
+      .option("compression", compression)
+      .json(path)
+
+  /** Read a JSONL corpus under an enforced schema. Malformed lines
+    * land in `__corrupt` (PERMISSIVE mode) with every schema column
+    * null; filter `__corrupt.isNull` for the clean view or
+    * `__corrupt.isNotNull` to audit rejects. */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("__corrupt", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "__corrupt")
+      .json(path)
+
+  /** Clean rows only, schema exactly as given: DROPMALFORMED discards
+    * unparseable lines at scan time (no corrupt column in the result,
+    * so downstream aggregates never trip Spark's corrupt-column-only
+    * pruning restriction — filtering [[readJsonl]]'s `__corrupt` would).
+    * Use [[readJsonl]] when the rejects must be audited. */
+  def readJsonlClean(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("mode", "DROPMALFORMED")
+      .json(path)
+}

@@ -348,7 +348,10 @@ object Pipeline {
     * broadcast join build side — the shape for benchmark suites too
     * big to broadcast whole. No false negatives + exact confirm join
     * on the survivors ⇒ bit-identical to the d20 semantics (here on a
-    * different 450/50 split), so the same SQL oracles it. */
+    * different split: doc_id < 450 vs the rest — 450/50 at sf0.01; at
+    * larger SFs the benchmark side becomes the LARGE side, which is
+    * precisely the bloom path's stress case), so the same SQL oracles
+    * it. */
   def d23BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     graft.ops.Dedup.bloomDecontaminate(d.filter(col("doc_id") < 450),
@@ -405,6 +408,26 @@ object Pipeline {
         coalesce(col("sum_view_value"), lit(0.0)).as("sum_view_value"))
       .orderBy("p_id")
   }
+
+  /** Corpus telemetry: per-language doc counts, distinct sources,
+    * token totals, and EXACT length percentiles. Exact `percentile`
+    * is a sort-based aggregate (per-group value buffer) — the right
+    * tool at codelist-sized group counts; the 100 TB path swaps in
+    * `approx_percentile` (t-digest, mergeable partial aggregates,
+    * bounded memory) at the cost of oracle exactness. Both engines
+    * define the quantile as linear interpolation at rank p·(n-1), so
+    * the gate hash-matches. */
+  def d24CorpusStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("n_words", size(TextFunctions.words(col("text"))))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum("n_words").cast("long").as("total_words"),
+        round(avg("n_words"), 4).as("avg_words"),
+        round(expr("percentile(n_words, 0.5)"), 4).as("p50_words"),
+        round(expr("percentile(n_words, 0.9)"), 4).as("p90_words"))
+      .orderBy("lang")
 
   /** JSON property extraction from the events props column (scalar
     * function surface: get_json_object). */
@@ -576,6 +599,7 @@ object Pipeline {
     "d21_line_dedup" -> d21LineDedup _,
     "d22_pii_redact" -> d22PiiRedact _,
     "d23_bloom_decontaminate" -> d23BloomDecontaminate _,
+    "d24_corpus_stats" -> d24CorpusStats _,
     "p01_pack_chunks" -> p01PackChunks _,
     "p02_pack_greedy" -> p02PackGreedy _,
     "q24_range_join" -> q24RangeJoin _,
@@ -822,6 +846,17 @@ object Pipeline {
         |FROM d JOIN b USING (g)
         |GROUP BY d.doc_id HAVING count(*) >= 1
         |ORDER BY doc_id""".stripMargin,
+    "d24_corpus_stats" ->
+      """WITH t AS (SELECT lang, source,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words
+        | FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | count(DISTINCT source) AS n_sources,
+        | CAST(sum(n_words) AS BIGINT) AS total_words,
+        | round(avg(n_words), 4) AS avg_words,
+        | round(quantile_cont(n_words, 0.5), 4) AS p50_words,
+        | round(quantile_cont(n_words, 0.9), 4) AS p90_words
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "p01_pack_chunks" ->
       """WITH t AS (SELECT doc_id, source,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_words

@@ -281,4 +281,34 @@ class IOSpec extends SparkSpec {
     assert(df.select(length(Multimodal.resizeStub(col("content"), 100)))
       .as[Int].collect().forall(_ <= 100))
   }
+
+  test("JSONL corpus round-trip: gzip parts, enforced schema, corrupt-line quarantine") {
+    import graft.io.DocumentIO
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("graft-jsonl")
+    val docs = Seq((1L, "alpha beta", "en"), (2L, "gamma", "de"))
+      .toDF("doc_id", "text", "lang")
+    DocumentIO.writeJsonl(docs, s"$dir/corpus")
+    // part files actually gzip-compressed
+    val parts = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(parts.nonEmpty)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val back = DocumentIO.readJsonlClean(spark, s"$dir/corpus", schema)
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(back == Seq((1L, "alpha beta", "en"), (2L, "gamma", "de")))
+    // corrupt lines: quarantined under __corrupt, not fatal, clean view drops them
+    val raw = s"$dir/mixed.jsonl"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(raw),
+      """{"doc_id": 1, "text": "ok", "lang": "en"}
+        |this is not json
+        |{"doc_id": 2, "text": "also ok", "lang": "de"}""".stripMargin)
+    // Spark refuses scans that reference ONLY the corrupt column —
+    // materialize data columns alongside it (the documented pattern)
+    val mixed = DocumentIO.readJsonl(spark, raw, schema)
+      .select("doc_id", "__corrupt").collect()
+    assert(mixed.count(r => !r.isNullAt(1)) == 1)
+    assert(DocumentIO.readJsonlClean(spark, raw, schema).count() == 2)
+  }
 }
