@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL extraction and domain-blocklist filtering — the first gate of
+  * every web-corpus curation run (C4 dropped blocklisted domains
+  * before any content filter; RefinedWeb keys its whole pipeline on
+  * URL dedup + blocklists).
+  *
+  * Patterns stay inside java-regex ∩ RE2 syntax so SQL oracles rerun
+  * them verbatim. Scale shape: domain extraction is map-side
+  * (regexp over the text, no shuffle); the blocklist check explodes
+  * (doc, domain) pairs and equi-joins a BROADCAST blocklist — the
+  * corpus never shuffles, and blocklists (10^5–10^7 domains) fit the
+  * broadcast budget comfortably as single-column frames. */
+object UrlOps {
+
+  val urlRe = "https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9./_-]*)?"
+  private val domainRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** All URLs in a text column (array<string>). */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(urlRe), lit(0))
+
+  /** Hostname of one URL. */
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, domainRe, 1)
+
+  /** Distinct hostnames referenced by a text column. */
+  def domains(text: Column): Column =
+    array_distinct(transform(extractUrls(text), u => urlDomain(u)))
+
+  /** Drop every document referencing at least one blocklisted domain.
+    * `blocklist` is a one-column (`domain`) frame; it broadcasts, the
+    * hit set is (doc id)s only, and the final anti-join is narrow. */
+  def filterByBlocklist(docs: DataFrame, blocklist: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hits = docs.select(col(idCol),
+        explode(domains(col(textCol))).as("domain"))
+      .join(broadcast(blocklist), "domain")
+      .select(col(idCol)).distinct()
+    docs.join(hits, Seq(idCol), "left_anti")
+  }
+
+  /** Per-document URL audit: url count, distinct domains, and whether
+    * any domain is blocklisted (1/0) — the flag form of
+    * [[filterByBlocklist]] for pipelines that quarantine rather than
+    * drop. */
+  def auditUrls(docs: DataFrame, blocklist: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol),
+      size(extractUrls(col(textCol))).as("n_urls"),
+      domains(col(textCol)).as("__domains"))
+    val hits = base.select(col(idCol), explode(col("__domains")).as("domain"))
+      .join(broadcast(blocklist), "domain")
+      .select(col(idCol)).distinct()
+      .withColumn("__blocked", lit(1))
+    base.join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_urls"),
+        size(col("__domains")).as("n_domains"),
+        coalesce(col("__blocked"), lit(0)).as("blocked"))
+  }
+}

@@ -409,6 +409,25 @@ object Pipeline {
       .orderBy("p_id")
   }
 
+  /** URL audit against a domain blocklist (the C4/RefinedWeb first
+    * gate): the corpus has no URLs, so the gate injects deterministic
+    * ones per doc_id on BOTH engines (the m02 fixture pattern), then
+    * the real operator extracts, resolves domains, and flags docs
+    * referencing blocklisted hosts via the broadcast-join path. */
+  def d25UrlFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val injected = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" and http://cdn"), (col("doc_id") % 4).cast("string"),
+            lit(".example.net/x"))).otherwise(lit(""))).as("text"))
+    val blocklist = Seq("site2.example.org", "site5.example.org",
+      "cdn1.example.net").toDF("domain")
+    graft.ops.UrlOps.auditUrls(injected, blocklist).orderBy("doc_id")
+  }
+
   /** Corpus telemetry: per-language doc counts, distinct sources,
     * token totals, and EXACT length percentiles. Exact `percentile`
     * is a sort-based aggregate (per-group value buffer) — the right
@@ -600,6 +619,7 @@ object Pipeline {
     "d22_pii_redact" -> d22PiiRedact _,
     "d23_bloom_decontaminate" -> d23BloomDecontaminate _,
     "d24_corpus_stats" -> d24CorpusStats _,
+    "d25_url_filter" -> d25UrlFilter _,
     "p01_pack_chunks" -> p01PackChunks _,
     "p02_pack_greedy" -> p02PackGreedy _,
     "q24_range_join" -> q24RangeJoin _,
@@ -846,6 +866,25 @@ object Pipeline {
         |FROM d JOIN b USING (g)
         |GROUP BY d.doc_id HAVING count(*) >= 1
         |ORDER BY doc_id""".stripMargin,
+    "d25_url_filter" ->
+      """WITH inj AS (SELECT doc_id, text
+        |  || ' see https://site' || (doc_id % 7) || '.example.org/p/' || doc_id
+        |  || CASE WHEN doc_id % 3 = 0
+        |     THEN ' and http://cdn' || (doc_id % 4) || '.example.net/x' ELSE '' END AS text
+        | FROM documents),
+        |u AS (SELECT doc_id,
+        |  regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9./_-]*)?') AS urls
+        | FROM inj),
+        |d AS (SELECT doc_id, len(urls) AS n_urls,
+        |  list_distinct(list_transform(urls,
+        |    x -> regexp_extract(x, 'https?://([A-Za-z0-9.-]+)', 1))) AS ds
+        | FROM u)
+        |SELECT doc_id, CAST(n_urls AS INT) AS n_urls,
+        | CAST(len(ds) AS INT) AS n_domains,
+        | CAST(CASE WHEN len(list_intersect(ds,
+        |   ['site2.example.org', 'site5.example.org', 'cdn1.example.net'])) > 0
+        |   THEN 1 ELSE 0 END AS INT) AS blocked
+        |FROM d ORDER BY doc_id""".stripMargin,
     "d24_corpus_stats" ->
       """WITH t AS (SELECT lang, source,
         |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words

@@ -343,6 +343,23 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
   }
 
+  test("UrlOps: extract, domains, blocklist filter and audit flags") {
+    import graft.ops.UrlOps
+    val d = Seq(
+      (1L, "intro http://bad.example.com/x then https://ok.example.org end"),
+      (2L, "only https://ok.example.org/page here"),
+      (3L, "no urls at all")
+    ).toDF("doc_id", "text")
+    val block = Seq("bad.example.com").toDF("domain")
+    assert(UrlOps.filterByBlocklist(d, block).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    val audit = UrlOps.auditUrls(d, block).orderBy("doc_id")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(audit(0) == (1L, 2, 2, 1))
+    assert(audit(1) == (2L, 1, 1, 0))
+    assert(audit(2) == (3L, 0, 0, 0))
+  }
+
   test("piiCounts/redactPii find and replace emails, IPs, phones") {
     val d = Seq((1L, "mail a.b+c@ex-1.org or 192.168.0.1 or +41-555-1234 end"),
       (2L, "no pii here")).toDF("doc_id", "text")
