@@ -53,6 +53,26 @@ object Multimodal {
   def byteStats(content: Column): Column =
     graft.functions.CatalystFunctions.byteStats(content)
 
+  /** Byte-level SimHash for binary payloads: 4-byte chunks of the hex
+    * rendering vote as "words" in the Charikar fingerprint, so
+    * near-identical assets (same media re-muxed, metadata-patched,
+    * tail-truncated) land within a small Hamming radius while the
+    * 64-bit sketch stays 8 bytes/asset — the dedup sketch for
+    * multimodal columns where text shingling has nothing to grab.
+    * Pair generation reuses the text path
+    * ([[graft.ops.Dedup.simhashPairsFrom]] on (doc_id, simhash)).
+    *
+    * `md5Words = true` hashes chunk-words with md5 (engine-
+    * reproducible — any SQL oracle re-derives the sketch bit-for-bit);
+    * the default XXH64 path is the cheap production variant. Both are
+    * one map-side pass, no shuffle. */
+  def byteSimhash(content: Column, md5Words: Boolean = false): Column = {
+    val chunkWords = regexp_extract_all(hex(content),
+      lit("[0-9A-F]{8}"), lit(0))
+    if (md5Words) graft.functions.CatalystFunctions.simhashMd5(chunkWords)
+    else graft.functions.CatalystFunctions.simhash64(chunkWords)
+  }
+
   /** Frame/chunk sampling: split the payload into fixed-size chunks
     * and keep every `stride`-th one — the binary analogue of video
     * frame sampling. Pure per-row slicing; no shuffle. */

@@ -224,6 +224,21 @@ object Pipeline {
       .orderBy("mime")
   }
 
+  /** Byte-level SimHash over binary payloads (the multimodal dedup
+    * sketch): 4-byte chunks vote, md5 chunk hashing so the DuckDB
+    * oracle re-derives every bit (m03 grades the sketch; the XXH64
+    * variant is the production path, and pair generation reuses the
+    * d08/d12 blocked join on the resulting (id, simhash) frame). */
+  def m03ByteSimhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal
+    docs(s, dir)
+      .withColumn("content", col("text").cast("binary"))
+      .select(col("doc_id"),
+        lpad(bin(Multimodal.byteSimhash(col("content"), md5Words = true)),
+          64, "0").as("sig"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash fingerprint with an engine-reproducible word hash (first
     * 8 md5 bytes), emitted as a 64-char bit string: proves the Charikar
     * voting logic against the DuckDB oracle. The production path (d08)
@@ -629,6 +644,7 @@ object Pipeline {
     "q23_asof_forward" -> q23AsofForward _,
     "m01_multimodal" -> m01Multimodal _,
     "m02_mime_sniff" -> m02MimeSniff _,
+    "m03_byte_simhash" -> m03ByteSimhash _,
     "e01_knn_brute" -> e01KnnBrute _,
     "e02_knn_ivf" -> e02KnnIvf _,
     "e03_cosine_near_dup" -> e03CosineNearDup _,
@@ -1039,6 +1055,16 @@ object Pipeline {
         | FROM m)
         |SELECT mime, count(*) AS n, min(doc_id) AS first_doc
         |FROM c GROUP BY mime ORDER BY mime""".stripMargin,
+    "m03_byte_simhash" ->
+      """WITH h AS (SELECT doc_id,
+        |  regexp_extract_all(hex(encode(text)), '[0-9A-F]{8}') AS ws FROM documents),
+        |hh AS (SELECT doc_id,
+        |  list_transform(ws, w -> ('0x' || substr(md5(w), 1, 16))::UBIGINT) AS hs FROM h)
+        |SELECT doc_id,
+        | list_aggregate(list_transform(range(0, 64), b ->
+        |   CASE WHEN 2 * len(list_filter(hs, x -> (x >> (63 - b)) & 1 = 1)) > len(hs)
+        |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+        |FROM hh ORDER BY doc_id""".stripMargin,
     "e01_knn_brute" ->
       """WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
         |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 10),

@@ -343,6 +343,27 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
   }
 
+  test("byteSimhash: near-identical binaries land close, different ones far") {
+    import graft.ops.Multimodal
+    // varied (non-repetitive) payload: every 4-byte chunk distinct, so
+    // vote margins are ~sqrt(n) and a 1-byte patch moves few bits
+    val payload = Array.tabulate[Byte](800)(i => ((i * 37 + 11) % 251).toByte)
+    val patched = payload.clone(); patched(200) = (patched(200) ^ 0x7F).toByte
+    val other = Array.tabulate[Byte](800)(i => ((i * 101 + 5) % 241).toByte)
+    val d = Seq((1L, payload), (2L, patched), (3L, other))
+      .toDF("doc_id", "content")
+      .select(col("doc_id"), Multimodal.byteSimhash(col("content")).as("simhash"))
+    val sigs = d.as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = ham(sigs(1L), sigs(2L))
+    val far = ham(sigs(1L), sigs(3L))
+    assert(near < 16 && far > near, s"near=$near far=$far")
+    // pair generation reuses the text-path blocked join at this radius
+    val pairs = Dedup.simhashPairsFrom(d, maxHamming = near)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.contains((1L, 3L)))
+  }
+
   test("UrlOps: extract, domains, blocklist filter and audit flags") {
     import graft.ops.UrlOps
     val d = Seq(
