@@ -45,6 +45,30 @@ object Packing {
       .drop("__n", "__end")
   }
 
+  /** Sliding-window document chunking (RAG/embedding prep): split each
+    * document's token stream into `chunkTokens`-token windows advancing
+    * by `chunkTokens - overlap`, so consecutive chunks share `overlap`
+    * tokens and no token is lost (the final window may be short).
+    * Pure per-row map (tokenize → slice → posexplode) — no shuffle,
+    * composes with scan pruning; emits (id, chunk_id, n_tokens, chunk
+    * text). `tokensCol` must be the document's token ARRAY column. */
+  def slidingChunks(docs: DataFrame, idCol: String, tokensCol: Column,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
+    val stride = chunkTokens - overlap
+    val n = size(tokensCol)
+    val nChunks = greatest(
+      ceil((n - overlap).cast("double") / stride).cast("int"), lit(1))
+    docs.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(tokensCol, i * stride + 1, lit(chunkTokens))))
+          .as(Seq("chunk_id", "toks")))
+      .select(col(idCol), col("chunk_id"),
+        size(col("toks")).as("n_tokens"),
+        array_join(col("toks"), " ").as("chunk"))
+  }
+
   /** First-fit-in-order greedy packing: within each group (docs in
     * `idCol` order), a document joins the current bin unless that
     * would exceed `budget`, in which case it opens the next bin; a

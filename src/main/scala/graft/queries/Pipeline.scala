@@ -400,6 +400,19 @@ object Pipeline {
         col("n_tokens"), col("bin_id"))
       .orderBy("doc_id")
 
+  /** Sliding-window chunking for RAG/embedding prep: 32-token windows
+    * advancing by 24 (8-token overlap), the no-token-lost discipline;
+    * pure per-row map, fingerprinted per chunk so the oracle proves
+    * content and boundaries, not just counts. */
+  def p03ChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.slidingChunks(
+        docs(s, dir).select(col("doc_id"),
+          TextFunctions.words(col("text")).as("ws")),
+        "doc_id", col("ws"), chunkTokens = 32, overlap = 8)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        md5(col("chunk").cast("binary")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+
   /** Bucketed range join (graft.ops.Temporal.rangeJoin): views landing
     * inside each purchase's 2-hour attribution window, per user —
     * hour-bucket equi-join + residual containment, never the |P|·|I|
@@ -637,6 +650,7 @@ object Pipeline {
     "d25_url_filter" -> d25UrlFilter _,
     "p01_pack_chunks" -> p01PackChunks _,
     "p02_pack_greedy" -> p02PackGreedy _,
+    "p03_chunk_overlap" -> p03ChunkOverlap _,
     "q24_range_join" -> q24RangeJoin _,
     "q20_asof_join" -> q20AsofJoin _,
     "q21_sessionize" -> q21Sessionize _,
@@ -942,6 +956,17 @@ object Pipeline {
         |  FROM step s JOIN t ON t.source = s.source AND t.rn = s.rn + 1)
         |SELECT doc_id, source, n AS n_tokens, bin AS bin_id
         |FROM step ORDER BY doc_id""".stripMargin,
+    "p03_chunk_overlap" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |k AS (SELECT doc_id, ws,
+        |  greatest(CAST(ceil((len(ws) - 8) / 24.0) AS INT), 1) AS nch FROM w),
+        |c AS (SELECT doc_id, unnest(range(0, nch)) AS chunk_id,
+        |  unnest(list_transform(range(0, nch), i -> ws[i*24+1 : i*24+32])) AS toks
+        | FROM k)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        | CAST(len(toks) AS INT) AS n_tokens,
+        | md5(array_to_string(toks, ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q24_range_join" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, ts AS start_ts,
         |  ts + INTERVAL 2 HOUR AS end_ts FROM events WHERE event_type = 'purchase'),

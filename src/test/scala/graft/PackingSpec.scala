@@ -29,6 +29,27 @@ class PackingSpec extends SparkSpec {
     assert(out(7L) == (210L, 2L, 1L))
   }
 
+  test("slidingChunks: full coverage, exact overlap, lossless reconstruction") {
+    val toks = (1 to 57).map(i => s"w$i")
+    val d = Seq((1L, toks), (2L, Seq("a", "b")), (3L, Seq.empty[String]))
+      .toDF("id", "ws")
+    val out = Packing.slidingChunks(d, "id", col("ws"), chunkTokens = 32, overlap = 8)
+      .orderBy("id", "chunk_id")
+      .select("id", "chunk_id", "chunk").as[(Long, Int, String)].collect()
+    val c1 = out.filter(_._1 == 1L).map(_._3.split(" ").toSeq)
+    assert(c1.length == 3) // ceil((57-8)/24) = 3 windows
+    assert(c1(0) == toks.slice(0, 32) && c1(1) == toks.slice(24, 56)
+      && c1(2) == toks.slice(48, 57))
+    // consecutive windows share exactly the 8-token overlap
+    assert(c1(0).takeRight(8) == c1(1).take(8))
+    // reconstruction: window 0 + each subsequent window minus overlap
+    val rebuilt = c1(0) ++ c1.tail.flatMap(_.drop(8))
+    assert(rebuilt == toks)
+    // short and empty docs produce exactly one (possibly empty) chunk
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b"))
+    assert(out.filter(_._1 == 3L).map(_._3).toSeq == Seq(""))
+  }
+
   test("greedyPack: first-fit in id order, oversize docs get their own bin") {
     val out = Packing.greedyPack(docs, "id", "grp", col("n"), budget = 100)
       .select("id", "bin_id").as[(Long, Long)].collect().toMap
