@@ -315,6 +315,16 @@ class OpsSpec extends SparkSpec {
     assert(out(2) == (3L, ""))
   }
 
+  test("lineDedup plan: frequency keyed on the md5 digest, no cartesian") {
+    val d = Seq((1L, "a\nb"), (2L, "b\nc")).toDF("doc_id", "text")
+    val plan = Dedup.lineDedup(d).queryExecution.executedPlan.toString
+    // the counting aggregate's key is the digest, so the shuffle moves
+    // 16-byte hashes, not line text
+    assert(plan.contains("md5"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("lineDedup counts repeats within one document too") {
     val d = Seq((1L, "same\nsame\nmiddle"), (2L, "other")).toDF("doc_id", "text")
     val out = Dedup.lineDedup(d, minCount = 2).filter(col("doc_id") === 1)

@@ -70,6 +70,19 @@ class PackingSpec extends SparkSpec {
     assert(out.count() == 7) // every doc packed exactly once
   }
 
+  test("plan shapes: one exchange for the pack window, zero for chunking") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString
+        .replace("BroadcastExchange", "")).length
+    // concat-and-chunk = the one hash exchange feeding the window
+    assert(exchanges(Packing.concatChunkPlan(docs, "id", "grp", col("n"), 100)) == 1)
+    // greedy pack = the one repartition feeding the streaming pass
+    assert(exchanges(Packing.greedyPack(docs, "id", "grp", col("n"), 100)) == 1)
+    // sliding chunks are a pure per-row map: no exchange at all
+    val toks = Seq((1L, Seq("a", "b", "c"))).toDF("id", "ws")
+    assert(exchanges(Packing.slidingChunks(toks, "id", col("ws"), 2, 1)) == 0)
+  }
+
   test("greedyPack matches a driver-side reference fold on pseudo-random sizes") {
     val rows = (1L to 200L).map { i =>
       (i, s"g${i % 3}", 1L + math.abs(java.util.Arrays.hashCode(Array(i)) % 97))

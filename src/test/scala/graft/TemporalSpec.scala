@@ -110,6 +110,19 @@ class TemporalSpec extends SparkSpec {
     assert(bucketed == naive && naive.nonEmpty)
   }
 
+  test("rangeJoin plans as an equi-join: no nested-loop, no cartesian") {
+    val points = Seq((1L, 1L, t("2026-01-01 10:30:00")))
+      .toDF("pt_id", "user_id", "v_ts")
+    val ivs = Seq((10L, 1L, t("2026-01-01 10:00:00"), t("2026-01-01 12:00:00")))
+      .toDF("iv_id", "user_id", "start_ts", "end_ts")
+    val plan = Temporal.rangeJoin(points, ivs, Seq("user_id"),
+        "v_ts", "start_ts", "end_ts", "hour")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join fell back to a non-equi plan:\n$plan")
+  }
+
   test("sessionize splits on the gap, counts per-key sessions") {
     val ev = Seq(
       (1L, t("2026-01-01 10:00:00")), (1L, t("2026-01-01 10:20:00")),
