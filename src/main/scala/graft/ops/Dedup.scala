@@ -490,7 +490,14 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      // fuse TWO alternations per materialization: each signature
+      // check is an action (a job), and on stage-latency-bound graphs
+      // the per-round jobs dominate, not the shuffle volume — checking
+      // convergence every other alternation halves the job count at
+      // the cost of at most one redundant alternation after the fixed
+      // point (idempotent: stars map a converged edge set to itself)
+      val next = smallStar(largeStar(smallStar(largeStar(edges))))
+        .localCheckpoint(eager = false)
       val nextSig = signature(next)
       edges.unpersist(blocking = false)
       edges = next

@@ -209,7 +209,7 @@ object Similarity {
     * row. */
   def semanticDedup(corpus: DataFrame, threshold: Double = 0.9,
       nCells: Int = 0, refineIters: Int = 1, maxCell: Int = 0,
-      md5Seeds: Boolean = false): DataFrame = {
+      md5Seeds: Boolean = false, driverThreshold: Long = 0L): DataFrame = {
     val unit = corpus.select(col("id"),
       graft.functions.CatalystFunctions.vecUnit(
         asDouble(col("vec"))).as("vec"))
@@ -224,7 +224,11 @@ object Similarity {
       .withColumn("sim", round(dot(col("va"), col("vb")), 4))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"))
-    Dedup.clusterPairs(pairs, corpus.select(col("id")), "id")
+    // near-dup pair graphs are tiny relative to the corpus: opt into
+    // the union-find fast path via driverThreshold (see
+    // Dedup.connectedComponents); 0 keeps the distributed collapse
+    Dedup.clusterPairs(pairs, corpus.select(col("id")), "id",
+        driverThreshold = driverThreshold)
       .select(col("doc_id").as("id"), col("cluster_id"), col("is_canonical"))
   }
 }
