@@ -76,6 +76,26 @@ object EventStream {
     else gated
   }
 
+  /** Streaming twin of the FILTER half of graft.ops.Dedup.lineDedup:
+    * drop boilerplate lines from in-flight documents against a
+    * batch-built digest set (the over-frequency lines a periodic
+    * batch lineDedup run publishes — counting frequencies needs the
+    * whole corpus, so the COUNT half stays batch). Documents explode
+    * to (doc_id, pos, line) and anti-join the static digest frame —
+    * stream-static joins are stateless, so no watermark is needed and
+    * state never grows. Emits surviving lines with their positions;
+    * reassembly belongs to the sink (order within a doc is preserved
+    * by `pos`). `boilerDigests` needs one column `__h` = md5 of the
+    * line. */
+  def stripBoilerplateLines(docs: DataFrame, boilerDigests: DataFrame,
+      sep: String = "\n"): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .withColumn("__h", md5(col("line").cast("binary")))
+      .join(broadcast(boilerDigests), Seq("__h"), "left_anti")
+      .drop("__h")
+
   final case class UserTotal(userId: Long, nEvents: Long, total: Double)
 
   /** Custom keyed state: running per-user totals via

@@ -96,6 +96,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stripBoilerplateLines drops blocked lines statelessly in streaming") {
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val boiler = Seq(Tuple1("COOKIE BANNER")).toDF("line")
+      .select(md5(col("line").cast("binary")).as("__h"))
+    val q = EventStream.stripBoilerplateLines(docs, boiler)
+      .writeStream.format("memory").queryName("strip_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "keep one\nCOOKIE BANNER\nkeep two", t("2026-01-01 10:00:00")),
+        (2L, "COOKIE BANNER", t("2026-01-01 10:01:00")))
+      q.processAllAvailable()
+      val rows = spark.table("strip_out").select("doc_id", "pos", "line")
+        .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(rows == Seq((1L, 0, "keep one"), (1L, 2, "keep two")))
+    } finally q.stop()
+  }
+
   test("curateStream redacts PII in-flight when asked") {
     val input = MemoryStream[(Long, String, Timestamp)](spark)
     val docs = input.toDF().toDF("doc_id", "text", "ts")
