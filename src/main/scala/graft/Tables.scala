@@ -25,7 +25,12 @@ object Tables {
     * Spark removes its subdirectory on clean JVM exit. */
   def scratchDir: Option[String] = {
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-spark-local")
+    // tmpfs is RAM: only divert shuffle there when plenty is free
+    // (ENOSPC mid-shuffle is worse than a slow disk), and leave /tmp
+    // alone otherwise. 16 GiB floor >> any sf0.1/sf1 shuffle here.
+    val floorBytes = 16L * 1024 * 1024 * 1024
+    if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > floorBytes)
+      Some("/dev/shm/graft-spark-local")
     else None
   }
 

@@ -374,28 +374,6 @@ object Dedup {
       .filter(col("n_hits") >= minHits)
   }
 
-  /** Connected components over an undirected candidate-pair edge list
-    * (`id_a`, `id_b`) — the cluster-collapse step every near-dup
-    * operator here feeds into: [[minhashLsh]]/[[simhashPairs]]/
-    * [[winnowOverlapPairs]] emit PAIRS, but a curation run needs one
-    * canonical keep-doc per duplicate GROUP, and near-dup relations are
-    * not transitive-closed pairwise (a~b, b~c but not a~c still must
-    * collapse to one cluster).
-    *
-    * Algorithm: alternating large-star/small-star (Kiveris et al. 2014,
-    * "Connected Components in MapReduce and Beyond" — the standard
-    * post-LSH step in MinHash dedup deployments). Each round is two
-    * equi-join + min-aggregate passes over (id, id) pairs — no
-    * quadratic step, no vertex ever needs its full neighbor list
-    * materialized (the per-node min is a groupBy aggregate, not a
-    * collect_list) — and converges in O(log n) rounds to per-component
-    * stars centered at the component's minimum id. Convergence is
-    * detected by an (edge-count, order-independent hash-sum) signature
-    * of the edge set: one tiny aggregate per round.
-    *
-    * Returns (node, label): every node that appears in some pair, with
-    * label = the smallest id in its component. Singleton docs never
-    * appear (no edges) — [[clusterPairs]] re-attaches them. */
   /** Driver-side union-find over a collected edge array: path-
     * compressed, always attaching the larger root under the smaller,
     * so every final root is its component's minimum id — the same
@@ -419,6 +397,28 @@ object Dedup {
     parent.keysIterator.map(k => k -> find(k)).toSeq
   }
 
+  /** Connected components over an undirected candidate-pair edge list
+    * (`id_a`, `id_b`) — the cluster-collapse step every near-dup
+    * operator here feeds into: [[minhashLsh]]/[[simhashPairs]]/
+    * [[winnowOverlapPairs]] emit PAIRS, but a curation run needs one
+    * canonical keep-doc per duplicate GROUP, and near-dup relations are
+    * not transitive-closed pairwise (a~b, b~c but not a~c still must
+    * collapse to one cluster).
+    *
+    * Algorithm: alternating large-star/small-star (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond" — the standard
+    * post-LSH step in MinHash dedup deployments). Each round is two
+    * equi-join + min-aggregate passes over (id, id) pairs — no
+    * quadratic step, no vertex ever needs its full neighbor list
+    * materialized (the per-node min is a groupBy aggregate, not a
+    * collect_list) — and converges in O(log n) rounds to per-component
+    * stars centered at the component's minimum id. Convergence is
+    * detected by an (edge-count, order-independent hash-sum) signature
+    * of the edge set: one tiny aggregate per round.
+    *
+    * Returns (node, label): every node that appears in some pair, with
+    * label = the smallest id in its component. Singleton docs never
+    * appear (no edges) — [[clusterPairs]] re-attaches them. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       driverThreshold: Long = 0L): DataFrame = {
     import org.apache.spark.sql.Row

@@ -39,9 +39,13 @@ object Packing {
     docs.withColumn("__n", tokensCol.cast("long"))
       .withColumn("__end", sum(col("__n")).over(w))
       .withColumn("token_offset", col("__end") - col("__n"))
-      .withColumn("chunk_first", floor(col("token_offset") / budget))
+      // integer `div`, not floating floor(x / b): at 100 TB a group's
+      // running token sum can exceed double's 53-bit mantissa and
+      // round across a chunk boundary (and the SQL oracle uses exact
+      // integer division)
+      .withColumn("chunk_first", expr(s"token_offset div $budget"))
       .withColumn("n_chunks",
-        floor((col("__end") - 1) / budget) - col("chunk_first") + 1)
+        expr(s"(__end - 1) div $budget") - col("chunk_first") + 1)
       .drop("__n", "__end")
   }
 

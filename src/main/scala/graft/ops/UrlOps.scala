@@ -48,17 +48,20 @@ object UrlOps {
     * [[filterByBlocklist]] for pipelines that quarantine rather than
     * drop. */
   def auditUrls(docs: DataFrame, blocklist: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val base = docs.select(col(idCol),
-      size(extractUrls(col(textCol))).as("n_urls"),
-      domains(col(textCol)).as("__domains"))
-    val hits = base.select(col(idCol), explode(col("__domains")).as("domain"))
-      .join(broadcast(blocklist), "domain")
-      .select(col(idCol)).distinct()
-      .withColumn("__blocked", lit(1))
-    base.join(hits, Seq(idCol), "left_outer")
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    // ONE pass over the corpus: explode the (possibly empty) domain
+    // list with explode_outer, left-join the broadcast blocklist, and
+    // fold back per doc — the regexp scan (the dominant cost) is not
+    // recomputed for a second plan branch
+    docs.select(col(idCol),
+        size(extractUrls(col(textCol))).as("n_urls"),
+        explode_outer(domains(col(textCol))).as("domain"))
+      .join(broadcast(blocklist.select(col("domain"),
+        lit(1).as("__hit"))), Seq("domain"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(first(col("n_urls")).as("n_urls"),
+        count(col("domain")).as("n_domains_l"),
+        max(coalesce(col("__hit"), lit(0))).as("blocked"))
       .select(col(idCol), col("n_urls"),
-        size(col("__domains")).as("n_domains"),
-        coalesce(col("__blocked"), lit(0)).as("blocked"))
-  }
+        col("n_domains_l").cast("int").as("n_domains"), col("blocked"))
 }

@@ -109,8 +109,14 @@ object Pipeline {
     * bit-for-bit. The trained-codebook ADC path (graft.ops.Pq.adcKnn)
     * is approximate by design and graded by PqSpec's recall/identity
     * checks instead. */
-  def e04PqCodes(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+  def e04PqCodes(s: SparkSession, dir: String): DataFrame =
+    pqCodesGate(emb(s, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec")))
+
+  /** Shared seeds-only (iters=0, md5-ordered) PQ encode gate body for
+    * e04 (plain) and e08 (rotated) — one copy keeps the twin gates'
+    * shapes in lockstep. */
+  private def pqCodesGate(e: DataFrame): DataFrame = {
     val cb = graft.ops.Pq.train(e, "id", "vec", m = 8, ks = 16, iters = 0)
     graft.ops.Pq.encode(e, "vec", cb)
       .select(col("id").as("vec_id"),
@@ -125,15 +131,9 @@ object Pipeline {
     * step. The rotation is ±1·permute (IEEE-exact), so the whole
     * rotate→seed→encode chain stays bit-reproducible by the DuckDB
     * oracle, which re-derives perm and signs from the same md5 rule. */
-  def e08PqRotated(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id").as("id"),
-      graft.ops.Pq.rotateCol(col("embedding"), 64).as("vec"))
-    val cb = graft.ops.Pq.train(e, "id", "vec", m = 8, ks = 16, iters = 0)
-    graft.ops.Pq.encode(e, "vec", cb)
-      .select(col("id").as("vec_id"),
-        posexplode(col("codes")).as(Seq("m", "code")))
-      .orderBy("vec_id", "m")
-  }
+  def e08PqRotated(s: SparkSession, dir: String): DataFrame =
+    pqCodesGate(emb(s, dir).select(col("vec_id").as("id"),
+      graft.ops.Pq.rotateCol(col("embedding"), 64).as("vec")))
 
   /** IVF-PQ (IVFADC) top-5 with exact rerank — the production
     * billion-scale ANN shape: coarse cells prune, residual PQ codes
@@ -319,7 +319,9 @@ object Pipeline {
     * share aligned runs), so the gate exercises real removals. */
   def d21LineDedup(s: SparkSession, dir: String): DataFrame = {
     val ws = TextFunctions.words(col("text"))
-    val nch = ceil(size(ws) / lit(10.0)).cast("int")
+    // clamp: a 0-word doc is ONE empty line on both engines (an
+    // unclamped sequence(0, -1) DESCENDS — the byteStats bug class)
+    val nch = greatest(ceil(size(ws) / lit(10.0)).cast("int"), lit(1))
     val lined = docs(s, dir).select(col("doc_id"),
       array_join(transform(sequence(lit(0), nch - 1),
         i => array_join(slice(ws, i * lit(10) + 1, lit(10)), " ")), "\n")
@@ -851,7 +853,7 @@ object Pipeline {
     // string_agg reassembly.
     "d21_line_dedup" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
-        |c0 AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS INT)),
+        |c0 AS (SELECT doc_id, list_transform(range(0, greatest(CAST(ceil(len(ws) / 10.0) AS INT), 1)),
         |    i -> array_to_string(ws[i*10+1 : i*10+10], ' ')) AS chunks FROM w),
         |c AS (SELECT doc_id, unnest(range(0, len(chunks))) AS pos, unnest(chunks) AS line FROM c0),
         |boiler AS (SELECT line FROM c GROUP BY line HAVING count(*) >= 2),
@@ -951,8 +953,8 @@ object Pipeline {
         |  SELECT source, rn, doc_id, n, CAST(0 AS BIGINT), n FROM t WHERE rn = 1
         |  UNION ALL
         |  SELECT t.source, t.rn, t.doc_id, t.n,
-        |    CASE WHEN s.used + t.n > 120 THEN s.bin + 1 ELSE s.bin END,
-        |    CASE WHEN s.used + t.n > 120 THEN t.n ELSE s.used + t.n END
+        |    CASE WHEN s.used > 0 AND s.used + t.n > 120 THEN s.bin + 1 ELSE s.bin END,
+        |    CASE WHEN s.used > 0 AND s.used + t.n > 120 THEN t.n ELSE s.used + t.n END
         |  FROM step s JOIN t ON t.source = s.source AND t.rn = s.rn + 1)
         |SELECT doc_id, source, n AS n_tokens, bin AS bin_id
         |FROM step ORDER BY doc_id""".stripMargin,
