@@ -191,6 +191,56 @@ object SimHash64Expr {
   }
 }
 
+/** Byte-level SimHash over a binary payload: each aligned 4-byte
+  * chunk (big-endian) is XXH64-hashed DIRECTLY and votes on the 64
+  * output bits — no hex rendering, no per-chunk string (the composed
+  * hex+regexp form allocates a 2x-payload hex string plus one String
+  * per chunk per row). Trailing partial chunks are dropped, matching
+  * the hex form's [0-9A-F]{8} regex behavior. Voting is identical to
+  * [[SimHash64Expr]], so pair generation composes unchanged. */
+final case class ByteSimhash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "byte_simhash64"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ByteSimhash64Expr.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ByteSimhash64Expr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteSimhash64Expr =
+    copy(child = newChild)
+}
+
+object ByteSimhash64Expr {
+  def compute(bytes: Array[Byte]): Long = {
+    val votes = new Array[Int](64)
+    val nChunks = bytes.length / 4
+    var i = 0
+    while (i < nChunks) {
+      val o = i * 4
+      val v = ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+      val h = XXH64.hashInt(v, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
 /** Dot product of two double arrays in a tight compiled loop —
   * replaces `aggregate(zip_with(a, b, *), 0.0, +)`, which allocates a
   * zipped array and folds it interpreted per row. Sequential summation
@@ -748,6 +798,8 @@ object CatalystFunctions {
     ExpressionUtils.column(HyperplaneSig(ExpressionUtils.expression(vec), bits))
   def simhashMd5(ws: Column): Column =
     ExpressionUtils.column(SimHashMd5Expr(ExpressionUtils.expression(ws)))
+  def byteSimhash64(content: Column): Column =
+    ExpressionUtils.column(ByteSimhash64Expr(ExpressionUtils.expression(content)))
   def textFeatures(text: Column): Column =
     ExpressionUtils.column(TextFeaturesExpr(ExpressionUtils.expression(text)))
   def winnowHashes(text: Column, k: Int, w: Int): Column =

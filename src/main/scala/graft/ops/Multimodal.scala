@@ -53,8 +53,8 @@ object Multimodal {
   def byteStats(content: Column): Column =
     graft.functions.CatalystFunctions.byteStats(content)
 
-  /** Byte-level SimHash for binary payloads: 4-byte chunks of the hex
-    * rendering vote as "words" in the Charikar fingerprint, so
+  /** Byte-level SimHash for binary payloads: aligned 4-byte chunks
+    * vote as "words" in the Charikar fingerprint, so
     * near-identical assets (same media re-muxed, metadata-patched,
     * tail-truncated) land within a small Hamming radius while the
     * 64-bit sketch stays 8 bytes/asset — the dedup sketch for
@@ -66,12 +66,16 @@ object Multimodal {
     * reproducible — any SQL oracle re-derives the sketch bit-for-bit);
     * the default XXH64 path is the cheap production variant. Both are
     * one map-side pass, no shuffle. */
-  def byteSimhash(content: Column, md5Words: Boolean = false): Column = {
-    val chunkWords = regexp_extract_all(hex(content),
-      lit("[0-9A-F]{8}"), lit(0))
-    if (md5Words) graft.functions.CatalystFunctions.simhashMd5(chunkWords)
-    else graft.functions.CatalystFunctions.simhash64(chunkWords)
-  }
+  def byteSimhash(content: Column, md5Words: Boolean = false): Column =
+    if (md5Words)
+      // oracle-reproducible variant: md5 of the hex chunk STRING — any
+      // SQL engine re-derives it, at string-allocation cost (gate m03)
+      graft.functions.CatalystFunctions.simhashMd5(
+        regexp_extract_all(hex(content), lit("[0-9A-F]{8}"), lit(0)))
+    else
+      // production variant: one native compiled pass hashing raw
+      // 4-byte chunks — zero intermediate strings
+      graft.functions.CatalystFunctions.byteSimhash64(content)
 
   /** Frame/chunk sampling: split the payload into fixed-size chunks
     * and keep every `stride`-th one — the binary analogue of video
