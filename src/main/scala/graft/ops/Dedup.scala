@@ -490,14 +490,14 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // fuse TWO alternations per materialization: each signature
-      // check is an action (a job), and on stage-latency-bound graphs
-      // the per-round jobs dominate, not the shuffle volume — checking
-      // convergence every other alternation halves the job count at
-      // the cost of at most one redundant alternation after the fixed
-      // point (idempotent: stars map a converged edge set to itself)
-      val next = smallStar(largeStar(smallStar(largeStar(edges))))
-        .localCheckpoint(eager = false)
+      // ONE alternation per materialization — do NOT fuse rounds:
+      // each star references its input through a union with the
+      // REVERSED projection, which defeats exchange reuse, so an
+      // un-checkpointed largeStar subtree recomputes for every plan
+      // reference inside smallStar (measured: fusing two alternations
+      // per checkpoint halved the job count but made d19/e07 2.5x
+      // slower at sf0.1 — recomputation beat the saved jobs)
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val nextSig = signature(next)
       edges.unpersist(blocking = false)
       edges = next
