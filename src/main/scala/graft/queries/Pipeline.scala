@@ -439,6 +439,18 @@ object Pipeline {
       .orderBy("p_id")
   }
 
+  /** Corpus vocabulary: top-100 word frequencies with a deterministic
+    * (count desc, word) tie-break — the precursor pass of tokenizer/
+    * vocab training and the canonical map-side-combine aggregation:
+    * partial counts collapse per task before the one (word, count)
+    * shuffle, and the top-k plans as TakeOrderedAndProject (per-
+    * partition heaps + driver merge), never a full global sort. */
+  def d26VocabTopk(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(TextFunctions.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(100)
+
   /** URL audit against a domain blocklist (the C4/RefinedWeb first
     * gate): the corpus has no URLs, so the gate injects deterministic
     * ones per doc_id on BOTH engines (the m02 fixture pattern), then
@@ -650,6 +662,7 @@ object Pipeline {
     "d23_bloom_decontaminate" -> d23BloomDecontaminate _,
     "d24_corpus_stats" -> d24CorpusStats _,
     "d25_url_filter" -> d25UrlFilter _,
+    "d26_vocab_topk" -> d26VocabTopk _,
     "p01_pack_chunks" -> p01PackChunks _,
     "p02_pack_greedy" -> p02PackGreedy _,
     "p03_chunk_overlap" -> p03ChunkOverlap _,
@@ -898,6 +911,11 @@ object Pipeline {
         |FROM d JOIN b USING (g)
         |GROUP BY d.doc_id HAVING count(*) >= 1
         |ORDER BY doc_id""".stripMargin,
+    "d26_vocab_topk" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |      FROM documents)
+        |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
     "d25_url_filter" ->
       """WITH inj AS (SELECT doc_id, text
         |  || ' see https://site' || (doc_id % 7) || '.example.org/p/' || doc_id
