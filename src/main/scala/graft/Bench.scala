@@ -5,8 +5,33 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR. A warmup pass at sf0.001 first exercises every
   * query's codegen/JIT path (plans are schema-identical across scale
   * factors), so the timed pass measures steady-state throughput rather
-  * than first-compile latency. */
+  * than first-compile latency.
+  *
+  * Self-diagnosis (VERDICT r5 #8 — two rounds of driver benches were
+  * lost to host-contention windows no median could absorb): the JSON
+  * additionally carries per-query BEST-of-reps ("best") and a
+  * 2-shuffle scratch-disk probe measured before and after the battery
+  * ("probe_pre_sec"/"probe_post_sec"). Reading the artifact: a query
+  * whose median is many times its best was hit by a contention window,
+  * not a plan change; probe values far above ~1 s (or pre/post
+  * disagreeing) mean the shuffle scratch disk or the host was sick for
+  * the run. */
 object Bench {
+
+  /** Fixed 2-shuffle micro-probe (repartition + aggregate over 2M
+    * longs): measures per-stage shuffle overhead — scratch-disk and
+    * scheduler health — independent of any query's plan. */
+  def shuffleProbe(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.col
+    val t0 = System.nanoTime()
+    spark.range(0, 2000000, 1, 32)
+      .repartition(64, col("id"))
+      .groupBy((col("id") % 97).as("k")).count()
+      .repartition(32)
+      .count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -29,6 +54,7 @@ object Bench {
     // GC pause or page-cache miss cannot fake a 12× regression
     // (VERDICT r2: the driver-env d09 "regression" was one noisy rep).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val probePre = shuffleProbe(spark)
     val results = names.map { name =>
       // Per-query isolation: drop every cached/persisted frame left over
       // from earlier queries (index builds, bounded shingle persists) so
@@ -48,15 +74,19 @@ object Bench {
         if (ok) sec else -sec
       }
       val anyFailed = times.exists(_ < 0)
-      val median = times.map(math.abs).sorted.apply(reps / 2)
-      (name, if (anyFailed) -median else median)
+      val abs = times.map(math.abs).sorted
+      val median = abs(reps / 2)
+      (name, if (anyFailed) -median else median, abs.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val probePost = shuffleProbe(spark)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val best = results.map { case (k, _, b) => "\"" + k + "\":" + b }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(r => math.abs(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"probe_pre_sec":$probePre,"probe_post_sec":$probePost,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

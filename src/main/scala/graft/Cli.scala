@@ -16,7 +16,7 @@ import graft.report.Reporter
   *   graft.Cli <storeRoot> solve  <model>/<scenario> [modelName]
   *   graft.Cli <storeRoot> export <model>/<scenario> <outDir>
   *   graft.Cli <storeRoot> import <model>/<scenario> <csvPath>
-  *   graft.Cli <storeRoot> report <model>/<scenario> <key>
+  *   graft.Cli <storeRoot> report <model>/<scenario> <key> [iamcCsvOut]
   *   graft.Cli platform add <name> <storeRoot> [--default]
   *   graft.Cli platform remove <name>
   *   graft.Cli platform list
@@ -91,12 +91,19 @@ object Cli {
 
     case "report" =>
       val s = scenario(mp, args(1))
-      val q = Reporter.fromScenario(s).get(args(2))
+      val rep = Reporter.fromScenario(s)
+      val q = rep.get(args(2))
       println(s"${args(2)}  [unit: ${q.unit}]")
       // deterministic ordered print, like the CLI golden-output test
       // (tests/report/test_reporter.py:193-204)
       val out = if (q.dims.nonEmpty) q.df.orderBy(q.dims.head, q.dims.tail: _*) else q.df
       out.show(100, truncate = false)
+      // optional 4th arg: one-call IAMC CSV export of the key (the
+      // convert_pyam output path, doc/reporting.rst:85)
+      if (args.length > 3) {
+        rep.writeIamcCsv(args(2), args(3), s.model, s.scenario)
+        println(s"wrote IAMC ${args(2)} to ${args(3)}")
+      }
 
     case other =>
       throw new IllegalArgumentException(s"unknown command '$other'")

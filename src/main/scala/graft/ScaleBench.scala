@@ -13,7 +13,12 @@ object ScaleBench {
     val names = Seq("d06_minhash_lsh", "d08_simhash_pairs", "d14_winnow_overlap",
       "d18_curation_sample", "d19_dedup_clusters", "d21_line_dedup",
       "d23_bloom_decontaminate", "e05_knn_ivfpq", "p02_pack_greedy",
-      "q21_sessionize", "q22_window_agg", "q24_range_join")
+      "q21_sessionize", "q22_window_agg", "q24_range_join",
+      // round-5/6 newcomers (VERDICT r5 #6): not yet in the 10× table
+      "d20_decontaminate", "d22_pii_redact", "d24_corpus_stats",
+      "d25_url_filter", "d26_vocab_topk", "p01_pack_chunks",
+      "p03_chunk_overlap", "m02_mime_sniff", "m03_byte_simhash",
+      "e09_pq_opq")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

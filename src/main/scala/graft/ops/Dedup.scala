@@ -38,16 +38,24 @@ object Dedup {
     df.repartition(p)
   }
 
-  // At most one persisted shingle-set per JVM: each new pipeline run
+  // At most one persisted frame per SLOT per JVM: each new pipeline run
   // evicts the previous one, so repeated runs don't accumulate cached
-  // blocks for the SparkContext's lifetime.
-  private var lastPersisted: Option[DataFrame] = None
-  private def persistBounded(df: DataFrame): DataFrame = synchronized {
-    lastPersisted.foreach(_.unpersist(blocking = false))
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    lastPersisted = Some(p)
-    p
+  // blocks for the SparkContext's lifetime. Slots are per operator
+  // family — bloomDecontaminate holds its benchmark shingles across the
+  // whole (lazy) confirm join, so sharing a slot with a concurrent
+  // minhash/winnow run would silently evict it mid-query (ADVICE r5).
+  private final class PersistSlot {
+    private var last: Option[DataFrame] = None
+    def apply(df: DataFrame): DataFrame = synchronized {
+      last.foreach(_.unpersist(blocking = false))
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      last = Some(p)
+      p
+    }
   }
+  private val shinglePersist = new PersistSlot // minhash / ngram / winnow
+  private val bloomPersist = new PersistSlot   // bloomDecontaminate benchmark side
+  private def persistBounded(df: DataFrame): DataFrame = shinglePersist(df)
 
   /** Per-document distinct HASHED word n-gram shingle sets
     * (array<long>). Minhash, banding, and Jaccard verification only
@@ -295,7 +303,11 @@ object Dedup {
     * minority of distinct lines, but the anti-join form stays correct
     * even when they are not); reassembly is one groupBy on the doc id.
     * Documents whose every line is boilerplate survive with empty
-    * text and `n_kept = 0`.
+    * text and `n_kept = 0`. EMPTY lines are structure, not content —
+    * blank-line paragraph separators repeat corpus-wide by definition,
+    * so they are excluded from the frequency gate and kept
+    * unconditionally (C4/RefinedWeb line rules operate on
+    * content-bearing lines; ADVICE r5).
     *
     * `keepFirst = true` switches from the boilerplate rule (drop ALL
     * occurrences) to C4's dedup rule: the globally-first occurrence —
@@ -314,7 +326,7 @@ object Dedup {
         posexplode(split(col(textCol), sepLit)).as(Seq("pos", "line")))
       .withColumn("__h", md5(col("line").cast("binary")))
     val occ = struct(col("doc_id"), col("pos"))
-    val boiler0 = lines.groupBy("__h")
+    val boiler0 = lines.filter(length(col("line")) > 0).groupBy("__h")
       .agg(count(lit(1)).as("__n"), min(occ).as("__first"))
       .filter(col("__n") >= minCount)
     val kept =
@@ -355,7 +367,7 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val b = shingleSets(benchmark, idCol, textCol, nGram)
       .select(explode(col("sh")).as("g")).distinct()
-    val bc = persistBounded(b)
+    val bc = bloomPersist(b)
     val nItems = math.max(bc.count(), 1L)
     val bf = bc.stat.bloomFilter("g", nItems, fpp)
     val bytes = {

@@ -31,7 +31,10 @@ object Packing {
     * into `budget`-token chunks. Returns the input plus
     * `token_offset` (this doc's start in the group's token stream),
     * `chunk_first` (index of the chunk containing the first token)
-    * and `n_chunks` (how many chunks the doc spans). */
+    * and `n_chunks` (how many chunks the doc spans). A zero-token doc
+    * occupies NO chunk: `n_chunks = 0` with `chunk_first` still the
+    * chunk its offset falls in (before ADVICE r5 the span formula gave
+    * empty docs 0 or 1 chunks depending on boundary position). */
   def concatChunkPlan(docs: DataFrame, idCol: String, groupCol: String,
       tokensCol: Column, budget: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
@@ -45,7 +48,8 @@ object Packing {
       // integer division)
       .withColumn("chunk_first", expr(s"token_offset div $budget"))
       .withColumn("n_chunks",
-        expr(s"(__end - 1) div $budget") - col("chunk_first") + 1)
+        when(col("__n") === 0, lit(0L))
+          .otherwise(expr(s"(__end - 1) div $budget") - col("chunk_first") + 1))
       .drop("__n", "__end")
   }
 

@@ -43,35 +43,46 @@ object Pq {
     * keeps the seed centroids (sampled subvectors), which is exactly
     * reproducible by a SQL oracle. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, ks: Int = 16, iters: Int = 2): PqCodebook = {
+      m: Int = 8, ks: Int = 16, iters: Int = 2,
+      init: Option[PqCodebook] = None): PqCodebook = {
     val c = corpus.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__vec"))
     val first = c.select(size(col("__vec"))).head().getInt(0)
     require(first % m == 0, s"dim $first not divisible by m=$m subspaces")
     val dsub = first / m
 
-    // engine-reproducible seeding: hex-md5 string order (same collation
-    // everywhere), ties by id
-    val seedRows = c.orderBy(md5(col("__id").cast("string").cast("binary")),
-        col("__id")).limit(ks)
-      .select(col("__vec")).collect()
-    require(seedRows.length == ks, s"corpus smaller than ks=$ks")
-    val flat = new Array[Double](m * ks * dsub)
-    var j = 0
-    while (j < ks) {
-      val v = seedRows(j).getSeq[Double](0)
-      var mm = 0
-      while (mm < m) {
-        var d = 0
-        while (d < dsub) {
-          flat((mm * ks + j) * dsub + d) = v(mm * dsub + d)
-          d += 1
+    // warm start (the OPQ alternation hands back the previous round's
+    // codebook so Lloyd refines instead of reseeding — reseeding would
+    // break the alternation's monotone descent) or engine-reproducible
+    // seeding: hex-md5 string order (same collation everywhere), ties
+    // by id
+    var cb = init match {
+      case Some(cb0) =>
+        require(cb0.m == m && cb0.ks == ks && cb0.dsub == dsub,
+          "init codebook shape mismatch")
+        cb0
+      case None =>
+        val seedRows = c.orderBy(md5(col("__id").cast("string").cast("binary")),
+            col("__id")).limit(ks)
+          .select(col("__vec")).collect()
+        require(seedRows.length == ks, s"corpus smaller than ks=$ks")
+        val flat = new Array[Double](m * ks * dsub)
+        var j = 0
+        while (j < ks) {
+          val v = seedRows(j).getSeq[Double](0)
+          var mm = 0
+          while (mm < m) {
+            var d = 0
+            while (d < dsub) {
+              flat((mm * ks + j) * dsub + d) = v(mm * dsub + d)
+              d += 1
+            }
+            mm += 1
+          }
+          j += 1
         }
-        mm += 1
-      }
-      j += 1
+        PqCodebook(m, ks, dsub, flat)
     }
-    var cb = PqCodebook(m, ks, dsub, flat)
     if (iters <= 0) return cb
 
     val cached = c.persist()
@@ -147,6 +158,124 @@ object Pq {
     val (perm, signs) = rotation(d)
     val v = vec.cast("array<double>")
     array((0 until d).map(j => element_at(v, perm(j) + 1) * lit(signs(j))): _*)
+  }
+
+  /** Apply a dense d×d orthogonal matrix (row-major) to a vector
+    * column — the learned-OPQ analogue of [[rotateCol]]: one native
+    * codegen'd mat-vec per row (d² multiplies), map-side only. */
+  def matVecCol(vec: Column, mat: Array[Double], d: Int): Column =
+    ExpressionUtils.column(MatVecExpr(
+      ExpressionUtils.expression(vec.cast("array<double>")), mat, d))
+
+  /** Per-row PQ reconstruction error ||x − decode(encode(x))||² — the
+    * OPQ objective. Free inside the encode scan: each subspace's
+    * argmin distance IS that subspace's squared error, so the total is
+    * their sum (no decode round-trip). */
+  def reconErrCol(vec: Column, cb: PqCodebook): Column =
+    ExpressionUtils.column(PqReconErrExpr(
+      ExpressionUtils.expression(vec.cast("array<double>")), cb))
+
+  /** Mean PQ reconstruction error of a corpus under a rotation — the
+    * number OPQ minimizes; [[PqSpec]] grades learned vs fixed rotation
+    * with it. */
+  def reconstructionMse(corpus: DataFrame, vecCol: String, cb: PqCodebook,
+      rot: Column => Column): Double =
+    corpus.select(avg(reconErrCol(rot(col(vecCol)), cb)).as("mse"))
+      .head().getDouble(0)
+
+  /** Learned OPQ (Ge et al. 2013, "Optimized Product Quantization",
+    * CVPR — the non-parametric solution): alternate (a) Lloyd codebook
+    * refinement on the rotated data with (b) the orthogonal Procrustes
+    * rotation update — R ← V·Uᵀ from the SVD U·S·Vᵀ of the
+    * data/reconstruction correlation M = Σ x·x̂ᵀ. Each half-step is
+    * the exact minimizer of Σ‖R·x − x̂‖² with the other half fixed, so
+    * the objective descends monotonically from the [[rotation]]
+    * baseline (R₀ = the fixed signed permutation, codebooks
+    * warm-started across rounds).
+    *
+    * 100 TB shape: the per-round costs are one [[train]] pass (only
+    * m·ks·dsub aggregate cells shuffle) plus one corpus map-pass that
+    * accumulates a d×d matrix per PARTITION (d² doubles each — 32 KB
+    * at d=64 — reduced on the driver); the SVD is a driver-local d×d
+    * problem. Train on a corpus sample at scale, exactly as k-means
+    * seeding already does; nothing here is super-linear in rows.
+    *
+    * Returns (codebook, R row-major): encode with
+    * `encodeCol(matVecCol(vec, R, d), cb)`; queries must apply the
+    * same R before building their LUT. */
+  def trainOpq(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ks: Int = 16, iters: Int = 2, opqIters: Int = 3)
+      : (PqCodebook, Array[Double]) = {
+    val c = corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val d = c.select(size(col("__vec"))).head().getInt(0)
+      require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+      // R0 = the deterministic signed permutation (e08's baseline) as a
+      // dense matrix: row j of R has sign(j) at column perm(j)
+      val (perm, signs) = rotation(d)
+      var r = new Array[Double](d * d)
+      var j = 0
+      while (j < d) { r(j * d + perm(j)) = signs(j); j += 1 }
+      var cb: PqCodebook = null
+      var round = 0
+      while (round < opqIters) {
+        val rotated = c.select(col("__id"),
+          matVecCol(col("__vec"), r, d).as("__vec"))
+        cb = train(rotated, "__id", "__vec", m, ks, iters,
+          init = Option(cb))
+        if (round < opqIters - 1) { // last round keeps codebook+R in sync
+          val cbL = cb
+          val rL = r
+          // M = Σ x·x̂ᵀ accumulated per partition (x original, x̂ the
+          // reconstruction of R·x) — one narrow array per partition to
+          // the driver, never a per-row explosion
+          val mArr = c.select(col("__vec")).rdd.mapPartitions { it =>
+            val acc = new Array[Double](d * d)
+            val rx = new Array[Double](d)
+            it.foreach { row =>
+              val x = row.getSeq[Double](0)
+              var i = 0
+              while (i < d) {
+                var s = 0.0
+                var k = 0
+                while (k < d) { s += rL(i * d + k) * x(k); k += 1 }
+                rx(i) = s
+                i += 1
+              }
+              val xhat = PqReconErrExpr.decodeOf(rx, cbL)
+              i = 0
+              while (i < d) {
+                val xi = x(i)
+                var k = 0
+                while (k < d) { acc(i * d + k) += xi * xhat(k); k += 1 }
+                i += 1
+              }
+            }
+            Iterator.single(acc)
+          }.reduce { (a, b) =>
+            var i = 0
+            while (i < d * d) { a(i) += b(i); i += 1 }
+            a
+          }
+          val bm = breeze.linalg.DenseMatrix.tabulate(d, d)(
+            (i, k) => mArr(i * d + k))
+          val svdR = breeze.linalg.svd(bm)
+          val rNew = svdR.Vt.t * svdR.U.t // argmax tr(R·M) over orthogonal R
+          val flat = new Array[Double](d * d)
+          var i = 0
+          while (i < d) {
+            var k = 0
+            while (k < d) { flat(i * d + k) = rNew(i, k); k += 1 }
+            i += 1
+          }
+          r = flat
+        }
+        round += 1
+      }
+      (cb, r)
+    } finally { c.unpersist(blocking = false); () }
   }
 
   /** Encode a corpus: adds a `codes` column (keep it, drop the vector,
@@ -352,5 +481,121 @@ object PqAdcExpr {
     var mm = 0
     while (mm < m) { s += lut.getDouble(mm * ks + codes.getInt(mm)); mm += 1 }
     s
+  }
+}
+
+/** Dense row-major d×d matrix × vector — the learned-OPQ rotation
+  * apply. The matrix ships to executors as a codegen reference object
+  * (d² doubles — 32 KB at d=64), like [[PqCodebook]]. Row sums are
+  * sequential in index order, so results are deterministic for a given
+  * matrix. */
+final case class MatVecExpr(child: Expression, mat: Array[Double], d: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MatVecExpr.compute(
+      input.asInstanceOf[ArrayData], mat, d))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("opqmat", mat, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.ops.MatVecExpr.compute($c, $ref, $d))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MatVecExpr =
+    copy(child = newChild)
+}
+
+object MatVecExpr {
+  def compute(a: ArrayData, mat: Array[Double], d: Int): Array[Double] = {
+    require(a.numElements() == d,
+      s"mat_vec: vector dim ${a.numElements()} != matrix dim $d")
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += mat(i * d + k) * a.getDouble(k); k += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+}
+
+/** ‖x − decode(encode(x))‖² in one scan: the per-subspace argmin
+  * distance PQ encode already computes IS that subspace's squared
+  * reconstruction error, so the row's error is their sum. */
+final case class PqReconErrExpr(child: Expression, cb: PqCodebook)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_recon_err"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    PqReconErrExpr.compute(input.asInstanceOf[ArrayData], cb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqcb", cb, classOf[PqCodebook].getName)
+    defineCodeGen(ctx, ev, c => s"graft.ops.PqReconErrExpr.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqReconErrExpr =
+    copy(child = newChild)
+}
+
+object PqReconErrExpr {
+  def compute(a: ArrayData, cb: PqCodebook): Double = {
+    val v = PqEncodeExpr.toArr(a, normalize = false)
+    require(v.length == cb.dim,
+      s"pq_recon_err: vector dim ${v.length} != codebook dim ${cb.dim}")
+    val cent = cb.centroids
+    var err = 0.0
+    var mm = 0
+    while (mm < cb.m) {
+      val off = mm * cb.dsub
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.ks) {
+        val coff = (mm * cb.ks + j) * cb.dsub
+        var s = 0.0
+        var d = 0
+        while (d < cb.dsub) {
+          val diff = v(off + d) - cent(coff + d)
+          s += diff * diff
+          d += 1
+        }
+        if (s < bestD) bestD = s
+        j += 1
+      }
+      err += bestD
+      mm += 1
+    }
+    err
+  }
+
+  /** Driver/executor-local decode: concatenated nearest centroids —
+    * the x̂ the OPQ Procrustes step correlates against. */
+  def decodeOf(v: Array[Double], cb: PqCodebook): Array[Double] = {
+    val codes = PqEncodeExpr.compute(
+      new GenericArrayData(v), cb, normalize = false)
+    val out = new Array[Double](cb.dim)
+    var mm = 0
+    while (mm < cb.m) {
+      val coff = (mm * cb.ks + codes(mm)) * cb.dsub
+      var d = 0
+      while (d < cb.dsub) {
+        out(mm * cb.dsub + d) = cb.centroids(coff + d)
+        d += 1
+      }
+      mm += 1
+    }
+    out
   }
 }

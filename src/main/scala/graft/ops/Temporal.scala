@@ -85,7 +85,12 @@ object Temporal {
     * `bucket` is a date_trunc unit ("minute" | "hour" | "day") and
     * must be chosen >= the typical interval length; longer intervals
     * stay correct but explode to more buckets. Column names must not
-    * collide across the two sides (pre-rename, as with [[asOfJoin]]). */
+    * collide across the two sides (pre-rename, as with [[asOfJoin]]).
+    *
+    * Malformed intervals (`endTs` before `startTs`) are dropped up
+    * front: they can match no point anyway, and an unguarded
+    * descending `sequence()` would otherwise throw at runtime and
+    * kill the whole job on one bad row (ADVICE r5). */
   def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
       pointTs: String, startTs: String, endTs: String,
       bucket: String = "hour"): DataFrame = {
@@ -93,7 +98,7 @@ object Temporal {
       s"rangeJoin: bucket must be minute|hour|day, got '$bucket'")
     val step = expr(s"interval 1 $bucket")
     val p = points.withColumn("__bkt", date_trunc(bucket, col(pointTs)))
-    val i = intervals.withColumn("__bkt",
+    val i = intervals.filter(col(endTs) >= col(startTs)).withColumn("__bkt",
       explode(sequence(date_trunc(bucket, col(startTs)),
         date_trunc(bucket, col(endTs)), step)))
     p.join(i, keys :+ "__bkt")

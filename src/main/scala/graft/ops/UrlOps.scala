@@ -52,12 +52,15 @@ object UrlOps {
     // ONE pass over the corpus: explode the (possibly empty) domain
     // list with explode_outer, left-join the broadcast blocklist, and
     // fold back per doc — the regexp scan (the dominant cost) is not
-    // recomputed for a second plan branch
+    // recomputed for a second plan branch. The blocklist is distinct()d
+    // first: a duplicated blocklist row would fan out the left join and
+    // inflate n_domains (ADVICE r5; filterByBlocklist was already
+    // immune via its own distinct).
     docs.select(col(idCol),
         size(extractUrls(col(textCol))).as("n_urls"),
         explode_outer(domains(col(textCol))).as("domain"))
-      .join(broadcast(blocklist.select(col("domain"),
-        lit(1).as("__hit"))), Seq("domain"), "left_outer")
+      .join(broadcast(blocklist.select(col("domain")).distinct()
+        .withColumn("__hit", lit(1))), Seq("domain"), "left_outer")
       .groupBy(col(idCol))
       .agg(first(col("n_urls")).as("n_urls"),
         count(col("domain")).as("n_domains_l"),

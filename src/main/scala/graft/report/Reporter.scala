@@ -167,6 +167,44 @@ class Reporter {
 
   /** Force a key and return the DataFrame (dims + value). */
   def getDf(key: String): DataFrame = get(key).df
+
+  /** One-call IAMC export of a computed key — the reference's
+    * `convert_pyam` Reporter output path (doc/reporting.rst:85; column
+    * contract = IAMC_IDX + year columns, backend/common.py:52): force
+    * `key`, project onto long IAMC rows via [[Reporter.toIamc]] (dims
+    * beyond region/year are summed out, never silently dropped),
+    * normalize with [[graft.util.Util.toIamcLayout]], then pivot years
+    * wide. Region/year dims are auto-detected from their common ixmp
+    * spellings when not given explicitly. */
+  def toIamc(key: String, model: String, scenario: String,
+      variable: String = "", regionDim: String = "",
+      yearDim: String = ""): DataFrame = {
+    val q = get(key)
+    def pick(explicit: String, cands: Seq[String]): Option[String] =
+      if (explicit.nonEmpty) Some(explicit) else cands.find(q.dims.contains)
+    val rd = pick(regionDim, Seq("region", "node", "n", "r"))
+    val yd = pick(yearDim, Seq("year", "y", "ya", "yv"))
+    val v = if (variable.nonEmpty) variable else Key.parse(key).name
+    val long = graft.util.Util.toIamcLayout(
+      Operators.toIamc(q, model, scenario, v, rd, yd))
+    if (yd.isDefined)
+      graft.util.Util.longToWide(long,
+        Seq("model", "scenario", "region", "variable", "unit", "subannual"))
+    else long
+  }
+
+  /** CSV sink for [[toIamc]]: a headered CSV at `path` (directory of
+    * part files, like every sink here — the frame is one
+    * already-aggregated report key, so this is small output, but the
+    * write stays distributed for consistency). Years ascend left to
+    * right because [[graft.util.Util.longToWide]] pivots on the sorted
+    * distinct years. */
+  def writeIamcCsv(key: String, path: String, model: String,
+      scenario: String, variable: String = "", regionDim: String = "",
+      yearDim: String = ""): Unit =
+    toIamc(key, model, scenario, variable, regionDim, yearDim)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("header", true).csv(path)
 }
 
 object Reporter {

@@ -96,6 +96,40 @@ object EventStream {
       .join(broadcast(boilerDigests), Seq("__h"), "left_anti")
       .drop("__h")
 
+  /** The COUNT half of graft.ops.Dedup.lineDedup, in-stream: the
+    * boilerplate-digest set the stream publishes ITSELF, instead of
+    * requiring a periodic batch pre-pass (VERDICT r5 #5). Documents
+    * explode to content-bearing lines (blank lines are structure, the
+    * same d21 rule as batch), and a watermarked event-time-windowed
+    * count emits every (window, digest) whose in-window frequency
+    * reaches `minCount`. State is BOUNDED: one count per distinct
+    * in-horizon (window, digest), reclaimed when the watermark passes
+    * the window's end — memory tracks the horizon's line diversity,
+    * never the stream's lifetime. Append mode: a window's digest set
+    * finalizes (and can be fed to [[stripBoilerplateLines]], e.g. via
+    * a foreachBatch republish) once the watermark closes the window.
+    *
+    * Windowed counts converge to the batch rule: any line reaching
+    * `minCount` within one window is published exactly as a batch
+    * lineDedup over that window's documents would find it; a line
+    * spread thinner than `minCount` per window is the rule's
+    * frequency threshold applied at the window granularity — choose
+    * `window_` at the cadence the batch job used to run. */
+  def boilerplateDigests(docs: DataFrame, minCount: Int = 2,
+      watermark: String = "1 hour", window_ : String = "1 hour",
+      sep: String = "\n"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), posexplode(split(col("text"),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .filter(length(col("line")) > 0)
+      .withColumn("__h", md5(col("line").cast("binary")))
+      .groupBy(window(col("ts"), window_), col("__h"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("__h"), col("n"))
+
   final case class UserTotal(userId: Long, nEvents: Long, total: Double)
 
   /** Custom keyed state: running per-user totals via

@@ -40,6 +40,17 @@ class CliSpec extends SparkSpec {
 
     Cli.run(mp, Array("report", "canning problem/standard", "d:i"))
 
+    // report with a 4th arg writes the IAMC CSV (convert_pyam path):
+    // d:i has no region/year-named dims, so everything sums to one
+    // World row under the IAMC_IDX header
+    val iamcOut = tmpDir("graft-cli-iamc")
+    Cli.run(mp, Array("report", "canning problem/standard", "d:i", iamcOut))
+    val lines = spark.read.textFile(iamcOut).collect().toSeq
+    assert(lines.contains("model,scenario,region,variable,unit,value,subannual"))
+    val world = lines.filter(_.startsWith("canning problem,standard,World,d,km,"))
+    assert(world.size == 1)
+    assert(math.abs(world.head.split(",")(5).toDouble - 11.7) < 1e-9)
+
     intercept[IllegalArgumentException](Cli.run(mp, Array("bogus")))
   }
 

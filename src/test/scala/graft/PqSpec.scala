@@ -111,6 +111,49 @@ class PqSpec extends SparkSpec {
     assert(rerankRecall >= plainRecall, "rerank must not lose recall")
   }
 
+  test("learned OPQ: orthogonal R, MSE <= fixed rotation, rotation-invariant rerank") {
+    // fixed-rotation baseline: e08's signed permutation + the SAME
+    // Lloyd budget trainOpq's first round spends
+    val fixedRot = emb.select(col("id"), Pq.rotateCol(col("vec"), 64).as("vec"))
+    val cbFixed = Pq.train(fixedRot, "id", "vec", m = 8, ks = 16, iters = 1)
+    val mseFixed = Pq.reconstructionMse(emb, "vec", cbFixed,
+      v => Pq.rotateCol(v, 64))
+    val (cb, r) = Pq.trainOpq(emb, "id", "vec",
+      m = 8, ks = 16, iters = 1, opqIters = 3)
+    // R stays orthogonal through the Procrustes updates: R·Rᵀ = I
+    for (i <- 0 until 64; k <- i until 64) {
+      var s = 0.0
+      for (j <- 0 until 64) s += r(i * 64 + j) * r(k * 64 + j)
+      assert(math.abs(s - (if (i == k) 1.0 else 0.0)) < 1e-9,
+        s"RRᵀ[$i,$k] = $s")
+    }
+    val mseLearned = Pq.reconstructionMse(emb, "vec", cb,
+      v => Pq.matVecCol(v, r, 64))
+    // the alternation descends monotonically from the fixed baseline
+    assert(mseLearned <= mseFixed + 1e-12,
+      s"learned OPQ worsened MSE: $mseFixed -> $mseLearned")
+    assert(mseLearned < mseFixed,
+      s"learned OPQ did not improve on the fixed rotation: $mseFixed")
+    // end-to-end: ADC+rerank under the learned rotation returns k rows
+    // per query and exact-cosine ranks match brute force where the
+    // true neighbor reaches the shortlist (rotation-invariance)
+    val q = emb.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val rot = emb.select(col("id"), Pq.matVecCol(col("vec"), r, 64).as("vec"))
+    val qr = q.select(col("qid"), Pq.matVecCol(col("qvec"), r, 64).as("qvec"))
+    val enc = Pq.encode(rot, "vec", cb)
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    val exact = topSet(Similarity.bruteForceKnn(emb, q, 5))
+    val learned = topSet(Pq.adcKnnRerank(enc, rot, qr, cb, 5, fetch = 30))
+    assert(learned.size == exact.size)
+    // near-uniform corpus + the SMALL ks=16 codebook (the oracle-gate
+    // setting, 4× coarser than the recall-ladder test's ks=64): the
+    // shortlist, not the rerank, bounds recall here
+    val recall = exact.intersect(learned).size.toDouble / exact.size
+    assert(recall >= 0.4, s"learned-OPQ reranked recall $recall too low")
+  }
+
   test("IVF-PQ: residual codes + probe pruning + rerank recall ladder") {
     val q2 = emb.filter(col("id") < 8)
       .select(col("id").as("qid"), col("vec").as("qvec"))

@@ -249,4 +249,42 @@ class ReporterSpec extends SparkSpec {
     assert(iamc.columns.toSeq == Seq("model", "scenario", "region", "variable", "unit", "value"))
     assert(iamc.count() == 2)
   }
+
+  test("one-call IAMC export: wide column contract + CSV round-trip (reporting.rst:85)") {
+    val s = solvedScenario()
+    val r = Reporter.fromScenario(s)
+    // region×year×tech quantity: tech must be SUMMED out, not dropped
+    val df = Seq(
+      ("seattle", 2020, "coal", 1.0), ("seattle", 2020, "wind", 0.5),
+      ("seattle", 2030, "coal", 2.5),
+      ("san-diego", 2020, "coal", 3.0), ("san-diego", 2030, "wind", 4.0))
+      .toDF("region", "year", "tech", "value")
+    r.addDf("emissions:region-year-tech", () => df,
+      Seq("region", "year", "tech"), "Mt")
+    val wide = r.toIamc("emissions:region-year-tech",
+      "canning problem", "standard")
+    // the reference column contract (backend/common.py:52 IAMC_IDX +
+    // subannual + ascending year columns)
+    assert(wide.columns.toSeq == Seq("model", "scenario", "region",
+      "variable", "unit", "subannual", "2020", "2030"))
+    val row = wide.filter(col("region") === "seattle").head()
+    assert(row.getString(0) == "canning problem")
+    assert(row.getString(1) == "standard")
+    assert(row.getString(3) == "emissions")
+    assert(row.getString(4) == "Mt")
+    assert(row.getString(5) == "Year")
+    assert(math.abs(row.getDouble(6) - 1.5) < 1e-9) // coal+wind summed
+    assert(math.abs(row.getDouble(7) - 2.5) < 1e-9)
+    // CSV sink round-trip: read-back equals the wide frame
+    val out = tmpDir("graft-iamc")
+    r.writeIamcCsv("emissions:region-year-tech", out,
+      "canning problem", "standard")
+    val back = spark.read.option("header", true).option("inferSchema", true)
+      .csv(out)
+    assert(back.columns.toSeq == wide.columns.toSeq)
+    assert(back.count() == 2)
+    val b = back.filter(col("region") === "san-diego").head()
+    assert(math.abs(b.getDouble(6) - 3.0) < 1e-9)
+    assert(math.abs(b.getDouble(7) - 4.0) < 1e-9)
+  }
 }

@@ -163,6 +163,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-published boilerplate digests converge to the batch d21 set") {
+    // the COUNT half of lineDedup in-stream: the stream publishes its
+    // own digest set; strip(stream digests) must equal batch lineDedup
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStream.boilerplateDigests(docs, minCount = 2,
+        watermark = "10 minutes", window_ = "1 hour")
+      .writeStream.format("memory").queryName("boiler_out")
+      .outputMode(OutputMode.Append()).start()
+    val data = Seq(
+      (1L, "subscribe now\nreal content one\n\nshared footer", t("2026-01-01 10:01:00")),
+      (2L, "subscribe now\nreal content two\n\nshared footer", t("2026-01-01 10:12:00")),
+      (3L, "all original here\nnothing repeated", t("2026-01-01 10:25:00")))
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      input.addData((99L, "tick", t("2026-01-01 12:00:00"))) // close the window
+      q.processAllAvailable()
+      val streamed = spark.table("boiler_out").select("__h")
+        .as[String].collect().toSet
+      // batch rule over the same docs: content-bearing lines with
+      // count >= 2 (blank separator lines are structure, never counted)
+      val batchBoiler = data.toDF("doc_id", "text", "ts")
+        .select(posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+        .filter(length(col("line")) > 0)
+        .groupBy(md5(col("line").cast("binary")).as("__h"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .select("__h").as[String].collect().toSet
+      assert(streamed == batchBoiler,
+        s"stream digests $streamed != batch $batchBoiler")
+      assert(streamed.size == 2) // "subscribe now" + "shared footer"
+      // end-to-end: stripping with the STREAM-published set leaves the
+      // same surviving lines as the batch lineDedup boilerplate rule
+      val digests = spark.table("boiler_out").select("__h")
+      val stripped = EventStream.stripBoilerplateLines(
+          data.toDF("doc_id", "text", "ts"), digests)
+        .groupBy("doc_id")
+        .agg(expr("concat_ws('\n', transform(array_sort(" +
+          "collect_list(struct(pos, line))), x -> x.line))").as("text"))
+      val batch = graft.ops.Dedup.lineDedup(
+          data.toDF("doc_id", "text", "ts"), minCount = 2)
+        .select("doc_id", "text")
+      val got = stripped.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = batch.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, s"stripped $got != batch lineDedup $want")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     val input = MemoryStream[Ev](spark)
     val q = EventStream.runningTotals(input.toDF())

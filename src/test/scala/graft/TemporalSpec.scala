@@ -73,6 +73,57 @@ class TemporalSpec extends SparkSpec {
     assert(j(12L).isEmpty, "next quote is 30 min ahead: beyond tolerance")
   }
 
+  test("asOfJoin equals the naive argmax/argmin join: directions × tolerance (property)") {
+    // deterministic pseudo-random fixture engineered to hit the edge
+    // cases: exact left==right timestamp ties, gaps wider than the
+    // tolerance (a match EXISTS but must null out), left rows past the
+    // last/before the first right row, and a key with no right rows
+    val base = t("2026-01-01 00:00:00").getTime
+    def ts(min: Long) = new Timestamp(base + min * 60000L)
+    val right = (0 until 5).flatMap { k =>
+      // j*7 mod 180, gcd(7,180)=1: 26 DISTINCT per-key timestamps, so
+      // the naive argmax/argmin is unique and comparable
+      (0 until 26).map(j => (k.toLong, ts(j * 7 % 180), 100.0 + k * 10 + j))
+    }.toDF("user_id", "ts", "px")
+    val left = ((1L to 200L).map { i =>
+      (i, i % 6, ts(i * 11 % 200)) // key 5 has NO right rows at all
+    } ++ Seq((201L, 0L, ts(14)), (202L, 1L, ts(21)))) // exact-tie rows
+      .toDF("trade_id", "user_id", "ts")
+    def naive(dir: String, tol: Option[Long]): Map[Long, Option[Double]] = {
+      val r = right.withColumnRenamed("user_id", "ruid")
+        .withColumnRenamed("ts", "rts")
+      val dirCond =
+        if (dir == "backward") col("rts") <= col("ts") else col("rts") >= col("ts")
+      val tolCond = tol.map(s =>
+        abs(unix_timestamp(col("rts")) - unix_timestamp(col("ts"))) <= s)
+        .getOrElse(lit(true))
+      left.join(r, col("user_id") === col("ruid") && dirCond && tolCond,
+          "left_outer")
+        .groupBy("trade_id")
+        .agg((if (dir == "backward") max_by(col("px"), col("rts"))
+              else min_by(col("px"), col("rts"))).as("px"))
+        .collect()
+        .map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    }
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(300L))) {
+      val got = Temporal.asOfJoin(left, right, Seq("user_id"), "ts",
+          Seq("px"), toleranceSec = tol, direction = dir)
+        .select("trade_id", "px").collect()
+        .map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+      val want = naive(dir, tol)
+      assert(got == want, s"asOfJoin($dir, tol=$tol) diverged from naive")
+      // the engineered edges actually occurred
+      assert(got(201L).isDefined && got(202L).isDefined, "tie rows must match")
+      assert((1L to 200L).filter(_ % 6 == 5).forall(got(_).isEmpty),
+        "right-less key must stay unmatched")
+      if (tol.isDefined)
+        assert(got.values.count(_.isEmpty) > naive(dir, None).values.count(_.isEmpty),
+          "tolerance must null out at least one otherwise-matched row")
+    }
+  }
+
   test("rangeJoin: point-in-interval matches, exclusive end, no duplicate pairs") {
     val points = Seq(
       (1L, 1L, t("2026-01-01 10:30:00")), // inside iv A
