@@ -417,116 +417,126 @@ object Dedup {
     * not transitive-closed pairwise (a~b, b~c but not a~c still must
     * collapse to one cluster).
     *
-    * Algorithm: alternating large-star/small-star (Kiveris et al. 2014,
-    * "Connected Components in MapReduce and Beyond" — the standard
-    * post-LSH step in MinHash dedup deployments). Each round is two
-    * equi-join + min-aggregate passes over (id, id) pairs — no
-    * quadratic step, no vertex ever needs its full neighbor list
-    * materialized (the per-node min is a groupBy aggregate, not a
-    * collect_list) — and converges in O(log n) rounds to per-component
-    * stars centered at the component's minimum id. Convergence is
-    * detected by an (edge-count, order-independent hash-sum) signature
-    * of the edge set: one tiny aggregate per round.
+    * Algorithm: min-label propagation with shortcutting over a STATIC
+    * symmetrized edge table (the Shiloach–Vishkin 1982 pointer-jumping
+    * scheme in its Spark form — Stergiou et al. 2018, "Shortcutting
+    * Label Propagation for Distributed Connected Components", WSDM).
+    * Each round recomputes `label(x) = min(label(x), min over
+    * neighbors' labels, label(label(x)))` as ONE equi-join + union +
+    * min-aggregate over the pre-partitioned edge table; the
+    * label-of-label term is the shortcut (path doubling), so rounds are
+    * O(log diameter), and no vertex ever materializes its neighbor
+    * list (the per-node min is a groupBy aggregate, not a
+    * collect_list). Convergence is detected by a (count,
+    * order-independent hash) signature of the label table: one tiny
+    * aggregate per round, computed by the same action that
+    * materializes the round.
+    *
+    * This replaced the round-3..5 alternating large-star/small-star
+    * loop (Kiveris et al. 2014): both are O(log)-round and
+    * anti-quadratic, but a star alternation rewrites (and re-shuffles)
+    * the EDGE set twice per round — ~6 exchanges — where propagation
+    * shuffles only the label table against edges checkpointed once
+    * (measured at sf0.1: 2.5–3.3 s vs 4.1–5.5 s warm on the simhash
+    * pair graph, identical labels; Scratch.scala holds the harness).
     *
     * Returns (node, label): every node that appears in some pair, with
     * label = the smallest id in its component. Singleton docs never
     * appear (no edges) — [[clusterPairs]] re-attaches them. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       driverThreshold: Long = 0L): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = pairs.sparkSession
 
-    // no distinct here: duplicate edges don't change any min-aggregate,
-    // and smallStar's final distinct canonicalizes the round's output —
-    // one less shuffle per round
-    def largeStar(e: DataFrame): DataFrame = {
-      val und = e.select(col("u"), col("v"))
-        .union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = und.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      und.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-    }
-
-    def smallStar(e: DataFrame): DataFrame = {
-      val und = e.select(col("u"), col("v"))
-        .union(e.select(col("v").as("u"), col("u").as("v")))
-      val dir = und.filter(col("v") < col("u")) // point large -> small
-      val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
-      val moved = dir.join(mins, "u")
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-      val self = mins.select(col("u"), col("m").as("v"))
-      moved.union(self).distinct()
-    }
-
-    // order-independent set signature: XOR of per-edge hashes (edges are
-    // distinct, so XOR self-cancellation can't occur; bit_xor never
-    // overflows where an ANSI-mode sum() of hashes would)
-    def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(u, v))")).head()
+    // order-independent set signature: XOR of per-row hashes (rows are
+    // distinct — one label per node — so XOR self-cancellation can't
+    // occur; bit_xor never overflows where an ANSI-mode sum() of
+    // hashes would). Labels only ever decrease, so an unchanged
+    // signature IS a fixed point.
+    def signature(l: DataFrame): (Long, Long) = {
+      val r = l.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(node, label))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    // localCheckpoint (not persist): each round's plan must START from
-    // the materialized previous round — un-truncated lineage would
-    // stack one union+join+aggregate per round and melt the analyzer
-    // after a few iterations (driver-side blowup, not an executor cost)
-    // lazy checkpoints: the signature aggregate is the action that
-    // materializes each round, so a round costs ONE job, not a
-    // checkpoint job plus an aggregate job
-    var edges = pairs
+    val edges0 = pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(eager = false)
-    var sig = signature(edges)
-    // Small-graph fast path: the initial signature already counted the
-    // edges, so the check is free. Candidate-pair graphs are usually
-    // tiny relative to the corpus (pairs come out of LSH buckets, not
-    // the corpus itself) — below the threshold, log(n) distributed
-    // rounds of ~0.5 s scheduling overhead each lose badly to one
-    // collect + union-find; above it, the distributed path is the only
-    // thing that scales. Opt-in (0 = always distributed) so gates and
-    // scale runs exercise the distributed algorithm by default.
-    if (driverThreshold > 0 && sig._1 <= driverThreshold) {
-      import spark.implicits._
-      val local = unionFindLocal(
-        edges.select(col("u"), col("v")).as[(Long, Long)].collect())
-      edges.unpersist(blocking = false)
-      return local.toDF("node", "label")
+
+    // Small-graph fast path: candidate-pair graphs are usually tiny
+    // relative to the corpus (pairs come out of LSH buckets, not the
+    // corpus itself) — below the threshold, log(d) distributed rounds
+    // of ~0.5 s scheduling overhead each lose badly to one collect +
+    // union-find; above it, the distributed path is the only thing
+    // that scales. Opt-in (0 = always distributed) so gates and scale
+    // runs exercise the distributed algorithm by default.
+    if (driverThreshold > 0) {
+      val n = edges0.count()
+      if (n <= driverThreshold) {
+        import spark.implicits._
+        val local = unionFindLocal(
+          edges0.select(col("u"), col("v")).as[(Long, Long)].collect())
+        return local.toDF("node", "label")
+      }
     }
+
+    // The edge table is STATIC across rounds: symmetrize, dedup, and
+    // hash-partition by u ONCE (eager checkpoint — every round's
+    // propagation join reuses this layout instead of re-exchanging the
+    // edges; duplicate edges would not change any min, but dropping
+    // them shrinks every later join probe).
+    val und = edges0
+      .union(edges0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .repartition(col("u"))
+      .localCheckpoint(eager = true)
+
+    // labels start at min(self, neighbors) — one propagation step
+    // folded into the init. localCheckpoint (not persist): each
+    // round's plan must START from the materialized previous round —
+    // un-truncated lineage would stack one join+union+aggregate per
+    // round and melt the analyzer after a few iterations. Lazy
+    // checkpoints: the signature aggregate is the action that
+    // materializes each round, so a round costs ONE job.
+    var labels = und.groupBy(col("u").as("node"))
+      .agg(least(min(col("v")), first(col("u"))).as("label"))
+      .localCheckpoint(eager = false)
+    var sig = signature(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // ONE alternation per materialization — do NOT fuse rounds:
-      // each star references its input through a union with the
-      // REVERSED projection, which defeats exchange reuse, so an
-      // un-checkpointed largeStar subtree recomputes for every plan
-      // reference inside smallStar (measured: fusing two alternations
-      // per checkpoint halved the job count but made d19/e07 2.5x
-      // slower at sf0.1 — recomputation beat the saved jobs)
-      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      // candidates for each node's new label: every neighbor's current
+      // label (propagation) + its current label (labels are monotone
+      // non-increasing) + — from round 3 — its label's own label (the
+      // shortcut / pointer jump, which collapses chains in O(log d)
+      // rounds where pure propagation walks them one hop per round).
+      // Deferring the shortcut is the measured shallow-graph win:
+      // dedup pair graphs are near-cliques that converge before a
+      // pointer jump can help, and the shortcut is a labels self-join
+      // (an extra exchange) every round it runs; a deep path graph
+      // reaches round 3 still unconverged and gets the log(d) regime.
+      val viaEdges = und.join(labels.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node"), col("label"))
+      val cand =
+        if (it < 2) viaEdges.union(labels)
+        else {
+          val viaLabels = labels.alias("x")
+            .join(labels.alias("y"), col("x.label") === col("y.node"))
+            .select(col("x.node").as("node"), col("y.label").as("label"))
+          viaEdges.union(viaLabels).union(labels)
+        }
+      val next = cand
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(eager = false)
       val nextSig = signature(next)
-      edges.unpersist(blocking = false)
-      edges = next
+      labels.unpersist(blocking = false)
+      labels = next
       converged = nextSig == sig
       sig = nextSig
       it += 1
     }
     require(converged, s"connectedComponents: no convergence in $maxIter rounds")
-
-    // fixed point = stars (x, root) with root < x; roots label themselves
-    val nodes = edges.select(greatest(col("u"), col("v")).as("node"),
-      least(col("u"), col("v")).as("label"))
-    val roots = edges.select(least(col("u"), col("v")).as("node"))
-      .distinct().withColumn("label", col("node"))
-    val out = nodes.union(roots).distinct()
-    edges.unpersist(blocking = false)
-    out
+    und.unpersist(blocking = false)
+    labels
   }
 
   /** Collapse near-dup pairs into clusters over the full corpus:
