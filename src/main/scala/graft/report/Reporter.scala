@@ -449,6 +449,101 @@ object Operators {
     Quantity(q.df.withColumn("value", org.apache.spark.sql.functions.pow(col("value"), n)),
       q.dims, Units.parse(q.unit).pow(n).format)
 
+  /** genno sub: element-wise difference a − b (same broadcast-on-
+    * common-dims semantics as [[product]]/[[ratio]]; units must agree,
+    * like [[add]]). */
+  def sub(a: Quantity, b: Quantity): Quantity = {
+    require(a.unit == b.unit,
+      s"sub requires identical units, got '${a.unit}' and '${b.unit}'")
+    combine(a, b, (x, y) => x - y, (ua, _) => ua)
+  }
+
+  /** genno group_sum: sum over dim `sum` within groups of dim `group`
+    * — the named special case of [[sumOver]] keeping everything except
+    * `sum` (genno's operator exists for graph-readability; so does
+    * this one). */
+  def groupSum(q: Quantity, group: String, sum: String): Quantity = {
+    require(q.dims.contains(group), s"'$group' is not a dim of the quantity")
+    require(q.dims.contains(sum), s"'$sum' is not a dim of the quantity")
+    sumOver(q, q.dims.filterNot(_ == sum))
+  }
+
+  /** genno round: half-even to `digits` decimals (Spark `round` =
+    * xarray/numpy banker-free HALF_UP — genno delegates to
+    * DataArray.round which is half-even, so use bround). */
+  def round(q: Quantity, digits: Int = 0): Quantity =
+    Quantity(q.df.withColumn("value", bround(col("value"), digits)),
+      q.dims, q.unit)
+
+  /** genno clip: bound values to [min, max] (either side optional —
+    * xarray clip semantics). */
+  def clip(q: Quantity, min: Option[Double] = None,
+      max: Option[Double] = None): Quantity = {
+    val lo = min.map(m => greatest(col("value"), lit(m))).getOrElse(col("value"))
+    val c = max.map(m => least(lo, lit(m))).getOrElse(lo)
+    Quantity(q.df.withColumn("value", c), q.dims, q.unit)
+  }
+
+  /** genno rename / rename_dims as an operator: rename dimension NAMES
+    * of one quantity (labels untouched — that is [[relabel]]; the
+    * Reporter-level `renameDims` config does this at scan time for
+    * every quantity). */
+  def rename(q: Quantity, mapping: Map[String, String]): Quantity = {
+    require(mapping.keys.forall(q.dims.contains),
+      s"rename dims ${mapping.keys.filterNot(q.dims.contains).mkString(",")} not in quantity")
+    val df = mapping.foldLeft(q.df) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to)
+    }
+    Quantity(df, q.dims.map(d => mapping.getOrElse(d, d)), q.unit)
+  }
+
+  /** genno assign_units: overwrite the unit string, values untouched
+    * (the escape hatch for mislabeled inputs). */
+  def assignUnits(q: Quantity, unit: String): Quantity =
+    Quantity(q.df, q.dims, unit)
+
+  /** genno convert_units: strict linear conversion — values scale by
+    * the factor between the two units' canonical forms; incompatible
+    * dimensionalities throw (pint DimensionalityError). */
+  def convertUnits(q: Quantity, unit: String): Quantity = {
+    val f = Units.conversionFactor(Units.parse(q.unit), Units.parse(unit))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot convert '${q.unit}' to '$unit': incompatible dimensionality"))
+    val df = if (f == 1.0) q.df
+      else q.df.withColumn("value", col("value") * lit(f))
+    Quantity(df, q.dims, unit)
+  }
+
+  /** genno apply_units: convert when the dimensionality is compatible,
+    * overwrite otherwise (genno's documented lenient behavior, minus
+    * the warning log). */
+  def applyUnits(q: Quantity, unit: String): Quantity =
+    Units.conversionFactor(Units.parse(q.unit), Units.parse(unit)) match {
+      case Some(_) => convertUnits(q, unit)
+      case None => assignUnits(q, unit)
+    }
+
+  /** genno write_report: sink a quantity as a headered long-form table
+    * — dims, `value`, constant `unit`. `.csv` writes a distributed
+    * part-file directory (like every sink here); `.xlsx` writes a
+    * single workbook via the bare-JDK codec (driver-side collect —
+    * report keys are aggregated output, small by construction, same
+    * contract as the reference's openpyxl path). */
+  def writeReport(q: Quantity, path: String): Unit = {
+    val out = q.df.select(q.dims.map(col) :+ col("value") :+
+      lit(q.unit).as("unit"): _*)
+    if (path.toLowerCase.endsWith(".xlsx")) {
+      val header: Seq[Any] = q.dims ++ Seq("value", "unit")
+      val rows = out.collect().iterator.map(_.toSeq.map {
+        case null => ""
+        case v => v
+      })
+      graft.io.Xlsx.write(path, Seq("data" -> (Iterator.single(header) ++ rows)))
+    } else
+      out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("header", true).csv(path)
+  }
+
   /** genno interpolate (linear, along one NUMERIC dim — the year-fill
     * workflow): produce values at `targets` coordinates per group of
     * the remaining dims. One aggregation shuffle: each (group, target)

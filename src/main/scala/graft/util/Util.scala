@@ -213,4 +213,50 @@ object Units {
     Units((a.keySet ++ b.keySet).map { k =>
       k -> (a.getOrElse(k, 0) + mult * b.getOrElse(k, 0))
     }.filter(_._2 != 0).toMap)
+
+  /** Linear magnitude table for the common prefixed units the
+    * reference's pint registry resolves (token → (base token,
+    * factor-to-base)). Unknown tokens are their own base with factor 1
+    * — pint's define-on-use, so purely symbolic units ("cases") stay
+    * convertible only to themselves. */
+  private val baseFactors: Map[String, (String, Double)] = Map(
+    // length
+    "m" -> ("m", 1.0), "km" -> ("m", 1e3), "cm" -> ("m", 1e-2),
+    "mm" -> ("m", 1e-3),
+    // mass (pint base is kg; g keeps the arithmetic integral)
+    "g" -> ("g", 1.0), "kg" -> ("g", 1e3), "t" -> ("g", 1e6),
+    "kt" -> ("g", 1e9), "Mt" -> ("g", 1e12), "Gt" -> ("g", 1e15),
+    // time
+    "s" -> ("s", 1.0), "min" -> ("s", 60.0), "h" -> ("s", 3600.0),
+    "hr" -> ("s", 3600.0), "day" -> ("s", 86400.0),
+    "a" -> ("s", 31557600.0), "year" -> ("s", 31557600.0), // Julian year, as pint
+    // energy / power
+    "J" -> ("J", 1.0), "kJ" -> ("J", 1e3), "MJ" -> ("J", 1e6),
+    "GJ" -> ("J", 1e9), "EJ" -> ("J", 1e18),
+    "Wa" -> ("J", 31557600.0), "GWa" -> ("J", 31557600.0 * 1e9),
+    "W" -> ("W", 1.0), "kW" -> ("W", 1e3), "MW" -> ("W", 1e6),
+    "GW" -> ("W", 1e9), "TW" -> ("W", 1e12))
+
+  /** Canonical form: exponents over BASE tokens plus the scalar factor
+    * that maps a magnitude in `u` to a magnitude in the canonical
+    * base. (km/h → ({m:1, s:-1}, 1000/3600).) */
+  def canonical(u: Units): (Map[String, Int], Double) = {
+    var factor = 1.0
+    var exps = Map.empty[String, Int].withDefaultValue(0)
+    for ((tok, e) <- u.exponents) {
+      val (base, f) = baseFactors.getOrElse(tok, (tok, 1.0))
+      factor *= math.pow(f, e.toDouble)
+      exps = exps.updated(base, exps(base) + e)
+    }
+    (exps.filter(_._2 != 0).toMap, factor)
+  }
+
+  /** Multiplier converting magnitudes expressed in `from` to `to`;
+    * None when the dimensionalities differ (pint
+    * DimensionalityError). */
+  def conversionFactor(from: Units, to: Units): Option[Double] = {
+    val (db, fb) = canonical(from)
+    val (tb, tf) = canonical(to)
+    if (db == tb) Some(fb / tf) else None
+  }
 }

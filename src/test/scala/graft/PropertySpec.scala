@@ -50,6 +50,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  private val prefixedGen: Gen[Units] = for {
+    n <- Gen.choose(1, 3)
+    names <- Gen.listOfN(n, Gen.oneOf("m", "km", "g", "kg", "t", "Mt",
+      "s", "h", "W", "MW", "GW", "J", "GJ", "USD", "cases"))
+    exps <- Gen.listOfN(n, Gen.oneOf(-2, -1, 1, 2))
+  } yield Units(names.zip(exps).toMap.filter(_._2 != 0))
+
+  test("Units.conversionFactor: self=1, round-trip inverts, chain composes") {
+    forAllG(Gen.zip(prefixedGen, prefixedGen)) { case (a, b) =>
+      assert(Units.conversionFactor(a, a).contains(1.0))
+      Units.conversionFactor(a, b).foreach { f =>
+        // defined one way ⇒ defined back, and the factors invert
+        val back = Units.conversionFactor(b, a)
+        assert(back.isDefined)
+        assert(math.abs(f * back.get - 1.0) < 1e-9,
+          s"${a.format} <-> ${b.format}: $f * ${back.get}")
+      }
+      // compatibility is symmetric
+      assert(Units.conversionFactor(a, b).isDefined ==
+        Units.conversionFactor(b, a).isDefined)
+    }
+  }
+
   private val nameGen: Gen[String] =
     Gen.choose(1, 12).flatMap(k => Gen.listOfN(k,
       Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '-', '_', '.'))))

@@ -287,4 +287,100 @@ class ReporterSpec extends SparkSpec {
     assert(math.abs(b.getDouble(6) - 3.0) < 1e-9)
     assert(math.abs(b.getDouble(7) - 4.0) < 1e-9)
   }
+
+  test("sub, group_sum, round, clip, rename (genno long-tail operators)") {
+    val df = Seq(("a", "x", 1.25), ("a", "y", 2.5),
+      ("b", "x", 10.0), ("b", "y", -3.0)).toDF("r", "t", "value")
+    val q = Quantity(df, Seq("r", "t"), "GW")
+
+    // sub broadcasts on common dims like product/ratio; units must agree
+    val half = Quantity(df.withColumn("value", col("value") / 2), Seq("r", "t"), "GW")
+    val d = Operators.sub(q, half)
+    assert(d.unit == "GW")
+    val dm = d.df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(dm(("a", "x")) - 0.625) < 1e-12)
+    assert(math.abs(dm(("b", "y")) - (-1.5)) < 1e-12)
+    intercept[IllegalArgumentException](
+      Operators.sub(q, Quantity(df, Seq("r", "t"), "km")))
+
+    // group_sum: sum over t within groups of r ≡ sumOver(keep = r)
+    val gs = Operators.groupSum(q, group = "r", sum = "t")
+    assert(gs.dims == Seq("r"))
+    val gm = gs.df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(gm("a") - 3.75) < 1e-12 && math.abs(gm("b") - 7.0) < 1e-12)
+
+    // round is half-even (xarray/numpy): 1.25 -> 1.2, 2.5 -> 2
+    val r1 = Operators.round(q, 1).df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(r1(("a", "x")) == 1.2)
+    val r0 = Operators.round(q).df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(r0(("a", "y")) == 2.0)
+
+    // clip: one-sided and two-sided
+    val c = Operators.clip(q, min = Some(0.0), max = Some(2.0)).df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(c(("b", "y")) == 0.0 && c(("b", "x")) == 2.0 && c(("a", "x")) == 1.25)
+
+    // rename changes dim NAMES, not labels
+    val rn = Operators.rename(q, Map("r" -> "region"))
+    assert(rn.dims == Seq("region", "t"))
+    assert(rn.df.columns.contains("region"))
+    intercept[IllegalArgumentException](Operators.rename(q, Map("zz" -> "w")))
+  }
+
+  test("unit conversion: convert/apply/assign (pint linear semantics)") {
+    val df = Seq(("a", 1.0), ("b", 2.5)).toDF("r", "value")
+    val q = Quantity(df, Seq("r"), "GW")
+
+    // strict convert: GW -> MW multiplies by 1000
+    val mw = Operators.convertUnits(q, "MW")
+    assert(mw.unit == "MW")
+    val m = mw.df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m("a") - 1000.0) < 1e-9 && math.abs(m("b") - 2500.0) < 1e-9)
+
+    // compound: km/h -> m/s is /3.6
+    val v = Operators.convertUnits(Quantity(df, Seq("r"), "km/h"), "m/s")
+    val vm = v.df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(vm("b") - 2.5 * 1000.0 / 3600.0) < 1e-12)
+
+    // incompatible dimensionality throws; applyUnits falls back to assign
+    intercept[IllegalArgumentException](Operators.convertUnits(q, "km"))
+    val ap = Operators.applyUnits(q, "km")
+    assert(ap.unit == "km")
+    assert(ap.df.collect().map(_.getDouble(1)).sorted.toSeq == Seq(1.0, 2.5))
+    // applyUnits converts when compatible
+    val ap2 = Operators.applyUnits(q, "MW")
+    assert(math.abs(ap2.df.filter(col("r") === "a").head().getDouble(1) - 1000.0) < 1e-9)
+    // assign never touches values
+    val as = Operators.assignUnits(q, "Mt")
+    assert(as.unit == "Mt" && as.df.filter(col("r") === "a").head().getDouble(1) == 1.0)
+
+    // round-trip factor law: GW -> MW -> GW is identity
+    val rt = Operators.convertUnits(mw, "GW")
+    assert(math.abs(rt.df.filter(col("r") === "b").head().getDouble(1) - 2.5) < 1e-12)
+  }
+
+  test("write_report sinks a quantity as CSV and as a single xlsx workbook") {
+    val df = Seq(("seattle", 2020, 1.5), ("san-diego", 2030, 4.0))
+      .toDF("region", "year", "value")
+    val q = Quantity(df, Seq("region", "year"), "Mt")
+
+    val csvOut = tmpDir("graft-report-csv")
+    Operators.writeReport(q, csvOut)
+    val back = spark.read.option("header", true).option("inferSchema", true).csv(csvOut)
+    assert(back.columns.toSeq == Seq("region", "year", "value", "unit"))
+    assert(back.count() == 2)
+    assert(back.filter(col("region") === "seattle").head().getDouble(2) == 1.5)
+    assert(back.select("unit").distinct().head().getString(0) == "Mt")
+
+    val xlsxOut = tmpDir("graft-report-x") + "/report.xlsx"
+    Operators.writeReport(q, xlsxOut)
+    val sheets = graft.io.Xlsx.read(xlsxOut)
+    assert(sheets.map(_._1) == Seq("data"))
+    val rows = sheets.head._2
+    assert(rows.head == Seq("region", "year", "value", "unit"))
+    assert(rows.tail.map(_.head).toSet == Set("seattle", "san-diego"))
+    assert(rows.tail.forall(_.last == "Mt"))
+  }
 }
