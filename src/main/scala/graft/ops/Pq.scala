@@ -278,6 +278,44 @@ object Pq {
     } finally { c.unpersist(blocking = false); () }
   }
 
+  /** Persist a trained OPQ model (codebook + learned rotation) as
+    * parquet — build-once/query-many, same crash-safe meta-last layout
+    * as `IvfIndex.save`: training is iterative Lloyd + SVD work that
+    * must never rerun per query batch at scale. */
+  def saveOpq(path: String, cb: PqCodebook, r: Array[Double],
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    Seq((cb.m, cb.ks, cb.dsub, cb.centroids.toSeq))
+      .toDF("m", "ks", "dsub", "centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((cb.dim, r.toSeq)).toDF("d", "mat")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+    require(r.length == cb.dim * cb.dim, "rotation shape mismatch")
+    // meta marker last: a crash mid-save leaves exists() false
+    Seq(1).toDF("v").coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/meta")
+  }
+
+  /** True when `path` holds a COMPLETE saved OPQ model. */
+  def opqExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Reload a [[saveOpq]]d model bit-identically (both artifacts are
+    * driver-local values; nothing distributed is materialized). */
+  def loadOpq(spark: org.apache.spark.sql.SparkSession,
+      path: String): (PqCodebook, Array[Double]) = {
+    val cbRow = spark.read.parquet(s"$path/codebook").head()
+    val cb = PqCodebook(cbRow.getInt(0), cbRow.getInt(1), cbRow.getInt(2),
+      cbRow.getSeq[Double](3).toArray)
+    val rRow = spark.read.parquet(s"$path/rotation").head()
+    val r = rRow.getSeq[Double](1).toArray
+    require(r.length == cb.dim * cb.dim, "rotation shape mismatch")
+    (cb, r)
+  }
+
   /** Encode a corpus: adds a `codes` column (keep it, drop the vector,
     * and the stored index is m bytes-of-int per row). */
   def encode(df: DataFrame, vecCol: String, cb: PqCodebook,

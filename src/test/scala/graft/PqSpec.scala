@@ -154,6 +154,27 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.4, s"learned-OPQ reranked recall $recall too low")
   }
 
+  test("OPQ model save/load: bit-identical codebook + rotation, crash-safe marker") {
+    val (cb, r) = Pq.trainOpq(emb, "id", "vec",
+      m = 8, ks = 16, iters = 1, opqIters = 2)
+    val path = tmpDir("graft-opq") + "/model"
+    assert(!Pq.opqExists(spark, path))
+    Pq.saveOpq(path, cb, r, spark)
+    assert(Pq.opqExists(spark, path))
+    val (cb2, r2) = Pq.loadOpq(spark, path)
+    assert(cb2.m == cb.m && cb2.ks == cb.ks && cb2.dsub == cb.dsub)
+    assert(java.util.Arrays.equals(cb2.centroids, cb.centroids),
+      "codebook must round-trip bit-identically")
+    assert(java.util.Arrays.equals(r2, r),
+      "rotation must round-trip bit-identically")
+    // encode under the loaded model equals encode under the trained one
+    val a = Pq.encode(emb.select(col("id"),
+      Pq.matVecCol(col("vec"), r, 64).as("vec")), "vec", cb)
+    val b = Pq.encode(emb.select(col("id"),
+      Pq.matVecCol(col("vec"), r2, 64).as("vec")), "vec", cb2)
+    assert(a.select("id", "codes").except(b.select("id", "codes")).count() == 0)
+  }
+
   test("IVF-PQ: residual codes + probe pruning + rerank recall ladder") {
     val q2 = emb.filter(col("id") < 8)
       .select(col("id").as("qid"), col("vec").as("qvec"))
