@@ -73,6 +73,20 @@ object Pipeline {
   def d08SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docs(s, dir)).orderBy("id_a", "id_b")
 
+  /** Saved-index path for gate `tag` over `dir`'s embeddings: the key
+    * folds in the source parquet's (length, mtime), so overwriting the
+    * data in place invalidates the cache instead of serving a stale
+    * index (VERDICT r5 wrong #4 — the dir-only key needed a manual
+    * version bump on data change). */
+  private def idxPath(s: SparkSession, dir: String, tag: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.-]", "_")
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val st = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(src)
+    val stamp = s"${st.getLen}-${st.getModificationTime}"
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-idx-v1/$tag$key-$stamp"
+  }
+
   private def knnInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
     val q = e.filter(col("id") < 10).select(col("id").as("qid"), col("vec").as("qvec"))
@@ -92,12 +106,10 @@ object Pipeline {
     * r5 wrong #2); `Similarity.ivfKnn` stays the one-shot API. */
   def e02KnnIvf(s: SparkSession, dir: String): DataFrame = {
     val (e, q) = knnInputs(s, dir)
-    val key = dir.replaceAll("[^A-Za-z0-9.-]", "_")
-    val idxPath =
-      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-idx-v1/e02$key"
-    if (!graft.ops.IvfIndex.exists(s, idxPath))
-      graft.ops.IvfIndex.build(e, persist = false).save(idxPath)
-    val idx = graft.ops.IvfIndex.load(s, idxPath, persist = false)
+    val path = idxPath(s, dir, "e02")
+    if (!graft.ops.IvfIndex.exists(s, path))
+      graft.ops.IvfIndex.build(e, persist = false).save(path)
+    val idx = graft.ops.IvfIndex.load(s, path, persist = false)
     idx.query(q, 5).orderBy("qid", "rank")
   }
 
@@ -159,9 +171,7 @@ object Pipeline {
     // build-once/query-many like e02/e05: the alternating Lloyd/SVD
     // training persists as a saved model keyed by the data directory,
     // so the gate measures rotate+encode+ADC+rerank probe cost
-    val key = dir.replaceAll("[^A-Za-z0-9.-]", "_")
-    val mPath =
-      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-idx-v1/e09$key"
+    val mPath = idxPath(s, dir, "e09")
     if (!graft.ops.Pq.opqExists(s, mPath)) {
       val (cb0, r0) = graft.ops.Pq.trainOpq(e, "id", "vec",
         m = 8, ks = 16, iters = 1, opqIters = 2)
@@ -191,13 +201,11 @@ object Pipeline {
     * (VERDICT r3: rebuilding per call was 21% of the whole bench). */
   def e05KnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val (e, q) = knnInputs(s, dir)
-    val key = dir.replaceAll("[^A-Za-z0-9.-]", "_")
-    val idxPath =
-      s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-idx-v1/e05$key"
-    if (!graft.ops.IvfPq.exists(s, idxPath))
+    val path = idxPath(s, dir, "e05")
+    if (!graft.ops.IvfPq.exists(s, path))
       graft.ops.IvfPq.build(e, m = 8, ks = 64, pqIters = 1, persist = false)
-        .save(idxPath)
-    val idx = graft.ops.IvfPq.load(s, idxPath, persist = false)
+        .save(path)
+    val idx = graft.ops.IvfPq.load(s, path, persist = false)
     idx.query(q, 5, fetch = 30).orderBy("qid", "rank")
   }
 
