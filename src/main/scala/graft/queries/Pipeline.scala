@@ -186,6 +186,39 @@ object Pipeline {
     graft.ops.Pq.adcKnnRerank(enc, rot, qr, cb, 5).orderBy("qid", "rank")
   }
 
+  /** OPQ + IVF-PQ composition — the full FAISS "OPQ_M,IVFx,PQM" shape:
+    * the learned orthogonal rotation (e09's saved model) decorrelates
+    * the space, IVF-PQ indexes the ROTATED corpus, and queries rotate
+    * before probing. Exact-cosine rerank is rotation-invariant
+    * (orthogonal R preserves dot products and norms), so results are
+    * comparable to e01/e05 ranks. Approximate by design (rows-only);
+    * every component is proven elsewhere: rotation math by PqSpec
+    * (RRᵀ=I, monotone MSE), encode by e04/e08, the IVFADC pipeline by
+    * e06's deterministic oracle. Both artifacts load from saved
+    * parquet — at scale this is train-once/serve-many. */
+  def e10KnnOpqIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val (e, q) = knnInputs(s, dir)
+    // the rotation reuses e09's saved OPQ model (same training params);
+    // building it here when e09 has not run keeps the gate standalone
+    val mPath = idxPath(s, dir, "e09")
+    if (!graft.ops.Pq.opqExists(s, mPath)) {
+      val (cb0, r0) = graft.ops.Pq.trainOpq(e, "id", "vec",
+        m = 8, ks = 16, iters = 1, opqIters = 2)
+      graft.ops.Pq.saveOpq(mPath, cb0, r0, s)
+    }
+    val (_, r) = graft.ops.Pq.loadOpq(s, mPath)
+    val rot = e.select(col("id"),
+      graft.ops.Pq.matVecCol(col("vec"), r, 64).as("vec"))
+    val path = idxPath(s, dir, "e10")
+    if (!graft.ops.IvfPq.exists(s, path))
+      graft.ops.IvfPq.build(rot, m = 8, ks = 64, pqIters = 1,
+        persist = false).save(path)
+    val idx = graft.ops.IvfPq.load(s, path, persist = false)
+    val qr = q.select(col("qid"),
+      graft.ops.Pq.matVecCol(col("qvec"), r, 64).as("qvec"))
+    idx.query(qr, 5, fetch = 30).orderBy("qid", "rank")
+  }
+
   /** IVF-PQ (IVFADC) top-5 with exact rerank — the production
     * billion-scale ANN shape: coarse cells prune, residual PQ codes
     * score, raw vectors rerank the shortlist. Approximate by design
@@ -731,7 +764,8 @@ object Pipeline {
     "e06_knn_ivfpq_verify" -> e06KnnIvfPqVerify _,
     "e07_semantic_dedup" -> e07SemanticDedup _,
     "e08_pq_rotated" -> e08PqRotated _,
-    "e09_pq_opq" -> e09PqOpq _)
+    "e09_pq_opq" -> e09PqOpq _,
+    "e10_knn_opq_ivfpq" -> e10KnnOpqIvfPq _)
 
   private def jaccardOracle(where: String) =
     s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents$where),

@@ -201,4 +201,26 @@ class PqSpec extends SparkSpec {
       assert(again == rr)
     } finally idx.close()
   }
+
+  test("OPQ + IVF-PQ composition: rotated index answers in original id space") {
+    val q2 = emb.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    def topSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = topSet(Similarity.bruteForceKnn(emb, q2, 5))
+    val (_, r) = Pq.trainOpq(emb, "id", "vec",
+      m = 8, ks = 16, iters = 1, opqIters = 2)
+    val rot = emb.select(col("id"), Pq.matVecCol(col("vec"), r, 64).as("vec"))
+    val idx = graft.ops.IvfPq.build(rot, m = 8, ks = 64, pqIters = 1)
+    try {
+      val qr = q2.select(col("qid"), Pq.matVecCol(col("qvec"), r, 64).as("qvec"))
+      val got = idx.query(qr, 5, fetch = 30)
+      // contract: k rows per query, ranks 1..5
+      val perQ = got.groupBy("qid").count().collect()
+      assert(perQ.length == 8 && perQ.forall(_.getLong(1) == 5L))
+      // rotation-invariant rerank: recall vs UNROTATED brute force
+      val rec = exact.intersect(topSet(got)).size.toDouble / exact.size
+      assert(rec >= 0.5, s"OPQ+IVF-PQ reranked recall $rec too low")
+    } finally idx.close()
+  }
 }
