@@ -449,6 +449,21 @@ object Operators {
     Quantity(q.df.withColumn("value", org.apache.spark.sql.functions.pow(col("value"), n)),
       q.dims, Units.parse(q.unit).pow(n).format)
 
+  /** genno mul — the operator-name alias of [[product]] (genno exposes
+    * both; graph configs reference either). */
+  def mul(a: Quantity, b: Quantity): Quantity = product(a, b)
+
+  /** genno div — the operator-name alias of [[ratio]]. */
+  def div(a: Quantity, b: Quantity): Quantity = ratio(a, b)
+
+  /** genno expand_dims: add a new dimension with a single constant
+    * label (the xarray operation genno uses to align quantities before
+    * concat/broadcast; values and units untouched). */
+  def expandDims(q: Quantity, dim: String, label: String): Quantity = {
+    require(!q.dims.contains(dim), s"'$dim' is already a dim of the quantity")
+    Quantity(q.df.withColumn(dim, lit(label)), q.dims :+ dim, q.unit)
+  }
+
   /** genno sub: element-wise difference a − b (same broadcast-on-
     * common-dims semantics as [[product]]/[[ratio]]; units must agree,
     * like [[add]]). */

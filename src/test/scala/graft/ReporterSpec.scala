@@ -327,6 +327,18 @@ class ReporterSpec extends SparkSpec {
     assert(rn.dims == Seq("region", "t"))
     assert(rn.df.columns.contains("region"))
     intercept[IllegalArgumentException](Operators.rename(q, Map("zz" -> "w")))
+
+    // expand_dims adds a constant-label dim; mul/div are true aliases
+    val ed = Operators.expandDims(q, "scenario", "base")
+    assert(ed.dims == Seq("r", "t", "scenario"))
+    assert(ed.df.select("scenario").distinct().collect().map(_.getString(0)).toSeq == Seq("base"))
+    intercept[IllegalArgumentException](Operators.expandDims(q, "r", "x"))
+    val viaMul = Operators.mul(q, half).df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val viaProduct = Operators.product(q, half).df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(viaMul == viaProduct)
+    assert(Operators.div(q, half).unit == Operators.ratio(q, half).unit)
   }
 
   test("unit conversion: convert/apply/assign (pint linear semantics)") {

@@ -211,6 +211,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("boilerplateDigests drops data later than the watermark (bounded state)") {
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStream.boilerplateDigests(docs, minCount = 2,
+        watermark = "10 minutes", window_ = "1 hour")
+      .writeStream.format("memory").queryName("boiler_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one occurrence inside the 10:00 window, then advance the
+      // watermark far past that window's end
+      input.addData((1L, "late line", t("2026-01-01 10:05:00")))
+      q.processAllAvailable()
+      input.addData((2L, "tick", t("2026-01-01 15:00:00")))
+      q.processAllAvailable()
+      // a second "late line" occurrence arrives hours late: its window
+      // is closed, so state was reclaimed and the pair NEVER reaches
+      // minCount — bounded state means late stragglers cannot resurrect
+      // expired windows
+      input.addData((3L, "late line", t("2026-01-01 10:06:00")))
+      q.processAllAvailable()
+      input.addData((4L, "tick2", t("2026-01-01 16:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("boiler_late").count() == 0,
+        "closed-window stragglers must not publish digests")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     val input = MemoryStream[Ev](spark)
     val q = EventStream.runningTotals(input.toDF())
