@@ -480,15 +480,21 @@ object Dedup {
     }
 
     // The edge table is STATIC across rounds: symmetrize, dedup, and
-    // hash-partition by u ONCE (eager checkpoint — every round's
-    // propagation join reuses this layout instead of re-exchanging the
-    // edges; duplicate edges would not change any min, but dropping
-    // them shrinks every later join probe).
+    // hash-partition by u ONCE. persist — NOT localCheckpoint — is
+    // load-bearing here: a checkpoint's LogicalRDD DROPS the child's
+    // outputPartitioning, so every round's propagation join would
+    // re-exchange the whole edge table; an InMemoryRelation keeps it,
+    // and the per-round sort-merge join reads the cached layout with
+    // ZERO exchange on the edge side (plan-verified) — per-round
+    // shuffle volume is O(labels), never O(edges). Duplicate edges
+    // would not change any min, but dropping them shrinks every later
+    // join probe.
     val und = edges0
       .union(edges0.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .repartition(col("u"))
-      .localCheckpoint(eager = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count() // materialize once; rounds then scan the cached layout
 
     // labels start at min(self, neighbors) — one propagation step
     // folded into the init. localCheckpoint (not persist): each
