@@ -415,6 +415,28 @@ class OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("connectedComponents resolves a deep path graph (shortcut regime)") {
+    // a 120-node chain converges only after the round-3 pointer-jump
+    // shortcut kicks in (pure propagation would walk one hop per round
+    // past maxIter) — this is the branch shallow near-clique fixtures
+    // never reach. Descending ids so min-label propagation has to flow
+    // the full length.
+    val edges = (1L until 120L).map(i => (120L - i, 121L - i))
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+        maxIter = 25).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 120)
+    assert(got.forall(_._2 == 1L), "every chain node must label to the min id")
+    // two chains + an isolated pair stay separate components
+    val edges2 = edges ++ (200L until 250L).map(i => (i, i + 1)) ++ Seq((900L, 901L))
+    val got2 = Dedup.connectedComponents(edges2.toDF("id_a", "id_b"),
+        maxIter = 25).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.filter(_._1 <= 120L).forall(_._2 == 1L))
+    assert(got2.filter(kv => kv._1 >= 200L && kv._1 <= 250L).forall(_._2 == 200L))
+    assert(got2(900L) == 900L && got2(901L) == 900L)
+  }
+
   test("connectedComponents matches union-find on a pseudo-random graph") {
     val rnd = new scala.util.Random(42)
     val n = 200
