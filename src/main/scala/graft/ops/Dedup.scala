@@ -436,7 +436,7 @@ object Dedup {
     * loop (Kiveris et al. 2014): both are O(log)-round and
     * anti-quadratic, but a star alternation rewrites (and re-shuffles)
     * the EDGE set twice per round — ~6 exchanges — where propagation
-    * shuffles only the label table against edges checkpointed once
+    * shuffles only the label table against edges persisted once
     * (measured at sf0.1: 2.5–3.3 s vs 4.1–5.5 s warm on the simhash
     * pair graph, identical labels; Scratch.scala holds the harness).
     *
