@@ -468,7 +468,12 @@ object Dedup {
     // of ~0.5 s scheduling overhead each lose badly to one collect +
     // union-find; above it, the distributed path is the only thing
     // that scales. Opt-in (0 = always distributed) so gates and scale
-    // runs exercise the distributed algorithm by default.
+    // runs exercise the distributed algorithm by default. The
+    // threshold is measured against RAW directed pair rows (pre
+    // symmetrize/distinct) — counting is then a pure scan with no
+    // shuffle, and the collected array is exactly what union-find
+    // consumes; callers with duplicate-heavy pair sets should size
+    // the threshold for the raw row count, not distinct edges.
     if (driverThreshold > 0) {
       val n = edges0.count()
       if (n <= driverThreshold) {
@@ -509,40 +514,43 @@ object Dedup {
     var sig = signature(labels)
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
-      // candidates for each node's new label: every neighbor's current
-      // label (propagation) + its current label (labels are monotone
-      // non-increasing) + — from round 3 — its label's own label (the
-      // shortcut / pointer jump, which collapses chains in O(log d)
-      // rounds where pure propagation walks them one hop per round).
-      // Deferring the shortcut is the measured shallow-graph win:
-      // dedup pair graphs are near-cliques that converge before a
-      // pointer jump can help, and the shortcut is a labels self-join
-      // (an extra exchange) every round it runs; a deep path graph
-      // reaches round 3 still unconverged and gets the log(d) regime.
-      val viaEdges = und.join(labels.withColumnRenamed("node", "u"), "u")
-        .select(col("v").as("node"), col("label"))
-      val cand =
-        if (it < 2) viaEdges.union(labels)
-        else {
-          val viaLabels = labels.alias("x")
-            .join(labels.alias("y"), col("x.label") === col("y.node"))
-            .select(col("x.node").as("node"), col("y.label").as("label"))
-          viaEdges.union(viaLabels).union(labels)
-        }
-      val next = cand
-        .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint(eager = false)
-      val nextSig = signature(next)
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = nextSig == sig
-      sig = nextSig
-      it += 1
-    }
-    require(converged, s"connectedComponents: no convergence in $maxIter rounds")
-    und.unpersist(blocking = false)
-    labels
+    try {
+      while (!converged && it < maxIter) {
+        // candidates for each node's new label: every neighbor's current
+        // label (propagation) + its current label (labels are monotone
+        // non-increasing) + — from round 3 — its label's own label (the
+        // shortcut / pointer jump, which collapses chains in O(log d)
+        // rounds where pure propagation walks them one hop per round).
+        // Deferring the shortcut is the measured shallow-graph win:
+        // dedup pair graphs are near-cliques that converge before a
+        // pointer jump can help, and the shortcut is a labels self-join
+        // (an extra exchange) every round it runs; a deep path graph
+        // reaches round 3 still unconverged and gets the log(d) regime.
+        val viaEdges = und.join(labels.withColumnRenamed("node", "u"), "u")
+          .select(col("v").as("node"), col("label"))
+        val cand =
+          if (it < 2) viaEdges.union(labels)
+          else {
+            val viaLabels = labels.alias("x")
+              .join(labels.alias("y"), col("x.label") === col("y.node"))
+              .select(col("x.node").as("node"), col("y.label").as("label"))
+            viaEdges.union(viaLabels).union(labels)
+          }
+        val next = cand
+          .groupBy("node").agg(min(col("label")).as("label"))
+          .localCheckpoint(eager = false)
+        val nextSig = signature(next)
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = nextSig == sig
+        sig = nextSig
+        it += 1
+      }
+      require(converged, s"connectedComponents: no convergence in $maxIter rounds")
+      labels
+      // finally, not post-require: exhausting maxIter must not leak the
+      // persisted edge table for the SparkContext's lifetime (ADVICE r6)
+    } finally { und.unpersist(blocking = false); () }
   }
 
   /** Collapse near-dup pairs into clusters over the full corpus:

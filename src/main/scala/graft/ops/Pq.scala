@@ -230,8 +230,13 @@ object Pq {
           val rL = r
           // M = Σ x·x̂ᵀ accumulated per partition (x original, x̂ the
           // reconstruction of R·x) — one narrow array per partition to
-          // the driver, never a per-row explosion
-          val mArr = c.select(col("__vec")).rdd.mapPartitions { it =>
+          // the driver, never a per-row explosion. Partition results
+          // are folded on the driver in PARTITION-INDEX order, not
+          // reduce()'s arrival order: float addition is non-associative,
+          // so an order-dependent fold would make the learned R (and
+          // every index built under it) non-bit-reproducible across
+          // runs (ADVICE r6).
+          val parts = c.select(col("__vec")).rdd.mapPartitionsWithIndex { (pi, it) =>
             val acc = new Array[Double](d * d)
             val rx = new Array[Double](d)
             it.foreach { row =>
@@ -253,11 +258,12 @@ object Pq {
                 i += 1
               }
             }
-            Iterator.single(acc)
-          }.reduce { (a, b) =>
+            Iterator.single((pi, acc))
+          }.collect().sortBy(_._1)
+          val mArr = new Array[Double](d * d)
+          parts.foreach { case (_, a) =>
             var i = 0
-            while (i < d * d) { a(i) += b(i); i += 1 }
-            a
+            while (i < d * d) { mArr(i) += a(i); i += 1 }
           }
           val bm = breeze.linalg.DenseMatrix.tabulate(d, d)(
             (i, k) => mArr(i * d + k))
@@ -284,13 +290,16 @@ object Pq {
     * must never rerun per query batch at scale. */
   def saveOpq(path: String, cb: PqCodebook, r: Array[Double],
       spark: org.apache.spark.sql.SparkSession): Unit = {
+    // validate BEFORE any write: a late require left orphaned partial
+    // artifacts on disk (crash-safe — exists() stays false — but the
+    // writes were wasted and the garbage persisted; ADVICE r6)
+    require(r.length == cb.dim * cb.dim, "rotation shape mismatch")
     import spark.implicits._
     Seq((cb.m, cb.ks, cb.dsub, cb.centroids.toSeq))
       .toDF("m", "ks", "dsub", "centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     Seq((cb.dim, r.toSeq)).toDF("d", "mat")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
-    require(r.length == cb.dim * cb.dim, "rotation shape mismatch")
     // meta marker last: a crash mid-save leaves exists() false
     Seq(1).toDF("v").coalesce(1).write.mode("overwrite")
       .parquet(s"$path/meta")

@@ -77,13 +77,27 @@ object Pipeline {
     * folds in the source parquet's (length, mtime), so overwriting the
     * data in place invalidates the cache instead of serving a stale
     * index (VERDICT r5 wrong #4 — the dir-only key needed a manual
-    * version bump on data change). */
+    * version bump on data change). For a Spark-written parquet
+    * DIRECTORY the top-level status is useless (getLen is not the data
+    * length; the dir mtime need not change on an in-place part-file
+    * rewrite), so the stamp aggregates the recursive file listing —
+    * sum of file lengths, max file mtime, file count (ADVICE r6). */
   private def idxPath(s: SparkSession, dir: String, tag: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.-]", "_")
     val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val st = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-      .getFileStatus(src)
-    val stamp = s"${st.getLen}-${st.getModificationTime}"
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val stamp =
+      if (st.isFile) s"${st.getLen}-${st.getModificationTime}"
+      else {
+        var len = 0L; var mt = 0L; var n = 0L
+        val it = fs.listFiles(src, true)
+        while (it.hasNext) {
+          val f = it.next()
+          len += f.getLen; mt = math.max(mt, f.getModificationTime); n += 1
+        }
+        s"$len-$mt-$n"
+      }
     s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-idx-v1/$tag$key-$stamp"
   }
 
@@ -209,7 +223,17 @@ object Pipeline {
     val (_, r) = graft.ops.Pq.loadOpq(s, mPath)
     val rot = e.select(col("id"),
       graft.ops.Pq.matVecCol(col("vec"), r, 64).as("vec"))
-    val path = idxPath(s, dir, "e10")
+    // the saved IVF-PQ index is only valid UNDER this rotation: fold a
+    // hash of R into the cache key so retraining just the e09 model
+    // (e.g. after deleting its dir) can never leave a surviving e10
+    // index silently queried under a mismatched rotation (ADVICE r6)
+    val rHash = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bb = java.nio.ByteBuffer.allocate(8 * r.length)
+      r.foreach(bb.putDouble)
+      md.digest(bb.array()).take(6).map("%02x".format(_)).mkString
+    }
+    val path = idxPath(s, dir, s"e10-$rHash")
     if (!graft.ops.IvfPq.exists(s, path))
       graft.ops.IvfPq.build(rot, m = 8, ks = 64, pqIters = 1,
         persist = false).save(path)

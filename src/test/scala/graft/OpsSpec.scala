@@ -325,6 +325,29 @@ class OpsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("lineDedup: blank-line paragraph separators survive the frequency gate") {
+    // every doc uses "" as the paragraph separator, so the empty line's
+    // corpus frequency (4) clears minCount — but blank lines are
+    // structure, not boilerplate, and must survive unconditionally
+    // (ADVICE r5: an ungated "" entry stripped every paragraph break)
+    val d = Seq(
+      (1L, "para one\n\npara two"),
+      (2L, "other one\n\nother two"),
+      (3L, "COOKIE BANNER\n\nthird text"),
+      (4L, "COOKIE BANNER\n\nfourth text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, minCount = 2).orderBy("doc_id")
+      .as[(Long, Int, Long, String)].collect()
+    // paragraph structure intact in untouched docs
+    assert(out(0) == (1L, 3, 3L, "para one\n\npara two"))
+    // the real boilerplate still drops; the separator stays
+    assert(out(2) == (3L, 3, 2L, "\nthird text"))
+    // keepFirst mode: same survival rule for blanks
+    val kf = Dedup.lineDedup(d, minCount = 2, keepFirst = true)
+      .filter(col("doc_id") === 2).select("text").as[String].head()
+    assert(kf == "other one\n\nother two")
+  }
+
   test("lineDedup counts repeats within one document too") {
     val d = Seq((1L, "same\nsame\nmiddle"), (2L, "other")).toDF("doc_id", "text")
     val out = Dedup.lineDedup(d, minCount = 2).filter(col("doc_id") === 1)
@@ -389,6 +412,20 @@ class OpsSpec extends SparkSpec {
     assert(audit(0) == (1L, 2, 2, 1))
     assert(audit(1) == (2L, 1, 1, 0))
     assert(audit(2) == (3L, 0, 0, 0))
+  }
+
+  test("auditUrls: duplicated blocklist rows do not fan out the join") {
+    import graft.ops.UrlOps
+    // a real blocklist file often repeats domains; the left join must
+    // see a distinct build side or n_domains inflates (ADVICE r5)
+    val d = Seq(
+      (1L, "a http://bad.example.com/x b https://ok.example.org c")
+    ).toDF("doc_id", "text")
+    val block = Seq("bad.example.com", "bad.example.com", "bad.example.com")
+      .toDF("domain")
+    val audit = UrlOps.auditUrls(d, block)
+      .as[(Long, Int, Int, Int)].head()
+    assert(audit == (1L, 2, 2, 1))
   }
 
   test("piiCounts/redactPii find and replace emails, IPs, phones") {

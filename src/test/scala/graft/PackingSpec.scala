@@ -29,6 +29,20 @@ class PackingSpec extends SparkSpec {
     assert(out(7L) == (210L, 2L, 1L))
   }
 
+  test("concatChunkPlan: zero-token docs occupy no chunk (n_chunks = 0)") {
+    // before ADVICE r5 the span formula gave an empty doc 0 or 1 chunks
+    // depending on whether its offset fell on a chunk boundary
+    val d = Seq((1L, "a", 100L), (2L, "a", 0L), (3L, "a", 50L),
+      (4L, "a", 0L)).toDF("id", "grp", "n")
+    val out = Packing.concatChunkPlan(d, "id", "grp", col("n"), budget = 100)
+      .select("id", "token_offset", "chunk_first", "n_chunks")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(2L) == (100L, 1L, 0L)) // exactly ON a boundary
+    assert(out(4L) == (150L, 1L, 0L)) // mid-chunk
+    assert(out(1L) == (0L, 0L, 1L) && out(3L) == (100L, 1L, 1L))
+  }
+
   test("slidingChunks: full coverage, exact overlap, lossless reconstruction") {
     val toks = (1 to 57).map(i => s"w$i")
     val d = Seq((1L, toks), (2L, Seq("a", "b")), (3L, Seq.empty[String]))

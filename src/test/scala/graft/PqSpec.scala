@@ -111,6 +111,23 @@ class PqSpec extends SparkSpec {
     assert(rerankRecall >= plainRecall, "rerank must not lose recall")
   }
 
+  test("trainOpq is bit-reproducible across runs and partitionings") {
+    // the correlation matrix is folded in partition-INDEX order on the
+    // driver (ADVICE r6): reduce()'s arrival-order float addition made
+    // the learned R differ in low bits run-to-run, silently decoupling
+    // any index built under a retrained rotation. iters=0 pins the
+    // codebook to the md5-ordered seed sample (deterministic by
+    // construction) so the ONLY former nondeterminism is the fold
+    // under test; the Lloyd avg() path merges partials in fetch order
+    // and is reproducible only via the saved-model pattern.
+    val shuffled = emb.repartition(16)
+    val (_, r1) = Pq.trainOpq(shuffled, "id", "vec",
+      m = 8, ks = 16, iters = 0, opqIters = 2)
+    val (_, r2) = Pq.trainOpq(shuffled, "id", "vec",
+      m = 8, ks = 16, iters = 0, opqIters = 2)
+    assert(r1.toSeq == r2.toSeq, "learned rotation differs between runs")
+  }
+
   test("learned OPQ: orthogonal R, MSE <= fixed rotation, rotation-invariant rerank") {
     // fixed-rotation baseline: e08's signed permutation + the SAME
     // Lloyd budget trainOpq's first round spends

@@ -143,6 +143,22 @@ class TemporalSpec extends SparkSpec {
     assert(out == Set((1L, 10L), (1L, 11L), (3L, 10L)))
   }
 
+  test("rangeJoin: a malformed (inverted) interval is dropped, not fatal") {
+    // one end_ts < start_ts row would make the unguarded descending
+    // sequence() throw and kill the whole job (ADVICE r5); it can match
+    // no point anyway, so it is filtered up front
+    val points = Seq((1L, 1L, t("2026-01-01 10:30:00")))
+      .toDF("pt_id", "user_id", "v_ts")
+    val ivs = Seq(
+      (10L, 1L, t("2026-01-01 10:00:00"), t("2026-01-01 12:00:00")),
+      (11L, 1L, t("2026-01-01 12:00:00"), t("2026-01-01 09:00:00"))
+    ).toDF("iv_id", "user_id", "start_ts", "end_ts")
+    val out = Temporal.rangeJoin(points, ivs, Seq("user_id"),
+        "v_ts", "start_ts", "end_ts", "hour")
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))
+  }
+
   test("rangeJoin matches the naive inequality join on pseudo-random data") {
     val points = (1L to 300L).map { i =>
       (i, i % 5, t(f"2026-01-01 ${(i * 7) % 24}%02d:${(i * 13) % 60}%02d:00"))
