@@ -61,7 +61,21 @@ object Bench {
     // GC pause or page-cache miss cannot fake a 12× regression
     // (VERDICT r2: the driver-env d09 "regression" was one noisy rep).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val probePre = shuffleProbe(spark)
+    // Refuse-and-retry on a sick host (VERDICT r6 #6): a probe far
+    // above ~1 s means scratch-disk/scheduler contention no per-query
+    // median can measure through (r6's driver run: probe_pre 65.3 s,
+    // every line garbage). Wait the window out — up to 3 × 60 s —
+    // before the battery; if it never clears, the JSON says so
+    // ("unhealthy":true) and must not be read as a regression signal.
+    var probePre = shuffleProbe(spark)
+    var probeRetries = 0
+    while (probePre > 5.0 && probeRetries < 3) {
+      System.err.println(
+        f"bench: scratch probe $probePre%.1f s (healthy ~1 s) - waiting 60 s for the contention window to pass")
+      Thread.sleep(60000)
+      probePre = shuffleProbe(spark)
+      probeRetries += 1
+    }
     val results = names.map { name =>
       // Per-query isolation: drop every cached/persisted frame left over
       // from earlier queries (index builds, bounded shingle persists) so
@@ -93,7 +107,8 @@ object Bench {
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(r => math.abs(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"probe_pre_sec":$probePre,"probe_post_sec":$probePost,"sf":"$sfDir"}""")
+    val unhealthy = probePre > 5.0 || probePost > 5.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"probe_pre_sec":$probePre,"probe_post_sec":$probePost,"probe_retries":$probeRetries,"unhealthy":$unhealthy,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -437,8 +437,8 @@ object Dedup {
     * anti-quadratic, but a star alternation rewrites (and re-shuffles)
     * the EDGE set twice per round — ~6 exchanges — where propagation
     * shuffles only the label table against edges persisted once
-    * (measured at sf0.1: 2.5–3.3 s vs 4.1–5.5 s warm on the simhash
-    * pair graph, identical labels; Scratch.scala holds the harness).
+    * (measured at sf0.1 by a 6-variant in-JVM A/B, round 6: 2.5–3.3 s
+    * vs 4.1–5.5 s warm on the simhash pair graph, identical labels).
     *
     * Returns (node, label): every node that appears in some pair, with
     * label = the smallest id in its component. Singleton docs never
