@@ -41,6 +41,21 @@ object ScaleBench {
       val best = reps.map(_._1).min
       println(f"SCALE $dir%-28s $name%-22s ${best}%8.2f s  rows=${reps.head._2}")
     }
+    // ANN recall at scale (VERDICT r6 #3): the table above rehearses
+    // LATENCY; without this section an ANN quality regression at 10×
+    // would be invisible. recall@5 of each approximate gate against
+    // e01's exact brute-force top-5 on the same directory.
+    for (dir <- dirs) {
+      spark.catalog.clearCache()
+      def topSet(name: String) =
+        SparkEntry.queries(name)(spark, dir).select("qid", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = topSet("e01_knn_brute")
+      for (g <- Seq("e02_knn_ivf", "e05_knn_ivfpq", "e10_knn_opq_ivfpq")) {
+        val rec = exact.intersect(topSet(g)).size.toDouble / exact.size
+        println(f"RECALL $dir%-28s $g%-22s recall@5=$rec%.3f")
+      }
+    }
     spark.stop()
   }
 }
