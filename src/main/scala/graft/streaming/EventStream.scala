@@ -114,7 +114,13 @@ object EventStream {
     * lineDedup over that window's documents would find it; a line
     * spread thinner than `minCount` per window is the rule's
     * frequency threshold applied at the window granularity — choose
-    * `window_` at the cadence the batch job used to run. */
+    * `window_` at the cadence the batch job used to run.
+    *
+    * State is one count per distinct in-horizon (window, digest): fine
+    * for real corpora, linear in an adversarial all-unique-line flood —
+    * [[boilerplateDigestsSketch]] is the constant-memory variant for
+    * that regime (this exact variant remains the d21-convergence
+    * reference). */
   def boilerplateDigests(docs: DataFrame, minCount: Int = 2,
       watermark: String = "1 hour", window_ : String = "1 hour",
       sep: String = "\n"): DataFrame =
@@ -129,6 +135,93 @@ object EventStream {
       .filter(col("n") >= minCount)
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("__h"), col("n"))
+
+  final case class CmsState(counters: Array[Int], published: Seq[String])
+  final case class CmsDigest(windowStart: java.sql.Timestamp,
+      windowEnd: java.sql.Timestamp, digest: String, nEst: Long)
+
+  /** Bounded-memory [[boilerplateDigests]] (VERDICT r6 #4): the exact
+    * variant keeps one count per distinct in-horizon (window, digest)
+    * pair, so a hostile stream of all-unique lines grows state
+    * linearly until the watermark closes the window. This variant
+    * keeps a count-min sketch (Cormode & Muthukrishnan 2005) per
+    * active window instead: `depth`×`width` int counters — 128 KB at
+    * the defaults — REGARDLESS of line diversity, plus the published
+    * digest set itself (bounded by `maxPublish`; real boilerplate is a
+    * tiny minority of distinct lines by definition).
+    *
+    * Guarantees: CMS estimates only ever OVERcount (estimate >= true
+    * count), so no truly-frequent line is missed; a colliding rare
+    * line can be published early with probability ~(e/width)^depth per
+    * distinct line — the classic ε/δ trade, tune `width` to the
+    * horizon's expected distinct-line count. The `depth` row indices
+    * derive from disjoint 32-bit words of the line's own md5 (the same
+    * digest the batch d21 rule keys on), so behavior is deterministic
+    * and engine-reproducible. Unlike the exact variant (whose windowed
+    * aggregate finalizes on window close), digests publish the moment
+    * their estimate crosses `minCount` — strictly earlier, which is
+    * what a live [[stripBoilerplateLines]] feed wants.
+    *
+    * State lifecycle: event-time timeout at the window end; when the
+    * watermark passes it, the group's sketch is dropped — same horizon
+    * rule as the exact variant. */
+  def boilerplateDigestsSketch(docs: DataFrame, minCount: Int = 2,
+      watermark: String = "1 hour", window_ : String = "1 hour",
+      sep: String = "\n", width: Int = 8192, depth: Int = 4,
+      maxPublish: Int = 100000): DataFrame = {
+    require(depth >= 1 && depth <= 4, s"depth must be 1..4 (md5 has 4 words), got $depth")
+    require(width >= 16, s"width must be >= 16, got $width")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lines = docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(col("text"),
+        java.util.regex.Pattern.quote(sep))).as("line"))
+      .filter(length(col("line")) > 0)
+      .select(window(col("ts"), window_).as("w"), col("ts"),
+        md5(col("line").cast("binary")).as("h"))
+      // the watermarked ts attribute must survive into the grouped
+      // dataset — EventTimeTimeout refuses a child plan without it
+      .select(col("w.start").cast("long").as("ws"),
+        col("w.end").cast("long").as("we"), col("ts"), col("h"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+    lines.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[CmsState, CmsDigest](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((ws, we), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(
+              CmsState(new Array[Int](width * depth), Nil))
+            val counters = st.counters
+            var published = st.published.toSet
+            val out = scala.collection.mutable.ArrayBuffer.empty[CmsDigest]
+            rows.foreach { case (_, _, _, h) =>
+              var est = Int.MaxValue
+              var r = 0
+              while (r < depth) {
+                val word = java.lang.Long
+                  .parseLong(h.substring(r * 8, r * 8 + 8), 16).toInt
+                val idx = r * width + math.floorMod(word, width)
+                counters(idx) += 1
+                if (counters(idx) < est) est = counters(idx)
+                r += 1
+              }
+              if (est >= minCount && !published.contains(h)
+                  && published.size < maxPublish) {
+                published += h
+                out += CmsDigest(new java.sql.Timestamp(ws * 1000),
+                  new java.sql.Timestamp(we * 1000), h, est.toLong)
+              }
+            }
+            state.update(CmsState(counters, published.toSeq))
+            state.setTimeoutTimestamp(
+              math.max(we * 1000, state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
+      }
+      .toDF("window_start", "window_end", "__h", "n_est")
+  }
 
   final case class UserTotal(userId: Long, nEvents: Long, total: Double)
 

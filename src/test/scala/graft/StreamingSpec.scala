@@ -238,6 +238,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("boilerplateDigestsSketch: bounded state under a unique-line flood") {
+    // the adversarial regime the exact variant cannot bound: 200 docs,
+    // 400 distinct lines, one repeated banner. The sketch must publish
+    // exactly the banner and hold ONE state row (the active window) —
+    // the exact variant would hold one row per distinct digest.
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStream.boilerplateDigestsSketch(docs, minCount = 2,
+        watermark = "10 minutes", window_ = "1 hour", width = 4096)
+      .writeStream.format("memory").queryName("boiler_cms")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val flood = (1L to 200L).map(i => (i,
+        s"unique line $i alpha\nSUBSCRIBE BANNER\nunique line $i beta",
+        t("2026-01-01 10:01:00")))
+      input.addData(flood: _*)
+      q.processAllAvailable()
+      // accumulation across batches too: a second batch re-crossing
+      // minCount must not re-publish the already-published digest
+      input.addData((500L, "SUBSCRIBE BANNER\nfresh tail", t("2026-01-01 10:30:00")))
+      q.processAllAvailable()
+      val banner = Seq("SUBSCRIBE BANNER").toDF("l")
+        .select(md5(col("l").cast("binary"))).as[String].head()
+      val published = spark.table("boiler_cms").select("__h")
+        .as[String].collect().toSeq
+      assert(published == Seq(banner),
+        s"published $published, want exactly the banner digest once")
+      val stateRows = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      assert(stateRows == 1,
+        s"sketch state must scale with active windows, not lines; got $stateRows rows")
+      // state reclaimed once the watermark passes the window end: the
+      // two ticks open their own (still-live) window groups, so after
+      // the flood window times out exactly those 2 rows remain — the
+      // flood window's 128 KB sketch is gone
+      input.addData((900L, "tick", t("2026-01-01 15:00:00")))
+      q.processAllAvailable()
+      input.addData((901L, "tick2", t("2026-01-01 16:00:00")))
+      q.processAllAvailable()
+      val lastRows = q.recentProgress.last.stateOperators.map(_.numRowsTotal).sum
+      assert(lastRows == 2, s"expired flood-window state not reclaimed: $lastRows rows")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     val input = MemoryStream[Ev](spark)
     val q = EventStream.runningTotals(input.toDF())
