@@ -41,6 +41,32 @@ object ScaleBench {
       val best = reps.map(_._1).min
       println(f"SCALE $dir%-28s $name%-22s ${best}%8.2f s  rows=${reps.head._2}")
     }
+    // 100×-volume label-prop rehearsal (VERDICT r6 #7): the 10× table
+    // proves log-round behavior on real pair graphs, but those stay
+    // sparse (near-dup pairs are a corpus minority), so the collapse
+    // step's EDGE volume never gets stressed. Synthesize chained
+    // blocks of 16 nodes — deep enough to enter the round-3 shortcut
+    // regime — at two sizes a decade apart; near-linear wall-clock
+    // between them is the scale argument for the label-prop loop
+    // itself. Labels are verified, not assumed: every node must carry
+    // its block's minimum.
+    import org.apache.spark.sql.functions.{col, countDistinct, max => fmax}
+    for (nEdges <- Seq(400000L, 4000000L)) {
+      val k = 16L
+      val edges = spark.range(nEdges * k / (k - 1))
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        .filter(col("id_b") % k =!= 0)
+      val t0 = System.nanoTime()
+      val labels = graft.ops.Dedup.connectedComponents(edges)
+      val n = labels.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val chk = labels.agg(
+        countDistinct(col("label")).as("c"),
+        fmax(col("node") - col("label")).as("d")).head()
+      println(f"SCALE-CC edges=$nEdges%8d nodes=$n%8d comps=${chk.getLong(0)}%7d " +
+        f"maxSpread=${chk.getLong(1)} ${sec}%7.2f s")
+      require(chk.getLong(1) == k - 1, "label-prop produced wrong components")
+    }
     // ANN recall at scale (VERDICT r6 #3): the table above rehearses
     // LATENCY; without this section an ANN quality regression at 10×
     // would be invisible. recall@5 of each approximate gate against
