@@ -238,6 +238,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("boilerplateDigestsSketch converges to the exact digest set (no collisions)") {
+    // at fixture scale the sketch has no collisions, so its published
+    // set must equal the exact variant's — and feeding it to
+    // stripBoilerplateLines must reproduce the batch lineDedup rule,
+    // proving the sketch is a drop-in for the same downstream
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStream.boilerplateDigestsSketch(docs, minCount = 2,
+        watermark = "10 minutes", window_ = "1 hour")
+      .writeStream.format("memory").queryName("boiler_cms_conv")
+      .outputMode(OutputMode.Append()).start()
+    val data = Seq(
+      (1L, "subscribe now\nreal content one\n\nshared footer", t("2026-01-01 10:01:00")),
+      (2L, "subscribe now\nreal content two\n\nshared footer", t("2026-01-01 10:12:00")),
+      (3L, "all original here\nnothing repeated", t("2026-01-01 10:25:00")))
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("boiler_cms_conv").select("__h")
+        .as[String].collect().toSet
+      val batchBoiler = data.toDF("doc_id", "text", "ts")
+        .select(posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+        .filter(length(col("line")) > 0)
+        .groupBy(md5(col("line").cast("binary")).as("__h"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .select("__h").as[String].collect().toSet
+      assert(streamed == batchBoiler,
+        s"sketch digests $streamed != exact $batchBoiler")
+      val stripped = EventStream.stripBoilerplateLines(
+          data.toDF("doc_id", "text", "ts"),
+          spark.table("boiler_cms_conv").select("__h"))
+        .groupBy("doc_id")
+        .agg(expr("concat_ws('\n', transform(array_sort(" +
+          "collect_list(struct(pos, line))), x -> x.line))").as("text"))
+      val batch = graft.ops.Dedup.lineDedup(
+          data.toDF("doc_id", "text", "ts"), minCount = 2)
+        .select("doc_id", "text")
+      val got = stripped.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = batch.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, s"stripped $got != batch lineDedup $want")
+    } finally q.stop()
+  }
+
   test("boilerplateDigestsSketch: bounded state under a unique-line flood") {
     // the adversarial regime the exact variant cannot bound: 200 docs,
     // 400 distinct lines, one repeated banner. The sketch must publish
