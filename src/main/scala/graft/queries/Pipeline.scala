@@ -82,7 +82,7 @@ object Pipeline {
     * length; the dir mtime need not change on an in-place part-file
     * rewrite), so the stamp aggregates the recursive file listing —
     * sum of file lengths, max file mtime, file count (ADVICE r6). */
-  private def idxPath(s: SparkSession, dir: String, tag: String): String = {
+  private[graft] def idxPath(s: SparkSession, dir: String, tag: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.-]", "_")
     val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)

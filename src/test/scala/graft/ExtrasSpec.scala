@@ -286,4 +286,26 @@ class ExtrasSpec extends SparkSpec {
       .select("value").as[Double].head() == 2.2)
     assert(ScenarioOperators.fromUrl(mp, s"m/s#${s.version}").runId == s.runId)
   }
+
+  test("saved-index cache keys track DIRECTORY parquet contents (ADVICE r6)") {
+    // a Spark-written embeddings.parquet is a directory: the top-level
+    // status is useless (length != data bytes; dir mtime can survive an
+    // in-place part rewrite), so the stamp aggregates the recursive
+    // listing — rewriting the data with different contents MUST change
+    // the key, and an untouched dataset must keep it stable
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("graft-idxkey")
+    val src = spark.range(100).select(col("id").as("vec_id"),
+      org.apache.spark.sql.functions.array(col("id").cast("double")).as("embedding"))
+    src.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val k1 = graft.queries.Pipeline.idxPath(spark, dir, "t")
+    val k1again = graft.queries.Pipeline.idxPath(spark, dir, "t")
+    assert(k1 == k1again, "stamp must be stable while data is untouched")
+    Thread.sleep(1100) // mtime granularity can be 1 s on some filesystems
+    spark.range(200).select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.array(col("id").cast("double")).as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val k2 = graft.queries.Pipeline.idxPath(spark, dir, "t")
+    assert(k1 != k2, "rewriting the dataset must invalidate the cache key")
+  }
 }
