@@ -26,12 +26,15 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_SCALE_CC_ONLY=1 skips the query battery and recall
+    // sections — the isolated-rerun switch for big SCALE-CC points
+    val ccOnly = sys.env.get("SPARK_GRAFT_SCALE_CC_ONLY").contains("1")
     // warmup pass compiles every plan shape once
-    names.foreach { n =>
+    if (!ccOnly) names.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case e: Throwable => System.err.println(s"warmup $n: ${e.getMessage}") }
     }
-    for (dir <- dirs; name <- names) {
+    for (dir <- if (ccOnly) Seq.empty[String] else dirs; name <- names) {
       spark.catalog.clearCache()
       val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -51,7 +54,10 @@ object ScaleBench {
     // itself. Labels are verified, not assumed: every node must carry
     // its block's minimum.
     import org.apache.spark.sql.functions.{col, countDistinct, max => fmax}
-    for (nEdges <- Seq(400000L, 4000000L)) {
+    val ccSizes = sys.env.get("SPARK_GRAFT_SCALE_CC_EDGES")
+      .map(_.split(",").toSeq.map(_.trim.toLong))
+      .getOrElse(Seq(400000L, 4000000L))
+    for (nEdges <- ccSizes) {
       val k = 16L
       val edges = spark.range(nEdges * k / (k - 1))
         .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
@@ -71,7 +77,7 @@ object ScaleBench {
     // LATENCY; without this section an ANN quality regression at 10×
     // would be invisible. recall@5 of each approximate gate against
     // e01's exact brute-force top-5 on the same directory.
-    for (dir <- dirs) {
+    for (dir <- if (ccOnly) Seq.empty[String] else dirs) {
       spark.catalog.clearCache()
       def topSet(name: String) =
         SparkEntry.queries(name)(spark, dir).select("qid", "id").collect()
