@@ -427,10 +427,25 @@ object Dedup {
     * label-of-label term is the shortcut (path doubling), so rounds are
     * O(log diameter), and no vertex ever materializes its neighbor
     * list (the per-node min is a groupBy aggregate, not a
-    * collect_list). Convergence is detected by a (count,
-    * order-independent hash) signature of the label table: one tiny
-    * aggregate per round, computed by the same action that
-    * materializes the round.
+    * collect_list).
+    *
+    * Edge-side propagation is FRONTIER (delta) restricted — the
+    * standard Pregel CC refinement: only labels that ADVANCED in the
+    * previous round re-propagate along edges, because a stable
+    * neighbor's contribution was already folded in the round after it
+    * last changed (the init folds every neighbor's raw id, the base
+    * case). Rounds after the first therefore join O(frontier·degree)
+    * rows against the cached edge table instead of O(edges); on
+    * shallow near-clique dedup graphs the frontier is most of the
+    * graph for the one round that matters (no loss), while deep
+    * chains shrink it to the propagation wavefront. The shortcut
+    * self-join stays unrestricted (it is O(labels), not O(edges), and
+    * a frontier-restricted pointer jump would miss nodes whose target
+    * advanced while they stood still). Convergence is exact: each
+    * round's materializing aggregate also counts label advances
+    * (labels are monotone non-increasing, so zero advances IS the
+    * fixed point — every edge constraint label(v) <= label(u) was
+    * checked in the round after u last advanced).
     *
     * This replaced the round-3..5 alternating large-star/small-star
     * loop (Kiveris et al. 2014): both are O(log)-round and
@@ -446,17 +461,6 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       driverThreshold: Long = 0L): DataFrame = {
     val spark = pairs.sparkSession
-
-    // order-independent set signature: XOR of per-row hashes (rows are
-    // distinct — one label per node — so XOR self-cancellation can't
-    // occur; bit_xor never overflows where an ANSI-mode sum() of
-    // hashes would). Labels only ever decrease, so an unchanged
-    // signature IS a fixed point.
-    def signature(l: DataFrame): (Long, Long) = {
-      val r = l.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(node, label))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
 
     val edges0 = pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
@@ -502,23 +506,30 @@ object Dedup {
     und.count() // materialize once; rounds then scan the cached layout
 
     // labels start at min(self, neighbors) — one propagation step
-    // folded into the init. localCheckpoint (not persist): each
-    // round's plan must START from the materialized previous round —
-    // un-truncated lineage would stack one join+union+aggregate per
-    // round and melt the analyzer after a few iterations. Lazy
-    // checkpoints: the signature aggregate is the action that
+    // folded into the init. localCheckpoint: each round's plan must
+    // START from the materialized previous round — un-truncated
+    // lineage would stack one join+union+aggregate per round and melt
+    // the analyzer after a few iterations. Init is EAGER (its frame is
+    // referenced twice in round 1 — frontier and self — and an
+    // un-materialized checkpoint recomputes per plan reference);
+    // rounds are lazy: the advance-count aggregate is the action that
     // materializes each round, so a round costs ONE job.
-    var labels = und.groupBy(col("u").as("node"))
+    var mat = und.groupBy(col("u").as("node"))
       .agg(least(min(col("v")), first(col("u"))).as("label"))
-      .localCheckpoint(eager = false)
-    var sig = signature(labels)
-    var converged = false
+      .localCheckpoint()
+    var labels = mat
+    // the frontier after init: nodes whose label already advanced
+    // below their own id (every neighbor's RAW id was folded by the
+    // init itself, so stable nodes have nothing new to send)
+    var frontier = mat.filter(col("label") < col("node"))
+    var changed = -1L
     var it = 0
     try {
-      while (!converged && it < maxIter) {
-        // candidates for each node's new label: every neighbor's current
-        // label (propagation) + its current label (labels are monotone
-        // non-increasing) + — from round 3 — its label's own label (the
+      while (changed != 0L && it < maxIter) {
+        // candidates for each node's new label: every FRONTIER
+        // neighbor's label (delta propagation) + its current label
+        // (monotonicity + the previous-label tag the convergence count
+        // needs) + — from round 3 — its label's own label (the
         // shortcut / pointer jump, which collapses chains in O(log d)
         // rounds where pure propagation walks them one hop per round).
         // Deferring the shortcut is the measured shallow-graph win:
@@ -526,27 +537,39 @@ object Dedup {
         // pointer jump can help, and the shortcut is a labels self-join
         // (an extra exchange) every round it runs; a deep path graph
         // reaches round 3 still unconverged and gets the log(d) regime.
-        val viaEdges = und.join(labels.withColumnRenamed("node", "u"), "u")
-          .select(col("v").as("node"), col("label"))
+        val nullPrev = lit(null).cast("long").as("__prev")
+        val viaEdges = und.join(frontier.withColumnRenamed("node", "u"), "u")
+          .select(col("v").as("node"), col("label"), nullPrev)
+        val self = labels.select(col("node"), col("label"),
+          col("label").as("__prev"))
         val cand =
-          if (it < 2) viaEdges.union(labels)
+          if (it < 2) viaEdges.union(self)
           else {
             val viaLabels = labels.alias("x")
               .join(labels.alias("y"), col("x.label") === col("y.node"))
-              .select(col("x.node").as("node"), col("y.label").as("label"))
-            viaEdges.union(viaLabels).union(labels)
+              .select(col("x.node").as("node"), col("y.label").as("label"),
+                nullPrev)
+            viaEdges.union(viaLabels).union(self)
           }
+        // min(__prev) keeps the single non-null previous label the
+        // self branch contributes for every node
         val next = cand
-          .groupBy("node").agg(min(col("label")).as("label"))
+          .groupBy("node").agg(min(col("label")).as("label"),
+            min(col("__prev")).as("__prev"))
           .localCheckpoint(eager = false)
-        val nextSig = signature(next)
-        labels.unpersist(blocking = false)
-        labels = next
-        converged = nextSig == sig
-        sig = nextSig
+        // ONE job materializes the round and counts advances
+        val st = next.agg(
+          sum(when(col("label") < col("__prev"), 1L).otherwise(0L))).head()
+        changed = if (st.isNullAt(0)) 0L else st.getLong(0)
+        mat.unpersist(blocking = false)
+        mat = next
+        labels = next.select(col("node"), col("label"))
+        frontier = next.filter(col("label") < col("__prev"))
+          .select(col("node"), col("label"))
         it += 1
       }
-      require(converged, s"connectedComponents: no convergence in $maxIter rounds")
+      require(changed == 0L,
+        s"connectedComponents: no convergence in $maxIter rounds")
       labels
       // finally, not post-require: exhausting maxIter must not leak the
       // persisted edge table for the SparkContext's lifetime (ADVICE r6)
