@@ -462,9 +462,17 @@ object Dedup {
       driverThreshold: Long = 0L): DataFrame = {
     val spark = pairs.sparkSession
 
+    // Pair GENERATION runs ONCE: the symmetrize union below references
+    // this subtree twice, and an un-materialized plan recomputes per
+    // plan reference (the localCheckpoint law in NOTES) — for callers
+    // whose pairs come out of an LSH band join or an IVF-cell
+    // self-join, that would double the most expensive stage of the
+    // whole collapse. The eager checkpoint also serves the fast-path
+    // count and collect below without re-evaluating the generator.
     val edges0 = pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
+      .localCheckpoint()
 
     // Small-graph fast path: candidate-pair graphs are usually tiny
     // relative to the corpus (pairs come out of LSH buckets, not the
@@ -484,6 +492,7 @@ object Dedup {
         import spark.implicits._
         val local = unionFindLocal(
           edges0.select(col("u"), col("v")).as[(Long, Long)].collect())
+        edges0.unpersist(blocking = false)
         return local.toDF("node", "label")
       }
     }
@@ -504,6 +513,7 @@ object Dedup {
       .repartition(col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count() // materialize once; rounds then scan the cached layout
+    edges0.unpersist(blocking = false) // the rounds only read und
 
     // labels start at min(self, neighbors) — one propagation step
     // folded into the init. localCheckpoint: each round's plan must

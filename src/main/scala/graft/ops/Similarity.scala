@@ -216,7 +216,14 @@ object Similarity {
     val ivf = IvfIndex.build(unit, nCells, refineIters, persist = false,
       md5Seeds = md5Seeds)
     val assigned0 = ivf.assigned.select(col("cell"), col("id"), col("vec"))
+    // the cell self-join consumes the assignment TWICE — persist it so
+    // the broadcast-scoring pass over the corpus runs once, not per
+    // join side (clusterPairs collapses the pairs EAGERLY via the
+    // checkpointed edge list, so the cache can be dropped before
+    // returning: the output plan references only the materialized
+    // component labels and the corpus ids)
     val assigned = Dedup.capBuckets(assigned0, Seq("cell"), maxCell)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = assigned.select(col("cell"), col("id").as("id_a"), col("vec").as("va"))
     val b = assigned.select(col("cell"), col("id").as("id_b"), col("vec").as("vb"))
     val pairs = a.join(b, Seq("cell"))
@@ -227,9 +234,11 @@ object Similarity {
     // near-dup pair graphs are tiny relative to the corpus: opt into
     // the union-find fast path via driverThreshold (see
     // Dedup.connectedComponents); 0 keeps the distributed collapse
-    Dedup.clusterPairs(pairs, corpus.select(col("id")), "id",
+    val out = Dedup.clusterPairs(pairs, corpus.select(col("id")), "id",
         driverThreshold = driverThreshold)
       .select(col("doc_id").as("id"), col("cluster_id"), col("is_canonical"))
+    assigned.unpersist(blocking = false)
+    out
   }
 }
 
