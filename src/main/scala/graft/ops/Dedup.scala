@@ -55,6 +55,7 @@ object Dedup {
   }
   private val shinglePersist = new PersistSlot // minhash / ngram / winnow
   private val bloomPersist = new PersistSlot   // bloomDecontaminate benchmark side
+  private val simhashPersist = new PersistSlot // simhash blocked fingerprints
   private def persistBounded(df: DataFrame): DataFrame = shinglePersist(df)
 
   /** Per-document distinct HASHED word n-gram shingle sets
@@ -223,7 +224,12 @@ object Dedup {
         }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.block").as("block"), col("bk.block_key").as("block_key"))
-    val blocked = capBuckets(blocked0, Seq("block", "block_key"), maxBucket)
+    // both self-join sides consume the blocked fingerprints: persist
+    // (slot-bounded) so the SimHash pass over the corpus runs once,
+    // not per side — the same double-reference law minhashLsh's
+    // shingle persist already applies
+    val blocked = simhashPersist(
+      capBuckets(blocked0, Seq("block", "block_key"), maxBucket))
     val a = blocked.alias("a")
     val b = blocked.alias("b")
     a.join(b,
