@@ -34,6 +34,23 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  // Single-frame persist slots (same pattern as Dedup's): acquiring a
+  // slot evicts its previous occupant, so repeated runs never
+  // accumulate cached blocks for the SparkContext's lifetime. Two
+  // slots because one cosineNearDup call holds both frames live at
+  // once — a shared slot would evict the vectors mid-plan.
+  private final class PersistSlot {
+    private var last: Option[DataFrame] = None
+    def apply(df: DataFrame): DataFrame = synchronized {
+      last.foreach(_.unpersist(blocking = false))
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      last = Some(p)
+      p
+    }
+  }
+  private val cosineVecPersist = new PersistSlot  // normalized corpus vectors
+  private val cosineBandPersist = new PersistSlot // banded LSH keys
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param corpus  (id, vec) rows
@@ -151,17 +168,22 @@ object Similarity {
       bits: Int = 48, bands: Int = 8): DataFrame = {
     val r = bits / bands
     val mask = (1L << r) - 1
-    val c = spread(corpus).select(col("id"), asDouble(col("vec")).as("vec"))
+    // the corpus feeds FOUR plan references (signature pass + both
+    // confirm-join sides) and the banded keys feed two (the candidate
+    // self-join) — persist each once or every reference re-scans and
+    // re-computes (the double-reference law; see Dedup.minhashLsh)
+    val c = cosineVecPersist(
+      spread(corpus).select(col("id"), asDouble(col("vec")).as("vec")))
     // native codegen'd signature (one long of sign bits per row); band
     // keys are then plain bit ops, and the banded/exploded rows carry
     // only (id, band, key) — the embedding payload never fans out
     val signed = c.select(col("id"),
       graft.functions.CatalystFunctions.hyperplaneSig(col("vec"), bits).as("sig"))
-    val banded = signed.select(col("id"),
+    val banded = cosineBandPersist(signed.select(col("id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"),
         col("sig"))
       .withColumn("band_key", expr(s"shiftright(sig, band * $r) & ${mask}L"))
-      .select("id", "band", "band_key")
+      .select("id", "band", "band_key"))
     val a = banded.alias("a")
     val b = banded.alias("b")
     // distinct on the narrow (id, id) pair first; vectors re-joined after
