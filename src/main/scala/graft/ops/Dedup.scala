@@ -38,21 +38,8 @@ object Dedup {
     df.repartition(p)
   }
 
-  // At most one persisted frame per SLOT per JVM: each new pipeline run
-  // evicts the previous one, so repeated runs don't accumulate cached
-  // blocks for the SparkContext's lifetime. Slots are per operator
-  // family — bloomDecontaminate holds its benchmark shingles across the
-  // whole (lazy) confirm join, so sharing a slot with a concurrent
-  // minhash/winnow run would silently evict it mid-query (ADVICE r5).
-  private final class PersistSlot {
-    private var last: Option[DataFrame] = None
-    def apply(df: DataFrame): DataFrame = synchronized {
-      last.foreach(_.unpersist(blocking = false))
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      last = Some(p)
-      p
-    }
-  }
+  // Per-operator-family persist slots — see graft.ops.PersistSlot for
+  // the eviction contract and why families must not share (ADVICE r5).
   private val shinglePersist = new PersistSlot // minhash / ngram / winnow
   private val bloomPersist = new PersistSlot   // bloomDecontaminate benchmark side
   private val simhashPersist = new PersistSlot // simhash blocked fingerprints

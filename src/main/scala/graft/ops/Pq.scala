@@ -229,13 +229,17 @@ object Pq {
           val cbL = cb
           val rL = r
           // M = Σ x·x̂ᵀ accumulated per partition (x original, x̂ the
-          // reconstruction of R·x) — one narrow array per partition to
-          // the driver, never a per-row explosion. Partition results
-          // are folded on the driver in PARTITION-INDEX order, not
-          // reduce()'s arrival order: float addition is non-associative,
-          // so an order-dependent fold would make the learned R (and
-          // every index built under it) non-bit-reproducible across
-          // runs (ADVICE r6).
+          // reconstruction of R·x) — one narrow array per partition,
+          // never a per-row explosion. Partition results are folded in
+          // PARTITION-INDEX order, not reduce()'s arrival order: float
+          // addition is non-associative, so an order-dependent fold
+          // would make the learned R (and every index built under it)
+          // non-bit-reproducible across runs (ADVICE r6). The fold runs
+          // in ONE executor task over a sorted single-partition shuffle
+          // of the partials, so residency is one accumulator — a
+          // driver-side collect would hold all P partials at once
+          // (P·8·d² bytes — gigabytes at d=512 with thousands of
+          // partitions).
           val parts = c.select(col("__vec")).rdd.mapPartitionsWithIndex { (pi, it) =>
             val acc = new Array[Double](d * d)
             val rx = new Array[Double](d)
@@ -259,12 +263,17 @@ object Pq {
               }
             }
             Iterator.single((pi, acc))
-          }.collect().sortBy(_._1)
-          val mArr = new Array[Double](d * d)
-          parts.foreach { case (_, a) =>
-            var i = 0
-            while (i < d * d) { mArr(i) += a(i); i += 1 }
           }
+          val mArr = parts
+            .sortBy(_._1, ascending = true, numPartitions = 1)
+            .mapPartitions { it =>
+              val acc = new Array[Double](d * d)
+              it.foreach { case (_, a) =>
+                var i = 0
+                while (i < d * d) { acc(i) += a(i); i += 1 }
+              }
+              Iterator.single(acc)
+            }.collect().head
           val bm = breeze.linalg.DenseMatrix.tabulate(d, d)(
             (i, k) => mArr(i * d + k))
           val svdR = breeze.linalg.svd(bm)

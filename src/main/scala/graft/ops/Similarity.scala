@@ -34,20 +34,9 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  // Single-frame persist slots (same pattern as Dedup's): acquiring a
-  // slot evicts its previous occupant, so repeated runs never
-  // accumulate cached blocks for the SparkContext's lifetime. Two
-  // slots because one cosineNearDup call holds both frames live at
-  // once — a shared slot would evict the vectors mid-plan.
-  private final class PersistSlot {
-    private var last: Option[DataFrame] = None
-    def apply(df: DataFrame): DataFrame = synchronized {
-      last.foreach(_.unpersist(blocking = false))
-      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      last = Some(p)
-      p
-    }
-  }
+  // Two slots (see graft.ops.PersistSlot) because one cosineNearDup
+  // call holds both frames live at once — a shared slot would evict
+  // the vectors mid-plan.
   private val cosineVecPersist = new PersistSlot  // normalized corpus vectors
   private val cosineBandPersist = new PersistSlot // banded LSH keys
 
@@ -255,12 +244,14 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
     // near-dup pair graphs are tiny relative to the corpus: opt into
     // the union-find fast path via driverThreshold (see
-    // Dedup.connectedComponents); 0 keeps the distributed collapse
-    val out = Dedup.clusterPairs(pairs, corpus.select(col("id")), "id",
-        driverThreshold = driverThreshold)
-      .select(col("doc_id").as("id"), col("cluster_id"), col("is_canonical"))
-    assigned.unpersist(blocking = false)
-    out
+    // Dedup.connectedComponents); 0 keeps the distributed collapse.
+    // finally: a collapse failure (e.g. maxIter exhaustion) must not
+    // leak the corpus-sized cached assignment
+    try
+      Dedup.clusterPairs(pairs, corpus.select(col("id")), "id",
+          driverThreshold = driverThreshold)
+        .select(col("doc_id").as("id"), col("cluster_id"), col("is_canonical"))
+    finally { assigned.unpersist(blocking = false); () }
   }
 }
 

@@ -203,7 +203,10 @@ object EventStream {
                 val word = java.lang.Long
                   .parseLong(h.substring(r * 8, r * 8 + 8), 16).toInt
                 val idx = r * width + math.floorMod(word, width)
-                counters(idx) += 1
+                // saturate: this operator exists for hostile volumes,
+                // and a wrapped counter would go negative and suppress
+                // publication forever
+                if (counters(idx) != Int.MaxValue) counters(idx) += 1
                 if (counters(idx) < est) est = counters(idx)
                 r += 1
               }
