@@ -485,6 +485,31 @@ class OpsSpec extends SparkSpec {
     assert(got == ufComponents(nodes, edges))
   }
 
+  test("connectedComponents matches union-find across topologies and seeds") {
+    // the frontier/delta rewrite (round 7) is correctness-critical:
+    // sweep the regimes it treats differently — near-cliques (converge
+    // before the shortcut), deep chains (the shortcut regime), stars
+    // (1-hop), and mixtures — each against the driver union-find
+    for (seed <- Seq(7, 19, 101)) {
+      val rnd = new scala.util.Random(seed)
+      val chains = (0 until 4).flatMap { c =>
+        val base = 1000L * c + rnd.nextInt(100)
+        (0 until 20).map(i => (base + i, base + i + 1))
+      }
+      val star = (1 to 15).map(i => (5000L, 5000L + rnd.nextInt(400) + i))
+      val clique = { val ids = Seq.fill(6)(6000L + rnd.nextInt(300)).distinct
+        for (a <- ids; b <- ids if a < b) yield (a, b) }
+      val sparse = Seq.fill(60)(
+        (7000L + rnd.nextInt(120), 7000L + rnd.nextInt(120)))
+        .filter(e => e._1 != e._2)
+      val edges = chains ++ star ++ clique ++ sparse
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      assert(got == ufComponents(nodes, edges), s"seed $seed diverged")
+    }
+  }
+
   test("clusterPairs: every doc labeled, min id canonical, singletons self-clustered") {
     val allDocs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
