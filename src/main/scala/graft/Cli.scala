@@ -24,11 +24,20 @@ import graft.report.Reporter
   * Scenario arguments may be bare `model/scenario[#version]` paths
   * (resolved against `<storeRoot>`) or full `ixmp://PLATFORM/...` URLs,
   * resolved through the platform registry (`$GRAFT_CONFIG`).
+  *
+  * Beyond the reference surface, `curate` drives the training-data
+  * pipeline end to end over a JSONL corpus:
+  * {{{
+  *   graft.Cli curate <in.jsonl[.gz]> <outDir> [minWords]
+  * }}}
+  * quality/language gate → PII redaction → exact dedup (min-id keep)
+  * → corpus line dedup (C4/RefinedWeb boilerplate rule) → JSONL out,
+  * with a per-stage survivor count printed as the audit trail.
   */
 object Cli {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: Cli <storeRoot> <scenarios|solve|export|report> … | Cli platform <add|remove|list> …")
+      "usage: Cli <storeRoot> <scenarios|solve|export|report> … | Cli platform <add|remove|list> … | Cli curate <in> <out> [minWords]")
     if (args(0) == "platform") { platformCmd(args.drop(1)); return }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -37,8 +46,54 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try run(new Platform(spark, args(0)), args.drop(1))
-    finally spark.stop()
+    try {
+      if (args(0) == "curate") curateCmd(spark, args.drop(1))
+      else run(new Platform(spark, args(0)), args.drop(1))
+    } finally spark.stop()
+  }
+
+  /** `curate <in.jsonl> <outDir> [minWords]` — the batch curation
+    * pipeline as ONE command: the same operators the d-gates grade
+    * (EventStream.curateStream is batch/stream agnostic; Dedup.exact
+    * and lineDedup are the d01/d21 paths), composed in the order a
+    * production run uses: cheap map-side gates first, corpus-wide
+    * shuffles (dedup) only on the survivors. */
+  private[graft] def curateCmd(spark: SparkSession, args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val (in, outDir) = (args(0), args(1))
+    val minWords = if (args.length > 2) args(2).toInt else 20
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING")
+    val docs = graft.io.DocumentIO.readJsonlClean(spark, in, schema)
+    val total = docs.count()
+    // stage 1: stateless quality + language gate with in-flight PII
+    // redaction (map-side only — no shuffle spent on dropped docs).
+    // gated and deduped each feed several references (dedup build
+    // side, joins, stage counts) — persist so the regexp-heavy gate
+    // runs once (the double-reference law)
+    val gated = graft.streaming.EventStream.curateStream(
+        docs, minWords = minWords, redact = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // stage 2: exact dedup, min-id keeper (d01 rule)
+      val keep = graft.ops.Dedup.exact(gated)
+      val deduped = gated.join(
+          keep.select(col("keep_id").as("doc_id")), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // stage 3: corpus-wide boilerplate line dedup (d21 rule), then
+        // drop docs whose every line was boilerplate
+        val cleaned = graft.ops.Dedup.lineDedup(deduped)
+          .filter(col("n_kept") > 0)
+        val out = cleaned.join(
+          deduped.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+          .select("doc_id", "text", "lang", "source")
+        graft.io.DocumentIO.writeJsonl(out, outDir, compression = "none")
+        val nOut = spark.read.json(outDir).count()
+        println(s"curate: $total read, ${gated.count()} passed quality/lang, " +
+          s"${deduped.count()} after exact dedup, $nOut written to $outDir")
+      } finally { deduped.unpersist(blocking = false); () }
+    } finally { gated.unpersist(blocking = false); () }
   }
 
   /** `platform add|remove|list` (reference cli.py:332-360) — pure

@@ -54,6 +54,30 @@ class CliSpec extends SparkSpec {
     intercept[IllegalArgumentException](Cli.run(mp, Array("bogus")))
   }
 
+  test("curate command: quality gate, PII redaction, exact + line dedup, JSONL out") {
+    val in = tmpDir("graft-cli-curate-in")
+    val longText = (1 to 30).map(i => s"the quick word$i fox and some more".take(40))
+      .mkString(" ")
+    Seq(
+      (1L, s"$longText\nCOOKIE BANNER\ncontact me a.b@ex.org ok", "en", "web"),
+      (2L, s"$longText\nCOOKIE BANNER\ncontact me a.b@ex.org ok", "en", "web"), // exact dup of 1
+      (3L, s"different $longText here\nCOOKIE BANNER\ntail line", "en", "web"),
+      (4L, "too short", "en", "web"), // fails the min-words gate
+      (5L, s"$longText unique tail five", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").json(in)
+    val outDir = tmpDir("graft-cli-curate-out")
+    Cli.curateCmd(spark, Array(in, outDir, "10"))
+    val out = spark.read.json(outDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // doc 2 (exact dup) and doc 4 (too short) are gone
+    assert(out.keySet == Set(1L, 3L, 5L))
+    // the corpus-repeated banner line was stripped, real lines survive
+    assert(!out(1L).contains("COOKIE BANNER") && out(3L).contains("tail line"))
+    // PII was redacted in-flight
+    assert(!out(1L).contains("a.b@ex.org") && out(1L).contains("<EMAIL>"))
+  }
+
   test("platform registry: add/list/remove + named ixmp:// URL resolution") {
     import graft.core.PlatformRegistry
     val cfg = java.nio.file.Paths.get(tmpDir("graft-reg"), "platforms.properties")
