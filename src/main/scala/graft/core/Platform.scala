@@ -60,7 +60,16 @@ class Platform(val spark: SparkSession, val root: String) {
     require(Seq("view", "read", "edit", "write", "modify").contains(access),
       s"invalid access kind: $access")
     val known = modelNames().toSet
-    val writable = new java.io.File(root).canWrite
+    // the root may be a URI (hdfs://, s3a://, file:/) for which
+    // java.io.File.canWrite is ALWAYS false — probe local paths with
+    // File, and trust remote filesystems to raise their own permission
+    // errors on write (a fiction File cannot check for them anyway)
+    val writable = {
+      val uri = new org.apache.hadoop.fs.Path(root).toUri
+      if (uri.getScheme == null) new java.io.File(root).canWrite
+      else if (uri.getScheme == "file") new java.io.File(uri.getPath).canWrite
+      else true
+    }
     models.map { m =>
       m -> (known(m) && (access == "view" || access == "read" || writable))
     }.toMap
@@ -151,14 +160,22 @@ class Platform(val spark: SparkSession, val root: String) {
       "a version target requires model and scenario")
     // a name is unique ACROSS targets (doc/data-model.rst:145-169):
     // replace the name on every target that shares this model/scenario
-    // context, not just the exact target row
+    // context. "Shares" = the row and the new target AGREE on at least
+    // one coordinate both specify, and contradict none — a row is kept
+    // when it names a DIFFERENT value on a shared axis, and also when
+    // the two targets touch disjoint axes entirely (a model-A entry
+    // must survive a scenario-Z write: an unspecified axis used to
+    // degenerate to `true` and over-delete unrelated levels).
     val cur = store.meta()
-    val sharesContext =
-      (model.map(m => col("target_model") === m).getOrElse(lit(true)) ||
-        col("target_model").isNull) &&
-      (scenario.map(sc => col("target_scenario") === sc).getOrElse(lit(true)) ||
-        col("target_scenario").isNull)
-    val without = cur.filter(!(col("name") === name && sharesContext))
+    val axes: Seq[(String, Option[Any])] = Seq(
+      ("target_model", model), ("target_scenario", scenario),
+      ("target_version", version.map(Integer.valueOf)))
+    val sharedAny = axes.collect { case (c, Some(_)) => col(c).isNotNull }
+      .foldLeft(lit(false))(_ || _)
+    val sharedAgree = axes.collect { case (c, Some(x)) =>
+      col(c).isNull || col(c) <=> lit(x)
+    }.foldLeft(lit(true))(_ && _)
+    val without = cur.filter(!(col("name") === name && sharedAny && sharedAgree))
     val row = Row(model.orNull, scenario.orNull,
       version.map(Integer.valueOf).orNull, name, valueJson)
     store.writeMeta(without.unionByName(spark.createDataFrame(

@@ -179,6 +179,10 @@ class Scenario(platform0: Platform, run0: RunInfo)
   def removeSet(name: String, elements: Seq[Any]): Unit = {
     requireCheckedOut()
     val d = itemDefOf(name)
+    // same guard as addSet: without it a parameter name would silently
+    // lose matching rows through a SET api (the anti-join keys on
+    // idx_names and passes value/unit columns straight through)
+    require(d.itemType == ItemType.Set, s"'$name' is not a set")
     if (d.idxNames.isEmpty) {
       val keep = itemData(name).toDF(name)
         .filter(!col(name).isin(Util.asStrList(elements): _*))

@@ -171,7 +171,8 @@ class TimeSeries(val platform: Platform, protected var run: RunInfo) {
         joinCols, "left_anti"))
   }
 
-  /** Preload = persist the run's TS slice (reference
-    * preload_timeseries, timeseries.py:334-336 → SURVEY §4). */
-  def preloadTimeseries(): Unit = { store.tsData(runId).persist(); () }
+  /** Preload = persist the run's TS slice, released by the store on
+    * the next TS write/discard (reference preload_timeseries,
+    * timeseries.py:334-336 → SURVEY §4). */
+  def preloadTimeseries(): Unit = store.preloadTs(runId)
 }

@@ -56,13 +56,18 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
 
   // ---- generational table helpers -----------------------------------
 
-  /** Newest generation number of `name` with a _SUCCESS marker. */
+  /** Newest generation number of `name` with a _SUCCESS marker.
+    * globStatus with the table's own prefix, NOT a full parent
+    * listing: the manifest parent holds one shard per run — a plain
+    * listStatus there made every commit pay an O(total runs) metadata
+    * scan just to find one shard's newest generation. */
   private def currentGenOf(name: String): Option[Long] = {
     val parent = new Path(s"$root/$name").getParent
     val base = new Path(s"$root/$name").getName
     if (!fs.exists(parent)) return None
-    val gens = fs.listStatus(parent).iterator.map(_.getPath.getName)
-      .filter(n => n.startsWith(base + ".g"))
+    val matches = fs.globStatus(new Path(parent, base + ".g*"))
+    if (matches == null) return None
+    val gens = matches.iterator.map(_.getPath.getName)
       .flatMap(n => n.stripPrefix(base + ".g").toLongOption)
       .filter(g => fs.exists(new Path(parent, s"$base.g$g/_SUCCESS")))
       .toSeq
@@ -167,6 +172,12 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     pending.keys.filter(_._1 == runId).foreach(pending.remove)
     itemDefs.keys.filter(_._1 == runId).foreach(itemDefs.remove)
     manifest --= manifest.keys.filter(_._1 == runId)
+    // a discarded max run_id is recycled by nextRunId: stale checkout
+    // or generation-counter state under the old id would silently
+    // stage the new run's writes into pending forever (never
+    // persisted) or start its generations mid-sequence
+    checkedOut.remove(runId)
+    allocatedGen --= allocatedGen.keys.filter(_._1 == runId)
     persistManifest(runId)
     writePointerTable("catalog/runs", runsDf.filter(col("run_id") =!= runId))
     writePointerTable("catalog/items",
@@ -322,12 +333,18 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     * overwrite each other's in-flight directory (ADVICE r1): each writer
     * gets a distinct directory, and publish keeps the highest one. */
   private val allocatedGen = TrieMap.empty[(Long, String), Long]
+  // generations whose parquet write is currently running: vacuum must
+  // not reclaim them (the directory exists before publish, outside the
+  // lock) — entries clear in a finally, so even a failed write's
+  // garbage becomes reclaimable immediately
+  private val inFlight = TrieMap.empty[(Long, String, Long), Unit]
 
   private def allocateGen(runId: Long, name: String): Long = synchronized {
     val next = math.max(
       allocatedGen.getOrElse((runId, name), -1L) + 1,
       currentDataGen(runId, name).getOrElse(-1L) + 1)
     allocatedGen((runId, name)) = next
+    inFlight((runId, name, next)) = ()
     next
   }
 
@@ -336,26 +353,40 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   private def writeVersioned(fam: String, runId: Long, name: String,
       df: DataFrame, schema: StructType): Unit = {
     val next = allocateGen(runId, name)
-    df.selectExpr(schema.fieldNames.map(c => s"`$c`").toIndexedSeq: _*)
-      .write.mode("overwrite").parquet(genPath(fam, runId, name, next))
-    if (checkedOut.contains(runId)) synchronized {
-      if (pending.get((runId, name)).forall(_ < next)) pending((runId, name)) = next
-    }
-    else synchronized {
-      // monotonic publish: a slower writer with an older generation must
-      // not roll the manifest pointer backwards
-      if (manifest.get((runId, name)).forall(_ < next)) {
-        manifest((runId, name)) = next
-        persistManifest(runId)
-        gcGens(fam, runId, name, next)
+    try {
+      df.selectExpr(schema.fieldNames.map(c => s"`$c`").toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(genPath(fam, runId, name, next))
+      if (checkedOut.contains(runId)) synchronized {
+        if (pending.get((runId, name)).forall(_ < next)) pending((runId, name)) = next
       }
-    }
+      else synchronized {
+        // monotonic publish: a slower writer with an older generation must
+        // not roll the manifest pointer backwards
+        if (manifest.get((runId, name)).forall(_ < next)) {
+          manifest((runId, name)) = next
+          persistManifest(runId)
+          gcGens(fam, runId, name, next)
+        }
+      }
+    } finally { inFlight.remove((runId, name, next)); () }
   }
 
-  /** Retain the trailing KeepGens generations of an item. */
+  /** Retain the trailing KeepGens generations of an item: sweep EVERY
+    * older generation, not just `newest - KeepGens` — checkout cycles
+    * publish in jumps (staged gens land several numbers above the last
+    * committed one), so a delete-exactly-one rule left permanent holes
+    * that only a manual vacuum() reclaimed. The listing is one small
+    * per-item directory (≤ KeepGens + in-flight entries). */
   private def gcGens(fam: String, runId: Long, name: String, newest: Long): Unit = {
-    val old = newest - KeepGens
-    if (old >= 0) fs.delete(new Path(genPath(fam, runId, name, old)), true)
+    val cutoff = newest - KeepGens
+    if (cutoff < 0) return
+    val dir = new Path(itemDir(fam, runId, name))
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { st =>
+      st.getPath.getName.stripPrefix("g").toLongOption.foreach { g =>
+        if (g <= cutoff) fs.delete(st.getPath, true)
+      }
+    }
   }
 
   private def dataSchema(d: ItemDef): StructType = {
@@ -398,11 +429,14 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     itemCache.keys.filter(_._1 == runId).foreach { k =>
       itemCache.remove(k).foreach(_.unpersist())
     }
+    tsCache.remove(runId).foreach(_.unpersist(blocking = false))
   }
 
   def clearCache(): Unit = {
     itemCache.values.foreach(_.unpersist())
     itemCache.clear()
+    tsCache.values.foreach(_.unpersist(blocking = false))
+    tsCache.clear()
   }
 
   override def itemData(runId: Long, name: String,
@@ -430,10 +464,26 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
 
   // ---- time series / geodata / categories ------------------------------
 
+  // preload_timeseries cache: owned here so TS WRITES can invalidate
+  // it — a caller-side persist() was never released and each
+  // checkout/commit cycle left a dead old-generation frame cached for
+  // the session lifetime (no plan could ever hit it again)
+  private val tsCache = TrieMap.empty[Long, DataFrame]
+
+  /** Persist this run's TS slice until the next TS write (reference
+    * preload_timeseries, timeseries.py:334-336). */
+  def preloadTs(runId: Long): Unit = synchronized {
+    tsCache.remove(runId).foreach(_.unpersist(blocking = false))
+    tsCache(runId) = readVersioned("ts", runId, TsName, tsSchema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   override def tsData(runId: Long): DataFrame =
-    readVersioned("ts", runId, TsName, tsSchema)
-  override def writeTsData(runId: Long, df: DataFrame): Unit =
+    tsCache.getOrElse(runId, readVersioned("ts", runId, TsName, tsSchema))
+  override def writeTsData(runId: Long, df: DataFrame): Unit = {
     writeVersioned("ts", runId, TsName, df, tsSchema)
+    tsCache.remove(runId).foreach(_.unpersist(blocking = false))
+  }
   override def geoData(runId: Long): DataFrame =
     readVersioned("geo", runId, GeoName, geoSchema)
   override def writeGeoData(runId: Long, df: DataFrame): Unit =
@@ -516,17 +566,23 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
 
   override def regions(): DataFrame = readPointerTable("codelists/regions", regionsSchema)
 
+  // Idempotent like addUnit: a duplicated region row would fan out
+  // resolveRegions' synonym left-join and store every datapoint for
+  // that region twice (re-running a setup script must be safe).
   override def addRegion(region: String, hierarchy: String, parent: Option[String]): Unit =
     synchronized {
-      writePointerTable("codelists/regions", regions().unionByName(
-        spark.createDataFrame(java.util.Arrays.asList(
-          Row(region, hierarchy, parent.orNull, null)), regionsSchema)))
+      if (regions().filter(col("region") === region).isEmpty)
+        writePointerTable("codelists/regions", regions().unionByName(
+          spark.createDataFrame(java.util.Arrays.asList(
+            Row(region, hierarchy, parent.orNull, null)), regionsSchema)))
     }
 
   override def addRegionSynonym(region: String, mappedTo: String): Unit = synchronized {
-    writePointerTable("codelists/regions", regions().unionByName(
-      spark.createDataFrame(java.util.Arrays.asList(
-        Row(region, "synonym", null, mappedTo)), regionsSchema)))
+    if (regions().filter(col("region") === region
+        && col("hierarchy") === "synonym").isEmpty)
+      writePointerTable("codelists/regions", regions().unionByName(
+        spark.createDataFrame(java.util.Arrays.asList(
+          Row(region, "synonym", null, mappedTo)), regionsSchema)))
   }
 
   override def timeslices(): DataFrame =
@@ -580,8 +636,13 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
       val runId = runStatus.getPath.getName.stripPrefix("run_id=").toLong
       val name = java.net.URLDecoder.decode(
         nameStatus.getPath.getName.stripPrefix("name="), "UTF-8")
-      val keep = (manifest.get((runId, name)).toSeq ++ pending.get((runId, name)).toSeq)
-        .flatMap(g => (math.max(0, g - KeepGens) to g)).toSet
+      // in-flight generations (allocated, parquet write still running
+      // outside the lock) must survive — deleting one would let a
+      // concurrent writer publish a pointer to vanished data
+      val keep = (manifest.get((runId, name)).toSeq
+          ++ pending.get((runId, name)).toSeq)
+        .flatMap(g => (math.max(0, g - KeepGens) to g)).toSet ++
+        inFlight.keys.collect { case (r, n, g) if r == runId && n == name => g }
       for (genStatus <- fs.listStatus(nameStatus.getPath)
           if genStatus.getPath.getName.startsWith("g")) {
         val g = genStatus.getPath.getName.stripPrefix("g").toLongOption
@@ -612,9 +673,23 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   override def commit(runId: Long, user: String, comment: String): Unit = synchronized {
     val staged = pending.filter(_._1._1 == runId)
     if (staged.nonEmpty) {
-      staged.foreach { case (k, g) => manifest(k) = g; pending.remove(k) }
+      staged.foreach { case (k @ (_, name), g) =>
+        manifest(k) = g
+        pending.remove(k)
+        // publish-time GC: the staged-write path skips gcGens (the
+        // generation is not visible yet), so the commit must reclaim
+        // the retention window or checkout cycles leak directories
+        for (fam <- Seq("set", "par", "sol", "ts", "geo", "cat"))
+          gcGens(fam, runId, name, g)
+      }
       persistManifest(runId)
     }
+    // commit annotations survive (reference transact(commit_message));
+    // append-mode: one small file per commit, read via commitLog()
+    spark.createDataFrame(
+        java.util.Arrays.asList(Row(runId, user, nowStamp(), comment)),
+        commitLogSchema)
+      .coalesce(1).write.mode("append").parquet(s"$root/catalog/commit_log")
     checkedOut.remove(runId)
     mutateRun(runId)(df => df
       .withColumn("lock_user",
@@ -625,6 +700,17 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
         when(col("run_id") === runId, lit(user)).otherwise(col("upd_user")))
       .withColumn("upd_date",
         when(col("run_id") === runId, lit(nowStamp())).otherwise(col("upd_date"))))
+  }
+
+  /** Commit annotations for `runId` (or all runs), oldest first —
+    * the durable record of every commit(run, user, comment). */
+  def commitLog(runId: Option[Long] = None): DataFrame = {
+    val p = new Path(s"$root/catalog/commit_log")
+    if (!fs.exists(p))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], commitLogSchema)
+    val all = spark.read.schema(commitLogSchema).parquet(p.toString)
+    runId.fold(all)(id => all.filter(col("run_id") === id)).orderBy("date")
   }
 
   /** Drop this run's staged generations — rollback to the last commit
@@ -686,6 +772,12 @@ object ParquetStore {
     StructField("run_id", LongType, nullable = false),
     StructField("name", StringType, nullable = false),
     StructField("gen", LongType, nullable = false)))
+
+  val commitLogSchema: StructType = StructType(Seq(
+    StructField("run_id", LongType, nullable = false),
+    StructField("user", StringType),
+    StructField("date", StringType),
+    StructField("comment", StringType)))
 
   val tsSchema: StructType = StructType(Seq(
     StructField("region", StringType),

@@ -287,6 +287,121 @@ class ExtrasSpec extends SparkSpec {
     assert(ScenarioOperators.fromUrl(mp, s"m/s#${s.version}").runId == s.runId)
   }
 
+  test("setMeta on disjoint target levels coexists; shared-context still replaces") {
+    val mp = new Platform(spark, tmpDir("graft-meta-lvl"))
+    mp.setMeta("priority", "\"1\"", model = Some("A"))
+    // a scenario-level write must NOT delete the model-level entry:
+    // the targets share no specified coordinate
+    mp.setMeta("priority", "\"2\"", scenario = Some("Z"))
+    assert(mp.getMeta(model = Some("A"), strict = true).count() == 1)
+    assert(mp.getMeta(scenario = Some("Z"), strict = true).count() == 1)
+    // same shared context still replaces: (A, B) subsumes the A entry
+    mp.setMeta("priority", "\"3\"", model = Some("A"), scenario = Some("B"))
+    assert(mp.getMeta(model = Some("A"), strict = true).count() == 0)
+    // and a DIFFERENT model neither deletes nor matches
+    mp.setMeta("priority", "\"4\"", model = Some("Q"))
+    assert(mp.getMeta(model = Some("A"), scenario = Some("B"), strict = true)
+      .select("value_json").as[String].head() == "\"3\"")
+  }
+
+  test("removeSet refuses non-set items; region/synonym adds are idempotent") {
+    val mp = new Platform(spark, tmpDir("graft-guards"))
+    val s = mp.newScenario("m", "s")
+    s.checkOut()
+    DantzigModel.initialize(s)
+    val e = intercept[IllegalArgumentException](
+      s.removeSet("d", Seq(Seq("seattle", "chicago"))))
+    assert(e.getMessage.contains("not a set"))
+    s.discard()
+    // duplicated synonym rows would fan out resolveRegions' left join
+    // and store every datapoint twice — re-running setup must be safe
+    mp.addRegion("United Kingdom", "country")
+    mp.addRegion("United Kingdom", "country")
+    mp.addRegionSynonym("UK", "United Kingdom")
+    mp.addRegionSynonym("UK", "United Kingdom")
+    val t = mp.newScenario("m", "ts")
+    t.transact("seed") {
+      t.addTimeseries(Seq(("UK", "GDP", "USD", 2020, 1.5))
+        .toDF("region", "variable", "unit", "year", "value"))
+    }
+    assert(t.timeseries().count() == 1)
+  }
+
+  test("a run id recycled after discardRun publishes writes durably") {
+    val root = tmpDir("graft-recycle")
+    val mp = new Platform(spark, root)
+    val s = mp.newScenario("m", "s")
+    s.checkOut()
+    DantzigModel.initialize(s)
+    s.commit("base")
+    val oldId = s.runId
+    mp.store.discardRun(oldId)
+    // nextRunId reuses the discarded max id; stale checkout state under
+    // it used to silently stage every non-checkout write into pending
+    // (readable this session, lost on restart)
+    val u = mp.newScenario("m", "reborn")
+    assert(u.runId == oldId)
+    u.checkOut()
+    DantzigModel.initialize(u)
+    u.commit("data")
+    u.setAsDefault()
+    u.solve(graft.model.Models("dantzig")) // setSolution writes WITHOUT checkout
+    // a FRESH store over the same root sees only manifest-published
+    // data — staged-forever writes would be invisible here
+    val mp2 = new Platform(spark, root)
+    val u2 = mp2.getScenario("m", "reborn")
+    assert(u2.hasSolution, "solution writes under a recycled id were not published")
+  }
+
+  test("commit comments survive in the commit log") {
+    val mp = new Platform(spark, tmpDir("graft-commitlog"))
+    val s = mp.newScenario("m", "s")
+    s.transact("added 2030 demand data") {
+      s.addTimeseries(Seq(("World", "GDP", "USD", 2030, 9.9))
+        .toDF("region", "variable", "unit", "year", "value"))
+    }
+    val log = mp.store.commitLog(Some(s.runId)).collect()
+    assert(log.exists(_.getAs[String]("comment") == "added 2030 demand data"))
+  }
+
+  test("checkout/commit cycles leave no generation-directory holes") {
+    val mp = new Platform(spark, tmpDir("graft-gcgens"))
+    val s = mp.newScenario("m", "s")
+    s.checkOut()
+    DantzigModel.initialize(s)
+    s.commit("base")
+    for (v <- 1 to 8) {
+      s.checkOut()
+      s.addPar("d", Seq(("seattle", "chicago", v.toDouble, "km"))
+        .toDF("i", "j", "value", "unit"))
+      s.commit(s"v$v")
+    }
+    // publish-time GC: at most KeepGens+1 generations remain on disk
+    val dir = new java.io.File(s"${mp.root}/data/par/run_id=${s.runId}/name=d")
+    val gens = dir.listFiles().map(_.getName).filter(_.startsWith("g"))
+    assert(gens.length <= graft.store.ParquetStore.KeepGens + 1,
+      s"generation directories leaked: ${gens.sorted.mkString(",")}")
+    assert(s.par("d", Map("i" -> Seq("seattle"), "j" -> Seq("chicago")))
+      .select("value").as[Double].head() == 8.0)
+  }
+
+  test("preloaded timeseries cache invalidates on the next TS write") {
+    val mp = new Platform(spark, tmpDir("graft-preload"))
+    val s = mp.newScenario("m", "s")
+    s.transact("v1") {
+      s.addTimeseries(Seq(("World", "GDP", "USD", 2020, 1.0))
+        .toDF("region", "variable", "unit", "year", "value"))
+    }
+    s.preloadTimeseries()
+    assert(s.timeseries().select("value").as[Double].head() == 1.0)
+    s.transact("v2") {
+      s.addTimeseries(Seq(("World", "GDP", "USD", 2020, 2.0))
+        .toDF("region", "variable", "unit", "year", "value"))
+    }
+    // a stale preloaded frame would still serve 1.0
+    assert(s.timeseries().select("value").as[Double].head() == 2.0)
+  }
+
   test("saved-index cache keys track DIRECTORY parquet contents (ADVICE r6)") {
     // a Spark-written embeddings.parquet is a directory: the top-level
     // status is useless (length != data bytes; dir mtime can survive an
