@@ -265,7 +265,12 @@ final case class VecDot(left: Expression, right: Expression)
 
 object VecDot {
   def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // mismatched dims are a data bug, not a shorter sum: silent
+    // truncation returned a plausible partial dot and masked it
+    // (VecSub already errors; the composed zip_with form nulls)
+    require(a.numElements() == b.numElements(),
+      s"vec_dot: length mismatch ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -439,16 +444,21 @@ object TextFeaturesExpr {
   def compute(text: UTF8String): InternalRow = {
     val s = text.toString
     val nChars = s.codePointCount(0, s.length)
-    // punct = chars outside [a-zA-Z0-9\s] (same classes as the
-    // regexp_replace form: java \s is ASCII whitespace)
+    // punct = CODE POINTS outside [a-zA-Z0-9\s] (same classes as the
+    // regexp_replace form: java \s is ASCII whitespace). Iterate by
+    // code point, not UTF-16 unit — charAt would count both halves of
+    // a surrogate pair and let punct_ratio exceed 1.0 on non-BMP text
+    // while n_chars counts the pair once.
     var punct = 0
     var ci = 0
     while (ci < s.length) {
-      val c = s.charAt(ci)
-      val alnum = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
-      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      val cp = s.codePointAt(ci)
+      val alnum = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= '0' && cp <= '9')
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == '\u000B' ||
+        cp == '\f' || cp == '\r'
       if (!alnum && !ws) punct += 1
-      ci += 1
+      ci += Character.charCount(cp)
     }
     val m = wordRe.matcher(s.toLowerCase(java.util.Locale.ROOT))
     var nWords = 0

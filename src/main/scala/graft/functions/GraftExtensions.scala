@@ -30,42 +30,62 @@ object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Arity-checked builder: `SELECT vec_dot(a)` reports a function
+    * error at analysis, not an IndexOutOfBoundsException from es(1). */
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length != n) throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map("functionName" -> name,
+          "expectedNum" -> n.toString, "actualNum" -> es.length.toString,
+          "docroot" -> ""))
+      b(es)
+    }
+
   private[functions] val all: Seq[(String, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     ("vec_dot",
       info("vec_dot", "vec_dot(a, b) - dot product of two double arrays"),
-      (es: Seq[Expression]) => VecDot(es(0), es(1))),
+      arity("vec_dot", 2)(es => VecDot(es(0), es(1)))),
     ("shingle_hashes",
       info("shingle_hashes", "shingle_hashes(words, n) - distinct hashed word n-grams"),
-      (es: Seq[Expression]) => ShingleHashes(es(0), intArg(es(1), "shingle_hashes", 2))),
+      arity("shingle_hashes", 2)(es => ShingleHashes(es(0), intArg(es(1), "shingle_hashes", 2)))),
     ("minhash_sig",
       info("minhash_sig", "minhash_sig(shingles, k) - k-slot MinHash signature"),
-      (es: Seq[Expression]) => MinHashSig(es(0), intArg(es(1), "minhash_sig", 2))),
+      arity("minhash_sig", 2)(es => MinHashSig(es(0), intArg(es(1), "minhash_sig", 2)))),
     ("simhash64",
       info("simhash64", "simhash64(words) - 64-bit SimHash fingerprint"),
-      (es: Seq[Expression]) => SimHash64Expr(es(0))),
+      arity("simhash64", 1)(es => SimHash64Expr(es(0)))),
     ("simhash_md5",
       info("simhash_md5", "simhash_md5(words) - SimHash over md5 word hashes"),
-      (es: Seq[Expression]) => SimHashMd5Expr(es(0))),
+      arity("simhash_md5", 1)(es => SimHashMd5Expr(es(0)))),
     ("hyperplane_sig",
       info("hyperplane_sig", "hyperplane_sig(vec, bits) - sign-LSH signature bits"),
-      (es: Seq[Expression]) => HyperplaneSig(es(0), intArg(es(1), "hyperplane_sig", 2))),
+      arity("hyperplane_sig", 2)(es => HyperplaneSig(es(0), intArg(es(1), "hyperplane_sig", 2)))),
     ("text_features",
       info("text_features", "text_features(text) - quality/language feature struct"),
-      (es: Seq[Expression]) => TextFeaturesExpr(es(0))),
+      arity("text_features", 1)(es => TextFeaturesExpr(es(0)))),
     ("winnow_hashes",
       info("winnow_hashes", "winnow_hashes(text, k, w) - winnowed k-gram rolling-hash fingerprints"),
-      (es: Seq[Expression]) => WinnowHashes(es(0),
-        intArg(es(1), "winnow_hashes", 2), intArg(es(2), "winnow_hashes", 3))),
+      arity("winnow_hashes", 3)(es => WinnowHashes(es(0),
+        intArg(es(1), "winnow_hashes", 2), intArg(es(2), "winnow_hashes", 3)))),
     ("repetition_stats",
       info("repetition_stats", "repetition_stats(text) - within-document n-gram repetition struct"),
-      (es: Seq[Expression]) => RepetitionStatsExpr(es(0))),
+      arity("repetition_stats", 1)(es => RepetitionStatsExpr(es(0)))),
     ("vec_unit",
       info("vec_unit", "vec_unit(a) - unit-L2-normalized copy of a double array"),
-      (es: Seq[Expression]) => VecUnit(es(0))),
+      arity("vec_unit", 1)(es => VecUnit(es(0)))),
     ("vec_sub",
       info("vec_sub", "vec_sub(a, b) - element-wise difference of two double arrays"),
-      (es: Seq[Expression]) => VecSub(es(0), es(1))))
+      arity("vec_sub", 2)(es => VecSub(es(0), es(1)))),
+    ("byte_simhash64",
+      info("byte_simhash64", "byte_simhash64(bin) - SimHash over 4-byte binary chunks"),
+      arity("byte_simhash64", 1)(es => ByteSimhash64Expr(es(0)))),
+    ("byte_stats",
+      info("byte_stats", "byte_stats(bin) - single-pass binary payload statistics struct (1 KiB entropy sample, 8 magic bytes - the Column-API defaults)"),
+      arity("byte_stats", 1)(es =>
+        ByteStatsExpr(es(0), sampleBytes = 1024, magicBytes = 8))))
 
   /** Register into an already-built session's function registry. */
   def register(spark: SparkSession): Unit =

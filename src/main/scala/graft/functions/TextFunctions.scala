@@ -31,9 +31,12 @@ object TextFunctions {
 
   /** Canonical-form fingerprint: md5 of the whitespace-normalized,
     * lower-cased text (reference-style doc identity for exact dedup
-    * under formatting noise). */
+    * under formatting noise). Collapse BEFORE trim: trim() strips
+    * only ' ' chars, so a trailing newline/tab must first become a
+    * space or it survives as trailing whitespace and splits identical
+    * docs (winnowFingerprints always had this order). */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(trim(lower(text)), lit("\\s+"), lit(" ")))
+    md5(trim(regexp_replace(lower(text), lit("\\s+"), lit(" "))))
 
   /** Winnowed rolling-hash fingerprints (MOSS scheme) over normalized
     * text: lowercase, non-alphanumerics collapsed to single spaces, so

@@ -30,8 +30,10 @@ object DocumentIO {
 
   /** Read a JSONL corpus under an enforced schema. Malformed lines
     * land in `__corrupt` (PERMISSIVE mode) with every schema column
-    * null; filter `__corrupt.isNull` for the clean view or
-    * `__corrupt.isNotNull` to audit rejects. */
+    * null. To audit rejects, `cache()` the frame FIRST and then filter
+    * `__corrupt.isNotNull` — Spark refuses raw-scan queries that
+    * reference only the corrupt-record column (IOSpec shows the
+    * pattern); use [[readJsonlClean]] when rejects don't matter. */
   def readJsonl(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.read

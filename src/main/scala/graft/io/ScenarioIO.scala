@@ -68,10 +68,11 @@ object ScenarioIO {
     val spark = s.platform.spark
     val mappingDf = spark.read.option("header", true).csv(s"$dir/$MappingFile")
     val hasColumnList = mappingDf.columns.contains("columns")
-    val mapping = mappingDf.collect().map(r => r.getString(0) -> r.getString(1))
+    val mappingRows = mappingDf.collect() // one job, reused below
+    val mapping = mappingRows.map(r => r.getString(0) -> r.getString(1))
     val declaredCols: Map[String, Seq[String]] =
       if (!hasColumnList) Map.empty
-      else mappingDf.collect().map { r =>
+      else mappingRows.map { r =>
         r.getString(0) -> Option(r.getAs[String]("columns"))
           .map(_.split("\\|", -1).toSeq).getOrElse(Nil)
       }.toMap
@@ -103,10 +104,13 @@ object ScenarioIO {
       addUnits: Boolean = false): Unit = {
     // --- pass 1+2: sets, index sets before indexed sets (io.py:232-308)
     val setQueue = mutable.Queue(mapping.collect { case (n, "set") => n }.toIndexedSeq: _*)
+    // a set requeued behind its index sets must not re-run the whole
+    // source read (schema inference included) on every pass
+    val preloaded = mutable.Map.empty[String, DataFrame]
     var stalls = 0
     while (setQueue.nonEmpty && stalls <= setQueue.size) {
       val name = setQueue.dequeue()
-      val df = loadItem(name)
+      val df = preloaded.getOrElseUpdate(name, loadItem(name))
       val isSimple = df.columns.length == 1
       val declared = s.hasItem(name)
       if (!declared) {
@@ -255,7 +259,9 @@ object ScenarioIO {
       java.util.Arrays.asList(rows.drop(1).map(r => Row(r: _*)): _*), schema)
     val df = df0.columns.foldLeft(df0) { (d, c) =>
       if (c == "value" || c.toIntOption.isDefined) d.withColumn(c, col(c).cast("double"))
-      else if (c == "year") d.withColumn(c, col(c).cast("int"))
+      // via double: pandas-written workbooks render integer years as
+      // "2010.0", which a direct string->int cast nulls out
+      else if (c == "year") d.withColumn(c, col(c).cast("double").cast("int"))
       else d
     }
     s.addTimeseries(df, yearLim = (firstYear, lastYear))

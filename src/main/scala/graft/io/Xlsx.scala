@@ -73,6 +73,12 @@ object Xlsx {
     v match {
       case null | None => // omitted cell = empty
       case b: Boolean => w.write(s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>""")
+      // NaN/Infinity are not legal numeric <v> content (Excel flags
+      // the part as corrupt); write them as inline strings
+      case d: Double if d.isNaN || d.isInfinite =>
+        w.write(s"""<c r="$ref" t="inlineStr"><is><t>$d</t></is></c>""")
+      case f: Float if f.isNaN || f.isInfinite =>
+        w.write(s"""<c r="$ref" t="inlineStr"><is><t>$f</t></is></c>""")
       case n @ (_: Double | _: Float | _: Long | _: Int | _: Short | _: Byte) =>
         w.write(s"""<c r="$ref"><v>$n</v></c>""")
       case s =>
@@ -134,6 +140,11 @@ object Xlsx {
       case '<' => sb.append("&lt;")
       case '>' => sb.append("&gt;")
       case '"' => sb.append("&quot;")
+      // XML 1.0 forbids most C0 controls even escaped — emitting one
+      // verbatim (common in noisy scraped corpora routed through
+      // write_report) produces a workbook neither Excel nor this
+      // package's own StAX reader can parse; drop them
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => ()
       case c => sb.append(c)
     }
     sb.toString

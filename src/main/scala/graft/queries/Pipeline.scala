@@ -811,7 +811,7 @@ object Pipeline {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "d02_fingerprint" ->
       """SELECT doc_id,
-        | md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d03_token_count" ->
       """SELECT doc_id,

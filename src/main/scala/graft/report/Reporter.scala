@@ -103,15 +103,23 @@ class Reporter {
     if (graph.contains(key) || graph.contains(k.toString))
       s"'$key' (registered node)"
     else
-      graph.keys.map(Key.parse)
-        .filter(c => c.name == k.name && c.tag == k.tag && k.dims.forall(c.dims.contains))
-        .minByOption(_.dims.length) match {
+      resolveSuperset(k) match {
         case Some(full) =>
           val summed = full.dims.filterNot(k.dims.contains)
           s"'$key' = sum of '${full.toString}' over [${summed.mkString(", ")}]"
         case None => s"'$key' (NOT RESOLVABLE)"
       }
   }
+
+  /** Sum-lattice resolution shared by [[describe]] and [[get]]: the
+    * smallest registered key with the same name/tag whose dims cover
+    * the request (one rule, so describe() always reports what get()
+    * actually executes). */
+  private def resolveSuperset(k: Key): Option[Key] =
+    graph.keys.map(Key.parse)
+      .filter(c => c.name == k.name && c.tag == k.tag &&
+        k.dims.forall(c.dims.contains))
+      .minByOption(_.dims.length)
 
   def keys: Seq[String] = graph.keys.toSeq.sorted
 
@@ -154,11 +162,7 @@ class Reporter {
   private def compute(key: String): Quantity = {
     val k = Key.parse(key)
     graph.get(key).orElse(graph.get(k.toString)).map(_()) getOrElse {
-      val full = graph.keys
-        .map(Key.parse)
-        .filter(c => c.name == k.name && c.tag == k.tag &&
-          k.dims.forall(c.dims.contains))
-        .minByOption(_.dims.length)
+      val full = resolveSuperset(k)
         .getOrElse(throw new NoSuchElementException(s"no key '$key' in the graph"))
       val q = graph(full.toString)()
       Operators.sumOver(q, keep = k.dims)
@@ -610,7 +614,7 @@ object Operators {
       case None => df.withColumn("region", lit("World"))
     }
     df = yearDim match {
-      case Some(yd) => df.withColumn("year", col(yd).cast("int"))
+      case Some(yd) => df.withColumn("year", col(yd).cast("double").cast("int"))
       case None => df
     }
     df.select(Seq("model", "scenario", "region", "variable", "unit")

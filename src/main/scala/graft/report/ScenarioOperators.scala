@@ -25,7 +25,8 @@ object ScenarioOperators {
     ts.transact(comment) { ts.addTimeseries(data) }
 
   /** remove_ts (operator.py:246-278): remove TS rows — all years of the
-    * given keys, or only years AFTER `after` when given. */
+    * given keys, or only years from `after` onward (INCLUSIVE — the
+    * reference's `>=` boundary) when given. */
   def removeTs(ts: TimeSeries, keys: DataFrame, after: Option[Int] = None,
       comment: String = "remove_ts"): Unit =
     ts.transact(comment) {

@@ -29,6 +29,23 @@ class ExtensionsSpec extends SparkSpec {
     val err = intercept[Exception](
       spark.sql("SELECT minhash_sig(array(1L), cast(rand()*4 as int)) s").collect())
     assert(err.getMessage.contains("integer literal"))
+    // wrong arity is an analysis error, not an IndexOutOfBounds
+    val ar = intercept[Exception](
+      spark.sql("SELECT vec_dot(array(1.0d)) v").collect())
+    assert(ar.getMessage.contains("vec_dot"))
+    // the binary expressions are registered too
+    assert(spark.sql("SELECT byte_simhash64(cast('abcdefgh' as binary)) h")
+      .head().getLong(0) != 0L)
+    assert(spark.sql("SELECT byte_stats(cast('abcdefgh' as binary)) s")
+      .select("s.n_bytes").head().getAs[Number](0).longValue == 8L)
+  }
+
+  test("vec_dot rejects mismatched dimensions instead of truncating") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception](
+      spark.sql("SELECT vec_dot(array(1.0d,2.0d,3.0d), array(1.0d,2.0d)) v")
+        .collect())
+    assert(e.getMessage.contains("length mismatch"))
   }
 
   test("SparkSessionExtensions injection path applies cleanly") {

@@ -214,6 +214,42 @@ class IOSpec extends SparkSpec {
     assert(t.timeseries().select("year").as[Int].collect().toSeq == Seq(2010))
   }
 
+  test("xlsx year cells written as '2010.0' survive the import cast") {
+    // pandas-written workbooks render integer years as float text; a
+    // direct string->int cast nulled every row
+    val mp = new Platform(spark, tmpDir("graft-xlsx-floatyr"))
+    val path = tmpDir("graft-xlsx-floatyr-dump") + "/ts.xlsx"
+    graft.io.Xlsx.write(path, Seq(("ts", Iterator[Seq[Any]](
+      Seq("region", "variable", "unit", "year", "value"),
+      Seq("World", "GDP", "USD", 2010.0, 2.5)))))
+    val t = mp.newScenario("m", "s")
+    t.checkOut()
+    ScenarioIO.readTimeseriesXlsx(t, path)
+    t.commit("ts in")
+    assert(t.timeseries().select("year").as[Int].collect().toSeq == Seq(2010))
+  }
+
+  test("xlsx writer drops XML-illegal controls and strings NaN/Infinity") {
+    val path = tmpDir("graft-xlsx-hostile") + "/w.xlsx"
+    graft.io.Xlsx.write(path, Seq(("data", Iterator[Seq[Any]](
+      Seq("noisytext", Double.NaN, Double.PositiveInfinity, 1.5)))))
+    // the workbook this library writes must be readable by its own
+    // reader (an unescaped C0 control made the StAX parse throw)
+    val rows = graft.io.Xlsx.read(path).head._2
+    assert(rows(0)(0) == "noisytext") // the \u0001 was dropped
+    assert(rows(0)(1) == "NaN" && rows(0)(2) == "Infinity")
+    assert(rows(0)(3) == "1.5")
+  }
+
+  test("fingerprint canonicalizes trailing/leading non-space whitespace") {
+    import graft.functions.TextFunctions
+    val d = Seq((1L, "foo bar"), (2L, "foo bar\n"), (3L, "\tfoo  bar "))
+      .toDF("doc_id", "text")
+    val fps = d.select(TextFunctions.fingerprint(col("text")))
+      .as[String].collect().toSet
+    assert(fps.size == 1, "whitespace-only variants must share a fingerprint")
+  }
+
   test("readScenario without initItems fails on unknown items") {
     val mp = new Platform(spark, tmpDir("graft-io3"))
     val s = mp.newScenario("m", "s")
