@@ -17,7 +17,10 @@ trait ModelAdapter {
 
 /** Registry mirroring ixmp.model.MODELS (model/__init__.py:10-15). */
 object Models {
-  private var registry = Map.empty[String, ModelAdapter]
+  // volatile: register() writes under the lock, but readers (e.g. a
+  // concurrent solve) need the happens-before edge too or they can
+  // observe a stale map missing a just-registered adapter
+  @volatile private var registry = Map.empty[String, ModelAdapter]
   def register(m: ModelAdapter): Unit = synchronized { registry += m.name -> m }
   def apply(name: String): ModelAdapter = registry.getOrElse(name,
     throw new NoSuchElementException(s"no model '$name' registered"))

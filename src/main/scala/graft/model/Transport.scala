@@ -55,6 +55,9 @@ object Transport {
     }
 
     // --- MODI iterations ----------------------------------------------
+    // the cap is a cycling backstop (most-negative-rc entering rule,
+    // no Bland fallback); hitting it means the returned basis may be
+    // suboptimal, which must be an ERROR, not a silent wrong solution
     var iter = 0
     var improved = true
     while (improved && iter < 10000) {
@@ -82,8 +85,19 @@ object Transport {
           basis += e
       }
     }
+    require(!improved, "Transport.solve: MODI failed to converge (cycling?)")
 
-    val (u, v) = duals(c, basis, m, nn)
+    val (u0, v0) = duals(c, basis, m, nn)
+    // Normalize the dual constant so the DUMMY (slack) column prices at
+    // zero — complementary slackness: unused capacity has no shadow
+    // price. The u(0)=0 convention alone shifted every reported
+    // marginal by a constant whenever row 0 held no slack (reduced
+    // costs are shift-invariant, which is why optimality checks never
+    // noticed). Balanced problems (no dummy) keep u(0)=0 — their duals
+    // are only defined up to a constant anyway.
+    val shift = if (nn > n) v0(n) else 0.0
+    val u = u0.map(_ + shift)
+    val v = v0.map(_ - shift)
     val rc = Array.tabulate(m, n)((i, j) => c(i)(j) - u(i) - v(j))
     val flows = (for (i <- 0 until m; j <- 0 until n if x(i)(j) > Eps)
       yield (i, j) -> x(i)(j)).toMap

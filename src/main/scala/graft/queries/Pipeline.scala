@@ -180,18 +180,28 @@ object Pipeline {
     * the encode/ADC machinery is oracle-proven by e04/e06/e08. Exact
     * cosine rerank is rotation-invariant (orthogonal R), so ranks are
     * comparable to e01's. */
-  def e09PqOpq(s: SparkSession, dir: String): DataFrame = {
-    val (e, q) = knnInputs(s, dir)
-    // build-once/query-many like e02/e05: the alternating Lloyd/SVD
-    // training persists as a saved model keyed by the data directory,
-    // so the gate measures rotate+encode+ADC+rerank probe cost
+  /** Train-if-absent the shared e09 OPQ model and return its path —
+    * ONE copy of the training hyperparameters: e09 and e10 share the
+    * cache key, so two literal copies of (m, ks, iters, opqIters)
+    * could drift and leave one gate silently loading a model trained
+    * with the other's parameters. */
+  private def ensureOpqModel(s: SparkSession, dir: String,
+      e: DataFrame): String = {
     val mPath = idxPath(s, dir, "e09")
     if (!graft.ops.Pq.opqExists(s, mPath)) {
       val (cb0, r0) = graft.ops.Pq.trainOpq(e, "id", "vec",
         m = 8, ks = 16, iters = 1, opqIters = 2)
       graft.ops.Pq.saveOpq(mPath, cb0, r0, s)
     }
-    val (cb, r) = graft.ops.Pq.loadOpq(s, mPath)
+    mPath
+  }
+
+  def e09PqOpq(s: SparkSession, dir: String): DataFrame = {
+    val (e, q) = knnInputs(s, dir)
+    // build-once/query-many like e02/e05: the alternating Lloyd/SVD
+    // training persists as a saved model keyed by the data directory,
+    // so the gate measures rotate+encode+ADC+rerank probe cost
+    val (cb, r) = graft.ops.Pq.loadOpq(s, ensureOpqModel(s, dir, e))
     val rot = e.select(col("id"),
       graft.ops.Pq.matVecCol(col("vec"), r, 64).as("vec"))
     val enc = graft.ops.Pq.encode(rot, "vec", cb)
@@ -212,15 +222,10 @@ object Pipeline {
     * parquet — at scale this is train-once/serve-many. */
   def e10KnnOpqIvfPq(s: SparkSession, dir: String): DataFrame = {
     val (e, q) = knnInputs(s, dir)
-    // the rotation reuses e09's saved OPQ model (same training params);
-    // building it here when e09 has not run keeps the gate standalone
-    val mPath = idxPath(s, dir, "e09")
-    if (!graft.ops.Pq.opqExists(s, mPath)) {
-      val (cb0, r0) = graft.ops.Pq.trainOpq(e, "id", "vec",
-        m = 8, ks = 16, iters = 1, opqIters = 2)
-      graft.ops.Pq.saveOpq(mPath, cb0, r0, s)
-    }
-    val (_, r) = graft.ops.Pq.loadOpq(s, mPath)
+    // the rotation reuses e09's saved OPQ model (ensureOpqModel holds
+    // the single copy of the training params); building it here when
+    // e09 has not run keeps the gate standalone
+    val (_, r) = graft.ops.Pq.loadOpq(s, ensureOpqModel(s, dir, e))
     val rot = e.select(col("id"),
       graft.ops.Pq.matVecCol(col("vec"), r, 64).as("vec"))
     // the saved IVF-PQ index is only valid UNDER this rotation: fold a
@@ -847,8 +852,11 @@ object Pipeline {
     "d06_minhash_lsh" -> jaccardOracle(""),
     "d07_ngram_jaccard" -> jaccardOracle(" WHERE doc_id < 500"),
     "d09_json_extract" ->
+      // NULLS FIRST pins DuckDB to Spark's ascending default in case a
+      // props value ever lacks an integer k (today's generator always
+      // emits one, but a null group must not land at opposite ends)
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+        |FROM events GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin,
     "d11_simhash_verify" ->
       """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
         |h AS (SELECT doc_id, list_transform(ws, w -> ('0x' || substr(md5(w), 1, 16))::UBIGINT) AS hs FROM w)
@@ -1182,7 +1190,7 @@ object Pipeline {
         |  WHEN len(list_filter(ws, x -> list_contains(['el','los','las','y','una','que'], x))) > 0 THEN 'es'
         |  ELSE 'und' END AS lang
         |  FROM q WHERE n_words >= 20 AND stopword_ratio >= 0.02),
-        |deduped AS (SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |deduped AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |  min(doc_id) AS keep_id, min(lang) AS lang, min(n_words) AS n_words
         |  FROM langed WHERE lang IN ('en','de','fr','es') GROUP BY 1)
         |SELECT lang, count(*) AS n_docs, round(avg(n_words), 4) AS avg_words

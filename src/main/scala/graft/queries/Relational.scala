@@ -332,8 +332,12 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
         |WHERE regexp_matches(c_name, '[13]7$') ORDER BY c_custkey""".stripMargin,
     "q13_topk" ->
+      // ORDER BY orders.o_totalprice (qualified): DuckDB prefers the
+      // SELECT alias — the ROUNDED value — for a bare name, while the
+      // Spark side ranks by the raw column; >4-decimal prices at the
+      // top-10 boundary would then disagree on membership
       """SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+        |ORDER BY orders.o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q14_scalar" ->
       """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         | count(*) AS n_rows FROM lineitem""".stripMargin,

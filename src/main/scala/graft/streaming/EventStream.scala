@@ -126,8 +126,8 @@ object EventStream {
       sep: String = "\n"): DataFrame =
     docs
       .withWatermark("ts", watermark)
-      .select(col("ts"), posexplode(split(col("text"),
-        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .select(col("ts"), explode(split(col("text"),
+        java.util.regex.Pattern.quote(sep))).as("line"))
       .filter(length(col("line")) > 0)
       .withColumn("__h", md5(col("line").cast("binary")))
       .groupBy(window(col("ts"), window_), col("__h"))

@@ -43,6 +43,22 @@ class TransportSpec extends AnyFunSuite {
     assert(math.abs(slacky.objective - (2.0 * 10 + 1.0 * 20)) < 1e-9)
   }
 
+  test("duals satisfy complementary slackness when row 0 is capacity-bound") {
+    // row 0 is fully used, row 1 holds 9 units of slack: the slack
+    // row's shadow price must be ZERO (the old u(0)=0 normalization
+    // shifted every marginal by a constant here; reduced costs are
+    // shift-invariant, so optimality checks never noticed)
+    val sol = graft.model.Transport.solve(
+      cost = Array(Array(1.0), Array(5.0)),
+      supply = Array(1.0, 10.0), demand = Array(2.0))
+    assert(math.abs(sol.supplyDual(1)) < 1e-9,
+      s"slack row must price at zero, got ${sol.supplyDual(1)}")
+    // the marginal unit comes from plant 1 at cost 5
+    assert(math.abs(sol.demandDual(0) - 5.0) < 1e-9)
+    // plant 0's capacity is worth the cost difference it saves
+    assert(math.abs(sol.supplyDual(0) - (-4.0)) < 1e-9)
+  }
+
   test("infeasible demand raises") {
     intercept[IllegalArgumentException] {
       Transport.solve(Array(Array(1.0)), Array(1.0), Array(2.0))
