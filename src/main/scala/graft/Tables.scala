@@ -40,14 +40,25 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as a long and convert (truncating to
-      // micros, Spark's native timestamp precision). Integer `div`, not
-      // `/`: nanos ~1.7e18 exceed double's 53-bit mantissa, so float
-      // division is off by ±1 µs on some rows.
+      // events.ts encoding has varied across testdata generations:
+      // TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+      // surfaces as a long under nanosAsLong) vs plain TIMESTAMP(MICROS)
+      // with isAdjustedToUTC=false (→ TIMESTAMP_NTZ). Normalize both to
+      // Spark's session-tz TimestampType so temporal queries and the
+      // UTC-pinned oracle see identical micros values.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        // nanos read as long: integer `div`, not `/` — nanos ~1.7e18
+        // exceed double's 53-bit mantissa, so float division is off by
+        // ±1 µs on some rows
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // NTZ→LTZ is a micros-value identity under the UTC session tz
+        // every entry point pins
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -61,11 +61,11 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     * listing: the manifest parent holds one shard per run — a plain
     * listStatus there made every commit pay an O(total runs) metadata
     * scan just to find one shard's newest generation. */
-  private def currentGenOf(name: String): Option[Long] = {
+  private[graft] def currentGenOf(name: String): Option[Long] = {
     val parent = new Path(s"$root/$name").getParent
     val base = new Path(s"$root/$name").getName
     if (!fs.exists(parent)) return None
-    val matches = fs.globStatus(new Path(parent, base + ".g*"))
+    val matches = fs.globStatus(new Path(parent, globEscape(base) + ".g*"))
     if (matches == null) return None
     val gens = matches.iterator.map(_.getPath.getName)
       .flatMap(n => n.stripPrefix(base + ".g").toLongOption)
@@ -73,6 +73,13 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
       .toSeq
     if (gens.isEmpty) None else Some(gens.max)
   }
+
+  /** Backslash-escape Hadoop glob metacharacters so a table base name
+    * containing `* ? [ ] { }` matches literally in globStatus (the
+    * pre-glob listStatus+startsWith resolution was literal; the glob
+    * rewrite must not change which names resolve). */
+  private def globEscape(s: String): String =
+    s.replaceAll("""([\\*?\[\]{}])""", """\\$1""")
 
   private def readPointerTable(name: String, schema: StructType): DataFrame =
     currentGenOf(name) match {
@@ -337,7 +344,8 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   // not reclaim them (the directory exists before publish, outside the
   // lock) — entries clear in a finally, so even a failed write's
   // garbage becomes reclaimable immediately
-  private val inFlight = TrieMap.empty[(Long, String, Long), Unit]
+  // private[graft] so specs can stage a synthetic slow writer
+  private[graft] val inFlight = TrieMap.empty[(Long, String, Long), Unit]
 
   private def allocateGen(runId: Long, name: String): Long = synchronized {
     val next = math.max(
@@ -377,14 +385,29 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     * committed one), so a delete-exactly-one rule left permanent holes
     * that only a manual vacuum() reclaimed. The listing is one small
     * per-item directory (≤ KeepGens + in-flight entries). */
+  /** Test seam: invoked with (fam, runId, name, newest) right before a
+    * gcGens sweep actually deletes directories. Specs use it to assert
+    * the publish-order invariant — by the time old generations of an
+    * item are reclaimed, the DURABLE manifest must already reference
+    * `newest` (a crash mid-sweep must never leave the on-disk manifest
+    * pointing at deleted data). Production no-op. */
+  private[graft] var onGcSweep: (String, Long, String, Long) => Unit =
+    (_, _, _, _) => ()
+
   private def gcGens(fam: String, runId: Long, name: String, newest: Long): Unit = {
     val cutoff = newest - KeepGens
     if (cutoff < 0) return
     val dir = new Path(itemDir(fam, runId, name))
     if (!fs.exists(dir)) return
+    onGcSweep(fam, runId, name, newest)
+    // same rule as vacuum(): a generation a concurrent writer is still
+    // producing must survive even below the cutoff — deleting it
+    // mid-write would let that writer publish a pointer to partial data
+    val busy = inFlight.keys
+      .collect { case (r, n, g) if r == runId && n == name => g }.toSet
     fs.listStatus(dir).foreach { st =>
       st.getPath.getName.stripPrefix("g").toLongOption.foreach { g =>
-        if (g <= cutoff) fs.delete(st.getPath, true)
+        if (g <= cutoff && !busy.contains(g)) fs.delete(st.getPath, true)
       }
     }
   }
@@ -673,16 +696,24 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   override def commit(runId: Long, user: String, comment: String): Unit = synchronized {
     val staged = pending.filter(_._1._1 == runId)
     if (staged.nonEmpty) {
-      staged.foreach { case (k @ (_, name), g) =>
+      // publish order mirrors writeVersioned: make the new manifest
+      // durable FIRST, then GC. A checkout staging > KeepGens
+      // generations of one item pushes the cutoff past the last
+      // durably-committed generation — sweeping before persist would
+      // leave the on-disk manifest pointing at deleted data if we
+      // crash (or are read out-of-process) in between.
+      staged.foreach { case (k, g) =>
         manifest(k) = g
         pending.remove(k)
-        // publish-time GC: the staged-write path skips gcGens (the
-        // generation is not visible yet), so the commit must reclaim
-        // the retention window or checkout cycles leak directories
+      }
+      persistManifest(runId)
+      // publish-time GC: the staged-write path skips gcGens (the
+      // generation is not visible yet), so the commit must reclaim
+      // the retention window or checkout cycles leak directories
+      staged.foreach { case ((_, name), g) =>
         for (fam <- Seq("set", "par", "sol", "ts", "geo", "cat"))
           gcGens(fam, runId, name, g)
       }
-      persistManifest(runId)
     }
     // commit annotations survive (reference transact(commit_message));
     // append-mode: one small file per commit, read via commitLog()

@@ -423,4 +423,87 @@ class ExtrasSpec extends SparkSpec {
     val k2 = graft.queries.Pipeline.idxPath(spark, dir, "t")
     assert(k1 != k2, "rewriting the dataset must invalidate the cache key")
   }
+
+  test("commit persists the manifest BEFORE sweeping old generations (ADVICE r7)") {
+    val mp = new Platform(spark, tmpDir("graft-gc-order"))
+    val s = mp.newScenario("m", "s")
+    s.checkOut()
+    DantzigModel.initialize(s)
+    s.commit("base")
+    // stage > KeepGens generations of one item in ONE checkout: the
+    // publish-time cutoff then lies past the last durably-committed
+    // generation, so a sweep-before-persist would delete the very
+    // directory the on-disk manifest still references
+    s.checkOut()
+    val n = graft.store.ParquetStore.KeepGens + 2
+    for (v <- 1 to n)
+      s.addPar("d", Seq(("seattle", "chicago", v.toDouble, "km"))
+        .toDF("i", "j", "value", "unit"))
+    var sweepsChecked = 0
+    mp.store.onGcSweep = (fam, runId, name, newest) => {
+      if (fam == "par" && name == "d") {
+        // a FRESH store sees only the durable manifest: by sweep time it
+        // must already serve the newly-committed value — otherwise a
+        // crash right here would leave it pointing at deleted data
+        val fresh = new graft.store.ParquetStore(spark, mp.root)
+        val v = fresh.itemData(runId, "d",
+            Map("i" -> Seq("seattle"), "j" -> Seq("chicago")))
+          .select("value").as[Double].head()
+        assert(v == n.toDouble,
+          s"gcGens ran before the manifest was durable (fresh store read $v, want $n)")
+        sweepsChecked += 1
+      }
+    }
+    try s.commit("bulk") finally mp.store.onGcSweep = (_, _, _, _) => ()
+    assert(sweepsChecked > 0, "the commit should have triggered a par/d sweep")
+  }
+
+  test("gcGens never reclaims an in-flight generation (ADVICE r7)") {
+    val mp = new Platform(spark, tmpDir("graft-gc-inflight"))
+    val s = mp.newScenario("m", "s")
+    s.checkOut()
+    DantzigModel.initialize(s)
+    s.commit("base")
+    val dirF = new java.io.File(s"${mp.root}/data/par/run_id=${s.runId}/name=d")
+    def gens(): Seq[Long] = dirF.listFiles().map(_.getName)
+      .filter(_.startsWith("g")).map(_.stripPrefix("g").toLong).toSeq.sorted
+    val g0 = gens().max
+    // simulate a slow concurrent writer still producing generation g0:
+    // mark it in-flight, then publish enough faster generations to push
+    // the retention cutoff past it
+    mp.store.inFlight((s.runId, "d", g0)) = ()
+    val n = graft.store.ParquetStore.KeepGens + 2
+    for (v <- 1 to n)
+      s.transact(s"v$v") {
+        s.addPar("d", Seq(("seattle", "chicago", v.toDouble, "km"))
+          .toDF("i", "j", "value", "unit"))
+      }
+    assert(gens().contains(g0),
+      s"in-flight generation g$g0 was deleted mid-write by a concurrent gcGens")
+    // writer finishes → the marker clears → the next publish reclaims it
+    mp.store.inFlight.remove((s.runId, "d", g0))
+    s.transact("final") {
+      s.addPar("d", Seq(("seattle", "chicago", 99.0, "km"))
+        .toDF("i", "j", "value", "unit"))
+    }
+    assert(!gens().contains(g0), "finished in-flight generation should be reclaimed")
+  }
+
+  test("currentGenOf resolves table names containing glob metacharacters (ADVICE r7)") {
+    val root = tmpDir("graft-globsafe")
+    val st = new graft.store.ParquetStore(spark, root)
+    // a literal-listing resolution would find these; the globStatus
+    // rewrite must match them literally too, not as patterns
+    for (weird <- Seq("tbl[1]", "tbl{a,b}", "tbl*q", "tbl?x")) {
+      val d = new java.io.File(s"$root/$weird.g3")
+      assert(d.mkdirs())
+      assert(new java.io.File(d, "_SUCCESS").createNewFile())
+      assert(st.currentGenOf(weird) == Some(3L),
+        s"glob metacharacters in '$weird' broke generation resolution")
+    }
+    // and a pattern-shaped name must NOT swallow its sibling's generations
+    val sib = new java.io.File(s"$root/tblZq.g7")
+    assert(sib.mkdirs() && new java.io.File(sib, "_SUCCESS").createNewFile())
+    assert(st.currentGenOf("tbl*q") == Some(3L))
+  }
 }
