@@ -101,15 +101,58 @@ object Bench {
       (name, if (anyFailed) -median else median, abs.head)
     }
     val probePost = shuffleProbe(spark)
+    // ANN quality gate (VERDICT r7 #1): e02/e05/e10 are rows-only
+    // correctness gates (engine-hash-by-design), so recall@5 against
+    // e01's exact brute-force top-5 is their ONLY quality signal — and
+    // until now it lived in ScaleBench stdout + PqSpec, artifacts the
+    // driver never grades. Carry it in the bench JSON with the PqSpec
+    // production floor as pass/fail: a gate below floor lands in
+    // "failed", so an ANN quality regression fails the driver-read
+    // artifact, not just a spec someone must run. Skipped on
+    // SPARK_GRAFT_BENCH_ONLY subset runs (e01 may be absent).
+    val recallFloor = 0.3
+    val recall: Seq[(String, Double)] = if (only.isEmpty) {
+      try {
+        spark.catalog.clearCache()
+        def topSet(name: String) =
+          SparkEntry.queries(name)(spark, sfDir).select("qid", "id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = topSet("e01_knn_brute")
+        Seq("e02_knn_ivf", "e05_knn_ivfpq", "e10_knn_opq_ivfpq").map { g =>
+          g -> exact.intersect(topSet(g)).size.toDouble / exact.size
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"bench: recall section FAILED: ${e.getMessage}")
+        Seq("recall_section" -> -1.0)
+      }
+    } else Seq.empty
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val best = results.map { case (k, _, b) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val failedNames = results.collect { case (k, v, _) if v < 0 => k } ++
+      recall.collect { case (k, r) if r < recallFloor => s"recall:$k" }
+    val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val recallJson = recall.map { case (k, r) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
     val total = results.map(r => math.abs(r._2)).sum
     val unhealthy = probePre > 5.0 || probePost > 5.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"probe_pre_sec":$probePre,"probe_post_sec":$probePost,"probe_retries":$probeRetries,"unhealthy":$unhealthy,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"recall_at5":$recallJson,"recall_floor":$recallFloor,"probe_pre_sec":$probePre,"probe_post_sec":$probePost,"probe_retries":$probeRetries,"unhealthy":$unhealthy,"sf":"$sfDir"}"""
+    println(json)
+    // Artifact durability (VERDICT r7 #3): the r7 driver harness
+    // captured only the tail of stdout, losing "best" and the early
+    // query medians. Persist the same line to a file so a
+    // stdout-truncating harness can never lose it.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "target/bench_latest.json")
+    try {
+      val f = new java.io.File(outPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"bench: could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

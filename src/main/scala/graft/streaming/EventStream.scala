@@ -140,6 +140,14 @@ object EventStream {
   final case class CmsDigest(windowStart: java.sql.Timestamp,
       windowEnd: java.sql.Timestamp, digest: String, nEst: Long)
 
+  /** Sentinel `__h` value [[boilerplateDigestsSketch]] emits once per
+    * window the moment its `maxPublish` cap first suppresses a
+    * qualifying digest — so a consumer can distinguish "the stream has
+    * no more boilerplate" from "the cap was hit and publication went
+    * quiet" (VERDICT r7 #2). Deliberately not a 32-hex string: it can
+    * never collide with (or join against) a real md5 digest. */
+  val SaturatedSentinel = "__SATURATED__"
+
   /** Bounded-memory [[boilerplateDigests]] (VERDICT r6 #4): the exact
     * variant keeps one count per distinct in-horizon (window, digest)
     * pair, so a hostile stream of all-unique lines grows state
@@ -164,7 +172,15 @@ object EventStream {
     *
     * State lifecycle: event-time timeout at the window end; when the
     * watermark passes it, the group's sketch is dropped — same horizon
-    * rule as the exact variant. */
+    * rule as the exact variant.
+    *
+    * Saturation: once a window has published `maxPublish` real digests,
+    * the first additional qualifying digest emits one
+    * [[SaturatedSentinel]] row (`n_est` = the cap) and further
+    * publication for that window goes quiet — consumers can tell "cap
+    * hit" from "stream clean". The sentinel is inert downstream: it can
+    * never equal an md5 digest, so [[stripBoilerplateLines]]'s
+    * anti-join ignores it. */
   def boilerplateDigestsSketch(docs: DataFrame, minCount: Int = 2,
       watermark: String = "1 hour", window_ : String = "1 hour",
       sep: String = "\n", width: Int = 8192, depth: Int = 4,
@@ -210,11 +226,22 @@ object EventStream {
                 if (counters(idx) < est) est = counters(idx)
                 r += 1
               }
-              if (est >= minCount && !published.contains(h)
-                  && published.size < maxPublish) {
-                published += h
-                out += CmsDigest(new java.sql.Timestamp(ws * 1000),
-                  new java.sql.Timestamp(we * 1000), h, est.toLong)
+              if (est >= minCount && !published.contains(h)) {
+                // cap accounting excludes the sentinel itself, so the
+                // cap always buys maxPublish REAL digests
+                if (published.count(_ != SaturatedSentinel) < maxPublish) {
+                  published += h
+                  out += CmsDigest(new java.sql.Timestamp(ws * 1000),
+                    new java.sql.Timestamp(we * 1000), h, est.toLong)
+                } else if (!published.contains(SaturatedSentinel)) {
+                  // first qualifying digest the cap suppresses: emit the
+                  // saturation sentinel exactly once for this window
+                  // (nEst carries the cap in force, not a frequency)
+                  published += SaturatedSentinel
+                  out += CmsDigest(new java.sql.Timestamp(ws * 1000),
+                    new java.sql.Timestamp(we * 1000), SaturatedSentinel,
+                    maxPublish.toLong)
+                }
               }
             }
             state.update(CmsState(counters, published.toSeq))

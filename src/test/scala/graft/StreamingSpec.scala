@@ -325,6 +325,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("boilerplateDigestsSketch emits the saturation sentinel exactly at the cap") {
+    // maxPublish = 2, FOUR boilerplate lines each crossing minCount:
+    // exactly 2 real digests publish, then ONE sentinel row marks the
+    // cap — and later qualifying digests (line D, and a second batch
+    // re-crossing) must not repeat it (VERDICT r7 #2)
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStream.boilerplateDigestsSketch(docs, minCount = 2,
+        watermark = "10 minutes", window_ = "1 hour", maxPublish = 2)
+      .writeStream.format("memory").queryName("boiler_cms_sat")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "AAA banner\nBBB banner\nCCC banner", t("2026-01-01 10:01:00")),
+        (2L, "AAA banner\nBBB banner\nCCC banner", t("2026-01-01 10:02:00")))
+      q.processAllAvailable()
+      input.addData(
+        (3L, "DDD banner\nCCC banner", t("2026-01-01 10:03:00")),
+        (4L, "DDD banner", t("2026-01-01 10:04:00")))
+      q.processAllAvailable()
+      val rows = spark.table("boiler_cms_sat")
+        .select("__h", "n_est").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val sentinels = rows.filter(_._1 == EventStream.SaturatedSentinel)
+      val real = rows.filter(_._1 != EventStream.SaturatedSentinel)
+      assert(real.length == 2,
+        s"cap must buy exactly maxPublish real digests, got ${real.toSeq}")
+      assert(sentinels.toSeq == Seq((EventStream.SaturatedSentinel, 2L)),
+        s"want ONE sentinel carrying the cap, got ${sentinels.toSeq}")
+      // the sentinel is inert downstream: stripBoilerplateLines must
+      // not drop any line because of it
+      val survivors = EventStream.stripBoilerplateLines(
+          Seq((9L, "ZZZ unique line", t("2026-01-01 10:05:00")))
+            .toDF("doc_id", "text", "ts"),
+          spark.table("boiler_cms_sat").select("__h"))
+      assert(survivors.count() == 1, "sentinel digest must never match a line")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     val input = MemoryStream[Ev](spark)
     val q = EventStream.runningTotals(input.toDF())
