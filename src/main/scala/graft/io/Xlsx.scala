@@ -184,19 +184,26 @@ object Xlsx {
     val out = mutable.ArrayBuffer.empty[String]
     var cur: StringBuilder = null
     var inT = false
+    // Excel files carrying East Asian phonetic guides nest <rPh><t>…
+    // inside <si>; that text is an annotation of the value, not part of
+    // it — appending it would corrupt every annotated dimension key
+    var phonetic = 0
     while (r.hasNext) {
       r.next() match {
         case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case "si" => cur = new StringBuilder
+            case "rPh" | "phoneticPr" => phonetic += 1
             case "t" => inT = true
             case _ =>
           }
-        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT && cur != null =>
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS
+            if inT && phonetic == 0 && cur != null =>
           cur.append(r.getText)
         case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "t" => inT = false
+            case "rPh" | "phoneticPr" => phonetic -= 1
             case "si" => out += cur.toString; cur = null
             case _ =>
           }
@@ -300,7 +307,16 @@ object Xlsx {
               }
               while (row.size < cellCol) row += "" // skipped empty cells
               row += value
-            case "row" => rows += row.toSeq; row = null
+            case "row" =>
+              // drop entirely-empty rows: Excel represents a blank row
+              // either as an omitted <row> (which this reader compacts
+              // implicitly — the r attribute is not used for vertical
+              // placement) or as a present-but-cell-less/styled-only
+              // <row/>; the second form previously became an all-""
+              // data row that item loaders would ingest as garbage
+              // empty-string keys. Both forms now read identically.
+              if (row.exists(_.nonEmpty)) rows += row.toSeq
+              row = null
             case _ =>
           }
         case _ =>

@@ -200,6 +200,57 @@ class IOSpec extends SparkSpec {
     assert(rows(2) == Seq("World & co", "", "")) // shared string + escape
   }
 
+  test("xlsx reader drops blank rows and phonetic runs (Excel-authored files)") {
+    // Excel represents a blank row as either an omitted <row> or a
+    // present styled-but-cell-less <row/>; the second previously became
+    // an all-"" data row that item loaders ingest as empty-string keys.
+    // And shared strings with phonetic guides (<rPh>) must not leak the
+    // annotation into the value.
+    val path = tmpDir("graft-xlsx-blank") + "/f.xlsx"
+    val zip = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(name: String, body: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(body.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+        |</Types>""".stripMargin)
+    entry("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="data" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    // si #0 carries a phonetic run: the value is the base text only
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="1" uniqueCount="1">
+        |<si><t>Tokyo</t><rPh sb="0" eb="2"><t>トウキョウ</t></rPh><phoneticPr fontId="1"/></si></sst>""".stripMargin)
+    // row 2: present but cell-less; row 3: styled empty cells only;
+    // row 4 omitted entirely; row 5: real data
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>1</v></c></row>
+        |<row r="2" spans="1:2"/>
+        |<row r="3"><c r="A3" s="1"/><c r="B3" s="1"/></row>
+        |<row r="5"><c r="A5" t="str"><v>end</v></c><c r="B5"><v>2</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zip.close()
+
+    val rows = graft.io.Xlsx.read(path).head._2
+    assert(rows == Seq(Seq("Tokyo", "1"), Seq("end", "2")),
+      s"blank rows must be dropped and phonetic text excluded; got $rows")
+  }
+
   test("timeseries .xlsx read (ts_read_file Excel branch, io.py:25-52)") {
     val mp = new Platform(spark, tmpDir("graft-xlsx-ts"))
     val path = tmpDir("graft-xlsx-ts-dump") + "/ts.xlsx"
