@@ -48,8 +48,14 @@ object Bench {
     // without paying for the whole battery.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    // SPARK_GRAFT_BENCH_RECALL_ONLY=1 skips the timing battery and
+    // reports just the recall section — the cheap way to chart
+    // recall-vs-nProbe (with SPARK_GRAFT_NPROBE/FETCH) without paying
+    // for 66 timed queries per point.
+    val recallOnly = sys.env.get("SPARK_GRAFT_BENCH_RECALL_ONLY").contains("1")
+    val names = if (recallOnly) Seq.empty[String]
+      else SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.forall(_.contains(n)))
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()

@@ -78,6 +78,63 @@ object ScaleBench {
       require(wrong == 0 && chk.getLong(1) == k - 1,
         s"label-prop produced wrong components: $wrong mislabeled nodes")
     }
+    // SCALE-DENSE (VERDICT r7 #4): the SCALE-CC section above stresses
+    // edge VOLUME with synthetic chains, and the 10× table runs real
+    // pair graphs — but make_sf1 corpora are near-dup-free by design,
+    // so those graphs stay sparse. This section runs the FULL d19
+    // pipeline (real simhash operator → bucket join → hamming filter →
+    // label-prop collapse) on a 100×-volume corpus whose pair graph is
+    // dense by construction: `copies` word-rotations of every sf0.1
+    // document. Rotation preserves the word multiset, hence the simhash
+    // signature bit-for-bit, so each base component becomes a
+    // copies-clique through the real operator (~C(copies,2) pairs per
+    // base doc) — no synthesized edges. Labels are verified EXACTLY:
+    // variant id = src*copies + c, and since rotation preserves
+    // signatures, cross-source relations equal the base graph's, so
+    // every node's expected label is baseLabel(src)*copies (or
+    // src*copies for base singletons). Enable with
+    // SPARK_GRAFT_SCALE_DENSE=<copies> (100 → 500k docs, ~25M pairs).
+    sys.env.get("SPARK_GRAFT_SCALE_DENSE").map(_.trim.toInt).foreach { copies =>
+      import org.apache.spark.sql.functions.{array_join, coalesce, floor, lit,
+        pmod, sequence, size => fsize, slice, split, explode}
+      val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+        .select(col("doc_id"), col("text"))
+      val variants = base
+        .select(col("doc_id"), split(col("text"), " ").as("ws"),
+          explode(sequence(lit(0), lit(copies - 1))).as("c"))
+        .select((col("doc_id") * copies + col("c")).as("doc_id"),
+          array_join(org.apache.spark.sql.functions.concat(
+            slice(col("ws"), pmod(col("c"), fsize(col("ws"))) + 1,
+              fsize(col("ws")) - pmod(col("c"), fsize(col("ws")))),
+            slice(col("ws"), lit(1), pmod(col("c"), fsize(col("ws"))))),
+            " ").as("text"))
+      val t0 = System.nanoTime()
+      // persist so the pair-volume count doesn't re-run the bucket
+      // join; connectedComponents localCheckpoints its own copy
+      val pairs = graft.ops.Dedup.simhashPairs(variants, maxHamming = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPairs = pairs.count()
+      val labels = graft.ops.Dedup.connectedComponents(pairs)
+      val nLab = labels.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      pairs.unpersist(blocking = false)
+      val nComp = labels.agg(countDistinct(col("label"))).head().getLong(0)
+      println(f"SCALE-DENSE copies=$copies%3d nodes=$nLab%9d pairs=$nPairs%10d " +
+        f"comps=$nComp%7d ${sec}%8.2f s")
+      // exact expected labels from the base-graph components (the d19
+      // gate proves that graph against the recursive-CTE oracle)
+      val baseLab = graft.ops.Dedup.connectedComponents(
+        graft.ops.Dedup.simhashPairs(base, maxHamming = 3))
+        .withColumnRenamed("node", "src").withColumnRenamed("label", "base_label")
+      val wrong = labels.withColumn("src", floor(col("node") / copies))
+        .join(baseLab, Seq("src"), "left_outer")
+        .filter(col("label") =!=
+          coalesce(col("base_label"), col("src")) * copies)
+        .count()
+      require(wrong == 0,
+        s"dense-corpus collapse mislabeled $wrong of $nLab nodes")
+      println(f"SCALE-DENSE label check: 0 of $nLab nodes mislabeled")
+    }
     // ANN recall at scale (VERDICT r6 #3): the table above rehearses
     // LATENCY; without this section an ANN quality regression at 10×
     // would be invisible. recall@5 of each approximate gate against

@@ -124,8 +124,21 @@ object Pipeline {
     if (!graft.ops.IvfIndex.exists(s, path))
       graft.ops.IvfIndex.build(e, persist = false).save(path)
     val idx = graft.ops.IvfIndex.load(s, path, persist = false)
-    idx.query(q, 5).orderBy("qid", "rank")
+    idx.query(q, 5, nProbe = envProbe).orderBy("qid", "rank")
   }
+
+  /** Recall-vs-cost knobs for the three approximate ANN gates
+    * (VERDICT r7 stretch #6): the driver runs the deterministic
+    * defaults (quarter-cell probe, fetch 30); a user trading latency
+    * for recall sets SPARK_GRAFT_NPROBE / SPARK_GRAFT_FETCH — probing
+    * all cells removes the IVF term entirely (recall then bounded only
+    * by quantization/rerank, ~0.93 at sf0.1; see NOTES recall curve). */
+  private def envProbe: Int =
+    sys.env.get("SPARK_GRAFT_NPROBE").map(_.trim).filter(_.nonEmpty)
+      .map(_.toInt).getOrElse(0)
+  private def envFetch(default: Int): Int =
+    sys.env.get("SPARK_GRAFT_FETCH").map(_.trim).filter(_.nonEmpty)
+      .map(_.toInt).getOrElse(default)
 
   /** Embedding-cosine near-duplicate pairs, exact blocked all-pairs.
     * This corpus's true near-dups sit at cosine 0.4-0.5, where sign-LSH
@@ -245,7 +258,8 @@ object Pipeline {
     val idx = graft.ops.IvfPq.load(s, path, persist = false)
     val qr = q.select(col("qid"),
       graft.ops.Pq.matVecCol(col("qvec"), r, 64).as("qvec"))
-    idx.query(qr, 5, fetch = 30).orderBy("qid", "rank")
+    idx.query(qr, 5, nProbe = envProbe, fetch = envFetch(30))
+      .orderBy("qid", "rank")
   }
 
   /** IVF-PQ (IVFADC) top-5 with exact rerank — the production
@@ -268,7 +282,8 @@ object Pipeline {
       graft.ops.IvfPq.build(e, m = 8, ks = 64, pqIters = 1, persist = false)
         .save(path)
     val idx = graft.ops.IvfPq.load(s, path, persist = false)
-    idx.query(q, 5, fetch = 30).orderBy("qid", "rank")
+    idx.query(q, 5, nProbe = envProbe, fetch = envFetch(30))
+      .orderBy("qid", "rank")
   }
 
   /** Deterministic IVF-PQ verification gate: md5-ordered seeding for
