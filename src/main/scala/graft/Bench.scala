@@ -124,6 +124,10 @@ object Bench {
           SparkEntry.queries(name)(spark, sfDir).select("qid", "id").collect()
             .map(r => (r.getLong(0), r.getLong(1))).toSet
         val exact = topSet("e01_knn_brute")
+        // an empty exact set would make recall 0/0 = NaN — not legal
+        // JSON; report -1 (below any floor) so the artifact stays
+        // parseable and the gate still fails loudly
+        require(exact.nonEmpty, "e01_knn_brute returned no rows")
         Seq("e02_knn_ivf", "e05_knn_ivfpq", "e10_knn_opq_ivfpq").map { g =>
           g -> exact.intersect(topSet(g)).size.toDouble / exact.size
         }
