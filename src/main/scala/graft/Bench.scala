@@ -153,8 +153,10 @@ object Bench {
     // captured only the tail of stdout, losing "best" and the early
     // query medians. Persist the same line to a file so a
     // stdout-truncating harness can never lose it.
+    // absolute default: a harness may launch Bench from any CWD, and a
+    // relative path would then land outside the repo
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "target/bench_latest.json")
+      "/root/repo/target/bench_latest.json")
     try {
       val f = new java.io.File(outPath)
       Option(f.getParentFile).foreach(_.mkdirs())
