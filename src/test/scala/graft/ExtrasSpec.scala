@@ -424,6 +424,53 @@ class ExtrasSpec extends SparkSpec {
     assert(k1 != k2, "rewriting the dataset must invalidate the cache key")
   }
 
+  test("concurrent per-run writer pipelines: durable state consistent from a fresh store") {
+    // the realistic multi-pipeline pattern: one driver thread per
+    // scenario, all hammering ONE store concurrently — exercises the
+    // shared generation allocator, the (runId, name) manifest map, the
+    // run-sharded persistManifest, and publish-time gcGens under real
+    // parallelism. Scenarios are created serially (catalog pointer
+    // swaps are a driver-side setup step); the write/commit phases race.
+    val mp = new Platform(spark, tmpDir("graft-conc-runs"))
+    val nRuns = 4
+    val scens = (0 until nRuns).map { i =>
+      val sc = mp.newScenario("m", s"s$i")
+      sc.checkOut(); DantzigModel.initialize(sc); sc.commit("base")
+      sc
+    }
+    val writesPerRun = graft.store.ParquetStore.KeepGens + 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nRuns)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val latch = new java.util.concurrent.CountDownLatch(nRuns)
+    scens.zipWithIndex.foreach { case (sc, i) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try
+            for (w <- 1 to writesPerRun)
+              sc.transact(s"w$w") {
+                sc.addPar("d", Seq(("seattle", "chicago", (i * 1000 + w).toDouble, "km"))
+                  .toDF("i", "j", "value", "unit"))
+              }
+          catch { case e: Throwable => errs.add(e) }
+          finally latch.countDown()
+      })
+    }
+    assert(latch.await(300, java.util.concurrent.TimeUnit.SECONDS), "writers timed out")
+    pool.shutdown()
+    assert(errs.isEmpty, s"concurrent writers threw: ${errs.peek()}")
+    // a FRESH store sees only what was durably persisted: every run
+    // must serve its own final value — no cross-run bleed, no pointer
+    // at a GC'd generation (each run staged > KeepGens generations)
+    val fresh = new graft.store.ParquetStore(spark, mp.root)
+    scens.zipWithIndex.foreach { case (sc, i) =>
+      val v = fresh.itemData(sc.runId, "d",
+          Map("i" -> Seq("seattle"), "j" -> Seq("chicago")))
+        .select("value").as[Double].head()
+      assert(v == (i * 1000 + writesPerRun).toDouble,
+        s"run ${sc.runId}: fresh store read $v, want ${i * 1000 + writesPerRun}")
+    }
+  }
+
   test("commit persists the manifest BEFORE sweeping old generations (ADVICE r7)") {
     val mp = new Platform(spark, tmpDir("graft-gc-order"))
     val s = mp.newScenario("m", "s")
