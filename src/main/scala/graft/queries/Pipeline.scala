@@ -616,6 +616,24 @@ object Pipeline {
         round(expr("percentile(n_words, 0.9)"), 4).as("p90_words"))
       .orderBy("lang")
 
+  /** Perplexity quality scoring (CCNet, Wenzek 2020): bigram LM with
+    * add-one smoothing trained on a trusted reference slice (first
+    * half of the corpus by doc_id), every document scored by mean
+    * negative log-likelihood. Model tables broadcast; the corpus is
+    * scored map-side and aggregates on one narrow (id, logp) shuffle
+    * (graft.ops.LangModel). All counts are integers and each pair's
+    * logp is ln of an integer ratio, so the oracle reproduces the
+    * score to float rounding. */
+  def d27Perplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (bg, cx, v) = graft.ops.LangModel.trainBigram(
+      d.filter(col("doc_id") < 250))
+    graft.ops.LangModel.scoreNll(d, bg, cx, v)
+      .select(col("id").as("doc_id"), col("n_pairs"),
+        round(col("avg_nll"), 4).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** JSON property extraction from the events props column (scalar
     * function surface: get_json_object). */
   def d09JsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -789,6 +807,7 @@ object Pipeline {
     "d24_corpus_stats" -> d24CorpusStats _,
     "d25_url_filter" -> d25UrlFilter _,
     "d26_vocab_topk" -> d26VocabTopk _,
+    "d27_perplexity" -> d27Perplexity _,
     "p01_pack_chunks" -> p01PackChunks _,
     "p02_pack_greedy" -> p02PackGreedy _,
     "p03_chunk_overlap" -> p03ChunkOverlap _,
@@ -1048,6 +1067,24 @@ object Pipeline {
         |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
         |      FROM documents)
         |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    // Same add-one-smoothed bigram cross-entropy: integer counts, each
+    // pair's nll = ln of an integer ratio (bit-identical inputs both
+    // engines), mean rounded 4dp like every float aggregate.
+    "d27_perplexity" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |pr AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ws)), i -> {'prev': ws[i], 'cur': ws[i + 1]})) AS p
+        |  FROM w WHERE len(ws) >= 2),
+        |dp AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM pr),
+        |bg AS (SELECT prev, cur, count(*) AS n FROM dp WHERE doc_id < 250 GROUP BY 1, 2),
+        |cx AS (SELECT prev, count(*) AS n_ctx FROM dp WHERE doc_id < 250 GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT word) + 1 AS v FROM
+        |  (SELECT unnest(ws) AS word FROM w WHERE doc_id < 250 AND len(ws) >= 2)),
+        |sc AS (SELECT doc_id,
+        |  -ln((coalesce(n, 0) + 1) / CAST(coalesce(n_ctx, 0) + v AS DOUBLE)) AS nll
+        |  FROM dp LEFT JOIN bg USING (prev, cur) LEFT JOIN cx USING (prev) CROSS JOIN vv)
+        |SELECT doc_id, count(*) AS n_pairs, round(avg(nll), 4) AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d25_url_filter" ->
       """WITH inj AS (SELECT doc_id, text
         |  || ' see https://site' || (doc_id % 7) || '.example.org/p/' || doc_id

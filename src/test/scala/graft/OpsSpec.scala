@@ -684,4 +684,30 @@ class OpsSpec extends SparkSpec {
       assert(!IvfPq.exists(spark, partial))
     } finally loaded.close()
   }
+
+  test("bigram perplexity: hand-computed nll, OOV smoothing, broadcast plan") {
+    import graft.ops.LangModel
+    // reference "a b a b c": bigrams (a,b)x2 (b,a)x1 (b,c)x1; contexts
+    // a->2 b->2; vocab {a,b,c} -> V = 4
+    val ref = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val (bg, cx, v) = LangModel.trainBigram(ref)
+    assert(v == 4L)
+    val scored = LangModel.scoreNll(
+      Seq((1L, "a b"), (2L, "a x")).toDF("doc_id", "text"), bg, cx, v)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 1: P(b|a) = (2+1)/(2+4) -> nll = ln 2
+    assert(scored(1L)._1 == 1L)
+    assert(math.abs(scored(1L)._2 - math.log(2.0)) < 1e-12)
+    // doc 2: OOV pair (a,x): P = (0+1)/(2+4) -> nll = ln 6 (finite)
+    assert(math.abs(scored(2L)._2 - math.log(6.0)) < 1e-12)
+    // a single-word doc has no bigrams and must drop, not NaN
+    assert(LangModel.scoreNll(
+      Seq((3L, "solo")).toDF("doc_id", "text"), bg, cx, v).count() == 0)
+    // the model attaches via broadcast joins: the scored corpus must
+    // not shuffle for them
+    val plan = LangModel.scoreNll(
+      Seq((1L, "a b")).toDF("doc_id", "text"), bg, cx, v)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+  }
 }
