@@ -18,7 +18,9 @@ object ScaleBench {
       "d20_decontaminate", "d22_pii_redact", "d24_corpus_stats",
       "d25_url_filter", "d26_vocab_topk", "p01_pack_chunks",
       "p03_chunk_overlap", "m02_mime_sniff", "m03_byte_simhash",
-      "e09_pq_opq", "e10_knn_opq_ivfpq")
+      "e09_pq_opq", "e10_knn_opq_ivfpq",
+      // round-8 newcomer
+      "d27_perplexity")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
