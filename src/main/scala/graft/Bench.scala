@@ -53,6 +53,15 @@ object Bench {
     // recall-vs-nProbe (with SPARK_GRAFT_NPROBE/FETCH) without paying
     // for 66 timed queries per point.
     val recallOnly = sys.env.get("SPARK_GRAFT_BENCH_RECALL_ONLY").contains("1")
+    // ADVICE r8: RECALL_ONLY + BENCH_ONLY together would produce an
+    // artifact with neither timings nor recall (the recall section
+    // requires a full-battery run). Fail fast instead of emitting a
+    // vacuous JSON.
+    if (recallOnly && only.nonEmpty) {
+      System.err.println(
+        "bench: SPARK_GRAFT_BENCH_RECALL_ONLY and SPARK_GRAFT_BENCH_ONLY are mutually exclusive - unset one")
+      sys.exit(2)
+    }
     val names = if (recallOnly) Seq.empty[String]
       else SparkEntry.queries.keys.toSeq.sorted
         .filter(n => only.forall(_.contains(n)))
@@ -74,15 +83,30 @@ object Bench {
     // every line garbage). Wait the window out — up to 3 × 60 s —
     // before the battery; if it never clears, the JSON says so
     // ("unhealthy":true) and must not be read as a regression signal.
+    // Recall-only mode skips the wait loop (ADVICE r8): recall is a
+    // set-intersection quality number, not a timing — a slow scratch
+    // disk cannot change it, so paying up to 3x60 s before a
+    // recall-curve point is pure waste. One probe still runs so the
+    // artifact records host health — but recall-only has no warmup
+    // battery before it, so discard a first probe that would otherwise
+    // measure first-job JIT/codegen (~5 s in a fresh JVM) as "sickness".
+    if (recallOnly) shuffleProbe(spark)
     var probePre = shuffleProbe(spark)
     var probeRetries = 0
-    while (probePre > 5.0 && probeRetries < 3) {
+    while (!recallOnly && probePre > 5.0 && probeRetries < 3) {
       System.err.println(
         f"bench: scratch probe $probePre%.1f s (healthy ~1 s) - waiting 60 s for the contention window to pass")
       Thread.sleep(60000)
       probePre = shuffleProbe(spark)
       probeRetries += 1
     }
+    // Soft warning band (VERDICT r8 "what's wrong" #2): a ~2x-slow box
+    // inflates every line uniformly without tripping the 5 s refuse
+    // threshold; flag it on stderr so nobody reads uniform inflation
+    // as a regression. The hard threshold stays at 5 s.
+    if (probePre > 1.5 && probePre <= 5.0)
+      System.err.println(
+        f"bench: scratch probe $probePre%.2f s is above the ~0.85 s healthy band - timings may be uniformly inflated (not a plan regression)")
     val results = names.map { name =>
       // Per-query isolation: drop every cached/persisted frame left over
       // from earlier queries (index builds, bounded shingle persists) so
@@ -116,7 +140,17 @@ object Bench {
     // "failed", so an ANN quality regression fails the driver-read
     // artifact, not just a spec someone must run. Skipped on
     // SPARK_GRAFT_BENCH_ONLY subset runs (e01 may be absent).
-    val recallFloor = 0.3
+    // Per-gate floors (VERDICT r8 #1): the flat 0.3 floor was lenient
+    // enough that a real quality regression (0.56 -> 0.31) would still
+    // pass. With e05/e10 defaults at fetch=100 (recall ~0.9 on the
+    // NOTES knob curve) the floors can carry real teeth: a regression
+    // to the old fetch=30 quality level (0.44/0.46) now FAILS the
+    // driver-read artifact.
+    val recallFloors = Map(
+      "e02_knn_ivf" -> 0.5,
+      "e05_knn_ivfpq" -> 0.8,
+      "e10_knn_opq_ivfpq" -> 0.8)
+    def floorFor(g: String) = recallFloors.getOrElse(g, 0.3)
     val recall: Seq[(String, Double)] = if (only.isEmpty) {
       try {
         spark.catalog.clearCache()
@@ -136,18 +170,30 @@ object Bench {
         Seq("recall_section" -> -1.0)
       }
     } else Seq.empty
+    // Self-describing knobs (ADVICE r8): the recall gates honor
+    // SPARK_GRAFT_NPROBE/FETCH, so a knob-tuned run could silently mask
+    // a default-config regression. Record the effective values in the
+    // artifact; the driver grades runs with both "default".
+    def knob(env: String) = sys.env.get(env).map(_.trim).filter(_.nonEmpty)
+      .map("\"" + _ + "\"").getOrElse("\"default\"")
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val best = results.map { case (k, _, b) => "\"" + k + "\":" + b }
       .mkString("{", ",", "}")
     val failedNames = results.collect { case (k, v, _) if v < 0 => k } ++
-      recall.collect { case (k, r) if r < recallFloor => s"recall:$k" }
+      recall.collect { case (k, r) if r < floorFor(k) => s"recall:$k" }
     val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val recallJson = recall.map { case (k, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
+    val floorsJson = recall.map { case (k, _) => "\"" + k + "\":" + floorFor(k) }
+      .mkString("{", ",", "}")
     val total = results.map(r => math.abs(r._2)).sum
     val unhealthy = probePre > 5.0 || probePost > 5.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"recall_at5":$recallJson,"recall_floor":$recallFloor,"probe_pre_sec":$probePre,"probe_post_sec":$probePost,"probe_retries":$probeRetries,"unhealthy":$unhealthy,"sf":"$sfDir"}"""
+    // probe_ratio: worst probe over the ~0.85 s healthy median of past
+    // judge sessions — a reader can divide any timing by this to
+    // normalize away uniform host slowness (VERDICT r8 #2).
+    val probeRatio = math.max(probePre, probePost) / 0.85
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"recall_at5":$recallJson,"recall_floors":$floorsJson,"knob_nprobe":${knob("SPARK_GRAFT_NPROBE")},"knob_fetch":${knob("SPARK_GRAFT_FETCH")},"probe_pre_sec":$probePre,"probe_post_sec":$probePost,"probe_ratio":$probeRatio,"probe_retries":$probeRetries,"unhealthy":$unhealthy,"sf":"$sfDir"}"""
     println(json)
     // Artifact durability (VERDICT r7 #3): the r7 driver harness
     // captured only the tail of stdout, losing "best" and the early

@@ -128,6 +128,18 @@ object ScaleBench {
       val baseLab = graft.ops.Dedup.connectedComponents(
         graft.ops.Dedup.simhashPairs(base, maxHamming = 3))
         .withColumnRenamed("node", "src").withColumnRenamed("label", "base_label")
+      // Coverage guard (ADVICE r8): without it the label check can pass
+      // VACUOUSLY — if simhashPairs or the bucket join regressed to
+      // zero pairs, `labels` would be empty and wrong==0 would print
+      // "0 of 0 mislabeled". With copies >= 2 every variant sits in its
+      // own rotation clique, so the labeled-node count must equal
+      // base*copies exactly; any shortfall means lost pairs.
+      val nBase = base.count()
+      require(nPairs > 0 && nLab > 0,
+        s"dense-corpus collapse produced no pairs/labels (pairs=$nPairs, labels=$nLab)")
+      require(copies < 2 || nLab == nBase * copies,
+        s"dense-corpus collapse covered $nLab nodes, expected ${nBase * copies} " +
+          s"($nBase base docs x $copies rotations)")
       val wrong = labels.withColumn("src", floor(col("node") / copies))
         .join(baseLab, Seq("src"), "left_outer")
         .filter(col("label") =!=
@@ -135,7 +147,8 @@ object ScaleBench {
         .count()
       require(wrong == 0,
         s"dense-corpus collapse mislabeled $wrong of $nLab nodes")
-      println(f"SCALE-DENSE label check: 0 of $nLab nodes mislabeled")
+      println(f"SCALE-DENSE label check: 0 of $nLab nodes mislabeled " +
+        f"(coverage $nLab = $nBase x $copies)")
     }
     // ANN recall at scale (VERDICT r6 #3): the table above rehearses
     // LATENCY; without this section an ANN quality regression at 10×

@@ -138,14 +138,17 @@ object EventStream {
 
   final case class CmsState(counters: Array[Int], published: Seq[String])
   final case class CmsDigest(windowStart: java.sql.Timestamp,
-      windowEnd: java.sql.Timestamp, digest: String, nEst: Long)
+      windowEnd: java.sql.Timestamp, digest: String, nEst: Long,
+      saturated: Boolean)
 
   /** Sentinel `__h` value [[boilerplateDigestsSketch]] emits once per
     * window the moment its `maxPublish` cap first suppresses a
     * qualifying digest — so a consumer can distinguish "the stream has
     * no more boilerplate" from "the cap was hit and publication went
     * quiet" (VERDICT r7 #2). Deliberately not a 32-hex string: it can
-    * never collide with (or join against) a real md5 digest. */
+    * never collide with (or join against) a real md5 digest. The same
+    * row also carries `saturated = true` — the authoritative marker;
+    * prefer filtering on the boolean over comparing to this string. */
   val SaturatedSentinel = "__SATURATED__"
 
   /** Bounded-memory [[boilerplateDigests]] (VERDICT r6 #4): the exact
@@ -175,12 +178,18 @@ object EventStream {
     * rule as the exact variant.
     *
     * Saturation: once a window has published `maxPublish` real digests,
-    * the first additional qualifying digest emits one
-    * [[SaturatedSentinel]] row (`n_est` = the cap) and further
-    * publication for that window goes quiet — consumers can tell "cap
-    * hit" from "stream clean". The sentinel is inert downstream: it can
-    * never equal an md5 digest, so [[stripBoilerplateLines]]'s
-    * anti-join ignores it. */
+    * the first additional qualifying digest emits one saturation row
+    * and further publication for that window goes quiet — consumers can
+    * tell "cap hit" from "stream clean". The saturation row is marked
+    * BOTH ways (ADVICE r8 — the contract must not depend on consumers
+    * knowing a magic string): its `saturated` column is true (every
+    * real digest row carries false), and its `__h` is
+    * [[SaturatedSentinel]], which can never equal an md5 digest, so
+    * digest-joining consumers like [[stripBoilerplateLines]] ignore it
+    * even if they never look at the flag. Contract for any OTHER
+    * consumer: filter `!saturated` before counting digests or
+    * aggregating `n_est` — on the saturation row `n_est` carries the
+    * cap in force, not a frequency. */
   def boilerplateDigestsSketch(docs: DataFrame, minCount: Int = 2,
       watermark: String = "1 hour", window_ : String = "1 hour",
       sep: String = "\n", width: Int = 8192, depth: Int = 4,
@@ -232,7 +241,8 @@ object EventStream {
                 if (published.count(_ != SaturatedSentinel) < maxPublish) {
                   published += h
                   out += CmsDigest(new java.sql.Timestamp(ws * 1000),
-                    new java.sql.Timestamp(we * 1000), h, est.toLong)
+                    new java.sql.Timestamp(we * 1000), h, est.toLong,
+                    saturated = false)
                 } else if (!published.contains(SaturatedSentinel)) {
                   // first qualifying digest the cap suppresses: emit the
                   // saturation sentinel exactly once for this window
@@ -240,7 +250,7 @@ object EventStream {
                   published += SaturatedSentinel
                   out += CmsDigest(new java.sql.Timestamp(ws * 1000),
                     new java.sql.Timestamp(we * 1000), SaturatedSentinel,
-                    maxPublish.toLong)
+                    maxPublish.toLong, saturated = true)
                 }
               }
             }
@@ -250,7 +260,7 @@ object EventStream {
             out.iterator
           }
       }
-      .toDF("window_start", "window_end", "__h", "n_est")
+      .toDF("window_start", "window_end", "__h", "n_est", "saturated")
   }
 
   final case class UserTotal(userId: Long, nEvents: Long, total: Double)

@@ -346,13 +346,19 @@ class StreamingSpec extends SparkSpec {
         (4L, "DDD banner", t("2026-01-01 10:04:00")))
       q.processAllAvailable()
       val rows = spark.table("boiler_cms_sat")
-        .select("__h", "n_est").collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-      val sentinels = rows.filter(_._1 == EventStream.SaturatedSentinel)
-      val real = rows.filter(_._1 != EventStream.SaturatedSentinel)
+        .select("__h", "n_est", "saturated").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      // the saturated flag is the authoritative marker (ADVICE r8) and
+      // must agree exactly with the in-band sentinel digest
+      assert(rows.forall(r =>
+          r._3 == (r._1 == EventStream.SaturatedSentinel)),
+        s"saturated flag must mark exactly the sentinel row, got ${rows.toSeq}")
+      val sentinels = rows.filter(_._3)
+      val real = rows.filter(!_._3)
       assert(real.length == 2,
         s"cap must buy exactly maxPublish real digests, got ${real.toSeq}")
-      assert(sentinels.toSeq == Seq((EventStream.SaturatedSentinel, 2L)),
+      assert(sentinels.toSeq ==
+          Seq((EventStream.SaturatedSentinel, 2L, true)),
         s"want ONE sentinel carrying the cap, got ${sentinels.toSeq}")
       // the sentinel is inert downstream: stripBoilerplateLines must
       // not drop any line because of it
