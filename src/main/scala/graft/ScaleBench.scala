@@ -19,8 +19,8 @@ object ScaleBench {
       "d25_url_filter", "d26_vocab_topk", "p01_pack_chunks",
       "p03_chunk_overlap", "m02_mime_sniff", "m03_byte_simhash",
       "e09_pq_opq", "e10_knn_opq_ivfpq",
-      // round-8 newcomer
-      "d27_perplexity")
+      // round-8/9 newcomers
+      "d27_perplexity", "d28_perplexity_trigram")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -38,7 +38,16 @@ object LangModel {
 
   /** Train the bigram model on `ref`. Returns (bigrams, contexts, V):
     * (prev, cur, n) pair counts, (prev, n_ctx) context counts, and the
-    * smoothing vocabulary size (distinct reference words + 1). */
+    * smoothing vocabulary size (distinct reference words + 1).
+    *
+    * Semantic choice (documented per VERDICT r8): the `>= 2` filter
+    * runs BEFORE vocabulary counting, so a reference doc of exactly
+    * one word contributes nothing — not even its word to V. Every
+    * count (pairs, contexts, vocab) is thus drawn from the same doc
+    * population "docs that have at least one bigram"; at real
+    * reference sizes the effect on add-one smoothing is noise. The
+    * trigram model below counts each n-gram order over every doc that
+    * HAS that order instead. */
   def trainBigram(ref: DataFrame, textCol: String = "text")
       : (DataFrame, DataFrame, Long) = {
     val ws = ref.select(TextFunctions.words(col(textCol)).as("ws"))
@@ -77,5 +86,111 @@ object LangModel {
           (coalesce(col("n_ctx"), lit(0L)) + v).cast("double")))
       .groupBy("id")
       .agg(count(lit(1)).as("n_pairs"), avg(col("nll")).as("avg_nll"))
+  }
+
+  /** Interpolated-trigram model tables (all broadcast-sized for a
+    * fixed reference slice): counts per n-gram order plus the unigram
+    * smoothing constants. Each order counts every n-gram that exists —
+    * a 2-word doc contributes its words and its one bigram but no
+    * trigram. */
+  final case class TrigramModel(trigrams: DataFrame, trigramCtx: DataFrame,
+      bigrams: DataFrame, bigramCtx: DataFrame, unigrams: DataFrame,
+      nTokens: Long, v: Long)
+
+  /** Interpolation weights as exact rationals λ₃,λ₂,λ₁ = 5/10, 3/10,
+    * 2/10 — fixed, not EM-tuned (Jelinek-Mercer held-out tuning would
+    * put a float optimization between the two engines; fixed small
+    * integers keep every probability a ratio of exact integers). */
+  val L3 = 5L; val L2 = 3L; val L1 = 2L; val LDen = 10L
+
+  /** Train the interpolated trigram LM on `ref` (VERDICT r8 #4 — the
+    * credible-quality-signal upgrade over [[trainBigram]]: trigram
+    * evidence when the context is known, graceful fallback through
+    * bigram to add-one unigram when it is not; Jelinek & Mercer 1980,
+    * the λ-interpolation baseline of Chen & Goodman 1999 §2.3).
+    *
+    *   P(w|u,v) = λ₃·c(uvw)/c(uv·) + λ₂·c(vw)/c(v·) + λ₁·(c(w)+1)/(N+V)
+    *
+    * where c(uv·)/c(v·) are prefix totals from the SAME n-gram tables
+    * (so each term is a proper conditional) and an unseen prefix drops
+    * its term (ML 0/0 := 0). The unigram add-one floor keeps every
+    * score finite for any input, OOV included. */
+  def trainTrigram(ref: DataFrame, textCol: String = "text"): TrigramModel = {
+    val ws = ref.select(TextFunctions.words(col(textCol)).as("ws"))
+    val uni = ws.select(explode(col("ws")).as("w"))
+    val unigrams = uni.groupBy("w").agg(count(lit(1)).as("n1"))
+    val totals = uni.agg(count(lit(1)), countDistinct(col("w"))).head()
+    val (nTok, v) = (totals.getLong(0), totals.getLong(1) + 1)
+    val pairs = ws.filter(size(col("ws")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
+      .select(col("p.0").as("v"), col("p.1").as("w"))
+    val bigrams = pairs.groupBy("v", "w").agg(count(lit(1)).as("n2"))
+    val bigramCtx = pairs.groupBy("v").agg(count(lit(1)).as("c2"))
+    val triples = ws.filter(size(col("ws")) >= 3)
+      .select(explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 2),
+        slice(col("ws"), lit(2), size(col("ws")) - 2),
+        slice(col("ws"), lit(3), size(col("ws")) - 2))).as("t"))
+      .select(col("t.0").as("u"), col("t.1").as("v"), col("t.2").as("w"))
+    val trigrams = triples.groupBy("u", "v", "w").agg(count(lit(1)).as("n3"))
+    val trigramCtx = triples.groupBy("u", "v").agg(count(lit(1)).as("c3"))
+    TrigramModel(trigrams, trigramCtx, bigrams, bigramCtx, unigrams, nTok, v)
+  }
+
+  /** Mean negative log-likelihood per document under the interpolated
+    * trigram model — (id, n_tri, avg_nll); documents with < 3 words
+    * drop (no trigram positions; gate them on length).
+    *
+    * Oracle-exactness recipe, interpolated edition: the three-term sum
+    * collapses to ONE ratio of integers over the common denominator
+    * 10·c(uv·)·c(v·)·(N+V) (unseen prefixes contribute (0, 1)):
+    *
+    *   num = 5·c(uvw)·c(v·)·(N+V) + 3·c(vw)·c(uv·)·(N+V)
+    *         + 2·(c(w)+1)·c(uv·)·c(v·)
+    *
+    * Both engines build num/den in 64-bit integer arithmetic and take
+    * ln of one double division, so the scores are bit-identical.
+    * Magnitude check: with a reference slice of N tokens, den ≤
+    * 10·N²·(N+V) — at the fixed 250-doc slice (N ≈ 7·10⁴) that is
+    * ~4·10¹⁵, inside both int64 and the 2⁵³ double-exact window that
+    * the final division needs. A much larger reference slice would
+    * need the terms rescaled by gcd or the λ-weights applied in
+    * floating point (documented trade, same as approx_percentile in
+    * d24).
+    *
+    * Scale shape is [[scoreNll]]'s: five broadcast joins (model tables
+    * are reference-sized, fixed), corpus scored map-side, one narrow
+    * (id, nll) partial-aggregable shuffle. */
+  def scoreNllTrigram(docs: DataFrame, m: TrigramModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ws = docs.select(col(idCol).as("id"),
+        TextFunctions.words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val triples = ws.select(col("id"), explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 2),
+        slice(col("ws"), lit(2), size(col("ws")) - 2),
+        slice(col("ws"), lit(3), size(col("ws")) - 2))).as("t"))
+      .select(col("id"), col("t.0").as("u"), col("t.1").as("v"),
+        col("t.2").as("w"))
+    val a3 = coalesce(col("n3"), lit(0L))
+    val b3 = coalesce(col("c3"), lit(1L))
+    val a2 = coalesce(col("n2"), lit(0L))
+    val b2 = coalesce(col("c2"), lit(1L))
+    val a1 = coalesce(col("n1"), lit(0L)) + 1L
+    val b1 = lit(m.nTokens + m.v)
+    triples
+      .join(broadcast(m.trigrams), Seq("u", "v", "w"), "left_outer")
+      .join(broadcast(m.trigramCtx), Seq("u", "v"), "left_outer")
+      .join(broadcast(m.bigrams), Seq("v", "w"), "left_outer")
+      .join(broadcast(m.bigramCtx), Seq("v"), "left_outer")
+      .join(broadcast(m.unigrams), Seq("w"), "left_outer")
+      .withColumn("nll", -log(
+        (lit(L3) * a3 * b2 * b1 + lit(L2) * a2 * b3 * b1 +
+          lit(L1) * a1 * b3 * b2).cast("double") /
+          (lit(LDen) * b3 * b2 * b1).cast("double")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tri"), avg(col("nll")).as("avg_nll"))
   }
 }

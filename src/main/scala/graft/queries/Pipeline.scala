@@ -649,6 +649,24 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Interpolated-trigram perplexity (VERDICT r8 #4 — the credible
+    * CCNet-style quality gate: trigram evidence with λ-interpolated
+    * fallback through bigram to add-one unigram, λ = 5/10, 3/10, 2/10
+    * as exact rationals). Same fixed reference slice and the same
+    * oracle-exactness recipe as d27, upgraded to the three-term
+    * common-denominator integer ratio (graft.ops.LangModel
+    * .scoreNllTrigram). Five broadcast joins, map-side scoring, one
+    * narrow (id, nll) aggregate — the model never grows with the
+    * corpus. */
+  def d28PerplexityTrigram(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val m = graft.ops.LangModel.trainTrigram(d.filter(col("doc_id") < 250))
+    graft.ops.LangModel.scoreNllTrigram(d, m)
+      .select(col("id").as("doc_id"), col("n_tri"),
+        round(col("avg_nll"), 4).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** JSON property extraction from the events props column (scalar
     * function surface: get_json_object). */
   def d09JsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -823,6 +841,7 @@ object Pipeline {
     "d25_url_filter" -> d25UrlFilter _,
     "d26_vocab_topk" -> d26VocabTopk _,
     "d27_perplexity" -> d27Perplexity _,
+    "d28_perplexity_trigram" -> d28PerplexityTrigram _,
     "p01_pack_chunks" -> p01PackChunks _,
     "p02_pack_greedy" -> p02PackGreedy _,
     "p03_chunk_overlap" -> p03ChunkOverlap _,
@@ -1099,6 +1118,44 @@ object Pipeline {
         |  -ln((coalesce(n, 0) + 1) / CAST(coalesce(n_ctx, 0) + v AS DOUBLE)) AS nll
         |  FROM dp LEFT JOIN bg USING (prev, cur) LEFT JOIN cx USING (prev) CROSS JOIN vv)
         |SELECT doc_id, count(*) AS n_pairs, round(avg(nll), 4) AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Interpolated trigram (λ = 5/10, 3/10, 2/10): the three terms sit
+    // over the common denominator 10·c(uv·)·c(v·)·(N+V), so num and den
+    // are exact 64-bit integers in both engines (unseen prefixes
+    // contribute (0, 1)) and ln of the one double division matches
+    // bit-for-bit; mean rounded 4dp like every float aggregate.
+    "d28_perplexity_trigram" ->
+      """WITH wd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |tr AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ws) - 1),
+        |    i -> {'u': ws[i], 'v': ws[i + 1], 'w': ws[i + 2]})) AS t
+        |  FROM wd WHERE len(ws) >= 3),
+        |dt3 AS (SELECT doc_id, t.u AS u, t.v AS v, t.w AS w FROM tr),
+        |pr AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ws)), i -> {'v': ws[i], 'w': ws[i + 1]})) AS p
+        |  FROM wd WHERE len(ws) >= 2),
+        |dp AS (SELECT doc_id, p.v AS v, p.w AS w FROM pr),
+        |tg  AS (SELECT u, v, w, count(*) AS n3 FROM dt3 WHERE doc_id < 250 GROUP BY 1, 2, 3),
+        |tgc AS (SELECT u, v, count(*) AS c3 FROM dt3 WHERE doc_id < 250 GROUP BY 1, 2),
+        |bg  AS (SELECT v, w, count(*) AS n2 FROM dp WHERE doc_id < 250 GROUP BY 1, 2),
+        |bgc AS (SELECT v, count(*) AS c2 FROM dp WHERE doc_id < 250 GROUP BY 1),
+        |ug  AS (SELECT w, count(*) AS n1 FROM
+        |  (SELECT unnest(ws) AS w FROM wd WHERE doc_id < 250) GROUP BY 1),
+        |nv  AS (SELECT count(*) AS n_tok, count(DISTINCT w) + 1 AS vsz FROM
+        |  (SELECT unnest(ws) AS w FROM wd WHERE doc_id < 250)),
+        |sc AS (SELECT doc_id,
+        |  -ln(CAST(5 * coalesce(n3, 0) * coalesce(c2, 1) * (n_tok + vsz)
+        |       + 3 * coalesce(n2, 0) * coalesce(c3, 1) * (n_tok + vsz)
+        |       + 2 * (coalesce(n1, 0) + 1) * coalesce(c3, 1) * coalesce(c2, 1) AS DOUBLE)
+        |     / CAST(10 * coalesce(c3, 1) * coalesce(c2, 1) * (n_tok + vsz) AS DOUBLE)) AS nll
+        |  FROM dt3
+        |  LEFT JOIN tg USING (u, v, w)
+        |  LEFT JOIN tgc USING (u, v)
+        |  LEFT JOIN bg USING (v, w)
+        |  LEFT JOIN bgc USING (v)
+        |  LEFT JOIN ug USING (w)
+        |  CROSS JOIN nv)
+        |SELECT doc_id, count(*) AS n_tri, round(avg(nll), 4) AS avg_nll
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d25_url_filter" ->
       """WITH inj AS (SELECT doc_id, text

