@@ -753,6 +753,11 @@ object Pipeline {
       .withColumn("lang", col("q.lang"))
       .filter(col("lang").isin("en", "de", "fr", "es"))
       .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+      // first() without ordering is normally nondeterministic — here it
+      // is deterministic BY VALUE: every row in an fp-group shares the
+      // whitespace/case-normalized text, so lang and n_words (both
+      // functions of the normalized words) are identical across the
+      // group, and any "first" returns the same value
       .agg(min("doc_id").as("keep_id"), first("lang").as("lang"),
         first(col("q.n_words")).as("n_words"))
     curated.groupBy("lang")

@@ -240,8 +240,14 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     fromRow(rows.head)
   }
 
-  def getRunById(runId: Long): RunInfo =
-    fromRow(runsDf.filter(col("run_id") === runId).head())
+  def getRunById(runId: Long): RunInfo = {
+    // collect + require, not head(): a missing id must say so, not
+    // throw head-of-empty (r9 review — checkOut on a deleted run
+    // surfaced "next on empty iterator")
+    val rows = runsDf.filter(col("run_id") === runId).collect()
+    require(rows.nonEmpty, s"no run with id $runId")
+    fromRow(rows.head)
+  }
 
   private def fromRow(r: Row): RunInfo = RunInfo(
     r.getAs[Long]("run_id"), r.getAs[String]("model"), r.getAs[String]("scenario"),
@@ -702,11 +708,25 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   override def timeslices(): DataFrame =
     readPointerTable("codelists/timeslices", timeslicesSchema)
 
+  // Reference semantics (platform.py:389-397): re-adding an existing
+  // timeslice is a no-op when the duration is (numerically) the same
+  // and an ERROR when it differs — never a duplicate row (r9 review:
+  // the unconditional append diverged; a re-run setup script would
+  // duplicate rows and a silent redefinition would keep both
+  // durations). Tolerance mirrors np.isclose's defaults.
   override def addTimeslice(name: String, category: String, duration: Double): Unit =
     synchronized {
-      writePointerTable("codelists/timeslices", timeslices().unionByName(
-        spark.createDataFrame(java.util.Arrays.asList(
-          Row(name, category, duration)), timeslicesSchema)))
+      val existing = timeslices().filter(col("name") === name)
+        .select("duration").collect().headOption.map(_.getDouble(0))
+      existing match {
+        case Some(d) =>
+          require(math.abs(duration - d) <= 1e-8 + 1e-5 * math.abs(d),
+            s"timeslice `$name` already defined with duration $d")
+        case None =>
+          writePointerTable("codelists/timeslices", timeslices().unionByName(
+            spark.createDataFrame(java.util.Arrays.asList(
+              Row(name, category, duration)), timeslicesSchema)))
+      }
     }
 
   // ---- documentation KV store (base.py:131-162) ---------------------------

@@ -554,6 +554,27 @@ class ExtrasSpec extends SparkSpec {
     assert(st.currentGenOf("tbl*q") == Some(3L))
   }
 
+  test("addTimeslice mirrors reference redefinition semantics (platform.py:389-397)") {
+    val st = new graft.store.ParquetStore(spark, tmpDir("graft-tslice"))
+    st.addTimeslice("summer", "season", 0.25)
+    // same duration: no-op, never a duplicate row
+    st.addTimeslice("summer", "season", 0.25)
+    assert(st.timeslices().filter(col("name") === "summer").count() == 1)
+    // different duration: error naming the existing definition
+    val ex = intercept[IllegalArgumentException] {
+      st.addTimeslice("summer", "season", 0.5)
+    }
+    assert(ex.getMessage.contains("already defined with duration 0.25"))
+    assert(st.timeslices().count() == 1)
+    st.releaseWriterLock()
+  }
+
+  test("getRunById on a missing run id fails with a named error") {
+    val st = new graft.store.ParquetStore(spark, tmpDir("graft-norun"))
+    val ex = intercept[IllegalArgumentException] { st.getRunById(42L) }
+    assert(ex.getMessage.contains("no run with id 42"))
+  }
+
   test("writer lock: a second writer process fails fast, readers are unaffected (VERDICT r8 #3)") {
     // Direction 1: this store writes first -> it must hold the OS lock,
     // so a foreign channel (what another process's tryLock sees) cannot
