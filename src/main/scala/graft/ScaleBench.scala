@@ -20,7 +20,9 @@ object ScaleBench {
       "p03_chunk_overlap", "m02_mime_sniff", "m03_byte_simhash",
       "e09_pq_opq", "e10_knn_opq_ivfpq",
       // round-8/9 newcomers
-      "d27_perplexity", "d28_perplexity_trigram")
+      "d27_perplexity", "d28_perplexity_trigram",
+      "d29_substring_spans", "d30_dsir_scores", "d31_remove_spans",
+      "d32_html_extract", "d33_bpe_encode")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -128,4 +128,36 @@ object TextFunctions {
     * (graft.functions.SimHash64Expr) — the builtin-composed fold was a
     * 64-wide interpreted zip per word. */
   def simhash64(ws: Column): Column = CatalystFunctions.simhash64(ws)
+
+  /** HTML → text extraction (the first step of a C4/RefinedWeb-style
+    * web-corpus pipeline): drop script/style/head blocks WITH their
+    * contents, drop comments, replace every remaining tag with a
+    * space, decode the common named entities, collapse whitespace.
+    * A regex extractor, not a DOM parser — boilerplate-block pruning
+    * beyond head/script/style is [[graft.ops.Dedup.lineDedup]]'s job
+    * downstream, which is exactly where C4 does it.
+    *
+    * Regexes stay inside the java.util.regex ∩ RE2 intersection
+    * (lazy quantifiers, inline (?is) flags, no backrefs) so a SQL
+    * oracle re-runs them verbatim; entity decode order puts `&amp;`
+    * LAST, so double-encoded entities decode exactly one level
+    * (`&amp;lt;` → `&lt;`, the HTML5 reference behavior). Pure
+    * map-side regexp/replace chain — one scan, no shuffle. */
+  // Explicit whitespace class instead of \s: Java's \s includes \x0B
+  // where RE2's does not — the one place the two dialects disagree on
+  // these patterns.
+  private val wsClass = "[ \\t\\n\\x0B\\f\\r]"
+
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      lit(s"(?is)<(script|style|head)[^>]*>.*?</(script|style|head)$wsClass*>"),
+      lit(" "))
+    val noComments = regexp_replace(noBlocks, lit("(?s)<!--.*?-->"), lit(" "))
+    val noTags = regexp_replace(noComments, lit("(?s)</?[A-Za-z!][^>]*>"), lit(" "))
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, lit(s"$wsClass+"), lit(" ")))
+  }
 }

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{GraftExprBridge => ExpressionUtils}
+
+/** Byte-pair-encoding tokenizer training and encoding (Sennrich,
+  * Haddow & Birch 2016, "Neural Machine Translation of Rare Words with
+  * Subword Units", ACL — the subword scheme GPT-2/RoBERTa-style
+  * tokenizers build on).
+  *
+  * Training uses the word-count factored form every production trainer
+  * uses: merge statistics are computed over the DISTINCT-WORD frequency
+  * table, never the corpus. The cluster does ONE distributed
+  * word-count pass (map-side combine, the d26 shape); the driver then
+  * iterates merges over the dict — at any corpus scale the dict is
+  * capped at `maxWords` (Zipf: the top 50k word types carry virtually
+  * all pair mass), making this the same driver-bounded pattern as
+  * codelist reads and k-means seeding. Corpus size only affects the
+  * one count pass.
+  *
+  * Merge application follows the original Sennrich algorithm: merges
+  * apply IN LEARNED ORDER, each replacing every non-overlapping
+  * occurrence left-to-right. This is deliberately equivalent to a
+  * chain of string replaces over a boundary-delimited symbol stream
+  * (each symbol wrapped in U+00B7 dots: `·l··o··w·`), which is how a
+  * SQL oracle reproduces the encoder exactly — see gate d33.
+  * No end-of-word marker (SentencePiece-style simplification); merges
+  * therefore never cross word boundaries by construction (encoding is
+  * per word).
+  */
+object Bpe {
+
+  /** Train `nMerges` BPE merges on the corpus' word distribution.
+    * Deterministic: pair frequency ties break to the lexicographically
+    * smallest (left, right) pair, and the dict truncation orders by
+    * (count desc, word) — independent of partitioning.
+    *
+    * @param maxWords dict cap collected to the driver (Zipf makes the
+    *                 tail irrelevant to pair statistics)
+    * @param minFreq  stop early when the best pair occurs fewer times
+    */
+  def train(docs: DataFrame, textCol: String = "text", nMerges: Int = 100,
+      maxWords: Int = 50000, minFreq: Long = 2L): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val wc = docs
+      .select(explode(graft.functions.TextFunctions.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    var vocab: Array[(Array[String], Long)] =
+      wc.map { case (w, c) => (w.toCharArray.map(String.valueOf), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var continue = true
+    while (continue && merges.length < nMerges) {
+      val freq = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          freq.merge((syms(i), syms(i + 1)), c, (a, b) => a + b)
+          i += 1
+        }
+      }
+      // order-independent argmax: strictly-greater frequency wins, ties
+      // go to the lexicographically smallest pair
+      var best: (String, String) = null
+      var bestF = 0L
+      freq.forEach { (p, f) =>
+        val better = f > bestF || (f == bestF && best != null &&
+          (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))
+        if (better) { best = p; bestF = f }
+      }
+      if (best == null || bestF < minFreq) continue = false
+      else {
+        merges += best
+        vocab = vocab.map { case (syms, c) => (mergeOnce(syms, best), c) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One merge applied to a symbol sequence: every non-overlapping
+    * (a, b) adjacency collapses, scanning left to right. */
+  private[ops] def mergeOnce(syms: Array[String],
+      m: (String, String)): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var j = 0
+    while (j < syms.length) {
+      if (j + 1 < syms.length && syms(j) == m._1 && syms(j + 1) == m._2) {
+        out += (m._1 + m._2); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Encode a words column under a merge list:
+    * struct(n_bpe int, toks string) where `toks` renders each word's
+    * tokens space-joined and words joined by " | " (the same rendering
+    * the SQL-replace oracle produces). Native codegen'd expression —
+    * the merge table ships as a reference object like `PqCodebook`;
+    * pure map-side, no shuffle. */
+  def encodeCol(ws: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeEncodeExpr(ExpressionUtils.expression(ws),
+      merges.flatMap(p => Seq(p._1, p._2)).toArray))
+}
+
+/** Sennrich-order BPE encode of a words array — see [[Bpe.encodeCol]].
+  * `merges` is the flattened (left, right) pair list, applied in
+  * order; per-word scan-merge left-to-right is exactly equivalent to
+  * non-overlapping string replacement on a boundary-delimited stream,
+  * which is what makes the encoder SQL-oracle-checkable. */
+final case class BpeEncodeExpr(child: Expression, merges: Array[String])
+    extends UnaryExpression {
+  require(merges.length % 2 == 0, "merges must be (left, right) pairs")
+
+  override def dataType: DataType = BpeEncodeExpr.schema
+  override def prettyName: String = "bpe_encode"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncodeExpr.compute(input.asInstanceOf[ArrayData], merges)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpemerges", merges, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.ops.BpeEncodeExpr.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
+object BpeEncodeExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("n_bpe", IntegerType, nullable = false),
+    StructField("toks", StringType, nullable = false)))
+
+  def compute(arr: ArrayData, merges: Array[String]): InternalRow = {
+    val nw = arr.numElements()
+    val sb = new java.lang.StringBuilder
+    var total = 0
+    var wi = 0
+    while (wi < nw) {
+      val w = arr.getUTF8String(wi).toString
+      // tokenizer alphabet is [a-z0-9]: one UTF-16 unit per symbol
+      var syms = new java.util.ArrayList[String](w.length)
+      var i = 0
+      while (i < w.length) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+      var mi = 0
+      while (mi < merges.length) {
+        val a = merges(mi); val b = merges(mi + 1)
+        val out = new java.util.ArrayList[String](syms.size)
+        var j = 0
+        while (j < syms.size) {
+          if (j + 1 < syms.size && syms.get(j) == a && syms.get(j + 1) == b) {
+            out.add(a + b); j += 2
+          } else { out.add(syms.get(j)); j += 1 }
+        }
+        syms = out
+        mi += 2
+      }
+      if (wi > 0) sb.append(" | ")
+      var j = 0
+      while (j < syms.size) {
+        if (j > 0) sb.append(' ')
+        sb.append(syms.get(j))
+        j += 1
+      }
+      total += syms.size
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      total, org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)))
+  }
+}

@@ -43,6 +43,7 @@ object Dedup {
   private val shinglePersist = new PersistSlot // minhash / ngram / winnow
   private val bloomPersist = new PersistSlot   // bloomDecontaminate benchmark side
   private val simhashPersist = new PersistSlot // simhash blocked fingerprints
+  private val substrPersist = new PersistSlot  // substringSpans gram anchors
   private def persistBounded(df: DataFrame): DataFrame = shinglePersist(df)
 
   /** Per-document distinct HASHED word n-gram shingle sets
@@ -627,5 +628,116 @@ object Dedup {
         round(col("n_shared") / least(col("na"), col("nb")), 4))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
+  }
+
+  /** Exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499):
+    * every maximal cross-document run of >= `minTokens` identical word
+    * tokens, reported as (id_a, id_b, a_pos, b_pos, n_tokens) with
+    * 1-based token offsets. Unlike [[winnowOverlapPairs]] (a sampled
+    * containment ESTIMATE), this locates the exact span boundaries —
+    * the operator the reference paper applies before training-set cuts.
+    *
+    * Relational formulation instead of a suffix array: k-token gram
+    * anchors (60-bit md5, the engine-portable d16 recipe) equi-join
+    * across documents, matches chain along the diagonal pa - pb, and
+    * each diagonal's consecutive-position islands (pa - row_number)
+    * are the maximal spans; a run of L identical tokens yields exactly
+    * L - k + 1 consecutive anchors, so n_tokens = island_size + k - 1.
+    *
+    * Scale: anchor generation is map-side (text never shuffles; the
+    * anchor shuffle moves (doc_id, pos, 8-byte hash) triples);
+    * `maxDf` drops boilerplate grams so every join bucket is bounded
+    * by maxDf^2 — the same stop-df guard as winnowing. The window +
+    * final aggregate run on the match set only, which is tiny
+    * relative to the corpus. */
+  def substringSpans(docs: DataFrame, k: Int = 8, minTokens: Int = 20,
+      maxDf: Int = 100, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"gram width k must be >= 2, got $k")
+    require(minTokens >= k, s"minTokens ($minTokens) must be >= k ($k)")
+    val ws = spread(docs)
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= k)
+    val anchors0 = ws.select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
+          i => conv(substring(md5(concat_ws(" ", slice(col("ws"), i, lit(k)))
+            .cast("binary")), 1, 15), 16, 10).cast("long"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val anchors = substrPersist {
+      if (maxDf <= 0) anchors0
+      else {
+        // Anti-join against the (tiny) over-cap hash set; AQE
+        // broadcasts it, so the corpus-side anchors shuffle once.
+        val stop = anchors0.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("h")
+        anchors0.join(stop, Seq("h"), "left_anti")
+      }
+    }
+    val m = anchors.select(col("doc_id").as("id_a"), col("pos").as("pa"), col("h"))
+      .join(anchors.select(col("doc_id").as("id_b"), col("pos").as("pb"), col("h")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("pa") - col("pb"))
+      .orderBy("pa")
+    m.select(col("id_a"), col("id_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("__diag"),
+        (col("pa") - row_number().over(w)).as("__island"))
+      .groupBy("id_a", "id_b", "__diag", "__island")
+      .agg(min("pa").cast("int").as("a_pos"), min("pb").cast("int").as("b_pos"),
+        (count(lit(1)) + (k - 1)).cast("int").as("n_tokens"))
+      .filter(col("n_tokens") >= minTokens)
+      .select("id_a", "id_b", "a_pos", "b_pos", "n_tokens")
+  }
+
+  /** The CUT half of Lee et al. 2022: remove every duplicated span
+    * located by [[substringSpans]] from the HIGHER-id document of its
+    * pair, so exactly the minimum-id occurrence survives (the same
+    * keep rule as [[exact]]/[[clusterPairs]]). The min-id rule is
+    * globally consistent, not just pairwise: if docs A < B < C all
+    * contain the same span, A-C is itself a reported pair (identical
+    * token runs share identical anchors), so B and C both cut and only
+    * A keeps. Removal operates on the normalized token stream (the
+    * tokenization [[substringSpans]] located spans in — spans carry
+    * token offsets, not character offsets).
+    *
+    * Shape: per-doc cut intervals merge via one small window pass
+    * (running-max island merge — the span list is tiny relative to
+    * the corpus), tokens drop by a doc-keyed anti range join, and the
+    * survivor stream reassembles in order with the [[lineDedup]]
+    * sort-struct aggregate. Docs without spans pass through complete;
+    * fully-cut or empty docs come back with empty text. */
+  def removeSpans(docs: DataFrame, spans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cuts = spans.select(col("id_b").as("doc_id"),
+      col("b_pos").as("from"), (col("b_pos") + col("n_tokens")).as("until"))
+    val w = Window.partitionBy("doc_id").orderBy(col("from"), col("until"))
+    val merged = cuts
+      .withColumn("__pmax", max(col("until"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("from") > col("__pmax"), 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min("from").as("from"), max("until").as("until"))
+    val toks = spread(docs).select(col(idCol).as("doc_id"),
+        posexplode(words(col(textCol))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val kept = toks.alias("t").join(merged.alias("c"),
+      col("t.doc_id") === col("c.doc_id") &&
+        col("t.p") >= col("c.from") && col("t.p") < col("c.until"),
+      "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x("tok")), " ").as("text_clean"))
+    docs.select(col(idCol).as("doc_id"),
+        size(words(col(textCol))).as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 }

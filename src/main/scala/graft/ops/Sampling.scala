@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  // DSIR hashed-feature frame: referenced by both the histogram pass
+  // and the score join — persisting halves the md5 feature hashing
+  // (the dominant cost; see PersistSlot for the eviction contract).
+  private val dsirPersist = new PersistSlot
+
   /** Uniform bucket in [0, 10000) from the md5 of the id rendered as a
     * string: the first 15 hex chars (60 bits, always positive as a
     * long) mod 10^4. Engine-portable: DuckDB computes the identical
@@ -87,4 +92,78 @@ object Sampling {
       .filter(hashBucket(col(idCol)) < col("__thr"))
       .drop("__n", "__thr")
   }
+
+  /** DSIR importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every document by how target-like its hashed n-gram bag is.
+    * Features are word uni+bigrams hashed into `buckets` cells (the
+    * engine-portable 60-bit-md5 recipe); the target and raw feature
+    * distributions get add-one smoothing, and a document's score is
+    * the mean per-feature log importance ratio
+    * `ln p_target(b) / p_raw(b)` (mean, not sum — the paper's length
+    * bias note; sums just rank long docs first). Every ratio is a
+    * quotient of exact int64 products ((tc+1)(Nr+B) vs (rc+1)(Nt+B),
+    * both < 2^53 far beyond this corpus), so a SQL oracle reproduces
+    * the doubles bit-for-bit.
+    *
+    * Scale: the two histograms are at most `buckets` rows — they
+    * broadcast no matter the corpus size (the model is fixed-size,
+    * like [[LangModel]]'s reference slice); feature extraction and
+    * scoring are map-side, and the only corpus-width shuffle is the
+    * narrow (id, logratio) mean. `targetPred` selects the trusted
+    * slice (e.g. a curated language/source) WITHIN the corpus scan —
+    * no second pass over the data. */
+  def dsirScores(docs: DataFrame, targetPred: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 10000): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    // Decouple the CPU-dense feature hashing from file-split geometry
+    // (one-row-group sources = one task), same as Dedup.spread.
+    val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val ws = spread.select(col(idCol).as("id"), targetPred.as("__t"),
+      graft.functions.TextFunctions.words(col(textCol)).as("ws"))
+    // sequence(1, size-1) must be guarded: on a 1-word doc it DESCENDS
+    // ([1, 0]) and element_at(ws, 0) is an error, not null.
+    val bigrams = when(size(col("ws")) >= 2,
+      transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val grams = ws.select(col("id"), col("__t"),
+      explode(concat(col("ws"), bigrams)).as("f"))
+    val feats = dsirPersist(grams.select(col("id"), col("__t"),
+      (conv(substring(md5(col("f").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % buckets).as("b")))
+    // ONE fused histogram pass (raw + target counts together — a
+    // second groupBy would re-run the explode+md5 subtree per plan
+    // reference, the NOTES recompute law; measured 2.3x slower), then
+    // the grand totals as windows over the <= `buckets`-row histogram
+    // instead of a driver collect. Every feature's bucket exists in
+    // the histogram by construction, so the score join is inner.
+    val hist = feats.groupBy("b")
+      .agg(count(lit(1)).as("rc"),
+        count(when(col("__t"), 1)).as("tc"))
+      .withColumn("nr", sum("rc").over(Window.partitionBy()))
+      .withColumn("nt", sum("tc").over(Window.partitionBy()))
+    feats.join(broadcast(hist), Seq("b"))
+      .withColumn("__lr",
+        log(((col("tc") + 1) * (col("nr") + buckets)).cast("double") /
+          ((col("rc") + 1) * (col("nt") + buckets)).cast("double")))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feats"), avg("__lr").as("dsir_score"))
+  }
+
+  /** DSIR selection: keep the `k` most target-like documents by
+    * [[dsirScores]] (deterministic top-k, ties broken by id — the
+    * paper's Gumbel perturbation needs an RNG, which would break both
+    * run-to-run and engine-to-engine reproducibility; at selection
+    * ratios far from 0 or 1 the ranking dominates the noise anyway).
+    * TakeOrdered-shaped: per-partition top-k then a k-row merge — no
+    * global sort of the corpus. */
+  def dsirResample(docs: DataFrame, targetPred: Column, k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 10000): DataFrame =
+    dsirScores(docs, targetPred, idCol, textCol, buckets)
+      .orderBy(col("dsir_score").desc, col("id"))
+      .limit(k)
 }

@@ -667,6 +667,82 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Exact duplicated-substring spans (Lee et al. 2022): every maximal
+    * cross-document run of >= 20 identical word tokens, via k=8 gram
+    * anchors chained along match diagonals (graft.ops.Dedup
+    * .substringSpans). The anchor hash is the engine-portable 60-bit
+    * md5 recipe, so the oracle reproduces the spans exactly. */
+  def d29SubstringSpans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.substringSpans(docs(s, dir))
+      .orderBy("id_a", "id_b", "a_pos", "b_pos")
+
+  /** Duplicated-span REMOVAL (the cut half of Lee 2022): spans from
+    * d29 cut from the higher-id doc so the min-id occurrence survives
+    * (graft.ops.Dedup.removeSpans). Output carries the md5 of the
+    * cleaned token stream so the gate proves content + boundaries
+    * without shipping full texts. */
+  def d31RemoveSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ops.Dedup.removeSpans(d, graft.ops.Dedup.substringSpans(d))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        md5(col("text_clean").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** HTML → text extraction (the C4/RefinedWeb web-pipeline first
+    * step): the corpus is plain text, so the gate wraps every doc in a
+    * deterministic HTML page — head/style/title, a comment, an
+    * entity-bearing heading, script, self-closed br, entities — on
+    * BOTH engines (the d25/m02 injection pattern), then
+    * TextFunctions.stripHtml extracts and the gate compares length +
+    * md5 of the recovered text. */
+  def d32HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).select(col("doc_id"), concat(
+      lit("<html><head><title>D"), col("doc_id").cast("string"),
+      lit("</title><style>p{c:1}</style></head><body><!-- note "),
+      col("doc_id").cast("string"),
+      lit(" --><h1 class=\"t\">Doc &amp; &lt;"), col("doc_id").cast("string"),
+      lit("&gt;</h1><p>"), col("text"),
+      lit("</p><script>var x = 1 < 2;</script><br/>&nbsp;tail</body></html>"))
+      .as("html"))
+    injected
+      .select(col("doc_id"),
+        TextFunctions.stripHtml(col("html")).as("t"))
+      .select(col("doc_id"), length(col("t")).as("n_chars"),
+        md5(col("t").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE subword encoding under a FIXED demo merge list (gate-proves
+    * the ENCODER: graft.ops.Bpe.encodeCol applies merges in Sennrich
+    * order, which is exactly a chain of non-overlapping string
+    * replaces over a ·-delimited symbol stream — the oracle runs that
+    * chain verbatim). Training determinism is BpeSpec's job (the
+    * trained merge list is a runtime value, so it cannot appear in a
+    * static oracle). */
+  def d33BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val demoMerges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+      "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.ops.Bpe.encodeCol(TextFunctions.words(col("text")), demoMerges)
+          .as("b"))
+      .select(col("doc_id"), col("b.n_bpe").as("n_bpe"),
+        md5(col("b.toks").cast("binary")).as("toks_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR importance scores (Xie 2023): every document scored by the
+    * mean hashed-n-gram log importance ratio against the `lang = 'en'`
+    * target slice (graft.ops.Sampling.dsirScores). Histograms are
+    * integer counts, every log is ln of an exact int64 ratio, so the
+    * oracle matches to float rounding (the d27/d28 recipe). */
+  def d30DsirScores(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.dsirScores(docs(s, dir), col("lang") === "en")
+      .select(col("id").as("doc_id"), col("n_feats"),
+        round(col("dsir_score"), 4).as("dsir_score"))
+      .orderBy("doc_id")
+
   /** JSON property extraction from the events props column (scalar
     * function surface: get_json_object). */
   def d09JsonExtract(s: SparkSession, dir: String): DataFrame =
@@ -847,6 +923,11 @@ object Pipeline {
     "d26_vocab_topk" -> d26VocabTopk _,
     "d27_perplexity" -> d27Perplexity _,
     "d28_perplexity_trigram" -> d28PerplexityTrigram _,
+    "d29_substring_spans" -> d29SubstringSpans _,
+    "d30_dsir_scores" -> d30DsirScores _,
+    "d31_remove_spans" -> d31RemoveSpans _,
+    "d32_html_extract" -> d32HtmlExtract _,
+    "d33_bpe_encode" -> d33BpeEncode _,
     "p01_pack_chunks" -> p01PackChunks _,
     "p02_pack_greedy" -> p02PackGreedy _,
     "p03_chunk_overlap" -> p03ChunkOverlap _,
@@ -1161,6 +1242,125 @@ object Pipeline {
         |  LEFT JOIN ug USING (w)
         |  CROSS JOIN nv)
         |SELECT doc_id, count(*) AS n_tri, round(avg(nll), 4) AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Same k=8-token md5-60bit anchors, df-capped at 100, chained along
+    // the pa - pb diagonal; island = pa - row_number, span length =
+    // island size + k - 1, reported at >= 20 tokens.
+    "d29_substring_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |kg AS (SELECT doc_id, list_transform(range(1, len(ws) - 8 + 2), i ->
+        |   ('0x' || substr(md5(list_aggregate(ws[i:i+7], 'string_agg', ' ')), 1, 15))::UBIGINT) AS gs
+        | FROM t WHERE len(ws) >= 8),
+        |pos AS (SELECT doc_id,
+        |   unnest(list_transform(range(1, len(gs) + 1), i -> {'pos': i, 'h': gs[i]}), recursive := true)
+        | FROM kg),
+        |freq AS (SELECT h, count(*) AS df FROM pos GROUP BY h),
+        |posf AS (SELECT p.doc_id, p.pos, p.h FROM pos p JOIN freq USING (h) WHERE freq.df <= 100),
+        |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+        |      FROM posf a JOIN posf b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |isl AS (SELECT id_a, id_b, pa, pb,
+        |          pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS island
+        |        FROM m),
+        |sp AS (SELECT id_a, id_b, CAST(min(pa) AS INTEGER) AS a_pos, CAST(min(pb) AS INTEGER) AS b_pos,
+        |          CAST(count(*) + 7 AS INTEGER) AS n_tokens
+        |       FROM isl GROUP BY id_a, id_b, pa - pb, island)
+        |SELECT id_a, id_b, a_pos, b_pos, n_tokens FROM sp WHERE n_tokens >= 20
+        |ORDER BY id_a, id_b, a_pos, b_pos""".stripMargin,
+    // d29's span CTEs, then: cut intervals from the higher-id doc,
+    // running-max island merge, positional anti-join, ordered
+    // string_agg reassembly, md5 of the cleaned token stream.
+    "d31_remove_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |kg AS (SELECT doc_id, list_transform(range(1, len(ws) - 8 + 2), i ->
+        |   ('0x' || substr(md5(list_aggregate(ws[i:i+7], 'string_agg', ' ')), 1, 15))::UBIGINT) AS gs
+        | FROM t WHERE len(ws) >= 8),
+        |pos AS (SELECT doc_id,
+        |   unnest(list_transform(range(1, len(gs) + 1), i -> {'pos': i, 'h': gs[i]}), recursive := true)
+        | FROM kg),
+        |freq AS (SELECT h, count(*) AS df FROM pos GROUP BY h),
+        |posf AS (SELECT p.doc_id, p.pos, p.h FROM pos p JOIN freq USING (h) WHERE freq.df <= 100),
+        |mm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+        |      FROM posf a JOIN posf b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |isl AS (SELECT id_a, id_b, pa, pb,
+        |          pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS island
+        |        FROM mm),
+        |sp AS (SELECT id_a, id_b, min(pa) AS a_pos, min(pb) AS b_pos,
+        |          count(*) + 7 AS n_tokens
+        |       FROM isl GROUP BY id_a, id_b, pa - pb, island),
+        |cuts AS (SELECT id_b AS doc_id, b_pos AS f, b_pos + n_tokens AS u
+        |         FROM sp WHERE n_tokens >= 20),
+        |mg0 AS (SELECT doc_id, f, u, max(u) OVER (PARTITION BY doc_id ORDER BY f, u
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM cuts),
+        |mg1 AS (SELECT doc_id, f, u,
+        |          CASE WHEN pmax IS NULL OR f > pmax THEN 1 ELSE 0 END AS nw FROM mg0),
+        |mg2 AS (SELECT doc_id, f, u, sum(nw) OVER (PARTITION BY doc_id ORDER BY f, u) AS isl2 FROM mg1),
+        |mg AS (SELECT doc_id, min(f) AS f, max(u) AS u FROM mg2 GROUP BY doc_id, isl2),
+        |tk AS (SELECT doc_id,
+        |   unnest(list_transform(range(1, len(ws) + 1), i -> {'p': i, 'tok': ws[i]}), recursive := true)
+        | FROM t),
+        |kept AS (SELECT tk.doc_id, p, tok FROM tk WHERE NOT EXISTS
+        |  (SELECT 1 FROM mg WHERE mg.doc_id = tk.doc_id AND tk.p >= mg.f AND tk.p < mg.u)),
+        |rb AS (SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY p) AS tc
+        |       FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ws) AS INTEGER) AS n_tokens,
+        |  coalesce(rb.n_kept, 0) AS n_kept, md5(coalesce(rb.tc, '')) AS clean_md5
+        |FROM t LEFT JOIN rb USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Each word renders as a ·-delimited symbol stream (·l··o··w·);
+    // every merge is one non-overlapping replace (boundaries never
+    // share characters, so replace ≡ the scan-merge), applied in the
+    // same fixed order as the Spark expression's merge table.
+    "d33_bpe_encode" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |e AS (SELECT doc_id, list_transform(ws, w ->
+        |   replace(replace(replace(replace(replace(replace(replace(replace(
+        |     '·' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), '··') || '·',
+        |     '·t··h·', '·th·'), '·th··e·', '·the·'), '·i··n·', '·in·'), '·a··n·', '·an·'),
+        |     '·an··d·', '·and·'), '·e··r·', '·er·'), '·o··n·', '·on·'), '·r··e·', '·re·')) AS enc
+        | FROM t),
+        |r AS (SELECT doc_id,
+        |   CAST(coalesce(list_sum(list_transform(enc, s -> len(str_split(trim(s, '·'), '··')))), 0) AS INTEGER) AS n_bpe,
+        |   array_to_string(list_transform(enc, s -> array_to_string(str_split(trim(s, '·'), '··'), ' ')), ' | ') AS toks
+        | FROM e)
+        |SELECT doc_id, n_bpe, md5(toks) AS toks_md5 FROM r ORDER BY doc_id""".stripMargin,
+    // Same injected page; the regex chain is the java.regex ∩ RE2
+    // intersection run verbatim (DuckDB needs the 'g' flag — its
+    // regexp_replace replaces only the first match by default).
+    "d32_html_extract" ->
+      """WITH inj AS (SELECT doc_id,
+        |  '<html><head><title>D' || doc_id || '</title><style>p{c:1}</style></head><body><!-- note '
+        |  || doc_id || ' --><h1 class="t">Doc &amp; &lt;' || doc_id || '&gt;</h1><p>' || text
+        |  || '</p><script>var x = 1 < 2;</script><br/>&nbsp;tail</body></html>' AS html
+        | FROM documents),
+        |x1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<(script|style|head)[^>]*>.*?</(script|style|head)[ \t\n\x0B\f\r]*>', ' ', 'g') AS s FROM inj),
+        |x2 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM x1),
+        |x3 AS (SELECT doc_id, regexp_replace(s, '(?s)</?[A-Za-z!][^>]*>', ' ', 'g') AS s FROM x2),
+        |x4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(s,
+        |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS s FROM x3),
+        |fin AS (SELECT doc_id, trim(regexp_replace(s, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t FROM x4)
+        |SELECT doc_id, CAST(length(t) AS INTEGER) AS n_chars, md5(t) AS text_md5
+        |FROM fin ORDER BY doc_id""".stripMargin,
+    // Hashed uni+bigram features (md5-60bit % 10000), add-one-smoothed
+    // target (lang='en') vs raw histograms; each feature's log ratio is
+    // ln of one exact-int64 division, mean rounded 4dp.
+    "d30_dsir_scores" ->
+      """WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |f0 AS (SELECT doc_id, lang, list_concat(ws,
+        |   CASE WHEN len(ws) >= 2
+        |        THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |        ELSE [] END) AS fs
+        | FROM t),
+        |f AS (SELECT doc_id, lang,
+        |   ('0x' || substr(md5(unnest(fs)), 1, 15))::UBIGINT % 10000 AS b
+        | FROM f0),
+        |rh AS (SELECT b, count(*) AS rc FROM f GROUP BY b),
+        |th AS (SELECT b, count(*) AS tc FROM f WHERE lang = 'en' GROUP BY b),
+        |nrt AS (SELECT count(*) AS nr, count(*) FILTER (lang = 'en') AS nt FROM f),
+        |sc AS (SELECT doc_id,
+        |   ln(CAST((coalesce(tc, 0) + 1) * (nr + 10000) AS DOUBLE)
+        |      / CAST((rc + 1) * (nt + 10000) AS DOUBLE)) AS lr
+        | FROM f JOIN rh USING (b) LEFT JOIN th USING (b) CROSS JOIN nrt)
+        |SELECT doc_id, count(*) AS n_feats, round(avg(lr), 4) AS dsir_score
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d25_url_filter" ->
       """WITH inj AS (SELECT doc_id, text

@@ -164,6 +164,118 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("substring spans: exact boundaries, min-length threshold, df cap") {
+    val share = (1 to 25).map(i => s"common$i").mkString(" ")
+    val data = Seq(
+      (1L, "p1 p2 p3 p4 p5 " + share + " s1 s2 s3 s4 s5"),
+      (2L, "q1 q2 q3 " + share + " t1 t2"),
+      (3L, "r1 r2 " + (1 to 19).map(i => s"common$i").mkString(" ")),
+      (4L, "totally disjoint bag of words here nine ten eleven twelve thirteen"),
+      (5L, "z1 " + (1 to 20).map(i => s"common$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(data).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    // the full 25-token shared run, located exactly (1-based offsets)
+    assert(spans((1L, 2L)) == (6, 4, 25))
+    // boundary: exactly minTokens (20) is reported...
+    assert(spans((1L, 5L)) == (6, 2, 20))
+    assert(spans((2L, 5L)) == (4, 2, 20))
+    // ...but 19 shared tokens is not (docs 3-vs-1/2/5), nor doc 4
+    assert(spans.keySet == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+
+    // df cap: a run shared by all docs exceeds maxDf -> anchors drop
+    val boiler = (1 to 25).map(i => s"b$i").mkString(" ")
+    val many = (1L to 5L).map(id => (id, s"u$id " + boiler)).toDF("doc_id", "text")
+    assert(Dedup.substringSpans(many).count() == 10)       // C(5,2) pairs
+    assert(Dedup.substringSpans(many, maxDf = 4).count() == 0)
+  }
+
+  test("remove spans: min-id keeps, overlapping cuts merge, full cut empties") {
+    val share = (1 to 25).map(i => s"common$i").mkString(" ")
+    val data = Seq(
+      (1L, "p1 p2 p3 p4 p5 " + share + " s1 s2 s3 s4 s5"),
+      (2L, "q1 q2 q3 " + share + " t1 t2"),
+      (3L, "r1 r2 " + (1 to 19).map(i => s"common$i").mkString(" ")),
+      (4L, "totally disjoint bag of words here nine ten eleven twelve thirteen"),
+      (5L, "z1 " + (1 to 20).map(i => s"common$i").mkString(" ")),
+      (9L, share) // pairs with 1, 2 AND 5 -> overlapping cuts [1,26)+[1,21)
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSpans(data, Dedup.substringSpans(data))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (35, 35L, data.collect()
+      .find(_.getLong(0) == 1L).get.getString(1)), "min-id doc keeps everything")
+    assert(out(2L) == (30, 5L, "q1 q2 q3 t1 t2"), "span cut, flanks rejoin")
+    assert(out(5L) == (21, 1L, "z1"))
+    assert(out(3L)._2 == 21L && out(4L)._2 == 11L, "span-free docs intact")
+    assert(out(9L) == (25, 0L, ""), "merged overlapping cuts empty the doc")
+  }
+
+  test("stripHtml: blocks drop with contents, entities decode one level") {
+    val cases = Seq(
+      (1L, "<html><head><title>T</title><style>p{c:1}</style></head>" +
+        "<body><p>hello <b>world</b></p></body></html>", "hello world"),
+      (2L, "<script>if (1 < 2) { x(); }</script>after", "after"),
+      (3L, "<!-- secret --><p>kept</p>", "kept"),
+      (4L, "a &amp;lt; b &amp; c &lt;tag&gt;", "a &lt; b & c <tag>"),
+      (5L, "no markup at all", "no markup at all"),
+      (6L, "x < y and y > z", "x < y and y > z"), // stray <> not tags
+      (7L, "a<br/>b&nbsp;c", "a b c")
+    ).toDF("id", "html", "expect")
+    val out = cases.select(col("id"),
+        TextFunctions.stripHtml(col("html")).as("got"), col("expect"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+    out.foreach { case (id, (got, exp)) =>
+      assert(got == exp, s"case $id: got '$got', expected '$exp'")
+    }
+  }
+
+  test("bpe train: Sennrich example merges in hand-computed order") {
+    // word counts low:5 lower:2 newest:6 widest:3 (the paper's corpus,
+    // no end-of-word marker). Hand-computed pair stats give the merge
+    // sequence (es, est, lo, low, ew, ewest): (e,s)=9 ties (s,t)=9 and
+    // wins lexicographically; (l,o)=7 ties (o,w); at 6 the three-way
+    // tie (n,e)/(e,w)/(w,est) goes to (e,w); then (ew,est) beats
+    // (n,ew).
+    val corpus = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = graft.ops.Bpe.train(corpus, nMerges = 6)
+    assert(merges == Seq("e" -> "s", "es" -> "t", "l" -> "o",
+      "lo" -> "w", "e" -> "w", "ew" -> "est"))
+    // the classic generalization check: "lowest" (unseen) encodes to
+    // [low, est] under the learned merges
+    val enc = Seq((1L, "lowest")).toDF("doc_id", "text")
+      .select(graft.ops.Bpe.encodeCol(
+        TextFunctions.words(col("text")), merges).as("b"))
+      .select(col("b.n_bpe"), col("b.toks")).head()
+    assert(enc.getInt(0) == 2 && enc.getString(1) == "low est")
+  }
+
+  test("bpe train is deterministic across partitionings; minFreq stops") {
+    val corpus = (Seq.fill(5)("ab ab ra") ++ Seq.fill(3)("ca ab"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val m1 = graft.ops.Bpe.train(corpus, nMerges = 50)
+    val m2 = graft.ops.Bpe.train(corpus.repartition(7), nMerges = 50)
+    assert(m1 == m2, "merge list must not depend on partitioning")
+    // every distinct word here is <= 2 chars post-merge; the loop must
+    // stop when the best pair drops under minFreq, not run to nMerges
+    assert(m1.length < 50)
+  }
+
+  test("bpe encode: scan-merge equals delimited-replace semantics") {
+    // "aaa" under merge (a,a): left-to-right non-overlapping -> [aa, a]
+    val out = Seq((1L, "aaa banana")).toDF("doc_id", "text")
+      .select(graft.ops.Bpe.encodeCol(TextFunctions.words(col("text")),
+        Seq("a" -> "a", "a" -> "n", "an" -> "an")).as("b"))
+      .select(col("b.toks")).head().getString(0)
+    // banana: (a,a) none; (a,n) -> b an an a; (an,an) -> b anan a
+    assert(out == "aa a | b anan a")
+  }
+
   test("language id picks marker language") {
     val langs = docs.select(col("doc_id"),
       TextFunctions.langId(TextFunctions.words(col("text"))).as("lang"))

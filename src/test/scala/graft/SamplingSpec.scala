@@ -112,6 +112,48 @@ class SamplingSpec extends SparkSpec {
       "approx quota shuffles only the narrow count aggregate")
   }
 
+  test("dsir scores rank target-like docs first; resample keeps top-k") {
+    val tgt = "alpha beta gamma delta epsilon zeta"          // target style
+    val oth = "uno dos tres cuatro cinco seis siete"         // off-target
+    val data = Seq(
+      (1L, tgt, true), (2L, tgt, true), (3L, s"$tgt $tgt", true),
+      (4L, tgt, false),                  // target-LIKE but outside the slice
+      (5L, oth, false), (6L, oth, false), (7L, s"$oth $oth", false),
+      (8L, "alpha beta uno dos", false), // mixed
+      (9L, "solo", false)                // 1-word doc: bigram guard path
+    ).toDF("doc_id", "text", "is_t")
+    val sc = Sampling.dsirScores(data, col("is_t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // every doc with >= 1 word is scored, including the 1-word doc
+    assert(sc.keySet == (1L to 9L).toSet)
+    assert(sc(9L)._1 == 1L, "1-word doc has exactly its unigram feature")
+    // doc 4 shares the target text without being in the slice -> its
+    // score equals the in-slice copies' and beats every off-target doc
+    assert(sc(4L)._2 == sc(1L)._2)
+    assert(Seq(5L, 6L, 7L).forall(i => sc(i)._2 < sc(4L)._2))
+    // mixed doc sits strictly between
+    assert(sc(8L)._2 < sc(1L)._2 && sc(8L)._2 > sc(5L)._2)
+    // resample keeps the k highest-scoring (ties by id)
+    val kept = Sampling.dsirResample(data, col("is_t"), 4)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("dsir plan: histograms broadcast, corpus shuffles once") {
+    val wide = spark.range(0, 512, 1, 8).select(col("id"),
+      concat_ws(" ", lit("w"), (col("id") % 7).cast("string"),
+        lit("x"), (col("id") % 3).cast("string")).as("text"),
+      (col("id") % 2 === 0).as("is_t"))
+    val plan = Sampling.dsirScores(wide, col("is_t"), idCol = "id")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(plan).size == 1,
+      "the fused histogram must broadcast to the score join")
+    // corpus-width exchanges: only the final (id) aggregate; the
+    // histogram aggregate exchanges <= `buckets` partial rows
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"unexpected corpus-width shuffles:\n$plan")
+  }
+
   test("repetition_stats is registered as a SQL function") {
     graft.functions.GraftExtensions.register(spark)
     val row = spark.sql(
