@@ -47,7 +47,9 @@ object Pq {
       init: Option[PqCodebook] = None): PqCodebook = {
     val c = corpus.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__vec"))
-    val first = c.select(size(col("__vec"))).head().getInt(0)
+    val firstRow = c.select(size(col("__vec"))).limit(1).collect()
+    require(firstRow.nonEmpty, "pq train: corpus is empty")
+    val first = firstRow.head.getInt(0)
     require(first % m == 0, s"dim $first not divisible by m=$m subspaces")
     val dsub = first / m
 

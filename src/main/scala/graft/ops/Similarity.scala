@@ -42,6 +42,13 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector.
     *
+    * Convention (all kNN surfaces here, incl. [[ivfKnn]] and
+    * `Pq.adcKnn`): queries are assumed drawn FROM the corpus id space,
+    * and the candidate with `id == qid` is excluded as the trivial
+    * self-match. Callers with an unrelated query id space should remap
+    * qids outside the corpus id range first, or the one corpus row
+    * sharing the qid silently drops from that query's candidates.
+    *
     * @param corpus  (id, vec) rows
     * @param queries (qid, qvec) rows — small; broadcast
     */

@@ -598,6 +598,11 @@ object Operators {
     * column contract): map a quantity onto IAMC columns. */
   def toIamc(q: Quantity, model: String, scenario: String, variable: String,
       regionDim: Option[String], yearDim: Option[String]): DataFrame = {
+    // a dim name that is not actually a dim would no-op the rename
+    // below and surface later as a cryptic missing-column error
+    (regionDim.toSeq ++ yearDim.toSeq).foreach(d =>
+      require(q.dims.contains(d), s"'$d' is not a dim of the quantity " +
+        s"(dims: ${q.dims.mkString(", ")})"))
     // dims beyond region/year are summed out first — never silently
     // dropped, which would emit duplicate IAMC keys
     val keep = (regionDim.toSeq ++ yearDim.toSeq)
