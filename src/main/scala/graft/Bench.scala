@@ -65,9 +65,22 @@ object Bench {
     val names = if (recallOnly) Seq.empty[String]
       else SparkEntry.queries.keys.toSeq.sorted
         .filter(n => only.forall(_.contains(n)))
+    // count() lets Catalyst prune projections and even eliminate a
+    // distinct-key outer join under count(*) — a PURE-MAP gate (d22
+    // redact, d32 extract, d33 encode) times as scan-only, and d31's
+    // join-elimination makes it near-free. That artifact is uniform
+    // across rounds (every BENCH_r* used count()), so the default
+    // stays count() for comparability; SPARK_GRAFT_BENCH_FULL=1
+    // executes each gate's OWN optimized plan to completion
+    // (queryExecution.toRdd.count — no column pruning, no driver
+    // collect) for honest full-pipeline numbers.
+    val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
+    def force(df: org.apache.spark.sql.DataFrame): Unit = {
+      if (full) df.queryExecution.toRdd.count() else df.count(); ()
+    }
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, warmDir).count()
+      try force(SparkEntry.queries(n)(spark, warmDir))
       catch { case _: Throwable => }
     }
     // A failed query must stay visible in the JSON: it is reported as a
@@ -117,7 +130,7 @@ object Bench {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          try { force(SparkEntry.queries(name)(spark, sfDir)); true }
           catch { case e: Throwable =>
             System.err.println(s"bench: query $name FAILED: ${e.getMessage}")
             false

@@ -22,7 +22,7 @@ object ScaleBench {
       // round-8/9 newcomers
       "d27_perplexity", "d28_perplexity_trigram",
       "d29_substring_spans", "d30_dsir_scores", "d31_remove_spans",
-      "d32_html_extract", "d33_bpe_encode")
+      "d32_html_extract", "d33_bpe_encode", "d34_quality_score")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -38,11 +38,15 @@ object ScaleBench {
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case e: Throwable => System.err.println(s"warmup $n: ${e.getMessage}") }
     }
+    // SPARK_GRAFT_BENCH_FULL=1: execute each gate's own optimized plan
+    // (no count-star pruning/join elimination) — see Bench.scala.
+    val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
     for (dir <- if (ccOnly) Seq.empty[String] else dirs; name <- names) {
       spark.catalog.clearCache()
       val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val rows = SparkEntry.queries(name)(spark, dir).count()
+        val df = SparkEntry.queries(name)(spark, dir)
+        val rows = if (full) df.queryExecution.toRdd.count() else df.count()
         ((System.nanoTime() - t0) / 1e9, rows)
       }
       val best = reps.map(_._1).min

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{GraftExprBridge => ExpressionUtils}
+
+/** Linear quality classifier over hashed n-gram features — the
+  * fastText-shaped model (Joulin et al. 2016, "Bag of Tricks for
+  * Efficient Text Classification") that production curation pipelines
+  * train on curated-vs-crawl examples (the GPT-3 WebText classifier,
+  * FineWeb-Edu's educational scorer) and then apply corpus-wide.
+  * Complements the two unsupervised quality signals here: heuristic
+  * features (d04) and reference-LM perplexity (d27/d28).
+  *
+  * Features are word uni+bigram counts hashed into `buckets` cells
+  * (xxhash64 — training needs run-to-run determinism, not
+  * cross-engine reproducibility, so the fast hash is the right
+  * default; [[score]] accepts any featurizer via its weights table).
+  *
+  * Training is full-batch logistic regression by gradient descent:
+  * deterministic given data (no sampling, no RNG init — w starts at
+  * 0), with each iteration ONE pass over the persisted doc-level
+  * feature frame (margin via a native dot expression with the weight
+  * vector as codegen reference object) plus one narrow (bucket,
+  * gradient) aggregation whose output is at most `buckets` rows
+  * collected to the driver. The model is a fixed-size dense vector —
+  * like [[LangModel]] and the DSIR histograms it never grows with the
+  * corpus, so at 100 TB you train on a labeled sample and broadcast
+  * the weights everywhere. Weight floats inherit partial-aggregation
+  * ordering, so weights are reproducible to float-sum jitter; the
+  * DECISIONS are stable (spec asserts label agreement across
+  * partitionings, not bitwise weights).
+  */
+object QualityClassifier {
+
+  /** Trained model: dense weights indexed by bucket, plus bias. */
+  final case class Model(weights: Array[Double], bias: Double) {
+    def buckets: Int = weights.length
+  }
+
+  /** Word uni+bigram bucket ids (array<long>) for a words column —
+    * xxhash64 % buckets, all builtin codegen'd expressions. */
+  def featureBuckets(ws: Column, buckets: Int): Column = {
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(ws, bigrams), g => pmod(xxhash64(g), lit(buckets)))
+  }
+
+  /** Train on labeled docs (`labelCol` boolean — true = keep-quality).
+    * Full-batch GD on the logistic loss, `iters` epochs at rate `lr`
+    * with L2 decay `l2`. */
+  def train(docs: DataFrame, labelCol: Column, idCol: String = "doc_id",
+      textCol: String = "text", buckets: Int = 1 << 15, iters: Int = 20,
+      lr: Double = 0.5, l2: Double = 1e-6): Model = {
+    require(iters >= 1 && buckets >= 2, "train: iters >= 1, buckets >= 2")
+    val fx = docs.select(col(idCol).as("id"),
+        labelCol.cast("double").as("y"),
+        featureBuckets(graft.functions.TextFunctions.words(col(textCol)),
+          buckets).as("bs"))
+      .filter(size(col("bs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nRow = fx.count()
+      require(nRow > 0, "train: no documents with at least one token")
+      val n = nRow.toDouble
+      var w = new Array[Double](buckets)
+      var bias = 0.0
+      var it = 0
+      while (it < iters) {
+        val margin = bucketDot(col("bs"), w, bias)
+        // residual of the logistic: sigmoid(margin) - y
+        val res = fx.withColumn("r",
+          lit(1.0) / (lit(1.0) + exp(-margin)) - col("y"))
+        val gRows = res.select(explode(col("bs")).as("b"), col("r"))
+          .groupBy("b").agg(sum("r").as("g"))
+          .collect()
+        val gBias = res.agg(sum("r")).head().getDouble(0) / n
+        val next = new Array[Double](buckets)
+        var i = 0
+        while (i < buckets) { next(i) = w(i) * (1.0 - lr * l2); i += 1 }
+        gRows.foreach { r =>
+          val b = r.getLong(0).toInt
+          next(b) -= lr * r.getDouble(1) / n
+        }
+        bias -= lr * gBias
+        w = next
+        it += 1
+      }
+      Model(w, bias)
+    } finally { fx.unpersist(blocking = false); () }
+  }
+
+  /** Margin column under a trained model (native dot over the bucket
+    * array; the dense weight vector ships as a codegen reference
+    * object). Positive margin = quality. */
+  def bucketDot(bs: Column, weights: Array[Double], bias: Double): Column =
+    ExpressionUtils.column(BucketDotExpr(
+      ExpressionUtils.expression(bs), weights, bias))
+
+  /** Score every document: (id, n_feats, margin). One corpus scan,
+    * map-side only. */
+  def score(docs: DataFrame, model: Model, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+        featureBuckets(graft.functions.TextFunctions.words(col(textCol)),
+          model.buckets).as("bs"))
+      .select(col("id"), size(col("bs")).as("n_feats"),
+        bucketDot(col("bs"), model.weights, model.bias).as("margin"))
+
+  /** Relational scorer for a SPARSE weights table (bucket, weight) —
+    * the cross-engine-checkable path (gate d34 uses md5 buckets and
+    * dyadic-rational literal weights so the margin is exact in any
+    * engine): broadcast join + one narrow (id, contribution) sum. */
+  def scoreSparse(feats: DataFrame, weights: DataFrame,
+      bias: Double): DataFrame =
+    feats.join(broadcast(weights), Seq("b"), "left_outer")
+      .withColumn("__w", coalesce(col("w"), lit(0.0)))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feats"),
+        (sum(col("__w")) + bias).as("margin"))
+}
+
+/** Σ w(b) + bias over a bucket-id array — the per-row scorer for
+  * [[QualityClassifier]]; same reference-object pattern as
+  * `PqCodebook`. */
+final case class BucketDotExpr(child: Expression, weights: Array[Double],
+    bias: Double) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "bucket_dot"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    BucketDotExpr.compute(input.asInstanceOf[ArrayData], weights, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qcw", weights, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.BucketDotExpr.compute($c, $ref, $bias)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketDotExpr =
+    copy(child = newChild)
+}
+
+object BucketDotExpr {
+  def compute(bs: ArrayData, w: Array[Double], bias: Double): Double = {
+    val n = bs.numElements()
+    var s = bias
+    var i = 0
+    while (i < n) { s += w(bs.getLong(i).toInt); i += 1 }
+    s
+  }
+}

@@ -732,6 +732,41 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Linear quality-classifier scoring (the fastText-shaped apply
+    * path, graft.ops.QualityClassifier.scoreSparse) under a FIXED
+    * sparse weight table: weights are dyadic rationals keyed by words
+    * whose md5 buckets BOTH engines derive themselves, so the margin
+    * is an exact dyadic sum and hash-matches. TRAINED weights are a
+    * runtime value (and xxhash64-bucketed) — training correctness is
+    * OpsSpec's job, the same split as d33. */
+  def d34QualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10)
+        .cast("long") % 10000
+    val weights = Seq("the" -> 0.25, "and" -> 0.25, "of" -> 0.125,
+      "der" -> -0.25, "le" -> -0.25, "el" -> -0.125, "und" -> -0.125,
+      "que" -> -0.125).toDF("word", "w")
+      .select(bucket(col("word")).as("b"), col("w"))
+      .groupBy("b").agg(sum("w").as("w")) // collision-safe: one row per bucket
+    val ws = TextFunctions.words(col("text"))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val d = docs(s, dir)
+    val feats = d
+      // one-row-group source = one task; decouple the md5-dense
+      // featurization from file-split geometry (Dedup.spread)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("id"), explode(concat(ws, bigrams)).as("f"))
+      .select(col("id"), bucket(col("f")).as("b"))
+    graft.ops.QualityClassifier.scoreSparse(feats, weights, bias = 0.125)
+      .select(col("id").as("doc_id"), col("n_feats"),
+        round(col("margin"), 4).as("margin"))
+      .orderBy("doc_id")
+  }
+
   /** DSIR importance scores (Xie 2023): every document scored by the
     * mean hashed-n-gram log importance ratio against the `lang = 'en'`
     * target slice (graft.ops.Sampling.dsirScores). Histograms are
@@ -928,6 +963,7 @@ object Pipeline {
     "d31_remove_spans" -> d31RemoveSpans _,
     "d32_html_extract" -> d32HtmlExtract _,
     "d33_bpe_encode" -> d33BpeEncode _,
+    "d34_quality_score" -> d34QualityScore _,
     "p01_pack_chunks" -> p01PackChunks _,
     "p02_pack_greedy" -> p02PackGreedy _,
     "p03_chunk_overlap" -> p03ChunkOverlap _,
@@ -1305,6 +1341,30 @@ object Pipeline {
         |SELECT t.doc_id, CAST(len(t.ws) AS INTEGER) AS n_tokens,
         |  coalesce(rb.n_kept, 0) AS n_kept, md5(coalesce(rb.tc, '')) AS clean_md5
         |FROM t LEFT JOIN rb USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Same md5-bucket featurization as d30; weight buckets derived
+    // in-engine from the literal word list (grouped by bucket so a
+    // collision cannot duplicate join rows), dyadic-rational weights
+    // -> the margin sum is float-exact in any order.
+    "d34_quality_score" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |f0 AS (SELECT doc_id, list_concat(ws,
+        |   CASE WHEN len(ws) >= 2
+        |        THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |        ELSE [] END) AS fs
+        | FROM t),
+        |f AS (SELECT doc_id,
+        |   ('0x' || substr(md5(unnest(fs)), 1, 15))::UBIGINT % 10000 AS b
+        | FROM f0),
+        |wl AS (SELECT b, sum(w) AS w FROM (
+        |   SELECT ('0x' || substr(md5(word), 1, 15))::UBIGINT % 10000 AS b, w
+        |   FROM (VALUES ('the', 0.25), ('and', 0.25), ('of', 0.125),
+        |     ('der', -0.25), ('le', -0.25), ('el', -0.125), ('und', -0.125),
+        |     ('que', -0.125)) AS v(word, w)) GROUP BY b),
+        |sc AS (SELECT doc_id, count(*) AS n_feats,
+        |   sum(coalesce(w, 0.0)) + 0.125 AS margin
+        | FROM f LEFT JOIN wl USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_feats, round(margin, 4) AS margin
+        |FROM sc ORDER BY doc_id""".stripMargin,
     // Each word renders as a ·-delimited symbol stream (·l··o··w·);
     // every merge is one non-overlapping replace (boundaries never
     // share characters, so replace ≡ the scan-merge), applied in the

@@ -276,6 +276,38 @@ class OpsSpec extends SparkSpec {
     assert(out == "aa a | b anan a")
   }
 
+  test("quality classifier: learns separable labels, decisions stable") {
+    import graft.ops.QualityClassifier
+    // good docs speak "quality" vocabulary, bad docs junk vocabulary;
+    // held-out docs mix fresh sentences from the same vocabularies
+    val good = Seq("clear structured prose with informative content",
+      "informative article with clear structured argument",
+      "well written prose content with structured detail")
+    val bad = Seq("buy now click here cheap deal deal",
+      "click cheap deal buy buy now here",
+      "cheap click now deal here buy spam")
+    val train = (good.map((_, true)) ++ bad.map((_, false)))
+      .zipWithIndex.map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("doc_id", "text", "y")
+    val model = QualityClassifier.train(train, col("y"), buckets = 1 << 10)
+    val heldOut = Seq(
+      (100L, "structured informative prose with clear content", true),
+      (101L, "click here buy cheap deal now", false)
+    ).toDF("doc_id", "text", "y")
+    val margins = QualityClassifier.score(train.unionByName(
+        heldOut.select("doc_id", "text", "y")), model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    (0L to 2L).foreach(i => assert(margins(i) > 0, s"good train doc $i"))
+    (3L to 5L).foreach(i => assert(margins(i) < 0, s"bad train doc $i"))
+    assert(margins(100L) > 0 && margins(101L) < 0, "held-out generalization")
+    // decisions (not bitwise weights) must survive repartitioning
+    val m2 = QualityClassifier.train(train.repartition(5), col("y"),
+      buckets = 1 << 10)
+    val margins2 = QualityClassifier.score(heldOut, m2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(margins2(100L) > 0 && margins2(101L) < 0)
+  }
+
   test("language id picks marker language") {
     val langs = docs.select(col("doc_id"),
       TextFunctions.langId(TextFunctions.words(col("text"))).as("lang"))
