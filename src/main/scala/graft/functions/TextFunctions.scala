@@ -148,6 +148,47 @@ object TextFunctions {
   // these patterns.
   private val wsClass = "[ \\t\\n\\x0B\\f\\r]"
 
+  /** Mojibake repair table: the UTF-8 byte sequences of common
+    * non-ASCII characters as they render when mis-decoded as
+    * Windows-1252/Latin-1 (the classic double-encoding corruption in
+    * web crawls — 'é' stored as UTF-8 0xC3 0xA9 and re-read as "Ã©").
+    * Longest-first: the 3-byte punctuation sequences (all starting
+    * U+00E2 'â') apply before the 2-byte Latin ones (U+00C3 'Ã' /
+    * U+00C2 'Â'), so no entry can corrupt another's input. The list is
+    * fixed and public-knowledge (ftfy documents the same mapping);
+    * entries whose Windows-1252 rendering is an unmapped control byte
+    * (e.g. '”' → 0x9D) are deliberately absent — they don't
+    * round-trip as printable text.
+    */
+  val mojibakeTable: Seq[(String, String)] = Seq(
+    // U+2019 ' U+201C " U+2013 – U+2014 — U+2026 …
+    "â€™" -> "’", "â€œ" -> "“",
+    "â€“" -> "–", "â€”" -> "—",
+    "â€¦" -> "…",
+    // two-byte Latin-1 supplement letters (0xC3 xx)
+    "Ã©" -> "é", "Ã¨" -> "è", // é è
+    "Ã¼" -> "ü", "Ã¶" -> "ö", // ü ö
+    "Ã¤" -> "ä", "Ã±" -> "ñ", // ä ñ
+    "Ã§" -> "ç", "Ã¡" -> "á", // ç á
+    "Ã³" -> "ó", "Ãº" -> "ú", // ó ú
+    "Ã¯" -> "ï", "ÃŸ" -> "ß", // ï ß
+    "Ã " -> "à", // à (0xA0 renders as NBSP)
+    // two-byte symbols (0xC2 xx): degree, copyright
+    "Â°" -> "°", "Â©" -> "©")
+
+  /** Repair UTF-8-as-Windows-1252 mojibake (the ftfy-style encoding
+    * fix every web-crawl pipeline runs before tokenization): a fixed
+    * table of corrupted sequences chain-replaced longest-first. Table-
+    * driven, not a charset transcoder — a legitimate "Ã©" digram is
+    * indistinguishable from corruption by construction, which is why
+    * production fixers use exactly this curated-sequence approach.
+    * Pure map-side codegen'd replace chain: one scan, no shuffle, and
+    * a SQL oracle re-runs the identical chain verbatim. */
+  def fixMojibake(text: Column): Column =
+    mojibakeTable.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
   def stripHtml(html: Column): Column = {
     val noBlocks = regexp_replace(html,
       lit(s"(?is)<(script|style|head)[^>]*>.*?</(script|style|head)$wsClass*>"),

@@ -120,6 +120,52 @@ object Similarity {
   private[ops] def toDouble(c: Column): Column = asDouble(c)
   private[ops] def spreadDf(df: DataFrame): DataFrame = spread(df)
 
+  /** Cluster-balanced deterministic sampling — the cluster-then-sample
+    * step of topic-diversity corpus selection (the embedding-space
+    * mixture balancing that DataComp-style curation runs after dedup:
+    * cluster the space, then cap each cluster's contribution so no
+    * mode dominates the training mix).
+    *
+    * Every vector assigns to its max-cosine centroid (unit-normalized
+    * both sides, so the IVF dot-product argmax IS cosine), then each
+    * cluster keeps its `cap` smallest-id-hash members — the
+    * [[Sampling.hashBucket]] rank, so the sample is reproducible
+    * run-to-run, engine-to-engine, and monotone under corpus growth.
+    * Under-quota clusters keep everything.
+    *
+    * Scale shape: centroids broadcast (at 100 TB they come from a
+    * trained k-means — [[IvfIndex.build]]; the gate fixes a seed set
+    * instead so a SQL oracle can reproduce the assignment); assignment
+    * is the IVF max_by aggregate (broadcast-scored n×C rows
+    * partial-aggregate map-side — only n narrow (id, cell) rows
+    * shuffle); the quota adds ONE shuffle keyed by cluster. The
+    * per-cluster rank sorts each cluster on one task — with few
+    * clusters and billion-row membership swap the exact rank for
+    * [[Sampling.groupQuotaApprox]]'s threshold filter (no per-group
+    * sort anywhere in that plan).
+    *
+    * @param corpus    (id, vec) rows
+    * @param centroids (cell, cvec) rows — small; broadcast
+    * @return sampled rows (cluster, n_members, id, rk), rk 1-based in
+    *         hash order */
+  def clusterBalancedSample(corpus: DataFrame, centroids: DataFrame,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val u = spread(corpus).select(col("id"),
+      graft.functions.CatalystFunctions.vecUnit(asDouble(col("vec"))).as("uvec"))
+    val cent = centroids.select(col("cell"),
+      graft.functions.CatalystFunctions.vecUnit(asDouble(col("cvec"))).as("cvec"))
+    val asg = assignCell(cent, u, "id", "uvec").select("id", "cell")
+    val wc = Window.partitionBy("cell")
+    val wr = wc.orderBy(Sampling.hashBucket(col("id")), col("id"))
+    asg
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= cap)
+      .select(col("cell").as("cluster"), col("n_members"), col("id"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** Exact cosine near-duplicate pairs: blocked all-pairs comparison.
     *
     * The cross join is Spark's CartesianProductExec, which executes as

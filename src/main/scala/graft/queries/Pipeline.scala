@@ -720,9 +720,13 @@ object Pipeline {
     * chain verbatim). Training determinism is BpeSpec's job (the
     * trained merge list is a runtime value, so it cannot appear in a
     * static oracle). */
+  // Fixed demo merge list shared by d33 (encode) and p04 (encode→pack):
+  // a static oracle can't contain a trained runtime value, so the gates
+  // prove the ENCODER under a fixed list; training is BpeSpec's job.
+  private val demoMerges = Seq("t" -> "h", "th" -> "e", "i" -> "n",
+    "a" -> "n", "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
   def d33BpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val demoMerges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
-      "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
     docs(s, dir)
       .select(col("doc_id"),
         graft.ops.Bpe.encodeCol(TextFunctions.words(col("text")), demoMerges)
@@ -764,6 +768,60 @@ object Pipeline {
     graft.ops.QualityClassifier.scoreSparse(feats, weights, bias = 0.125)
       .select(col("id").as("doc_id"), col("n_feats"),
         round(col("margin"), 4).as("margin"))
+      .orderBy("doc_id")
+  }
+
+  /** Cluster-balanced deterministic sampling over the embedding space
+    * (graft.ops.Similarity.clusterBalancedSample): the 8 lowest
+    * vec_ids form the FIXED centroid set (a trained k-means is a
+    * runtime value — the d33/d34 train-via-spec/apply-via-oracle
+    * split; ClusterSampleSpec proves the operator under IvfIndex
+    * centroids), every vector assigns to its max-cosine centroid
+    * (unit vectors via the e06 `x·(1/√ss)` recipe, sequential-sum
+    * dot, ties to the smaller cell), and each cluster keeps its 10
+    * smallest-md5-hash members (the d16 rank recipe). */
+  def d35ClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"),
+      col("embedding").as("vec"))
+    val cent = e.filter(col("id") < 8)
+      .select(col("id").as("cell"), col("vec").as("cvec"))
+    Similarity.clusterBalancedSample(e, cent, cap = 10)
+      .orderBy("cluster", "rk")
+  }
+
+  /** Mojibake repair (the ftfy-style encoding fix ahead of
+    * tokenization): every doc gets a deterministic UTF-8-as-
+    * Windows-1252-corrupted suffix appended on BOTH engines (the
+    * d32/d25 injection pattern — the corpus itself is clean), then
+    * TextFunctions.fixMojibake chain-replaces the fixed corruption
+    * table and the gate compares length + md5 of the repaired text.
+    * Pure map-side replace chain, one scan. */
+  def d36FixEncoding(s: SparkSession, dir: String): DataFrame = {
+    // CafÃ© â€” itâ€™s â€œnaÃ¯veâ€¦ Ã¼ber Ã§a straÃŸe 90Â° Â©
+    val moji = " CafÃ© â€” itâ€™s â€œnaÃ¯veâ€¦ Ã¼ber Ã§a straÃŸe 90Â° Â©"
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.fixMojibake(concat(col("text"), lit(moji))).as("t"))
+      .select(col("doc_id"), length(col("t")).as("n_chars"),
+        md5(col("t").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenize → pack, end to end: BPE token counts under the fixed
+    * d33 merge list feed the GPT-style concat-and-chunk planner
+    * (graft.ops.Packing.concatChunkPlan, budget 512, grouped by
+    * lang) — the last two stages of a training-data pipeline
+    * composed, proving the planner consumes REAL tokenizer output,
+    * not the word-count proxy p01 uses. Encode is map-side; the one
+    * shuffle is the planner's group window. */
+  def p04TokenizePack(s: SparkSession, dir: String): DataFrame = {
+    val enc = docs(s, dir).select(col("doc_id"), col("lang"),
+      graft.ops.Bpe.encodeCol(TextFunctions.words(col("text")), demoMerges)
+        .getField("n_bpe").as("n_bpe"))
+    graft.ops.Packing.concatChunkPlan(enc, "doc_id", "lang",
+        col("n_bpe"), budget = 512)
+      .select(col("doc_id"), col("lang"), col("n_bpe"),
+        col("token_offset"), col("chunk_first"), col("n_chunks"))
       .orderBy("doc_id")
   }
 
@@ -964,9 +1022,12 @@ object Pipeline {
     "d32_html_extract" -> d32HtmlExtract _,
     "d33_bpe_encode" -> d33BpeEncode _,
     "d34_quality_score" -> d34QualityScore _,
+    "d35_cluster_sample" -> d35ClusterSample _,
+    "d36_fix_encoding" -> d36FixEncoding _,
     "p01_pack_chunks" -> p01PackChunks _,
     "p02_pack_greedy" -> p02PackGreedy _,
     "p03_chunk_overlap" -> p03ChunkOverlap _,
+    "p04_tokenize_pack" -> p04TokenizePack _,
     "q24_range_join" -> q24RangeJoin _,
     "q20_asof_join" -> q20AsofJoin _,
     "q21_sessionize" -> q21Sessionize _,
@@ -1382,6 +1443,43 @@ object Pipeline {
         |   array_to_string(list_transform(enc, s -> array_to_string(str_split(trim(s, '·'), '··'), ' ')), ' | ') AS toks
         | FROM e)
         |SELECT doc_id, n_bpe, md5(toks) AS toks_md5 FROM r ORDER BY doc_id""".stripMargin,
+    // Unit-normalize (x · (1/√ss), the e06 recipe), argmax-cosine
+    // assign to the fixed 8-seed centroid set (ties to the smaller
+    // cell), then the d16 md5-rank quota per cluster.
+    "d35_cluster_sample" ->
+      """WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+        |u AS (SELECT id, list_transform(vec, x -> x * (1.0 / sqrt(list_sum(list_transform(vec, y -> y * y))))) AS uv FROM v),
+        |c AS (SELECT id AS cell, uv AS cv FROM u WHERE id < 8),
+        |sims AS (SELECT u.id, c.cell,
+        |  list_sum(list_transform(range(1, len(uv) + 1), i -> uv[i] * cv[i])) AS s
+        |  FROM u CROSS JOIN c),
+        |asg AS (SELECT id, cell FROM (SELECT id, cell,
+        |    row_number() OVER (PARTITION BY id ORDER BY s DESC, cell) AS rk FROM sims)
+        |  WHERE rk = 1),
+        |sz AS (SELECT cell, count(*) AS n_members FROM asg GROUP BY cell),
+        |rnk AS (SELECT id, cell, row_number() OVER (PARTITION BY cell
+        |    ORDER BY ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::UBIGINT % 10000, id) AS rk
+        |  FROM asg)
+        |SELECT r.cell AS cluster, s.n_members, r.id, CAST(r.rk AS INT) AS rk
+        |FROM rnk r JOIN sz s USING (cell) WHERE r.rk <= 10
+        |ORDER BY cluster, rk""".stripMargin,
+    // Same injected corrupted suffix; the repair table runs verbatim
+    // in the same order ('Ã' || chr(160) is the à entry — the 0xA0
+    // byte renders as NBSP, kept out of the literal for legibility).
+    "d36_fix_encoding" ->
+      """WITH raw AS (SELECT doc_id,
+        |  text || ' CafÃ© â€” itâ€™s â€œnaÃ¯veâ€¦ Ã¼ber Ã§a straÃŸe 90Â° Â©' AS r
+        | FROM documents),
+        |fx AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+        |  replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(r,
+        |  'â€™', '’'), 'â€œ', '“'), 'â€“', '–'), 'â€”', '—'), 'â€¦', '…'),
+        |  'Ã©', 'é'), 'Ã¨', 'è'), 'Ã¼', 'ü'), 'Ã¶', 'ö'), 'Ã¤', 'ä'),
+        |  'Ã±', 'ñ'), 'Ã§', 'ç'), 'Ã¡', 'á'), 'Ã³', 'ó'), 'Ãº', 'ú'),
+        |  'Ã¯', 'ï'), 'ÃŸ', 'ß'), 'Ã' || chr(160), 'à'), 'Â°', '°'), 'Â©', '©') AS t
+        | FROM raw)
+        |SELECT doc_id, CAST(length(t) AS INTEGER) AS n_chars, md5(t) AS text_md5
+        |FROM fx ORDER BY doc_id""".stripMargin,
     // Same injected page; the regex chain is the java.regex ∩ RE2
     // intersection run verbatim (DuckDB needs the 'g' flag — its
     // regexp_replace replaces only the first match by default).
@@ -1494,6 +1592,28 @@ object Pipeline {
         | CAST(len(toks) AS INT) AS n_tokens,
         | md5(array_to_string(toks, ' ')) AS chunk_fp
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // d33's n_bpe CTE (the ·-delimited replace chain) feeding p01's
+    // window algebra: real tokenizer counts into the chunk planner.
+    "p04_tokenize_pack" ->
+      """WITH t AS (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |e AS (SELECT doc_id, lang, list_transform(ws, w ->
+        |   replace(replace(replace(replace(replace(replace(replace(replace(
+        |     '·' || array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), '··') || '·',
+        |     '·t··h·', '·th·'), '·th··e·', '·the·'), '·i··n·', '·in·'), '·a··n·', '·an·'),
+        |     '·an··d·', '·and·'), '·e··r·', '·er·'), '·o··n·', '·on·'), '·r··e·', '·re·')) AS enc
+        | FROM t),
+        |r AS (SELECT doc_id, lang,
+        |   CAST(coalesce(list_sum(list_transform(enc, s -> len(str_split(trim(s, '·'), '··')))), 0) AS INTEGER) AS n_bpe
+        | FROM e),
+        |c AS (SELECT doc_id, lang, n_bpe,
+        |  sum(n_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS e2 FROM r)
+        |SELECT doc_id, lang, n_bpe,
+        | CAST(e2 - n_bpe AS BIGINT) AS token_offset,
+        | CAST((e2 - n_bpe) // 512 AS BIGINT) AS chunk_first,
+        | CAST(CASE WHEN n_bpe = 0 THEN 0
+        |      ELSE (e2 - 1) // 512 - (e2 - n_bpe) // 512 + 1 END AS BIGINT) AS n_chunks
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q24_range_join" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, ts AS start_ts,
         |  ts + INTERVAL 2 HOUR AS end_ts FROM events WHERE event_type = 'purchase'),

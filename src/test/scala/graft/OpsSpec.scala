@@ -212,6 +212,55 @@ class OpsSpec extends SparkSpec {
     assert(out(9L) == (25, 0L, ""), "merged overlapping cuts empty the doc")
   }
 
+  test("fixMojibake repairs the table, leaves clean text alone") {
+    val cases = Seq(
+      (1L, "CafÃ© naÃ¯ve straÃŸe", "Café naïve straße"),
+      (2L, "itâ€™s â€œfineâ€¦ reallyâ€“ okâ€”", "it’s “fine… really– ok—"),
+      (3L, "90Â° Â© Ã¼ber Ã§a dÃ©jÃ vu", "90° © über ça déjàvu"),
+      (4L, "plain ascii text stays put", "plain ascii text stays put"),
+      // already-correct non-ASCII must not double-fix: é has no table
+      // entry, and the 3-byte punctuation entries run before the
+      // 2-byte ones so 'â€™' never loses its 'â' to a shorter match
+      (5L, "déjà vu — it’s fine", "déjà vu — it’s fine")
+    ).toDF("id", "raw", "expect")
+    val out = cases.select(col("id"),
+        TextFunctions.fixMojibake(col("raw")).as("got"), col("expect"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+    out.foreach { case (id, (got, exp)) =>
+      assert(got == exp, s"case $id: got '$got', expected '$exp'")
+    }
+  }
+
+  test("clusterBalancedSample: quota per cluster, trained centroids, " +
+    "partition-invariant") {
+    // three tight direction-clusters in 3-D; cluster 0 has 5 members,
+    // cluster 1 has 2 (under quota), cluster 2 has 4
+    def jig(i: Int) = 0.01f * i
+    val vecs =
+      (0 until 5).map(i => (10L + i, Array(1f, jig(i), 0f))) ++
+        (0 until 2).map(i => (20L + i, Array(0f, 1f, jig(i)))) ++
+        (0 until 4).map(i => (30L + i, Array(jig(i), 0f, 1f)))
+    val corpus = vecs.toDF("id", "vec")
+    val cent = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0f, 0f, 1f))).toDF("cell", "cvec")
+    val out = Similarity.clusterBalancedSample(corpus, cent, cap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val byCluster = out.groupBy(_._1)
+    assert(byCluster(0L).length == 3 && byCluster(0L).head._2 == 5L,
+      "over-quota cluster capped at 3 of its 5 members")
+    assert(byCluster(1L).length == 2 && byCluster(1L).head._2 == 2L,
+      "under-quota cluster keeps everything")
+    assert(byCluster(2L).length == 3 && byCluster(2L).head._2 == 4L)
+    assert(byCluster.values.forall(g => g.map(_._4).sorted.sameElements(1 to g.length)),
+      "ranks are 1..k within each cluster")
+    // every sampled id belongs to the cluster whose axis dominates it
+    assert(out.forall { case (cl, _, id, _) => id / 10 - 1 == cl })
+    // reruns under a different partitioning reproduce the exact sample
+    val out2 = Similarity.clusterBalancedSample(corpus.repartition(7), cent, cap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.sortBy(t => (t._1, t._4)).sameElements(out2.sortBy(t => (t._1, t._4))))
+  }
+
   test("stripHtml: blocks drop with contents, entities decode one level") {
     val cases = Seq(
       (1L, "<html><head><title>T</title><style>p{c:1}</style></head>" +
