@@ -20,6 +20,21 @@ object TextFunctions {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
 
+  /** Word uni+bigram feature strings: the tokens plus space-joined
+    * consecutive pairs — the shared featurizer of the DSIR scorer,
+    * the fastText-shaped quality classifier, and gate d34 (extracted
+    * in review r9; the guard was previously triplicated). The bigram
+    * arm MUST be guarded: `sequence(1, size - 1)` DESCENDS on a
+    * 1-word doc ([1, 0] — Spark auto-steps -1) and `element_at(ws, 0)`
+    * is an error, not null. */
+  def uniBigrams(ws: Column): Column = {
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(ws, bigrams)
+  }
+
   /** Distinct word n-gram shingles (space-joined); empty array when the
     * document has fewer than n words. */
   def shingles(ws: Column, n: Int = 3): Column = {

@@ -154,14 +154,26 @@ object BpeEncodeExpr {
       var mi = 0
       while (mi < merges.length) {
         val a = merges(mi); val b = merges(mi + 1)
-        val out = new java.util.ArrayList[String](syms.size)
-        var j = 0
-        while (j < syms.size) {
-          if (j + 1 < syms.size && syms.get(j) == a && syms.get(j + 1) == b) {
-            out.add(a + b); j += 2
-          } else { out.add(syms.get(j)); j += 1 }
+        // containment pre-check before allocating (review r9): under a
+        // realistically-sized trained merge list most merges match
+        // nothing in most words — the copy pass is only worth paying
+        // when the adjacency actually occurs
+        var hit = false
+        var k = 0
+        while (!hit && k + 1 < syms.size) {
+          if (syms.get(k) == a && syms.get(k + 1) == b) hit = true
+          k += 1
         }
-        syms = out
+        if (hit) {
+          val out = new java.util.ArrayList[String](syms.size)
+          var j = 0
+          while (j < syms.size) {
+            if (j + 1 < syms.size && syms.get(j) == a && syms.get(j + 1) == b) {
+              out.add(a + b); j += 2
+            } else { out.add(syms.get(j)); j += 1 }
+          }
+          syms = out
+        }
         mi += 2
       }
       if (wi > 0) sb.append(" | ")

@@ -43,14 +43,12 @@ object QualityClassifier {
   }
 
   /** Word uni+bigram bucket ids (array<long>) for a words column —
-    * xxhash64 % buckets, all builtin codegen'd expressions. */
-  def featureBuckets(ws: Column, buckets: Int): Column = {
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    transform(concat(ws, bigrams), g => pmod(xxhash64(g), lit(buckets)))
-  }
+    * xxhash64 % buckets, all builtin codegen'd expressions
+    * (the shared [[graft.functions.TextFunctions.uniBigrams]]
+    * featurizer under the fast in-engine hash). */
+  def featureBuckets(ws: Column, buckets: Int): Column =
+    transform(graft.functions.TextFunctions.uniBigrams(ws),
+      g => pmod(xxhash64(g), lit(buckets)))
 
   /** Train on labeled docs (`labelCol` boolean — true = keep-quality).
     * Full-batch GD on the logistic loss, `iters` epochs at rate `lr`
@@ -141,8 +139,14 @@ final case class BucketDotExpr(child: Expression, weights: Array[Double],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("qcw", weights, "double[]")
+    // bit-pattern splice, not Double.toString (review r9): a diverged
+    // training run can hand over bias = NaN/Infinity, which are not
+    // valid Java literals and would fail codegen compilation on every
+    // task; longBitsToDouble round-trips every double exactly
+    val biasJ =
+      s"java.lang.Double.longBitsToDouble(${java.lang.Double.doubleToLongBits(bias)}L)"
     defineCodeGen(ctx, ev, c =>
-      s"graft.ops.BucketDotExpr.compute($c, $ref, $bias)")
+      s"graft.ops.BucketDotExpr.compute($c, $ref, $biasJ)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BucketDotExpr =

@@ -23,26 +23,50 @@ object Sampling {
   // (the dominant cost; see PersistSlot for the eviction contract).
   private val dsirPersist = new PersistSlot
 
-  /** Uniform bucket in [0, 10000) from the md5 of the id rendered as a
-    * string: the first 15 hex chars (60 bits, always positive as a
-    * long) mod 10^4. Engine-portable: DuckDB computes the identical
-    * bucket as `('0x' || substr(md5(id::VARCHAR), 1, 15))::UBIGINT %
-    * 10000`. Codegen'd end-to-end (conv/substring/md5 are all native
-    * Spark expressions), a pure map-side computation. */
-  def hashBucket(id: Column): Column =
-    conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long") % 10000
+  /** 60-bit md5 hash of a feature string, mod `buckets` — the
+    * engine-portable hashed-featurizer cell (DuckDB:
+    * `('0x' || substr(md5(f), 1, 15))::UBIGINT % buckets`). Codegen'd
+    * end-to-end (conv/substring/md5 are native Spark expressions), a
+    * pure map-side computation. */
+  def featureBucket(f: Column, buckets: Int): Column =
+    conv(substring(md5(f.cast("binary")), 1, 15), 16, 10)
+      .cast("long") % buckets
 
-  private def rateToBucket(rate: Double): Int = {
+  /** Uniform bucket in [0, 10000) from the md5 of the id rendered as
+    * a string — the deterministic ORDERING key for quota ranks
+    * ([[groupQuota]]; ties broken by id, so the 1/10^4 granularity
+    * never costs exactness there). For RATE comparisons use
+    * [[hashFrac]]: a bucket threshold floors any rate below 5e-5 to
+    * an empty sample. */
+  def hashBucket(id: Column): Column =
+    featureBucket(id.cast("string"), 10000)
+
+  private val TwoPow60 = 1152921504606846976.0 // 2^60, exact in double
+
+  /** Uniform fraction in [0, 1) from the full 60-bit md5 hash of the
+    * id — the RATE-comparison key (review r9: the 10^4-bucket
+    * threshold silently zeroed rates < 5e-5 and misstated rates near
+    * 1e-4 by up to 50%; the fraction resolves to ~8.7e-19). Engine-
+    * portable: both engines convert the same int64 to double (IEEE
+    * round-to-nearest) and divide by the exact power 2^60, so the
+    * fraction — and every `< rate` decision — is bit-identical. NULL
+    * ids hash to NULL and fail every comparison: rows with a null
+    * sampling key are dropped even at rate 1.0 — sampling keys must
+    * be non-null upstream. */
+  def hashFrac(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long").cast("double") / TwoPow60
+
+  private def checkRate(rate: Double): Double = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    math.round(rate * 10000).toInt
+    rate
   }
 
   /** Deterministic Bernoulli sample at `rate`: a stateless map-side
     * filter (no shuffle, no RNG state), so it composes with scan
     * pruning and costs one scan at any corpus size. */
   def bernoulli(df: DataFrame, idCol: String, rate: Double): DataFrame =
-    df.filter(hashBucket(col(idCol)) < rateToBucket(rate))
+    df.filter(hashFrac(col(idCol)) < checkRate(rate))
 
   /** Stratified deterministic sample: per-stratum rates, `defaultRate`
     * for unlisted strata. The rates table is a literal broadcast join
@@ -52,11 +76,11 @@ object Sampling {
       rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val thr = rates.toSeq.map { case (s, r) => (s, rateToBucket(r)) }
+    val thr = rates.toSeq.map { case (s, r) => (s, checkRate(r)) }
       .toDF(stratumCol, "__thr")
     df.join(broadcast(thr), Seq(stratumCol), "left_outer")
-      .withColumn("__thr", coalesce(col("__thr"), lit(rateToBucket(defaultRate))))
-      .filter(hashBucket(col(idCol)) < col("__thr"))
+      .withColumn("__thr", coalesce(col("__thr"), lit(checkRate(defaultRate))))
+      .filter(hashFrac(col(idCol)) < col("__thr"))
       .drop("__thr")
   }
 
@@ -81,15 +105,23 @@ object Sampling {
     * the deterministic hash filter. Expected group size = cap (binomial
     * spread ~ sqrt(cap)); no per-group sort exists anywhere in the
     * plan, so a group with 10^9 rows costs the same as one with 10^2.
-    * Groups already within quota are kept whole (rate clamps to 1). */
+    * Groups already within quota are kept whole (rate clamps to 1).
+    * The keep rate is a double fraction against [[hashFrac]] — the
+    * review-r9 predecessor compared integer-divided 10^4 buckets,
+    * which floored to ZERO (the whole group silently dropped) as soon
+    * as a group exceeded cap·10^4 rows — precisely the heavy-group
+    * regime this operator exists for.
+    *
+    * `broadcastCounts = false` swaps the forced broadcast for a plain
+    * equi-join: with 10^7+ groups (per-domain quotas on a web corpus)
+    * the count table itself is too big to ship to every executor. */
   def groupQuotaApprox(df: DataFrame, idCol: String, groupCol: String,
-      cap: Int): DataFrame = {
+      cap: Int, broadcastCounts: Boolean = true): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-    df.join(broadcast(counts), Seq(groupCol))
-      .withColumn("__thr",
-        least(lit(10000L), lit(cap.toLong * 10000L) / col("__n")))
-      .filter(hashBucket(col(idCol)) < col("__thr"))
+    df.join(if (broadcastCounts) broadcast(counts) else counts, Seq(groupCol))
+      .withColumn("__thr", least(lit(1.0), lit(cap.toDouble) / col("__n")))
+      .filter(hashFrac(col(idCol)) < col("__thr"))
       .drop("__n", "__thr")
   }
 
@@ -102,9 +134,9 @@ object Sampling {
     * the mean per-feature log importance ratio
     * `ln p_target(b) / p_raw(b)` (mean, not sum — the paper's length
     * bias note; sums just rank long docs first). Every ratio is a
-    * quotient of exact int64 products ((tc+1)(Nr+B) vs (rc+1)(Nt+B),
-    * both < 2^53 far beyond this corpus), so a SQL oracle reproduces
-    * the doubles bit-for-bit.
+    * quotient of integer-valued double products ((tc+1)(Nr+B) vs
+    * (rc+1)(Nt+B) — exact while below 2^53, which holds far beyond
+    * gate scale), so a SQL oracle reproduces the doubles bit-for-bit.
     *
     * Scale: the two histograms are at most `buckets` rows — they
     * broadcast no matter the corpus size (the model is fixed-size,
@@ -122,18 +154,10 @@ object Sampling {
     val spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     val ws = spread.select(col(idCol).as("id"), targetPred.as("__t"),
       graft.functions.TextFunctions.words(col(textCol)).as("ws"))
-    // sequence(1, size-1) must be guarded: on a 1-word doc it DESCENDS
-    // ([1, 0]) and element_at(ws, 0) is an error, not null.
-    val bigrams = when(size(col("ws")) >= 2,
-      transform(sequence(lit(1), size(col("ws")) - 1),
-        i => concat_ws(" ", element_at(col("ws"), i),
-          element_at(col("ws"), i + 1))))
-      .otherwise(array().cast("array<string>"))
     val grams = ws.select(col("id"), col("__t"),
-      explode(concat(col("ws"), bigrams)).as("f"))
+      explode(graft.functions.TextFunctions.uniBigrams(col("ws"))).as("f"))
     val feats = dsirPersist(grams.select(col("id"), col("__t"),
-      (conv(substring(md5(col("f").cast("binary")), 1, 15), 16, 10)
-        .cast("long") % buckets).as("b")))
+      featureBucket(col("f"), buckets).as("b")))
     // ONE fused histogram pass (raw + target counts together — a
     // second groupBy would re-run the explode+md5 subtree per plan
     // reference, the NOTES recompute law; measured 2.3x slower), then
@@ -145,10 +169,17 @@ object Sampling {
         count(when(col("__t"), 1)).as("tc"))
       .withColumn("nr", sum("rc").over(Window.partitionBy()))
       .withColumn("nt", sum("tc").over(Window.partitionBy()))
+    // Each factor casts to double BEFORE the multiply (review r9): the
+    // int64 product (tc+1)·(nr+B) overflows past nr ~ 10^12 total
+    // features with a skewed bucket, turning scores into log(negative)
+    // = NaN. At gate scale every factor is far below 2^53, so the
+    // double products are exact and the oracle hash is unchanged;
+    // beyond 2^53 the score degrades gracefully to double rounding
+    // instead of wrapping.
     feats.join(broadcast(hist), Seq("b"))
       .withColumn("__lr",
-        log(((col("tc") + 1) * (col("nr") + buckets)).cast("double") /
-          ((col("rc") + 1) * (col("nt") + buckets)).cast("double")))
+        log(((col("tc") + 1).cast("double") * (col("nr") + buckets).cast("double")) /
+          ((col("rc") + 1).cast("double") * (col("nt") + buckets).cast("double"))))
       .groupBy("id")
       .agg(count(lit(1)).as("n_feats"), avg("__lr").as("dsir_score"))
   }

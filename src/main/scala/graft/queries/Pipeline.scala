@@ -746,24 +746,20 @@ object Pipeline {
   def d34QualityScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bucket = (c: org.apache.spark.sql.Column) =>
-      conv(substring(md5(c.cast("binary")), 1, 15), 16, 10)
-        .cast("long") % 10000
+      graft.ops.Sampling.featureBucket(c, 10000)
     val weights = Seq("the" -> 0.25, "and" -> 0.25, "of" -> 0.125,
       "der" -> -0.25, "le" -> -0.25, "el" -> -0.125, "und" -> -0.125,
       "que" -> -0.125).toDF("word", "w")
       .select(bucket(col("word")).as("b"), col("w"))
       .groupBy("b").agg(sum("w").as("w")) // collision-safe: one row per bucket
-    val ws = TextFunctions.words(col("text"))
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
     val d = docs(s, dir)
     val feats = d
       // one-row-group source = one task; decouple the md5-dense
       // featurization from file-split geometry (Dedup.spread)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id").as("id"), explode(concat(ws, bigrams)).as("f"))
+      .select(col("doc_id").as("id"),
+        explode(TextFunctions.uniBigrams(
+          TextFunctions.words(col("text")))).as("f"))
       .select(col("id"), bucket(col("f")).as("b"))
     graft.ops.QualityClassifier.scoreSparse(feats, weights, bias = 0.125)
       .select(col("id").as("doc_id"), col("n_feats"),
@@ -1180,10 +1176,13 @@ object Pipeline {
         |r AS (SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source ORDER BY hb, doc_id) AS rk FROM h)
         |SELECT doc_id, source FROM r WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+    // 60-bit md5 fraction vs the rate (review r9: bucket thresholds
+    // floor sub-5e-5 rates to empty); 1152921504606846976 = 2^60.
     "d17_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 10000
-        |  < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS DOUBLE)
+        |    / 1152921504606846976.0
+        |  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
         |ORDER BY doc_id""".stripMargin,
     "d18_curation_sample" ->
       """WITH t AS (SELECT doc_id, lang, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
@@ -1194,8 +1193,9 @@ object Pipeline {
         | WHERE n_words >= 20 AND
         |  (CASE WHEN len(g3) = 0 THEN 0.0 ELSE round(list_sum(list_transform(g3, x -> CASE WHEN len(list_filter(g3, y -> y = x)) > 1 THEN 1 ELSE 0 END))::DOUBLE / len(g3), 4) END) <= 0.1),
         |sm AS (SELECT doc_id, source, n_words FROM f
-        | WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 10000
-        |   < CASE lang WHEN 'en' THEN 8000 WHEN 'de' THEN 5000 ELSE 3000 END),
+        | WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS DOUBLE)
+        |     / 1152921504606846976.0
+        |   < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 ELSE 0.3 END),
         |cp AS (SELECT doc_id, source, n_words,
         |  row_number() OVER (PARTITION BY source
         |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 10000, doc_id) AS rk
@@ -1515,8 +1515,8 @@ object Pipeline {
         |th AS (SELECT b, count(*) AS tc FROM f WHERE lang = 'en' GROUP BY b),
         |nrt AS (SELECT count(*) AS nr, count(*) FILTER (lang = 'en') AS nt FROM f),
         |sc AS (SELECT doc_id,
-        |   ln(CAST((coalesce(tc, 0) + 1) * (nr + 10000) AS DOUBLE)
-        |      / CAST((rc + 1) * (nt + 10000) AS DOUBLE)) AS lr
+        |   ln((CAST(coalesce(tc, 0) + 1 AS DOUBLE) * CAST(nr + 10000 AS DOUBLE))
+        |      / (CAST(rc + 1 AS DOUBLE) * CAST(nt + 10000 AS DOUBLE))) AS lr
         | FROM f JOIN rh USING (b) LEFT JOIN th USING (b) CROSS JOIN nrt)
         |SELECT doc_id, count(*) AS n_feats, round(avg(lr), 4) AS dsir_score
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -63,6 +63,26 @@ class SamplingSpec extends SparkSpec {
     assert(whole.count() == 2000L, "groups within quota are kept whole")
   }
 
+  test("groupQuotaApprox keeps ~cap rows in the heavy-group regime") {
+    // review r9: the integer-divided bucket threshold floored to ZERO
+    // once a group exceeded cap·10^4 rows — the whole group vanished
+    // in exactly the heavy-group regime the operator exists for
+    val heavy = spark.range(0, 100000, 1, 8)
+      .select(col("id"), lit("g").as("lang"))
+    val kept = Sampling.groupQuotaApprox(heavy, "id", "lang", cap = 5).count()
+    assert(kept > 0, "heavy group must not be dropped wholesale")
+    assert(kept <= 25, s"expected ~5 of 100k, got $kept")
+  }
+
+  test("bernoulli resolves rates far below the old 1e-4 bucket floor") {
+    // review r9: rateToBucket rounded any rate < 5e-5 to an empty
+    // sample; the 60-bit fraction resolves it
+    val big = spark.range(0, 500000, 1, 8).toDF("id")
+    val kept = Sampling.bernoulli(big, "id", 4e-5).count()
+    assert(kept > 0, "sub-5e-5 rate must not round to an empty sample")
+    assert(kept <= 100, s"expected ~20 of 500k, got $kept")
+  }
+
   test("repetition stats flag repeated n-grams and boilerplate") {
     val d = Seq(
       (1L, "spam spam spam spam spam spam"),
