@@ -44,6 +44,7 @@ object Dedup {
   private val bloomPersist = new PersistSlot   // bloomDecontaminate benchmark side
   private val simhashPersist = new PersistSlot // simhash blocked fingerprints
   private val substrPersist = new PersistSlot  // substringSpans gram anchors
+  private val bandPersist = new PersistSlot    // minhashLsh banded signatures
   private def persistBounded(df: DataFrame): DataFrame = shinglePersist(df)
 
   /** Per-document distinct HASHED word n-gram shingle sets
@@ -104,12 +105,17 @@ object Dedup {
     val sets = persistBounded(shingleSets(docs, idCol, textCol, nGram))
 
     val sig = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded0 = sig
+    // persist BEFORE capBuckets and the self-join (review r9): the
+    // banded frame feeds both join sides plus (with maxBucket set)
+    // capBuckets' count aggregate — un-cached, the 128-slot signature
+    // pass re-ran per plan reference, the very double-reference law
+    // simhashPairsFrom and cosineNearDup already apply
+    val banded0 = bandPersist(sig
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"),
         col("sig"))
       .select(col("doc_id"), col("band"),
-        xxhash64(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")).as("band_hash"))
+        xxhash64(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")).as("band_hash")))
     val banded = capBuckets(banded0, Seq("band", "band_hash"), maxBucket)
 
     val a = banded.alias("a")
@@ -215,9 +221,12 @@ object Dedup {
     // both self-join sides consume the blocked fingerprints: persist
     // (slot-bounded) so the SimHash pass over the corpus runs once,
     // not per side — the same double-reference law minhashLsh's
-    // shingle persist already applies
-    val blocked = simhashPersist(
-      capBuckets(blocked0, Seq("block", "block_key"), maxBucket))
+    // shingle persist already applies. Persist INSIDE the cap (review
+    // r9): capBuckets itself references its input twice (count
+    // aggregate + join side), so capping an un-cached frame re-ran
+    // the fingerprint pass when maxBucket was set.
+    val blocked = capBuckets(
+      simhashPersist(blocked0), Seq("block", "block_key"), maxBucket)
     val a = blocked.alias("a")
     val b = blocked.alias("b")
     a.join(b,
@@ -238,24 +247,6 @@ object Dedup {
       maxBucket: Int = 0): DataFrame =
     simhashPairsFrom(simhash(docs, idCol, textCol), maxHamming, maxBucket)
 
-  /** Partial-overlap (containment) pairs via winnowed rolling-hash
-    * fingerprints (MOSS): docs sharing at least `threshold` of the
-    * smaller doc's fingerprints. Complements Jaccard near-dup — a
-    * short doc EMBEDDED in a long one scores high containment but low
-    * Jaccard.
-    *
-    * Scale shape: inverted-index equi-join on fingerprint value — the
-    * shuffle moves only (hash, id) pairs, never text. A fingerprint
-    * shared by m docs contributes C(m,2) candidate pairs, so "stop
-    * fingerprints" (boilerplate phrases — the inverted-index analogue
-    * of stopwords) are dropped first via an ABSOLUTE document-
-    * frequency cap: df > `stopDocFreq` excludes a fingerprint from
-    * BOTH the join and the containment denominator. The cap is
-    * deliberately NOT proportional to corpus size — a constant cap
-    * bounds every join bucket to C(cap,2) pairs at ANY scale (a
-    * MOSS-style "shared by too many to mean provenance" rule), where
-    * a percentage cap would grow buckets quadratically with the
-    * corpus. `stopDocFreq <= 0` disables. */
   /** Benchmark decontamination: flag training docs that share at least
     * `minHits` distinct word n-gram shingles with ANY doc of a
     * benchmark/eval set — the standard pre-training leakage check
@@ -601,6 +592,24 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).cast("int"))
   }
 
+  /** Partial-overlap (containment) pairs via winnowed rolling-hash
+    * fingerprints (MOSS): docs sharing at least `threshold` of the
+    * smaller doc's fingerprints. Complements Jaccard near-dup — a
+    * short doc EMBEDDED in a long one scores high containment but low
+    * Jaccard.
+    *
+    * Scale shape: inverted-index equi-join on fingerprint value — the
+    * shuffle moves only (hash, id) pairs, never text. A fingerprint
+    * shared by m docs contributes C(m,2) candidate pairs, so "stop
+    * fingerprints" (boilerplate phrases — the inverted-index analogue
+    * of stopwords) are dropped first via an ABSOLUTE document-
+    * frequency cap: df > `stopDocFreq` excludes a fingerprint from
+    * BOTH the join and the containment denominator. The cap is
+    * deliberately NOT proportional to corpus size — a constant cap
+    * bounds every join bucket to C(cap,2) pairs at ANY scale (a
+    * MOSS-style "shared by too many to mean provenance" rule), where
+    * a percentage cap would grow buckets quadratically with the
+    * corpus. `stopDocFreq <= 0` disables. */
   def winnowOverlapPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8, w: Int = 8,
       threshold: Double = 0.5, stopDocFreq: Int = 20): DataFrame = {
@@ -647,10 +656,12 @@ object Dedup {
     *
     * Scale: anchor generation is map-side (text never shuffles; the
     * anchor shuffle moves (doc_id, pos, 8-byte hash) triples);
-    * `maxDf` drops boilerplate grams so every join bucket is bounded
-    * by maxDf^2 — the same stop-df guard as winnowing. The window +
-    * final aggregate run on the match set only, which is tiny
-    * relative to the corpus. */
+    * `maxDf` drops grams found in more than `maxDf` DOCUMENTS (true
+    * boilerplate — the winnowing stop-df rule) and grams with more
+    * than 10·maxDf total occurrences (the anti-quadratic bucket
+    * bound), so every join bucket's pair output stays capped. The
+    * window + final aggregate run on the match set only, which is
+    * tiny relative to the corpus. */
   def substringSpans(docs: DataFrame, k: Int = 8, minTokens: Int = 20,
       maxDf: Int = 100, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -669,8 +680,17 @@ object Dedup {
       else {
         // Anti-join against the (tiny) over-cap hash set; AQE
         // broadcasts it, so the corpus-side anchors shuffle once.
-        val stop = anchors0.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select("h")
+        // The primary cap is TRUE document frequency (review r9):
+        // counting total occurrences let ONE document that internally
+        // repeats a gram > maxDf times suppress that anchor corpus-
+        // wide and break genuine cross-document spans through it —
+        // the per-doc-distinct rule winnowOverlapPairs' cap already
+        // has. A secondary 10·maxDf TOTAL-occurrence bound keeps the
+        // anti-quadratic guarantee (bucket pair output stays bounded
+        // even when few docs each repeat a gram heavily).
+        val stop = anchors0.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tot"))
+          .filter(col("df") > maxDf || col("tot") > 10L * maxDf).select("h")
         anchors0.join(stop, Seq("h"), "left_anti")
       }
     }

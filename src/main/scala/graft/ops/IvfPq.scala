@@ -80,10 +80,13 @@ final class IvfPqIndex private[ops] (
     * and the unit-normalized corpus for the rerank pass (at real scale
     * this table IS the cold-storage corpus copy — the hot index is the
     * codes table, 32× smaller). The `meta` marker is written LAST so a
-    * crashed save never looks complete. */
+    * crashed save never looks complete; a RE-save deletes the previous
+    * marker before overwriting any table (review r9 — stale meta over
+    * partially-rewritten tables would read as a complete index). */
   def save(path: String): Unit = {
     val spark = ivf.centroids.sparkSession
     import spark.implicits._
+    IvfIndex.invalidateMeta(spark, path)
     ivf.centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     Seq((cb.m, cb.ks, cb.dsub, cb.centroids.toSeq))
       .toDF("m", "ks", "dsub", "centroids")

@@ -306,6 +306,9 @@ object Pq {
     // writes were wasted and the garbage persisted; ADVICE r6)
     require(r.length == cb.dim * cb.dim, "rotation shape mismatch")
     import spark.implicits._
+    // re-save safety (review r9): drop the old marker before touching
+    // the tables, or a crash mid-overwrite leaves stale meta standing
+    IvfIndex.invalidateMeta(spark, path)
     Seq((cb.m, cb.ks, cb.dsub, cb.centroids.toSeq))
       .toDF("m", "ks", "dsub", "centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")

@@ -208,7 +208,13 @@ object Similarity {
     * quadratic-defeating band budget. */
   def cosineNearDup(corpus: DataFrame, threshold: Double = 0.4,
       bits: Int = 48, bands: Int = 8): DataFrame = {
+    // review r9: bits % bands != 0 silently ignored the high bits, and
+    // r = 64 wrapped the mask to 0 — every row in ONE band bucket, the
+    // exact quadratic blowup LSH exists to prevent
+    require(bands >= 1 && bits % bands == 0,
+      s"bands ($bands) must divide bits ($bits)")
     val r = bits / bands
+    require(r >= 1 && r <= 63, s"band width must be in [1, 63], got $r")
     val mask = (1L << r) - 1
     // the corpus feeds FOUR plan references (signature pass + both
     // confirm-join sides) and the banded keys feed two (the candidate
@@ -240,9 +246,12 @@ object Similarity {
     candidates
       .join(withNorm.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na")), "id_a")
       .join(withNorm.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")), "id_b")
-      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      // round BEFORE thresholding, matching cosineNearDupExact and
+      // semanticDedup (review r9): boundary pairs must resolve the
+      // same way on the LSH path as on the exact path / SQL oracles
+      .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -255,8 +264,8 @@ object Similarity {
     *
     * Scale shape: one corpus pass to normalize + assign (broadcast
     * centroids, map-side max_by — no shuffle), ONE shuffle keyed by
-    * cell for the within-cell self-join, then the O(log n)
-    * large/small-star collapse over (id, id) pairs only. With sqrt(n)
+    * cell for the within-cell self-join, then the O(log d) frontier
+    * label-propagation collapse over (id, id) pairs only. With sqrt(n)
     * auto-sized cells the expected within-cell pair work is
     * O(n·sqrt(n)) total and embarrassingly parallel across cells;
     * `maxCell` (0 = off) drops cells larger than the cap from pairing
@@ -286,8 +295,14 @@ object Similarity {
     // checkpointed edge list, so the cache can be dropped before
     // returning: the output plan references only the materialized
     // component labels and the corpus ids)
-    val assigned = Dedup.capBuckets(assigned0, Seq("cell"), maxCell)
+    // persist BEFORE capBuckets (review r9): the cap itself references
+    // its input twice (count aggregate + join side), so capping the
+    // un-cached assignment re-ran the broadcast-scoring corpus pass
+    // when maxCell was set — the exact double-scan this persist exists
+    // to avoid
+    val cached = assigned0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = Dedup.capBuckets(cached, Seq("cell"), maxCell)
     val a = assigned.select(col("cell"), col("id").as("id_a"), col("vec").as("va"))
     val b = assigned.select(col("cell"), col("id").as("id_b"), col("vec").as("vb"))
     val pairs = a.join(b, Seq("cell"))
@@ -304,7 +319,7 @@ object Similarity {
       Dedup.clusterPairs(pairs, corpus.select(col("id")), "id",
           driverThreshold = driverThreshold)
         .select(col("doc_id").as("id"), col("cluster_id"), col("is_canonical"))
-    finally { assigned.unpersist(blocking = false); () }
+    finally { cached.unpersist(blocking = false); () }
   }
 }
 
@@ -355,11 +370,17 @@ final class IvfIndex private[ops] (
     * ([[IvfIndex.exists]] checks the marker). A second session then
     * [[IvfIndex.load]]s instead of re-running seeding + Lloyd + the
     * assignment pass (VERDICT r3 missing #2: indexes lived only in JVM
-    * memory). */
+    * memory). Re-saving over an existing path deletes the OLD meta
+    * marker before touching the data tables (review r9): otherwise a
+    * crash mid-overwrite would leave stale meta standing over partial
+    * tables — exactly the state the meta-last protocol exists to make
+    * unrepresentable. */
   def save(path: String): Unit = {
+    val spark = centroids.sparkSession
+    IvfIndex.invalidateMeta(spark, path)
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assigned.write.mode("overwrite").parquet(s"$path/assigned")
-    IvfIndex.writeMeta(centroids.sparkSession, s"$path/meta", nCells)
+    IvfIndex.writeMeta(spark, s"$path/meta", nCells)
   }
 }
 
@@ -369,6 +390,17 @@ object IvfIndex {
       dir: String, nCells: Int): Unit = {
     import spark.implicits._
     Seq(nCells).toDF("n_cells").coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Drop `path`'s meta marker so the index reads as incomplete while
+    * its data tables are being (re)written — the first step of every
+    * save (review r9: overwrite-in-place kept the previous save's
+    * marker standing through the data rewrite). */
+  private[ops] def invalidateMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
 
   private[ops] def readMeta(spark: org.apache.spark.sql.SparkSession,

@@ -28,7 +28,14 @@ object Temporal {
     * additionally surfaces the matched right timestamp. Rows with no
     * match in the chosen direction keep null payloads (drop them for
     * inner-asof semantics). `toleranceSec` (if set) nulls matches
-    * further than the tolerance from the left timestamp. */
+    * further than the tolerance from the left timestamp.
+    *
+    * NULL timestamps (review r9): a right row with a null time is
+    * droppable — it is "nearest" to nothing — and is filtered up
+    * front; without the filter Spark's NULLS-FIRST ascending sort
+    * made it the running fallback payload for every left row with no
+    * real predecessor. A LEFT row with a null time gets null payloads
+    * (an as-of against an undefined instant has no answer). */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, rightCols: Seq[String],
       toleranceSec: Option[Long] = None,
@@ -38,8 +45,9 @@ object Temporal {
     val fwd = direction == "forward"
     val payload = struct(
       (col(timeCol).as("__rtime") +: rightCols.map(col)): _*)
-    val r2 = right.select((keys.map(col) :+ col(timeCol) :+
-      payload.as("__rpay")): _*).withColumn("__side", lit(0))
+    val r2 = right.filter(col(timeCol).isNotNull)
+      .select((keys.map(col) :+ col(timeCol) :+
+        payload.as("__rpay")): _*).withColumn("__side", lit(0))
     val l2 = left.withColumn("__side", lit(1))
     val unioned = l2.unionByName(r2, allowMissingColumns = true)
     // Backward scans time ascending; forward scans descending, so the
@@ -51,7 +59,8 @@ object Temporal {
       .orderBy(timeOrder, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
-      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .withColumn("__match", when(col(timeCol).isNotNull,
+        last(col("__rpay"), ignoreNulls = true).over(w)))
       .filter(col("__side") === 1)
     val bounded = toleranceSec match {
       case Some(tol) =>
@@ -130,8 +139,17 @@ object Temporal {
     * (window, group) per task — the streaming EventStream variant uses
     * the identical grouping with a watermark. */
   def tumblingAgg(events: DataFrame, timeCol: String, unit: String,
-      groupCols: Seq[String], aggs: Seq[Column]): DataFrame =
+      groupCols: Seq[String], aggs: Seq[Column]): DataFrame = {
+    // date_trunc returns NULL (not an error) on an invalid unit — an
+    // unvalidated typo like "hours" would silently collapse the whole
+    // corpus into one garbage window (review r9)
+    val units = Set("microsecond", "millisecond", "second", "minute",
+      "hour", "day", "week", "month", "quarter", "year")
+    require(units(unit.toLowerCase(java.util.Locale.ROOT)),
+      s"tumblingAgg: unit must be one of ${units.toSeq.sorted.mkString("|")}, got '$unit'")
+    require(aggs.nonEmpty, "tumblingAgg: at least one aggregate required")
     events.withColumn("window_start", date_trunc(unit, col(timeCol)))
       .groupBy((col("window_start") +: groupCols.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -1351,8 +1351,8 @@ object Pipeline {
         |pos AS (SELECT doc_id,
         |   unnest(list_transform(range(1, len(gs) + 1), i -> {'pos': i, 'h': gs[i]}), recursive := true)
         | FROM kg),
-        |freq AS (SELECT h, count(*) AS df FROM pos GROUP BY h),
-        |posf AS (SELECT p.doc_id, p.pos, p.h FROM pos p JOIN freq USING (h) WHERE freq.df <= 100),
+        |freq AS (SELECT h, count(DISTINCT doc_id) AS df, count(*) AS tot FROM pos GROUP BY h),
+        |posf AS (SELECT p.doc_id, p.pos, p.h FROM pos p JOIN freq USING (h) WHERE freq.df <= 100 AND freq.tot <= 1000),
         |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
         |      FROM posf a JOIN posf b ON a.h = b.h AND a.doc_id < b.doc_id),
         |isl AS (SELECT id_a, id_b, pa, pb,
@@ -1374,8 +1374,8 @@ object Pipeline {
         |pos AS (SELECT doc_id,
         |   unnest(list_transform(range(1, len(gs) + 1), i -> {'pos': i, 'h': gs[i]}), recursive := true)
         | FROM kg),
-        |freq AS (SELECT h, count(*) AS df FROM pos GROUP BY h),
-        |posf AS (SELECT p.doc_id, p.pos, p.h FROM pos p JOIN freq USING (h) WHERE freq.df <= 100),
+        |freq AS (SELECT h, count(DISTINCT doc_id) AS df, count(*) AS tot FROM pos GROUP BY h),
+        |posf AS (SELECT p.doc_id, p.pos, p.h FROM pos p JOIN freq USING (h) WHERE freq.df <= 100 AND freq.tot <= 1000),
         |mm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
         |      FROM posf a JOIN posf b ON a.h = b.h AND a.doc_id < b.doc_id),
         |isl AS (SELECT id_a, id_b, pa, pb,

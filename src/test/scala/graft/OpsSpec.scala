@@ -191,6 +191,23 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.substringSpans(many, maxDf = 4).count() == 0)
   }
 
+  test("substring spans: df cap counts documents, not occurrences") {
+    // review r9: one doc repeating a gram internally must not suppress
+    // that anchor corpus-wide — df is 3 docs here, total 12 anchors
+    val rep = Seq.fill(10)("x1 x2 x3").mkString(" ")
+    val data = Seq(
+      (1L, "filler one two three " + rep),
+      (2L, "p q x1 x2 x3 r s"),
+      (3L, "m n x1 x2 x3 r s")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(data, k = 3, minTokens = 5, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4)).toMap
+    // docs 2-3 share the 5-token run "x1 x2 x3 r s"; under the old
+    // total-occurrence cap the 'x1 x2 x3' anchor (12 occurrences > 5)
+    // vanished and the island shrank below minTokens
+    assert(spans.get((2L, 3L)).contains(5), s"got $spans")
+  }
+
   test("remove spans: min-id keeps, overlapping cuts merge, full cut empties") {
     val share = (1 to 25).map(i => s"common$i").mkString(" ")
     val data = Seq(
@@ -854,6 +871,30 @@ class OpsSpec extends SparkSpec {
       val b = loaded.query(q, 4, nProbe = 3).collect().map(_.toSeq).toSet
       assert(a == b && a.nonEmpty)
     } finally loaded.close()
+    // RE-save over the same path (review r9: the old meta marker must
+    // be invalidated before the data tables are overwritten — a crash
+    // mid-rewrite would otherwise present stale meta + partial tables
+    // as a complete index); a completed re-save reads back identically
+    idx.save(path)
+    assert(IvfIndex.exists(spark, path))
+    val reloaded = IvfIndex.load(spark, path, persist = false)
+    try {
+      val a = idx.query(q, 4, nProbe = 3).collect().map(_.toSeq).toSet
+      val b = reloaded.query(q, 4, nProbe = 3).collect().map(_.toSeq).toSet
+      assert(a == b && a.nonEmpty)
+    } finally reloaded.close()
+  }
+
+  test("cosineNearDup validates band geometry") {
+    val df = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("id", "vec")
+    // r = 64 would wrap the band mask to 0 -> one bucket -> O(n^2)
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDup(df, bits = 64, bands = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDup(df, bits = 50, bands = 8) // 50 % 8 != 0
+    }
+    ()
   }
 
   test("IvfPqIndex save/load round-trips bit-identical query results") {

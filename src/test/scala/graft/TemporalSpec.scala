@@ -39,6 +39,38 @@ class TemporalSpec extends SparkSpec {
     assert(j(14L).contains(50.0))
   }
 
+  test("asOfJoin: null timestamps are never phantom matches") {
+    // review r9: a null-ts right row sorted NULLS FIRST and became the
+    // running fallback payload for left rows with no real predecessor
+    val rightWithNull = quotes.unionByName(
+      Seq((1L, null.asInstanceOf[Timestamp], 999.0)).toDF("user_id", "ts", "px"))
+    val j = Temporal.asOfJoin(trades, rightWithNull, Seq("user_id"), "ts", Seq("px"))
+      .select(col("trade_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(j(10L).isEmpty, "pre-first-quote trade must stay unmatched")
+    assert(j(15L).isEmpty, "unseen key must stay unmatched")
+    assert(j(12L).contains(101.0), "real matches unaffected")
+    // a LEFT row with a null time has no as-of answer
+    val leftWithNull = trades.unionByName(
+      Seq((16L, 1L, null.asInstanceOf[Timestamp])).toDF("trade_id", "user_id", "ts"))
+    val j2 = Temporal.asOfJoin(leftWithNull, quotes, Seq("user_id"), "ts", Seq("px"))
+      .select(col("trade_id"), col("px")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(j2(16L).isEmpty, "null-ts left row gets null payloads")
+  }
+
+  test("tumblingAgg rejects invalid units and empty aggregate lists") {
+    val e = intercept[IllegalArgumentException] {
+      Temporal.tumblingAgg(quotes, "ts", "hours", Seq("user_id"),
+        Seq(count(lit(1)).as("n")))
+    }
+    assert(e.getMessage.contains("unit"), "a date_trunc typo must fail loudly")
+    intercept[IllegalArgumentException] {
+      Temporal.tumblingAgg(quotes, "ts", "hour", Seq("user_id"), Seq.empty)
+    }
+    ()
+  }
+
   test("asOfJoin tolerance nulls stale matches") {
     val j = Temporal.asOfJoin(trades, quotes, Seq("user_id"), "ts", Seq("px"),
         toleranceSec = Some(600))
