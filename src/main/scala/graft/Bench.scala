@@ -89,7 +89,8 @@ object Bench {
     // Each query runs `reps` times and reports the MEDIAN, so a single
     // GC pause or page-cache miss cannot fake a 12× regression
     // (VERDICT r2: the driver-env d09 "regression" was one noisy rep).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     // Refuse-and-retry on a sick host (VERDICT r6 #6): a probe far
     // above ~1 s means scratch-disk/scheduler contention no per-query
     // median can measure through (r6's driver run: probe_pre 65.3 s,
@@ -140,8 +141,15 @@ object Bench {
       }
       val anyFailed = times.exists(_ < 0)
       val abs = times.map(math.abs).sorted
-      val median = abs(reps / 2)
-      (name, if (anyFailed) -median else median, abs.head)
+      // lower median ((reps-1)/2): same element for odd reps, the
+      // BETTER of two for reps=2 (review r9 — the upper element read
+      // systematically pessimistic vs every 3-rep round)
+      val median = abs((reps - 1) / 2)
+      // best must come from SUCCESSFUL reps only: a fail-fast rep's
+      // elapsed time is not a best-case plan time, and it corrupted
+      // the median-vs-best contention diagnostic (review r9)
+      val okBest = times.filter(_ >= 0).minOption.getOrElse(abs.head)
+      (name, if (anyFailed) -median else median, okBest)
     }
     val probePost = shuffleProbe(spark)
     // ANN quality gate (VERDICT r7 #1): e02/e05/e10 are rows-only
@@ -187,8 +195,12 @@ object Bench {
     // SPARK_GRAFT_NPROBE/FETCH, so a knob-tuned run could silently mask
     // a default-config regression. Record the effective values in the
     // artifact; the driver grades runs with both "default".
+    // escape env-derived strings: a quote/backslash in a knob value or
+    // the sf dir would otherwise corrupt the whole durable artifact
+    // (review r9)
+    def jEsc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
     def knob(env: String) = sys.env.get(env).map(_.trim).filter(_.nonEmpty)
-      .map("\"" + _ + "\"").getOrElse("\"default\"")
+      .map("\"" + jEsc(_) + "\"").getOrElse("\"default\"")
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val best = results.map { case (k, _, b) => "\"" + k + "\":" + b }
@@ -206,7 +218,7 @@ object Bench {
     // judge sessions — a reader can divide any timing by this to
     // normalize away uniform host slowness (VERDICT r8 #2).
     val probeRatio = math.max(probePre, probePost) / 0.85
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"recall_at5":$recallJson,"recall_floors":$floorsJson,"knob_nprobe":${knob("SPARK_GRAFT_NPROBE")},"knob_fetch":${knob("SPARK_GRAFT_FETCH")},"probe_pre_sec":$probePre,"probe_post_sec":$probePost,"probe_ratio":$probeRatio,"probe_retries":$probeRetries,"unhealthy":$unhealthy,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"recall_at5":$recallJson,"recall_floors":$floorsJson,"knob_nprobe":${knob("SPARK_GRAFT_NPROBE")},"knob_fetch":${knob("SPARK_GRAFT_FETCH")},"probe_pre_sec":$probePre,"probe_post_sec":$probePost,"probe_ratio":$probeRatio,"probe_retries":$probeRetries,"unhealthy":$unhealthy,"sf":"${jEsc(sfDir)}"}"""
     println(json)
     // Artifact durability (VERDICT r7 #3): the r7 driver harness
     // captured only the tail of stdout, losing "best" and the early

@@ -30,8 +30,10 @@ import graft.report.Reporter
   * {{{
   *   graft.Cli curate <in.jsonl[.gz]> <outDir> [minWords]
   * }}}
-  * quality/language gate → PII redaction → exact dedup (min-id keep)
-  * → corpus line dedup (C4/RefinedWeb boilerplate rule) → JSONL out,
+  * quality/language gate → PII redaction → fingerprint dedup (min-id
+  * keep, whitespace/case-normalized — the same identity the streaming
+  * path uses) → corpus line dedup (C4/RefinedWeb boilerplate rule) →
+  * JSONL out,
   * with a per-stage survivor count printed as the audit trail.
   */
 object Cli {
@@ -55,12 +57,13 @@ object Cli {
 
   /** `curate <in.jsonl> <outDir> [minWords]` — the batch curation
     * pipeline as ONE command: the same operators the d-gates grade
-    * (EventStream.curateStream is batch/stream agnostic; Dedup.exact
-    * and lineDedup are the d01/d21 paths), composed in the order a
+    * (EventStream.curateStream is batch/stream agnostic; Dedup
+    * .byFingerprint and lineDedup are the d02/d21 paths), composed in the order a
     * production run uses: cheap map-side gates first, corpus-wide
     * shuffles (dedup) only on the survivors. */
   private[graft] def curateCmd(spark: SparkSession, args: Array[String]): Unit = {
     import org.apache.spark.sql.functions.col
+    need(args, 2, "Cli curate <in.jsonl> <outDir> [minWords]")
     val (in, outDir) = (args(0), args(1))
     val minWords = if (args.length > 2) args(2).toInt else 20
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -76,35 +79,57 @@ object Cli {
         docs, minWords = minWords, redact = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // stage 2: exact dedup, min-id keeper (d01 rule)
-      val keep = graft.ops.Dedup.exact(gated)
+      // stage 2: fingerprint dedup, min-id keeper — the NORMALIZED
+      // (whitespace/case-insensitive) identity, review r9: the
+      // streaming twin (EventStream.dedupStream) dedups by
+      // TextFunctions.fingerprint and promises that a backfill and
+      // the incremental path agree on identity, so the batch path
+      // must use the same key (raw-md5 Dedup.exact kept docs the
+      // stream would drop)
+      val keep = graft.ops.Dedup.byFingerprint(gated)
       val deduped = gated.join(
           keep.select(col("keep_id").as("doc_id")), "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // stage 3: corpus-wide boilerplate line dedup (d21 rule), then
-        // drop docs whose every line was boilerplate
+        // drop docs whose every line was boilerplate. n_kept counts
+        // BLANK lines too (lineDedup's boilerplate set only covers
+        // non-empty lines), so an all-boilerplate doc with a trailing
+        // newline survives as n_kept = 1 with empty text — the trim
+        // filter catches it (review r9)
         val cleaned = graft.ops.Dedup.lineDedup(deduped)
-          .filter(col("n_kept") > 0)
+          .filter(col("n_kept") > 0 &&
+            org.apache.spark.sql.functions.length(
+              org.apache.spark.sql.functions.trim(col("text"))) > 0)
         val out = cleaned.join(
           deduped.select(col("doc_id"), col("lang"), col("source")), "doc_id")
           .select("doc_id", "text", "lang", "source")
         graft.io.DocumentIO.writeJsonl(out, outDir, compression = "none")
-        val nOut = spark.read.json(outDir).count()
+        // read back with the KNOWN schema: inference on an empty
+        // output directory throws instead of reporting 0 (review r9)
+        val nOut = spark.read.schema(schema).json(outDir).count()
         println(s"curate: $total read, ${gated.count()} passed quality/lang, " +
-          s"${deduped.count()} after exact dedup, $nOut written to $outDir")
+          s"${deduped.count()} after fingerprint dedup, $nOut written to $outDir")
       } finally { deduped.unpersist(blocking = false); () }
     } finally { gated.unpersist(blocking = false); () }
   }
+
+  // Operand-count guard (review r9): a forgotten positional crashed
+  // with a bare ArrayIndexOutOfBoundsException after Spark had already
+  // started, never reaching the usage text written for exactly this.
+  private def need(args: Array[String], n: Int, usage: String): Unit =
+    require(args.length >= n, s"usage: $usage")
 
   /** `platform add|remove|list` (reference cli.py:332-360) — pure
     * registry edits, no SparkSession needed. */
   private[graft] def platformCmd(args: Array[String],
       registry: core.PlatformRegistry = core.PlatformRegistry()): Unit = args(0) match {
     case "add" =>
+      need(args, 3, "Cli platform add <name> <storeRoot> [--default]")
       registry.add(args(1), args(2), makeDefault = args.contains("--default"))
       println(s"registered platform '${args(1)}' -> ${args(2)}")
     case "remove" =>
+      need(args, 2, "Cli platform remove <name>")
       registry.remove(args(1))
       println(s"removed platform '${args(1)}'")
     case "list" =>
@@ -126,6 +151,7 @@ object Cli {
     case "import" =>
       // reference `import` command: TS data file into a scenario;
       // ts_read_file dispatches on extension (io.py:25-52)
+      need(args, 3, "Cli <storeRoot> import <model>/<scenario> <csvPath>")
       val s = scenario(mp, args(1))
       s.transact("imported timeseries via CLI") {
         if (args(2).endsWith(".xlsx"))
@@ -135,17 +161,20 @@ object Cli {
       println(s"imported ${args(2)} into ${args(1)}")
 
     case "solve" =>
+      need(args, 2, "Cli <storeRoot> solve <model>/<scenario> [modelName]")
       val s = scenario(mp, args(1))
       val model = Models(if (args.length > 2) args(2) else "dantzig")
       s.solve(model)
       println(s"solved ${args(1)} with ${model.name}")
 
     case "export" =>
+      need(args, 3, "Cli <storeRoot> export <model>/<scenario> <outDir>")
       val s = scenario(mp, args(1))
       graft.io.ScenarioIO.writeTimeseriesCsv(s, args(2))
       println(s"exported timeseries of ${args(1)} to ${args(2)}")
 
     case "report" =>
+      need(args, 3, "Cli <storeRoot> report <model>/<scenario> <key> [iamcCsvOut]")
       val s = scenario(mp, args(1))
       val rep = Reporter.fromScenario(s)
       val q = rep.get(args(2))

@@ -46,8 +46,20 @@ object Tables {
       // with isAdjustedToUTC=false (→ TIMESTAMP_NTZ). Normalize both to
       // Spark's session-tz TimestampType so temporal queries and the
       // UTC-pinned oracle see identical micros values.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // scope the legacy flag to THIS read (review r9): leaving it set
+      // session-wide silently changed every later parquet read of a
+      // TIMESTAMP(NANOS) column from a loud vectorized-reader error to
+      // a silent LongType column. Restore happens only when the file
+      // turned out NOT to be nanos-encoded: execution is lazy, so a
+      // genuine nanos file needs the flag alive until its jobs run —
+      // that residual scope is the unavoidable part, the common
+      // (micros/NTZ) generations no longer leak it.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+        prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
       import org.apache.spark.sql.functions.{col, expr}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       df.schema("ts").dataType match {

@@ -235,10 +235,16 @@ object EventStream {
                 if (counters(idx) < est) est = counters(idx)
                 r += 1
               }
+              // O(1) cap check (review r9): counting non-sentinel
+              // members scanned the whole published set per qualifying
+              // digest — quadratic exactly at hostile volumes
+              def realPublished =
+                published.size -
+                  (if (published.contains(SaturatedSentinel)) 1 else 0)
               if (est >= minCount && !published.contains(h)) {
                 // cap accounting excludes the sentinel itself, so the
                 // cap always buys maxPublish REAL digests
-                if (published.count(_ != SaturatedSentinel) < maxPublish) {
+                if (realPublished < maxPublish) {
                   published += h
                   out += CmsDigest(new java.sql.Timestamp(ws * 1000),
                     new java.sql.Timestamp(we * 1000), h, est.toLong,

@@ -78,6 +78,40 @@ class CliSpec extends SparkSpec {
     assert(!out(1L).contains("a.b@ex.org") && out(1L).contains("<EMAIL>"))
   }
 
+  test("curate command: empty output and blank-line boilerplate docs (review r9)") {
+    val in = tmpDir("graft-cli-curate2-in")
+    val longText = (1 to 30).map(i => s"the quick word$i fox and some more".take(40))
+      .mkString(" ")
+    Seq(
+      // whitespace-only variant of doc 1: the STREAMING path dedups by
+      // normalized fingerprint, so the batch path must drop it too
+      (1L, s"$longText tail", "en", "web"),
+      (2L, s"$longText  tail ", "en", "web"),
+      // all-boilerplate doc with a trailing newline: lineDedup keeps
+      // the blank line (n_kept = 1) but the text is empty — must drop
+      (3L, "SHARED BANNER\n", "en", "web"),
+      (4L, s"SHARED BANNER\nmore $longText", "en", "web"),
+      (5L, s"SHARED BANNER\nother $longText", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").json(in)
+    val outDir = tmpDir("graft-cli-curate2-out")
+    Cli.curateCmd(spark, Array(in, outDir, "10"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING")
+    val out = spark.read.schema(schema).json(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 4L, 5L), s"got $out")
+
+    // every doc fails the gate -> empty output must report cleanly,
+    // not crash on schema inference of an empty directory
+    val in2 = tmpDir("graft-cli-curate3-in")
+    Seq((1L, "too short", "en", "web")).toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").json(in2)
+    val out2 = tmpDir("graft-cli-curate3-out")
+    Cli.curateCmd(spark, Array(in2, out2, "10")) // must not throw
+    assert(spark.read.schema(schema).json(out2).count() == 0)
+  }
+
   test("platform registry: add/list/remove + named ixmp:// URL resolution") {
     import graft.core.PlatformRegistry
     val cfg = java.nio.file.Paths.get(tmpDir("graft-reg"), "platforms.properties")
