@@ -20,19 +20,22 @@ class Platform(val spark: SparkSession, val root: String) {
 
   val store = new ParquetStore(spark, root)
 
-  // the "Year" timeslice is predefined with duration 1.0
-  // (doc/data-model.rst:115-128; base.py:260-298)
-  if (store.timeslices().isEmpty)
-    store.addTimeslice("Year", "Common", 1.0)
+  // NOTE: construction performs NO store writes (review r9): the
+  // "Year" timeslice (and the World region / default units) are
+  // implicit read-side defaults in ParquetStore, so a read-only open
+  // never touches the cross-process writer lock.
 
   // ---- logging (reference platform.py:118-157) -----------------------
 
-  private var currentLogLevel: String = "WARN"
+  private var currentLogLevel: String = "WARNING"
 
   /** Set the log level for the underlying engine (reference
     * set_log_level; here that engine is Spark, so the level maps to
     * log4j via SparkContext). Accepts the reference's Python names;
-    * CRITICAL/NOTSET map to their closest log4j levels. */
+    * CRITICAL/NOTSET map to their closest log4j levels.
+    * [[getLogLevel]] round-trips the name AS SET (review r9: it used
+    * to return the mapped log4j name, so "WARNING" came back
+    * "WARN"). */
   def setLogLevel(level: String): Unit = {
     val l4j = level.toUpperCase match {
       case "CRITICAL" => "FATAL"
@@ -43,7 +46,7 @@ class Platform(val spark: SparkSession, val root: String) {
     require(Seq("ALL", "DEBUG", "ERROR", "FATAL", "INFO", "OFF", "TRACE", "WARN")
       .contains(l4j), s"invalid log level: $level")
     spark.sparkContext.setLogLevel(l4j)
-    currentLogLevel = l4j
+    currentLogLevel = level.toUpperCase
   }
 
   def getLogLevel: String = currentLogLevel
@@ -182,14 +185,17 @@ class Platform(val spark: SparkSession, val root: String) {
       java.util.Arrays.asList(row), ParquetStore.metaSchema)))
   }
 
+  // shared meta-target matcher (review r9: was duplicated verbatim in
+  // getMeta and removeMeta — a semantics fix must land once)
+  private def eqOrNull(c: String, v: Option[Any]): org.apache.spark.sql.Column =
+    v.map(x => col(c) <=> lit(x)).getOrElse(col(c).isNull)
+
   /** Non-strict read coalesces values from less-specific targets,
     * most-specific-wins per name (reference base.py:1129-1158; SURVEY
     * §2 #24: union of 4 filtered scans + priority window). */
   def getMeta(model: Option[String] = None, scenario: Option[String] = None,
       version: Option[Int] = None, strict: Boolean = false): DataFrame = {
     val m = store.meta()
-    def eqOrNull(c: String, v: Option[Any]): org.apache.spark.sql.Column =
-      v.map(x => col(c) <=> lit(x)).getOrElse(col(c).isNull)
     if (strict)
       m.filter(eqOrNull("target_model", model) &&
         eqOrNull("target_scenario", scenario) &&
@@ -218,8 +224,6 @@ class Platform(val spark: SparkSession, val root: String) {
 
   def removeMeta(names: Seq[String], model: Option[String] = None,
       scenario: Option[String] = None, version: Option[Int] = None): Unit = {
-    def eqOrNull(c: String, v: Option[Any]): org.apache.spark.sql.Column =
-      v.map(x => col(c) <=> lit(x)).getOrElse(col(c).isNull)
     store.writeMeta(store.meta().filter(!(
       col("name").isin(names: _*) &&
         eqOrNull("target_model", model) &&

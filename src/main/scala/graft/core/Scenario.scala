@@ -140,6 +140,15 @@ class Scenario(platform0: Platform, run0: RunInfo)
     else itemData(name, filters)
   }
 
+  // shared element->Row coercion for the SET add/remove paths (review
+  // r9: was duplicated verbatim — add and remove must agree on which
+  // stored row a given element tuple addresses)
+  private def elementRows(elements: Seq[Any]): Seq[Row] = elements.map {
+    case s: Seq[_] => Row(s.map(Util.asStr): _*)
+    case p: Product => Row(p.productIterator.map(Util.asStr).toSeq: _*)
+    case one => Row(Util.asStr(one))
+  }
+
   /** Add elements to a set; strings, sequences, or a DataFrame of
     * idx_names columns. Keys are str-coerced; duplicates collapse. */
   def addSet(name: String, elements: Seq[Any]): Unit = {
@@ -152,11 +161,7 @@ class Scenario(platform0: Platform, run0: RunInfo)
         java.util.Arrays.asList(rows: _*),
         StructType(Seq(StructField(name, StringType)))))
     } else {
-      val rows = elements.map {
-        case s: Seq[_] => Row(s.map(Util.asStr): _*)
-        case p: Product => Row(p.productIterator.map(Util.asStr).toSeq: _*)
-        case one => Row(Util.asStr(one))
-      }
+      val rows = elementRows(elements)
       addSetDf(name, spark.createDataFrame(
         java.util.Arrays.asList(rows: _*),
         StructType(d.idxNames.map(n => StructField(n, StringType)))))
@@ -188,11 +193,7 @@ class Scenario(platform0: Platform, run0: RunInfo)
         .filter(!col(name).isin(Util.asStrList(elements): _*))
       store.writeItemData(runId, name, keep)
     } else {
-      val rows = elements.map {
-        case s: Seq[_] => Row(s.map(Util.asStr): _*)
-        case p: Product => Row(p.productIterator.map(Util.asStr).toSeq: _*)
-        case one => Row(Util.asStr(one))
-      }
+      val rows = elementRows(elements)
       val toDrop = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
         StructType(d.idxNames.map(n => StructField(n, StringType))))
       store.writeItemData(runId, name,
@@ -229,23 +230,31 @@ class Scenario(platform0: Platform, run0: RunInfo)
       in = in.withColumn("unit",
         lit(defaultUnit.getOrElse(
           throw new IllegalArgumentException("no unit column and no default unit"))))
+    // persist the caller's frame ONCE (review r9): per-dim key
+    // validation + unit check + anti-join + write would otherwise
+    // re-execute the input plan K+2 times — slow, and an upstream
+    // non-deterministic source could validate different rows than it
+    // writes
     val incoming = in.select(
       d.idxNames.map(c => col(c).cast("string").as(c)) ++
         Seq(col("value").cast("double"), col("unit").cast("string")): _*)
-    validateKeys(d, incoming)
-    // units must exist in the Platform unit codelist
-    // (doc/data-model.rst:275-284)
-    val known = platform.units().toSet
-    val unknown = incoming.select("unit").distinct().collect()
-      .map(_.getString(0)).filterNot(known.contains)
-    require(unknown.isEmpty,
-      s"The unit '${unknown.head}' does not exist in the database!")
-    val existing = itemData(name)
-    val kept =
-      if (d.idxNames.isEmpty) existing.limit(0) // scalar overwrite
-      else existing.join(incoming.select(d.idxNames.map(col): _*).distinct(),
-        d.idxNames, "left_anti")
-    store.writeItemData(runId, name, kept.unionByName(incoming))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      validateKeys(d, incoming)
+      // units must exist in the Platform unit codelist
+      // (doc/data-model.rst:275-284)
+      val known = platform.units().toSet
+      val unknown = incoming.select("unit").distinct().collect()
+        .map(_.getString(0)).filterNot(known.contains)
+      require(unknown.isEmpty,
+        s"The unit '${unknown.head}' does not exist in the database!")
+      val existing = itemData(name)
+      val kept =
+        if (d.idxNames.isEmpty) existing.limit(0) // scalar overwrite
+        else existing.join(incoming.select(d.idxNames.map(col): _*).distinct(),
+          d.idxNames, "left_anti")
+      store.writeItemData(runId, name, kept.unionByName(incoming))
+    } finally { incoming.unpersist(blocking = false); () }
   }
 
   /** Convenience form: one key tuple + value + unit. */
@@ -278,14 +287,20 @@ class Scenario(platform0: Platform, run0: RunInfo)
   def scalar(name: String): (Double, String) = {
     val d = itemDefOf(name)
     require(d.itemType == ItemType.Par && d.idxNames.isEmpty, s"'$name' is not a scalar")
-    val r = itemData(name).select("value", "unit").head()
-    (r.getDouble(0), r.getString(1))
+    val rows = itemData(name).select("value", "unit").limit(1).collect()
+    // named error, not head-of-empty-iterator (review r9; the
+    // getRunById precedent): declared-but-never-assigned scalars
+    require(rows.nonEmpty, s"scalar '$name' has no value assigned")
+    (rows.head.getDouble(0), rows.head.getString(1))
   }
 
   def changeScalar(name: String, value: Double, unit: String): Unit = {
     requireCheckedOut()
     val d = itemDefOf(name)
-    require(d.idxNames.isEmpty, s"'$name' is not a scalar")
+    // Par check too (review r9): a 0-D SET passed the idxNames-only
+    // guard and failed later with a raw unresolved-column error
+    require(d.itemType == ItemType.Par && d.idxNames.isEmpty,
+      s"'$name' is not a scalar")
     require(platform.units().contains(unit),
       s"The unit '$unit' does not exist in the database!")
     store.writeItemData(runId, name, spark.createDataFrame(
@@ -324,6 +339,16 @@ class Scenario(platform0: Platform, run0: RunInfo)
     * (reference scenario.py:951-972; jdbc.py:1410-1421). */
   def removeSolution(firstModelYear: Option[Int] = None): Unit = {
     require(hasSolution, "This Scenario does not have a solution!")
+    // never interleave with a live transaction (review r9): the
+    // reference wraps clear_solution in the backend's own transaction;
+    // here a checked-out run's later commit would publish its staged
+    // TS generation OVER the removal, silently resurrecting the
+    // solution — refuse instead
+    val lockHolder = store.getRunById(runId).lockUser
+    require(lockHolder.isEmpty && !checkedOut,
+      "cannot remove the solution of a checked-out run" +
+        lockHolder.fold("")(u => s" (checked out by '$u')") +
+        " — commit or discard first")
     (varList() ++ equList()).foreach { n =>
       store.writeItemData(runId, n, itemData(n).limit(0))
     }
@@ -405,6 +430,15 @@ class Scenario(platform0: Platform, run0: RunInfo)
       keepSolution: Boolean = true, shiftFirstModelYear: Option[Int] = None,
       platformDest: Option[Platform] = None): Scenario = {
     val dest = platformDest.getOrElse(platform)
+    // a checked-out source would leak its UNCOMMITTED staged
+    // generations into the clone (itemData resolves the pending
+    // overlay); a later discard() on the source would then roll back
+    // the source but not the clone (review r9) — refuse
+    val lockHolder = store.getRunById(runId).lockUser
+    require(lockHolder.isEmpty && !checkedOut,
+      "cannot clone a checked-out run" +
+        lockHolder.fold("")(u => s" (checked out by '$u')") +
+        " — commit or discard first")
     val newRun = dest.store.createRun(model.getOrElse(this.model),
       scenario.getOrElse(this.scenario), scheme, run.annotation)
     val dropSolution = !keepSolution || shiftFirstModelYear.isDefined

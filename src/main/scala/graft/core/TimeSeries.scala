@@ -81,6 +81,31 @@ class TimeSeries(val platform: Platform, protected var run: RunInfo) {
       .drop("__alias", "__canonical")
   }
 
+  /** Registered-codelist validation (review r9; reference
+    * platform.py:335-349 — the backend REFUSES unregistered regions
+    * and units rather than silently fragmenting the fact table on a
+    * typo). Regions check AFTER synonym resolution against canonical
+    * (non-synonym) entries; the region probe is one tiny
+    * broadcast-anti-join job, the unit probe a collect of the frame's
+    * distinct units. A fresh store already carries the reference
+    * defaults (World; the ixmp4 unit list; see ParquetStore). */
+  private def validateTsCodelists(incoming: DataFrame): Unit = {
+    val canonical = store.regions()
+      .filter(col("hierarchy") =!= "synonym").select("region")
+    val badRegion = incoming.select("region").distinct()
+      .join(broadcast(canonical), Seq("region"), "left_anti")
+      .limit(1).collect()
+    require(badRegion.isEmpty,
+      s"region '${badRegion.headOption.map(_.getString(0)).getOrElse("")}' is not " +
+        "registered on the Platform — addRegion() first")
+    val known = store.units().toSet
+    val badUnit = incoming.select("unit").distinct().collect()
+      .map(_.getString(0)).filterNot(known.contains)
+    require(badUnit.isEmpty,
+      s"unit '${badUnit.headOption.getOrElse("")}' is not registered on the " +
+        "Platform — addUnit() first")
+  }
+
   /** Add/update TS data. Accepts long (`year`,`value` columns) or wide
     * (integer-named year columns) input; normalizes via the IAMC layout
     * rules; upserts on (region, variable, unit, subannual, year)
@@ -98,6 +123,7 @@ class TimeSeries(val platform: Platform, protected var run: RunInfo) {
         col("unit").cast("string"), col("subannual").cast("string"),
         col("year").cast("int"), col("value").cast("double"),
         lit(meta).as("meta"))
+    validateTsCodelists(incoming)
     val existing = store.tsData(runId)
     val kept = existing.join(incoming.select((tsKey :+ "year").map(col): _*).distinct(),
       tsKey :+ "year", "left_anti")
@@ -150,6 +176,7 @@ class TimeSeries(val platform: Platform, protected var run: RunInfo) {
         col("unit").cast("string"), col("subannual").cast("string"),
         col("year").cast("int"), col("value").cast("string"),
         lit(meta).as("meta"))
+    validateTsCodelists(incoming)
     val kept = store.geoData(runId).join(
       incoming.select((tsKey :+ "year").map(col): _*).distinct(),
       tsKey :+ "year", "left_anti")

@@ -650,9 +650,20 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   override def meta(): DataFrame = readPointerTable("meta", metaSchema)
   override def writeMeta(df: DataFrame): Unit = writePointerTable("meta", df)
 
+  // Reference-seeded defaults (backend/ixmp4.py:175-176,214: a fresh
+  // platform carries the 'World' region, a default unit list, and the
+  // 'Year' timeslice without explicit registration). They are implicit
+  // at READ time rather than written at construction (review r9): a
+  // constructor write made every read-only Platform open seize the
+  // cross-process writer lock — or fail when a writer held it —
+  // contradicting the "pure readers never lock" contract. An explicit
+  // add of the same name persists a real row and stays authoritative.
+  private val defaultUnits =
+    Seq("???", "GWa", "USD/km", "USD/kWa", "cases", "kg", "km")
+
   override def units(): Seq[String] =
-    readPointerTable("codelists/units", unitsSchema)
-      .collect().map(_.getString(0)).toSeq.sorted
+    (readPointerTable("codelists/units", unitsSchema)
+      .collect().map(_.getString(0)).toSeq ++ defaultUnits).distinct.sorted
 
   override def addUnit(u: String): Unit = synchronized {
     if (!units().contains(u))
@@ -684,7 +695,15 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   override def scenarioNames(): Seq[String] = nameCodelist("scenario_names", "scenario")
   override def addScenarioName(n: String): Unit = addNameCodelist("scenario_names", "scenario", n)
 
-  override def regions(): DataFrame = readPointerTable("codelists/regions", regionsSchema)
+  override def regions(): DataFrame = {
+    // the 'World' default region, implicit unless explicitly stored
+    // (see the defaults note above units())
+    val stored = readPointerTable("codelists/regions", regionsSchema)
+    val world = spark.createDataFrame(java.util.Arrays.asList(
+      Row("World", "common", null, null)), regionsSchema)
+    stored.unionByName(
+      world.join(stored.select("region"), Seq("region"), "left_anti"))
+  }
 
   // Idempotent like addUnit: a duplicated region row would fan out
   // resolveRegions' synonym left-join and store every datapoint for
@@ -705,8 +724,15 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
           Row(region, "synonym", null, mappedTo)), regionsSchema)))
   }
 
-  override def timeslices(): DataFrame =
-    readPointerTable("codelists/timeslices", timeslicesSchema)
+  override def timeslices(): DataFrame = {
+    // the 'Year' (duration 1.0) default timeslice
+    // (doc/data-model.rst:115-128), implicit unless explicitly stored
+    val stored = readPointerTable("codelists/timeslices", timeslicesSchema)
+    val year = spark.createDataFrame(java.util.Arrays.asList(
+      Row("Year", "Common", 1.0)), timeslicesSchema)
+    stored.unionByName(
+      year.join(stored.select("name"), Seq("name"), "left_anti"))
+  }
 
   // Reference semantics (platform.py:389-397): re-adding an existing
   // timeslice is a no-op when the duration is (numerically) the same

@@ -12,6 +12,7 @@ class CliSpec extends SparkSpec {
 
   test("scenarios/list, solve, export, import, report commands") {
     val mp = new Platform(spark, tmpDir("graft-cli"))
+    mp.addUnit("USD")
     val s = mp.newScenario("canning problem", "standard")
     s.checkOut()
     DantzigModel.initialize(s)

@@ -12,6 +12,9 @@ class CoreSpec extends SparkSpec {
 
   private def dantzigScenario() = {
     val mp = new Platform(spark, tmpDir("graft-core"))
+    // TS fixture units (reference test style: non-default units are
+    // explicitly registered; the store enforces the codelist as of r9)
+    Seq("USD", "mio", "GW", "shape").foreach(mp.addUnit)
     val s = mp.newScenario("canning problem", "standard", scheme = "dantzig")
     s.checkOut()
     DantzigModel.initialize(s)
@@ -109,6 +112,49 @@ class CoreSpec extends SparkSpec {
     s.solve(DantzigModel)
     val err = intercept[IllegalArgumentException](s.solve(DantzigModel))
     assert(err.getMessage.contains("solution"))
+  }
+
+  test("transaction guards: no clone/removeSolution on a checked-out run; " +
+    "codelist enforcement; named scalar errors (review r9)") {
+    val (mp, s) = dantzigScenario()
+    s.solve(graft.model.DantzigModel)
+    // mutating a live transaction's run from the side is refused
+    s.checkOut()
+    val e1 = intercept[IllegalArgumentException](s.removeSolution())
+    assert(e1.getMessage.contains("checked-out"))
+    val e2 = intercept[IllegalArgumentException](s.cloneScenario())
+    assert(e2.getMessage.contains("checked-out"))
+    // unregistered unit/region on the TS write path fail loudly
+    // instead of silently fragmenting the fact table
+    val e3 = intercept[IllegalArgumentException] {
+      s.addTimeseries(Seq(("World", "GDP", "XyzCoin", 2020, 1.0))
+        .toDF("region", "variable", "unit", "year", "value"))
+    }
+    assert(e3.getMessage.contains("XyzCoin"))
+    val e4 = intercept[IllegalArgumentException] {
+      s.addTimeseries(Seq(("Wrold", "GDP", "USD", 2020, 1.0))
+        .toDF("region", "variable", "unit", "year", "value"))
+    }
+    assert(e4.getMessage.contains("Wrold"))
+    // 0-D SET is not a scalar (the idxNames-only guard let it through
+    // to a raw unresolved-column error)
+    s.initSet("flag")
+    val e5 = intercept[IllegalArgumentException](s.changeScalar("flag", 1.0, "km"))
+    assert(e5.getMessage.contains("not a scalar"))
+    // declared-but-never-assigned scalar reads give a named error
+    s.initPar("fee", Seq.empty)
+    val e6 = intercept[IllegalArgumentException](s.scalar("fee"))
+    assert(e6.getMessage.contains("no value assigned"))
+    s.discard()
+    // committed again: removeSolution works
+    s.removeSolution()
+    assert(!s.hasSolution)
+    // the defaults are implicit: a FRESH platform knows World and the
+    // reference unit list without any constructor write
+    val fresh = new Platform(spark, tmpDir("graft-defaults"))
+    assert(fresh.units().contains("cases") && fresh.units().contains("km"))
+    assert(fresh.regions().filter(col("region") === "World").count() == 1)
+    assert(fresh.timeslices().filter(col("name") === "Year").count() == 1)
   }
 
   test("clone: data copy, keepSolution=false, shiftFirstModelYear truncation") {
@@ -282,6 +328,7 @@ class CoreSpec extends SparkSpec {
 
   test("scenarioList + describeScenarios + export across runs") {
     val mp = new Platform(spark, tmpDir("graft-platform"))
+    mp.addUnit("USD")
     val s1 = mp.newScenario("m", "s")
     s1.transact("ts") {
       s1.addTimeseries(Seq(("World", "GDP", "USD", 2020, 1.0))

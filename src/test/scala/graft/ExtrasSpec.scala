@@ -47,6 +47,7 @@ class ExtrasSpec extends SparkSpec {
 
   test("allTsData is ONE partitioned FileScan, not a union of runs") {
     val mp = new Platform(spark, tmpDir("graft-allts"))
+    mp.addUnit("u")
     (1 to 30).foreach { i =>
       val s = mp.newScenario(s"m$i", "s")
       s.transact("ts") {
@@ -125,16 +126,19 @@ class ExtrasSpec extends SparkSpec {
 
   test("setLogLevel maps reference level names onto Spark") {
     val mp = new Platform(spark, tmpDir("graft-log"))
+    // round-trips the name AS SET (review r9): the reference's
+    // get_log_level returns what set_log_level was given
     mp.setLogLevel("WARNING")
-    assert(mp.getLogLevel == "WARN")
+    assert(mp.getLogLevel == "WARNING")
     mp.setLogLevel("CRITICAL")
-    assert(mp.getLogLevel == "FATAL")
+    assert(mp.getLogLevel == "CRITICAL")
     intercept[IllegalArgumentException] { mp.setLogLevel("verbose") }
     mp.setLogLevel("WARN") // restore for other specs
   }
 
   test("loadScenarioData preloads every item in one call (scenario.py:145-160)") {
     val mp = new Platform(spark, tmpDir("graft-preload"))
+    mp.addUnit("USD")
     val s = mp.newScenario("m", "s")
     s.checkOut()
     DantzigModel.initialize(s)
@@ -267,6 +271,7 @@ class ExtrasSpec extends SparkSpec {
 
   test("scenario operators: store_ts/get_ts/remove_ts(after)/update_scenario") {
     val mp = new Platform(spark, tmpDir("graft-ops"))
+    mp.addUnit("USD")
     val s = mp.newScenario("m", "s")
     s.checkOut()
     DantzigModel.initialize(s)
@@ -306,6 +311,7 @@ class ExtrasSpec extends SparkSpec {
 
   test("removeSet refuses non-set items; region/synonym adds are idempotent") {
     val mp = new Platform(spark, tmpDir("graft-guards"))
+    mp.addUnit("USD")
     val s = mp.newScenario("m", "s")
     s.checkOut()
     DantzigModel.initialize(s)
@@ -355,6 +361,7 @@ class ExtrasSpec extends SparkSpec {
 
   test("commit comments survive in the commit log") {
     val mp = new Platform(spark, tmpDir("graft-commitlog"))
+    mp.addUnit("USD")
     val s = mp.newScenario("m", "s")
     s.transact("added 2030 demand data") {
       s.addTimeseries(Seq(("World", "GDP", "USD", 2030, 9.9))
@@ -387,6 +394,7 @@ class ExtrasSpec extends SparkSpec {
 
   test("preloaded timeseries cache invalidates on the next TS write") {
     val mp = new Platform(spark, tmpDir("graft-preload"))
+    mp.addUnit("USD")
     val s = mp.newScenario("m", "s")
     s.transact("v1") {
       s.addTimeseries(Seq(("World", "GDP", "USD", 2020, 1.0))
@@ -565,7 +573,11 @@ class ExtrasSpec extends SparkSpec {
       st.addTimeslice("summer", "season", 0.5)
     }
     assert(ex.getMessage.contains("already defined with duration 0.25"))
-    assert(st.timeslices().count() == 1)
+    // the implicit 'Year' default (read-side, never written) rides
+    // along with the one stored row
+    assert(st.timeslices().count() == 2)
+    assert(st.timeslices().filter(col("name") === "Year")
+      .select("duration").head().getDouble(0) == 1.0)
     st.releaseWriterLock()
   }
 

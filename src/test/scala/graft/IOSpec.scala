@@ -128,6 +128,14 @@ class IOSpec extends SparkSpec {
     s.checkOut()
     DantzigModel.initialize(s)
     s.commit("data")
+    // a NON-default unit, so the addUnits=false read below still has
+    // something missing to trip on (km/cases became implicit platform
+    // defaults in r9, matching the reference's seeded unit list)
+    mp.addUnit("USD")
+    s.transact("usd scalar") {
+      s.initPar("fee", Seq.empty)
+      s.changeScalar("fee", 2.5, "USD")
+    }
     val path = tmpDir("graft-xlsx-fac-dump") + "/scen.xlsx"
     // write filters apply to parameters only, and only the dims an
     // item actually has (io.py:96-103)
@@ -148,6 +156,7 @@ class IOSpec extends SparkSpec {
     u.checkOut()
     u.readExcel(path, initItems = true, addUnits = true)
     u.commit("imported")
+    assert(mp2.units().contains("USD"), "addUnits=true registers on the fly")
     assert(mp2.units().contains("km") && mp2.units().contains("cases"))
     assert(u.par("d").count() == 3) // only the filtered rows were written
   }
@@ -253,6 +262,7 @@ class IOSpec extends SparkSpec {
 
   test("timeseries .xlsx read (ts_read_file Excel branch, io.py:25-52)") {
     val mp = new Platform(spark, tmpDir("graft-xlsx-ts"))
+    mp.addUnit("USD")
     val path = tmpDir("graft-xlsx-ts-dump") + "/ts.xlsx"
     graft.io.Xlsx.write(path, Seq(("ts", Iterator[Seq[Any]](
       Seq("region", "variable", "unit", "year", "value"),
@@ -269,6 +279,7 @@ class IOSpec extends SparkSpec {
     // pandas-written workbooks render integer years as float text; a
     // direct string->int cast nulled every row
     val mp = new Platform(spark, tmpDir("graft-xlsx-floatyr"))
+    mp.addUnit("USD")
     val path = tmpDir("graft-xlsx-floatyr-dump") + "/ts.xlsx"
     graft.io.Xlsx.write(path, Seq(("ts", Iterator[Seq[Any]](
       Seq("region", "variable", "unit", "year", "value"),
@@ -303,6 +314,7 @@ class IOSpec extends SparkSpec {
 
   test("readScenario without initItems fails on unknown items") {
     val mp = new Platform(spark, tmpDir("graft-io3"))
+    mp.addUnit("USD")
     val s = mp.newScenario("m", "s")
     s.checkOut()
     DantzigModel.initialize(s)
@@ -319,6 +331,7 @@ class IOSpec extends SparkSpec {
 
   test("timeseries CSV round-trip with year bounds") {
     val mp = new Platform(spark, tmpDir("graft-io4"))
+    mp.addUnit("USD")
     val s = mp.newScenario("m", "s")
     s.transact("ts") {
       s.addTimeseries(Seq(
