@@ -59,10 +59,13 @@ object DantzigModel extends ModelAdapter {
       .collect().map { case (i, j, v) => (i, j) -> v }.toMap
     val f = s.scalar("f")._1
 
+    // GAMS missing-value semantics (review r9): a parameter entry
+    // absent from the data is 0, not a crash — a cloned scenario with
+    // an added plant but sparse d/a/b rows must still solve
     val cost = Array.tabulate(is.length, js.length)((ii, jj) =>
-      f * dist((is(ii), js(jj))) / 1000.0)
+      f * dist.getOrElse((is(ii), js(jj)), 0.0) / 1000.0)
     val sol = Transport.solve(cost,
-      is.map(a).toArray, js.map(b).toArray)
+      is.map(a.getOrElse(_, 0.0)).toArray, js.map(b.getOrElse(_, 0.0)).toArray)
 
     val xRows = for (ii <- is.indices; jj <- js.indices) yield
       (is(ii), js(jj), sol.flows.getOrElse((ii, jj), 0.0), sol.reducedCost(ii)(jj))

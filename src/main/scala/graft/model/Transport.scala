@@ -119,8 +119,14 @@ object Transport {
         else if (u(i).isNaN && !v(j).isNaN) { u(i) = c(i)(j) - v(j); changed = true }
       }
     }
-    for (i <- 0 until m if u(i).isNaN) u(i) = 0.0
-    for (j <- 0 until n if v(j).isNaN) v(j) = 0.0
+    // an unreachable dual means the basis lost spanning-tree
+    // connectivity — a broken invariant (findCycle treats it as a hard
+    // error); zero-filling here (review r9) could pass the optimality
+    // test with wrong reduced costs and return a silently suboptimal
+    // solution
+    require((0 until m).forall(i => !u(i).isNaN) &&
+      (0 until n).forall(j => !v(j).isNaN),
+      "transport basis is not connected — duals are undefined")
     (u, v)
   }
 

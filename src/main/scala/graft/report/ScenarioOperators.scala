@@ -30,15 +30,26 @@ object ScenarioOperators {
   def removeTs(ts: TimeSeries, keys: DataFrame, after: Option[Int] = None,
       comment: String = "remove_ts"): Unit =
     ts.transact(comment) {
+      // normalize ONCE so both branches accept the same layouts
+      // (review r9: the after-branch required exact lowercase columns
+      // while the no-after branch tolerated IAMC-style headers)
+      val k = graft.util.Util.toIamcLayout(keys)
       after match {
-        case None => ts.removeTimeseries(keys)
+        case None => ts.removeTimeseries(k)
         case Some(y0) =>
           val existing = ts.timeseries()
+          // carry subannual when the frame has it (review r9: dropping
+          // it re-injected 'Year' in the downstream anti-join and
+          // silently spared every non-'Year' subannual row)
+          val victimCols =
+            if (existing.columns.contains("subannual"))
+              Seq("region", "variable", "unit", "subannual", "year")
+            else Seq("region", "variable", "unit", "year")
           val victim = existing
-            .join(keys.select("region", "variable", "unit").distinct(),
+            .join(k.select("region", "variable", "unit").distinct(),
               Seq("region", "variable", "unit"), "left_semi")
             .filter(col("year") >= y0)
-            .select("region", "variable", "unit", "year")
+            .select(victimCols.map(col): _*)
           ts.removeTimeseries(victim)
       }
     }

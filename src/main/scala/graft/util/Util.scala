@@ -115,25 +115,34 @@ object Util {
     * `_a`/`_b` suffixed value columns and a merge-provenance column. */
   def diff(a: DataFrame, b: DataFrame, on: Seq[String]): DataFrame = {
     val valueCols = a.columns.filterNot(on.contains)
+    // provenance from explicit presence markers, NOT null-ness of the
+    // first value column (review r9: a legitimately-null value column
+    // misclassified the row, and key-only frames crashed on a
+    // nonexistent probe column) — pandas merge(indicator=True) tracks
+    // key presence, so must we
     val ra = valueCols.foldLeft(a) { (d, c) => d.withColumnRenamed(c, s"${c}_a") }
+      .withColumn("__in_a", lit(1))
     val rb = b.columns.filterNot(on.contains)
       .foldLeft(b) { (d, c) => d.withColumnRenamed(c, s"${c}_b") }
-    val probeA = s"${valueCols.headOption.getOrElse("value")}_a"
-    val probeB = b.columns.filterNot(on.contains).headOption.map(c => s"${c}_b")
-      .getOrElse("value_b")
+      .withColumn("__in_b", lit(1))
     ra.join(rb, on, "full_outer")
       .withColumn("merge_ind",
-        when(col(probeA).isNull, "right_only")
-          .when(col(probeB).isNull, "left_only")
+        when(col("__in_a").isNull, "right_only")
+          .when(col("__in_b").isNull, "left_only")
           .otherwise("both"))
+      .drop("__in_a", "__in_b")
       .orderBy(on.map(col): _*)
   }
 
-  /** update_par semantics (reference util/__init__.py:677-690): keep only
-    * rows of `newData` whose key is not already in `existing` — an
-    * anti-join on the key columns. */
+  /** update_par semantics (reference util/__init__.py:677-690: concat
+    * then drop_duplicates(keep=False)): keep only rows of `newData`
+    * whose key is not already in `existing` AND occurs exactly once
+    * within `newData` — review r9: the plain anti-join passed
+    * within-newData duplicate keys through, storing duplicate rows
+    * where the reference's keep=False drops both copies. */
   def updatePar(existing: DataFrame, newData: DataFrame, keys: Seq[String]): DataFrame =
-    newData.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    dropAllDuplicates(newData, keys)
+      .join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
 
   /** drop_duplicates(keep=False) symmetric-difference semantics
     * (reference util/__init__.py:687): keep rows whose key occurs
@@ -181,8 +190,11 @@ object Units {
 
   /** Parse `USD/km`, `km**2`, `a * b / c` (and the reference's literal
     * unit strings like `cases`). Unknown tokens are treated as base
-    * units, like pint's define-on-use. "%" and "???"/"" map to
-    * dimensionless flavors the reference tolerates (jdbc/io tests). */
+    * units, like pint's define-on-use. "???"/""/"unitless"/"1" map to
+    * dimensionless; "%" is a SCALED dimensionless unit (pint: percent
+    * = 0.01 dimensionless), so conversionFactor("%", "") = 0.01
+    * (review r9: it used to be an opaque base unit, making
+    * %-united quantities unconvertible where pint converts them). */
   def parse(s: String): Units = {
     val cleaned = s.trim
     if (cleaned.isEmpty || cleaned == "???" || cleaned == "unitless" || cleaned == "1")
@@ -220,6 +232,8 @@ object Units {
     * — pint's define-on-use, so purely symbolic units ("cases") stay
     * convertible only to themselves. */
   private val baseFactors: Map[String, (String, Double)] = Map(
+    // scaled dimensionless (empty base token = no dimension)
+    "%" -> ("", 0.01),
     // length
     "m" -> ("m", 1.0), "km" -> ("m", 1e3), "cm" -> ("m", 1e-2),
     "mm" -> ("m", 1e-3),
@@ -246,7 +260,8 @@ object Units {
     for ((tok, e) <- u.exponents) {
       val (base, f) = baseFactors.getOrElse(tok, (tok, 1.0))
       factor *= math.pow(f, e.toDouble)
-      exps = exps.updated(base, exps(base) + e)
+      // an empty base token ("%") carries only its factor — no dimension
+      if (base.nonEmpty) exps = exps.updated(base, exps(base) + e)
     }
     (exps.filter(_._2 != 0).toMap, factor)
   }

@@ -633,4 +633,34 @@ class ExtrasSpec extends SparkSpec {
     st2.releaseWriterLock()
     st.releaseWriterLock()
   }
+
+  test("diff tracks key presence, not value null-ness (review r9)") {
+    import graft.util.Util
+    // a null first-value column on a key present in BOTH sides must
+    // still read 'both'; key-only frames must not crash
+    val a = Seq(("k1", Option.empty[Double]), ("k2", Option(1.0)))
+      .toDF("key", "value")
+    val b = Seq(("k1", Option(2.0)), ("k3", Option(3.0))).toDF("key", "value")
+    val out = Util.diff(a, b, Seq("key")).collect()
+      .map(r => r.getString(0) -> r.getAs[String]("merge_ind")).toMap
+    assert(out == Map("k1" -> "both", "k2" -> "left_only", "k3" -> "right_only"))
+    // key-only frames (set data): every column in `on`
+    val sa = Seq(Tuple1("x"), Tuple1("y")).toDF("k")
+    val sb = Seq(Tuple1("y"), Tuple1("z")).toDF("k")
+    val so = Util.diff(sa, sb, Seq("k")).collect()
+      .map(r => r.getString(0) -> r.getAs[String]("merge_ind")).toMap
+    assert(so == Map("x" -> "left_only", "y" -> "both", "z" -> "right_only"))
+  }
+
+  test("updatePar drops within-new duplicate keys (keep=False, review r9)") {
+    import graft.util.Util
+    val existing = Seq(("a", 1.0)).toDF("k", "value")
+    val incoming = Seq(("a", 9.0), ("b", 2.0), ("c", 3.0), ("c", 4.0))
+      .toDF("k", "value")
+    val out = Util.updatePar(existing, incoming, Seq("k"))
+      .select("k").as[String].collect().toSeq
+    // 'a' exists already, 'c' is internally duplicated -> both copies
+    // dropped (the reference's drop_duplicates(keep=False)); only 'b'
+    assert(out == Seq("b"))
+  }
 }

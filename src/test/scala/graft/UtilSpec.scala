@@ -64,6 +64,17 @@ class UtilSpec extends AnyFunSuite {
     assert((sq / d).format == "km")
   }
 
+  test("percent is a scaled dimensionless unit (pint: % = 0.01)") {
+    assert(Units.conversionFactor(Units.parse("%"), Units.dimensionless)
+      .contains(0.01))
+    assert(Units.conversionFactor(Units.dimensionless, Units.parse("%"))
+      .exists(f => math.abs(f - 100.0) < 1e-9))
+    // % times a real unit carries the factor, keeps the dimension
+    assert(Units.conversionFactor(
+      Units.parse("%") * Units.parse("km"), Units.parse("m"))
+      .contains(10.0))
+  }
+
   test("cleanPath scrubs invalid chars (model/base.py:41-44)") {
     assert(Util.cleanPath("""a<b>c:d"e/f\g|h?i*j""") == "a_b_c_d_e_f_g_h_i_j")
   }
