@@ -125,6 +125,50 @@ object Sampling {
       .drop("__n", "__thr")
   }
 
+  /** Static corpus-mixture planner — the source-mixing step of
+    * training-data assembly (The Pile's per-source weights; the static
+    * half of DoReMi-style reweighting): given target mixture weights
+    * w_s over a source column, the largest token budget realizable
+    * WITHOUT up-sampling any source is B = min_s tokens_s / w_s, and
+    * each source keeps rate_s = w_s·B / tokens_s of its tokens (the
+    * binding source at rate 1.0). Sources with no listed weight drop.
+    *
+    * Returns (source, n_tokens, rate). Scale shape: ONE
+    * partial-aggregated (source, token-count) shuffle; the budget/rate
+    * arithmetic runs as a window over the ≤|sources|-row stats frame —
+    * no driver collect, no corpus re-scan. Deterministic double
+    * arithmetic, so a SQL oracle reproduces every rate bit-for-bit. */
+  def mixtureRates(docs: DataFrame, sourceCol: String, tokensCol: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(sourceCol, "__w")
+    val stats = docs.groupBy(sourceCol)
+      .agg(sum(tokensCol.cast("long")).as("n_tokens"))
+      .join(broadcast(w), Seq(sourceCol)) // inner: unlisted sources drop
+    val budget = min(col("n_tokens").cast("double") / col("__w"))
+      .over(Window.partitionBy()) // stats frame is <= |sources| rows
+    stats
+      .withColumn("rate",
+        least(lit(1.0), col("__w") * budget / col("n_tokens").cast("double")))
+      .select(col(sourceCol), col("n_tokens"), col("rate"))
+  }
+
+  /** Apply [[mixtureRates]]: per-source deterministic Bernoulli at the
+    * planned rate — broadcast rate join + the [[hashFrac]] map-side
+    * filter, one corpus scan, reproducible run-to-run and
+    * engine-to-engine like every sampler here. */
+  def mixtureSample(docs: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: Column, weights: Map[String, Double]): DataFrame = {
+    val rates = mixtureRates(docs, sourceCol, tokensCol, weights)
+      .select(col(sourceCol), col("rate"))
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashFrac(col(idCol)) < col("rate"))
+      .drop("rate")
+  }
+
   /** DSIR importance scores (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169):
     * score every document by how target-like its hashed n-gram bag is.

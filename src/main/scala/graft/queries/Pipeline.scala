@@ -821,6 +821,23 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Static corpus-mixture sampling (graft.ops.Sampling.mixtureRates/
+    * mixtureSample — The Pile-style source weights): plan the largest
+    * no-upsampling token budget for lang weights en .6 / de .25 /
+    * fr .15, keep each language at its planned deterministic rate
+    * (unlisted languages drop), report per-language kept docs+tokens.
+    * All-double plan arithmetic and the 60-bit hash filter are
+    * engine-exact, so the kept SET (not just its size) matches. */
+  def d37MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("n_words",
+      size(TextFunctions.words(col("text"))))
+    graft.ops.Sampling.mixtureSample(d, "doc_id", "lang",
+        col("n_words"), Map("en" -> 0.6, "de" -> 0.25, "fr" -> 0.15))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"))
+      .orderBy("lang")
+  }
+
   /** DSIR importance scores (Xie 2023): every document scored by the
     * mean hashed-n-gram log importance ratio against the `lang = 'en'`
     * target slice (graft.ops.Sampling.dsirScores). Histograms are
@@ -1020,6 +1037,7 @@ object Pipeline {
     "d34_quality_score" -> d34QualityScore _,
     "d35_cluster_sample" -> d35ClusterSample _,
     "d36_fix_encoding" -> d36FixEncoding _,
+    "d37_mixture_sample" -> d37MixtureSample _,
     "p01_pack_chunks" -> p01PackChunks _,
     "p02_pack_greedy" -> p02PackGreedy _,
     "p03_chunk_overlap" -> p03ChunkOverlap _,
@@ -1480,6 +1498,23 @@ object Pipeline {
         | FROM raw)
         |SELECT doc_id, CAST(length(t) AS INTEGER) AS n_chars, md5(t) AS text_md5
         |FROM fx ORDER BY doc_id""".stripMargin,
+    // budget B = min_s tokens_s/w_s, rate_s = w_s*B/tokens_s (left-
+    // assoc double ops in both engines); kept set via the 60-bit
+    // hash-fraction filter.
+    "d37_mixture_sample" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw FROM documents),
+        |w(lang, wt) AS (VALUES ('en', 0.6), ('de', 0.25), ('fr', 0.15)),
+        |st AS (SELECT lang, CAST(sum(nw) AS BIGINT) AS n FROM t GROUP BY lang),
+        |sw AS (SELECT st.lang, n, wt FROM st JOIN w USING (lang)),
+        |b AS (SELECT min(CAST(n AS DOUBLE) / wt) AS budget FROM sw),
+        |r AS (SELECT lang, least(1.0, wt * budget / CAST(n AS DOUBLE)) AS rate
+        |      FROM sw CROSS JOIN b),
+        |kept AS (SELECT t.doc_id, t.lang, t.nw FROM t JOIN r USING (lang)
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS DOUBLE)
+        |      / 1152921504606846976.0 < rate)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     // Same injected page; the regex chain is the java.regex ∩ RE2
     // intersection run verbatim (DuckDB needs the 'g' flag — its
     // regexp_replace replaces only the first match by default).

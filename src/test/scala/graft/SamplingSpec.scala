@@ -83,6 +83,33 @@ class SamplingSpec extends SparkSpec {
     assert(kept <= 100, s"expected ~20 of 500k, got $kept")
   }
 
+  test("mixture planner: binding source at rate 1, others scaled; " +
+    "unlisted sources drop") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // tokens: s1 = 100, s2 = 50, s3 unlisted. weights .5/.5:
+    // budgets 100/0.5 = 200 (s1), 50/0.5 = 100 (s2, binding) -> B = 100
+    // rate_s1 = 0.5*100/100 = 0.5, rate_s2 = 0.5*100/50 = 1.0
+    val docs = ((1L to 20L).map(i => (i, "s1", 5)) ++
+      (21L to 30L).map(i => (i, "s2", 5)) ++
+      (31L to 35L).map(i => (i, "s3", 5))).toDF("id", "src", "toks")
+    val rates = Sampling.mixtureRates(docs, "src", col("toks"),
+        Map("s1" -> 0.5, "s2" -> 0.5))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rates == Map("s1" -> (100L, 0.5), "s2" -> (50L, 1.0)))
+    val kept = Sampling.mixtureSample(docs, "id", "src", col("toks"),
+        Map("s1" -> 0.5, "s2" -> 0.5))
+      .select("id", "src").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "s2") == 10, "binding source keeps everything")
+    assert(!kept.exists(_._2 == "s3"), "unlisted source drops")
+    val s1 = kept.count(_._2 == "s1")
+    assert(s1 > 2 && s1 < 18, s"~half of s1 expected, got $s1")
+    // determinism across partitionings
+    val again = Sampling.mixtureSample(docs.repartition(7), "id", "src",
+        col("toks"), Map("s1" -> 0.5, "s2" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+  }
+
   test("repetition stats flag repeated n-grams and boilerplate") {
     val d = Seq(
       (1L, "spam spam spam spam spam spam"),
