@@ -169,6 +169,53 @@ object Sampling {
       .drop("rate")
   }
 
+  /** Fixed-budget mixture plan WITH up-sampling — the multi-epoch
+    * variant of [[mixtureRates]] (when a target share exceeds a
+    * source's available tokens, the source REPEATS: the standard
+    * practice behind "source X is seen N times per training run").
+    * For source s with target w_s·budget tokens over tokens_s
+    * available: `full_epochs` complete passes plus one final pass
+    * sampled at `last_rate` (0 ≤ rate < 1; floor/fraction of
+    * target/tokens). Returns (source, n_tokens, full_epochs,
+    * last_rate); same one-aggregation scale shape as [[mixtureRates]],
+    * and the same engine-exact double arithmetic. */
+  def mixtureEpochPlan(docs: DataFrame, sourceCol: String, tokensCol: Column,
+      weights: Map[String, Double], budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(sourceCol, "__w")
+    docs.groupBy(sourceCol)
+      .agg(sum(tokensCol.cast("long")).as("n_tokens"))
+      .join(broadcast(w), Seq(sourceCol))
+      .withColumn("__share", col("__w") * lit(budgetTokens.toDouble) /
+        col("n_tokens").cast("double"))
+      .withColumn("full_epochs", floor(col("__share")))
+      .withColumn("last_rate", col("__share") - col("full_epochs").cast("double"))
+      .select(col(sourceCol), col("n_tokens"), col("full_epochs"),
+        col("last_rate"))
+  }
+
+  /** Materialize the epoch MANIFEST for [[mixtureEpochPlan]]: each doc
+    * appears once per full epoch (epoch 0..full_epochs-1) plus in the
+    * final partial epoch when its [[hashFrac]] clears `last_rate`.
+    * The output is the narrow (source, id, epoch) plan — row count
+    * multiplies by the epoch factor but the TEXT never copies; a
+    * training job joins epochs back to payloads shard by shard. */
+  def mixtureEpochExpand(docs: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: Column, weights: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    val plan = mixtureEpochPlan(docs, sourceCol, tokensCol, weights,
+      budgetTokens)
+    docs.join(broadcast(plan.drop("n_tokens")), Seq(sourceCol))
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("full_epochs"))))
+      .filter(col("epoch") < col("full_epochs") ||
+        hashFrac(col(idCol)) < col("last_rate"))
+  }
+
   /** DSIR importance scores (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169):
     * score every document by how target-like its hashed n-gram bag is.

@@ -838,6 +838,25 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Fixed-budget multi-epoch mixture (graft.ops.Sampling
+    * .mixtureEpochPlan/Expand): a 100k-token target over lang
+    * weights en .5 / de .3 / zh .2 forces up-sampling (each slice
+    * holds far fewer tokens than its share), so sources repeat —
+    * full epochs plus a hashFrac-sampled final pass. The gate
+    * aggregates the materialized epoch manifest per language. */
+  def d38MixtureEpochs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("n_words",
+      size(TextFunctions.words(col("text"))))
+    graft.ops.Sampling.mixtureEpochExpand(d, "doc_id", "lang",
+        col("n_words"), Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2),
+        budgetTokens = 100000L)
+      .groupBy("lang")
+      .agg(max("full_epochs").as("full_epochs"),
+        round(max("last_rate"), 6).as("last_rate"),
+        count(lit(1)).as("n_rows"), sum("n_words").as("n_tokens"))
+      .orderBy("lang")
+  }
+
   /** DSIR importance scores (Xie 2023): every document scored by the
     * mean hashed-n-gram log importance ratio against the `lang = 'en'`
     * target slice (graft.ops.Sampling.dsirScores). Histograms are
@@ -1038,6 +1057,7 @@ object Pipeline {
     "d35_cluster_sample" -> d35ClusterSample _,
     "d36_fix_encoding" -> d36FixEncoding _,
     "d37_mixture_sample" -> d37MixtureSample _,
+    "d38_mixture_epochs" -> d38MixtureEpochs _,
     "p01_pack_chunks" -> p01PackChunks _,
     "p02_pack_greedy" -> p02PackGreedy _,
     "p03_chunk_overlap" -> p03ChunkOverlap _,
@@ -1515,6 +1535,27 @@ object Pipeline {
         |      / 1152921504606846976.0 < rate)
         |SELECT lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+    // share = w*T/n; full epochs = floor(share), final pass at the
+    // fractional rate via the 60-bit hash fraction. All-double plan
+    // arithmetic — identical in both engines.
+    "d38_mixture_epochs" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw FROM documents),
+        |w(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.3), ('zh', 0.2)),
+        |st AS (SELECT lang, CAST(sum(nw) AS BIGINT) AS n FROM t GROUP BY lang),
+        |pl AS (SELECT st.lang, n,
+        |   wt * 100000.0 / CAST(n AS DOUBLE) AS share FROM st JOIN w USING (lang)),
+        |p2 AS (SELECT lang, n, CAST(floor(share) AS BIGINT) AS fe,
+        |   share - floor(share) AS lr FROM pl),
+        |ex AS (SELECT t.doc_id, t.lang, t.nw, e.epoch, p2.fe, p2.lr
+        |  FROM t JOIN p2 USING (lang),
+        |  LATERAL (SELECT unnest(range(0, fe + 1)) AS epoch) e
+        |  WHERE e.epoch < fe
+        |     OR CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS DOUBLE)
+        |        / 1152921504606846976.0 < lr)
+        |SELECT lang, max(fe) AS full_epochs, round(max(lr), 6) AS last_rate,
+        | count(*) AS n_rows, CAST(sum(nw) AS BIGINT) AS n_tokens
+        |FROM ex GROUP BY lang ORDER BY lang""".stripMargin,
     // Same injected page; the regex chain is the java.regex ∩ RE2
     // intersection run verbatim (DuckDB needs the 'g' flag — its
     // regexp_replace replaces only the first match by default).

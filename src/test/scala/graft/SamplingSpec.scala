@@ -110,6 +110,39 @@ class SamplingSpec extends SparkSpec {
     assert(again == kept.map(_._1).toSet)
   }
 
+  test("epoch mixture: hand-computed full passes + fractional final pass") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // s1: 20 docs x 10 tokens = 200; s2: 10 docs x 10 = 100.
+    // budget 1000, weights .7/.3: share_s1 = 700/200 = 3.5 -> 3 full
+    // epochs + rate .5; share_s2 = 300/100 = 3.0 -> exactly 3 full, 0
+    val docs = ((1L to 20L).map(i => (i, "s1", 10)) ++
+      (21L to 30L).map(i => (i, "s2", 10))).toDF("id", "src", "toks")
+    val w = Map("s1" -> 0.7, "s2" -> 0.3)
+    val plan = Sampling.mixtureEpochPlan(docs, "src", col("toks"), w, 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(plan("s1") == (200L, 3L, 0.5))
+    assert(plan("s2") == (100L, 3L, 0.0))
+    val manifest = Sampling.mixtureEpochExpand(docs, "id", "src",
+        col("toks"), w, 1000L)
+      .select("src", "id", "epoch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // s2: exactly 3 full epochs, no partial rows
+    assert(manifest.count(_._1 == "s2") == 30)
+    assert(manifest.filter(_._1 == "s2").forall(_._3 < 3))
+    // s1: 60 full-epoch rows + a deterministic ~half partial epoch
+    val s1 = manifest.filter(_._1 == "s1")
+    assert(s1.count(_._3 < 3) == 60)
+    val partial = s1.count(_._3 == 3L)
+    assert(partial >= 3 && partial <= 17, s"~10 of 20 docs expected, got $partial")
+    // epoch manifest is deterministic across partitionings
+    val again = Sampling.mixtureEpochExpand(docs.repartition(5), "id", "src",
+        col("toks"), w, 1000L)
+      .select("src", "id", "epoch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(manifest.sorted.sameElements(again.sorted))
+  }
+
   test("repetition stats flag repeated n-grams and boilerplate") {
     val d = Seq(
       (1L, "spam spam spam spam spam spam"),
