@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -18,8 +19,41 @@ import org.apache.spark.sql.types._
   * bytes), then derive the k signature slots with cheap long-mixing in
   * a tight compiled loop — ~100× less work per row, no boxing.
   */
+/** Analysis-time input type guard for the registered SQL surface
+  * (review r9): a wrong argument type used to surface as a per-task
+  * executor ClassCastException (after a codegen compile failure and
+  * interpreted fallback), not as an analysis error naming the
+  * function. */
+private[functions] trait TypedChild { self: UnaryExpression =>
+  protected def childTypeOk(dt: DataType): Boolean
+  protected def childTypeWanted: String
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (childTypeOk(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects $childTypeWanted, got ${child.dataType.catalogString}")
+}
+
+private[functions] object TypedChild {
+  def stringArray(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  def doubleArray(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+}
+
 final case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with TypedChild {
+  protected def childTypeOk(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType | LongType, _) => true
+    case _ => false
+  }
+  protected def childTypeWanted: String = "array<string> or array<bigint>"
+  // review r9: SQL-supplied bad literals previously crashed executors
+  // (new Array[Long](-1)) instead of failing at construction
+  require(k >= 1, s"minhash_sig: k must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -94,7 +128,12 @@ object MinHashSig {
   * negligible for any real corpus). Output is sorted ascending —
   * a canonical set encoding. */
 final case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with TypedChild {
+  protected def childTypeOk(dt: DataType): Boolean = TypedChild.stringArray(dt)
+  protected def childTypeWanted: String = "array<string>"
+  // review r9: n = 0 read past the word-hash array on every executor
+  // row instead of failing at construction like WinnowHashes
+  require(n >= 1, s"shingle_hashes: n must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
@@ -151,7 +190,10 @@ object ShingleHashes {
   * is set when the sum over elements of ±1 votes (bit b of the
   * element's hash) is positive. Duplicates are weighted, matching the
   * builtin-composed form it replaces. */
-final case class SimHash64Expr(child: Expression) extends UnaryExpression {
+final case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with TypedChild {
+  protected def childTypeOk(dt: DataType): Boolean = TypedChild.stringArray(dt)
+  protected def childTypeWanted: String = "array<string>"
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -198,7 +240,10 @@ object SimHash64Expr {
   * per chunk per row). Trailing partial chunks are dropped, matching
   * the hex form's [0-9A-F]{8} regex behavior. Voting is identical to
   * [[SimHash64Expr]], so pair generation composes unchanged. */
-final case class ByteSimhash64Expr(child: Expression) extends UnaryExpression {
+final case class ByteSimhash64Expr(child: Expression)
+    extends UnaryExpression with TypedChild {
+  protected def childTypeOk(dt: DataType): Boolean = dt == BinaryType
+  protected def childTypeWanted: String = "binary"
 
   override def dataType: DataType = LongType
   override def prettyName: String = "byte_simhash64"
@@ -249,6 +294,13 @@ object ByteSimhash64Expr {
 final case class VecDot(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (TypedChild.doubleArray(left.dataType) &&
+        TypedChild.doubleArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
   override def nullIntolerant: Boolean = true
@@ -287,7 +339,10 @@ object VecDot {
   * builtin, so the full fingerprint computation can be DuckDB-oracle
   * checked. XXH64 ([[SimHash64Expr]]) stays the production scale path
   * (~6× cheaper per word); this variant exists to prove the logic. */
-final case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+final case class SimHashMd5Expr(child: Expression)
+    extends UnaryExpression with TypedChild {
+  protected def childTypeOk(dt: DataType): Boolean = TypedChild.stringArray(dt)
+  protected def childTypeWanted: String = "array<string>"
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_md5"
@@ -346,7 +401,9 @@ object SimHashMd5Expr {
   * composition that Spark evaluates interpreted with per-element
   * boxing — this is the hot per-row loop of embedding near-dup. */
 final case class HyperplaneSig(child: Expression, bits: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with TypedChild {
+  protected def childTypeOk(dt: DataType): Boolean = TypedChild.doubleArray(dt)
+  protected def childTypeWanted: String = "array<double>"
   require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
 
   override def dataType: DataType = LongType
@@ -396,7 +453,10 @@ object HyperplaneSig {
   *
   * Semantics mirror the composed forms exactly (same regexes, marker
   * lists, HALF_UP rounding) so the DuckDB oracles are unchanged. */
-final case class TextFeaturesExpr(child: Expression) extends UnaryExpression {
+final case class TextFeaturesExpr(child: Expression)
+    extends UnaryExpression with TypedChild {
+  protected def childTypeOk(dt: DataType): Boolean = dt == StringType
+  protected def childTypeWanted: String = "string"
 
   override def dataType: DataType = TextFeaturesExpr.schema
   override def prettyName: String = "text_features"
@@ -506,7 +566,9 @@ object TextFeaturesExpr {
   * punctuation collapsed) so the alphabet stays ASCII and engines
   * agree on character codes. */
 final case class WinnowHashes(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with TypedChild {
+  protected def childTypeOk(dt: DataType): Boolean = dt == StringType
+  protected def childTypeWanted: String = "string"
   require(k >= 1 && w >= 1, "winnow_hashes: k and w must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -577,7 +639,10 @@ object WinnowHashes {
   * unchanged). Native so normalize-then-encode pipelines stay inside
   * whole-stage codegen — the `transform(v, x -> x / nrm)` HOF form is
   * interpreted with per-element boxing. */
-final case class VecUnit(child: Expression) extends UnaryExpression {
+final case class VecUnit(child: Expression)
+    extends UnaryExpression with TypedChild {
+  protected def childTypeOk(dt: DataType): Boolean = TypedChild.doubleArray(dt)
+  protected def childTypeWanted: String = "array<double>"
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "vec_unit"
@@ -615,6 +680,13 @@ object VecUnit {
   * computation for IVF-PQ: r = x - centroid(cell(x))). */
 final case class VecSub(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (TypedChild.doubleArray(left.dataType) &&
+        TypedChild.doubleArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "vec_sub"
@@ -659,7 +731,10 @@ object VecSub {
   * gram occurs more than once. Tokenization and rounding match
   * [[TextFeaturesExpr]] (lowercase `[a-z0-9]+`, HALF_UP to 4 dp) so a
   * SQL oracle reproduces every value exactly. */
-final case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+final case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with TypedChild {
+  protected def childTypeOk(dt: DataType): Boolean = dt == StringType
+  protected def childTypeWanted: String = "string"
 
   override def dataType: DataType = RepetitionStatsExpr.schema
   override def prettyName: String = "repetition_stats"
@@ -737,7 +812,9 @@ object RepetitionStatsExpr {
   * interpreted with a per-element string allocation (the repo's #1
   * documented perf trap; VERDICT r3 "what's wrong" #2). */
 final case class ByteStatsExpr(child: Expression, sampleBytes: Int,
-    magicBytes: Int) extends UnaryExpression {
+    magicBytes: Int) extends UnaryExpression with TypedChild {
+  protected def childTypeOk(dt: DataType): Boolean = dt == BinaryType
+  protected def childTypeWanted: String = "binary"
   require(sampleBytes >= 1 && magicBytes >= 1, "byte_stats: sizes must be >= 1")
 
   override def dataType: DataType = ByteStatsExpr.schema

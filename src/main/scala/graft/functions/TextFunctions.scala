@@ -91,7 +91,15 @@ object TextFunctions {
   def textFeatures(text: Column): Column = CatalystFunctions.textFeatures(text)
 
   /** Quality-score feature struct: length, word stats, stopword and
-    * punctuation ratios. All ratios double in [0,1], rounded. */
+    * punctuation ratios. All ratios double in [0,1], rounded.
+    *
+    * NOTE (review r9): [[textFeatures]] is the gate-proven path. This
+    * composed form uses Spark's `round` (HALF_UP over the double's
+    * SHORTEST decimal representation), while the native expression
+    * rounds HALF_UP over the double's EXACT binary expansion — the
+    * 4th decimal can differ for ratios whose shortest representation
+    * ends exactly in ...5. Prefer the native struct when comparing
+    * against the DuckDB oracles. */
   def qualityFeatures(text: Column): Column = {
     val ws = words(text)
     val nWords = size(ws)

@@ -82,10 +82,19 @@ object Multimodal {
     * frame sampling. Pure per-row slicing; no shuffle. */
   def sampleChunksDf(df: DataFrame, contentCol: String, chunkBytes: Int,
       stride: Int): DataFrame = {
+    // review r9: stride = 0 made `i % stride` NULL under non-ANSI SQL
+    // and silently dropped every row; chunkBytes = 0 exploded an
+    // Infinity-sized sequence
+    require(chunkBytes >= 1, s"chunkBytes must be >= 1, got $chunkBytes")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     val nChunks = ceil(length(col(contentCol)).cast("double") / chunkBytes).cast("int")
+    // empty/null payloads yield NO chunks (review r9: the old
+    // greatest(nChunks-1, 0) floor emitted one phantom empty chunk
+    // for a 0-byte asset)
     df.withColumn("chunk_idx",
-        explode(filter(sequence(lit(0), greatest(nChunks - 1, lit(0))),
-          i => i % stride === 0)))
+        explode(when(nChunks > 0,
+          filter(sequence(lit(0), nChunks - 1), i => i % stride === 0))
+          .otherwise(array().cast("array<int>"))))
       .withColumn("chunk",
         expr(s"substring($contentCol, chunk_idx * $chunkBytes + 1, $chunkBytes)"))
   }

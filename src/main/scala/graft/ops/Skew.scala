@@ -18,10 +18,15 @@ object Skew {
     * for any algebraic aggregate expression list (sum/count/min/max). */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
       salts: Int = 16): DataFrame =
-    // salt derives from row identity, not value: identical hot values
-    // must land on DIFFERENT salts for the split to help
+    // DETERMINISTIC salt (review r9): monotonically_increasing_id
+    // changes under partial stage recomputation — a re-run map task
+    // re-salts rows after some reducers consumed the old assignment,
+    // silently double-counting partials (the SPARK-23207 bug class).
+    // Hashing the value spreads a hot KEY's distinct values evenly;
+    // fully-identical (key, value) rows share one salt, which the
+    // partial aggregate collapses anyway.
     df.withColumn("__salt",
-        pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+        pmod(xxhash64(col(valueCol)), lit(salts)))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(valueCol).as("__partial"))
       .groupBy(keys.map(col): _*)
@@ -31,11 +36,19 @@ object Skew {
     * is still too large (or unwanted) to broadcast: the fact side gets
     * a random salt in [0, salts); the dim side is exploded `salts`
     * ways, so the join key (key, salt) spreads each hot key over
-    * `salts` tasks. Inner/left semantics preserved. */
+    * `salts` tasks. ONLY inner/left-side semantics survive salting —
+    * right/full would emit `salts` null-padded copies of every
+    * unmatched dim key (review r9: now validated). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed(joinType.toLowerCase.replace("_", "")) ||
+        allowed(joinType.toLowerCase),
+      s"saltedJoin preserves only inner/left joins, got '$joinType'")
+    // deterministic salt from the full fact row (see saltedSum)
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")

@@ -16,8 +16,14 @@ import org.apache.spark.sql.functions._
   * broadcast budget comfortably as single-column frames. */
 object UrlOps {
 
-  val urlRe = "https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9./_-]*)?"
-  private val domainRe = "https?://([A-Za-z0-9.-]+)"
+  // Host must END on an alphanumeric (review r9): the greedy '.' in
+  // the class swallowed a sentence-final period — 'visit evil.com.'
+  // extracted domain 'evil.com.', which silently missed the equi-join
+  // against a blocklist entry 'evil.com'. Same rule for the optional
+  // path: a trailing '.' stays outside the match.
+  val urlRe =
+    "https?://[A-Za-z0-9.-]*[A-Za-z0-9](?:/[A-Za-z0-9./_-]*[A-Za-z0-9_/-]|/)?"
+  private val domainRe = "https?://([A-Za-z0-9.-]*[A-Za-z0-9])"
 
   /** All URLs in a text column (array<string>). */
   def extractUrls(text: Column): Column =
@@ -49,16 +55,19 @@ object UrlOps {
     * drop. */
   def auditUrls(docs: DataFrame, blocklist: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    // ONE pass over the corpus: explode the (possibly empty) domain
-    // list with explode_outer, left-join the broadcast blocklist, and
-    // fold back per doc — the regexp scan (the dominant cost) is not
-    // recomputed for a second plan branch. The blocklist is distinct()d
-    // first: a duplicated blocklist row would fan out the left join and
-    // inflate n_domains (ADVICE r5; filterByBlocklist was already
-    // immune via its own distinct).
-    docs.select(col(idCol),
-        size(extractUrls(col(textCol))).as("n_urls"),
-        explode_outer(domains(col(textCol))).as("domain"))
+    // ONE pass over the corpus: materialize the URL array in a single
+    // projection so size() and the domain explode share it inside one
+    // codegen stage (review r9: computing extractUrls separately in
+    // the Project and the Generate ran the dominant regexp scan twice
+    // — whole-stage CSE cannot span physical operators). explode_outer
+    // keeps url-free docs; the blocklist is distinct()d first: a
+    // duplicated blocklist row would fan out the left join and inflate
+    // n_domains (ADVICE r5).
+    docs.select(col(idCol), extractUrls(col(textCol)).as("__urls"))
+      .select(col(idCol),
+        size(col("__urls")).as("n_urls"),
+        explode_outer(array_distinct(
+          transform(col("__urls"), u => urlDomain(u)))).as("domain"))
       .join(broadcast(blocklist.select(col("domain")).distinct()
         .withColumn("__hit", lit(1))), Seq("domain"), "left_outer")
       .groupBy(col(idCol))

@@ -1603,11 +1603,11 @@ object Pipeline {
         |     THEN ' and http://cdn' || (doc_id % 4) || '.example.net/x' ELSE '' END AS text
         | FROM documents),
         |u AS (SELECT doc_id,
-        |  regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9./_-]*)?') AS urls
+        |  regexp_extract_all(text, 'https?://[A-Za-z0-9.-]*[A-Za-z0-9](?:/[A-Za-z0-9./_-]*[A-Za-z0-9_/-]|/)?') AS urls
         | FROM inj),
         |d AS (SELECT doc_id, len(urls) AS n_urls,
         |  list_distinct(list_transform(urls,
-        |    x -> regexp_extract(x, 'https?://([A-Za-z0-9.-]+)', 1))) AS ds
+        |    x -> regexp_extract(x, 'https?://([A-Za-z0-9.-]*[A-Za-z0-9])', 1))) AS ds
         | FROM u)
         |SELECT doc_id, CAST(n_urls AS INT) AS n_urls,
         | CAST(len(ds) AS INT) AS n_domains,

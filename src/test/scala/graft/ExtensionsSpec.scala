@@ -40,6 +40,29 @@ class ExtensionsSpec extends SparkSpec {
       .select("s.n_bytes").head().getAs[Number](0).longValue == 8L)
   }
 
+  test("SQL surface rejects wrong types/params at analysis time (review r9)") {
+    graft.functions.GraftExtensions.register(spark)
+    // wrong child type: analysis error naming the function, not an
+    // executor ClassCastException after codegen fallback
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64('not an array')").collect()
+    }
+    assert(e1.getMessage.contains("simhash64"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1.0d, 2.0d), 'oops')").collect()
+    }
+    assert(e2.getMessage.contains("vec_dot"))
+    // bad literal params: construction-time requires, not
+    // ArrayIndexOutOfBounds/NegativeArraySize on executors
+    intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(array('a','b'), 0)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('a'), -1)").collect()
+    }
+    ()
+  }
+
   test("vec_dot rejects mismatched dimensions instead of truncating") {
     GraftExtensions.register(spark)
     val e = intercept[Exception](

@@ -624,6 +624,59 @@ class OpsSpec extends SparkSpec {
     assert(audit(2) == (3L, 0, 0, 0))
   }
 
+  test("UrlOps: sentence-final period never joins the hostname (review r9)") {
+    import graft.ops.UrlOps
+    // 'visit evil.com.' used to extract domain 'evil.com.' and slip
+    // past the blocklist equi-join
+    val d = Seq(
+      (1L, "visit https://evil.example.com. More text follows"),
+      (2L, "path case https://evil.example.com/page. Next sentence"),
+      (3L, "clean https://ok.example.org fine")
+    ).toDF("doc_id", "text")
+    val block = Seq("evil.example.com").toDF("domain")
+    assert(UrlOps.filterByBlocklist(d, block).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(3L),
+      "trailing sentence period must not defeat the blocklist")
+    val doms = d.select(col("doc_id"),
+        graft.ops.UrlOps.domains(col("text")).as("ds"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(doms(1L) == Seq("evil.example.com"))
+    assert(doms(2L) == Seq("evil.example.com"))
+  }
+
+  test("sampleChunksDf: empty payload yields no chunks; bad params fail loudly") {
+    import graft.ops.Multimodal
+    val d = Seq(
+      (1L, Array[Byte](1, 2, 3, 4, 5)),
+      (2L, Array.empty[Byte])
+    ).toDF("doc_id", "content")
+    val out = Multimodal.sampleChunksDf(d, "content", chunkBytes = 2, stride = 2)
+      .select("doc_id", "chunk_idx").as[(Long, Int)].collect()
+    // doc 1: chunks 0,1,2 -> stride 2 keeps 0 and 2; doc 2: NONE
+    // (review r9: a 0-byte asset used to report one phantom chunk)
+    assert(out.toSet == Set((1L, 0), (1L, 2)))
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleChunksDf(d, "content", chunkBytes = 2, stride = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleChunksDf(d, "content", chunkBytes = 0, stride = 1)
+    }
+    ()
+  }
+
+  test("saltedJoin rejects right/full join types (review r9)") {
+    import graft.ops.Skew
+    val f = Seq((1L, "k")).toDF("v", "k")
+    val dim = Seq(("k", "x")).toDF("k", "d")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(f, dim, "k", joinType = "full")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(f, dim, "k", joinType = "right_outer")
+    }
+    ()
+  }
+
   test("auditUrls: duplicated blocklist rows do not fan out the join") {
     import graft.ops.UrlOps
     // a real blocklist file often repeats domains; the left join must
