@@ -24,7 +24,7 @@ object ScaleBench {
       "d29_substring_spans", "d30_dsir_scores", "d31_remove_spans",
       "d32_html_extract", "d33_bpe_encode", "d34_quality_score",
       "d35_cluster_sample", "d36_fix_encoding", "p04_tokenize_pack",
-      "d37_mixture_sample", "d38_mixture_epochs")
+      "d37_mixture_sample", "d38_mixture_epochs", "d39_url_dedup")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -37,6 +37,55 @@ object UrlOps {
   def domains(text: Column): Column =
     array_distinct(transform(extractUrls(text), u => urlDomain(u)))
 
+  /** Canonical URL form for URL-keyed dedup — the FIRST step of a
+    * RefinedWeb-style pipeline (its whole dedup keys on the URL before
+    * any content processing): fragment stripped, scheme+host
+    * lowercased (paths stay case-sensitive), default ports dropped,
+    * tracking parameters (utm_*, fbclid, gclid) removed with
+    * query-string cleanup, one trailing slash trimmed. Pure map-side
+    * regexp/replace chain in the java.regex ∩ RE2 intersection; the
+    * replacement group SYNTAX differs per engine ($1 vs \1) but the
+    * substitutions are identical, so a SQL oracle reproduces the
+    * canonical form verbatim. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, lit("#.*"), lit(""))
+    val prefixRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val lowered = concat(
+      lower(regexp_extract(noFrag, prefixRe, 0)),
+      regexp_replace(noFrag, lit(prefixRe), lit("")))
+    val noPort = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lowered,
+            lit("^(https://[^/:?#]*):443([/?#])"), lit("$1$2")),
+          lit("^(http://[^/:?#]*):80([/?#])"), lit("$1$2")),
+        lit("^(https://[^/:?#]*):443$"), lit("$1")),
+      lit("^(http://[^/:?#]*):80$"), lit("$1"))
+    val noTrack = regexp_replace(noPort,
+      lit("([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*"), lit("$1"))
+    val cleaned = regexp_replace(
+      regexp_replace(
+        regexp_replace(noTrack, lit("\\?&+"), lit("?")),
+        lit("&&+"), lit("&")),
+      lit("[?&]+$"), lit(""))
+    // a path-final slash is noise both at end-of-string and before
+    // the query string
+    regexp_replace(
+      regexp_replace(cleaned, lit("([^/])/[?]"), lit("$1?")),
+      lit("([^/])/$"), lit("$1"))
+  }
+
+  /** URL-keyed exact dedup (RefinedWeb rule: one document per
+    * canonical URL, min-id keeper): canonicalize, then ONE
+    * digest-keyed aggregation — the shuffle moves (canonical-url
+    * hash, id) pairs, never documents. */
+  def dedupByUrl(docs: DataFrame, urlCol: String,
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), canonicalizeUrl(col(urlCol)).as("__curl"))
+      .groupBy(md5(col("__curl").cast("binary")).as("__h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
   /** Drop every document referencing at least one blocklisted domain.
     * `blocklist` is a one-column (`domain`) frame; it broadcasts, the
     * hit set is (doc id)s only, and the final anti-join is narrow. */

@@ -838,6 +838,29 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** URL canonicalization + URL-keyed dedup (the RefinedWeb FIRST
+    * step — one document per canonical URL before any content work):
+    * every doc gets a deterministic surface-noisy URL injected on both
+    * engines (mixed-case scheme/host, default :443 port, utm/fbclid
+    * tracking params, fragment), graft.ops.UrlOps.canonicalizeUrl
+    * collapses the noise, and the min-id-per-canonical-URL keep rule
+    * reports (curl, keep_id, n_copies). */
+  def d39UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).select(col("doc_id"), concat(
+      lit("HTTPS://Site"), (col("doc_id") % 7).cast("string"),
+      lit(".Example.org:443/p/"), (col("doc_id") % 20).cast("string"),
+      lit("?utm_source=x"),
+      when(col("doc_id") % 2 === 0, lit("&fbclid=abc")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, lit("&id=9")).otherwise(lit("")),
+      lit("#s"), col("doc_id").cast("string")).as("url"))
+    injected
+      .select(col("doc_id"),
+        graft.ops.UrlOps.canonicalizeUrl(col("url")).as("curl"))
+      .groupBy("curl")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+  }
+
   /** Fixed-budget multi-epoch mixture (graft.ops.Sampling
     * .mixtureEpochPlan/Expand): a 100k-token target over lang
     * weights en .5 / de .3 / zh .2 forces up-sampling (each slice
@@ -1058,6 +1081,7 @@ object Pipeline {
     "d36_fix_encoding" -> d36FixEncoding _,
     "d37_mixture_sample" -> d37MixtureSample _,
     "d38_mixture_epochs" -> d38MixtureEpochs _,
+    "d39_url_dedup" -> d39UrlDedup _,
     "p01_pack_chunks" -> p01PackChunks _,
     "p02_pack_greedy" -> p02PackGreedy _,
     "p03_chunk_overlap" -> p03ChunkOverlap _,
@@ -1556,6 +1580,34 @@ object Pipeline {
         |SELECT lang, max(fe) AS full_epochs, round(max(lr), 6) AS last_rate,
         | count(*) AS n_rows, CAST(sum(nw) AS BIGINT) AS n_tokens
         |FROM ex GROUP BY lang ORDER BY lang""".stripMargin,
+    // identical chain; DuckDB replacement groups are \1 and its
+    // regexp_replace needs the 'g' flag for the global passes.
+    "d39_url_dedup" ->
+      """WITH inj AS (SELECT doc_id,
+        |  'HTTPS://Site' || (doc_id % 7) || '.Example.org:443/p/' || (doc_id % 20)
+        |  || '?utm_source=x'
+        |  || CASE WHEN doc_id % 2 = 0 THEN '&fbclid=abc' ELSE '' END
+        |  || CASE WHEN doc_id % 3 = 0 THEN '&id=9' ELSE '' END
+        |  || '#s' || doc_id AS url FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM inj),
+        |c2 AS (SELECT doc_id,
+        |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
+        |  || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS u FROM c1),
+        |c3 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+        |    '^(https://[^/:?#]*):443([/?#])', '\1\2'),
+        |    '^(http://[^/:?#]*):80([/?#])', '\1\2'),
+        |    '^(https://[^/:?#]*):443$', '\1'),
+        |    '^(http://[^/:?#]*):80$', '\1') AS u FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(u,
+        |  '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g') AS u FROM c3),
+        |c5 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(u,
+        |    '\?&+', '?', 'g'), '&&+', '&', 'g'), '[?&]+$', '') AS u FROM c4),
+        |c6 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |  '([^/])/\?', '\1?'), '([^/])/$', '\1') AS curl FROM c5)
+        |SELECT curl, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM c6 GROUP BY curl ORDER BY keep_id""".stripMargin,
     // Same injected page; the regex chain is the java.regex ∩ RE2
     // intersection run verbatim (DuckDB needs the 'g' flag — its
     // regexp_replace replaces only the first match by default).

@@ -644,6 +644,34 @@ class OpsSpec extends SparkSpec {
     assert(doms(2L) == Seq("evil.example.com"))
   }
 
+  test("canonicalizeUrl: case, ports, tracking params, fragments, slashes") {
+    import graft.ops.UrlOps
+    val cases = Seq(
+      (1L, "HTTPS://Ex.ORG:443/Path/?utm_source=a&id=1#frag",
+        "https://ex.org/Path?id=1"),
+      (2L, "http://ex.org:80/", "http://ex.org"),
+      (3L, "https://ex.org/p?utm_a=1&utm_b=2", "https://ex.org/p"),
+      (4L, "https://ex.org/p?fbclid=x&q=2&gclid=y", "https://ex.org/p?q=2"),
+      // path case is preserved; :8080 is NOT a default port
+      (5L, "https://Ex.org:8080/CaseSensitive", "https://ex.org:8080/CaseSensitive"),
+      (6L, "https://ex.org", "https://ex.org")
+    ).toDF("id", "url", "expect")
+    val out = cases.select(col("id"),
+        UrlOps.canonicalizeUrl(col("url")).as("got"), col("expect"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+    out.foreach { case (id, (got, exp)) =>
+      assert(got == exp, s"case $id: got '$got', expected '$exp'")
+    }
+    // dedupByUrl collapses surface-noise variants onto the min id
+    val docs = Seq(
+      (10L, "https://ex.org/a?utm_x=1"),
+      (11L, "HTTPS://EX.ORG/a"),
+      (12L, "https://ex.org/b")).toDF("doc_id", "url")
+    val d = UrlOps.dedupByUrl(docs, "url").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(10L -> 2L, 12L -> 1L))
+  }
+
   test("sampleChunksDf: empty payload yields no chunks; bad params fail loudly") {
     import graft.ops.Multimodal
     val d = Seq(
