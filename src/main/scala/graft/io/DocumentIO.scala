@@ -46,7 +46,15 @@ object DocumentIO {
     * unparseable lines at scan time (no corrupt column in the result,
     * so downstream aggregates never trip Spark's corrupt-column-only
     * pruning restriction — filtering [[readJsonl]]'s `__corrupt` would).
-    * Use [[readJsonl]] when the rejects must be audited. */
+    * Use [[readJsonl]] when the rejects must be audited.
+    *
+    * Count caveat (review r9, Spark semantics by design): under full
+    * column pruning (`count()` with no projected fields) the parser
+    * checks only JSON WELL-FORMEDNESS, so a line that is valid JSON
+    * but field-malformed for the schema ({"id": [1]} vs id LONG)
+    * counts yet drops from any materialized read — do not reconcile
+    * `count()` against materialized output; count a projected column
+    * instead. */
   def readJsonlClean(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.read

@@ -41,6 +41,11 @@ object ScenarioIO {
         // Record the column list: Spark writes no files (hence no header)
         // for an empty DataFrame, so an empty set's schema must survive
         // through the mapping table for the read side (ADVICE r1).
+        // '|' is the separator — a dim named "a|b" would silently
+        // round-trip as two columns (review r9); refuse instead
+        require(df.columns.forall(!_.contains("|")),
+          s"item '$name': column names must not contain '|' " +
+            s"(got ${df.columns.mkString(", ")})")
         entries += ((name, t, df.columns.mkString("|")))
       }
     }
@@ -103,10 +108,17 @@ object ScenarioIO {
       loadItem: String => DataFrame, initItems: Boolean,
       addUnits: Boolean = false): Unit = {
     // --- pass 1+2: sets, index sets before indexed sets (io.py:232-308)
-    val setQueue = mutable.Queue(mapping.collect { case (n, "set") => n }.toIndexedSeq: _*)
+    val fileSets = mapping.collect { case (n, "set") => n }.toIndexedSeq
+    val fileSetNames = fileSets.toSet
+    val setQueue = mutable.Queue(fileSets: _*)
     // a set requeued behind its index sets must not re-run the whole
     // source read (schema inference included) on every pass
     val preloaded = mutable.Map.empty[String, DataFrame]
+    // review r9: readiness must mean the index set's ELEMENTS are
+    // loaded, not merely that its declaration exists — a pre-declared
+    // but still-empty index set earlier let an indexed set validate
+    // against nothing and fail on a perfectly valid file
+    val loaded = mutable.Set.empty[String]
     var stalls = 0
     while (setQueue.nonEmpty && stalls <= setQueue.size) {
       val name = setQueue.dequeue()
@@ -119,11 +131,13 @@ object ScenarioIO {
         else s.initSet(name, df.columns.toSeq, df.columns.toSeq)
       }
       val idxSets = if (s.hasItem(name)) s.idxSets(name) else Nil
-      val ready = idxSets.forall(s.hasItem)
+      val ready = idxSets.forall(is =>
+        s.hasItem(is) && (!fileSetNames(is) || loaded(is)))
       if (!ready) { setQueue.enqueue(name); stalls += 1 }
       else {
         stalls = 0
         if (!df.isEmpty) s.addSetDf(name, df)
+        loaded += name
       }
     }
     require(setQueue.isEmpty,
@@ -179,7 +193,14 @@ object ScenarioIO {
       filters.filter { case (k, _) => dims.contains(k) }
     }
 
-    def add(name: String, t: String, df: DataFrame, keepEmpty: Boolean): Unit = {
+    val persisted = mutable.ListBuffer.empty[DataFrame]
+    def add(name: String, t: String, df0: DataFrame, keepEmpty: Boolean): Unit = {
+      // ONE materialization serves both the row count and the later
+      // sheet iterator (review r9: count() then toLocalIterator ran
+      // the plan twice, and a store mutation between the two jobs
+      // could silently drop rows past the counted chunk boundary)
+      val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += df
       val n = df.count()
       if (n > 0 || keepEmpty) {
         mapping += ((name, t))
@@ -211,7 +232,8 @@ object ScenarioIO {
     }
     val mappingSheet = Iterator[Seq[Any]](Seq("item", "ix_type")) ++
       mapping.iterator.map { case (n, t) => Seq[Any](n, t) }
-    Xlsx.write(path, ("ix_type_mapping", mappingSheet) +: sheets.toSeq)
+    try Xlsx.write(path, ("ix_type_mapping", mappingSheet) +: sheets.toSeq)
+    finally persisted.foreach(_.unpersist(blocking = false))
   }
 
   /** Read a .xlsx workbook written by [[writeScenarioXlsx]] (or the
@@ -235,10 +257,7 @@ object ScenarioIO {
       require(parts.nonEmpty, s"no sheet for item '$name' in $path")
       val header = byName(parts.head).head
       val data = parts.flatMap(p => byName(p).drop(1))
-      import org.apache.spark.sql.types.{StringType, StructField, StructType}
-      val schema = StructType(header.map(c => StructField(c, StringType)))
-      spark.createDataFrame(
-        java.util.Arrays.asList(data.map(r => Row(r: _*)): _*), schema)
+      Xlsx.rowsToDf(spark, header, data)
     }
 
     loadItems(s, mapping, itemDf, initItems, addUnits)
@@ -252,11 +271,7 @@ object ScenarioIO {
     val spark = s.platform.spark
     val rows = Xlsx.read(path).head._2
     require(rows.nonEmpty, s"'$path' first sheet is empty")
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val header = rows.head
-    val schema = StructType(header.map(c => StructField(c, StringType)))
-    val df0 = spark.createDataFrame(
-      java.util.Arrays.asList(rows.drop(1).map(r => Row(r: _*)): _*), schema)
+    val df0 = Xlsx.rowsToDf(spark, rows.head, rows.drop(1))
     val df = df0.columns.foldLeft(df0) { (d, c) =>
       if (c == "value" || c.toIntOption.isDefined) d.withColumn(c, col(c).cast("double"))
       // via double: pandas-written workbooks render integer years as

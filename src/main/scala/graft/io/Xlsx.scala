@@ -155,6 +155,26 @@ object Xlsx {
   /** Read all sheets in workbook order as (name, rows of string cells).
     * Numeric cells keep their literal text (`4.0` stays "4.0"); missing
     * cells inside a row become "". */
+  /** Sheet rows → untyped (all-string) DataFrame under `header`'s
+    * schema — the ONE conversion shared by the scenario reader, the TS
+    * reader, and Reporter.addFile (review r9: the block was
+    * triplicated, and split-sheet continuation rows shorter than the
+    * header sheet's width crashed createDataFrame; rows now pad/trim
+    * to the header width). */
+  def rowsToDf(spark: org.apache.spark.sql.SparkSession,
+      header: Seq[String], rows: Seq[Seq[String]]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val width = header.length
+    val schema = StructType(header.map(c => StructField(c, StringType)))
+    val fitted = rows.map { r =>
+      val f = if (r.length > width) r.take(width)
+        else if (r.length < width) r ++ Seq.fill(width - r.length)("")
+        else r
+      org.apache.spark.sql.Row(f: _*)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(fitted: _*), schema)
+  }
+
   def read(path: String): Seq[(String, Seq[Seq[String]])] = {
     val zf = new ZipFile(path)
     try {

@@ -12,6 +12,12 @@ import graft.util.Units
 /** genno-style key: `name:dim1-dim2:tag` (reference: genno Key as used
   * by ixmp/report/util.py:37-70; dims sorted for canonical lookup). */
 final case class Key(name: String, dims: Seq[String], tag: Option[String] = None) {
+  /** Canonical dim order, for DISPLAY/comparison only — graph and
+    * cache keys deliberately keep the registered dim order (a
+    * permuted request like "p:j-i" resolves through the sum lattice
+    * and is cached separately, since its OUTPUT column order
+    * differs; review r9 confirmed this is a choice, not an
+    * accident). */
   def sortedDims: Seq[String] = dims.sorted
   override def toString: String =
     s"$name:${dims.mkString("-")}" + tag.map(t => s":$t").getOrElse("")
@@ -66,7 +72,15 @@ class Reporter {
   def unitOverrides: Map[String, String] = _unitOverrides
   def unitOverrides_=(m: Map[String, String]): Unit = { _unitOverrides = m; clearQuantityCache() }
 
-  def add(key: String, fn: () => Quantity): this.type = { graph(key) = fn; this }
+  def add(key: String, fn: () => Quantity): this.type = synchronized {
+    // graph mutation invalidates the quantity cache (review r9): the
+    // store-version check alone never ticks on add(), so a previously
+    // INFERRED (sum-lattice) result cached under this key — or a
+    // partial sum whose superset resolution this registration changes
+    // — would keep winning over the new node
+    clearQuantityCache()
+    graph(key) = fn; this
+  }
   def addDf(key: String, fn: () => DataFrame, dims: Seq[String], unit: String = ""): this.type =
     add(key, () => Quantity(fn(), dims, unit))
 
@@ -82,12 +96,7 @@ class Reporter {
         if (path.endsWith(".parquet")) spark.read.parquet(path)
         else if (path.endsWith(".xlsx")) {
           val rows = graft.io.Xlsx.read(path).head._2
-          val header = rows.head
-          val schema = org.apache.spark.sql.types.StructType(header.map(c =>
-            org.apache.spark.sql.types.StructField(c,
-              org.apache.spark.sql.types.StringType)))
-          spark.createDataFrame(java.util.Arrays.asList(
-            rows.drop(1).map(r => org.apache.spark.sql.Row(r: _*)): _*), schema)
+          graft.io.Xlsx.rowsToDf(spark, rows.head, rows.drop(1))
         }
         else spark.read.option("header", true).csv(path)
       Quantity(df.select((dims.map(col) :+ col("value").cast("double")): _*), dims, unit)
@@ -242,6 +251,22 @@ object Reporter {
     s.parList().foreach(register(_, ItemType.Par))
     s.varList().foreach(register(_, ItemType.Var))
     s.equList().foreach(register(_, ItemType.Equ))
+    // Sets register under their bare name (review r9: the docstring
+    // promised them, reporter.py:44-99 provides them) as INDICATOR
+    // quantities — each element row carries value 1.0, the DataFrame
+    // analogue of genno's element lists, directly usable as a
+    // membership mask in products.
+    s.setList().foreach { name =>
+      val dims0 = if (s.idxNames(name).isEmpty) Seq(name) else s.idxNames(name)
+      val dims = dims0.map(d => r.renameDims.getOrElse(d, d))
+      r.add(name, () => {
+        val df0 = s.set(name)
+        val renamed = df0.columns.zip(dims).foldLeft(df0) {
+          case (d, (o, n)) => if (o != n) d.withColumnRenamed(o, n) else d
+        }
+        Quantity(renamed.withColumn("value", lit(1.0)), dims, "")
+      })
+    }
     r
   }
 
@@ -589,8 +614,15 @@ object Operators {
         when(col("__y0") === col("__y1"), col("__v0"))
           .otherwise(col("__v0") + (col("__v1") - col("__v0")) *
             (col("__t") - col("__y0")) / (col("__y1") - col("__y0"))))
+    // integral targets keep integer-style labels ("2015", not
+    // "2015.0") so interpolated coordinates MERGE with the original
+    // string labels in downstream unions/joins (review r9: the raw
+    // double column silently forked "2015.0" vs "2015" group keys)
+    val label = when(col("__t") === floor(col("__t")),
+      col("__t").cast("long").cast("string"))
+      .otherwise(col("__t").cast("string"))
     val df = grouped.select(
-      (others.map(col) :+ col("__t").as(dim) :+ col("value")): _*)
+      (others.map(col) :+ label.as(dim) :+ col("value")): _*)
     Quantity(df, q.dims, q.unit)
   }
 

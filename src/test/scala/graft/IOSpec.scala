@@ -329,6 +329,41 @@ class IOSpec extends SparkSpec {
     t.discard()
   }
 
+  test("indexed sets load after in-file index sets regardless of " +
+    "alphabetical order (review r9)") {
+    // 'cat' sorts before its index set 'tec'; with both pre-declared
+    // but EMPTY, readiness used to mean mere declaration — 'cat'
+    // validated its elements against a still-empty 'tec' and failed
+    // on a perfectly valid export
+    val mp = new Platform(spark, tmpDir("graft-io-order"))
+    val s = mp.newScenario("m", "s")
+    s.checkOut()
+    s.initSet("tec")
+    s.initSet("cat", Seq("tec"))
+    s.addSet("tec", Seq("wind", "solar"))
+    s.addSetDf("cat", Seq("wind").toDF("tec"))
+    s.commit("base")
+    val dir = tmpDir("graft-io-order-dump")
+    ScenarioIO.writeScenario(s, dir)
+    val t = mp.newScenario("m2", "s2")
+    t.checkOut()
+    t.initSet("tec")
+    t.initSet("cat", Seq("tec"))
+    ScenarioIO.readScenario(t, dir, initItems = false)
+    t.commit("loaded")
+    assert(t.set("cat").as[String].collect().toSeq == Seq("wind"))
+    assert(t.set("tec").as[String].collect().sorted.toSeq == Seq("solar", "wind"))
+  }
+
+  test("rowsToDf pads short continuation rows to the header width (review r9)") {
+    val df = graft.io.Xlsx.rowsToDf(spark, Seq("a", "b", "c"),
+      Seq(Seq("1", "2", "3"), Seq("4", "5"), Seq("6", "7", "8", "9")))
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    val rows = df.collect().map(_.toSeq)
+    assert(rows(1) == Seq("4", "5", ""), "short row pads with empties")
+    assert(rows(2) == Seq("6", "7", "8"), "over-wide row trims")
+  }
+
   test("timeseries CSV round-trip with year bounds") {
     val mp = new Platform(spark, tmpDir("graft-io4"))
     mp.addUnit("USD")

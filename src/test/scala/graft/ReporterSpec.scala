@@ -40,6 +40,27 @@ class ReporterSpec extends SparkSpec {
     assert(d.df.count() == 6)
   }
 
+  test("add() invalidates stale inferred results; sets register as " +
+    "indicator quantities (review r9)") {
+    import spark.implicits._
+    val s = solvedScenario()
+    val r = Reporter.fromScenario(s)
+    // cache an INFERRED partial sum under d:i
+    val inferred = r.get("d:i").df.agg(org.apache.spark.sql.functions.sum("value"))
+      .head().getDouble(0)
+    assert(inferred > 0)
+    // registering an exact node for the same key must win immediately
+    r.addDf("d:i", () => Seq(("seattle", 99.0)).toDF("i", "value"), Seq("i"))
+    val exact = r.get("d:i").df.collect()
+    assert(exact.length == 1 && exact.head.getDouble(1) == 99.0,
+      "a newly registered node must not be shadowed by a cached inference")
+    // sets come through as element frames with value 1.0 (the mask form)
+    val si = r.get("i")
+    assert(si.dims == Seq("i") && si.unit == "")
+    val elems = si.df.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(elems == Map("seattle" -> 1.0, "san-diego" -> 1.0))
+  }
+
   test("sums lattice is inferred lazily: d:i, d:j, d: (test_reporter.py:48-53)") {
     val s = solvedScenario()
     val r = Reporter.fromScenario(s)
@@ -173,14 +194,17 @@ class ReporterSpec extends SparkSpec {
       .toDF("region", "year", "value")
     val q = Quantity(df, Seq("region", "year"), "EJ")
     val out = Operators.interpolate(q, "year", Seq(2020.0, 2025.0, 2040.0, 2060.0))
+    // integral targets come back as integer-style STRING labels
+    // ("2025", not 2025.0) so they merge with the original coordinate
+    // labels downstream (review r9)
     val m = out.df.collect()
-      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
-    assert(m(("World", 2020.0)) == 10.0, "existing coordinate passes through")
-    assert(math.abs(m(("World", 2025.0)) - 20.0) < 1e-9, "midpoint of 10..30")
-    assert(math.abs(m(("World", 2040.0)) - 50.0) < 1e-9, "midpoint of 30..70")
-    assert(!m.contains(("World", 2060.0)), "beyond the range: dropped")
-    assert(!m.contains(("North", 2040.0)), "per-group range respected")
-    assert(math.abs(m(("North", 2025.0)) - 4.0) < 1e-9)
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("World", "2020")) == 10.0, "existing coordinate passes through")
+    assert(math.abs(m(("World", "2025")) - 20.0) < 1e-9, "midpoint of 10..30")
+    assert(math.abs(m(("World", "2040")) - 50.0) < 1e-9, "midpoint of 30..70")
+    assert(!m.contains(("World", "2060")), "beyond the range: dropped")
+    assert(!m.contains(("North", "2040")), "per-group range respected")
+    assert(math.abs(m(("North", "2025")) - 4.0) < 1e-9)
     assert(out.unit == "EJ")
   }
 
