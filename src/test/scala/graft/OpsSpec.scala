@@ -644,6 +644,34 @@ class OpsSpec extends SparkSpec {
     assert(doms(2L) == Seq("evil.example.com"))
   }
 
+  test("clusterBalancedSample plan: centroids broadcast; corpus shuffles " +
+    "narrow rows only") {
+    val corpus = spark.range(0, 512, 1, 8).select(col("id"),
+      array((0 until 4).map(d => (col("id") * (d + 1) % 17).cast("float")): _*)
+        .as("vec"))
+    val cent = corpus.filter(col("id") < 4)
+      .select(col("id").as("cell"), col("vec").as("cvec"))
+    val plan = Similarity.clusterBalancedSample(corpus, cent, cap = 5)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(plan).nonEmpty,
+      "centroids must broadcast into the scoring pass")
+    // the n×C scored rows partial-aggregate map-side: the exchanges
+    // carry only the (id, cell) assignment + the per-cluster window
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"corpus payloads must not fan out:\n$plan")
+  }
+
+  test("dedupByUrl plan: one digest-keyed exchange, no text shuffle") {
+    import graft.ops.UrlOps
+    val docs = spark.range(0, 256, 1, 8).select(col("id").as("doc_id"),
+      concat(lit("https://h"), (col("id") % 9).cast("string"),
+        lit(".ex.org/p?utm_s=x")).as("url"))
+    val plan = UrlOps.dedupByUrl(docs, "url")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"exactly the md5-keyed aggregation exchange:\n$plan")
+  }
+
   test("canonicalizeUrl: case, ports, tracking params, fragments, slashes") {
     import graft.ops.UrlOps
     val cases = Seq(

@@ -192,6 +192,34 @@ class SamplingSpec extends SparkSpec {
       "approx quota shuffles only the narrow count aggregate")
   }
 
+  test("mixture plan shapes: stats aggregate + broadcast rates, " +
+    "no corpus-row shuffle") {
+    import org.apache.spark.sql.functions.col
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    def broadcasts(df: org.apache.spark.sql.DataFrame): Int =
+      "BroadcastExchange".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    val wide = spark.range(0, 2000, 1, 8)
+      .select(col("id"), (col("id") % 4).cast("string").as("src"),
+        (col("id") % 7 + 1).cast("int").as("toks"))
+    val w = Map("0" -> 0.5, "1" -> 0.5)
+    // mixtureSample: the ONLY hash exchanges belong to the tiny
+    // (source, count) aggregate + the <=|sources|-row window; corpus
+    // rows flow map-side through the broadcast rate join
+    val mix = Sampling.mixtureSample(wide, "id", "src", col("toks"), w)
+    assert(broadcasts(mix) >= 1, "rates must broadcast")
+    assert(exchanges(mix) <= 3,
+      s"corpus rows must not shuffle:\n${mix.queryExecution.executedPlan}")
+    // epoch manifest: same shape plus the explode — still no
+    // corpus-keyed exchange
+    val ep = Sampling.mixtureEpochExpand(wide, "id", "src", col("toks"), w, 5000L)
+    assert(broadcasts(ep) >= 1, "epoch plan must broadcast")
+    assert(exchanges(ep) <= 3,
+      s"epoch expansion must stay map-side:\n${ep.queryExecution.executedPlan}")
+  }
+
   test("dsir scores rank target-like docs first; resample keeps top-k") {
     val tgt = "alpha beta gamma delta epsilon zeta"          // target style
     val oth = "uno dos tres cuatro cinco seis siete"         // off-target
