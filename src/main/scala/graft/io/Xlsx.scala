@@ -37,6 +37,19 @@ object Xlsx {
     * String / Double / Long / Int / Boolean / null cells. The FIRST row
     * of each sheet is the header. */
   def write(path: String, sheets: Seq[(String, Iterator[Seq[Any]])]): Unit = {
+    // OOXML sheet-name rules (review r9): Excel refuses workbooks with
+    // over-31-char or punctuated names even though our own reader
+    // accepts them — fail at write time like openpyxl does, or the
+    // file round-trips in tests yet defeats its interchange purpose
+    val bad = "[:\\\\/?*\\[\\]]".r
+    sheets.map(_._1).foreach { n =>
+      require(n.nonEmpty && n.length <= 31,
+        s"sheet name '$n' exceeds Excel's 31-character limit")
+      require(bad.findFirstIn(n).isEmpty,
+        s"sheet name '$n' contains a character Excel forbids (: \\ / ? * [ ])")
+    }
+    require(sheets.map(_._1).distinct.size == sheets.size,
+      "duplicate sheet names")
     val zip = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     try {
       val names = sheets.map(_._1)
@@ -325,8 +338,12 @@ object Xlsx {
                 case "b" => if (text.toString.trim == "1") "true" else "false"
                 case _ => text.toString // n, str, inlineStr
               }
-              while (row.size < cellCol) row += "" // skipped empty cells
-              row += value
+              // place the value AT its r-attribute column (review r9:
+              // append-after-pad silently shifted out-of-order or
+              // duplicate cell refs from third-party writers into the
+              // wrong columns)
+              while (row.size <= cellCol) row += "" // skipped empty cells
+              row(cellCol) = value
             case "row" =>
               // drop entirely-empty rows: Excel represents a blank row
               // either as an omitted <row> (which this reader compacts

@@ -43,8 +43,11 @@ import org.apache.spark.sql.types._
   *    (e.g. a model storing its solution) publish immediately.
   *
   * Concurrency contract: ONE writer process per store root. Within a
-  * JVM, writers serialize on the instance locks (any number of
-  * threads/instances is safe — r8 stress spec); across processes, the
+  * JVM, writers serialize on a PER-ROOT shared state monitor — any
+  * number of threads AND instances on one root is safe (r8 stress
+  * spec; r9 review: instances share one mirror-state copy, so a
+  * second instance can neither race the pointer tables nor rewrite a
+  * manifest shard from a stale private view); across processes, the
   * first durable mutation takes an exclusive OS lock on
   * `<root>/.writer.lock` (see [[acquireWriterLock]]) and a second
   * writer process fails fast. Pure readers never lock: the
@@ -61,6 +64,26 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   import ParquetStore._
 
   private val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // shared per-root mirror state (see ParquetStore.SharedState); the
+  // canonical key matches the writer-lock registry's
+  private val stateKey: String = {
+    val uri = new Path(root).toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      new java.io.File(Option(uri.getPath).getOrElse(root)).getCanonicalPath
+    else root
+  }
+  private val state = ParquetStore.stateFor(stateKey)
+  private def manifest = state.manifest
+  private def pending = state.pending
+  private def checkedOut = state.checkedOut
+  private def allocatedGen = state.allocatedGen
+  private[graft] def inFlight = state.inFlight
+  private def itemDefs = state.itemDefs
+  private def itemCache = state.itemCache
+  private def tsCache = state.tsCache
+  private def mutations = state.mutations
+  loadMirrors()
   fs.mkdirs(new Path(root))
 
   // ---- cross-process writer lock -------------------------------------
@@ -178,7 +201,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
 
   /** Write the next generation; retain the trailing `KeepGens` so
     * previously-returned lazy frames stay readable. */
-  private def writePointerTable(name: String, df: DataFrame): Unit = synchronized {
+  private def writePointerTable(name: String, df: DataFrame): Unit = state.synchronized {
     acquireWriterLock()
     val next = currentGenOf(name).getOrElse(-1L) + 1
     df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name.g$next")
@@ -190,13 +213,13 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
 
   private def runsDf: DataFrame = readPointerTable("catalog/runs", runsSchema)
 
-  override def nextRunId(): Long = synchronized {
+  override def nextRunId(): Long = state.synchronized {
     val cur = runsDf.agg(max("run_id")).head()
     if (cur.isNullAt(0)) 1L else cur.getLong(0) + 1L
   }
 
   override def createRun(model: String, scenario: String, scheme: String,
-      annotation: String): RunInfo = synchronized {
+      annotation: String): RunInfo = state.synchronized {
     val prior = runsDf.filter(col("model") === model && col("scenario") === scenario)
       .agg(max("version")).head()
     val version = (if (prior.isNullAt(0)) 0 else prior.getInt(0)) + 1
@@ -263,14 +286,14 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     df
   }
 
-  override def setDefault(runId: Long): Unit = synchronized {
+  override def setDefault(runId: Long): Unit = state.synchronized {
     val me = getRunById(runId)
     writePointerTable("catalog/runs", runsDf.withColumn("is_default",
       when(col("model") === me.model && col("scenario") === me.scenario,
         col("run_id") === runId).otherwise(col("is_default"))))
   }
 
-  override def discardRun(runId: Long): Unit = synchronized {
+  override def discardRun(runId: Long): Unit = state.synchronized {
     invalidateRun(runId)
     pending.keys.filter(_._1 == runId).foreach(pending.remove)
     itemDefs.keys.filter(_._1 == runId).foreach(itemDefs.remove)
@@ -299,18 +322,27 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
 
   private def itemsDf: DataFrame = readPointerTable("catalog/items", itemsSchema)
 
-  private val itemDefs: TrieMap[(Long, String), ItemDef] = {
-    val m = TrieMap.empty[(Long, String), ItemDef]
-    itemsDf.collect().foreach { r =>
-      m((r.getAs[Long]("run_id"), r.getAs[String]("name"))) =
-        ItemDef(r.getAs[String]("name"), ItemType.fromString(r.getAs[String]("type")),
-          r.getSeq[String](r.fieldIndex("idx_sets")).toList,
-          r.getSeq[String](r.fieldIndex("idx_names")).toList)
+  /** One-time durable-mirror load per JVM per root (first instance
+    * pays it; later instances on the same root share the result). */
+  private def loadMirrors(): Unit = state.synchronized {
+    if (!state.loaded) {
+      itemsDf.collect().foreach { r =>
+        state.itemDefs((r.getAs[Long]("run_id"), r.getAs[String]("name"))) =
+          ItemDef(r.getAs[String]("name"), ItemType.fromString(r.getAs[String]("type")),
+            r.getSeq[String](r.fieldIndex("idx_sets")).toList,
+            r.getSeq[String](r.fieldIndex("idx_names")).toList)
+      }
+      loadManifestMirror()
+      state.loaded = true
     }
-    m
   }
 
-  override def initItem(runId: Long, d: ItemDef): Unit = synchronized {
+  override def initItem(runId: Long, d: ItemDef): Unit = state.synchronized {
+    // the per-run fact tables share the (runId, name) pointer keyspace
+    // (review r9): an item literally named __ts/__geo/__cat would
+    // cross-contaminate the fact tables' generation pointers
+    require(!d.name.startsWith("__"),
+      s"item name '${d.name}' is reserved (names must not start with '__')")
     require(itemDef(runId, d.name).isEmpty,
       s"item '${d.name}' already exists in run $runId")
     val row = Row(runId, d.name, d.itemType.toString.toLowerCase, d.idxSets, d.idxNames)
@@ -333,7 +365,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   override def itemDef(runId: Long, name: String): Option[ItemDef] =
     itemDefs.get((runId, name))
 
-  override def deleteItem(runId: Long, name: String): Unit = synchronized {
+  override def deleteItem(runId: Long, name: String): Unit = state.synchronized {
     val d = itemDef(runId, name)
     writePointerTable("catalog/items",
       itemsDf.filter(!(col("run_id") === runId && col("name") === name)))
@@ -360,8 +392,8 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     * O(total warehouse rows) driver I/O — the write-path twin of the
     * union-plan problem the partitioned TS scan fixed). Loading reads
     * every run's current shard in ONE multi-path parquet scan. */
-  private val manifest: TrieMap[(Long, String), Long] = {
-    val m = TrieMap.empty[(Long, String), Long]
+  private def loadManifestMirror(): Unit = {
+    val m = state.manifest
     // legacy layout (pre-sharding): one global pointer table. Loaded
     // first; any run that has since written a shard is migrated — its
     // shard (even an empty one, after a discard) is authoritative and
@@ -378,10 +410,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
       spark.read.schema(manifestSchema).parquet(paths: _*).collect().foreach { r =>
         m((r.getLong(0), r.getString(1))) = r.getLong(2)
       }
-    m
   }
-  private val pending = TrieMap.empty[(Long, String), Long]
-  private val checkedOut = TrieMap.empty[Long, String]
 
   private def manifestShardName(runId: Long): String =
     s"catalog/manifest/run_id=$runId"
@@ -435,15 +464,13 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     * writers to the same item never pick the same generation number and
     * overwrite each other's in-flight directory (ADVICE r1): each writer
     * gets a distinct directory, and publish keeps the highest one. */
-  private val allocatedGen = TrieMap.empty[(Long, String), Long]
   // generations whose parquet write is currently running: vacuum must
   // not reclaim them (the directory exists before publish, outside the
   // lock) — entries clear in a finally, so even a failed write's
   // garbage becomes reclaimable immediately
   // private[graft] so specs can stage a synthetic slow writer
-  private[graft] val inFlight = TrieMap.empty[(Long, String, Long), Unit]
 
-  private def allocateGen(runId: Long, name: String): Long = synchronized {
+  private def allocateGen(runId: Long, name: String): Long = state.synchronized {
     acquireWriterLock()
     val next = math.max(
       allocatedGen.getOrElse((runId, name), -1L) + 1,
@@ -461,10 +488,10 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     try {
       df.selectExpr(schema.fieldNames.map(c => s"`$c`").toIndexedSeq: _*)
         .write.mode("overwrite").parquet(genPath(fam, runId, name, next))
-      if (checkedOut.contains(runId)) synchronized {
+      if (checkedOut.contains(runId)) state.synchronized {
         if (pending.get((runId, name)).forall(_ < next)) pending((runId, name)) = next
       }
-      else synchronized {
+      else state.synchronized {
         // monotonic publish: a slower writer with an older generation must
         // not roll the manifest pointer backwards
         if (manifest.get((runId, name)).forall(_ < next)) {
@@ -490,6 +517,20 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     * pointing at deleted data). Production no-op. */
   private[graft] var onGcSweep: (String, Long, String, Long) => Unit =
     (_, _, _, _) => ()
+
+  /** Data families a (runId, name) key can live under: the reserved
+    * fact names map 1:1; catalog items map by their declared type. */
+  private def familiesOf(runId: Long, name: String): Seq[String] = name match {
+    case TsName => Seq("ts")
+    case GeoName => Seq("geo")
+    case CatName => Seq("cat")
+    case _ => itemDefs.get((runId, name)).map(_.itemType) match {
+      case Some(ItemType.Set) => Seq("set")
+      case Some(ItemType.Par) => Seq("par")
+      case Some(ItemType.Var) | Some(ItemType.Equ) => Seq("sol")
+      case None => Seq("set", "par", "sol", "ts", "geo", "cat") // unknown: probe all
+    }
+  }
 
   private def gcGens(fam: String, runId: Long, name: String, newest: Long): Unit = {
     val cutoff = newest - KeepGens
@@ -531,11 +572,9 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   // to an item invalidates that item; any change to a SET invalidates
   // every item of the run (membership validation may depend on it —
   // jdbc.py:1358-1362's global invalidation).
-  private val itemCache = TrieMap.empty[(Long, String), DataFrame]
 
   // every item write/delete routes through invalidate/invalidateRun, so
   // this counter ticks exactly when cached quantities could be stale
-  private val mutations = new java.util.concurrent.atomic.AtomicLong(0L)
   override def mutationCount: Long = mutations.get()
 
   private def invalidate(runId: Long, name: String, isSet: Boolean): Unit = {
@@ -588,11 +627,10 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   // it — a caller-side persist() was never released and each
   // checkout/commit cycle left a dead old-generation frame cached for
   // the session lifetime (no plan could ever hit it again)
-  private val tsCache = TrieMap.empty[Long, DataFrame]
 
   /** Persist this run's TS slice until the next TS write (reference
     * preload_timeseries, timeseries.py:334-336). */
-  def preloadTs(runId: Long): Unit = synchronized {
+  def preloadTs(runId: Long): Unit = state.synchronized {
     tsCache.remove(runId).foreach(_.unpersist(blocking = false))
     tsCache(runId) = readVersioned("ts", runId, TsName, tsSchema)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -665,8 +703,12 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     (readPointerTable("codelists/units", unitsSchema)
       .collect().map(_.getString(0)).toSeq ++ defaultUnits).distinct.sorted
 
-  override def addUnit(u: String): Unit = synchronized {
-    if (!units().contains(u))
+  override def addUnit(u: String): Unit = state.synchronized {
+    // check the STORED list (review r9): units() includes the implicit
+    // defaults, which made an explicit add of a default a silent no-op
+    // where the contract says the explicit row persists
+    if (!readPointerTable("codelists/units", unitsSchema)
+        .collect().map(_.getString(0)).contains(u))
       writePointerTable("codelists/units",
         readPointerTable("codelists/units", unitsSchema).unionByName(
           spark.createDataFrame(java.util.Arrays.asList(Row(u)), unitsSchema)))
@@ -683,7 +725,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
       .distinct.sorted.toSeq
 
   private def addNameCodelist(table: String, runCol: String, n: String): Unit =
-    synchronized {
+    state.synchronized {
       if (!nameCodelist(table, runCol).contains(n))
         writePointerTable(s"codelists/$table",
           readPointerTable(s"codelists/$table", nameListSchema).unionByName(
@@ -709,17 +751,32 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   // resolveRegions' synonym left-join and store every datapoint for
   // that region twice (re-running a setup script must be safe).
   override def addRegion(region: String, hierarchy: String, parent: Option[String]): Unit =
-    synchronized {
-      if (regions().filter(col("region") === region).isEmpty)
-        writePointerTable("codelists/regions", regions().unionByName(
+    state.synchronized {
+      // idempotency against STORED rows only (review r9): the implicit
+      // 'World' default made addRegion("World", ...) a silent no-op,
+      // discarding the caller's hierarchy/parent — the explicit row
+      // must persist and become authoritative
+      val stored = readPointerTable("codelists/regions", regionsSchema)
+      if (stored.filter(col("region") === region).isEmpty)
+        // union onto the STORED table: regions() includes the implicit
+        // World default, which would materialize alongside an explicit
+        // World row and duplicate it
+        writePointerTable("codelists/regions", stored.unionByName(
           spark.createDataFrame(java.util.Arrays.asList(
             Row(region, hierarchy, parent.orNull, null)), regionsSchema)))
     }
 
-  override def addRegionSynonym(region: String, mappedTo: String): Unit = synchronized {
+  override def addRegionSynonym(region: String, mappedTo: String): Unit = state.synchronized {
+    // a synonym must not shadow a REAL region (review r9): a second
+    // 'World' row would remap or join-duplicate every datapoint
+    // stored under the genuine region
+    require(regions().filter(col("region") === region
+        && col("hierarchy") =!= "synonym").isEmpty,
+      s"'$region' is already a region — a synonym cannot shadow it")
     if (regions().filter(col("region") === region
         && col("hierarchy") === "synonym").isEmpty)
-      writePointerTable("codelists/regions", regions().unionByName(
+      writePointerTable("codelists/regions",
+        readPointerTable("codelists/regions", regionsSchema).unionByName(
         spark.createDataFrame(java.util.Arrays.asList(
           Row(region, "synonym", null, mappedTo)), regionsSchema)))
   }
@@ -741,17 +798,25 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   // duplicate rows and a silent redefinition would keep both
   // durations). Tolerance mirrors np.isclose's defaults.
   override def addTimeslice(name: String, category: String, duration: Double): Unit =
-    synchronized {
+    state.synchronized {
       val existing = timeslices().filter(col("name") === name)
         .select("duration").collect().headOption.map(_.getDouble(0))
+      val stored = readPointerTable("codelists/timeslices", timeslicesSchema)
+        .filter(col("name") === name).isEmpty
       existing match {
         case Some(d) =>
           require(math.abs(duration - d) <= 1e-8 + 1e-5 * math.abs(d),
             s"timeslice `$name` already defined with duration $d")
+          // same duration over the IMPLICIT default: persist the
+          // explicit row (review r9 — the contract says it persists);
+          // over a stored row: no-op as before
+          if (stored)
+            writePointerTable("codelists/timeslices", timeslices())
         case None =>
-          writePointerTable("codelists/timeslices", timeslices().unionByName(
-            spark.createDataFrame(java.util.Arrays.asList(
-              Row(name, category, duration)), timeslicesSchema)))
+          writePointerTable("codelists/timeslices",
+            readPointerTable("codelists/timeslices", timeslicesSchema)
+              .unionByName(spark.createDataFrame(java.util.Arrays.asList(
+                Row(name, category, duration)), timeslicesSchema)))
       }
     }
 
@@ -762,7 +827,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
   def docs(domain: String): DataFrame =
     readPointerTable("docs", docsSchema).filter(col("domain") === domain)
 
-  def setDoc(domain: String, identifier: String, text: String): Unit = synchronized {
+  def setDoc(domain: String, identifier: String, text: String): Unit = state.synchronized {
     val cur = readPointerTable("docs", docsSchema)
       .filter(!(col("domain") === domain && col("identifier") === identifier))
     writePointerTable("docs", cur.unionByName(spark.createDataFrame(
@@ -773,7 +838,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     docs(domain).filter(col("identifier") === identifier)
       .collect().headOption.map(_.getString(2))
 
-  def removeDoc(domain: String, identifier: String): Unit = synchronized {
+  def removeDoc(domain: String, identifier: String): Unit = state.synchronized {
     writePointerTable("docs", readPointerTable("docs", docsSchema)
       .filter(!(col("domain") === domain && col("identifier") === identifier)))
   }
@@ -784,7 +849,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
     * committed generation, a staged one, nor inside the retention
     * window — orphans from crashed writes and discarded checkouts.
     * Returns the number of directories removed. */
-  def vacuum(): Int = synchronized {
+  def vacuum(): Int = state.synchronized {
     acquireWriterLock()
     var removed = 0
     val dataRoot = new Path(s"$root/data")
@@ -818,7 +883,7 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
 
   // ---- transactions ---------------------------------------------------------
 
-  override def checkOut(runId: Long, user: String): Unit = synchronized {
+  override def checkOut(runId: Long, user: String): Unit = state.synchronized {
     acquireWriterLock()
     val r = getRunById(runId)
     require(r.lockUser.isEmpty, s"run $runId is already checked out by ${r.lockUser.get}")
@@ -832,7 +897,13 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
 
   /** Publish this run's staged generations into the manifest (one
     * generational write) and release the lock. */
-  override def commit(runId: Long, user: String, comment: String): Unit = synchronized {
+  override def commit(runId: Long, user: String, comment: String): Unit = state.synchronized {
+    // symmetric with checkOut (review r9): committing a nonexistent or
+    // never-checked-out run must say so, not silently append a
+    // commit-log row and stamp upd_* over nothing
+    getRunById(runId) // named error on an unknown id
+    require(checkedOut.contains(runId),
+      s"run $runId is not checked out — nothing to commit")
     acquireWriterLock()
     val staged = pending.filter(_._1._1 == runId)
     if (staged.nonEmpty) {
@@ -851,8 +922,9 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
       // generation is not visible yet), so the commit must reclaim
       // the retention window or checkout cycles leak directories
       staged.foreach { case ((_, name), g) =>
-        for (fam <- Seq("set", "par", "sol", "ts", "geo", "cat"))
-          gcGens(fam, runId, name, g)
+        // resolve the item's actual family instead of probing all six
+        // (review r9: 6 filesystem metadata calls per staged item)
+        familiesOf(runId, name).foreach(fam => gcGens(fam, runId, name, g))
       }
     }
     // commit annotations survive (reference transact(commit_message));
@@ -886,14 +958,14 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
 
   /** Drop this run's staged generations — rollback to the last commit
     * (reference discard_changes reloads state, timeseries.py:230-239). */
-  def discardChanges(runId: Long): Unit = synchronized {
+  def discardChanges(runId: Long): Unit = state.synchronized {
     acquireWriterLock()
     pending.filter(_._1._1 == runId).foreach { case (k @ (_, name), g) =>
       pending.remove(k)
       // staged gens are above the committed one: delete every dir the
       // manifest doesn't own
       val committed = manifest.get(k)
-      for (fam <- Seq("set", "par", "sol", "ts", "geo", "cat")) {
+      for (fam <- familiesOf(runId, name)) {
         val p = new Path(genPath(fam, runId, name, g))
         if (fs.exists(p) && !committed.contains(g)) fs.delete(p, true)
       }
@@ -922,6 +994,30 @@ object ParquetStore {
   private val writerLocks =
     TrieMap.empty[String, (java.io.RandomAccessFile, java.nio.channels.FileLock)]
   private val writerLockMutex = new Object
+
+  /** Per-root shared in-JVM mirror state (review r9): the class doc
+    * promises any number of threads AND instances on one root is
+    * safe, but instance-private mirrors + synchronized-on-this let
+    * two instances interleave pointer-table writes and rewrite a
+    * run's manifest shard from a stale view. Every instance on the
+    * same canonical root now shares ONE copy of the driver-side
+    * mirrors (manifest/pending/checkout/allocator/catalog/caches)
+    * and synchronizes mutations on it. */
+  private[store] final class SharedState {
+    val manifest = TrieMap.empty[(Long, String), Long]
+    val pending = TrieMap.empty[(Long, String), Long]
+    val checkedOut = TrieMap.empty[Long, String]
+    val allocatedGen = TrieMap.empty[(Long, String), Long]
+    val inFlight = TrieMap.empty[(Long, String, Long), Unit]
+    val itemDefs = TrieMap.empty[(Long, String), ItemDef]
+    val itemCache = TrieMap.empty[(Long, String), DataFrame]
+    val tsCache = TrieMap.empty[Long, DataFrame]
+    val mutations = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var loaded = false
+  }
+  private val states = TrieMap.empty[String, SharedState]
+  private[store] def stateFor(key: String): SharedState =
+    states.getOrElseUpdate(key, new SharedState)
 
   private val TsName = "__ts"
   private val GeoName = "__geo"

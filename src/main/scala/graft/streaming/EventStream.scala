@@ -215,6 +215,16 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case ((ws, we), rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          // late rows for an already-CLOSED window (review r9): after
+          // the event-time timeout removed this window's state, a
+          // straggler would otherwise recreate it from scratch with an
+          // empty published set and could re-publish digests the first
+          // incarnation already emitted. flatMapGroupsWithState leaves
+          // sub-watermark data to USER code — enforce the same horizon
+          // rule as the exact (windowed-agg) variant: drop them.
+          else if (state.getOption.isEmpty &&
+              state.getCurrentWatermarkMs() >= we * 1000)
+            Iterator.empty
           else {
             val st = state.getOption.getOrElse(
               CmsState(new Array[Int](width * depth), Nil))

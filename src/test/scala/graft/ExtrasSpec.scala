@@ -634,6 +634,65 @@ class ExtrasSpec extends SparkSpec {
     st.releaseWriterLock()
   }
 
+  test("two store INSTANCES on one root share mirrors and serialize " +
+    "writers (review r9)") {
+    val root = tmpDir("graft-two-inst")
+    val a = new graft.store.ParquetStore(spark, root)
+    val b = new graft.store.ParquetStore(spark, root)
+    // concurrent run creation through BOTH instances must not lose
+    // runs to interleaved pointer-table writes
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val latch = new java.util.concurrent.CountDownLatch(8)
+    (0 until 8).foreach { i =>
+      val store = if (i % 2 == 0) a else b
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try { store.createRun("m", s"s$i", "", ""); () }
+          catch { case e: Throwable => errs.add(e) }
+          finally latch.countDown()
+      })
+    }
+    assert(latch.await(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errs.isEmpty, s"concurrent instance writers threw: ${errs.peek()}")
+    assert(a.listRuns(defaultOnly = false, None, None).count() == 8)
+    // instance B sees a commit made through instance A (shared
+    // manifest mirror — a private stale copy used to mask it)
+    val run = a.getRun("m", "s0", Some(1))
+    a.checkOut(run.runId, "u")
+    a.initItem(run.runId, graft.store.ItemDef("p", graft.store.ItemType.Par,
+      Nil, Nil))
+    a.writeItemData(run.runId, "p",
+      Seq((1.5, "km")).toDF("value", "unit"))
+    a.commit(run.runId, "u", "via A")
+    assert(b.itemData(run.runId, "p").count() == 1,
+      "instance B must observe A's committed manifest")
+    a.releaseWriterLock()
+  }
+
+  test("store guards: reserved item names, commit validation, codelist " +
+    "defaults stay overridable (review r9)") {
+    val st = new graft.store.ParquetStore(spark, tmpDir("graft-guards2"))
+    val run = st.createRun("m", "s", "", "")
+    // reserved fact-table names share the pointer keyspace
+    intercept[IllegalArgumentException] {
+      st.initItem(run.runId, graft.store.ItemDef("__ts",
+        graft.store.ItemType.Par, Nil, Nil))
+    }
+    // commit of an unknown or not-checked-out run says so
+    intercept[Exception](st.commit(9999L, "u", "boom"))
+    intercept[IllegalArgumentException](st.commit(run.runId, "u", "boom"))
+    // explicit add over an implicit default persists and is
+    // authoritative (hierarchy/parent survive)
+    st.addRegion("World", "country", Some("Earth"))
+    val w = st.regions().filter(col("region") === "World").collect()
+    assert(w.length == 1 && w.head.getString(1) == "country")
+    // a synonym cannot shadow a real region
+    intercept[IllegalArgumentException](st.addRegionSynonym("World", "GLB"))
+    st.releaseWriterLock()
+  }
+
   test("diff tracks key presence, not value null-ness (review r9)") {
     import graft.util.Util
     // a null first-value column on a key present in BOTH sides must

@@ -198,6 +198,7 @@ class IOSpec extends SparkSpec {
         |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="str"><v>meta</v></c></row>
         |<row r="2"><c r="B2" t="b"><v>1</v></c><c r="C2"><v>42.5</v></c></row>
         |<row r="3"><c r="A3" t="s"><v>1</v></c></row>
+        |<row r="4"><c r="C4"><v>9</v></c><c r="A4" t="str"><v>7</v></c></row>
         |</sheetData></worksheet>""".stripMargin)
     zip.close()
 
@@ -207,6 +208,9 @@ class IOSpec extends SparkSpec {
     assert(rows(0) == Seq("region", "meta", ""))
     assert(rows(1) == Seq("", "true", "42.5")) // sparse A2 filled, bool mapped
     assert(rows(2) == Seq("World & co", "", "")) // shared string + escape
+    // out-of-order cell refs land at their r-attribute columns
+    // (review r9: append-after-pad shifted A4's value into column D)
+    assert(rows(3) == Seq("7", "", "9"))
   }
 
   test("xlsx reader drops blank rows and phonetic runs (Excel-authored files)") {
@@ -353,6 +357,23 @@ class IOSpec extends SparkSpec {
     t.commit("loaded")
     assert(t.set("cat").as[String].collect().toSeq == Seq("wind"))
     assert(t.set("tec").as[String].collect().sorted.toSeq == Seq("solar", "wind"))
+  }
+
+  test("xlsx writer rejects sheet names Excel refuses (review r9)") {
+    val path = tmpDir("graft-xlsx-names") + "/bad.xlsx"
+    intercept[IllegalArgumentException] {
+      graft.io.Xlsx.write(path,
+        Seq(("a_name_well_over_excels_31_character_limit",
+          Iterator(Seq[Any]("x")))))
+    }
+    intercept[IllegalArgumentException] {
+      graft.io.Xlsx.write(path, Seq(("bad[name]", Iterator(Seq[Any]("x")))))
+    }
+    intercept[IllegalArgumentException] {
+      graft.io.Xlsx.write(path,
+        Seq(("dup", Iterator(Seq[Any]("x"))), ("dup", Iterator(Seq[Any]("y")))))
+    }
+    ()
   }
 
   test("rowsToDf pads short continuation rows to the header width (review r9)") {
