@@ -179,7 +179,17 @@ object Xlsx {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val width = header.length
     val schema = StructType(header.map(c => StructField(c, StringType)))
-    val fitted = rows.map { r =>
+    val fitted = rows.zipWithIndex.map { case (r, i) =>
+      // Over-wide rows must not lose data silently (review r10):
+      // trailing EMPTY cells beyond the header width are writer noise
+      // (some producers emit them) and are dropped; a NON-empty cell
+      // past the header is malformed input and fails loudly.
+      if (r.length > width) {
+        val extra = r.drop(width).filter(_.nonEmpty)
+        require(extra.isEmpty,
+          s"row ${i + 1} has ${r.length} cells but the header has $width; " +
+            s"non-empty overflow cells: ${extra.take(3).mkString("[", ", ", "]")}")
+      }
       val f = if (r.length > width) r.take(width)
         else if (r.length < width) r ++ Seq.fill(width - r.length)("")
         else r

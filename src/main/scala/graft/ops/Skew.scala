@@ -22,11 +22,14 @@ object Skew {
     // changes under partial stage recomputation — a re-run map task
     // re-salts rows after some reducers consumed the old assignment,
     // silently double-counting partials (the SPARK-23207 bug class).
-    // Hashing the value spreads a hot KEY's distinct values evenly;
-    // fully-identical (key, value) rows share one salt, which the
-    // partial aggregate collapses anyway.
+    // Salt on ALL columns (review r10, as saltedJoin does): hashing
+    // only the value left the common count-style skew — a hot key
+    // whose rows share one constant value — entirely on a single
+    // salt. CAVEAT: rows identical in EVERY column still share one
+    // salt; results stay correct (the partial aggregate collapses
+    // them), only the spread degrades for fully-duplicate hot rows.
     df.withColumn("__salt",
-        pmod(xxhash64(col(valueCol)), lit(salts)))
+        pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(valueCol).as("__partial"))
       .groupBy(keys.map(col): _*)

@@ -78,13 +78,22 @@ object UrlOps {
   /** URL-keyed exact dedup (RefinedWeb rule: one document per
     * canonical URL, min-id keeper): canonicalize, then ONE
     * digest-keyed aggregation — the shuffle moves (canonical-url
-    * hash, id) pairs, never documents. */
+    * hash, id) pairs, never documents. Documents with a null/missing
+    * URL are NOT copies of each other: they pass through as singleton
+    * groups (keep_id = own id, n_copies = 1), so applying the keep
+    * set never drops a URL-less document (review r10 — previously all
+    * null URLs hashed to one group and all but one would be culled). */
   def dedupByUrl(docs: DataFrame, urlCol: String,
-      idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol), canonicalizeUrl(col(urlCol)).as("__curl"))
+      idCol: String = "doc_id"): DataFrame = {
+    val curled = docs.select(col(idCol),
+      canonicalizeUrl(col(urlCol)).as("__curl"))
+    curled.filter(col("__curl").isNotNull)
       .groupBy(md5(col("__curl").cast("binary")).as("__h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
+      .unionByName(curled.filter(col("__curl").isNull)
+        .select(col(idCol).as("keep_id"), lit(1L).as("n_copies")))
+  }
 
   /** Drop every document referencing at least one blocklisted domain.
     * `blocklist` is a one-column (`domain`) frame; it broadcasts, the

@@ -68,10 +68,23 @@ object Pipeline {
     Dedup.ngramJaccardExact(docs(s, dir).filter(col("doc_id") < 500))
       .orderBy("id_a", "id_b")
 
-  /** SimHash fingerprint + near-dup pairs (no oracle: xxhash64 is not
-    * reproducible in DuckDB; rows-only check). */
+  /** SimHash near-dup pairs at radius 2 on the engine-reproducible
+    * md5 word-hash path (review r10, VERDICT r9 #3: the gate was the
+    * last rows-only entry with a deterministic twin — switching the
+    * fingerprint to simhashMd5 makes it hash-checkable). Radius 2 is
+    * NOT redundant with d12 (radius 3): the pigeonhole layout changes
+    * from 4×16-bit to 3×{22,21,21}-bit blocks, so this grades the
+    * blocked join's non-uniform block-width path against the oracle's
+    * brute-force scan. The XXH64 production fingerprint keeps its
+    * spec coverage in OpsSpec (identical voting logic, word hash
+    * swapped). */
   def d08SimhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docs(s, dir)).orderBy("id_a", "id_b")
+    Dedup.simhashPairsFrom(
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.CatalystFunctions.simhashMd5(
+          TextFunctions.words(col("text"))).as("simhash")),
+      maxHamming = 2)
+      .orderBy("id_a", "id_b")
 
   /** Saved-index path for gate `tag` over `dir`'s embeddings: the key
     * folds in the source parquet's (length, mtime), so overwriting the

@@ -808,10 +808,15 @@ class ParquetStore(val spark: SparkSession, val root: String) extends Store {
           require(math.abs(duration - d) <= 1e-8 + 1e-5 * math.abs(d),
             s"timeslice `$name` already defined with duration $d")
           // same duration over the IMPLICIT default: persist the
-          // explicit row (review r9 — the contract says it persists);
-          // over a stored row: no-op as before
+          // explicit row (review r9 — the contract says it persists)
+          // with the CALLER's category (review r10 — materializing
+          // timeslices() silently replaced it with the default row's
+          // 'Common'); over a stored row: no-op as before
           if (stored)
-            writePointerTable("codelists/timeslices", timeslices())
+            writePointerTable("codelists/timeslices",
+              readPointerTable("codelists/timeslices", timeslicesSchema)
+                .unionByName(spark.createDataFrame(java.util.Arrays.asList(
+                  Row(name, category, duration)), timeslicesSchema)))
         case None =>
           writePointerTable("codelists/timeslices",
             readPointerTable("codelists/timeslices", timeslicesSchema)

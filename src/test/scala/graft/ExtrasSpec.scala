@@ -578,6 +578,14 @@ class ExtrasSpec extends SparkSpec {
     assert(st.timeslices().count() == 2)
     assert(st.timeslices().filter(col("name") === "Year")
       .select("duration").head().getDouble(0) == 1.0)
+    // re-adding 'Year' over the IMPLICIT default persists the CALLER's
+    // row verbatim (review r10: materializing timeslices() silently
+    // swapped the caller's category for the default's 'Common')
+    st.addTimeslice("Year", "annual", 1.0)
+    val yr = st.timeslices().filter(col("name") === "Year")
+      .select("category", "duration").collect()
+    assert(yr.length == 1, "explicit row shadows the implicit default")
+    assert(yr.head.getString(0) == "annual" && yr.head.getDouble(1) == 1.0)
     st.releaseWriterLock()
   }
 

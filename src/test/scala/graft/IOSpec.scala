@@ -378,11 +378,21 @@ class IOSpec extends SparkSpec {
 
   test("rowsToDf pads short continuation rows to the header width (review r9)") {
     val df = graft.io.Xlsx.rowsToDf(spark, Seq("a", "b", "c"),
-      Seq(Seq("1", "2", "3"), Seq("4", "5"), Seq("6", "7", "8", "9")))
+      Seq(Seq("1", "2", "3"), Seq("4", "5"), Seq("6", "7", "8", "")))
     assert(df.columns.toSeq == Seq("a", "b", "c"))
     val rows = df.collect().map(_.toSeq)
     assert(rows(1) == Seq("4", "5", ""), "short row pads with empties")
-    assert(rows(2) == Seq("6", "7", "8"), "over-wide row trims")
+    assert(rows(2) == Seq("6", "7", "8"),
+      "over-wide row with only EMPTY overflow cells trims (writer noise)")
+  }
+
+  test("rowsToDf fails loudly on non-empty cells past the header width (review r10)") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.io.Xlsx.rowsToDf(spark, Seq("a", "b"),
+        Seq(Seq("1", "2"), Seq("3", "4", "LOST")))
+    }
+    assert(ex.getMessage.contains("row 2") && ex.getMessage.contains("LOST"),
+      s"error must name the row and the would-be-lost cell: ${ex.getMessage}")
   }
 
   test("timeseries CSV round-trip with year bounds") {

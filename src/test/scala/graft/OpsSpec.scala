@@ -700,6 +700,20 @@ class OpsSpec extends SparkSpec {
     assert(d == Map(10L -> 2L, 12L -> 1L))
   }
 
+  test("dedupByUrl: null URLs are singleton groups, never copies of each other (review r10)") {
+    import graft.ops.UrlOps
+    val docs = Seq(
+      (1L, Some("https://ex.org/a")),
+      (2L, Some("https://ex.org/a?utm_x=1")),
+      (3L, None),
+      (4L, None),
+      (5L, None)).toDF("doc_id", "url")
+    val d = UrlOps.dedupByUrl(docs, "url").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // applying the keep set preserves every URL-less doc
+    assert(d == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("sampleChunksDf: empty payload yields no chunks; bad params fail loudly") {
     import graft.ops.Multimodal
     val d = Seq(

@@ -19,6 +19,24 @@ class SkewSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("saltedSum spreads a hot key with a CONSTANT value (review r10)") {
+    // count-style skew: the hot key's rows all carry value 1.0; the
+    // old hash(value) salt pinned them to ONE salt, defeating the
+    // split. Salting on all columns (id differs per row) spreads them.
+    val df = spark.range(10000).select(col("id"),
+      when(col("id") % 10 < 9, "hot").otherwise("cold").as("k"),
+      lit(1.0).as("v"))
+    val got = Skew.saltedSum(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("hot" -> 9000.0, "cold" -> 1000.0))
+    // the salt the implementation derives must actually spread the
+    // hot key's rows (replicate its expression: xxhash64 over all cols)
+    val spread = df.filter(col("k") === "hot")
+      .select(pmod(xxhash64(df.columns.map(col): _*), lit(16)).as("s"))
+      .distinct().count()
+    assert(spread > 8, s"constant-value hot key must spread over salts, got $spread")
+  }
+
   test("saltedJoin matches plain join") {
     val fact = spark.range(5000).select(
       when(col("id") % 5 < 4, "hot").otherwise(concat(lit("k"), col("id") % 3)).as("k"),
