@@ -186,8 +186,13 @@ object Xlsx {
       // past the header is malformed input and fails loudly.
       if (r.length > width) {
         val extra = r.drop(width).filter(_.nonEmpty)
+        // The ordinal is the DATA-row index (header excluded): callers
+        // concatenate split-sheet continuations, so a single
+        // Excel-visible row number does not exist here (ADVICE r10 —
+        // 'row N' read as the sheet row, which is off by the header).
         require(extra.isEmpty,
-          s"row ${i + 1} has ${r.length} cells but the header has $width; " +
+          s"data row ${i + 1} (excluding the header row) has ${r.length} " +
+            s"cells but the header has $width; " +
             s"non-empty overflow cells: ${extra.take(3).mkString("[", ", ", "]")}")
       }
       val f = if (r.length > width) r.take(width)

@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Columns of `df` that xxhash64 accepts: MapType (at any nesting
+    * depth) is unhashable — Spark rejects it at analysis time — so a
+    * frame carrying a map column alongside the aggregation would fail
+    * outright if the salt hashed every column blindly (ADVICE r10). */
+  private def hashableCols(df: DataFrame): Seq[Column] = {
+    import org.apache.spark.sql.types._
+    def ok(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => ok(f.dataType))
+      case a: ArrayType => ok(a.elementType)
+      case _ => true
+    }
+    df.schema.fields.filter(f => ok(f.dataType)).map(f => col(f.name)).toSeq
+  }
+
   /** Two-phase salted aggregation: groupBy (keys + salt) computes
     * partial aggregates across `salts` partitions per key, then the
     * tiny partial-result table re-aggregates without the salt. Works
@@ -22,14 +37,16 @@ object Skew {
     // changes under partial stage recomputation — a re-run map task
     // re-salts rows after some reducers consumed the old assignment,
     // silently double-counting partials (the SPARK-23207 bug class).
-    // Salt on ALL columns (review r10, as saltedJoin does): hashing
+    // Salt on all HASHABLE columns (review r10 + ADVICE r10): hashing
     // only the value left the common count-style skew — a hot key
     // whose rows share one constant value — entirely on a single
-    // salt. CAVEAT: rows identical in EVERY column still share one
+    // salt; hashing map-typed columns is an analysis error, so those
+    // are excluded (keys and the numeric value are always hashable).
+    // CAVEAT: rows identical in EVERY hashable column still share one
     // salt; results stay correct (the partial aggregate collapses
     // them), only the spread degrades for fully-duplicate hot rows.
     df.withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col): _*), lit(salts)))
+        pmod(xxhash64(hashableCols(df): _*), lit(salts)))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(valueCol).as("__partial"))
       .groupBy(keys.map(col): _*)
@@ -49,9 +66,10 @@ object Skew {
     require(allowed(joinType.toLowerCase.replace("_", "")) ||
         allowed(joinType.toLowerCase),
       s"saltedJoin preserves only inner/left joins, got '$joinType'")
-    // deterministic salt from the full fact row (see saltedSum)
+    // deterministic salt from the fact row's hashable columns (see
+    // saltedSum — map-typed payload columns are excluded, ADVICE r10)
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(hashableCols(fact): _*), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")

@@ -82,16 +82,21 @@ object UrlOps {
     * URL are NOT copies of each other: they pass through as singleton
     * groups (keep_id = own id, n_copies = 1), so applying the keep
     * set never drops a URL-less document (review r10 — previously all
-    * null URLs hashed to one group and all but one would be culled). */
+    * null URLs hashed to one group and all but one would be culled).
+    * "Missing" includes blank: an empty or whitespace-only url column
+    * canonicalizes to a non-null '' that would otherwise collapse every
+    * URL-less doc into one group — the same silent-loss class as nulls
+    * (ADVICE r10), so blanks take the singleton branch too. */
   def dedupByUrl(docs: DataFrame, urlCol: String,
       idCol: String = "doc_id"): DataFrame = {
     val curled = docs.select(col(idCol),
       canonicalizeUrl(col(urlCol)).as("__curl"))
-    curled.filter(col("__curl").isNotNull)
+    val blank = col("__curl").isNull || trim(col("__curl")) === ""
+    curled.filter(!blank)
       .groupBy(md5(col("__curl").cast("binary")).as("__h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
-      .unionByName(curled.filter(col("__curl").isNull)
+      .unionByName(curled.filter(blank)
         .select(col(idCol).as("keep_id"), lit(1L).as("n_copies")))
   }
 

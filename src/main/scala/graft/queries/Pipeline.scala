@@ -1173,6 +1173,22 @@ object Pipeline {
         |FROM s ORDER BY doc_id""".stripMargin,
     "d06_minhash_lsh" -> jaccardOracle(""),
     "d07_ngram_jaccard" -> jaccardOracle(" WHERE doc_id < 500"),
+    // d12's brute-force hamming scan at radius 2 (the d08 gate's md5
+    // simhash path, VERDICT r10 #1: the r10 gate switch forgot this
+    // entry, leaving d08 graded no_oracle).
+    "d08_simhash_pairs" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |h AS (SELECT doc_id, list_transform(ws, w -> ('0x' || substr(md5(w), 1, 16))::UBIGINT) AS hs FROM w),
+        |s AS (SELECT doc_id,
+        | list_aggregate(list_transform(range(0, 64), b ->
+        |   CASE WHEN 2 * len(list_filter(hs, x -> (x >> (63 - b)) & 1 = 1)) > len(hs)
+        |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+        | FROM h)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS INTEGER) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "d09_json_extract" ->
       // NULLS FIRST pins DuckDB to Spark's ascending default in case a
       // props value ever lacks an integer k (today's generator always

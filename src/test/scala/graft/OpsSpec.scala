@@ -714,6 +714,21 @@ class OpsSpec extends SparkSpec {
     assert(d == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("dedupByUrl: EMPTY/blank URLs are singletons too (ADVICE r10)") {
+    import graft.ops.UrlOps
+    // canonicalizeUrl('') is '' (non-null): blanks must take the
+    // singleton branch or every URL-less doc collapses into one group
+    val docs = Seq(
+      (1L, "https://ex.org/a"),
+      (2L, "https://ex.org/a#frag"),
+      (3L, ""),
+      (4L, ""),
+      (5L, "   ")).toDF("doc_id", "url")
+    val d = UrlOps.dedupByUrl(docs, "url").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("sampleChunksDf: empty payload yields no chunks; bad params fail loudly") {
     import graft.ops.Multimodal
     val d = Seq(

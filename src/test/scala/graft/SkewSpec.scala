@@ -37,6 +37,25 @@ class SkewSpec extends SparkSpec {
     assert(spread > 8, s"constant-value hot key must spread over salts, got $spread")
   }
 
+  test("saltedSum tolerates an unhashable map column (ADVICE r10)") {
+    // xxhash64 rejects MapType at analysis time; the all-column salt
+    // must skip map-bearing columns instead of failing the whole
+    // aggregation when the frame happens to carry one as payload.
+    val df = spark.range(1000).select(col("id"),
+      when(col("id") % 10 < 9, "hot").otherwise("cold").as("k"),
+      lit(1.0).as("v"),
+      map(lit("a"), col("id")).as("payload"))
+    val got = Skew.saltedSum(df, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("hot" -> 900.0, "cold" -> 100.0))
+    // id still participates in the salt, so the constant-value hot key
+    // keeps its spread even with the map column excluded
+    val spread = df.filter(col("k") === "hot")
+      .select(pmod(xxhash64(col("id"), col("k"), col("v")), lit(16)).as("s"))
+      .distinct().count()
+    assert(spread > 8, s"hot key must still spread over salts, got $spread")
+  }
+
   test("saltedJoin matches plain join") {
     val fact = spark.range(5000).select(
       when(col("id") % 5 < 4, "hot").otherwise(concat(lit("k"), col("id") % 3)).as("k"),
