@@ -152,14 +152,16 @@ object Pq {
     (perm, signs)
   }
 
-  /** Apply [[rotation]] to a vector column: a literal-indexed
-    * projection (d element_at's — plain codegen'd expressions, no
-    * interpreted HOF; ±1 multiplies are IEEE-exact, so rotated
-    * vectors are bit-reproducible cross-engine). */
+  /** Apply [[rotation]] to a vector column: one native codegen'd
+    * [[SignedPermuteExpr]] (±1 multiplies are IEEE-exact, so rotated
+    * vectors stay bit-reproducible cross-engine). Previously a
+    * d-element `array(element_at…)` projection — semantically
+    * identical, but its ~3·d-node tree re-paid ~1 s of Catalyst
+    * analysis on every referencing query (r11 bisect). */
   def rotateCol(vec: Column, d: Int): Column = {
     val (perm, signs) = rotation(d)
-    val v = vec.cast("array<double>")
-    array((0 until d).map(j => element_at(v, perm(j) + 1) * lit(signs(j))): _*)
+    ExpressionUtils.column(SignedPermuteExpr(
+      ExpressionUtils.expression(vec.cast("array<double>")), perm, signs))
   }
 
   /** Apply a dense d×d orthogonal matrix (row-major) to a vector
@@ -570,6 +572,52 @@ final case class MatVecExpr(child: Expression, mat: Array[Double], d: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MatVecExpr =
     copy(child = newChild)
+}
+
+/** Signed permutation × vector — the fixed OPQ-lite rotation apply:
+  * out(j) = v(perm(j)) · signs(j). Bit-identical to the composed
+  * `array(element_at(v, perm(j)+1) * lit(signs(j)), …)` form it
+  * replaces (same multiply, no additions — the ±0.0 corner that a
+  * dense [[MatVecExpr]] with a permutation matrix would NOT preserve),
+  * but one compact expression node instead of ~3·d: the wide form's
+  * ~192-node tree cost ~1 s of Catalyst analysis/optimization on
+  * EVERY query that referenced the rotated column (bisected r11 —
+  * recurring per plan, so it never amortized; e08 sat at 3× its e04
+  * twin two rounds running). */
+final case class SignedPermuteExpr(child: Expression, perm: Array[Int],
+    signs: Array[Double]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "signed_permute"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SignedPermuteExpr.compute(
+      input.asInstanceOf[ArrayData], perm, signs))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("sperm", perm, "int[]")
+    val sg = ctx.addReferenceObj("ssigns", signs, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.ops.SignedPermuteExpr.compute($c, $p, $sg))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SignedPermuteExpr = copy(child = newChild)
+}
+
+object SignedPermuteExpr {
+  def compute(a: ArrayData, perm: Array[Int],
+      signs: Array[Double]): Array[Double] = {
+    val d = perm.length
+    require(a.numElements() == d,
+      s"signed_permute: vector dim ${a.numElements()} != $d")
+    val out = new Array[Double](d)
+    var j = 0
+    while (j < d) { out(j) = a.getDouble(perm(j)) * signs(j); j += 1 }
+    out
+  }
 }
 
 object MatVecExpr {

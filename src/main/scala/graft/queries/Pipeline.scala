@@ -111,7 +111,18 @@ object Pipeline {
         }
         s"$len-$mt-$n"
       }
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-idx-v1/$tag$key-$stamp"
+    // Prefer the tmpfs scratch for the cache root (review r11): the
+    // saved-index gates (e02/e05/e09/e10) re-read these parquet tables
+    // per query, and a page-cache-pressured /tmp made that read the
+    // dominant, wildly variable cost in full-battery runs (r10's e05
+    // "4.4x regression" adjudicated to exactly this — isolated reruns
+    // warm AND cold sat at ~1s on a 2.1x-degraded box). The indexes
+    // are MBs, far under the 16 GiB scratch floor; the stamp key keeps
+    // invalidation correct, and losing a tmpfs cache on reboot just
+    // costs one rebuild.
+    val base = Tables.scratchDir.map(d => s"$d-idx")
+      .getOrElse(s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-idx-v1")
+    s"$base/$tag$key-$stamp"
   }
 
   private def knnInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {

@@ -40,6 +40,24 @@ class PqSpec extends SparkSpec {
       assert(math.abs(dot(va, vb) - dot(ra, rb)) < 1e-9)
   }
 
+  test("native SignedPermuteExpr is bit-identical to the composed " +
+      "element_at form it replaced (review r11)") {
+    // the e08/e11 oracles assume out(j) = v(perm(j)) * signs(j)
+    // EXACTLY — including -0.0 (why MatVecExpr, which sums d terms,
+    // could not be the rotation: 0.0 + -0.0 = 0.0 flips the sign bit)
+    val (perm, signs) = Pq.rotation(64)
+    val v = col("vec").cast("array<double>")
+    val composed = array((0 until 64).map(j =>
+      element_at(v, perm(j) + 1) * lit(signs(j))): _*)
+    val rows = emb.limit(50)
+      .select(Pq.rotateCol(col("vec"), 64).as("a"), composed.as("b"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    assert(rows.nonEmpty)
+    for ((a, b) <- rows)
+      assert(a.map(java.lang.Double.doubleToRawLongBits) ==
+        b.map(java.lang.Double.doubleToRawLongBits))
+  }
+
   test("ADC score equals the exact dot product against reconstructed centroids") {
     val cb = Pq.train(emb, "id", "vec", m = 8, ks = 16, iters = 1)
     val rows = emb.limit(20)
