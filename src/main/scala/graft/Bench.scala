@@ -172,7 +172,7 @@ object Bench {
       "e05_knn_ivfpq" -> 0.8,
       "e10_knn_opq_ivfpq" -> 0.8)
     def floorFor(g: String) = recallFloors.getOrElse(g, 0.3)
-    val recall: Seq[(String, Double)] = if (only.isEmpty) {
+    def runRecall(): Seq[(String, Double)] =
       try {
         spark.catalog.clearCache()
         def topSet(name: String) =
@@ -190,7 +190,27 @@ object Bench {
         System.err.println(s"bench: recall section FAILED: ${e.getMessage}")
         Seq("recall_section" -> -1.0)
       }
-    } else Seq.empty
+    val recall: Seq[(String, Double)] =
+      if (only.isEmpty) runRecall() else Seq.empty
+    // Second recall point at the PRODUCTION defaults (VERDICT r9 ask
+    // #2): the gates tune nProbe/fetch for the bench-scale floor
+    // (80% probe / fetch 100), so the graded number says nothing about
+    // what a caller gets from the library defaults (quarter-cell
+    // probe / fetch 30). Emit both; floors grade ONLY the gate config.
+    // Skipped when the user already overrode the knobs via env — the
+    // prop override would silently shadow their setting.
+    val knobsOverridden = sys.env.get("SPARK_GRAFT_NPROBE").exists(_.trim.nonEmpty) ||
+      sys.env.get("SPARK_GRAFT_FETCH").exists(_.trim.nonEmpty)
+    val recallProd: Seq[(String, Double)] =
+      if (only.isEmpty && !knobsOverridden) {
+        sys.props("graft.bench.nprobe") = "lib"
+        sys.props("graft.bench.fetch") = "30"
+        try runRecall()
+        finally {
+          sys.props.remove("graft.bench.nprobe")
+          sys.props.remove("graft.bench.fetch")
+        }
+      } else Seq.empty
     // Self-describing knobs (ADVICE r8): the recall gates honor
     // SPARK_GRAFT_NPROBE/FETCH, so a knob-tuned run could silently mask
     // a default-config regression. Record the effective values in the
@@ -210,6 +230,8 @@ object Bench {
     val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val recallJson = recall.map { case (k, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
+    val recallProdJson = recallProd.map { case (k, r) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
     val floorsJson = recall.map { case (k, _) => "\"" + k + "\":" + floorFor(k) }
       .mkString("{", ",", "}")
     val total = results.map(r => math.abs(r._2)).sum
@@ -218,7 +240,7 @@ object Bench {
     // judge sessions — a reader can divide any timing by this to
     // normalize away uniform host slowness (VERDICT r8 #2).
     val probeRatio = math.max(probePre, probePost) / 0.85
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"recall_at5":$recallJson,"recall_floors":$floorsJson,"knob_nprobe":${knob("SPARK_GRAFT_NPROBE")},"knob_fetch":${knob("SPARK_GRAFT_FETCH")},"probe_pre_sec":$probePre,"probe_post_sec":$probePost,"probe_ratio":$probeRatio,"probe_retries":$probeRetries,"unhealthy":$unhealthy,"sf":"${jEsc(sfDir)}"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"recall_at5":$recallJson,"recall_at5_prod":$recallProdJson,"recall_floors":$floorsJson,"knob_nprobe":${knob("SPARK_GRAFT_NPROBE")},"knob_fetch":${knob("SPARK_GRAFT_FETCH")},"probe_pre_sec":$probePre,"probe_post_sec":$probePost,"probe_ratio":$probeRatio,"probe_retries":$probeRetries,"unhealthy":$unhealthy,"sf":"${jEsc(sfDir)}"}"""
     println(json)
     // Artifact durability (VERDICT r7 #3): the r7 driver harness
     // captured only the tail of stdout, losing "best" and the early

@@ -159,12 +159,27 @@ object Pipeline {
     * for recall sets SPARK_GRAFT_NPROBE / SPARK_GRAFT_FETCH — probing
     * all cells removes the IVF term entirely (recall then bounded only
     * by quantization/rerank, ~0.93 at sf0.1; see NOTES recall curve). */
+  /** Knob lookup: the system property wins over the env var — env
+    * vars cannot change inside a running JVM, and Bench needs to grade
+    * recall at TWO configs (gate + production default) in one session
+    * (VERDICT r9 ask #2). Value "lib" = the library's own default
+    * (quarter-cell probe / fetch=k), distinct from unset, which the
+    * gate wrappers override to their bench-scale tuning. */
+  private def knobVal(env: String, prop: String): Option[String] =
+    sys.props.get(prop).orElse(sys.env.get(env))
+      .map(_.trim).filter(_.nonEmpty)
   private def envProbe: Int =
-    sys.env.get("SPARK_GRAFT_NPROBE").map(_.trim).filter(_.nonEmpty)
-      .map(_.toInt).getOrElse(0)
+    knobVal("SPARK_GRAFT_NPROBE", "graft.bench.nprobe") match {
+      case Some("lib") => -1 // negative = let query() use its default
+      case Some(v) => v.toInt
+      case None => 0
+    }
   private def envFetch(default: Int): Int =
-    sys.env.get("SPARK_GRAFT_FETCH").map(_.trim).filter(_.nonEmpty)
-      .map(_.toInt).getOrElse(default)
+    knobVal("SPARK_GRAFT_FETCH", "graft.bench.fetch") match {
+      case Some("lib") => 0 // query() treats 0 as fetch=k
+      case Some(v) => v.toInt
+      case None => default
+    }
   /** Gate-default probe count for the PQ-coded gates (r9): 80% of
     * cells, not the library's quarter-cell default. The test corpus is
     * tiny (2k vectors at sf0.1) and its synthetic embeddings cluster
@@ -177,7 +192,9 @@ object Pipeline {
     * caller gets it from IvfPqIndex.query directly; these gate wrappers
     * tune for the driver-graded recall floor at bench scale. */
   private def gateProbe(nCells: Int): Int =
-    if (envProbe > 0) envProbe else math.ceil(nCells * 0.8).toInt
+    if (envProbe < 0) 0 // "lib": defer to query()'s quarter-cell default
+    else if (envProbe > 0) envProbe
+    else math.ceil(nCells * 0.8).toInt
 
   /** Embedding-cosine near-duplicate pairs, exact blocked all-pairs.
     * This corpus's true near-dups sit at cosine 0.4-0.5, where sign-LSH
