@@ -62,25 +62,43 @@ object Sampling {
     rate
   }
 
+  /** [[hashFrac]] with an executor-side null guard (VERDICT r9 stretch
+    * #7): a null sampling key normally hashes to NULL and silently
+    * fails every `< rate` comparison — rows vanish even at rate 1.0.
+    * Opting into `strict` turns that silent loss into a loud job
+    * failure via a map-side `raise_error` branch; still zero extra
+    * passes/shuffles, so it costs nothing until a null appears. */
+  private def fracOf(id: Column, strict: Boolean): Column =
+    if (!strict) hashFrac(id)
+    else when(id.isNull, raise_error(lit(
+      "sampling id column is null: a null sampling key is silently " +
+        "dropped at ANY rate - clean or coalesce ids upstream, or " +
+        "sample with strict=false to accept the drop")))
+      .otherwise(hashFrac(id))
+
   /** Deterministic Bernoulli sample at `rate`: a stateless map-side
     * filter (no shuffle, no RNG state), so it composes with scan
-    * pruning and costs one scan at any corpus size. */
-  def bernoulli(df: DataFrame, idCol: String, rate: Double): DataFrame =
-    df.filter(hashFrac(col(idCol)) < checkRate(rate))
+    * pruning and costs one scan at any corpus size. `strict = true`
+    * fails loudly on a null id instead of silently dropping the row
+    * (see [[fracOf]]). */
+  def bernoulli(df: DataFrame, idCol: String, rate: Double,
+      strict: Boolean = false): DataFrame =
+    df.filter(fracOf(col(idCol), strict) < checkRate(rate))
 
   /** Stratified deterministic sample: per-stratum rates, `defaultRate`
     * for unlisted strata. The rates table is a literal broadcast join
     * (tens of strata), so this too is one corpus scan with a map-side
-    * filter — the corpus never shuffles. */
+    * filter — the corpus never shuffles. `strict` as in [[bernoulli]]. */
   def stratified(df: DataFrame, idCol: String, stratumCol: String,
-      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      strict: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val thr = rates.toSeq.map { case (s, r) => (s, checkRate(r)) }
       .toDF(stratumCol, "__thr")
     df.join(broadcast(thr), Seq(stratumCol), "left_outer")
       .withColumn("__thr", coalesce(col("__thr"), lit(checkRate(defaultRate))))
-      .filter(hashFrac(col(idCol)) < col("__thr"))
+      .filter(fracOf(col(idCol), strict) < col("__thr"))
       .drop("__thr")
   }
 

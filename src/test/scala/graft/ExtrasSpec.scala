@@ -679,6 +679,75 @@ class ExtrasSpec extends SparkSpec {
     a.releaseWriterLock()
   }
 
+  test("two instances, interleaved checkout/commit/discard under a " +
+    "concurrent vacuum (VERDICT r9 ask #6)") {
+    // The r8/r9 stress specs race CREATION and same-instance commits;
+    // this one races the full edit lifecycle THROUGH BOTH instances —
+    // each worker alternates which instance it checks out on, commits
+    // even iterations and discards odd ones, while a third thread runs
+    // vacuum() in a loop. A fresh store must then serve exactly the
+    // last COMMITTED value per run: a discarded write surviving, a
+    // lost commit, or a vacuum collecting a live generation all fail.
+    val root = tmpDir("graft-inst-stress")
+    val a = new graft.store.ParquetStore(spark, root)
+    val b = new graft.store.ParquetStore(spark, root)
+    val nRuns = 3
+    val iters = graft.store.ParquetStore.KeepGens + 2 // force GC churn
+    val runs = (0 until nRuns).map { i =>
+      val r = a.createRun("m", s"s$i", "", "")
+      a.checkOut(r.runId, "u")
+      a.initItem(r.runId, graft.store.ItemDef("p",
+        graft.store.ItemType.Par, Nil, Nil))
+      a.writeItemData(r.runId, "p", Seq((0.0, "km")).toDF("value", "unit"))
+      a.commit(r.runId, "u", "base")
+      r
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nRuns + 1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val latch = new java.util.concurrent.CountDownLatch(nRuns)
+    runs.zipWithIndex.foreach { case (r, i) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try
+            for (w <- 1 to iters) {
+              val st = if ((i + w) % 2 == 0) a else b
+              st.checkOut(r.runId, "u")
+              st.writeItemData(r.runId, "p",
+                Seq(((i * 1000 + w).toDouble, "km")).toDF("value", "unit"))
+              // iters is even, so the LAST iteration always commits
+              // and the expected final value is i*1000+iters
+              if (w % 2 == 0) st.commit(r.runId, "u", s"w$w")
+              else st.discardChanges(r.runId)
+            }
+          catch { case e: Throwable => errs.add(e) }
+          finally latch.countDown()
+      })
+    }
+    pool.submit(new Runnable {
+      def run(): Unit =
+        while (!done.get()) {
+          try { a.vacuum(); () }
+          catch { case e: Throwable => errs.add(e) }
+          Thread.sleep(50)
+        }
+    })
+    assert(latch.await(300, java.util.concurrent.TimeUnit.SECONDS),
+      "lifecycle workers timed out")
+    done.set(true)
+    pool.shutdown()
+    assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"interleaved lifecycle threw: ${errs.peek()}")
+    assert(iters % 2 == 0, "expected-value bookkeeping needs an even iters")
+    val fresh = new graft.store.ParquetStore(spark, root)
+    runs.zipWithIndex.foreach { case (r, i) =>
+      val v = fresh.itemData(r.runId, "p").select("value").as[Double].head()
+      assert(v == (i * 1000 + iters).toDouble,
+        s"run ${r.runId}: fresh store read $v, want ${i * 1000 + iters}")
+    }
+    a.releaseWriterLock()
+  }
+
   test("store guards: reserved item names, commit validation, codelist " +
     "defaults stay overridable (review r9)") {
     val st = new graft.store.ParquetStore(spark, tmpDir("graft-guards2"))

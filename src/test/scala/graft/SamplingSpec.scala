@@ -21,6 +21,34 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(a.size - 600) < 80, s"rate off: ${a.size}/2000 at 0.3")
   }
 
+  test("strict sampling fails loudly on a null id; default silently " +
+    "drops it (VERDICT r9 stretch #7)") {
+    val withNull = Seq((Some(1L), "en"), (None: Option[Long], "en"),
+      (Some(3L), "de")).toDF("id", "lang")
+    // default: the null-id row vanishes even at rate 1.0 (documented)
+    assert(Sampling.bernoulli(withNull, "id", 1.0).count() == 2)
+    // strict: the same input fails the job with the guard's message
+    val ex = intercept[Exception] {
+      Sampling.bernoulli(withNull, "id", 1.0, strict = true).count()
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert((ex.getMessage + rootMsg(ex)).contains("sampling id column is null"),
+      s"guard must fire with its message, got: ${ex.getMessage}")
+    val ex2 = intercept[Exception] {
+      Sampling.stratified(withNull, "id", "lang", Map("en" -> 1.0),
+        defaultRate = 1.0, strict = true).count()
+    }
+    assert((ex2.getMessage + rootMsg(ex2)).contains("sampling id column is null"))
+    // strict on clean ids is a no-op: identical kept set, still a
+    // pure map-side filter
+    val clean = Sampling.bernoulli(rows, "id", 0.3).select("id").as[Long]
+      .collect().toSet
+    val strictSet = Sampling.bernoulli(rows, "id", 0.3, strict = true)
+      .select("id").as[Long].collect().toSet
+    assert(clean == strictSet)
+  }
+
   test("bernoulli sample is monotone in rate (kept set only grows)") {
     val lo = Sampling.bernoulli(rows, "id", 0.2).select("id").as[Long].collect().toSet
     val hi = Sampling.bernoulli(rows, "id", 0.5).select("id").as[Long].collect().toSet
