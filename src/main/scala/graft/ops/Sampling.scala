@@ -157,15 +157,26 @@ object Sampling {
     * no driver collect, no corpus re-scan. Deterministic double
     * arithmetic, so a SQL oracle reproduces every rate bit-for-bit. */
   def mixtureRates(docs: DataFrame, sourceCol: String, tokensCol: Column,
+      weights: Map[String, Double]): DataFrame =
+    ratesFromTotals(
+      docs.groupBy(sourceCol).agg(sum(tokensCol.cast("long")).as("n_tokens")),
+      sourceCol, weights)
+
+  /** The rate algebra of [[mixtureRates]] over a PRE-AGGREGATED
+    * (source, n_tokens) frame — the one copy of the budget/rate
+    * arithmetic, shared by the batch planner and the streaming
+    * plan-half (graft.streaming.EventStream.mixtureTokenTotals emits
+    * finalized per-window totals; a foreachBatch republisher runs them
+    * through here to refresh the rates the stateless apply-half
+    * joins). */
+  def ratesFromTotals(totals: DataFrame, sourceCol: String,
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixture weights must be positive")
-    val spark = docs.sparkSession
+    val spark = totals.sparkSession
     import spark.implicits._
     val w = weights.toSeq.toDF(sourceCol, "__w")
-    val stats = docs.groupBy(sourceCol)
-      .agg(sum(tokensCol.cast("long")).as("n_tokens"))
-      .join(broadcast(w), Seq(sourceCol)) // inner: unlisted sources drop
+    val stats = totals.join(broadcast(w), Seq(sourceCol)) // unlisted drop
     val budget = min(col("n_tokens").cast("double") / col("__w"))
       .over(Window.partitionBy()) // stats frame is <= |sources| rows
     stats
@@ -174,18 +185,24 @@ object Sampling {
       .select(col(sourceCol), col("n_tokens"), col("rate"))
   }
 
-  /** Apply [[mixtureRates]]: per-source deterministic Bernoulli at the
-    * planned rate — broadcast rate join + the [[hashFrac]] map-side
-    * filter, one corpus scan, reproducible run-to-run and
-    * engine-to-engine like every sampler here. */
-  def mixtureSample(docs: DataFrame, idCol: String, sourceCol: String,
-      tokensCol: Column, weights: Map[String, Double]): DataFrame = {
-    val rates = mixtureRates(docs, sourceCol, tokensCol, weights)
-      .select(col(sourceCol), col("rate"))
-    docs.join(broadcast(rates), Seq(sourceCol))
+  /** The apply half of the mixture sampler: per-source deterministic
+    * Bernoulli at the planned rate — broadcast rate join + the
+    * [[hashFrac]] map-side filter, one corpus scan, reproducible
+    * run-to-run and engine-to-engine like every sampler here. `rates`
+    * needs (sourceCol, rate); stateless, so it runs unchanged on a
+    * STREAMING `docs` (stream-static joins need no watermark). */
+  def applyRates(docs: DataFrame, idCol: String, sourceCol: String,
+      rates: DataFrame): DataFrame =
+    docs.join(broadcast(rates.select(col(sourceCol), col("rate"))),
+        Seq(sourceCol))
       .filter(hashFrac(col(idCol)) < col("rate"))
       .drop("rate")
-  }
+
+  /** Plan + apply in one call (the batch one-shot). */
+  def mixtureSample(docs: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: Column, weights: Map[String, Double]): DataFrame =
+    applyRates(docs, idCol, sourceCol,
+      mixtureRates(docs, sourceCol, tokensCol, weights))
 
   /** Fixed-budget mixture plan WITH up-sampling — the multi-epoch
     * variant of [[mixtureRates]] (when a target share exceeds a

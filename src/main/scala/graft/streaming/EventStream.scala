@@ -136,6 +136,40 @@ object EventStream {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("__h"), col("n"))
 
+  /** The PLAN half of a streaming corpus-mixture sampler (the NOTES
+    * depth idea; the batch one-shot is graft.ops.Sampling
+    * .mixtureSample): per event-time window, the (source, token)
+    * totals the rate algebra needs — the boilerplateDigests
+    * publication pattern. A window's totals finalize in append mode
+    * once the watermark passes; a foreachBatch republisher runs them
+    * through Sampling.ratesFromTotals (the SAME budget/rate arithmetic
+    * as batch — one copy) and swaps the tiny rates frame that the
+    * stateless apply half ([[mixtureSampleStream]]) joins. Planning on
+    * the last closed window is the streaming approximation of the
+    * batch full-corpus plan: right when the mixture is stationary at
+    * the window cadence, self-correcting one window later when it
+    * drifts. State is one (window, source) row per in-horizon source —
+    * bounded by source diversity, never stream lifetime. */
+  def mixtureTokenTotals(docs: DataFrame, sourceCol: String,
+      tokensCol: org.apache.spark.sql.Column, watermark: String = "1 hour",
+      window_ : String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col(sourceCol))
+      .agg(sum(tokensCol.cast("long")).as("n_tokens"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(sourceCol), col("n_tokens"))
+
+  /** The APPLY half: per-source deterministic Bernoulli against the
+    * current rates frame — delegates to Sampling.applyRates (broadcast
+    * stream-static join + md5-hash filter), which is stateless, so it
+    * needs no watermark and its output is reproducible for a given
+    * rates frame: re-running a window after a rates republish keeps or
+    * drops exactly the same documents. */
+  def mixtureSampleStream(docs: DataFrame, idCol: String,
+      sourceCol: String, rates: DataFrame): DataFrame =
+    graft.ops.Sampling.applyRates(docs, idCol, sourceCol, rates)
+
   final case class CmsState(counters: Array[Int], published: Seq[String])
   final case class CmsDigest(windowStart: java.sql.Timestamp,
       windowEnd: java.sql.Timestamp, digest: String, nEst: Long,

@@ -238,6 +238,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming mixture sampler: window-planned rates equal the batch " +
+    "plan; the stateless apply half keeps the identical set") {
+    // plan half: per-window (source, tokens) totals finalize in append
+    // mode; ratesFromTotals (the SAME algebra as batch mixtureRates)
+    // then plans from the closed window
+    val input = MemoryStream[(Long, String, Long, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "source", "n_words", "ts")
+    val q = EventStream.mixtureTokenTotals(docs, "source", col("n_words"),
+        watermark = "10 minutes", window_ = "1 hour")
+      .writeStream.format("memory").queryName("mix_totals")
+      .outputMode(OutputMode.Append()).start()
+    val data = (1L to 300L).map { i =>
+      val src = if (i % 3 == 0) "web" else if (i % 3 == 1) "books" else "code"
+      (i, src, 40L + i % 7, t(f"2026-01-01 10:${i % 60}%02d:00"))
+    }
+    val weights = Map("web" -> 0.6, "books" -> 0.4) // code unlisted: drops
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      input.addData((999L, "web", 1L, t("2026-01-01 13:00:00"))) // close
+      q.processAllAvailable()
+      val closed = spark.table("mix_totals")
+        .filter(col("window_start") === t("2026-01-01 10:00:00"))
+        .select("source", "n_tokens")
+      val streamRates = graft.ops.Sampling
+        .ratesFromTotals(closed, "source", weights)
+        .select("source", "rate").as[(String, Double)].collect().toMap
+      val batchDf = data.toDF("doc_id", "source", "n_words", "ts")
+      val batchRates = graft.ops.Sampling
+        .mixtureRates(batchDf, "source", col("n_words"), weights)
+        .select("source", "rate").as[(String, Double)].collect().toMap
+      // bit-for-bit: same totals, same double arithmetic
+      assert(streamRates == batchRates,
+        s"stream-planned rates $streamRates != batch $batchRates")
+      assert(streamRates.values.max == 1.0, "binding source at rate 1.0")
+    } finally q.stop()
+
+    // apply half: the stateless stream-static join keeps EXACTLY the
+    // batch mixtureSample set for the same rates
+    val batchDf = data.toDF("doc_id", "source", "n_words", "ts")
+    val rates = graft.ops.Sampling.mixtureRates(batchDf, "source",
+      col("n_words"), weights)
+    val input2 = MemoryStream[(Long, String, Long, Timestamp)](spark)
+    val q2 = EventStream.mixtureSampleStream(
+        input2.toDF().toDF("doc_id", "source", "n_words", "ts"),
+        "doc_id", "source", rates)
+      .writeStream.format("memory").queryName("mix_kept")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input2.addData(data: _*)
+      q2.processAllAvailable()
+      val streamKept = spark.table("mix_kept").select("doc_id")
+        .as[Long].collect().toSet
+      val batchKept = graft.ops.Sampling.mixtureSample(batchDf, "doc_id",
+        "source", col("n_words"), weights).select("doc_id")
+        .as[Long].collect().toSet
+      assert(streamKept == batchKept,
+        s"stream kept ${streamKept.size} != batch kept ${batchKept.size}")
+      assert(streamKept.nonEmpty && !data.map(_._1).toSet.subsetOf(streamKept),
+        "sampler must keep a strict non-empty subset")
+    } finally q2.stop()
+  }
+
   test("boilerplateDigestsSketch converges to the exact digest set (no collisions)") {
     // at fixture scale the sketch has no collisions, so its published
     // set must equal the exact variant's — and feeding it to
