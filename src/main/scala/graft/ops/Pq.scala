@@ -142,15 +142,26 @@ object Pq {
     * output is `sign(j) · v[perm(j)]` with `perm` = dimensions in
     * md5-hex order and `sign(j)` an md5 coin, so a SQL oracle
     * re-derives the identical transform. */
-  def rotation(d: Int): (Array[Int], Array[Double]) = {
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val perm = (0 until d).sortBy(i => (md5hex(i.toString), i)).toArray
-    val signs = Array.tabulate(d)(j =>
-      if (md5hex("s" + j).charAt(0) <= '7') -1.0 else 1.0)
-    (perm, signs)
-  }
+  // memoized per dimension (review r11): SignedPermuteExpr is a case
+  // class over arrays, and Array equality is by REFERENCE — fresh
+  // allocations per rotation(d) call would make two logically identical
+  // rotateCol plans never semanticEquals/sameResult, silently missing
+  // InMemoryRelation cache matches and cross-plan subexpression
+  // elimination. One shared instance per d (the arrays are never
+  // mutated) restores value-like plan equality for free.
+  private val rotCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Int], Array[Double])]()
+
+  def rotation(d: Int): (Array[Int], Array[Double]) =
+    rotCache.computeIfAbsent(d, d => {
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val perm = (0 until d).sortBy(i => (md5hex(i.toString), i)).toArray
+      val signs = Array.tabulate(d)(j =>
+        if (md5hex("s" + j).charAt(0) <= '7') -1.0 else 1.0)
+      (perm, signs)
+    })
 
   /** Apply [[rotation]] to a vector column: one native codegen'd
     * [[SignedPermuteExpr]] (±1 multiplies are IEEE-exact, so rotated
@@ -615,7 +626,17 @@ object SignedPermuteExpr {
       s"signed_permute: vector dim ${a.numElements()} != $d")
     val out = new Array[Double](d)
     var j = 0
-    while (j < d) { out(j) = a.getDouble(perm(j)) * signs(j); j += 1 }
+    while (j < d) {
+      // loud on a null ELEMENT (review r11): ArrayData.getDouble would
+      // silently unbox it to 0.0 under our containsNull=false output
+      // type — a corrupt embedding rotated into a plausible vector.
+      // The composed element_at form propagated element nulls; a
+      // native expression must not downgrade that to silence.
+      require(!a.isNullAt(perm(j)),
+        s"signed_permute: null vector element at index ${perm(j)}")
+      out(j) = a.getDouble(perm(j)) * signs(j)
+      j += 1
+    }
     out
   }
 }

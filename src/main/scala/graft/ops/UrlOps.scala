@@ -86,12 +86,16 @@ object UrlOps {
     * "Missing" includes blank: an empty or whitespace-only url column
     * canonicalizes to a non-null '' that would otherwise collapse every
     * URL-less doc into one group — the same silent-loss class as nulls
-    * (ADVICE r10), so blanks take the singleton branch too. */
+    * (ADVICE r10), so blanks take the singleton branch too. Blank
+    * means ANY Unicode whitespace (review r11: Spark's trim() strips
+    * only ASCII 0x20, so a tab/newline/NBSP-only url was still
+    * grouped — rlike over \s + \p{Z} covers what scraped corpora
+    * actually write into empty url fields). */
   def dedupByUrl(docs: DataFrame, urlCol: String,
       idCol: String = "doc_id"): DataFrame = {
     val curled = docs.select(col(idCol),
       canonicalizeUrl(col(urlCol)).as("__curl"))
-    val blank = col("__curl").isNull || trim(col("__curl")) === ""
+    val blank = col("__curl").isNull || col("__curl").rlike("^[\\s\\p{Z}]*$")
     curled.filter(!blank)
       .groupBy(md5(col("__curl").cast("binary")).as("__h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))

@@ -120,10 +120,36 @@ object Pipeline {
     // are MBs, far under the 16 GiB scratch floor; the stamp key keeps
     // invalidation correct, and losing a tmpfs cache on reboot just
     // costs one rebuild.
-    val base = Tables.scratchDir.map(d => s"$d-idx")
-      .getOrElse(s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-idx-v1")
-    s"$base/$tag$key-$stamp"
+    val target = s"$idxCacheRoot/$tag$key-$stamp"
+    // Stale-stamp GC (review r11): regenerating the source data
+    // changes the stamp, and nothing else ever removes the old entry —
+    // in tmpfs that is RAM leaking until reboot. Same (tag, key),
+    // different stamp ⇒ provably unreachable (idxPath is the only way
+    // in); delete best-effort before handing out the new path.
+    try {
+      val root = new java.io.File(idxCacheRoot)
+      val prefix = s"$tag$key-"
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(prefix) &&
+          f.getName != s"$tag$key-$stamp")
+        .foreach { stale =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(); ()
+          }
+          rm(stale)
+        }
+    } catch { case _: Exception => () } // GC is advisory, never fatal
+    target
   }
+
+  /** One cache-root decision per JVM (review r11): re-evaluating
+    * Tables.scratchDir per call could FLIP the root mid-session if a
+    * shuffle-heavy run drops /dev/shm below the 16 GiB floor — the
+    * next lookup would miss every shm-resident index and rebuild. */
+  private lazy val idxCacheRoot: String =
+    Tables.scratchDir.map(d => s"$d-idx")
+      .getOrElse(s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-idx-v1")
 
   private def knnInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -1146,6 +1172,31 @@ object Pipeline {
     "e09_pq_opq" -> e09PqOpq _,
     "e10_knn_opq_ivfpq" -> e10KnnOpqIvfPq _)
 
+  /** The ONE copy of the md5-simhash signature CTEs (review r11: d08/
+    * d11/d12/d19 carried four hand-synced copies — a change to the
+    * word hash or voting rule edited identically in each, and a missed
+    * one silently desynchronizes an oracle). Yields `s(doc_id, sig)`
+    * with sig a 64-char bit string; must mirror
+    * graft.functions.CatalystFunctions.simhashMd5 exactly. */
+  private val simhashSigCtes =
+    """w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |h AS (SELECT doc_id, list_transform(ws, w -> ('0x' || substr(md5(w), 1, 16))::UBIGINT) AS hs FROM w),
+      |s AS (SELECT doc_id,
+      | list_aggregate(list_transform(range(0, 64), b ->
+      |   CASE WHEN 2 * len(list_filter(hs, x -> (x >> (63 - b)) & 1 = 1)) > len(hs)
+      |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+      | FROM h)""".stripMargin
+
+  /** Brute-force hamming pair scan at `radius` over [[simhashSigCtes]]
+    * — the d08 (radius 2) / d12 (radius 3) oracle body. */
+  private def simhashPairsOracle(radius: Int) =
+    s"""WITH $simhashSigCtes
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       | CAST(len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS INTEGER) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) <= $radius
+       |ORDER BY id_a, id_b""".stripMargin
+
   private def jaccardOracle(where: String) =
     s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents$where),
       |sh AS (SELECT doc_id,
@@ -1201,22 +1252,10 @@ object Pipeline {
         |FROM s ORDER BY doc_id""".stripMargin,
     "d06_minhash_lsh" -> jaccardOracle(""),
     "d07_ngram_jaccard" -> jaccardOracle(" WHERE doc_id < 500"),
-    // d12's brute-force hamming scan at radius 2 (the d08 gate's md5
-    // simhash path, VERDICT r10 #1: the r10 gate switch forgot this
-    // entry, leaving d08 graded no_oracle).
-    "d08_simhash_pairs" ->
-      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
-        |h AS (SELECT doc_id, list_transform(ws, w -> ('0x' || substr(md5(w), 1, 16))::UBIGINT) AS hs FROM w),
-        |s AS (SELECT doc_id,
-        | list_aggregate(list_transform(range(0, 64), b ->
-        |   CASE WHEN 2 * len(list_filter(hs, x -> (x >> (63 - b)) & 1 = 1)) > len(hs)
-        |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
-        | FROM h)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | CAST(len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS INTEGER) AS hamming
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) <= 2
-        |ORDER BY id_a, id_b""".stripMargin,
+    // brute-force hamming scan at radius 2 (the d08 gate's md5 simhash
+    // path, VERDICT r10 #1: the r10 gate switch forgot this entry,
+    // leaving d08 graded no_oracle).
+    "d08_simhash_pairs" -> simhashPairsOracle(2),
     "d09_json_extract" ->
       // NULLS FIRST pins DuckDB to Spark's ascending default in case a
       // props value ever lacks an integer k (today's generator always
@@ -1224,26 +1263,9 @@ object Pipeline {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin,
     "d11_simhash_verify" ->
-      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
-        |h AS (SELECT doc_id, list_transform(ws, w -> ('0x' || substr(md5(w), 1, 16))::UBIGINT) AS hs FROM w)
-        |SELECT doc_id,
-        | list_aggregate(list_transform(range(0, 64), b ->
-        |   CASE WHEN 2 * len(list_filter(hs, x -> (x >> (63 - b)) & 1 = 1)) > len(hs)
-        |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
-        |FROM h ORDER BY doc_id""".stripMargin,
-    "d12_simhash_pairs_verify" ->
-      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
-        |h AS (SELECT doc_id, list_transform(ws, w -> ('0x' || substr(md5(w), 1, 16))::UBIGINT) AS hs FROM w),
-        |s AS (SELECT doc_id,
-        | list_aggregate(list_transform(range(0, 64), b ->
-        |   CASE WHEN 2 * len(list_filter(hs, x -> (x >> (63 - b)) & 1 = 1)) > len(hs)
-        |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
-        | FROM h)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | CAST(len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS INTEGER) AS hamming
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $simhashSigCtes
+         |SELECT doc_id, sig FROM s ORDER BY doc_id""".stripMargin,
+    "d12_simhash_pairs_verify" -> simhashPairsOracle(3),
     "d13_winnow_fingerprint" ->
       """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s FROM documents),
         |kg AS (SELECT doc_id, list_transform(range(1, len(s) - 8 + 2), i ->
@@ -1322,14 +1344,8 @@ object Pipeline {
         |SELECT source, count(*) AS n_docs, round(avg(n_words), 4) AS avg_words
         |FROM cp WHERE rk <= 10 GROUP BY source ORDER BY source""".stripMargin,
     "d19_dedup_clusters" ->
-      """WITH RECURSIVE
-        |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
-        |h AS (SELECT doc_id, list_transform(ws, w -> ('0x' || substr(md5(w), 1, 16))::UBIGINT) AS hs FROM w),
-        |s AS (SELECT doc_id,
-        | list_aggregate(list_transform(range(0, 64), b ->
-        |   CASE WHEN 2 * len(list_filter(hs, x -> (x >> (63 - b)) & 1 = 1)) > len(hs)
-        |        THEN '1' ELSE '0' END), 'string_agg', '') AS sig
-        | FROM h),
+      s"""WITH RECURSIVE
+        |$simhashSigCtes,
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         | FROM s a JOIN s b ON a.doc_id < b.doc_id
         | WHERE len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) <= 3),

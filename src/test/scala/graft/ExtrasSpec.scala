@@ -732,11 +732,20 @@ class ExtrasSpec extends SparkSpec {
           Thread.sleep(50)
         }
     })
-    assert(latch.await(300, java.util.concurrent.TimeUnit.SECONDS),
-      "lifecycle workers timed out")
-    done.set(true)
-    pool.shutdown()
-    assert(pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+    // stop the vacuum loop and the pool even when an assertion throws
+    // (review r11: a worker deadlock — the bug class this hunts —
+    // would otherwise leave the non-daemon vacuum thread spinning and
+    // hang the JVM after the failure instead of reporting it)
+    try {
+      assert(latch.await(300, java.util.concurrent.TimeUnit.SECONDS),
+        "lifecycle workers timed out")
+    } finally {
+      done.set(true)
+      pool.shutdown()
+      if (!pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)) {
+        pool.shutdownNow(); ()
+      }
+    }
     assert(errs.isEmpty, s"interleaved lifecycle threw: ${errs.peek()}")
     assert(iters % 2 == 0, "expected-value bookkeeping needs an even iters")
     val fresh = new graft.store.ParquetStore(spark, root)

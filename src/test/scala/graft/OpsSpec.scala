@@ -723,10 +723,12 @@ class OpsSpec extends SparkSpec {
       (2L, "https://ex.org/a#frag"),
       (3L, ""),
       (4L, ""),
-      (5L, "   ")).toDF("doc_id", "url")
+      (5L, "   "),
+      (6L, "\t\n"), // review r11: trim() strips only 0x20
+      (7L, " ")).toDF("doc_id", "url")
     val d = UrlOps.dedupByUrl(docs, "url").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(d == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    assert(d == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L))
   }
 
   test("sampleChunksDf: empty payload yields no chunks; bad params fail loudly") {
