@@ -24,7 +24,9 @@ object ScaleBench {
       "d29_substring_spans", "d30_dsir_scores", "d31_remove_spans",
       "d32_html_extract", "d33_bpe_encode", "d34_quality_score",
       "d35_cluster_sample", "d36_fix_encoding", "p04_tokenize_pack",
-      "d37_mixture_sample", "d38_mixture_epochs", "d39_url_dedup")
+      "d37_mixture_sample", "d38_mixture_epochs", "d39_url_dedup",
+      // round-11 newcomer
+      "d40_epoch_shuffle")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

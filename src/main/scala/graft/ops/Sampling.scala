@@ -323,4 +323,41 @@ object Sampling {
     dsirScores(docs, targetPred, idCol, textCol, buckets)
       .orderBy(col("dsir_score").desc, col("id"))
       .limit(k)
+
+  /** Deterministic epoch shuffle + sharding — the last stage of
+    * training-data assembly (after mixture/pack): a reproducible
+    * pseudo-random order per epoch and a balanced assignment into
+    * `nShards` output shards, with NO RNG state. Each row gets
+    *   hash  = 60-bit md5 of "seed-id" (engine-portable, so a SQL
+    *           oracle re-derives every placement),
+    *   shard = hash mod nShards   (balanced in expectation),
+    *   pos   = rank of (hash, id) within the shard (ties impossible
+    *           beyond hash collisions; id breaks those).
+    * Different seeds (e.g. the epoch number) give independent orders;
+    * the same seed reproduces the exact placement run-to-run and
+    * engine-to-engine — the property that makes training resumable
+    * and data-order bugs bisectable.
+    *
+    * Scale shape: one hash-partitioned shuffle on `shard` + a
+    * per-shard sort (the window) — exactly the write-side shuffle a
+    * sharded output needs anyway, so the ordering is free relative to
+    * the export; no global total-order sort exists in the plan. A
+    * shard is one output file: pick nShards so corpus/nShards fits a
+    * task (thousands of shards at 100 TB — the window partitions
+    * stay bounded). */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(seed.nonEmpty, "seed must be non-empty")
+    val h = conv(substring(md5(
+        concat(lit(seed), lit("-"), col(idCol).cast("string")).cast("binary")),
+      1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("__shard", (col("__h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .withColumn("shard", col("__shard"))
+      .drop("__h", "__shard")
+  }
 }

@@ -947,6 +947,17 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Deterministic epoch shuffle (graft.ops.Sampling.epochShuffle):
+    * reproducible pseudo-random training order + balanced sharding,
+    * seed "ep0" over 8 shards. The 60-bit md5 placement hash is the
+    * engine-portable recipe, so the oracle re-derives every (shard,
+    * pos) assignment — the gate proves the ORDER, not just counts. */
+  def d40EpochShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.epochShuffle(
+        docs(s, dir).select(col("doc_id")), "doc_id", "ep0", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
   /** DSIR importance scores (Xie 2023): every document scored by the
     * mean hashed-n-gram log importance ratio against the `lang = 'en'`
     * target slice (graft.ops.Sampling.dsirScores). Histograms are
@@ -1149,6 +1160,7 @@ object Pipeline {
     "d37_mixture_sample" -> d37MixtureSample _,
     "d38_mixture_epochs" -> d38MixtureEpochs _,
     "d39_url_dedup" -> d39UrlDedup _,
+    "d40_epoch_shuffle" -> d40EpochShuffle _,
     "p01_pack_chunks" -> p01PackChunks _,
     "p02_pack_greedy" -> p02PackGreedy _,
     "p03_chunk_overlap" -> p03ChunkOverlap _,
@@ -1655,6 +1667,15 @@ object Pipeline {
         |FROM ex GROUP BY lang ORDER BY lang""".stripMargin,
     // identical chain; DuckDB replacement groups are \1 and its
     // regexp_replace needs the 'g' flag for the global passes.
+    // the same 60-bit md5 of "ep0-<id>": shard = hash % 8, pos = rank
+    // of (hash, id) within the shard
+    "d40_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  ('0x' || substr(md5('ep0-' || CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS hv
+        | FROM documents)
+        |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
+        | CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INTEGER) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
     "d39_url_dedup" ->
       """WITH inj AS (SELECT doc_id,
         |  'HTTPS://Site' || (doc_id % 7) || '.Example.org:443/p/' || (doc_id % 20)

@@ -49,6 +49,33 @@ class SamplingSpec extends SparkSpec {
     assert(clean == strictSet)
   }
 
+  test("epochShuffle: reproducible placement, dense per-shard positions, " +
+    "seed changes the order") {
+    val a = Sampling.epochShuffle(rows, "id", "ep0", nShards = 8)
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // partitioning must not change any placement (no RNG state)
+    val b = Sampling.epochShuffle(rows.repartition(7), "id", "ep0", 8)
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(a == b, "placement must be independent of input partitioning")
+    // every row placed exactly once; positions dense 1..n per shard
+    assert(a.size == 2000 && a.map(_._1).size == 2000)
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0 until 8).toSet))
+    byShard.foreach { case (s, rs) =>
+      assert(rs.map(_._3).toSeq.sorted == (1 to rs.size),
+        s"shard $s positions must be dense 1..n")
+    }
+    // balanced in expectation: no shard more than 2x the mean
+    assert(byShard.values.map(_.size).max <= 2 * 2000 / 8)
+    // a different seed (next epoch) produces a different order
+    val c = Sampling.epochShuffle(rows, "id", "ep1", 8)
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(a != c, "different seeds must give independent placements")
+  }
+
   test("bernoulli sample is monotone in rate (kept set only grows)") {
     val lo = Sampling.bernoulli(rows, "id", 0.2).select("id").as[Long].collect().toSet
     val hi = Sampling.bernoulli(rows, "id", 0.5).select("id").as[Long].collect().toSet
