@@ -245,6 +245,14 @@ class SamplingSpec extends SparkSpec {
     // the corpus side itself never shuffles
     assert(shuffles(Sampling.groupQuotaApprox(wide, "id", "lang", 10)) == 1,
       "approx quota shuffles only the narrow count aggregate")
+    // epoch shuffle: exactly the ONE shard-key exchange the sharded
+    // export pays anyway (plus its per-shard window sort) — a global
+    // total-order sort would show as a rangepartitioning exchange
+    assert(shuffles(Sampling.epochShuffle(wide, "id", "ep0", 8)) == 1,
+      "epoch shuffle is one shard-key exchange")
+    assert(!Sampling.epochShuffle(wide, "id", "ep0", 8)
+      .queryExecution.executedPlan.toString.contains("rangepartitioning"),
+      "epoch shuffle must not global-sort the corpus")
   }
 
   test("mixture plan shapes: stats aggregate + broadcast rates, " +
