@@ -332,12 +332,11 @@ object Pq {
       .parquet(s"$path/meta")
   }
 
-  /** True when `path` holds a COMPLETE saved OPQ model. */
+  /** True when `path` holds a COMPLETE saved OPQ model (committed
+    * part-files, not the _SUCCESS marker — see IvfIndex.exists). */
   def opqExists(spark: org.apache.spark.sql.SparkSession,
-      path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+      path: String): Boolean =
+    Similarity.committedParquetExists(spark, s"$path/meta")
 
   /** Reload a [[saveOpq]]d model bit-identically (both artifacts are
     * driver-local values; nothing distributed is materialized). */

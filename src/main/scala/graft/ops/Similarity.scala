@@ -30,6 +30,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** dot/(n1·n2) with a zero-norm guard (review r11): a zero vector
+    * has no direction, so its cosine is NULL — never NaN. Spark
+    * compares/sorts NaN ABOVE every real double, so one all-zero
+    * embedding (a failed embedder's output) would otherwise rank as
+    * the #1 neighbor of EVERY query and pass every `sim >= t` pair
+    * threshold. NULL does the right thing everywhere: it sorts last
+    * under desc, fails every threshold comparison, and is dropped by
+    * the explicit isNotNull filters on the kNN paths. */
+  private[ops] def cosineSim(d: Column, n1: Column, n2: Column): Column =
+    when(n1 > lit(0.0) && n2 > lit(0.0), d / (n1 * n2))
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
@@ -62,7 +73,9 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
-      .withColumn("sim", dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+      .withColumn("sim",
+        cosineSim(dot(col("vec"), col("qvec")), col("nrm"), col("qnrm")))
+      .filter(col("sim").isNotNull) // zero-norm rows have no cosine rank
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
@@ -120,6 +133,16 @@ object Similarity {
   private[ops] def toDouble(c: Column): Column = asDouble(c)
   private[ops] def spreadDf(df: DataFrame): DataFrame = spread(df)
 
+  /** Committer-independent "was this parquet write completed" check:
+    * at least one committed part-file in `dir`. See IvfIndex.exists. */
+  private[ops] def committedParquetExists(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isFile && s.getPath.getName.startsWith("part-"))
+  }
+
   /** Cluster-balanced deterministic sampling — the cluster-then-sample
     * step of topic-diversity corpus selection (the embedding-space
     * mixture balancing that DataComp-style curation runs after dedup:
@@ -157,6 +180,9 @@ object Similarity {
       graft.functions.CatalystFunctions.vecUnit(asDouble(col("cvec"))).as("cvec"))
     val asg = assignCell(cent, u, "id", "uvec").select("id", "cell")
     val wc = Window.partitionBy("cell")
+    // the quota rank MUST stay identical to Sampling.groupQuota's
+    // (hashBucket, id) recipe — the d16 and d35 oracles both re-derive
+    // it; if the sampling order ever changes, change BOTH (review r11)
     val wr = wc.orderBy(Sampling.hashBucket(col("id")), col("id"))
     asg
       .withColumn("n_members", count(lit(1)).over(wc))
@@ -189,8 +215,9 @@ object Similarity {
     val b = c.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-      .filter(col("sim") >= threshold)
+      .withColumn("sim",
+        round(cosineSim(dot(col("va"), col("vb")), col("na"), col("nb")), 4))
+      .filter(col("sim") >= threshold) // NULL (zero-norm) never pairs
       .select("id_a", "id_b", "sim")
   }
 
@@ -210,12 +237,17 @@ object Similarity {
       bits: Int = 48, bands: Int = 8): DataFrame = {
     // review r9: bits % bands != 0 silently ignored the high bits, and
     // r = 64 wrapped the mask to 0 — every row in ONE band bucket, the
-    // exact quadratic blowup LSH exists to prevent
+    // exact quadratic blowup LSH exists to prevent. review r11: check
+    // the signature width at THIS contract (bits > 64 used to surface
+    // as HyperplaneSig's lower-level error), and admit the legitimate
+    // full-width r = 64 single-band case with an all-ones mask instead
+    // of refusing it.
+    require(bits >= 1 && bits <= 64,
+      s"bits must be in [1, 64] (one long of sign bits), got $bits")
     require(bands >= 1 && bits % bands == 0,
       s"bands ($bands) must divide bits ($bits)")
     val r = bits / bands
-    require(r >= 1 && r <= 63, s"band width must be in [1, 63], got $r")
-    val mask = (1L << r) - 1
+    val mask = if (r == 64) -1L else (1L << r) - 1
     // the corpus feeds FOUR plan references (signature pass + both
     // confirm-join sides) and the banded keys feed two (the candidate
     // self-join) — persist each once or every reference re-scans and
@@ -249,8 +281,9 @@ object Similarity {
       // round BEFORE thresholding, matching cosineNearDupExact and
       // semanticDedup (review r9): boundary pairs must resolve the
       // same way on the LSH path as on the exact path / SQL oracles
-      .withColumn("sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-      .filter(col("sim") >= threshold)
+      .withColumn("sim",
+        round(cosineSim(dot(col("va"), col("vb")), col("na"), col("nb")), 4))
+      .filter(col("sim") >= threshold) // NULL (zero-norm) never pairs
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
@@ -345,7 +378,6 @@ final class IvfIndex private[ops] (
   /** Top-k cosine neighbors per (qid, qvec) query row from the
     * `nProbe` (<=0 = default) best-matching cells. */
   def query(queries: DataFrame, k: Int, nProbe: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val probes = if (nProbe > 0) nProbe else defaultProbe
     val q = queries.select(col("qid"), Similarity.toDouble(col("qvec")).as("qvec"))
     val qProbes = Similarity.topCells(centroids, q, "qid", "qvec", probes)
@@ -353,8 +385,9 @@ final class IvfIndex private[ops] (
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     assigned.join(qProbes, "cell")
       .filter(col("id") =!= col("qid"))
-      .withColumn("sim",
-        Similarity.dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+      .withColumn("sim", Similarity.cosineSim(
+        Similarity.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm")))
+      .filter(col("sim").isNotNull) // zero-norm rows have no cosine rank
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
@@ -408,11 +441,15 @@ object IvfIndex {
     spark.read.parquet(dir).head().getInt(0)
 
   /** True when `path` holds a COMPLETE saved index (meta marker is
-    * written last by save). */
-  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+    * written last by save). Completeness is judged by committed
+    * part-files in the meta dir, not the _SUCCESS marker (review r11):
+    * clusters commonly disable success markers
+    * (mapreduce.fileoutputcommitter.marksuccessfuljobs=false), and
+    * keying on the marker there makes every run silently rebuild and
+    * resave. Part-files are committer-safe either way — a crashed job
+    * leaves only _temporary, which this check ignores. */
+  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    Similarity.committedParquetExists(spark, s"$path/meta")
 
   /** Reload a [[save]]d index. Centroids are re-materialized driver-side
     * (they are broadcast into every probe join); the assigned corpus
@@ -453,8 +490,13 @@ object IvfIndex {
   def build(corpus: DataFrame, nCells: Int = 0, refineIters: Int = 1,
       persist: Boolean = true, md5Seeds: Boolean = false): IvfIndex = {
     val spark = corpus.sparkSession
+    // ONE cached materialization serves every build pass (review r11:
+    // the auto-nCells count, the seed top-k, and each Lloyd iteration
+    // each re-scanned the raw source — ~4 corpus reads where the doc
+    // promised refineIters+1)
     val c = Similarity.spreadDf(corpus)
       .select(col("id"), Similarity.toDouble(col("vec")).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cells =
       if (nCells > 0) nCells
@@ -479,13 +521,12 @@ object IvfIndex {
     // Lloyd refinement: per-cell element-wise mean of the assigned
     // vectors, computed long-format (cell, pos, x) — one
     // partial-aggregated shuffle of nCells×dim doubles per iteration;
-    // cells that lose all members keep their previous centroid. The
-    // corpus is cached for the duration of the (eager) refinement jobs.
-    val cCached = if (refineIters > 0) c.persist() else c
+    // cells that lose all members keep their previous centroid. All
+    // iterations read the ONE cached corpus materialized above.
     val centroids = (0 until refineIters).foldLeft(seeds) { (cent, _) =>
       val materialized = spark.createDataFrame(
         java.util.Arrays.asList(cent.collect(): _*), cent.schema)
-      val means = Similarity.assignCell(materialized, cCached, "id", "vec")
+      val means = Similarity.assignCell(materialized, c, "id", "vec")
         .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg("x").as("x"))
         .groupBy("cell")
@@ -499,14 +540,26 @@ object IvfIndex {
     // recomputed for the corpus-assignment and every query-probe join
     val centMat = spark.createDataFrame(
       java.util.Arrays.asList(centroids.collect(): _*), centroids.schema)
-    if (refineIters > 0) cCached.unpersist(blocking = false)
 
     val assigned0 = Similarity.assignCell(centMat, c, "id", "vec")
       .withColumn("nrm", Similarity.norm(col("vec")))
     val assigned =
-      if (persist)
-        assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else assigned0
+      if (persist) {
+        // force the assignment THROUGH the corpus cache before
+        // releasing it (review r11: unpersisting before the lazy
+        // assignment job re-read the raw source a 4th time)
+        val a = assigned0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        a.count()
+        c.unpersist(blocking = false)
+        a
+      } else {
+        // lazy path (build→save): the caller's first action re-reads
+        // the source once; holding the build cache open with no
+        // release handle would leak instead
+        c.unpersist(blocking = false)
+        assigned0
+      }
     new IvfIndex(centMat, assigned, cells, persist)
   }
 }

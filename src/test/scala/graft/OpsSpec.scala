@@ -401,6 +401,39 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 3L), (2, 1L))) // 3 closer than 1; 2 excluded
   }
 
+  test("zero-norm embeddings never rank or pair (NaN guard, review r11)") {
+    // Spark sorts NaN above every real double and NaN >= t is TRUE, so
+    // before the guard a single all-zero embedding (failed embedder
+    // output) was the #1 neighbor of every query and a "near-dup" of
+    // every row
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)), // the broken row
+      (3L, Array(1.0f, 0.05f))).toDF("id", "vec")
+    val queries = corpus.filter(col("id") === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val knn = Similarity.bruteForceKnn(corpus, queries, 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(knn.toSeq == Seq((1, 3L), (2, 1L)),
+      s"zero vec must not rank (and never at #1): ${knn.toSeq}")
+    // pair paths: the zero row pairs with nobody, real pairs survive
+    val exact = Similarity.cosineNearDupExact(corpus, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty && !exact.exists(p => p._1 == 2L || p._2 == 2L),
+      s"zero vec must not pair: ${exact.toSeq}")
+    val lsh = Similarity.cosineNearDup(corpus, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!lsh.exists(p => p._1 == 2L || p._2 == 2L))
+    // a zero-vector QUERY gets no neighbors instead of k arbitrary rows
+    val zq = Seq((9L, Array(0.0f, 0.0f))).toDF("qid", "qvec")
+    assert(Similarity.bruteForceKnn(corpus, zq, 3).count() == 0)
+    // IVF path: same contract through the index
+    val idx = graft.ops.IvfIndex.build(corpus, nCells = 2, refineIters = 0,
+      persist = false)
+    val ivf = idx.query(queries, 3).collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(!ivf.exists(_._2 == 2L), s"zero vec must not rank via IVF: ${ivf.toSeq}")
+  }
+
   test("ivf knn returns k ranked neighbors from probed cells") {
     val corpus = (0 until 50).map(i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))).toDF("id", "vec")
@@ -1027,9 +1060,13 @@ class OpsSpec extends SparkSpec {
 
   test("cosineNearDup validates band geometry") {
     val df = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("id", "vec")
-    // r = 64 would wrap the band mask to 0 -> one bucket -> O(n^2)
+    // review r11: full-width single band (r = 64) is legal — the mask
+    // is all-ones, not the wrapped 0 the r9 guard feared
+    assert(Similarity.cosineNearDup(df, bits = 64, bands = 1).count() == 0)
+    // > one long of sign bits fails at THIS contract, not inside
+    // HyperplaneSig (review r11)
     intercept[IllegalArgumentException] {
-      Similarity.cosineNearDup(df, bits = 64, bands = 1)
+      Similarity.cosineNearDup(df, bits = 128, bands = 4)
     }
     intercept[IllegalArgumentException] {
       Similarity.cosineNearDup(df, bits = 50, bands = 8) // 50 % 8 != 0
