@@ -45,7 +45,70 @@ object Dedup {
   private val simhashPersist = new PersistSlot // simhash blocked fingerprints
   private val substrPersist = new PersistSlot  // substringSpans gram anchors
   private val bandPersist = new PersistSlot    // minhashLsh banded signatures
+  // pre-filter frames whose cap/stop-list aggregate references them a
+  // second time (review r11: caching only the POST-filter frame left
+  // the expensive featurization pass running twice — once for the
+  // stop-set aggregate, once for the join probe — the very
+  // double-reference law the r9 fix applied to minhashLsh)
+  private val substrRawPersist = new PersistSlot // substringSpans raw anchors
+  private val winnowInvPersist = new PersistSlot // winnow inverted index
+  private val linePersist = new PersistSlot      // lineDedup exploded lines
   private def persistBounded(df: DataFrame): DataFrame = shinglePersist(df)
+
+  /** Ordered reassembly of kept (doc_id, pos, value) rows back into a
+    * per-doc string, re-attached to `base` left-outer so docs whose
+    * every unit was removed survive with (0, "") — ONE copy of the
+    * sort-struct aggregate + double-coalesce block that lineDedup and
+    * removeSpans previously duplicated verbatim (review r11). `base`
+    * must carry `doc_id` plus any per-doc totals to pass through. */
+  private def rebuildKept(base: DataFrame, kept: DataFrame, posCol: String,
+      valCol: String, sep: String, nOut: String, textOut: String): DataFrame = {
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as(nOut),
+        array_join(transform(
+          array_sort(collect_list(struct(col(posCol), col(valCol)))),
+          x => x(valCol)), sep).as("__text"))
+    base.join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(base.columns.map(col) ++ Seq(
+        coalesce(col(nOut), lit(0L)).as(nOut),
+        coalesce(col("__text"), lit("")).as(textOut)): _*)
+  }
+
+  /** The collapse steps key their label tables on LONG ids. Every
+    * pair-producing operator here is id-type-generic, so a string/UUID
+    * corpus generates pairs fine and then the long cast fails mid-job
+    * under this build's ANSI default (or silently nulls every label
+    * with ANSI off). Check the precondition loudly at the operator's
+    * own contract (review r11). */
+  private def requireIntegralIds(df: DataFrame, cols: Seq[String],
+      op: String): Unit =
+    cols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"$op needs integral (byte/short/int/long) ids; column '$c' is " +
+          s"${df.schema(c).dataType.simpleString} - map string/UUID ids " +
+          "to longs first (xxhash64, or a dense rank when " +
+          "collision-freedom matters)")
+    }
+
+  /** Free the storage behind a localCheckpoint-ed frame (review r11):
+    * `Dataset.unpersist` only uncaches CacheManager entries and is a
+    * NO-OP for the LogicalRDD a checkpoint produces — the calls this
+    * replaces silently leaked every round's label table (and the edge
+    * list) in executor storage until driver GC. Unpersisting the
+    * underlying RDD is the real release. */
+  private def freeCheckpoint(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+    ()
+  }
 
   /** Per-document distinct HASHED word n-gram shingle sets
     * (array<long>). Minhash, banding, and Jaccard verification only
@@ -97,6 +160,9 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.5,
       maxBucket: Int = 0): DataFrame = {
+    // bands >= 1 first (review r11: numHashes % 0 threw a bare
+    // ArithmeticException before the require could diagnose)
+    require(bands >= 1, s"bands must be >= 1, got $bands")
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // The shingle sets feed FOUR plan references (both self-join sides
@@ -172,9 +238,19 @@ object Dedup {
 
   /** SimHash near-dup buckets: 64-bit fingerprint per doc plus a prefix
     * bucket key; near-dup candidates share a bucket on at least one of
-    * the sub-keys (classic Charikar block permutation). */
+    * the sub-keys (classic Charikar block permutation).
+    *
+    * Word-less docs are DROPPED (review r11): `words` extracts
+    * [a-z0-9] runs, so punctuation-only and non-Latin docs tokenize
+    * empty, and an empty vote vector fingerprints to 0 — every such
+    * doc would pair as a hamming-0 "duplicate" of every other (C(m,2)
+    * false pairs in a multilingual corpus; minhashLsh filters the
+    * analogous empty shingle set). Callers of [[simhashPairsFrom]]
+    * with their own fingerprint column own this exclusion themselves. */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    spread(docs).select(col(idCol).as("doc_id"), simhash64(words(col(textCol))).as("simhash"))
+    spread(docs).select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col("doc_id"), simhash64(col("__ws")).as("simhash"))
 
   /** Block layout for a Hamming radius: `maxHamming + 1` contiguous
     * blocks covering the 64 bits (widths as even as possible). By
@@ -307,9 +383,12 @@ object Dedup {
       sep: String = "\n", keepFirst: Boolean = false): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val sepLit = java.util.regex.Pattern.quote(sep)
-    val lines = spread(docs).select(col(idCol).as("doc_id"),
+    // persisted: the frequency aggregate and the kept-join side(s)
+    // both read the exploded lines (review r11 — un-cached, the
+    // split+posexplode+md5 corpus pass ran once per reference)
+    val lines = linePersist(spread(docs).select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), sepLit)).as(Seq("pos", "line")))
-      .withColumn("__h", md5(col("line").cast("binary")))
+      .withColumn("__h", md5(col("line").cast("binary"))))
     val occ = struct(col("doc_id"), col("pos"))
     val boiler0 = lines.filter(length(col("line")) > 0).groupBy("__h")
       .agg(count(lit(1)).as("__n"), min(occ).as("__first"))
@@ -321,17 +400,10 @@ object Dedup {
           .filter(col("__first").isNull || occ === col("__first"))
           .drop("__first")
       else lines.join(boiler0.select("__h"), Seq("__h"), "left_anti")
-    val rebuilt = kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
-          x => x("line")), sep).as("__text"))
-    docs.select(col(idCol).as("doc_id"),
-        size(split(col(textCol), sepLit)).as("n_lines"))
-      .join(rebuilt, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("__text"), lit("")).as("text"))
+    rebuildKept(
+      docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), sepLit)).as("n_lines")),
+      kept, "pos", "line", sep, "n_kept", "text")
   }
 
   /** [[decontaminate]] for benchmark sets too large to broadcast as a
@@ -454,6 +526,7 @@ object Dedup {
     // self-join, that would double the most expensive stage of the
     // whole collapse. The eager checkpoint also serves the fast-path
     // count and collect below without re-evaluating the generator.
+    requireIntegralIds(pairs, Seq("id_a", "id_b"), "connectedComponents")
     val edges0 = pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
@@ -477,7 +550,7 @@ object Dedup {
         import spark.implicits._
         val local = unionFindLocal(
           edges0.select(col("u"), col("v")).as[(Long, Long)].collect())
-        edges0.unpersist(blocking = false)
+        freeCheckpoint(edges0)
         return local.toDF("node", "label")
       }
     }
@@ -498,7 +571,7 @@ object Dedup {
       .repartition(col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     und.count() // materialize once; rounds then scan the cached layout
-    edges0.unpersist(blocking = false) // the rounds only read und
+    freeCheckpoint(edges0) // the rounds only read und
 
     // labels start at min(self, neighbors) — one propagation step
     // folded into the init. localCheckpoint: each round's plan must
@@ -556,7 +629,7 @@ object Dedup {
         val st = next.agg(
           sum(when(col("label") < col("__prev"), 1L).otherwise(0L))).head()
         changed = if (st.isNullAt(0)) 0L else st.getLong(0)
-        mat.unpersist(blocking = false)
+        freeCheckpoint(mat)
         mat = next
         labels = next.select(col("node"), col("label"))
         frontier = next.filter(col("label") < col("__prev"))
@@ -582,6 +655,7 @@ object Dedup {
     * docs never shuffle their bodies. */
   def clusterPairs(pairs: DataFrame, docs: DataFrame,
       idCol: String = "doc_id", driverThreshold: Long = 0L): DataFrame = {
+    requireIntegralIds(docs, Seq(idCol), "clusterPairs")
     val comp = connectedComponents(pairs, driverThreshold = driverThreshold)
       .withColumnRenamed("node", "__cc_id")
     docs.select(col(idCol).cast("long").as("doc_id"))
@@ -616,15 +690,18 @@ object Dedup {
     val fps = spread(docs).select(col(idCol).as("doc_id"),
       graft.functions.TextFunctions.winnowFingerprints(col(textCol), k, w).as("fps"))
       .filter(size(col("fps")) > 0)
-    val inv0 = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val inv = persistBounded {
+    // persist the RAW index (review r11): the stop-list aggregate and
+    // the filtered join probe both read it — un-cached, the CPU-dense
+    // winnowFingerprints explode ran twice
+    val inv0 = winnowInvPersist(
+      fps.select(col("doc_id"), explode(col("fps")).as("fp")))
+    val inv =
       if (stopDocFreq <= 0) inv0
-      else {
+      else persistBounded {
         val keep = inv0.groupBy("fp").agg(count(lit(1)).as("df"))
           .filter(col("df") <= stopDocFreq).select("fp")
         inv0.join(keep, "fp")
       }
-    }
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val a = inv.alias("a")
     val b = inv.alias("b")
@@ -675,9 +752,14 @@ object Dedup {
           i => conv(substring(md5(concat_ws(" ", slice(col("ws"), i, lit(k)))
             .cast("binary")), 1, 15), 16, 10).cast("long"))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
-    val anchors = substrPersist {
-      if (maxDf <= 0) anchors0
-      else {
+    // raw anchors persist separately (review r11): the df-cap
+    // aggregate below references anchors0 a second time — caching
+    // only the post-cap frame re-ran the per-position md5 projection
+    // over the whole corpus for the stop-set
+    val anchors0p = substrRawPersist(anchors0)
+    val anchors = {
+      if (maxDf <= 0) anchors0p
+      else substrPersist {
         // Anti-join against the (tiny) over-cap hash set; AQE
         // broadcasts it, so the corpus-side anchors shuffle once.
         // The primary cap is TRUE document frequency (review r9):
@@ -688,10 +770,10 @@ object Dedup {
         // has. A secondary 10·maxDf TOTAL-occurrence bound keeps the
         // anti-quadratic guarantee (bucket pair output stays bounded
         // even when few docs each repeat a gram heavily).
-        val stop = anchors0.groupBy("h")
+        val stop = anchors0p.groupBy("h")
           .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tot"))
           .filter(col("df") > maxDf || col("tot") > 10L * maxDf).select("h")
-        anchors0.join(stop, Seq("h"), "left_anti")
+        anchors0p.join(stop, Seq("h"), "left_anti")
       }
     }
     val m = anchors.select(col("doc_id").as("id_a"), col("pos").as("pa"), col("h"))
@@ -748,16 +830,9 @@ object Dedup {
       col("t.doc_id") === col("c.doc_id") &&
         col("t.p") >= col("c.from") && col("t.p") < col("c.until"),
       "left_anti")
-    val rebuilt = kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("p"), col("tok")))),
-          x => x("tok")), " ").as("text_clean"))
-    docs.select(col(idCol).as("doc_id"),
-        size(words(col(textCol))).as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+    rebuildKept(
+      docs.select(col(idCol).as("doc_id"),
+        size(words(col(textCol))).as("n_tokens")),
+      kept, "p", "tok", " ", "n_kept", "text_clean")
   }
 }

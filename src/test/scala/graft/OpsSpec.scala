@@ -401,6 +401,35 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 3L), (2, 1L))) // 3 closer than 1; 2 excluded
   }
 
+  test("word-less docs never simhash-pair; collapse refuses string ids " +
+    "loudly (review r11)") {
+    import graft.ops.Dedup
+    // punctuation-only / non-Latin docs tokenize empty -> fingerprint 0
+    // -> before the guard they ALL paired as hamming-0 duplicates
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "$$$ !!! ???"),
+      (3L, "!!!")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs).collect()
+    assert(pairs.isEmpty,
+      s"unrelated word-less docs must not pair: ${pairs.toSeq}")
+    // integral-id precondition surfaces at the operator contract, not
+    // as a mid-job ANSI cast failure
+    val sp = Seq(("u1", "u2")).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(sp)
+    }
+    assert(ex.getMessage.contains("integral"), ex.getMessage)
+    intercept[IllegalArgumentException] {
+      Dedup.clusterPairs(sp, Seq("d1").toDF("doc_id"))
+    }
+    // bands = 0 diagnoses instead of a bare ArithmeticException
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(docs, bands = 0)
+    }
+    assert(ex2.getMessage.contains("bands"), ex2.getMessage)
+  }
+
   test("zero-norm embeddings never rank or pair (NaN guard, review r11)") {
     // Spark sorts NaN above every real double and NaN >= t is TRUE, so
     // before the guard a single all-zero embedding (failed embedder
