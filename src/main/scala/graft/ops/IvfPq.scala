@@ -41,17 +41,36 @@ final class IvfPqIndex private[ops] (
     * raw vectors (one broadcast-shortlist map-side corpus pass). */
   def query(queries: DataFrame, k: Int, nProbe: Int = 0,
       fetch: Int = 0): DataFrame = {
+    // fetch in (0, k) would silently truncate the result below the k
+    // the caller asked for (review r11)
+    require(fetch <= 0 || fetch >= k,
+      s"fetch ($fetch) must be 0 (off) or >= k ($k)")
+    // same qid/id type or the self-exclusion filter nulls out and the
+    // probe join degrades silently (the Dedup integral-id guard class)
+    require(queries.schema("qid").dataType ==
+        encoded.schema("id").dataType,
+      s"query qid type ${queries.schema("qid").dataType.simpleString} != " +
+        s"corpus id type ${encoded.schema("id").dataType.simpleString}")
     val probes = if (nProbe > 0) nProbe else defaultProbe
+    // zero-norm guard (review r11, matching bruteForceKnn/IvfIndex):
+    // VecUnit passes a zero vector through, every ADC score is then
+    // exactly 0.0 and the query returns k arbitrary smallest-id rows —
+    // a zero-vector query gets NO neighbors instead
     val q = queries.select(col("qid"),
         vecUnit(col("qvec").cast("array<double>")).as("qvec"))
-      .withColumn("__lut", graft.ops.Pq.lutCol(col("qvec"), cb))
-    // per-probe rows carry the exact dot(q, centroid) term (__score)
-    // and the query's LUT; candidates join on cell id only
+      .filter(Similarity.dot(col("qvec"), col("qvec")) > 0)
+    // the m·ks-double LUT rides only the |q| row frame and re-attaches
+    // AFTER probing (review r11: carried through topCells it fanned out
+    // across all nCells rows of the probe crossJoin + window shuffle —
+    // nCells/nProbe× wasted shuffle payload)
+    val qlut = q.select(col("qid"),
+      graft.ops.Pq.lutCol(col("qvec"), cb).as("__lut"))
     val qProbes = Similarity.topCells(ivf.centroids, q, "qid", "qvec",
       probes, keepScore = true)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     val take = if (fetch > 0) fetch else k
-    val adcTop = encoded.join(qProbes.drop("qvec"), "cell")
+    val adcTop = encoded
+      .join(qProbes.drop("qvec").join(broadcast(qlut), "qid"), "cell")
       .filter(col("id") =!= col("qid"))
       .withColumn("score",
         col("__score") + graft.ops.Pq.adcCol(col("codes"), col("__lut"), cb.ks))
@@ -64,7 +83,7 @@ final class IvfPqIndex private[ops] (
       val shortlist = adcTop.select(col("qid"), col("id"))
       val wr = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
       corpusUnit.join(broadcast(shortlist), "id")
-        .join(broadcast(q.drop("__lut")), "qid")
+        .join(broadcast(q), "qid")
         .withColumn("sim", Similarity.dot(col("vec"), col("qvec")))
         .withColumn("rank", row_number().over(wr))
         .filter(col("rank") <= k)
@@ -113,22 +132,42 @@ object IvfPq {
   def build(corpus: DataFrame, nCells: Int = 0, m: Int = 8, ks: Int = 64,
       pqIters: Int = 2, refineIters: Int = 1,
       persist: Boolean = true, md5Seeds: Boolean = false): IvfPqIndex = {
+    // zero vectors dropped at build (review r11): VecUnit passes them
+    // through, they score 0.0 against everything and can fill top-k
+    // slots the exact paths (bruteForceKnn/IvfIndex) exclude
     val unit = corpus.select(col("id"),
-      vecUnit(col("vec").cast("array<double>")).as("vec"))
+        vecUnit(col("vec").cast("array<double>")).as("vec"))
+      .filter(Similarity.dot(col("vec"), col("vec")) > 0)
     val ivf = IvfIndex.build(unit, nCells, refineIters, persist = false,
       md5Seeds = md5Seeds)
+    // persist the residual frame (review r11): Pq.train runs three
+    // actions over it (dim head, seed collect, its own cache fill) and
+    // encodeCol a fourth — un-cached, each re-ran the raw scan +
+    // assignment shuffle + centroid join
     val residuals = ivf.assigned
       .join(broadcast(ivf.centroids), "cell")
       .select(col("id"), col("cell"),
         vecSub(col("vec"), col("cvec")).as("rvec"))
-    val cb = Pq.train(residuals, "id", "rvec", m, ks, pqIters)
-    val encoded0 = residuals.select(col("id"), col("cell"),
-      Pq.encodeCol(col("rvec"), cb).as("codes"))
-    val encoded =
-      if (persist)
-        encoded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else encoded0
-    new IvfPqIndex(ivf, cb, encoded, unit, persist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cb = Pq.train(residuals, "id", "rvec", m, ks, pqIters)
+      val encoded0 = residuals.select(col("id"), col("cell"),
+        Pq.encodeCol(col("rvec"), cb).as("codes"))
+      val encoded =
+        if (persist) {
+          val e = encoded0
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          e.count() // materialize through the residual cache
+          e
+        } else encoded0
+      new IvfPqIndex(ivf, cb, encoded, unit, persist)
+    } finally {
+      // persist=true: encoded is materialized, the cache served its
+      // purpose. persist=false (build→save): the save's encode pass
+      // re-derives residuals once from source — same cost as before
+      // this cache existed, which still saved train's 3 extra passes.
+      residuals.unpersist(blocking = false); ()
+    }
   }
 
   /** Reload a [[IvfPqIndex.save]]d index: query results are
@@ -159,7 +198,12 @@ object IvfPq {
       cb, encoded, corpusUnit, persist)
   }
 
-  /** True when `path` holds a complete saved index. */
+  /** True when `path` holds a complete saved IVF-PQ index. The meta
+    * marker alone is ambiguous (IvfIndex.save writes the identical
+    * layout, review r11): a plain-IVF path would read as complete here
+    * and then crash load() on the missing codebook — so require the
+    * codebook table too. */
   def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
-    IvfIndex.exists(spark, path)
+    IvfIndex.exists(spark, path) &&
+      Similarity.committedParquetExists(spark, s"$path/codebook")
 }
