@@ -38,7 +38,13 @@ object Packing {
   def concatChunkPlan(docs: DataFrame, idCol: String, groupCol: String,
       tokensCol: Column, budget: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    // explicit ROWS frame (review r11): the default RANGE frame makes
+    // duplicate (group, id) rows frame PEERS sharing one __end — their
+    // spans overlapped and the tokens between them belonged to no doc,
+    // silent layout corruption downstream. ROWS gives consecutive
+    // non-overlapping spans whatever the id multiplicity.
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.withColumn("__n", tokensCol.cast("long"))
       .withColumn("__end", sum(col("__n")).over(w))
       .withColumn("token_offset", col("__end") - col("__n"))
@@ -86,11 +92,28 @@ object Packing {
   def greedyPack(docs: DataFrame, idCol: String, groupCol: String,
       tokensCol: Column, budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    // integral ids only (review r11): a string id would cast to null
+    // (arbitrary packing order, then an encoder crash on the
+    // non-nullable tuple field) — and a NUMERIC-string id would sort
+    // numerically here while concatChunkPlan orders the raw column
+    // lexicographically, silently disagreeing on "id order"
+    locally {
+      import org.apache.spark.sql.types._
+      val dt = docs.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"greedyPack needs an integral id; column '$idCol' is " +
+          s"${dt.simpleString} - map ids to longs first")
+    }
     val spark = docs.sparkSession
     import spark.implicits._
+    // a null token count would crash the non-nullable encoder field
+    // with an opaque message mid-job; diagnose at the contract instead
+    val nTok = tokensCol.cast("long")
     docs.select(col(groupCol).cast("string").as("group"),
         col(idCol).cast("long").as("id"),
-        tokensCol.cast("long").as("n_tokens"))
+        when(nTok.isNull, raise_error(lit(
+          "greedyPack: null token count - clean or coalesce upstream")))
+          .otherwise(nTok).as("n_tokens"))
       .repartition(col("group"))
       .sortWithinPartitions(col("group"), col("id"))
       .as[(String, Long, Long)]

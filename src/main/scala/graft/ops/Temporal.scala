@@ -35,7 +35,14 @@ object Temporal {
     * front; without the filter Spark's NULLS-FIRST ascending sort
     * made it the running fallback payload for every left row with no
     * real predecessor. A LEFT row with a null time gets null payloads
-    * (an as-of against an undefined instant has no answer). */
+    * (an as-of against an undefined instant has no answer).
+    *
+    * NULL join keys (review r11): Window.partitionBy groups null keys
+    * TOGETHER, which would silently match anonymous (null-key) left
+    * rows to whatever null-key right row is nearest — semantics no SQL
+    * join has. Null-key right rows are filtered with the null-time
+    * rows, so null-key left rows come back unmatched, exactly like
+    * the equi-join oracle. */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, rightCols: Seq[String],
       toleranceSec: Option[Long] = None,
@@ -45,7 +52,9 @@ object Temporal {
     val fwd = direction == "forward"
     val payload = struct(
       (col(timeCol).as("__rtime") +: rightCols.map(col)): _*)
-    val r2 = right.filter(col(timeCol).isNotNull)
+    val rightKeysNonNull = keys.map(col(_).isNotNull)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val r2 = right.filter(col(timeCol).isNotNull && rightKeysNonNull)
       .select((keys.map(col) :+ col(timeCol) :+
         payload.as("__rpay")): _*).withColumn("__side", lit(0))
     val l2 = left.withColumn("__side", lit(1))
@@ -96,20 +105,42 @@ object Temporal {
     * stay correct but explode to more buckets. Column names must not
     * collide across the two sides (pre-rename, as with [[asOfJoin]]).
     *
-    * Malformed intervals (`endTs` before `startTs`) are dropped up
-    * front: they can match no point anyway, and an unguarded
-    * descending `sequence()` would otherwise throw at runtime and
-    * kill the whole job on one bad row (ADVICE r5). */
+    * Malformed intervals are dropped up front, and not just the
+    * inverted ones (ADVICE r5 + review r11): empty `[t, t)` rows can
+    * match nothing, and an interval spanning more than
+    * `maxSpanBuckets` buckets — the open-ended far-future sentinel
+    * like endTs = 9999-12-31 — would explode to millions-to-billions
+    * of sequence elements and kill the job (sequence() caps at
+    * Int.MaxValue) or OOM an executor; "one bad row must not kill the
+    * job" has to hold against sentinels too, so over-span rows drop
+    * like inverted ones. Raise `maxSpanBuckets` (default 100k ≈ 11
+    * years of hourly buckets) for genuinely long intervals.
+    *
+    * The sequence's upper bound is `endTs - 1µs` (review r11): the end
+    * is EXCLUSIVE, so a boundary-aligned end (the `ts + interval N
+    * hour` windows q24 builds) otherwise emitted one dead bucket per
+    * interval that the residual filter always rejected. */
   def rangeJoin(points: DataFrame, intervals: DataFrame, keys: Seq[String],
       pointTs: String, startTs: String, endTs: String,
-      bucket: String = "hour"): DataFrame = {
+      bucket: String = "hour", maxSpanBuckets: Long = 100000L): DataFrame = {
     require(Set("minute", "hour", "day")(bucket),
       s"rangeJoin: bucket must be minute|hour|day, got '$bucket'")
+    require(maxSpanBuckets >= 1, s"maxSpanBuckets must be >= 1")
+    val bucketUs = bucket match {
+      case "minute" => 60000000L
+      case "hour" => 3600000000L
+      case "day" => 86400000000L
+    }
     val step = expr(s"interval 1 $bucket")
     val p = points.withColumn("__bkt", date_trunc(bucket, col(pointTs)))
-    val i = intervals.filter(col(endTs) >= col(startTs)).withColumn("__bkt",
-      explode(sequence(date_trunc(bucket, col(startTs)),
-        date_trunc(bucket, col(endTs)), step)))
+    val i = intervals
+      .filter(col(endTs) > col(startTs) &&
+        unix_micros(col(endTs)) - unix_micros(col(startTs)) <=
+          maxSpanBuckets * bucketUs)
+      .withColumn("__bkt",
+        explode(sequence(date_trunc(bucket, col(startTs)),
+          date_trunc(bucket,
+            col(endTs) - expr("interval 1 microsecond")), step)))
     p.join(i, keys :+ "__bkt")
       .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("__bkt")
@@ -117,12 +148,20 @@ object Temporal {
 
   /** Sessionize: per-key ordinal session ids, a new session whenever
     * the gap since the previous event exceeds `gapSec`. One shuffle on
-    * the key; the running sum reuses the same sort as the lag. */
+    * the key; the running sum reuses the same sort as the lag.
+    *
+    * NULL timestamps are dropped (review r11): they sort NULLS FIRST,
+    * and each one's null lag read as a session break — every null-ts
+    * event minted a new session and SHIFTED every real session id for
+    * its key (q21-style per-session counts inflated silently). An
+    * event at an undefined instant belongs to no session; the r9
+    * asOfJoin null-time rule, applied here. */
   def sessionize(events: DataFrame, keys: Seq[String], timeCol: String,
       gapSec: Long): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol))
     val prev = lag(col(timeCol), 1).over(w)
     events
+      .filter(col(timeCol).isNotNull)
       .withColumn("__new",
         when(prev.isNull ||
           unix_micros(col(timeCol)) - unix_micros(prev) > gapSec * 1000000L, 1L)

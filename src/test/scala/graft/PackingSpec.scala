@@ -43,6 +43,42 @@ class PackingSpec extends SparkSpec {
     assert(out(1L) == (0L, 0L, 1L) && out(3L) == (100L, 1L, 1L))
   }
 
+  test("concatChunkPlan: duplicate ids get consecutive, non-overlapping " +
+    "spans (ROWS frame, review r11)") {
+    // under the default RANGE frame the two id=1 rows were peers
+    // sharing one running sum — overlapping spans, orphaned tokens
+    val d = Seq((1L, "g", 10L), (1L, "g", 20L), (2L, "g", 5L))
+      .toDF("doc_id", "src", "n")
+    val got = graft.ops.Packing.concatChunkPlan(d, "doc_id", "src",
+        col("n"), budget = 1000)
+      .select("n", "token_offset").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._2)
+    // offsets partition [0, 35): 0+10 -> 10+20 -> 30+5, whatever the
+    // tie order between the duplicate ids
+    assert(got.map(_._2).toSeq == Seq(0L, 10L, 30L) &&
+      got.zip(got.drop(1)).forall { case ((n, o), (_, o2)) => o + n == o2 },
+      s"spans must tile without overlap: ${got.toSeq}")
+  }
+
+  test("greedyPack diagnoses string ids and null token counts at its " +
+    "contract (review r11)") {
+    val strIds = Seq(("u1", "g", 5L)).toDF("doc_id", "src", "n")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Packing.greedyPack(strIds, "doc_id", "src", col("n"), 10L)
+    }
+    assert(ex.getMessage.contains("integral"), ex.getMessage)
+    val nullTok = Seq((1L, "g", Some(5L)), (2L, "g", Option.empty[Long]))
+      .toDF("doc_id", "src", "n")
+    val ex2 = intercept[Exception] {
+      graft.ops.Packing.greedyPack(nullTok, "doc_id", "src", col("n"), 10L)
+        .collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert((ex2.getMessage + rootMsg(ex2)).contains("null token count"),
+      s"got: ${ex2.getMessage}")
+  }
+
   test("slidingChunks: full coverage, exact overlap, lossless reconstruction") {
     val toks = (1 to 57).map(i => s"w$i")
     val d = Seq((1L, toks), (2L, Seq("a", "b")), (3L, Seq.empty[String]))

@@ -59,6 +59,53 @@ class TemporalSpec extends SparkSpec {
     assert(j2(16L).isEmpty, "null-ts left row gets null payloads")
   }
 
+  test("asOfJoin: null KEYS never match each other (review r11)") {
+    // Window.partitionBy groups nulls together — anonymous left rows
+    // used to silently pick up the nearest anonymous right payload
+    val l = Seq((20L, Option.empty[Long], t("2026-01-01 10:10:00")))
+      .toDF("trade_id", "user_id", "ts")
+    val r = Seq((Option.empty[Long], t("2026-01-01 10:00:00"), 99.0))
+      .toDF("user_id", "ts", "px")
+    val got = Temporal.asOfJoin(l, r, Seq("user_id"), "ts", Seq("px"))
+      .select("trade_id", "px").collect()
+    assert(got.length == 1 && got.head.isNullAt(1),
+      "null-key left row must come back UNMATCHED, like the SQL join")
+  }
+
+  test("sessionize: null timestamps drop instead of minting sessions " +
+    "(review r11)") {
+    val ev = Seq(
+      (7L, Option.empty[Timestamp]), (7L, Option.empty[Timestamp]),
+      (7L, Some(t("2026-01-01 10:00:00"))),
+      (7L, Some(t("2026-01-01 10:10:00"))),
+      (7L, Some(t("2026-01-01 12:00:00")))).toDF("user_id", "ts")
+    val s = Temporal.sessionize(ev, Seq("user_id"), "ts", gapSec = 3600)
+      .select("session_id").as[Long].collect().sorted.toSeq
+    // two real sessions numbered from 1 — null rows neither appear nor
+    // shift the ids
+    assert(s == Seq(1L, 1L, 2L), s"got $s")
+  }
+
+  test("rangeJoin: a far-future sentinel end drops instead of exploding " +
+    "(review r11)") {
+    val pts = Seq((1L, t("2026-01-01 10:30:00"), 100L))
+      .toDF("user_id", "ts", "p_id")
+    val iv = Seq(
+      (1L, t("2026-01-01 10:00:00"), t("2026-01-01 12:00:00"), 1L),
+      (1L, t("2026-01-01 10:00:00"), t("9999-12-31 00:00:00"), 2L))
+      .toDF("user_id", "start_ts", "end_ts", "i_id")
+    val got = Temporal.rangeJoin(pts, iv, Seq("user_id"), "ts",
+        "start_ts", "end_ts", "hour")
+      .select("i_id").as[Long].collect().toSet
+    assert(got == Set(1L),
+      s"sentinel interval must drop (not OOM/throw), sane one matches: $got")
+    // a genuinely long interval passes with a raised cap
+    val got2 = Temporal.rangeJoin(pts, iv, Seq("user_id"), "ts",
+        "start_ts", "end_ts", "day", maxSpanBuckets = 4000000L)
+      .select("i_id").as[Long].collect().toSet
+    assert(got2 == Set(1L, 2L))
+  }
+
   test("tumblingAgg rejects invalid units and empty aggregate lists") {
     val e = intercept[IllegalArgumentException] {
       Temporal.tumblingAgg(quotes, "ts", "hours", Seq("user_id"),
