@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.{GraftExprBridge => ExpressionUtils}
 import org.apache.spark.sql.types._
@@ -44,6 +45,72 @@ private[functions] object TypedChild {
   }
 }
 
+/** Shared hot-loop helpers (review r11): the Charikar vote loops, the
+  * sort+dedup canonicalization, and the HALF_UP rounding each existed
+  * as 2-3 hand-synced textual copies — the cross-expression equality
+  * the oracles depend on was enforced only by keeping them
+  * character-identical. One body each now. */
+private[functions] object ExprUtil {
+  /** Loud guard against null ARRAY ELEMENTS (review r11): the unsafe
+    * readers unbox them to 0 SILENTLY — a null embedding slot would
+    * hash/score as a plausible value — and the string paths NPE with
+    * no context. */
+  def noNulls(arr: ArrayData, name: String): ArrayData = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$name: null array element at index $i - clean upstream")
+      i += 1
+    }
+    arr
+  }
+
+  /** Charikar ±1 vote accumulate of one 64-bit hash. */
+  def addVotes(votes: Array[Int], h: Long): Unit = {
+    var b = 0
+    while (b < 64) {
+      if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+      b += 1
+    }
+  }
+
+  /** Vote collapse: bit b set when votes(b) > 0 (ties → 0). */
+  def collapse(votes: Array[Int]): Long = {
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Sort + dedup in place (canonical distinct set, no boxing). */
+  def sortedDistinct(a: Array[Long]): Array[Long] = {
+    val n = a.length
+    if (n == 0) return a
+    java.util.Arrays.sort(a)
+    var w = 1
+    var i = 1
+    while (i < n) {
+      if (a(i) != a(i - 1)) { a(w) = a(i); w += 1 }
+      i += 1
+    }
+    if (w == n) a else java.util.Arrays.copyOf(a, w)
+  }
+
+  /** HALF_UP at 4 decimals over the EXACT binary expansion — NOT the
+    * same as Spark's round(), which rounds the shortest decimal
+    * rendering (TextFunctions.qualityFeatures' r9 note). */
+  def r4(x: Double): Double =
+    new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  val wordRe: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("[a-z0-9]+")
+}
+
 final case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with TypedChild {
   protected def childTypeOk(dt: DataType): Boolean = dt match {
@@ -66,7 +133,7 @@ final case class MinHashSig(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    new GenericArrayData(
+    UnsafeArrayData.fromPrimitiveArray(
       if (onLongs) MinHashSig.computeLongs(arr, k)
       else MinHashSig.computeStrings(arr, k))
   }
@@ -74,8 +141,8 @@ final case class MinHashSig(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = if (onLongs) "computeLongs" else "computeStrings"
     defineCodeGen(ctx, ev, c =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.MinHashSig.$m($c, $k))")
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.functions.MinHashSig.$m($c, $k))")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -87,9 +154,10 @@ object MinHashSig {
     * (array<long>, the fast path fed by [[ShingleHashes]]) or raw
     * strings (hashed here first). */
   def computeLongs(arr: ArrayData, k: Int): Array[Long] =
-    minima(arr.toLongArray(), k)
+    minima(ExprUtil.noNulls(arr, "minhash_sig").toLongArray(), k)
 
   def computeStrings(arr: ArrayData, k: Int): Array[Long] = {
+    ExprUtil.noNulls(arr, "minhash_sig")
     val n = arr.numElements()
     val base = new Array[Long](n)
     var i = 0
@@ -102,6 +170,12 @@ object MinHashSig {
 
   private def minima(base: Array[Long], k: Int): Array[Long] = {
     val n = base.length
+    // an empty set would leave every slot Long.MaxValue: via the raw
+    // SQL surface all shingle-less docs then share ONE signature and
+    // band-collide pairwise (review r11) — the library path filters
+    // empties (Dedup.shingleSets); enforce it where the value is made
+    require(n > 0,
+      "minhash_sig: empty input set - filter size(...) > 0 upstream")
     val sig = new Array[Long](k)
     var j = 0
     while (j < k) {
@@ -140,12 +214,13 @@ final case class ShingleHashes(child: Expression, n: Int)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(ShingleHashes.compute(input.asInstanceOf[ArrayData], n))
+    UnsafeArrayData.fromPrimitiveArray(
+      ShingleHashes.compute(input.asInstanceOf[ArrayData], n))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.ShingleHashes.compute($c, $n))")
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.functions.ShingleHashes.compute($c, $n))")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -153,6 +228,7 @@ final case class ShingleHashes(child: Expression, n: Int)
 
 object ShingleHashes {
   def compute(arr: ArrayData, n: Int): Array[Long] = {
+    ExprUtil.noNulls(arr, "shingle_hashes")
     val words = arr.numElements()
     val nShingles = words - n + 1
     if (nShingles <= 0) return Array.emptyLongArray
@@ -174,15 +250,7 @@ object ShingleHashes {
       out(i) = h
       i += 1
     }
-    // sort + dedup in place (canonical distinct set, no boxing)
-    java.util.Arrays.sort(out)
-    var w = 1
-    i = 1
-    while (i < nShingles) {
-      if (out(i) != out(i - 1)) { out(w) = out(i); w += 1 }
-      i += 1
-    }
-    if (w == nShingles) out else java.util.Arrays.copyOf(out, w)
+    ExprUtil.sortedDistinct(out)
   }
 }
 
@@ -211,25 +279,15 @@ final case class SimHash64Expr(child: Expression)
 
 object SimHash64Expr {
   def compute(arr: ArrayData): Long = {
+    ExprUtil.noNulls(arr, "simhash64")
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
+      ExprUtil.addVotes(votes, XXH64.hashUTF8String(arr.getUTF8String(i), 42L))
       i += 1
     }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
+    ExprUtil.collapse(votes)
   }
 }
 
@@ -268,21 +326,10 @@ object ByteSimhash64Expr {
       val o = i * 4
       val v = ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
         ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
-      val h = XXH64.hashInt(v, 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
+      ExprUtil.addVotes(votes, XXH64.hashInt(v, 42L))
       i += 1
     }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
+    ExprUtil.collapse(votes)
   }
 }
 
@@ -322,6 +369,8 @@ object VecDot {
     // (VecSub already errors; the composed zip_with form nulls)
     require(a.numElements() == b.numElements(),
       s"vec_dot: length mismatch ${a.numElements()} vs ${b.numElements()}")
+    ExprUtil.noNulls(a, "vec_dot")
+    ExprUtil.noNulls(b, "vec_dot")
     val n = a.numElements()
     var acc = 0.0
     var i = 0
@@ -365,6 +414,7 @@ object SimHashMd5Expr {
   }
 
   def compute(arr: ArrayData): Long = {
+    ExprUtil.noNulls(arr, "simhash_md5")
     val votes = new Array[Int](64)
     val n = arr.numElements()
     val md = digest.get()
@@ -376,20 +426,10 @@ object SimHashMd5Expr {
       var h = 0L
       var k = 0
       while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
+      ExprUtil.addVotes(votes, h)
       i += 1
     }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    out
+    ExprUtil.collapse(votes)
   }
 }
 
@@ -423,16 +463,41 @@ final case class HyperplaneSig(child: Expression, bits: Int)
 object HyperplaneSig {
   private final val Inv = 1.0 / Long.MaxValue.toDouble
 
+  // row-invariant hyperplane components memoized per (bits, dims)
+  // (review r11: recomputing XXH64.hashLong(j, b)·Inv per ROW did
+  // bits×dims redundant hash calls in the hot loop — ~49k per row at
+  // 768 dims × 64 bits). Same hash, same scaling: bit-identical sigs.
+  private val comps =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  private def components(bits: Int, n: Int): Array[Double] =
+    comps.computeIfAbsent((bits, n), key => {
+      val (bt, nn) = key
+      val m = new Array[Double](bt * nn)
+      var b = 0
+      while (b < bt) {
+        var j = 0
+        while (j < nn) {
+          // deterministic pseudo-random component in [-1, 1]
+          m(b * nn + j) = XXH64.hashLong(j.toLong, b.toLong) * Inv
+          j += 1
+        }
+        b += 1
+      }
+      m
+    })
+
   def compute(vec: ArrayData, bits: Int): Long = {
+    ExprUtil.noNulls(vec, "hyperplane_sig")
     val n = vec.numElements()
+    val m = components(bits, n)
     var sig = 0L
     var b = 0
     while (b < bits) {
       var acc = 0.0
       var j = 0
+      val off = b * n
       while (j < n) {
-        // deterministic pseudo-random component in [-1, 1]
-        acc += vec.getDouble(j) * (XXH64.hashLong(j.toLong, b.toLong) * Inv)
+        acc += vec.getDouble(j) * m(off + j)
         j += 1
       }
       if (acc > 0) sig |= (1L << b)
@@ -451,8 +516,14 @@ object HyperplaneSig {
   * expression is codegen'd, so WSCG's CSE computes it once per row per
   * stage regardless of how many struct fields are referenced.
   *
-  * Semantics mirror the composed forms exactly (same regexes, marker
-  * lists, HALF_UP rounding) so the DuckDB oracles are unchanged. */
+  * Semantics mirror the composed forms (same regexes, marker lists)
+  * so the DuckDB oracles are unchanged for the corpora's ASCII text —
+  * with two DOCUMENTED divergences (review r11): rounding is HALF_UP
+  * over the exact binary expansion where Spark's round() rounds the
+  * shortest decimal rendering (boundary ...5 ratios can differ in the
+  * 4th decimal; see TextFunctions.qualityFeatures' r9 note), and
+  * lowercasing is Locale.ROOT where Spark's lower() falls back to the
+  * JVM default locale for non-ASCII strings (tr/az JVMs map I→ı). */
 final case class TextFeaturesExpr(child: Expression)
     extends UnaryExpression with TypedChild {
   protected def childTypeOk(dt: DataType): Boolean = dt == StringType
@@ -496,10 +567,9 @@ object TextFeaturesExpr {
   private val stopSet = stopwords.toSet
   private val markerSets = langMarkers.map { case (l, m) => (l, m.toSet) }.toArray
 
-  private val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+  private val wordRe = ExprUtil.wordRe
 
-  private def r4(x: Double): Double =
-    new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def r4(x: Double): Double = ExprUtil.r4(x)
 
   def compute(text: UTF8String): InternalRow = {
     val s = text.toString
@@ -576,13 +646,13 @@ final case class WinnowHashes(child: Expression, k: Int, w: Int)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(WinnowHashes.compute(
+    UnsafeArrayData.fromPrimitiveArray(WinnowHashes.compute(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.WinnowHashes.compute($c, $k, $w))")
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.functions.WinnowHashes.compute($c, $k, $w))")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowHashes =
     copy(child = newChild)
@@ -624,14 +694,7 @@ object WinnowHashes {
       sel(i) = m
       i += 1
     }
-    java.util.Arrays.sort(sel)
-    var out = 1
-    i = 1
-    while (i < nw) {
-      if (sel(i) != sel(i - 1)) { sel(out) = sel(i); out += 1 }
-      i += 1
-    }
-    if (out == nw) sel else java.util.Arrays.copyOf(sel, out)
+    ExprUtil.sortedDistinct(sel)
   }
 }
 
@@ -649,12 +712,13 @@ final case class VecUnit(child: Expression)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(VecUnit.compute(input.asInstanceOf[ArrayData]))
+    UnsafeArrayData.fromPrimitiveArray(
+      VecUnit.compute(input.asInstanceOf[ArrayData]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.VecUnit.compute($c))")
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.functions.VecUnit.compute($c))")
 
   override protected def withNewChildInternal(newChild: Expression): VecUnit =
     copy(child = newChild)
@@ -662,6 +726,7 @@ final case class VecUnit(child: Expression)
 
 object VecUnit {
   def compute(a: ArrayData): Array[Double] = {
+    ExprUtil.noNulls(a, "vec_unit")
     val n = a.numElements()
     val v = new Array[Double](n)
     var ss = 0.0
@@ -693,13 +758,13 @@ final case class VecSub(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    new GenericArrayData(VecSub.compute(
+    UnsafeArrayData.fromPrimitiveArray(VecSub.compute(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.VecSub.compute($a, $b))")
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.functions.VecSub.compute($a, $b))")
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): VecSub = copy(left = newLeft, right = newRight)
@@ -707,6 +772,8 @@ final case class VecSub(left: Expression, right: Expression)
 
 object VecSub {
   def compute(a: ArrayData, b: ArrayData): Array[Double] = {
+    ExprUtil.noNulls(a, "vec_sub")
+    ExprUtil.noNulls(b, "vec_sub")
     val n = a.numElements()
     require(b.numElements() == n,
       s"vec_sub: length mismatch ${n} vs ${b.numElements()}")
@@ -759,10 +826,9 @@ object RepetitionStatsExpr {
     StructField("top_2gram_frac", DoubleType, nullable = false),
     StructField("dup_3gram_frac", DoubleType, nullable = false)))
 
-  private val wordRe = java.util.regex.Pattern.compile("[a-z0-9]+")
+  private val wordRe = ExprUtil.wordRe
 
-  private def r4(x: Double): Double =
-    new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def r4(x: Double): Double = ExprUtil.r4(x)
 
   def compute(text: UTF8String): InternalRow = {
     val m = wordRe.matcher(text.toString.toLowerCase(java.util.Locale.ROOT))
@@ -840,8 +906,7 @@ object ByteStatsExpr {
 
   private val hexDigits = "0123456789ABCDEF".toCharArray
 
-  private def r4(x: Double): Double =
-    new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def r4(x: Double): Double = ExprUtil.r4(x)
 
   def compute(bytes: Array[Byte], sampleBytes: Int, magicBytes: Int): InternalRow = {
     val n = bytes.length

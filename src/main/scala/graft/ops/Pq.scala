@@ -570,14 +570,15 @@ final case class MatVecExpr(child: Expression, mat: Array[Double], d: Int)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(MatVecExpr.compute(
-      input.asInstanceOf[ArrayData], mat, d))
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(MatVecExpr.compute(
+        input.asInstanceOf[ArrayData], mat, d))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("opqmat", mat, "double[]")
     defineCodeGen(ctx, ev, c =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.ops.MatVecExpr.compute($c, $ref, $d))")
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.ops.MatVecExpr.compute($c, $ref, $d))")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MatVecExpr =
@@ -602,15 +603,16 @@ final case class SignedPermuteExpr(child: Expression, perm: Array[Int],
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(SignedPermuteExpr.compute(
-      input.asInstanceOf[ArrayData], perm, signs))
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(SignedPermuteExpr.compute(
+        input.asInstanceOf[ArrayData], perm, signs))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val p = ctx.addReferenceObj("sperm", perm, "int[]")
     val sg = ctx.addReferenceObj("ssigns", signs, "double[]")
     defineCodeGen(ctx, ev, c =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.ops.SignedPermuteExpr.compute($c, $p, $sg))")
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData" +
+        s".fromPrimitiveArray(graft.ops.SignedPermuteExpr.compute($c, $p, $sg))")
   }
 
   override protected def withNewChildInternal(newChild: Expression)
