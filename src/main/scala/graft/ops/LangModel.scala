@@ -136,6 +136,17 @@ object LangModel {
       .select(col("t.0").as("u"), col("t.1").as("v"), col("t.2").as("w"))
     val trigrams = triples.groupBy("u", "v", "w").agg(count(lit(1)).as("n3"))
     val trigramCtx = triples.groupBy("u", "v").agg(count(lit(1)).as("c3"))
+    // int64-exactness bound (review r11): scoreNllTrigram's common
+    // denominator is 10·c3·c2·(N+V) <= 10·N²·(N+V), which wraps past
+    // Long.MaxValue near N ≈ 9.7e5 reference tokens — wrapped negative
+    // products make log() return NaN for EVERY document, silently.
+    // The docstring admits the bound; enforce it where N is known.
+    // CCNet-scale references should score from a SAMPLED slice —
+    // perplexity models saturate long before 10^6 tokens anyway.
+    require(nTok <= 900000L,
+      s"trainTrigram: reference slice has $nTok tokens; the int64-exact " +
+        "score arithmetic overflows past ~9e5 - train on a sampled " +
+        "slice (e.g. Sampling.bernoulli the reference first)")
     TrigramModel(trigrams, trigramCtx, bigrams, bigramCtx, unigrams, nTok, v)
   }
 

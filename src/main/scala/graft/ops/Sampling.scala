@@ -23,14 +23,20 @@ object Sampling {
   // (the dominant cost; see PersistSlot for the eviction contract).
   private val dsirPersist = new PersistSlot
 
+  /** The ONE copy of the engine-portable 60-bit md5 hash (review r11:
+    * featureBucket, hashFrac, and epochShuffle each inlined the
+    * substring-1..15 / base-16-conv / long-cast recipe — the
+    * cross-engine bit-identity depends on all of them agreeing).
+    * DuckDB: `('0x' || substr(md5(x), 1, 15))::UBIGINT`. */
+  private[ops] def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** 60-bit md5 hash of a feature string, mod `buckets` — the
-    * engine-portable hashed-featurizer cell (DuckDB:
-    * `('0x' || substr(md5(f), 1, 15))::UBIGINT % buckets`). Codegen'd
-    * end-to-end (conv/substring/md5 are native Spark expressions), a
-    * pure map-side computation. */
+    * engine-portable hashed-featurizer cell. Codegen'd end-to-end
+    * (conv/substring/md5 are native Spark expressions), a pure
+    * map-side computation. */
   def featureBucket(f: Column, buckets: Int): Column =
-    conv(substring(md5(f.cast("binary")), 1, 15), 16, 10)
-      .cast("long") % buckets
+    hash60(f) % buckets
 
   /** Uniform bucket in [0, 10000) from the md5 of the id rendered as
     * a string — the deterministic ORDERING key for quota ranks
@@ -53,9 +59,22 @@ object Sampling {
     * ids hash to NULL and fail every comparison: rows with a null
     * sampling key are dropped even at rate 1.0 — sampling keys must
     * be non-null upstream. */
-  def hashFrac(id: Column): Column =
-    conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long").cast("double") / TwoPow60
+  def hashFrac(id: Column): Column = hashFrac(id, "")
+
+  /** [[hashFrac]] under a salt: a DIFFERENT uniform fraction per salt,
+    * still deterministic. COMPOSITION hazard (review r11): every
+    * unsalted rate sampler shares one hashFrac(id), so chained
+    * samplers are fully correlated — bernoulli(0.5) then
+    * bernoulli(0.5) keeps min(r1,r2)=50%, not 25%, and
+    * groupQuotaApprox after an upstream sample overshoots its cap by
+    * 1/rate (it measures post-filter group sizes but the survivors'
+    * fractions are squeezed into [0, rate)). Pass DISTINCT salts to
+    * composed samplers to make their decisions independent. */
+  def hashFrac(id: Column, salt: String): Column = {
+    val key = if (salt.isEmpty) id.cast("string")
+      else concat(lit(salt), lit("-"), id.cast("string"))
+    hash60(key).cast("double") / TwoPow60
+  }
 
   private def checkRate(rate: Double): Double = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
@@ -68,13 +87,14 @@ object Sampling {
     * Opting into `strict` turns that silent loss into a loud job
     * failure via a map-side `raise_error` branch; still zero extra
     * passes/shuffles, so it costs nothing until a null appears. */
-  private def fracOf(id: Column, strict: Boolean): Column =
-    if (!strict) hashFrac(id)
+  private def fracOf(id: Column, strict: Boolean,
+      salt: String = ""): Column =
+    if (!strict) hashFrac(id, salt)
     else when(id.isNull, raise_error(lit(
       "sampling id column is null: a null sampling key is silently " +
         "dropped at ANY rate - clean or coalesce ids upstream, or " +
         "sample with strict=false to accept the drop")))
-      .otherwise(hashFrac(id))
+      .otherwise(hashFrac(id, salt))
 
   /** Deterministic Bernoulli sample at `rate`: a stateless map-side
     * filter (no shuffle, no RNG state), so it composes with scan
@@ -82,8 +102,8 @@ object Sampling {
     * fails loudly on a null id instead of silently dropping the row
     * (see [[fracOf]]). */
   def bernoulli(df: DataFrame, idCol: String, rate: Double,
-      strict: Boolean = false): DataFrame =
-    df.filter(fracOf(col(idCol), strict) < checkRate(rate))
+      strict: Boolean = false, salt: String = ""): DataFrame =
+    df.filter(fracOf(col(idCol), strict, salt) < checkRate(rate))
 
   /** Stratified deterministic sample: per-stratum rates, `defaultRate`
     * for unlisted strata. The rates table is a literal broadcast join
@@ -91,14 +111,14 @@ object Sampling {
     * filter — the corpus never shuffles. `strict` as in [[bernoulli]]. */
   def stratified(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false, salt: String = ""): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val thr = rates.toSeq.map { case (s, r) => (s, checkRate(r)) }
       .toDF(stratumCol, "__thr")
     df.join(broadcast(thr), Seq(stratumCol), "left_outer")
       .withColumn("__thr", coalesce(col("__thr"), lit(checkRate(defaultRate))))
-      .filter(fracOf(col(idCol), strict) < col("__thr"))
+      .filter(fracOf(col(idCol), strict, salt) < col("__thr"))
       .drop("__thr")
   }
 
@@ -134,12 +154,15 @@ object Sampling {
     * equi-join: with 10^7+ groups (per-domain quotas on a web corpus)
     * the count table itself is too big to ship to every executor. */
   def groupQuotaApprox(df: DataFrame, idCol: String, groupCol: String,
-      cap: Int, broadcastCounts: Boolean = true): DataFrame = {
+      cap: Int, broadcastCounts: Boolean = true,
+      salt: String = ""): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
     df.join(if (broadcastCounts) broadcast(counts) else counts, Seq(groupCol))
       .withColumn("__thr", least(lit(1.0), lit(cap.toDouble) / col("__n")))
-      .filter(hashFrac(col(idCol)) < col("__thr"))
+      // salt if df was itself hash-sampled upstream (see hashFrac):
+      // correlated fractions overshoot the cap by 1/upstream-rate
+      .filter(hashFrac(col(idCol), salt) < col("__thr"))
       .drop("__n", "__thr")
   }
 
@@ -171,18 +194,46 @@ object Sampling {
     * joins). */
   def ratesFromTotals(totals: DataFrame, sourceCol: String,
       weights: Map[String, Double]): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ > 0),
-      "mixture weights must be positive")
-    val spark = totals.sparkSession
-    import spark.implicits._
-    val w = weights.toSeq.toDF(sourceCol, "__w")
-    val stats = totals.join(broadcast(w), Seq(sourceCol)) // unlisted drop
+    val stats = validatedStats(totals, sourceCol, weights)
     val budget = min(col("n_tokens").cast("double") / col("__w"))
       .over(Window.partitionBy()) // stats frame is <= |sources| rows
     stats
       .withColumn("rate",
         least(lit(1.0), col("__w") * budget / col("n_tokens").cast("double")))
       .select(col(sourceCol), col("n_tokens"), col("rate"))
+  }
+
+  /** Join per-source totals with the weight table and FAIL LOUDLY on a
+    * plan the corpus cannot realize (review r11): the old inner join
+    * silently DROPPED a weighted source with no corpus presence — the
+    * planner then reported a valid mixture (e.g. 50/50 wiki/books at
+    * rate 1.0) while delivering 100% of the surviving source. A
+    * zero/null token total is the same lie one step later (rate math
+    * divides by it; the epoch planner would floor(Infinity)). The
+    * check is one driver-side collect of a <= |sources|-row frame. */
+  private def validatedStats(totals: DataFrame, sourceCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val spark = totals.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(sourceCol, "__w")
+    val stats = totals.join(broadcast(w), Seq(sourceCol)) // unlisted drop
+    val rows = stats.select(col(sourceCol).cast("string"),
+      col("n_tokens").cast("long")).collect()
+    val present = rows.map(_.getString(0)).toSet
+    val missing = weights.keySet.diff(present)
+    require(missing.isEmpty,
+      s"mixture planner: weighted source(s) ${missing.mkString(", ")} " +
+        "absent from the corpus - the plan could not realize the " +
+        "requested mixture; drop them from weights or fix the source " +
+        "column")
+    rows.foreach { r =>
+      require(!r.isNullAt(1) && r.getLong(1) > 0,
+        s"mixture planner: source '${r.getString(0)}' has zero/null " +
+          "tokens - its rate/epoch arithmetic would divide by zero")
+    }
+    stats
   }
 
   /** The apply half of the mixture sampler: per-source deterministic
@@ -216,15 +267,10 @@ object Sampling {
     * and the same engine-exact double arithmetic. */
   def mixtureEpochPlan(docs: DataFrame, sourceCol: String, tokensCol: Column,
       weights: Map[String, Double], budgetTokens: Long): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ > 0),
-      "mixture weights must be positive")
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val w = weights.toSeq.toDF(sourceCol, "__w")
-    docs.groupBy(sourceCol)
-      .agg(sum(tokensCol.cast("long")).as("n_tokens"))
-      .join(broadcast(w), Seq(sourceCol))
+    validatedStats(
+      docs.groupBy(sourceCol).agg(sum(tokensCol.cast("long")).as("n_tokens")),
+      sourceCol, weights)
       .withColumn("__share", col("__w") * lit(budgetTokens.toDouble) /
         col("n_tokens").cast("double"))
       .withColumn("full_epochs", floor(col("__share")))
@@ -241,10 +287,18 @@ object Sampling {
     * training job joins epochs back to payloads shard by shard. */
   def mixtureEpochExpand(docs: DataFrame, idCol: String, sourceCol: String,
       tokensCol: Column, weights: Map[String, Double],
-      budgetTokens: Long): DataFrame = {
+      budgetTokens: Long, payloadCols: Seq[String] = Seq.empty): DataFrame = {
     val plan = mixtureEpochPlan(docs, sourceCol, tokensCol, weights,
       budgetTokens)
-    docs.join(broadcast(plan.drop("n_tokens")), Seq(sourceCol))
+    // manifest stays NARROW (review r11): joining the full docs frame
+    // copied every payload column — including text — once per epoch,
+    // the exact epoch-factor×corpus blowup the doc forbids. Only the
+    // id/source spine plus explicitly requested payload columns ride
+    // the expansion; the per-source plan columns (full_epochs,
+    // last_rate) stay available to aggregating consumers.
+    val spine = docs.select(
+      (Seq(col(sourceCol), col(idCol)) ++ payloadCols.map(col)): _*)
+    spine.join(broadcast(plan.drop("n_tokens")), Seq(sourceCol))
       .withColumn("epoch",
         explode(sequence(lit(0L), col("full_epochs"))))
       .filter(col("epoch") < col("full_epochs") ||
@@ -349,9 +403,7 @@ object Sampling {
       nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     require(seed.nonEmpty, "seed must be non-empty")
-    val h = conv(substring(md5(
-        concat(lit(seed), lit("-"), col(idCol).cast("string")).cast("binary")),
-      1, 15), 16, 10).cast("long")
+    val h = hash60(concat(lit(seed), lit("-"), col(idCol).cast("string")))
     val w = Window.partitionBy(col("__shard"))
       .orderBy(col("__h"), col(idCol))
     df.withColumn("__h", h)

@@ -21,9 +21,12 @@ object UrlOps {
   // extracted domain 'evil.com.', which silently missed the equi-join
   // against a blocklist entry 'evil.com'. Same rule for the optional
   // path: a trailing '.' stays outside the match.
+  // (?i) scheme (review r11): 'HTTP://evil.com' was invisible to the
+  // blocklist gate — schemes are case-insensitive per RFC 3986, and
+  // (?i) is in the java.regex ∩ RE2 intersection the oracles need.
   val urlRe =
-    "https?://[A-Za-z0-9.-]*[A-Za-z0-9](?:/[A-Za-z0-9./_-]*[A-Za-z0-9_/-]|/)?"
-  private val domainRe = "https?://([A-Za-z0-9.-]*[A-Za-z0-9])"
+    "(?i:https?)://[A-Za-z0-9.-]*[A-Za-z0-9](?:/[A-Za-z0-9./_-]*[A-Za-z0-9_/-]|/)?"
+  private val domainRe = "(?i:https?)://([A-Za-z0-9.-]*[A-Za-z0-9])"
 
   /** All URLs in a text column (array<string>). */
   def extractUrls(text: Column): Column =
@@ -33,9 +36,12 @@ object UrlOps {
   def urlDomain(url: Column): Column =
     regexp_extract(url, domainRe, 1)
 
-  /** Distinct hostnames referenced by a text column. */
+  /** Distinct hostnames referenced by a text column, LOWERCASED
+    * (review r11: hostnames are case-insensitive per RFC 4343, and
+    * 'Evil.COM' silently missed the blocklist join against
+    * 'evil.com' — canonicalizeUrl already lowercases the host). */
   def domains(text: Column): Column =
-    array_distinct(transform(extractUrls(text), u => urlDomain(u)))
+    array_distinct(transform(extractUrls(text), u => lower(urlDomain(u))))
 
   /** Canonical URL form for URL-keyed dedup — the FIRST step of a
     * RefinedWeb-style pipeline (its whole dedup keys on the URL before
@@ -109,12 +115,22 @@ object UrlOps {
     * hit set is (doc id)s only, and the final anti-join is narrow. */
   def filterByBlocklist(docs: DataFrame, blocklist: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bl = blocklist.select(lower(col("domain")).as("__bl")).distinct()
     val hits = docs.select(col(idCol),
         explode(domains(col(textCol))).as("domain"))
-      .join(broadcast(blocklist), "domain")
+      .join(broadcast(bl), blockMatch(col("domain"), col("__bl")))
       .select(col(idCol)).distinct()
     docs.join(hits, Seq(idCol), "left_anti")
   }
+
+  /** Blocklist hit rule (review r11): exact host OR any subdomain —
+    * blocklists carry registrable domains ('evil.com'), and an exact
+    * equi-join let every www/m/cdn subdomain walk straight through.
+    * The broadcast side stays tiny, so the OR-condition join is a
+    * broadcast nested loop over |domains per doc| × |blocklist| —
+    * map-side, corpus never shuffles. */
+  private def blockMatch(domain: Column, blocked: Column): Column =
+    domain === blocked || domain.endsWith(concat(lit("."), blocked))
 
   /** Per-document URL audit: url count, distinct domains, and whether
     * any domain is blocklisted (1/0) — the flag form of
@@ -132,14 +148,20 @@ object UrlOps {
     // n_domains (ADVICE r5).
     docs.select(col(idCol), extractUrls(col(textCol)).as("__urls"))
       .select(col(idCol),
-        size(col("__urls")).as("n_urls"),
+        // null text extracts a null array; report 0 urls, not the
+        // -1/null sentinel size() yields (review r11)
+        coalesce(size(col("__urls")), lit(0)).as("n_urls"),
         explode_outer(array_distinct(
-          transform(col("__urls"), u => urlDomain(u)))).as("domain"))
-      .join(broadcast(blocklist.select(col("domain")).distinct()
-        .withColumn("__hit", lit(1))), Seq("domain"), "left_outer")
+          transform(col("__urls"), u => lower(urlDomain(u))))).as("domain"))
+      .join(broadcast(blocklist.select(lower(col("domain")).as("__bl"))
+          .distinct().withColumn("__hit", lit(1))),
+        blockMatch(col("domain"), col("__bl")), "left_outer")
       .groupBy(col(idCol))
+      // countDistinct, not count (review r11): the subdomain rule can
+      // match one domain against several blocklist rows, and the
+      // left-join fanout would inflate the domain count
       .agg(first(col("n_urls")).as("n_urls"),
-        count(col("domain")).as("n_domains_l"),
+        countDistinct(col("domain")).as("n_domains_l"),
         max(coalesce(col("__hit"), lit(0))).as("blocked"))
       .select(col(idCol), col("n_urls"),
         col("n_domains_l").cast("int").as("n_domains"), col("blocked"))

@@ -939,7 +939,7 @@ object Pipeline {
       size(TextFunctions.words(col("text"))))
     graft.ops.Sampling.mixtureEpochExpand(d, "doc_id", "lang",
         col("n_words"), Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2),
-        budgetTokens = 100000L)
+        budgetTokens = 100000L, payloadCols = Seq("n_words"))
       .groupBy("lang")
       .agg(max("full_epochs").as("full_epochs"),
         round(max("last_rate"), 6).as("last_rate"),

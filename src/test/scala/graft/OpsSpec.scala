@@ -686,6 +686,28 @@ class OpsSpec extends SparkSpec {
     assert(audit(2) == (3L, 0, 0, 0))
   }
 
+  test("UrlOps: case-variant URLs and subdomains cannot bypass the " +
+    "blocklist (review r11)") {
+    import graft.ops.UrlOps
+    val d = Seq(
+      (1L, "see HTTP://Evil.COM/x there"), // scheme+host case variants
+      (2L, "cdn at https://www.evil.com/y today"), // subdomain
+      (3L, "fine https://evil.com.snopes.example.org debunk"), // NOT a sub
+      (4L, "clean https://ok.example.org page")
+    ).toDF("doc_id", "text")
+    val block = Seq("evil.com").toDF("domain")
+    assert(UrlOps.filterByBlocklist(d, block).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(3L, 4L),
+      "case variants and subdomains must hit; suffix-in-the-middle must not")
+    val audit = UrlOps.auditUrls(d, block).orderBy("doc_id")
+      .as[(Long, Int, Int, Int)].collect()
+    assert(audit.map(_._4).toSeq == Seq(1, 1, 0, 0))
+    // null text audits as 0 urls, not the size(null) sentinel
+    val withNull = Seq((9L, Option.empty[String])).toDF("doc_id", "text")
+    val a9 = UrlOps.auditUrls(withNull, block).head()
+    assert(a9.getInt(1) == 0 && a9.getInt(3) == 0, s"got $a9")
+  }
+
   test("UrlOps: sentence-final period never joins the hostname (review r9)") {
     import graft.ops.UrlOps
     // 'visit evil.com.' used to extract domain 'evil.com.' and slip

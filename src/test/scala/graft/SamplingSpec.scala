@@ -165,6 +165,46 @@ class SamplingSpec extends SparkSpec {
     assert(again == kept.map(_._1).toSet)
   }
 
+  test("mixture planner fails loudly on a weighted source the corpus " +
+    "cannot supply (review r11)") {
+    val docs = (1L to 10L).map(i => (i, "wiki", 5)).toDF("id", "src", "toks")
+    // absent source: the old inner join silently dropped 'books' and
+    // reported a 50/50 plan that delivered 100% wiki
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.mixtureRates(docs, "src", col("toks"),
+        Map("wiki" -> 0.5, "books" -> 0.5)).collect()
+    }
+    assert(ex.getMessage.contains("books"), ex.getMessage)
+    // zero-token source: epoch share would floor(Infinity)
+    val zero = docs.union(Seq((99L, "empty", 0)).toDF("id", "src", "toks"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Sampling.mixtureEpochPlan(zero, "src", col("toks"),
+        Map("wiki" -> 0.5, "empty" -> 0.5), budgetTokens = 100L).collect()
+    }
+    assert(ex2.getMessage.contains("zero/null"), ex2.getMessage)
+  }
+
+  test("salted sampling decorrelates composed samplers (review r11)") {
+    // unsalted: bernoulli∘bernoulli keeps min(r1, r2), not r1*r2 —
+    // the second filter is a no-op on the survivors
+    val unsalted = Sampling.bernoulli(
+      Sampling.bernoulli(rows, "id", 0.5), "id", 0.5).count()
+    assert(math.abs(unsalted - 1000) < 100,
+      s"unsalted composition is fully correlated (~50%), got $unsalted")
+    // distinct salts: independent decisions, ~25% survive
+    val salted = Sampling.bernoulli(
+      Sampling.bernoulli(rows, "id", 0.5, salt = "a"),
+      "id", 0.5, salt = "b").count()
+    assert(salted > 380 && salted < 620,
+      s"salted composition must approximate r1*r2=25%, got $salted")
+    // empty salt is bit-identical to the unsalted legacy path
+    val a = Sampling.bernoulli(rows, "id", 0.3).select("id").as[Long]
+      .collect().toSet
+    val b = Sampling.bernoulli(rows, "id", 0.3, salt = "").select("id")
+      .as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("epoch mixture: hand-computed full passes + fractional final pass") {
     import org.apache.spark.sql.functions.{col, lit}
     // s1: 20 docs x 10 tokens = 200; s2: 10 docs x 10 = 100.
