@@ -22,9 +22,12 @@ object DocumentIO {
     * one read task — so at scale the parallelism lever is the number
     * of part files (one per write task), not the codec: repartition
     * before writing to set it. */
+  // mode defaults to OVERWRITE — existing directory contents are
+  // DESTROYED (review r11: the default was undocumented); pass
+  // "error" / "append" to refuse / extend instead.
   def writeJsonl(df: DataFrame, path: String,
-      compression: String = "gzip"): Unit =
-    df.write.mode("overwrite")
+      compression: String = "gzip", mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
       .option("compression", compression)
       .json(path)
 
@@ -35,12 +38,19 @@ object DocumentIO {
     * reference only the corrupt-record column (IOSpec shows the
     * pattern); use [[readJsonlClean]] when rejects don't matter. */
   def readJsonl(spark: SparkSession, path: String,
-      schema: StructType): DataFrame =
+      schema: StructType): DataFrame = {
+    // a schema already carrying __corrupt (e.g. derived from a prior
+    // readJsonl result) would duplicate the column and fail the scan
+    // with an opaque analyzer error (review r11)
+    require(!schema.fieldNames.contains("__corrupt"),
+      "readJsonl: the supplied schema already has a __corrupt column - " +
+        "drop it (it is the quarantine column this reader adds)")
     spark.read
       .schema(schema.add("__corrupt", "string"))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "__corrupt")
       .json(path)
+  }
 
   /** Clean rows only, schema exactly as given: DROPMALFORMED discards
     * unparseable lines at scan time (no corrupt column in the result,

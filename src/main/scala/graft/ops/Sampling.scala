@@ -222,6 +222,14 @@ object Sampling {
     val rows = stats.select(col(sourceCol).cast("string"),
       col("n_tokens").cast("long")).collect()
     val present = rows.map(_.getString(0)).toSet
+    // one totals row per source, or the apply-half's rate join fans
+    // every doc out once per duplicate (review r11: a foreachBatch
+    // republisher accumulating N closed windows instead of passing
+    // only the last would silently duplicate + mis-sample the stream)
+    require(rows.length == present.size,
+      s"mixture planner: duplicate source rows in totals " +
+        s"(${rows.length} rows, ${present.size} sources) - pass ONE " +
+        "window's totals")
     val missing = weights.keySet.diff(present)
     require(missing.isEmpty,
       s"mixture planner: weighted source(s) ${missing.mkString(", ")} " +

@@ -47,14 +47,19 @@ object EventStream {
     * within the watermark horizon of its first copy is dropped; state
     * for older fingerprints is reclaimed). The batch curation pipeline
     * (graft.ops.Dedup) shares the same fingerprint expression, so a
-    * backfill and the incremental path agree on identity.
+    * backfill and the incremental path agree on identity. On a BATCH
+    * frame this falls back to plain dropDuplicates on the fingerprint
+    * (review r11: dropDuplicatesWithinWatermark is rejected outright
+    * on batch frames, so the backfill agreement the doc promises was
+    * unobtainable from this function).
     *
-    * @param docs streaming frame with `text` and an event-time `ts` */
-  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
-    docs
-      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("fp")
+    * @param docs frame with `text` and an event-time `ts` */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val fp = docs.withColumn("fp",
+      graft.functions.TextFunctions.fingerprint(col("text")))
+    if (!docs.isStreaming) fp.dropDuplicates("fp")
+    else fp.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("fp")
+  }
 
   /** Stateless curation gate over a document stream: quality features +
     * language ID run unchanged in streaming (no state, no watermark
@@ -86,15 +91,27 @@ object EventStream {
     * state never grows. Emits surviving lines with their positions;
     * reassembly belongs to the sink (order within a doc is preserved
     * by `pos`). `boilerDigests` needs one column `__h` = md5 of the
-    * line. */
+    * line.
+    *
+    * A doc whose EVERY line is boilerplate emits nothing — unlike
+    * batch lineDedup, which keeps it as (n_kept = 0, "") (review
+    * r11). A sink that must distinguish "became empty" from "never
+    * arrived" sets `emitDocMarker = true`: every input doc then also
+    * emits one (doc_id, pos = -1, line = "") marker row (stateless —
+    * a map-side projection of the same input); reassembly ignores
+    * pos < 0. */
   def stripBoilerplateLines(docs: DataFrame, boilerDigests: DataFrame,
-      sep: String = "\n"): DataFrame =
-    docs.select(col("doc_id"),
+      sep: String = "\n", emitDocMarker: Boolean = false): DataFrame = {
+    val stripped = docs.select(col("doc_id"),
         posexplode(split(col("text"),
           java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
       .withColumn("__h", md5(col("line").cast("binary")))
       .join(broadcast(boilerDigests), Seq("__h"), "left_anti")
       .drop("__h")
+    if (!emitDocMarker) stripped
+    else stripped.unionByName(docs.select(col("doc_id"),
+      lit(-1).as("pos"), lit("").as("line")))
+  }
 
   /** The COUNT half of graft.ops.Dedup.lineDedup, in-stream: the
     * boilerplate-digest set the stream publishes ITSELF, instead of
@@ -230,6 +247,13 @@ object EventStream {
       maxPublish: Int = 100000): DataFrame = {
     require(depth >= 1 && depth <= 4, s"depth must be 1..4 (md5 has 4 words), got $depth")
     require(width >= 16, s"width must be >= 16, got $width")
+    // window bounds are keyed at WHOLE-SECOND resolution (the
+    // cast("long")s below): a sub-second window would truncate both
+    // bounds and silently merge counts of distinct windows (review r11)
+    require(!window_.toLowerCase(java.util.Locale.ROOT)
+        .matches(".*(milli|micro|nano).*"),
+      s"boilerplateDigestsSketch keys windows at second resolution; " +
+        s"sub-second window '$window_' would corrupt group keys")
     val spark = docs.sparkSession
     import spark.implicits._
     val lines = docs
@@ -248,6 +272,14 @@ object EventStream {
       .flatMapGroupsWithState[CmsState, CmsDigest](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case ((ws, we), rows, state) =>
+          // batch runs carry NO watermark (the optimizer strips the
+          // node) and the watermark/timeout accessors THROW (review
+          // r11 — the file header promises batch/stream parity):
+          // treat the watermark as -inf (no window is ever "already
+          // closed" in a one-shot batch pass) and skip timeouts.
+          def wmMs: Long =
+            try state.getCurrentWatermarkMs()
+            catch { case _: UnsupportedOperationException => Long.MinValue }
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           // late rows for an already-CLOSED window (review r9): after
           // the event-time timeout removed this window's state, a
@@ -256,8 +288,7 @@ object EventStream {
           // incarnation already emitted. flatMapGroupsWithState leaves
           // sub-watermark data to USER code — enforce the same horizon
           // rule as the exact (windowed-agg) variant: drop them.
-          else if (state.getOption.isEmpty &&
-              state.getCurrentWatermarkMs() >= we * 1000)
+          else if (state.getOption.isEmpty && wmMs >= we * 1000)
             Iterator.empty
           else {
             val st = state.getOption.getOrElse(
@@ -305,8 +336,8 @@ object EventStream {
               }
             }
             state.update(CmsState(counters, published.toSeq))
-            state.setTimeoutTimestamp(
-              math.max(we * 1000, state.getCurrentWatermarkMs + 1))
+            try state.setTimeoutTimestamp(math.max(we * 1000, wmMs + 1))
+            catch { case _: UnsupportedOperationException => () } // batch
             out.iterator
           }
       }
@@ -317,11 +348,20 @@ object EventStream {
 
   /** Custom keyed state: running per-user totals via
     * `mapGroupsWithState` (the KeyValueGroupedDataset path for
-    * semantics `session_window` can't express). Update output mode. */
+    * semantics `session_window` can't express). Update output mode.
+    *
+    * State is one entry per distinct user and is NEVER reclaimed
+    * (NoTimeout) — right for a bounded user universe, wrong under
+    * anonymous-id churn; add a timeout before pointing it at one
+    * (review r11). Null user_id/value rows are DROPPED: the
+    * primitive-tuple encoder would otherwise kill the whole streaming
+    * query on the first null (every other operator here tolerates
+    * nulls through DataFrame aggregates). */
   def runningTotals(events: DataFrame): Dataset[UserTotal] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
       .as[(Long, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout) {

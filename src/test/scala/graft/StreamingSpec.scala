@@ -96,6 +96,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream runs on a BATCH frame; all-boilerplate docs can emit " +
+    "a marker (review r11)") {
+    // batch fallback: dropDuplicatesWithinWatermark is stream-only
+    val batch = Seq(
+      (1L, "same text", t("2026-01-01 10:00:00")),
+      (2L, "same text", t("2026-01-01 10:01:00")),
+      (3L, "other", t("2026-01-01 10:02:00"))).toDF("doc_id", "text", "ts")
+    assert(EventStream.dedupStream(batch).count() == 2)
+    // marker row lets a sink distinguish became-empty from never-arrived
+    val digests = Seq(md5hex("all boiler")).toDF("__h")
+    val docs = Seq((1L, "all boiler", t("2026-01-01 10:00:00")),
+      (2L, "kept line", t("2026-01-01 10:00:00"))).toDF("doc_id", "text", "ts")
+    val noMarker = EventStream.stripBoilerplateLines(docs, digests)
+      .select("doc_id").as[Long].collect().toSet
+    assert(noMarker == Set(2L))
+    val marked = EventStream.stripBoilerplateLines(docs, digests,
+        emitDocMarker = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(marked == Set((1L, -1), (2L, -1), (2L, 0)),
+      s"every doc must carry a marker, survivors their lines: $marked")
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("stripBoilerplateLines drops blocked lines statelessly in streaming") {
     val input = MemoryStream[(Long, String, Timestamp)](spark)
     val docs = input.toDF().toDF("doc_id", "text", "ts")
