@@ -18,7 +18,8 @@ object TextFunctions {
 
   /** BPE-ish tokens: alnum runs plus single non-space punctuation. */
   def bpeTokens(text: Column): Column =
-    regexp_extract_all(text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+    regexp_extract_all(text,
+      lit(s"[a-zA-Z0-9]+|[^a-zA-Z0-9$wsChars]"), lit(0))
 
   /** Word uni+bigram feature strings: the tokens plus space-joined
     * consecutive pairs — the shared featurizer of the DSIR scorer,
@@ -51,7 +52,7 @@ object TextFunctions {
     * space or it survives as trailing whitespace and splits identical
     * docs (winnowFingerprints always had this order). */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), lit("\\s+"), lit(" "))))
+    md5(trim(regexp_replace(lower(text), lit(s"$wsClass+"), lit(" "))))
 
   /** Winnowed rolling-hash fingerprints (MOSS scheme) over normalized
     * text: lowercase, non-alphanumerics collapsed to single spaces, so
@@ -104,7 +105,8 @@ object TextFunctions {
     val ws = words(text)
     val nWords = size(ws)
     val charLen = length(text)
-    val punct = length(regexp_replace(text, lit("[a-zA-Z0-9\\s]"), lit("")))
+    val punct = length(regexp_replace(text,
+      lit(s"[a-zA-Z0-9$wsChars]"), lit("")))
     val stopHits = markerHits(ws, stopwords)
     val totalWordChars = aggregate(ws, lit(0), (acc, w) => acc + length(w))
     struct(
@@ -169,7 +171,13 @@ object TextFunctions {
   // Explicit whitespace class instead of \s: Java's \s includes \x0B
   // where RE2's does not — the one place the two dialects disagree on
   // these patterns.
-  private val wsClass = "[ \\t\\n\\x0B\\f\\r]"
+  // the ONE explicit ASCII-whitespace class (review r11): Java \s
+  // includes \x0B, RE2's does not — any pattern an oracle re-runs
+  // must spell the class out or the engines silently disagree on a
+  // vertical-tab-bearing document (this was already known here — the
+  // class existed — but fingerprint/bpeTokens/punct still used \s)
+  private val wsChars = " \\t\\n\\x0B\\f\\r"
+  private val wsClass = s"[$wsChars]"
 
   /** Mojibake repair table: the UTF-8 byte sequences of common
     * non-ASCII characters as they render when mis-decoded as
@@ -213,9 +221,18 @@ object TextFunctions {
     }
 
   def stripHtml(html: Column): Column = {
-    val noBlocks = regexp_replace(html,
-      lit(s"(?is)<(script|style|head)[^>]*>.*?</(script|style|head)$wsClass*>"),
-      lit(" "))
+    // Per-tag passes (review r11): the single alternation matched any
+    // tag merely STARTING with script/style/head — <header> swallowed
+    // body text up to the next closer — and closed at the first closer
+    // of ANY of the three, so a <script> inside <head> leaked the rest
+    // of the head (title!) into the output. One pass per tag, name
+    // anchored with \b (java.regex ∩ RE2), each block closed by its
+    // OWN tag; script runs first so script-inside-head is consumed
+    // before the head pass sees it.
+    val noBlocks = Seq("script", "style", "head").foldLeft(html) { (c, t) =>
+      regexp_replace(c,
+        lit(s"(?is)<$t\\b[^>]*>.*?</$t$wsClass*>"), lit(" "))
+    }
     val noComments = regexp_replace(noBlocks, lit("(?s)<!--.*?-->"), lit(" "))
     val noTags = regexp_replace(noComments, lit("(?s)</?[A-Za-z!][^>]*>"), lit(" "))
     val decoded = Seq(

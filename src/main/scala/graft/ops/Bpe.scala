@@ -107,7 +107,7 @@ object Bpe {
     * pure map-side, no shuffle. */
   def encodeCol(ws: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeEncodeExpr(ExpressionUtils.expression(ws),
-      merges.flatMap(p => Seq(p._1, p._2)).toArray))
+      merges.flatMap(p => Seq(p._1, p._2)).toVector))
 }
 
 /** Sennrich-order BPE encode of a words array — see [[Bpe.encodeCol]].
@@ -115,19 +115,39 @@ object Bpe {
   * order; per-word scan-merge left-to-right is exactly equivalent to
   * non-overlapping string replacement on a boundary-delimited stream,
   * which is what makes the encoder SQL-oracle-checkable. */
-final case class BpeEncodeExpr(child: Expression, merges: Array[String])
+final case class BpeEncodeExpr(child: Expression, merges: Seq[String])
     extends UnaryExpression {
+  // Seq, not Array (review r11): case-class equality over an Array is
+  // by REFERENCE, so two structurally identical encodeCol calls never
+  // compared semanticEquals and Catalyst subexpression elimination
+  // could not dedup them (the rotateCol/rotation(d) lesson).
   require(merges.length % 2 == 0, "merges must be (left, right) pairs")
+
+  // loud at ANALYSIS, not a per-task ClassCastException after codegen
+  // fallback (review r11): encodeCol(col("text"), ...) on a raw string
+  // column is the easy mistake — words() is required
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<string> (tokenize with words() " +
+            s"first), got ${dt.catalogString}")
+    }
+
+  private lazy val mergesArr: Array[String] = merges.toArray
 
   override def dataType: DataType = BpeEncodeExpr.schema
   override def prettyName: String = "bpe_encode"
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    BpeEncodeExpr.compute(input.asInstanceOf[ArrayData], merges)
+    BpeEncodeExpr.compute(input.asInstanceOf[ArrayData], mergesArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bpemerges", merges, "java.lang.String[]")
+    val ref = ctx.addReferenceObj("bpemerges", mergesArr, "java.lang.String[]")
     defineCodeGen(ctx, ev, c => s"graft.ops.BpeEncodeExpr.compute($c, $ref)")
   }
 

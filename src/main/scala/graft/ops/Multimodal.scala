@@ -39,9 +39,13 @@ object Multimodal {
     * worker). The deterministic fake derives a fixed-length
     * "pixel"/"sample" feature vector from the bytes so downstream
     * operators (similarity, dedup, quality) are exercised for real. */
-  def decodeFeaturesStub(content: Column, dims: Int = 16): Column =
+  def decodeFeaturesStub(content: Column, dims: Int = 16): Column = {
+    // sequence(0, -1) DESCENDS (the sampleChunksDf bug class, review
+    // r11): dims <= 0 returned a phantom 2-element vector silently
+    require(dims >= 1, s"dims must be >= 1, got $dims")
     transform(sequence(lit(0), lit(dims - 1)), i =>
       (xxhash64(content, i).cast("double") / lit(Long.MaxValue.toDouble)))
+  }
 
   /** Byte-level content statistics (real, not stubbed): size, a
     * distinct-byte diversity ratio over a leading 1024-byte sample
@@ -96,7 +100,11 @@ object Multimodal {
           filter(sequence(lit(0), nChunks - 1), i => i % stride === 0))
           .otherwise(array().cast("array<int>"))))
       .withColumn("chunk",
-        expr(s"substring($contentCol, chunk_idx * $chunkBytes + 1, $chunkBytes)"))
+        // Column API, not expr() interpolation (review r11): a column
+        // name needing backticks would fail to parse or silently
+        // resolve as a nested-field access
+        col(contentCol).substr(col("chunk_idx") * chunkBytes + 1,
+          lit(chunkBytes)))
   }
 
   /** "Resize"/re-encode stub: deterministic truncation standing in for

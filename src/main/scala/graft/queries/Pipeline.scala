@@ -1229,17 +1229,17 @@ object Pipeline {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "d02_fingerprint" ->
       """SELECT doc_id,
-        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        | md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d03_token_count" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_words,
-        | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe_tokens
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS INTEGER) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "d04_quality" ->
       """WITH f AS (SELECT doc_id, length(text) AS n_chars,
         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
-        |  length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
+        |  length(regexp_replace(text, '[a-zA-Z0-9 \t\n\x0B\f\r]', '', 'g')) AS punct
         |  FROM documents)
         |SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars,
         | CAST(len(ws) AS INTEGER) AS n_words,
@@ -1711,8 +1711,12 @@ object Pipeline {
         |  || doc_id || ' --><h1 class="t">Doc &amp; &lt;' || doc_id || '&gt;</h1><p>' || text
         |  || '</p><script>var x = 1 < 2;</script><br/>&nbsp;tail</body></html>' AS html
         | FROM documents),
-        |x1 AS (SELECT doc_id, regexp_replace(html,
-        |  '(?is)<(script|style|head)[^>]*>.*?</(script|style|head)[ \t\n\x0B\f\r]*>', ' ', 'g') AS s FROM inj),
+        |x1a AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<script\b[^>]*>.*?</script[ \t\n\x0B\f\r]*>', ' ', 'g') AS s FROM inj),
+        |x1b AS (SELECT doc_id, regexp_replace(s,
+        |  '(?is)<style\b[^>]*>.*?</style[ \t\n\x0B\f\r]*>', ' ', 'g') AS s FROM x1a),
+        |x1 AS (SELECT doc_id, regexp_replace(s,
+        |  '(?is)<head\b[^>]*>.*?</head[ \t\n\x0B\f\r]*>', ' ', 'g') AS s FROM x1b),
         |x2 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM x1),
         |x3 AS (SELECT doc_id, regexp_replace(s, '(?s)</?[A-Za-z!][^>]*>', ' ', 'g') AS s FROM x2),
         |x4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(s,
@@ -1921,7 +1925,7 @@ object Pipeline {
         |  WHEN len(list_filter(ws, x -> list_contains(['el','los','las','y','una','que'], x))) > 0 THEN 'es'
         |  ELSE 'und' END AS lang
         |  FROM q WHERE n_words >= 20 AND stopword_ratio >= 0.02),
-        |deduped AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |deduped AS (SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp,
         |  min(doc_id) AS keep_id, min(lang) AS lang, min(n_words) AS n_words
         |  FROM langed WHERE lang IN ('en','de','fr','es') GROUP BY 1)
         |SELECT lang, count(*) AS n_docs, round(avg(n_words), 4) AS avg_words
