@@ -23,14 +23,20 @@ object Util {
 
   def asStr(v: Any): String = v match {
     case s: String => s
-    case d: Double if d.isWhole => d.toLong.toString
+    // whole doubles render as ints ONLY inside long range: beyond it
+    // toLong saturates and 1e19 rendered as Long.MaxValue's digits
+    // (review r11) — fall through to the faithful double rendering
+    case d: Double if d.isWhole && math.abs(d) < 9.2e18 => d.toLong.toString
     case other => other.toString
   }
 
-  /** check_year (util/__init__.py:127-133): None passes, non-int raises. */
+  /** check_year (util/__init__.py:127-133): None passes, non-int raises.
+    * A long outside Int range RAISES too (review r11: toInt silently
+    * truncated 5000000000 to 705032704 — a corrupt year must be loud,
+    * per this function's own contract). */
   def checkYear(y: Option[Any], name: String): Option[Int] = y.map {
     case i: Int => i
-    case l: Long => l.toInt
+    case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
     case other =>
       throw new IllegalArgumentException(s"$name ($other) must be an integer")
   }
@@ -140,9 +146,18 @@ object Util {
     * within `newData` — review r9: the plain anti-join passed
     * within-newData duplicate keys through, storing duplicate rows
     * where the reference's keep=False drops both copies. */
-  def updatePar(existing: DataFrame, newData: DataFrame, keys: Seq[String]): DataFrame =
-    dropAllDuplicates(newData, keys)
-      .join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+  def updatePar(existing: DataFrame, newData: DataFrame, keys: Seq[String]): DataFrame = {
+    // null-SAFE anti join (review r11): dropAllDuplicates' window
+    // groups null keys together (pandas NaN==NaN semantics), but a
+    // plain anti-join's EqualTo never matches null to null — a
+    // null-key row already present in `existing` passed as "new".
+    // <=> keeps both halves of the function on pandas semantics.
+    val l = dropAllDuplicates(newData, keys).alias("__upd_l")
+    val r = existing.select(keys.map(col): _*).distinct().alias("__upd_r")
+    val cond = keys.map(k => col(s"__upd_l.$k") <=> col(s"__upd_r.$k"))
+      .reduce(_ && _)
+    l.join(r, cond, "left_anti")
+  }
 
   /** drop_duplicates(keep=False) symmetric-difference semantics
     * (reference util/__init__.py:687): keep rows whose key occurs
@@ -199,26 +214,73 @@ object Units {
     val cleaned = s.trim
     if (cleaned.isEmpty || cleaned == "???" || cleaned == "unitless" || cleaned == "1")
       return dimensionless
+    // Collapse exponent syntax (`km ** 2`, `km^2`) into a single token
+    // before splitting on operators — a bare split would shred `km**2`
+    // into ['km','*','*','2']. Parens are real tokens (review r11: the
+    // flat loop turned "USD/(kW*a)" into garbage names "(kW" / "a)"
+    // with the WRONG sign on a).
+    val normalized = cleaned.replaceAll("\\s*(\\*\\*|\\^)\\s*", "^")
+    val toks = normalized.split("(?=[*/()])|(?<=[*/()])").map(_.trim)
+      .filter(_.nonEmpty).toList
+    val (exps, rest) = parseSeq(toks, s)
+    if (rest.nonEmpty)
+      throw new IllegalArgumentException(s"cannot parse unit '$s' (unbalanced ')')")
+    Units(exps.filter(_._2 != 0))
+  }
+
+  /** Factor sequence under '*' '/' with paren groups; division binds
+    * to the single next FACTOR (token or whole paren group) —
+    * pint-style, so "USD/(kW*a)" puts both kW and a in the
+    * denominator. Whitespace inside a token is implicit
+    * multiplication ("Mt CO2" = Mt·CO2, what pint does — review r11:
+    * the opaque-token reading made "Mt CO2/yr" unconvertible to
+    * "kt CO2/yr" where the reference converts by 1000); the pending
+    * division sign binds to the first sub-factor only. A bare numeric
+    * token other than "1" raises — magnitudes are not units. */
+  private def parseSeq(toks0: List[String], s: String)
+      : (Map[String, Int], List[String]) = {
     var exps = Map.empty[String, Int].withDefaultValue(0)
     var sign = 1
-    // Collapse exponent syntax (`km ** 2`, `km^2`) into a single token
-    // before splitting on single '*'/'/' — a bare split would shred
-    // `km**2` into ['km','*','*','2'].
-    val normalized = cleaned.replaceAll("\\s*(\\*\\*|\\^)\\s*", "^")
-    for (tok <- normalized.split("(?=[*/])|(?<=[*/])").map(_.trim).filter(_.nonEmpty)) tok match {
-      case "/" => sign = -1
-      case "*" => // keep current sign only for the following token chain
-      case "1" => // dimensionless numerator (our own format emits "1 / x")
-      case t =>
-        val (name, exp) = t.split("\\^").map(_.trim) match {
-          case Array(n) => (n, 1)
-          case Array(n, e) => (n, e.toInt)
-          case _ => throw new IllegalArgumentException(s"cannot parse unit '$s'")
-        }
-        exps = exps.updated(name, exps(name) + sign * exp)
-        if (sign == -1) sign = 1 // division binds to one token (pint-style)
+    var toks = toks0
+    while (toks.nonEmpty && toks.head != ")") {
+      toks.head match {
+        case "/" => sign = -1; toks = toks.tail
+        case "*" => toks = toks.tail
+        case "(" =>
+          val (inner, rest) = parseSeq(toks.tail, s)
+          if (rest.isEmpty || rest.head != ")")
+            throw new IllegalArgumentException(
+              s"cannot parse unit '$s' (unbalanced '(')")
+          toks = rest.tail
+          inner.foreach { case (k, e) =>
+            exps = exps.updated(k, exps(k) + sign * e)
+          }
+          sign = 1
+        case "1" =>
+          // dimensionless factor (our own format emits "1 / x"); it
+          // ABSORBS a pending division (review r11: "x / 1 * y" left
+          // sign = -1 standing and inverted y)
+          sign = 1; toks = toks.tail
+        case t =>
+          toks = toks.tail
+          var sg = sign
+          for (sub <- t.split("\\s+")) {
+            val (name, exp) = sub.split("\\^").map(_.trim) match {
+              case Array(n) => (n, 1)
+              case Array(n, e) => (n, e.toInt)
+              case _ =>
+                throw new IllegalArgumentException(s"cannot parse unit '$s'")
+            }
+            if (name.matches("[0-9.]+"))
+              throw new IllegalArgumentException(
+                s"cannot parse unit '$s' (numeric magnitude '$name')")
+            exps = exps.updated(name, exps(name) + sg * exp)
+            sg = 1 // implicit multiplication after the first sub-factor
+          }
+          sign = 1 // division binds to one factor (pint-style)
+      }
     }
-    Units(exps.filter(_._2 != 0))
+    (exps, toks)
   }
 
   private[util] def combine(a: Map[String, Int], b: Map[String, Int], mult: Int): Units =

@@ -47,6 +47,35 @@ class UtilSpec extends AnyFunSuite {
     assert(Units.parse("a*b/c").exponents == Map("a" -> 1, "b" -> 1, "c" -> -1))
   }
 
+  test("unit parse: parens, implicit multiplication, division-by-one " +
+    "(review r11)") {
+    // parens: the flat loop produced garbage names "(kW"/"a)" and the
+    // WRONG sign on a
+    assert(Units.parse("USD/(kW*a)").exponents ==
+      Map("USD" -> 1, "kW" -> -1, "a" -> -1))
+    assert(Units.parse("(a*b)/(c*d)").exponents ==
+      Map("a" -> 1, "b" -> 1, "c" -> -1, "d" -> -1))
+    // whitespace = implicit multiplication (pint: 'Mt CO2/yr'), so
+    // prefixed-mass conversion works where the opaque token refused
+    assert(Units.parse("Mt CO2/yr").exponents ==
+      Map("Mt" -> 1, "CO2" -> 1, "yr" -> -1))
+    assert(Units.conversionFactor(
+      Units.parse("Mt CO2/yr"), Units.parse("kt CO2/yr")).contains(1000.0))
+    // '/ 1' absorbs the division: x / 1 * y is x*y, not x/y
+    assert(Units.parse("x / 1 * y").exponents == Map("x" -> 1, "y" -> 1))
+    // loud on magnitudes and unbalanced parens
+    intercept[IllegalArgumentException](Units.parse("2 * km"))
+    intercept[IllegalArgumentException](Units.parse("USD/(kW"))
+  }
+
+  test("checkYear/asStr stay faithful outside int/long range (review r11)") {
+    intercept[IllegalArgumentException](
+      Util.checkYear(Some(5000000000L), "y"))
+    assert(Util.asStr(1e19) == "1.0E19", // not Long.MaxValue's digits
+      Util.asStr(1e19))
+    assert(Util.asStr(2010.0) == "2010")
+  }
+
   test("unit exponent syntax round-trips through parse(format(u))") {
     assert(Units.parse("km ** 2").exponents == Map("km" -> 2))
     assert(Units.parse("km**2").exponents == Map("km" -> 2))
