@@ -87,15 +87,24 @@ object Relational {
     * provenance indicator (util.diff, util/__init__.py:136-204). */
   def q06DiffFullOuter(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
+    // provenance from EXPLICIT presence markers, not value-column
+    // nullness (review r11 — the pattern Util.diff's r9 fix banned: a
+    // side whose aggregated value is legitimately null would read as
+    // "absent" and misclassify the row; here sum(l_quantity) is never
+    // null today, but the gate demos util.diff semantics and must
+    // model them correctly)
     val a = li.filter(col("l_returnflag") === "A")
       .groupBy("l_partkey").agg(round(sum("l_quantity"), 4).as("qty_a"))
+      .withColumn("__in_a", lit(1))
     val b = li.filter(col("l_returnflag") === "R")
       .groupBy("l_partkey").agg(round(sum("l_quantity"), 4).as("qty_b"))
+      .withColumn("__in_b", lit(1))
     a.join(b, Seq("l_partkey"), "full_outer")
       .withColumn("merge_ind",
-        when(col("qty_a").isNull, "right_only")
-          .when(col("qty_b").isNull, "left_only")
+        when(col("__in_a").isNull, "right_only")
+          .when(col("__in_b").isNull, "left_only")
           .otherwise("both"))
+      .drop("__in_a", "__in_b")
       .orderBy("l_partkey")
   }
 
@@ -298,8 +307,8 @@ object Relational {
         |b AS (SELECT l_partkey, round(sum(l_quantity), 4) AS qty_b
         |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey)
         |SELECT coalesce(a.l_partkey, b.l_partkey) AS l_partkey, qty_a, qty_b,
-        | CASE WHEN qty_a IS NULL THEN 'right_only'
-        |      WHEN qty_b IS NULL THEN 'left_only' ELSE 'both' END AS merge_ind
+        | CASE WHEN a.l_partkey IS NULL THEN 'right_only'
+        |      WHEN b.l_partkey IS NULL THEN 'left_only' ELSE 'both' END AS merge_ind
         |FROM a FULL OUTER JOIN b ON a.l_partkey = b.l_partkey
         |ORDER BY l_partkey""".stripMargin,
     "q07_pivot" ->
