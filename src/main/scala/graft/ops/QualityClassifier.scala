@@ -75,16 +75,22 @@ object QualityClassifier {
         // residual of the logistic: sigmoid(margin) - y
         val res = fx.withColumn("r",
           lit(1.0) / (lit(1.0) + exp(-margin)) - col("y"))
-        val gRows = res.select(explode(col("bs")).as("b"), col("r"))
+        // ONE job per epoch (review r11): the bias gradient rides the
+        // same aggregation as the bucket gradients via a sentinel
+        // bucket -1 appended per row — the separate res.agg re-ran the
+        // margin/sigmoid scan a second time every iteration
+        val gRows = res.select(
+            explode(concat(col("bs"), array(lit(-1L)))).as("b"), col("r"))
           .groupBy("b").agg(sum("r").as("g"))
           .collect()
-        val gBias = res.agg(sum("r")).head().getDouble(0) / n
         val next = new Array[Double](buckets)
         var i = 0
         while (i < buckets) { next(i) = w(i) * (1.0 - lr * l2); i += 1 }
+        var gBias = 0.0
         gRows.foreach { r =>
-          val b = r.getLong(0).toInt
-          next(b) -= lr * r.getDouble(1) / n
+          val b = r.getLong(0)
+          if (b == -1L) gBias = r.getDouble(1) / n
+          else next(b.toInt) -= lr * r.getDouble(1) / n
         }
         bias -= lr * gBias
         w = next
