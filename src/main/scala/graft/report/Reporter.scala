@@ -66,7 +66,18 @@ class Reporter {
   def filters_=(f: Map[String, Seq[String]]): Unit = { _filters = f; clearQuantityCache() }
   /** RENAME_DIMS equivalent (report/common.py:1-3). */
   def renameDims: Map[String, String] = _renameDims
-  def renameDims_=(m: Map[String, String]): Unit = { _renameDims = m; clearQuantityCache() }
+  def renameDims_=(m: Map[String, String]): Unit = synchronized {
+    // graph keys bake the mapping in at registration (fromScenario),
+    // but leaves re-read renameDims at FORCE time — changing it after
+    // registration leaves stale key strings over renamed data, and
+    // the lattice's sumOver(keep = oldName) then crashes or a hit
+    // returns dims contradicting its own key (review r11). Fail loudly
+    // instead: set renameDims BEFORE fromScenario/addScenario.
+    require(graph.isEmpty,
+      "renameDims must be set before any keys are registered - " +
+        "registered key strings already bake in the previous mapping")
+    _renameDims = m; clearQuantityCache()
+  }
   /** `units/apply` config (operator.py:114-139): item name → unit to
     * apply, overriding whatever the data carries (incl. mixed units). */
   def unitOverrides: Map[String, String] = _unitOverrides
@@ -95,8 +106,20 @@ class Reporter {
       val df =
         if (path.endsWith(".parquet")) spark.read.parquet(path)
         else if (path.endsWith(".xlsx")) {
-          val rows = graft.io.Xlsx.read(path).head._2
-          graft.io.Xlsx.rowsToDf(spark, rows.head, rows.drop(1))
+          // stitch "(2)"-suffixed continuation sheets, the repo's OWN
+          // split-at-1,048,576 write convention (review r11: reading
+          // only the first sheet silently lost every row past the
+          // split; ScenarioIO.readScenarioXlsx stitches, this did not)
+          val all = graft.io.Xlsx.read(path)
+          val base = all.head._1.replaceAll("\\(\\d+\\)$", "")
+          val partPattern = java.util.regex.Pattern.quote(base) + "\\(\\d+\\)"
+          val parts = all
+            .filter(p => p._1 == base || p._1.matches(partPattern))
+            .sortBy(p => if (p._1 == base) 1
+              else p._1.stripPrefix(base + "(").stripSuffix(")").toInt)
+          val rows0 = parts.head._2
+          require(rows0.nonEmpty, s"addFile: first sheet of '$path' is empty")
+          graft.io.Xlsx.rowsToDf(spark, rows0.head, parts.flatMap(_._2.drop(1)))
         }
         else spark.read.option("header", true).csv(path)
       Quantity(df.select((dims.map(col) :+ col("value").cast("double")): _*), dims, unit)
@@ -128,7 +151,12 @@ class Reporter {
     graph.keys.map(Key.parse)
       .filter(c => c.name == k.name && c.tag == k.tag &&
         k.dims.forall(c.dims.contains))
-      .minByOption(_.dims.length)
+      // deterministic tie-break (review r11): equal-arity covering
+      // keys used to resolve by mutable-Map hash iteration order — a
+      // request covered by both "d:i-j" and "d:i-k" silently summed
+      // over a DIFFERENT dim run-to-run. Lexicographic key order pins
+      // the choice (and keeps describe() and get() agreeing forever).
+      .minByOption(c => (c.dims.length, c.toString))
 
   def keys: Seq[String] = graph.keys.toSeq.sorted
 
@@ -173,7 +201,11 @@ class Reporter {
     graph.get(key).orElse(graph.get(k.toString)).map(_()) getOrElse {
       val full = resolveSuperset(k)
         .getOrElse(throw new NoSuchElementException(s"no key '$key' in the graph"))
-      val q = graph(full.toString)()
+      // route through get(), not the node directly (review r11):
+      // synchronized is reentrant, and the direct call re-ran the full
+      // leaf scan for EVERY distinct partial-sum request instead of
+      // serving them all from the one persisted superset frame
+      val q = get(full.toString)
       Operators.sumOver(q, keep = k.dims)
     }
   }
@@ -195,7 +227,9 @@ class Reporter {
     val q = get(key)
     def pick(explicit: String, cands: Seq[String]): Option[String] =
       if (explicit.nonEmpty) Some(explicit) else cands.find(q.dims.contains)
-    val rd = pick(regionDim, Seq("region", "node", "n", "r"))
+    // incl. message_ix RENAME_DIMS spellings (review r11: "nl" fell
+    // through and per-region data was silently summed to World)
+    val rd = pick(regionDim, Seq("region", "node", "n", "r", "nl", "node_loc"))
     val yd = pick(yearDim, Seq("year", "y", "ya", "yv"))
     val v = if (variable.nonEmpty) variable else Key.parse(key).name
     val long = graft.util.Util.toIamcLayout(
@@ -291,7 +325,11 @@ object Reporter {
     val unit: String = r.unitOverrides.get(name).getOrElse {
       if (!base.columns.contains("unit")) ""
       else {
-        val us = base.select("unit").distinct().limit(2).collect().map(_.getString(0))
+        // null unit cells normalize to "" BEFORE headOption (review
+        // r11: Some(null) defeated the getOrElse and Units.parse(null)
+        // later NPE'd in unit algebra)
+        val us = base.select("unit").distinct().limit(2).collect()
+          .map(r => Option(r.getString(0)).getOrElse(""))
         if (us.length > 1) "" // mixed units discarded (operator.py:136-139)
         else us.headOption.getOrElse("")
       }
@@ -360,11 +398,27 @@ object Operators {
       (ua, ub) => (Units.parse(ua) / Units.parse(ub)).format)
 
   /** Element-wise sum of same-unit quantities (genno add). */
+  /** Sum of two quantities. Units must agree or be CONVERTIBLE
+    * (review r11: mismatched units previously summed raw magnitudes
+    * and blanked the unit — 1 kg + 1 t read as 2 of nothing — while
+    * sub in this same file raised; genno's add converts-or-raises):
+    * b is scaled into a's unit when the linear factor is known,
+    * otherwise this raises like sub. */
   def add(a: Quantity, b: Quantity): Quantity = {
     require(a.dims.sorted == b.dims.sorted, "add requires identical dims")
-    val df = a.df.unionByName(b.df.select(a.df.columns.map(col).toSeq: _*))
+    val bAligned =
+      if (a.unit == b.unit) b
+      else Units.conversionFactor(
+          Units.parse(b.unit), Units.parse(a.unit)) match {
+        case Some(f) =>
+          b.copy(df = b.df.withColumn("value", col("value") * f))
+        case None => throw new IllegalArgumentException(
+          s"add: incompatible units '${a.unit}' vs '${b.unit}'")
+      }
+    val df = a.df.unionByName(
+        bAligned.df.select(a.df.columns.map(col).toSeq: _*))
       .groupBy(a.dims.map(col): _*).agg(sum("value").as("value"))
-    Quantity(df, a.dims, if (a.unit == b.unit) a.unit else "")
+    Quantity(df, a.dims, a.unit)
   }
 
   private def combine(a: Quantity, b: Quantity, op: (Column, Column) => Column,
@@ -582,7 +636,17 @@ object Operators {
         case null => ""
         case v => v
       })
-      graft.io.Xlsx.write(path, Seq("data" -> (Iterator.single(header) ++ rows)))
+      // split at the sheet cap with ScenarioIO's "(n)" continuation
+      // convention (review r11: one unsplit sheet made Xlsx.write's
+      // MaxRows require throw MID-STREAM past 1,048,575 rows, leaving
+      // a truncated/corrupt file at path)
+      val cap = graft.io.Xlsx.MaxRows - 1 // the header occupies one row
+      val sheets = rows.grouped(cap).zipWithIndex.map { case (chunk, i) =>
+        val nm = if (i == 0) "data" else s"data(${i + 1})"
+        nm -> (Iterator.single(header) ++ chunk.iterator)
+      }.toSeq
+      graft.io.Xlsx.write(path,
+        if (sheets.isEmpty) Seq("data" -> Iterator.single(header)) else sheets)
     } else
       out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("header", true).csv(path)

@@ -254,6 +254,35 @@ class ReporterSpec extends SparkSpec {
     assert(r.describe("nope:x").contains("NOT RESOLVABLE"))
   }
 
+  test("add converts compatible units and raises on incompatible ones " +
+    "(review r11)") {
+    val kg = Quantity(Seq(("x", 1.0)).toDF("i", "value"), Seq("i"), "kg")
+    val t = Quantity(Seq(("x", 1.0)).toDF("i", "value"), Seq("i"), "t")
+    // 1 kg + 1 t = 1001 kg (previously: raw 2.0 with a blanked unit)
+    val sum1 = Operators.add(kg, t)
+    assert(sum1.unit == "kg" &&
+      sum1.df.agg(sum("value")).as[Double].head() == 1001.0)
+    val cases = Quantity(Seq(("x", 1.0)).toDF("i", "value"), Seq("i"), "cases")
+    intercept[IllegalArgumentException](Operators.add(kg, cases))
+  }
+
+  test("superset ties resolve deterministically; renameDims refuses a " +
+    "populated graph (review r11)") {
+    val r = new Reporter
+    r.addDf("d:i-j", () => Seq(("a", "b", 1.0)).toDF("i", "j", "value"),
+      Seq("i", "j"))
+    r.addDf("d:i-k", () => Seq(("a", "c", 2.0)).toDF("i", "k", "value"),
+      Seq("i", "k"))
+    // equal-arity covering keys: lexicographic winner (d:i-j), every run
+    assert(r.describe("d:i").contains("d:i-j"))
+    assert(r.get("d:i").df.as[(String, Double)].collect().toSeq ==
+      Seq(("a", 1.0)))
+    // late renameDims would leave stale key strings over renamed data
+    intercept[IllegalArgumentException] {
+      r.renameDims = Map("i" -> "x")
+    }
+  }
+
   test("select, concat, add, disaggregate, toIamc") {
     val s = solvedScenario()
     val r = Reporter.fromScenario(s)
