@@ -45,12 +45,25 @@ final class IvfPqIndex private[ops] (
     // the caller asked for (review r11)
     require(fetch <= 0 || fetch >= k,
       s"fetch ($fetch) must be 0 (off) or >= k ($k)")
-    // same qid/id type or the self-exclusion filter nulls out and the
-    // probe join degrades silently (the Dedup integral-id guard class)
-    require(queries.schema("qid").dataType ==
-        encoded.schema("id").dataType,
-      s"query qid type ${queries.schema("qid").dataType.simpleString} != " +
-        s"corpus id type ${encoded.schema("id").dataType.simpleString}")
+    // comparable qid/id types or the self-exclusion filter nulls out
+    // and the probe join degrades silently (the Dedup integral-id
+    // guard class). Integral families of different widths are FINE —
+    // Spark widens both sides of =!= and the shortlist join losslessly
+    // (ADVICE r11: exact-equality here needlessly rejected int qid vs
+    // long id, which always compared correctly) — the guard only
+    // rejects truly incomparable pairings like string vs long.
+    locally {
+      import org.apache.spark.sql.types._
+      def integral(dt: DataType): Boolean = dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      val qt = queries.schema("qid").dataType
+      val it = encoded.schema("id").dataType
+      require(qt == it || (integral(qt) && integral(it)),
+        s"query qid type ${qt.simpleString} is not comparable to " +
+          s"corpus id type ${it.simpleString}")
+    }
     val probes = if (nProbe > 0) nProbe else defaultProbe
     // zero-norm guard (review r11, matching bruteForceKnn/IvfIndex):
     // VecUnit passes a zero vector through, every ADC score is then

@@ -210,7 +210,11 @@ object Sampling {
     * rate 1.0) while delivering 100% of the surviving source. A
     * zero/null token total is the same lie one step later (rate math
     * divides by it; the epoch planner would floor(Infinity)). The
-    * check is one driver-side collect of a <= |sources|-row frame. */
+    * check is one driver-side collect of a <= |sources|-row frame —
+    * and the RETURNED frame is rebuilt from those collected rows
+    * (ADVICE r11: returning the lazy join meant the caller's rate
+    * algebra re-evaluated the per-source token aggregation, a full
+    * corpus scan, a second time). */
   private def validatedStats(totals: DataFrame, sourceCol: String,
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
@@ -218,10 +222,21 @@ object Sampling {
     val spark = totals.sparkSession
     import spark.implicits._
     val w = weights.toSeq.toDF(sourceCol, "__w")
-    val stats = totals.join(broadcast(w), Seq(sourceCol)) // unlisted drop
-    val rows = stats.select(col(sourceCol).cast("string"),
-      col("n_tokens").cast("long")).collect()
-    val present = rows.map(_.getString(0)).toSet
+    val statsLazy = totals.join(broadcast(w), Seq(sourceCol)) // unlisted drop
+    val statsRows = statsLazy.collect() // ONE evaluation of the corpus agg
+    val stats = spark.createDataFrame(
+      java.util.Arrays.asList(statsRows: _*), statsLazy.schema)
+    val rows = statsRows.map { r =>
+      val si = statsLazy.schema.fieldIndex(sourceCol)
+      val ti = statsLazy.schema.fieldIndex("n_tokens")
+      (if (r.isNullAt(si)) null else String.valueOf(r.get(si)),
+        if (r.isNullAt(ti)) null
+        else java.lang.Long.valueOf(r.get(ti) match {
+          case n: Number => n.longValue()
+          case other => other.toString.toLong
+        }))
+    }
+    val present = rows.map(_._1).toSet
     // one totals row per source, or the apply-half's rate join fans
     // every doc out once per duplicate (review r11: a foreachBatch
     // republisher accumulating N closed windows instead of passing
@@ -236,9 +251,9 @@ object Sampling {
         "absent from the corpus - the plan could not realize the " +
         "requested mixture; drop them from weights or fix the source " +
         "column")
-    rows.foreach { r =>
-      require(!r.isNullAt(1) && r.getLong(1) > 0,
-        s"mixture planner: source '${r.getString(0)}' has zero/null " +
+    rows.foreach { case (src, tok) =>
+      require(tok != null && tok.longValue() > 0,
+        s"mixture planner: source '$src' has zero/null " +
           "tokens - its rate/epoch arithmetic would divide by zero")
     }
     stats

@@ -133,13 +133,26 @@ object Similarity {
   private[ops] def toDouble(c: Column): Column = asDouble(c)
   private[ops] def spreadDf(df: DataFrame): DataFrame = spread(df)
 
-  /** Committer-independent "was this parquet write completed" check:
-    * at least one committed part-file in `dir`. See IvfIndex.exists. */
+  /** "Was this parquet write completed" check. The strong signal is
+    * the `_SUCCESS` marker (written at JOB commit, after every task's
+    * output is in place under committer v1 AND v2); part-file presence
+    * alone is NOT crash-safe under committer v2, whose tasks move
+    * part-files into `dir` before job commit (ADVICE r11 — the r11
+    * part-file-only check could grade a torn index as complete there).
+    * Only when the session has success markers DISABLED
+    * (mapreduce.fileoutputcommitter.marksuccessfuljobs=false — common
+    * on object-store clusters) does the check fall back to committed
+    * part-file detection, which is the best signal available in that
+    * configuration. See IvfIndex.exists. */
   private[ops] def committedParquetExists(
       spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(s =>
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) true
+    else if (conf.getBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)) false
+    else fs.exists(p) && fs.listStatus(p).exists(s =>
       s.isFile && s.getPath.getName.startsWith("part-"))
   }
 
@@ -441,13 +454,14 @@ object IvfIndex {
     spark.read.parquet(dir).head().getInt(0)
 
   /** True when `path` holds a COMPLETE saved index (meta marker is
-    * written last by save). Completeness is judged by committed
-    * part-files in the meta dir, not the _SUCCESS marker (review r11):
-    * clusters commonly disable success markers
-    * (mapreduce.fileoutputcommitter.marksuccessfuljobs=false), and
-    * keying on the marker there makes every run silently rebuild and
-    * resave. Part-files are committer-safe either way — a crashed job
-    * leaves only _temporary, which this check ignores. */
+    * written last by save). Completeness = `_SUCCESS` in the meta dir
+    * when markers are on; with markers disabled
+    * (mapreduce.fileoutputcommitter.marksuccessfuljobs=false — keying
+    * on the absent marker there made every run silently rebuild,
+    * review r11) it falls back to committed part-files, the strongest
+    * signal that configuration leaves (ADVICE r11 tightened the
+    * marker-on path: part-files alone are not crash-safe under
+    * committer v2). */
   def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
     Similarity.committedParquetExists(spark, s"$path/meta")
 

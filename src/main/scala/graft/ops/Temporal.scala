@@ -105,16 +105,21 @@ object Temporal {
     * stay correct but explode to more buckets. Column names must not
     * collide across the two sides (pre-rename, as with [[asOfJoin]]).
     *
-    * Malformed intervals are dropped up front, and not just the
-    * inverted ones (ADVICE r5 + review r11): empty `[t, t)` rows can
-    * match nothing, and an interval spanning more than
-    * `maxSpanBuckets` buckets — the open-ended far-future sentinel
-    * like endTs = 9999-12-31 — would explode to millions-to-billions
-    * of sequence elements and kill the job (sequence() caps at
-    * Int.MaxValue) or OOM an executor; "one bad row must not kill the
-    * job" has to hold against sentinels too, so over-span rows drop
-    * like inverted ones. Raise `maxSpanBuckets` (default 100k ≈ 11
-    * years of hourly buckets) for genuinely long intervals.
+    * Malformed (inverted or empty `[t, t)`) intervals are dropped up
+    * front (ADVICE r5 + review r11): they can match nothing.
+    *
+    * An interval spanning more than `maxSpanBuckets` buckets — the
+    * open-ended far-future sentinel like endTs = 9999-12-31 — would
+    * explode to millions-to-billions of sequence elements and kill the
+    * job (sequence() caps at Int.MaxValue) or OOM an executor. Those
+    * rows are NOT dropped (ADVICE r11: silently vanishing long
+    * intervals is data loss, not protection); they route through a
+    * non-exploding plain key-equi join with the same containment
+    * filter and union back in. That path is per-key quadratic in the
+    * number of OVER-SPAN intervals only — fine for the sentinel tail
+    * it exists for; if MOST intervals legitimately out-span the cap,
+    * pick a coarser `bucket` or raise `maxSpanBuckets` (default 100k
+    * ≈ 11 years of hourly buckets) so they ride the bucketed path.
     *
     * The sequence's upper bound is `endTs - 1µs` (review r11): the end
     * is EXCLUSIVE, so a boundary-aligned end (the `ts + interval N
@@ -126,24 +131,31 @@ object Temporal {
     require(Set("minute", "hour", "day")(bucket),
       s"rangeJoin: bucket must be minute|hour|day, got '$bucket'")
     require(maxSpanBuckets >= 1, s"maxSpanBuckets must be >= 1")
+    require(keys.nonEmpty, "rangeJoin: at least one join key is required")
     val bucketUs = bucket match {
       case "minute" => 60000000L
       case "hour" => 3600000000L
       case "day" => 86400000000L
     }
+    val contained = col(pointTs) >= col(startTs) && col(pointTs) < col(endTs)
+    val spanUs = unix_micros(col(endTs)) - unix_micros(col(startTs))
+    val valid = intervals.filter(col(endTs) > col(startTs))
     val step = expr(s"interval 1 $bucket")
     val p = points.withColumn("__bkt", date_trunc(bucket, col(pointTs)))
-    val i = intervals
-      .filter(col(endTs) > col(startTs) &&
-        unix_micros(col(endTs)) - unix_micros(col(startTs)) <=
-          maxSpanBuckets * bucketUs)
+    val short = valid
+      .filter(spanUs <= maxSpanBuckets * bucketUs)
       .withColumn("__bkt",
         explode(sequence(date_trunc(bucket, col(startTs)),
           date_trunc(bucket,
             col(endTs) - expr("interval 1 microsecond")), step)))
-    p.join(i, keys :+ "__bkt")
-      .filter(col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
+    val bucketed = p.join(short, keys :+ "__bkt")
+      .filter(contained)
       .drop("__bkt")
+    // over-span tail: plain key-equi join, no bucket explosion
+    val longTail = points
+      .join(valid.filter(spanUs > maxSpanBuckets * bucketUs), keys)
+      .filter(contained)
+    bucketed.unionByName(longTail)
   }
 
   /** Sessionize: per-key ordinal session ids, a new session whenever

@@ -124,14 +124,24 @@ object Pipeline {
     // Stale-stamp GC (review r11): regenerating the source data
     // changes the stamp, and nothing else ever removes the old entry —
     // in tmpfs that is RAM leaking until reboot. Same (tag, key),
-    // different stamp ⇒ provably unreachable (idxPath is the only way
-    // in); delete best-effort before handing out the new path.
+    // different stamp ⇒ unreachable through idxPath, but NOT provably
+    // idle (ADVICE r11): a concurrent JVM that resolved the old path
+    // before the regeneration can still be reading it. Deleting a
+    // directory out from under a live parquet scan kills that query,
+    // so only entries whose newest file is older than `gcGraceMs`
+    // stay eligible — an active reader's entry was written recently
+    // (builders write, readers follow within the same session), and
+    // an hour-stale one has survived any plausible in-flight query.
     try {
       val root = new java.io.File(idxCacheRoot)
       val prefix = s"$tag$key-"
+      val cutoff = System.currentTimeMillis() - gcGraceMs
+      def newestMtime(f: java.io.File): Long =
+        (f.lastModified() +:
+          Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
       Option(root.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith(prefix) &&
-          f.getName != s"$tag$key-$stamp")
+          f.getName != s"$tag$key-$stamp" && newestMtime(f) < cutoff)
         .foreach { stale =>
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
@@ -143,13 +153,25 @@ object Pipeline {
     target
   }
 
+  /** Stale-entry GC grace period (ADVICE r11): an hour outlives any
+    * in-flight local query against a pre-regeneration index. */
+  private val gcGraceMs: Long = 3600L * 1000L
+
   /** One cache-root decision per JVM (review r11): re-evaluating
     * Tables.scratchDir per call could FLIP the root mid-session if a
     * shuffle-heavy run drops /dev/shm below the 16 GiB floor — the
-    * next lookup would miss every shm-resident index and rebuild. */
-  private lazy val idxCacheRoot: String =
-    Tables.scratchDir.map(d => s"$d-idx")
-      .getOrElse(s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-idx-v1")
+    * next lookup would miss every shm-resident index and rebuild.
+    * The root is scoped PER USER (ADVICE r11): /dev/shm and /tmp are
+    * world-shared, so a fixed path meant cross-user permission
+    * failures on the first foreign-owned entry and a cache-poisoning
+    * surface (another user pre-writing an index at your path). */
+  private lazy val idxCacheRoot: String = {
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    Tables.scratchDir.map(d => s"$d-idx-$user")
+      .getOrElse(
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-idx-v1-$user")
+  }
 
   private def knnInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -430,6 +430,28 @@ class ExtrasSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val k2 = graft.queries.Pipeline.idxPath(spark, dir, "t")
     assert(k1 != k2, "rewriting the dataset must invalidate the cache key")
+
+    // cache root is scoped per user (ADVICE r11: /dev/shm and /tmp are
+    // world-shared — a fixed path is a cross-user permission failure
+    // and a cache-poisoning surface)
+    val user = sys.props.getOrElse("user.name", "anon")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    assert(new java.io.File(k2).getParentFile.getName.contains(user),
+      s"cache root must embed the user name: $k2")
+
+    // stale-stamp GC honors a grace period (ADVICE r11: a concurrent
+    // JVM can still be reading a pre-regeneration entry — only
+    // hour-stale siblings are reclaimed)
+    val fresh = new java.io.File(k1)
+    fresh.mkdirs()
+    graft.queries.Pipeline.idxPath(spark, dir, "t")
+    assert(fresh.exists(),
+      "a recently-written stale-stamp sibling must survive GC (grace)")
+    val old = System.currentTimeMillis() - 2L * 3600L * 1000L
+    fresh.setLastModified(old)
+    graft.queries.Pipeline.idxPath(spark, dir, "t")
+    assert(!fresh.exists(),
+      "an hour-stale sibling with a dead stamp must be reclaimed")
   }
 
   test("concurrent per-run writer pipelines: durable state consistent from a fresh store") {

@@ -1147,6 +1147,59 @@ class OpsSpec extends SparkSpec {
     } finally loaded.close()
   }
 
+  test("index completeness honors _SUCCESS when markers are on, " +
+    "part-files only when markers are off (ADVICE r11)") {
+    import graft.ops.IvfIndex
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 0.3 + d).toFloat)))
+      .toDF("id", "vec")
+    val idx = IvfIndex.build(corpus, nCells = 4, refineIters = 1,
+      persist = false)
+    val path = tmpDir("ivf-torn")
+    idx.save(path)
+    assert(IvfIndex.exists(spark, path))
+    // simulate a torn commit: part-files landed (committer v2 moves
+    // them in before job commit) but the job never finished — no
+    // _SUCCESS. With markers enabled this must grade INCOMPLETE.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
+    meta.getFileSystem(conf).delete(meta, false)
+    assert(!IvfIndex.exists(spark, path),
+      "markers on: part-files without _SUCCESS can be a torn v2 commit")
+    // markers disabled: part-file presence is the best signal there is
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    conf.setBoolean(key, false)
+    try assert(IvfIndex.exists(spark, path),
+      "markers off: committed part-files grade complete")
+    finally conf.unset(key)
+  }
+
+  test("IvfPq query accepts widening integral qid vs id, rejects " +
+    "incomparable types (ADVICE r11)") {
+    import graft.ops.IvfPq
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val idx = IvfPq.build(emb, nCells = 4, m = 8, ks = 16, pqIters = 1,
+      persist = false)
+    val qLong = emb.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val longRes = idx.query(qLong, 5, nProbe = 2, fetch = 10)
+      .collect().map(_.toSeq.drop(1)).toSet // drop qid: int vs long rows
+    // int qid against the long corpus id: Spark widens both the
+    // self-exclusion =!= and the shortlist join losslessly
+    val qInt = qLong.select(col("qid").cast("int").as("qid"), col("qvec"))
+    val intRes = idx.query(qInt, 5, nProbe = 2, fetch = 10)
+      .collect().map(_.toSeq.drop(1)).toSet
+    assert(intRes == longRes && longRes.nonEmpty,
+      "an int qid must query identically to the long qid it widens to")
+    // a truly incomparable pairing still fails loudly at analysis time
+    val ex = intercept[IllegalArgumentException] {
+      idx.query(qLong.select(col("qid").cast("string").as("qid"),
+        col("qvec")), 5, nProbe = 2)
+    }
+    assert(ex.getMessage.contains("not comparable"), ex.getMessage)
+  }
+
   test("bigram perplexity: hand-computed nll, OOV smoothing, broadcast plan") {
     import graft.ops.LangModel
     // reference "a b a b c": bigrams (a,b)x2 (b,a)x1 (b,c)x1; contexts

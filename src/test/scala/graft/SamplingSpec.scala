@@ -184,6 +184,27 @@ class SamplingSpec extends SparkSpec {
     assert(ex2.getMessage.contains("zero/null"), ex2.getMessage)
   }
 
+  test("mixture planner evaluates the corpus aggregation once " +
+    "(ADVICE r11)") {
+    import org.apache.spark.sql.functions.col
+    val docs = ((1L to 20L).map(i => (i, "s1", 5)) ++
+      (21L to 30L).map(i => (i, "s2", 5))).toDF("id", "src", "toks")
+    val rates = Sampling.mixtureRates(docs, "src", col("toks"),
+      Map("s1" -> 0.5, "s2" -> 0.5))
+    // validatedStats already collected the <= |sources|-row totals for
+    // the loud-failure checks; the returned frame must be REBUILT from
+    // those rows — if any leaf still references the corpus, the rate
+    // algebra re-runs the full per-source token scan a second time
+    val leaves = rates.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"rates plan must be local-only, got leaves: $leaves")
+    // and the values are the same ones the lazy plan produced
+    val m = rates.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m == Map("s1" -> (100L, 0.5), "s2" -> (50L, 1.0)))
+  }
+
   test("salted sampling decorrelates composed samplers (review r11)") {
     // unsalted: bernoulli∘bernoulli keeps min(r1, r2), not r1*r2 —
     // the second filter is a no-op on the survivors

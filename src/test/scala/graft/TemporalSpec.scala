@@ -86,24 +86,30 @@ class TemporalSpec extends SparkSpec {
     assert(s == Seq(1L, 1L, 2L), s"got $s")
   }
 
-  test("rangeJoin: a far-future sentinel end drops instead of exploding " +
-    "(review r11)") {
-    val pts = Seq((1L, t("2026-01-01 10:30:00"), 100L))
+  test("rangeJoin: a far-future sentinel end still matches, without " +
+    "exploding (ADVICE r11)") {
+    val pts = Seq(
+      (1L, t("2026-01-01 10:30:00"), 100L),
+      (1L, t("2025-12-31 00:00:00"), 101L), // before the sentinel start
+      (2L, t("2026-01-01 10:30:00"), 102L)) // other key: no interval
       .toDF("user_id", "ts", "p_id")
     val iv = Seq(
       (1L, t("2026-01-01 10:00:00"), t("2026-01-01 12:00:00"), 1L),
       (1L, t("2026-01-01 10:00:00"), t("9999-12-31 00:00:00"), 2L))
       .toDF("user_id", "start_ts", "end_ts", "i_id")
+    // the over-span interval rides the non-exploding key-equi path:
+    // it MATCHES (no silent data loss) and the job neither OOMs nor
+    // pays a 70M-element sequence explosion
     val got = Temporal.rangeJoin(pts, iv, Seq("user_id"), "ts",
         "start_ts", "end_ts", "hour")
-      .select("i_id").as[Long].collect().toSet
-    assert(got == Set(1L),
-      s"sentinel interval must drop (not OOM/throw), sane one matches: $got")
-    // a genuinely long interval passes with a raised cap
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 1L), (100L, 2L)),
+      s"sentinel interval must join via the long-tail path: $got")
+    // the same result when the raised cap sends it down the bucketed path
     val got2 = Temporal.rangeJoin(pts, iv, Seq("user_id"), "ts",
         "start_ts", "end_ts", "day", maxSpanBuckets = 4000000L)
-      .select("i_id").as[Long].collect().toSet
-    assert(got2 == Set(1L, 2L))
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    assert(got2 == got)
   }
 
   test("tumblingAgg rejects invalid units and empty aggregate lists") {
