@@ -55,6 +55,21 @@ object Dedup {
   private val linePersist = new PersistSlot      // lineDedup exploded lines
   private def persistBounded(df: DataFrame): DataFrame = shinglePersist(df)
 
+  /** THE line-identity recipe — ONE definition (NOTES r11: it existed
+    * in three copies across batch lineDedup and the two streaming
+    * halves). Batch and streaming exchange line-digest sets
+    * (boilerplateDigests → stripBoilerplateLines; a periodic batch
+    * lineDedup publishing to a stream), so if either half ever split
+    * or hashed lines differently, the exchanged digests would silently
+    * stop matching — every consumer must call these two. */
+  private[graft] def lineSplit(text: Column, sep: String): Column =
+    split(text, java.util.regex.Pattern.quote(sep))
+
+  /** md5 of the line's bytes: the digest half of the line identity.
+    * 16-byte keys keep the counting shuffle narrow (no line text). */
+  private[graft] def lineDigest(line: Column): Column =
+    md5(line.cast("binary"))
+
   /** Ordered reassembly of kept (doc_id, pos, value) rows back into a
     * per-doc string, re-attached to `base` left-outer so docs whose
     * every unit was removed survive with (0, "") — ONE copy of the
@@ -382,13 +397,12 @@ object Dedup {
       textCol: String = "text", minCount: Int = 2,
       sep: String = "\n", keepFirst: Boolean = false): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val sepLit = java.util.regex.Pattern.quote(sep)
     // persisted: the frequency aggregate and the kept-join side(s)
     // both read the exploded lines (review r11 — un-cached, the
     // split+posexplode+md5 corpus pass ran once per reference)
     val lines = linePersist(spread(docs).select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), sepLit)).as(Seq("pos", "line")))
-      .withColumn("__h", md5(col("line").cast("binary"))))
+        posexplode(lineSplit(col(textCol), sep)).as(Seq("pos", "line")))
+      .withColumn("__h", lineDigest(col("line"))))
     val occ = struct(col("doc_id"), col("pos"))
     val boiler0 = lines.filter(length(col("line")) > 0).groupBy("__h")
       .agg(count(lit(1)).as("__n"), min(occ).as("__first"))
@@ -402,7 +416,7 @@ object Dedup {
       else lines.join(boiler0.select("__h"), Seq("__h"), "left_anti")
     rebuildKept(
       docs.select(col(idCol).as("doc_id"),
-        size(split(col(textCol), sepLit)).as("n_lines")),
+        size(lineSplit(col(textCol), sep)).as("n_lines")),
       kept, "pos", "line", sep, "n_kept", "text")
   }
 

@@ -332,8 +332,9 @@ object Pq {
       .parquet(s"$path/meta")
   }
 
-  /** True when `path` holds a COMPLETE saved OPQ model (committed
-    * part-files, not the _SUCCESS marker — see IvfIndex.exists). */
+  /** True when `path` holds a COMPLETE saved OPQ model (_SUCCESS when
+    * markers are on, committed part-files when they are disabled —
+    * see IvfIndex.exists). */
   def opqExists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean =
     Similarity.committedParquetExists(spark, s"$path/meta")
@@ -396,8 +397,14 @@ object Pq {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     c.join(broadcast(shortlist), "id")
       .join(broadcast(q), "qid")
-      .withColumn("sim",
-        Similarity.dot(col("vec"), col("qvec")) / (col("nrm") * col("qnrm")))
+      // the shared zero-norm guard (review r12): the raw division gave
+      // a zero-norm vector sim = NaN, which sorts ABOVE every real
+      // double — one failed-embedder row in the shortlist outranked
+      // every true neighbor (the exact bug r11 fixed on the other kNN
+      // paths; this rerank division was missed)
+      .withColumn("sim", Similarity.cosineSim(
+        Similarity.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm")))
+      .filter(col("sim").isNotNull) // zero-norm rows have no cosine rank
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
@@ -435,7 +442,13 @@ object PqEncodeExpr {
     val n = a.numElements()
     val v = new Array[Double](n)
     var i = 0
-    while (i < n) { v(i) = a.getDouble(i); i += 1 }
+    while (i < n) {
+      // loud on a null ELEMENT (review r12, the SignedPermuteExpr
+      // rule): getDouble silently unboxes null to 0.0 — a corrupt
+      // embedding slot would encode/score as a plausible value
+      require(!a.isNullAt(i), s"pq: null vector element at index $i")
+      v(i) = a.getDouble(i); i += 1
+    }
     if (normalize) {
       var ss = 0.0
       i = 0
@@ -550,6 +563,11 @@ final case class PqAdcExpr(left: Expression, right: Expression, ks: Int)
 object PqAdcExpr {
   def compute(codes: ArrayData, lut: ArrayData, ks: Int): Double = {
     val m = codes.numElements()
+    // a ks mismatched with the LUT's codebook would index past the
+    // array — UnsafeArrayData does NOT bounds-check, so the misread
+    // would return garbage scores silently (review r12)
+    require(lut.numElements() == m * ks,
+      s"pq_adc: lut length ${lut.numElements()} != m*ks = ${m * ks}")
     var s = 0.0
     var mm = 0
     while (mm < m) { s += lut.getDouble(mm * ks + codes.getInt(mm)); mm += 1 }
@@ -646,12 +664,23 @@ object MatVecExpr {
   def compute(a: ArrayData, mat: Array[Double], d: Int): Array[Double] = {
     require(a.numElements() == d,
       s"mat_vec: vector dim ${a.numElements()} != matrix dim $d")
+    // copy once (review r12): the row-sum loop read a.getDouble(k) d
+    // times per output slot — d² virtual ArrayData calls per row; a
+    // local array is d calls + primitive reads, bit-identical sums.
+    // The copy also hosts the loud null-element guard (getDouble
+    // silently unboxes null to 0.0).
+    val v = new Array[Double](d)
+    var k = 0
+    while (k < d) {
+      require(!a.isNullAt(k), s"mat_vec: null vector element at index $k")
+      v(k) = a.getDouble(k); k += 1
+    }
     val out = new Array[Double](d)
     var i = 0
     while (i < d) {
       var s = 0.0
-      var k = 0
-      while (k < d) { s += mat(i * d + k) * a.getDouble(k); k += 1 }
+      k = 0
+      while (k < d) { s += mat(i * d + k) * v(k); k += 1 }
       out(i) = s
       i += 1
     }

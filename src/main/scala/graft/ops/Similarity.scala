@@ -41,7 +41,11 @@ object Similarity {
   private[ops] def cosineSim(d: Column, n1: Column, n2: Column): Column =
     when(n1 > lit(0.0) && n2 > lit(0.0), d / (n1 * n2))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine of two raw vector columns, NULL when either is zero-norm
+    * (the [[cosineSim]] guard — the raw division's NaN would sort
+    * above every real similarity). */
+  def cosine(a: Column, b: Column): Column =
+    cosineSim(dot(a, b), norm(a), norm(b))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

@@ -103,9 +103,9 @@ object EventStream {
   def stripBoilerplateLines(docs: DataFrame, boilerDigests: DataFrame,
       sep: String = "\n", emitDocMarker: Boolean = false): DataFrame = {
     val stripped = docs.select(col("doc_id"),
-        posexplode(split(col("text"),
-          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
-      .withColumn("__h", md5(col("line").cast("binary")))
+        posexplode(graft.ops.Dedup.lineSplit(col("text"), sep))
+          .as(Seq("pos", "line")))
+      .withColumn("__h", graft.ops.Dedup.lineDigest(col("line")))
       .join(broadcast(boilerDigests), Seq("__h"), "left_anti")
       .drop("__h")
     if (!emitDocMarker) stripped
@@ -143,10 +143,10 @@ object EventStream {
       sep: String = "\n"): DataFrame =
     docs
       .withWatermark("ts", watermark)
-      .select(col("ts"), explode(split(col("text"),
-        java.util.regex.Pattern.quote(sep))).as("line"))
+      .select(col("ts"),
+        explode(graft.ops.Dedup.lineSplit(col("text"), sep)).as("line"))
       .filter(length(col("line")) > 0)
-      .withColumn("__h", md5(col("line").cast("binary")))
+      .withColumn("__h", graft.ops.Dedup.lineDigest(col("line")))
       .groupBy(window(col("ts"), window_), col("__h"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
@@ -258,11 +258,11 @@ object EventStream {
     import spark.implicits._
     val lines = docs
       .withWatermark("ts", watermark)
-      .select(col("ts"), explode(split(col("text"),
-        java.util.regex.Pattern.quote(sep))).as("line"))
+      .select(col("ts"),
+        explode(graft.ops.Dedup.lineSplit(col("text"), sep)).as("line"))
       .filter(length(col("line")) > 0)
       .select(window(col("ts"), window_).as("w"), col("ts"),
-        md5(col("line").cast("binary")).as("h"))
+        graft.ops.Dedup.lineDigest(col("line")).as("h"))
       // the watermarked ts attribute must survive into the grouped
       // dataset — EventTimeTimeout refuses a child plan without it
       .select(col("w.start").cast("long").as("ws"),

@@ -129,6 +129,29 @@ class PqSpec extends SparkSpec {
     assert(rerankRecall >= plainRecall, "rerank must not lose recall")
   }
 
+  test("adcKnnRerank: zero-norm vectors never outrank real neighbors " +
+    "(review r12)") {
+    // the rerank division dot/(nrm*qnrm) gave a zero-norm corpus row
+    // sim = NaN, which Spark sorts ABOVE every real double — one
+    // failed-embedder row in the shortlist ranked #1 for every query
+    // (the r11 NaN-cosine bug class; this path was missed)
+    val cb = Pq.train(emb, "id", "vec", m = 8, ks = 16, iters = 1)
+    val zero = Seq((99999L, Array.fill(64)(0.0f).toSeq))
+      .toDF("id", "vec")
+    val poisoned = emb.unionByName(zero)
+    val q = emb.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val enc = Pq.encode(poisoned, "vec", cb, normalize = true)
+    val got = Pq.adcKnnRerank(enc, poisoned, q, cb, 5, fetch = 40).collect()
+    assert(got.nonEmpty && !got.exists(_.getLong(2) == 99999L),
+      "a zero-norm corpus row must have no cosine rank")
+    assert(got.forall(r => !r.getDouble(3).isNaN), "no NaN sims")
+    // a zero-norm QUERY gets no neighbors instead of NaN-ranked noise
+    val zq = Seq((7L, Array.fill(64)(0.0).toSeq)).toDF("qid", "qvec")
+    assert(Pq.adcKnnRerank(enc, poisoned, zq, cb, 5, fetch = 40)
+      .collect().isEmpty)
+  }
+
   test("trainOpq is bit-reproducible across runs at a fixed partitioning") {
     // (a different partition COUNT may legitimately change low bits —
     // partials regroup; the contract is run-to-run reproducibility of
