@@ -26,7 +26,9 @@ object ScaleBench {
       "d35_cluster_sample", "d36_fix_encoding", "p04_tokenize_pack",
       "d37_mixture_sample", "d38_mixture_epochs", "d39_url_dedup",
       // round-11 newcomer
-      "d40_epoch_shuffle")
+      "d40_epoch_shuffle",
+      // round-12 newcomer
+      "d41_bm25")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

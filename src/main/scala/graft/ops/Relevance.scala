@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Lexical relevance scoring — Okapi BM25 (Robertson/Walker 1994; the
+  * idf variant is Lucene's `ln(1 + (N - df + 0.5)/(df + 0.5))`, which
+  * is non-negative for every df). The corpus-search primitive of a
+  * training-data pipeline: targeted slice extraction ("every doc about
+  * X"), seed-document expansion for DSIR-style importance sampling,
+  * and eval-set retrieval checks all reduce to a deterministic ranked
+  * term query over the corpus.
+  *
+  * Tokenization is [[TextFunctions.words]] (lowercase `[a-z0-9]+`),
+  * shared with d03/d24/d26, so term counts agree with every other
+  * text-side operator and a SQL oracle reproduces them exactly.
+  *
+  * Scale shape (100 TB): two map passes over the corpus and nothing
+  * corpus-sized persisted or collected —
+  *  - pass 1 aggregates (N, Σdl) into ONE driver row (avgdl is a
+  *    driver-computed literal, like the broadcast LM models);
+  *  - pass 2 explodes tokens with the `isin(terms)` filter INSIDE the
+  *    projection, so only matching (doc, term) rows — at most |terms|
+  *    per doc after the map-side partial count — reach the shuffle;
+  *  - per-term document frequencies are a ≤ |terms|-row collect
+  *    (codelist-bounded), embedded as a literal when-chain, never a
+  *    join;
+  *  - the final top-k plans as TakeOrderedAndProject (per-partition
+  *    heaps + driver merge), never a global sort.
+  *
+  * Determinism/oracle-exactness: every float in the score derives from
+  * integers (tf, df, dl, N) plus the one avgdl division, combined in a
+  * FIXED parenthesization both engines evaluate identically; the
+  * per-doc score sums the per-term contributions in static `terms`
+  * order (a fixed-order column add, not an order-dependent float
+  * aggregate), so scores are bit-identical run-to-run and
+  * engine-to-engine. Ranking breaks ties on (rounded score desc, id).
+  */
+object Relevance {
+
+  /** Top-`topK` documents by BM25 over `terms`. Returns (doc_id,
+    * score) — only documents containing at least one query term rank.
+    * `terms` must be lowercase single tokens of the `[a-z0-9]+`
+    * tokenizer (anything else can never match and is refused loudly
+    * rather than silently scoring nothing). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25: at least one query term")
+    require(terms.size <= 64,
+      s"bm25: ${terms.size} terms - the fixed-order score add is built " +
+        "per term; split absurdly wide queries")
+    require(terms.distinct.size == terms.size,
+      s"bm25: duplicate query terms (${terms.mkString(", ")})")
+    terms.foreach(t => require(t.matches("[a-z0-9]+"),
+      s"bm25: term '$t' is not a lowercase [a-z0-9]+ token - it can never match"))
+    require(k1 > 0 && b >= 0 && b <= 1, s"bm25: k1 > 0 and b in [0,1]")
+    require(topK >= 1, "bm25: topK must be >= 1")
+
+    val w = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.words(col(textCol)).as("ws"))
+
+    // pass 1: corpus stats — one row to the driver
+    val st = w.agg(count(lit(1)).as("n"),
+      sum(size(col("ws")).cast("long")).as("tot")).head()
+    val n = st.getLong(0)
+    require(n > 0, "bm25: empty corpus")
+    val avgdl = st.getLong(1).toDouble / n // same division as the oracle
+
+    // pass 2: matching (doc, term) frequencies; the isin filter rides
+    // the explode projection, so non-query tokens die map-side
+    val tf = w.select(col("doc_id"), size(col("ws")).as("dl"),
+        explode(col("ws")).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+
+    // per-term document frequency: ≤ |terms| rows, driver-bounded
+    val dfMap = tf.groupBy("word").agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfCol = terms.tail.foldLeft(
+        when(col("word") === terms.head, lit(dfMap.getOrElse(terms.head, 0L)))) {
+      (acc, t) => acc.when(col("word") === t, lit(dfMap.getOrElse(t, 0L)))
+    }
+
+    // fixed parenthesization mirrored verbatim in the SQL oracle:
+    // idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+    // tfn = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    val idf = log(lit(1.0) +
+      (lit(n) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val tfn = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    val contrib = tf.withColumn("__df", dfCol)
+      .withColumn("__contrib", idf * tfn)
+
+    // fixed-order per-doc sum: one aggregate column per term (each
+    // sums exactly one row), added in static term order — never an
+    // order-dependent float sum over an arbitrary row stream
+    val perTerm = terms.map(t =>
+      sum(when(col("word") === t, col("__contrib"))).as(s"__c_$t"))
+    val score = terms.map(t => coalesce(col(s"__c_$t"), lit(0.0)))
+      .reduce(_ + _)
+    contrib.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score", round(score, 4))
+      .select("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+}

@@ -1142,7 +1142,19 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** BM25 ranked retrieval (graft.ops.Relevance.bm25) over the corpus
+    * for a fixed 3-term query mixing common terms ("join", "hash" —
+    * low idf, tf/length-normalization decides) with a rare one ("dup"
+    * — high idf dominates wherever it appears). Top-20 by (rounded
+    * score desc, doc_id); every float derives from integer counts in
+    * a fixed parenthesization, so the oracle reproduces scores
+    * bit-for-bit. */
+  def d41Bm25(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Relevance.bm25(docs(s, dir), "doc_id", "text",
+      Seq("join", "hash", "dup"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d41_bm25" -> d41Bm25 _,
     "d10_pipeline_compose" -> d10PipelineCompose _,
     "d01_dedup_exact" -> d01DedupExact _,
     "d02_fingerprint" -> d02Fingerprint _,
@@ -1698,6 +1710,30 @@ object Pipeline {
         |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
         | CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INTEGER) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
+    // BM25 (Lucene idf): every float derives from integer counts plus
+    // the one avgdl division; the parenthesization mirrors
+    // Relevance.bm25 verbatim and the per-doc score adds the per-term
+    // contributions in the same fixed order (c_join + c_hash + c_dup),
+    // so scores match bit-for-bit before the 4dp display round.
+    "d41_bm25" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |st AS (SELECT count(*) AS n, CAST(sum(len(ws)) AS DOUBLE)/count(*) AS avgdl FROM w),
+        |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM w),
+        |tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM tok
+        |  WHERE word IN ('join', 'hash', 'dup') GROUP BY 1, 2, 3),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |c AS (SELECT doc_id, word,
+        |  ln(1 + (n - df + 0.5)/(df + 0.5)) *
+        |    (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+        | FROM tf JOIN df USING (word) CROSS JOIN st),
+        |s AS (SELECT doc_id,
+        |  sum(CASE WHEN word = 'join' THEN contrib END) AS c1,
+        |  sum(CASE WHEN word = 'hash' THEN contrib END) AS c2,
+        |  sum(CASE WHEN word = 'dup' THEN contrib END) AS c3
+        | FROM c GROUP BY doc_id)
+        |SELECT doc_id,
+        |  round(coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0), 4) AS score
+        |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "d39_url_dedup" ->
       """WITH inj AS (SELECT doc_id,
         |  'HTTPS://Site' || (doc_id % 7) || '.Example.org:443/p/' || (doc_id % 20)

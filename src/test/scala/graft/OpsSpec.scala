@@ -1200,6 +1200,41 @@ class OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("not comparable"), ex.getMessage)
   }
 
+  test("bm25: hand-computed scores, deterministic ranking, top-k plan") {
+    import graft.ops.Relevance
+    val docs = Seq(
+      (1L, "join join hash"), // dl=3, tf(join)=2, tf(hash)=1
+      (2L, "join scan"), // dl=2, tf(join)=1
+      (3L, "scan filter merge") // no query terms -> unranked
+    ).toDF("doc_id", "text")
+    val got = Relevance.bm25(docs, "doc_id", "text", Seq("join", "hash"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // N=3, tot=8, avgdl=8/3; df(join)=2, df(hash)=1 — mirror the exact
+    // float expression (fixed parenthesization) and the HALF_UP render
+    val avgdl = 8.0 / 3
+    def idf(df: Long) = math.log(1.0 + (3L - df + 0.5) / (df + 0.5))
+    def tfn(tf: Long, dl: Long) =
+      (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    def r4(x: Double) = new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    val s1 = r4(idf(2) * tfn(2, 3) + idf(1) * tfn(1, 3))
+    val s2 = r4(idf(2) * tfn(1, 2) + 0.0)
+    assert(got.toSeq == Seq((1L, s1), (2L, s2)), s"got ${got.toSeq}, want " +
+      s"Seq((1,$s1), (2,$s2))")
+    // top-k plans as TakeOrderedAndProject, never a global sort
+    val plan = Relevance.bm25(docs, "doc_id", "text", Seq("join"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k plan:\n$plan")
+    // loud guards: non-tokenizable and duplicate terms can never match
+    intercept[IllegalArgumentException] {
+      Relevance.bm25(docs, "doc_id", "text", Seq("Join"))
+    }
+    intercept[IllegalArgumentException] {
+      Relevance.bm25(docs, "doc_id", "text", Seq("join", "join"))
+    }
+    ()
+  }
+
   test("bigram perplexity: hand-computed nll, OOV smoothing, broadcast plan") {
     import graft.ops.LangModel
     // reference "a b a b c": bigrams (a,b)x2 (b,a)x1 (b,c)x1; contexts
