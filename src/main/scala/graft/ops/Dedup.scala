@@ -358,12 +358,22 @@ object Dedup {
       nGram: Int = 3, minHits: Int = 1): DataFrame = {
     val d = shingleSets(docs, idCol, textCol, nGram)
       .select(col("doc_id"), explode(col("sh")).as("g"))
-    val b = shingleSets(benchmark, idCol, textCol, nGram)
-      .select(explode(col("sh")).as("g")).distinct()
-    d.join(broadcast(b), "g")
+    d.join(broadcast(benchmarkShingles(benchmark, idCol, textCol, nGram)), "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
   }
+
+  /** The benchmark side of decontamination as a reusable STATIC frame:
+    * one `g` column of distinct shingle hashes. One definition (the
+    * lineSplit/lineDigest rule): batch [[decontaminate]],
+    * [[bloomDecontaminate]], and the streaming twin
+    * (graft.streaming.EventStream.decontaminateHits) must shingle the
+    * benchmark identically or their contamination verdicts diverge
+    * between a backfill and the incremental path. */
+  def benchmarkShingles(benchmark: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", nGram: Int = 3): DataFrame =
+    shingleSets(benchmark, idCol, textCol, nGram)
+      .select(explode(col("sh")).as("g")).distinct()
 
   /** Corpus-level LINE dedup (the C4/RefinedWeb boilerplate rule):
     * split every document on `sep`, count each line's occurrences
@@ -436,9 +446,7 @@ object Dedup {
       nGram: Int = 3, minHits: Int = 1, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.GraftExprBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    val b = shingleSets(benchmark, idCol, textCol, nGram)
-      .select(explode(col("sh")).as("g")).distinct()
-    val bc = bloomPersist(b)
+    val bc = bloomPersist(benchmarkShingles(benchmark, idCol, textCol, nGram))
     val nItems = math.max(bc.count(), 1L)
     val bf = bc.stat.bloomFilter("g", nItems, fpp)
     val bytes = {

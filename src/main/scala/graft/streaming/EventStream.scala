@@ -113,6 +113,31 @@ object EventStream {
       lit(-1).as("pos"), lit("").as("line")))
   }
 
+  /** Streaming twin of graft.ops.Dedup.decontaminate: flag in-flight
+    * documents sharing any word n-gram with a STATIC benchmark shingle
+    * set (build it batch-side with [[graft.ops.Dedup.benchmarkShingles]]
+    * — benchmarks are fixed corpora, so the expensive side never
+    * streams). Stateless stream-static inner join on the shingle hash:
+    * no watermark, no state growth. Emits one (doc_id, g) row per
+    * matching shingle occurrence; the per-doc verdict (`n_hits >=
+    * minHits`) belongs to the sink/foreachBatch — the
+    * [[stripBoilerplateLines]] reassembly rule — because a per-doc
+    * aggregation would force stateful complete/update output for what
+    * is otherwise a pure filter. Counting hit ROWS per doc at the sink
+    * reproduces the batch operator's n_hits exactly: both sides
+    * explode the doc's DISTINCT shingle set (ShingleHashes
+    * canonicalizes) and join the distinct benchmark set, so each
+    * shared n-gram contributes exactly one row.
+    * Shares ShingleHashes identity with batch d20/d23, so a backfill
+    * and the incremental path agree on what is contaminated. */
+  def decontaminateHits(docs: DataFrame, benchShingles: DataFrame,
+      nGram: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.CatalystFunctions.shingleHashes(
+          graft.functions.TextFunctions.words(col("text")), nGram)).as("g"))
+      .join(broadcast(benchShingles), "g")
+      .select("doc_id", "g")
+
   /** The COUNT half of graft.ops.Dedup.lineDedup, in-stream: the
     * boilerplate-digest set the stream publishes ITSELF, instead of
     * requiring a periodic batch pre-pass (VERDICT r5 #5). Documents

@@ -141,6 +141,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateHits: stateless streaming verdicts match batch " +
+    "decontaminate") {
+    // benchmark: one fixed 3-gram phrase; doc 1 contains it twice,
+    // doc 2 is clean, doc 3 contains it once
+    val bench = Seq((100L, "the secret eval phrase")).toDF("doc_id", "text")
+    val docsB = Seq(
+      (1L, "x the secret eval phrase y the secret eval phrase"),
+      (2L, "completely unrelated text here"),
+      (3L, "prefix the secret eval phrase")).toDF("doc_id", "text")
+    val batch = graft.ops.Dedup.decontaminate(docsB, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val shingles = graft.ops.Dedup.benchmarkShingles(bench)
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = EventStream.decontaminateHits(docs, shingles)
+      .writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "x the secret eval phrase y the secret eval phrase", t("2026-01-01 10:00:00")),
+        (2L, "completely unrelated text here", t("2026-01-01 10:01:00")),
+        (3L, "prefix the secret eval phrase", t("2026-01-01 10:02:00")))
+      q.processAllAvailable()
+      // sink-side per-doc count of hit rows IS the batch n_hits
+      val stream = spark.table("decon_out").groupBy("doc_id")
+        .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+      assert(stream == batch && batch.keySet == Set(1L, 3L),
+        s"stream $stream must equal batch $batch")
+      // shingle sets are DISTINCT per doc (ShingleHashes canonicalizes),
+      // so both contaminated docs hit the benchmark's 2 shared 3-grams
+      assert(batch(1L) == 2L && batch(3L) == 2L, s"got $batch")
+    } finally q.stop()
+  }
+
   test("curateStream redacts PII in-flight when asked") {
     val input = MemoryStream[(Long, String, Timestamp)](spark)
     val docs = input.toDF().toDF("doc_id", "text", "ts")
