@@ -276,6 +276,11 @@ class Scenario(platform0: Platform, run0: RunInfo)
   def removePar(name: String, keys: DataFrame): Unit = {
     requireCheckedOut()
     val d = itemDefOf(name)
+    // the removeSet guard, mirrored (review r12): without it a SET or
+    // solution item named through the PAR api silently loses matching
+    // rows — the anti-join keys on idx_names and would pass any item's
+    // remaining columns straight through
+    require(d.itemType == ItemType.Par, s"'$name' is not a parameter")
     store.writeItemData(runId, name,
       itemData(name).join(
         keys.select(d.idxNames.map(c => col(c).cast("string").as(c)): _*).distinct(),

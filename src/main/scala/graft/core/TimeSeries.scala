@@ -157,10 +157,15 @@ class TimeSeries(val platform: Platform, protected var run: RunInfo) {
   }
 
   /** Grouped delete by (region, variable, unit, subannual[, year])
-    * (reference timeseries.py:494-518): one anti-join rewrite. */
+    * (reference timeseries.py:494-518): one anti-join rewrite.
+    * Region SYNONYMS resolve like the add path (review r12): data is
+    * stored under canonical regions (resolveRegions on write), and the
+    * reference backend's node lookup accepts "name or synonym" on both
+    * paths (base.py:249) — an unresolved synonym key would silently
+    * delete nothing. */
   def removeTimeseries(keys: DataFrame): Unit = {
     requireCheckedOut()
-    val norm = Util.toIamcLayout(keys)
+    val norm = resolveRegions(Util.toIamcLayout(keys))
     val joinCols = if (norm.columns.contains("year")) tsKey :+ "year" else tsKey
     store.writeTsData(runId,
       store.tsData(runId).join(norm.select(joinCols.map(col): _*).distinct(),
@@ -191,7 +196,8 @@ class TimeSeries(val platform: Platform, protected var run: RunInfo) {
 
   def removeGeodata(keys: DataFrame): Unit = {
     requireCheckedOut()
-    val norm = Util.toIamcLayout(keys)
+    // synonym-resolved like removeTimeseries (review r12)
+    val norm = resolveRegions(Util.toIamcLayout(keys))
     val joinCols = if (norm.columns.contains("year")) tsKey :+ "year" else tsKey
     store.writeGeoData(runId,
       store.geoData(runId).join(norm.select(joinCols.map(col): _*).distinct(),

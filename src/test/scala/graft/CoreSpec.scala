@@ -89,6 +89,15 @@ class CoreSpec extends SparkSpec {
     s.transact("drop whole item") { s.deleteItem("b") }
     assert(!s.hasItem("b"))
     assert(s.parList() == Seq("a", "d", "f"))
+    // type guards are symmetric (review r12): a SET addressed through
+    // the PAR api must refuse, not silently anti-join its rows away
+    s.transact("wrong-type removal refused") {
+      val e = intercept[IllegalArgumentException] {
+        s.removePar("i", Seq(Tuple1("seattle")).toDF("i"))
+      }
+      assert(e.getMessage.contains("not a parameter"))
+    }
+    assert(s.set("i").count() == 2, "the set must be untouched")
   }
 
   test("solve writes solution; golden objective z=153.675; removeSolution clears") {
@@ -260,6 +269,15 @@ class CoreSpec extends SparkSpec {
         .toDF("region", "variable", "unit", "year", "value"))
     }
     assert(s.timeseries().select("region").as[String].head() == "United States")
+    // synonym-keyed DELETE resolves like the write (review r12): the
+    // data lives under the canonical region, so an unresolved "US" key
+    // would anti-join nothing and silently keep the row
+    s.transact("synonym remove") {
+      s.removeTimeseries(Seq(("US", "GDP", "USD", 2020))
+        .toDF("region", "variable", "unit", "year"))
+    }
+    assert(s.timeseries().count() == 0,
+      "a synonym-keyed remove must delete the canonical-region row")
   }
 
   test("geodata round-trip with string values") {
