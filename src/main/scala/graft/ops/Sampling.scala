@@ -166,6 +166,44 @@ object Sampling {
       .drop("__n", "__thr")
   }
 
+  /** Temperature-scaled mixture weights — α-sampling (mT5 §3.1 /
+    * XLM-R): w_s ∝ (tokens_s)^α, normalized. α = 1 keeps the corpus's
+    * natural proportions; α → 0 approaches uniform; the multilingual
+    * pretraining sweet spot (α ≈ 0.2–0.7) up-samples low-resource
+    * sources without drowning the head. Feed the result to
+    * [[mixtureRates]] / [[mixtureSample]] / [[mixtureEpochPlan]] — at
+    * scale via [[ratesFromTotals]] over the SAME pre-aggregated totals
+    * frame, so the corpus aggregates once.
+    *
+    * Driver math over a ≤ |sources|-row collect (the codelist
+    * pattern). The normalizing sum runs in SORTED source order, so the
+    * weights are reproducible run-to-run regardless of row arrival
+    * order (float addition is non-associative — the trainOpq
+    * partition-index-fold rule). Like BPE training, the output is a
+    * runtime value: correctness is spec-proven (hand-computed weights,
+    * composition with the planner), not oracle-gated. */
+  def temperatureWeights(totals: DataFrame, sourceCol: String,
+      alpha: Double): Map[String, Double] = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha (alpha = 1 is " +
+      "proportional; alpha -> 0 approaches uniform)")
+    val rows = totals.select(col(sourceCol).cast("string"),
+      col("n_tokens").cast("long")).collect()
+    require(rows.nonEmpty, "temperatureWeights: empty totals")
+    val pairs = rows.map { r =>
+      require(!r.isNullAt(0), "temperatureWeights: null source")
+      require(!r.isNullAt(1) && r.getLong(1) > 0,
+        s"temperatureWeights: source '${r.getString(0)}' has zero/null " +
+          "tokens - its weight would be 0 and its rate arithmetic divides by it")
+      (r.getString(0), r.getLong(1))
+    }
+    require(pairs.map(_._1).distinct.length == pairs.length,
+      "temperatureWeights: duplicate source rows - pass ONE totals row per source")
+    val sorted = pairs.sortBy(_._1)
+    val pw = sorted.map { case (s, n) => (s, math.pow(n.toDouble, alpha)) }
+    val z = pw.foldLeft(0.0)(_ + _._2) // fixed (sorted) summation order
+    pw.map { case (s, x) => s -> x / z }.toMap
+  }
+
   /** Static corpus-mixture planner — the source-mixing step of
     * training-data assembly (The Pile's per-source weights; the static
     * half of DoReMi-style reweighting): given target mixture weights

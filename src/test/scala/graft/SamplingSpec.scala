@@ -205,6 +205,39 @@ class SamplingSpec extends SparkSpec {
     assert(m == Map("s1" -> (100L, 0.5), "s2" -> (50L, 1.0)))
   }
 
+  test("temperature weights: hand-computed alpha-sampling, planner " +
+    "composition (review r12)") {
+    import org.apache.spark.sql.functions.col
+    // tokens: web 900, wiki 100 -> natural p = 0.9/0.1
+    val docs = ((1L to 90L).map(i => (i, "web", 10)) ++
+      (91L to 100L).map(i => (i, "wiki", 10))).toDF("id", "src", "toks")
+    val totals = docs.groupBy("src")
+      .agg(org.apache.spark.sql.functions.sum(col("toks").cast("long"))
+        .as("n_tokens"))
+    // alpha = 1: exactly the natural proportions
+    val w1 = Sampling.temperatureWeights(totals, "src", 1.0)
+    assert(w1("web") == 0.9 && w1("wiki") == 0.1, s"got $w1")
+    // alpha = 0.5: hand-computed sqrt scaling in sorted-source order
+    val w05 = Sampling.temperatureWeights(totals, "src", 0.5)
+    val (pwWeb, pwWiki) = (math.pow(900.0, 0.5), math.pow(100.0, 0.5))
+    val z = pwWeb + pwWiki // sorted order: web < wiki
+    assert(w05("web") == pwWeb / z && w05("wiki") == pwWiki / z, s"got $w05")
+    assert(w05("wiki") > 0.1 && w05("web") < 0.9,
+      "alpha < 1 must up-weight the low-resource source")
+    assert(math.abs(w05.values.sum - 1.0) < 1e-12)
+    // composition: the temperature weights drive the rate planner —
+    // wiki (up-weighted beyond its supply share) binds at rate 1.0
+    val rates = Sampling.ratesFromTotals(totals, "src", w05)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rates("wiki") == 1.0 && rates("web") < 1.0, s"got $rates")
+    // loud on a zero-token source (its weight would divide a rate by 0)
+    val zero = totals.union(Seq(("empty", 0L)).toDF("src", "n_tokens"))
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(zero, "src", 0.5)
+    }
+    assert(ex.getMessage.contains("zero/null"), ex.getMessage)
+  }
+
   test("salted sampling decorrelates composed samplers (review r11)") {
     // unsalted: bernoulli∘bernoulli keeps min(r1, r2), not r1*r2 —
     // the second filter is a no-op on the survivors
