@@ -40,6 +40,12 @@ import graft.functions.TextFunctions
   */
 object Relevance {
 
+  // the tf frame is referenced twice — the per-term df collect and the
+  // returned scoring plan — and each un-cached reference re-runs the
+  // corpus tokenize+explode pass (the double-reference law; review r12:
+  // un-persisted, the gate paid three corpus passes per run)
+  private val tfPersist = new PersistSlot
+
   /** Top-`topK` documents by BM25 over `terms`. Returns (doc_id,
     * score) — only documents containing at least one query term rank.
     * `terms` must be lowercase single tokens of the `[a-z0-9]+`
@@ -71,10 +77,10 @@ object Relevance {
 
     // pass 2: matching (doc, term) frequencies; the isin filter rides
     // the explode projection, so non-query tokens die map-side
-    val tf = w.select(col("doc_id"), size(col("ws")).as("dl"),
+    val tf = tfPersist(w.select(col("doc_id"), size(col("ws")).as("dl"),
         explode(col("ws")).as("word"))
       .filter(col("word").isin(terms: _*))
-      .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf")))
 
     // per-term document frequency: ≤ |terms| rows, driver-bounded
     val dfMap = tf.groupBy("word").agg(count(lit(1)).as("df")).collect()
