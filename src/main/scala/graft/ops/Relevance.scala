@@ -40,17 +40,32 @@ import graft.functions.TextFunctions
   */
 object Relevance {
 
+  // ONE evaluation of the caller's corpus (the addPar persist-once
+  // rule, review r9/r12): the stats aggregate and the tf pass must
+  // read the SAME rows — two separate evaluations of a
+  // non-deterministic input (a sampled frame, a changing source)
+  // would silently mix N/avgdl from one corpus with tf/df from
+  // another. The tokenized frame is persisted, so tokenization also
+  // runs once instead of once per pass.
+  private val wPersist = new PersistSlot
   // the tf frame is referenced twice — the per-term df collect and the
   // returned scoring plan — and each un-cached reference re-runs the
-  // corpus tokenize+explode pass (the double-reference law; review r12:
-  // un-persisted, the gate paid three corpus passes per run)
+  // explode+aggregate over the cached corpus (the double-reference
+  // law; un-persisted, the gate paid three corpus passes per run)
   private val tfPersist = new PersistSlot
 
   /** Top-`topK` documents by BM25 over `terms`. Returns (doc_id,
     * score) — only documents containing at least one query term rank.
     * `terms` must be lowercase single tokens of the `[a-z0-9]+`
     * tokenizer (anything else can never match and is refused loudly
-    * rather than silently scoring nothing). */
+    * rather than silently scoring nothing).
+    *
+    * PRECONDITION: `idCol` is unique per document. Duplicate ids
+    * inflate df (each (id, dl) pair counts toward document frequency)
+    * and give the per-term sums multiple rows, which surrenders the
+    * fixed-order float-sum guarantee at 3+ copies; dedup upstream
+    * (d01/d02) first — checking here would cost a corpus aggregation
+    * per call. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 20): DataFrame = {
@@ -65,14 +80,19 @@ object Relevance {
     require(k1 > 0 && b >= 0 && b <= 1, s"bm25: k1 > 0 and b in [0,1]")
     require(topK >= 1, "bm25: topK must be >= 1")
 
-    val w = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.words(col(textCol)).as("ws"))
+    val w = wPersist(docs.select(col(idCol).as("doc_id"),
+      TextFunctions.words(col(textCol)).as("ws")))
 
-    // pass 1: corpus stats — one row to the driver
+    // pass 1: corpus stats — one row to the driver (materializes the
+    // tokenized cache; the tf pass below reads the same rows)
     val st = w.agg(count(lit(1)).as("n"),
       sum(size(col("ws")).cast("long")).as("tot")).head()
     val n = st.getLong(0)
     require(n > 0, "bm25: empty corpus")
+    // a corpus whose EVERY text is null sums to a null token total —
+    // name the error instead of an NPE at getLong (review r12)
+    require(!st.isNullAt(1),
+      "bm25: every document's text is null - nothing to tokenize")
     val avgdl = st.getLong(1).toDouble / n // same division as the oracle
 
     // pass 2: matching (doc, term) frequencies; the isin filter rides

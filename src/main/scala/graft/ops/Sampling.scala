@@ -171,9 +171,11 @@ object Sampling {
     * natural proportions; α → 0 approaches uniform; the multilingual
     * pretraining sweet spot (α ≈ 0.2–0.7) up-samples low-resource
     * sources without drowning the head. Feed the result to
-    * [[mixtureRates]] / [[mixtureSample]] / [[mixtureEpochPlan]] — at
-    * scale via [[ratesFromTotals]] over the SAME pre-aggregated totals
-    * frame, so the corpus aggregates once.
+    * [[mixtureRates]] / [[mixtureSample]] / [[mixtureEpochPlan]] — or
+    * use [[temperatureRates]], which aggregates the corpus ONCE and
+    * runs both this and the rate algebra over the localized totals
+    * (composing the two on a lazy totals frame scans the corpus once
+    * per collect).
     *
     * Driver math over a ≤ |sources|-row collect (the codelist
     * pattern). The normalizing sum runs in SORTED source order, so the
@@ -202,6 +204,21 @@ object Sampling {
     val pw = sorted.map { case (s, n) => (s, math.pow(n.toDouble, alpha)) }
     val z = pw.foldLeft(0.0)(_ + _._2) // fixed (sorted) summation order
     pw.map { case (s, x) => s -> x / z }.toMap
+  }
+
+  /** [[temperatureWeights]] + [[ratesFromTotals]] in ONE corpus
+    * aggregation (review r12: composing them on a lazy totals frame
+    * ran the per-source token scan twice — once per collect; here the
+    * totals localize once and both halves read the local copy). */
+  def temperatureRates(docs: DataFrame, sourceCol: String,
+      tokensCol: Column, alpha: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val totalsLazy = docs.groupBy(sourceCol)
+      .agg(sum(tokensCol.cast("long")).as("n_tokens"))
+    val totals = spark.createDataFrame(
+      java.util.Arrays.asList(totalsLazy.collect(): _*), totalsLazy.schema)
+    ratesFromTotals(totals, sourceCol,
+      temperatureWeights(totals, sourceCol, alpha))
   }
 
   /** Static corpus-mixture planner — the source-mixing step of
@@ -264,16 +281,12 @@ object Sampling {
     val statsRows = statsLazy.collect() // ONE evaluation of the corpus agg
     val stats = spark.createDataFrame(
       java.util.Arrays.asList(statsRows: _*), statsLazy.schema)
-    val rows = statsRows.map { r =>
-      val si = statsLazy.schema.fieldIndex(sourceCol)
-      val ti = statsLazy.schema.fieldIndex("n_tokens")
-      (if (r.isNullAt(si)) null else String.valueOf(r.get(si)),
-        if (r.isNullAt(ti)) null
-        else java.lang.Long.valueOf(r.get(ti) match {
-          case n: Number => n.longValue()
-          case other => other.toString.toLong
-        }))
-    }
+    // validation reads re-select the LOCAL frame — free, and Spark's
+    // casts replace hand-rolled per-row type juggling (review r12)
+    val rows = stats.select(col(sourceCol).cast("string"),
+        col("n_tokens").cast("long")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))))
     val present = rows.map(_._1).toSet
     // one totals row per source, or the apply-half's rate join fans
     // every doc out once per duplicate (review r11: a foreachBatch

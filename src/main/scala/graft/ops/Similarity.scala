@@ -147,7 +147,11 @@ object Similarity {
     * (mapreduce.fileoutputcommitter.marksuccessfuljobs=false — common
     * on object-store clusters) does the check fall back to committed
     * part-file detection, which is the best signal available in that
-    * configuration. See IvfIndex.exists. */
+    * configuration. Mixed-config corner (review r12): an index WRITTEN
+    * with markers off and later READ by a markers-on session grades
+    * incomplete once and is rebuilt — the resave then writes _SUCCESS
+    * and the check heals; crash-safety is never traded for that one
+    * redundant rebuild. See IvfIndex.exists. */
   private[ops] def committedParquetExists(
       spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -131,7 +131,6 @@ object Temporal {
     require(Set("minute", "hour", "day")(bucket),
       s"rangeJoin: bucket must be minute|hour|day, got '$bucket'")
     require(maxSpanBuckets >= 1, s"maxSpanBuckets must be >= 1")
-    require(keys.nonEmpty, "rangeJoin: at least one join key is required")
     val bucketUs = bucket match {
       case "minute" => 60000000L
       case "hour" => 3600000000L
@@ -151,10 +150,17 @@ object Temporal {
     val bucketed = p.join(short, keys :+ "__bkt")
       .filter(contained)
       .drop("__bkt")
-    // over-span tail: plain key-equi join, no bucket explosion
-    val longTail = points
-      .join(valid.filter(spanUs > maxSpanBuckets * bucketUs), keys)
-      .filter(contained)
+    // over-span tail: plain key-equi join, no bucket explosion. A
+    // KEYLESS (global) range join is legal — the bucketed path joins
+    // on __bkt alone — and its tail is an explicit cross join against
+    // the (rare, sentinel-class) over-span intervals (review r12: an
+    // nonEmpty-keys require here needlessly broke keyless callers the
+    // pre-r12 bucketed-only code served).
+    val longIv = valid.filter(spanUs > maxSpanBuckets * bucketUs)
+    val longTail =
+      (if (keys.isEmpty) points.crossJoin(longIv)
+       else points.join(longIv, keys))
+        .filter(contained)
     bucketed.unionByName(longTail)
   }
 

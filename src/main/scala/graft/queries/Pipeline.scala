@@ -120,7 +120,13 @@ object Pipeline {
     // are MBs, far under the 16 GiB scratch floor; the stamp key keeps
     // invalidation correct, and losing a tmpfs cache on reboot just
     // costs one rebuild.
-    val target = s"$idxCacheRoot/$tag$key-$stamp"
+    // '=' separates key from stamp (review r12): the sanitizer keeps
+    // '-', so a '-'-joined name made one dataset's GC prefix a PREFIX
+    // of a sibling dataset's entries (key "_data_abc" matched
+    // "_data_abc-1-<stamp>") — an hour-idle but still-queried sibling
+    // index could be reclaimed out from under its reader. '=' is
+    // sanitized out of keys, so the prefix is unambiguous.
+    val target = s"$idxCacheRoot/$tag$key=$stamp"
     // Stale-stamp GC (review r11): regenerating the source data
     // changes the stamp, and nothing else ever removes the old entry —
     // in tmpfs that is RAM leaking until reboot. Same (tag, key),
@@ -134,14 +140,14 @@ object Pipeline {
     // an hour-stale one has survived any plausible in-flight query.
     try {
       val root = new java.io.File(idxCacheRoot)
-      val prefix = s"$tag$key-"
+      val prefix = s"$tag$key="
       val cutoff = System.currentTimeMillis() - gcGraceMs
       def newestMtime(f: java.io.File): Long =
         (f.lastModified() +:
           Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
       Option(root.listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith(prefix) &&
-          f.getName != s"$tag$key-$stamp" && newestMtime(f) < cutoff)
+          f.getName != s"$tag$key=$stamp" && newestMtime(f) < cutoff)
         .foreach { stale =>
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

@@ -236,6 +236,17 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureWeights(zero, "src", 0.5)
     }
     assert(ex.getMessage.contains("zero/null"), ex.getMessage)
+    // temperatureRates: ONE corpus aggregation — the returned frame is
+    // local-only (review r12: weights + rate algebra on a lazy totals
+    // frame scanned the corpus once per collect), values identical to
+    // the two-step composition
+    val tr = Sampling.temperatureRates(docs, "src", col("toks"), 0.5)
+    val leaves = tr.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"temperatureRates plan must be local-only, got: $leaves")
+    val trMap = tr.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(trMap == rates, s"one-scan rates $trMap != composed $rates")
   }
 
   test("salted sampling decorrelates composed samplers (review r11)") {

@@ -112,6 +112,21 @@ class TemporalSpec extends SparkSpec {
     assert(got2 == got)
   }
 
+  test("rangeJoin: keyless (global) joins work, sentinel tail included " +
+    "(review r12)") {
+    val pts = Seq(
+      (t("2026-01-01 10:30:00"), 100L),
+      (t("2026-01-02 00:00:00"), 101L)).toDF("ts", "p_id")
+    val iv = Seq(
+      (t("2026-01-01 10:00:00"), t("2026-01-01 12:00:00"), 1L),
+      (t("2026-01-01 09:00:00"), t("9999-12-31 00:00:00"), 2L))
+      .toDF("start_ts", "end_ts", "i_id")
+    val got = Temporal.rangeJoin(pts, iv, Seq.empty, "ts",
+        "start_ts", "end_ts", "hour")
+      .select("p_id", "i_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 1L), (100L, 2L), (101L, 2L)), s"got $got")
+  }
+
   test("tumblingAgg rejects invalid units and empty aggregate lists") {
     val e = intercept[IllegalArgumentException] {
       Temporal.tumblingAgg(quotes, "ts", "hours", Seq("user_id"),
