@@ -72,8 +72,9 @@ class TimeSeries(val platform: Platform, protected var run: RunInfo) {
 
   /** Resolve region synonyms to their canonical region via a broadcast
     * join with the regions codelist (reference platform.py:335-349;
-    * SURVEY §2 #23). */
-  private def resolveRegions(df: DataFrame): DataFrame = {
+    * SURVEY §2 #23). private[graft]: ScenarioOperators.removeTs'
+    * after-branch keys victims by region too (review r12). */
+  private[graft] def resolveRegions(df: DataFrame): DataFrame = {
     val syn = store.regions().filter(col("mapped_to").isNotNull)
       .select(col("region").as("__alias"), col("mapped_to").as("__canonical"))
     df.join(broadcast(syn), df("region") === col("__alias"), "left")

@@ -250,13 +250,13 @@ object ScenarioIO {
     val mapping = mappingRows.drop(1).map(r => (r(0), r(1)))
 
     def itemDf(name: String): DataFrame = {
-      val partPattern = java.util.regex.Pattern.quote(name) + "\\(\\d+\\)"
-      val parts = all.map(_._1)
-        .filter(k => k == name || k.matches(partPattern))
-        .sortBy(k => if (k == name) 1 else k.stripPrefix(name + "(").stripSuffix(")").toInt)
-      require(parts.nonEmpty, s"no sheet for item '$name' in $path")
-      val header = byName(parts.head).head
-      val data = parts.flatMap(p => byName(p).drop(1))
+      // shared split-sheet stitcher (review r12 — was a hand-rolled
+      // copy of the same pattern Reporter.addFile carried)
+      require(byName.contains(name) ||
+          all.exists(_._1.matches(
+            java.util.regex.Pattern.quote(name) + "\\(\\d+\\)")),
+        s"no sheet for item '$name' in $path")
+      val (header, data) = Xlsx.stitchSheets(all, name)
       Xlsx.rowsToDf(spark, header, data)
     }
 

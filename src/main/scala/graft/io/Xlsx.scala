@@ -203,6 +203,26 @@ object Xlsx {
     spark.createDataFrame(java.util.Arrays.asList(fitted: _*), schema)
   }
 
+  /** Reassemble a `base`, `base(2)`, … split-sheet family in order
+    * (the split-at-[[MaxRows]] write convention) into (header,
+    * dataRows). ONE copy of the stitch (review r12: Reporter.addFile
+    * and ScenarioIO's item reader each hand-rolled the pattern —
+    * quote + "(\\d+)" match, base-first sort, per-sheet header drop —
+    * and had already drifted subtly). */
+  def stitchSheets(all: Seq[(String, Seq[Seq[String]])],
+      base: String): (Seq[String], Seq[Seq[String]]) = {
+    val byName = all.toMap
+    val partPattern = java.util.regex.Pattern.quote(base) + "\\(\\d+\\)"
+    val parts = all.map(_._1)
+      .filter(k => k == base || k.matches(partPattern))
+      .sortBy(k => if (k == base) 1
+        else k.stripPrefix(base + "(").stripSuffix(")").toInt)
+    require(parts.nonEmpty, s"no sheet '$base' in the workbook")
+    val header = byName(parts.head).headOption.getOrElse(
+      throw new IllegalArgumentException(s"sheet '$base' has no header row"))
+    (header, parts.flatMap(p => byName(p).drop(1)))
+  }
+
   def read(path: String): Seq[(String, Seq[Seq[String]])] = {
     val zf = new ZipFile(path)
     try {

@@ -63,8 +63,10 @@ object Skew {
       salts: Int = 16, joinType: String = "inner"): DataFrame = {
     val allowed = Set("inner", "left", "left_outer", "leftouter",
       "left_semi", "leftsemi", "left_anti", "leftanti")
-    require(allowed(joinType.toLowerCase.replace("_", "")) ||
-        allowed(joinType.toLowerCase),
+    // Locale.ROOT (review r12): "INNER".toLowerCase on a Turkish JVM
+    // is "ınner" and would fail this require on a valid join type
+    val jt = joinType.toLowerCase(java.util.Locale.ROOT)
+    require(allowed(jt.replace("_", "")) || allowed(jt),
       s"saltedJoin preserves only inner/left joins, got '$joinType'")
     // deterministic salt from the fact row's hashable columns (see
     // saltedSum — map-typed payload columns are excluded, ADVICE r10)

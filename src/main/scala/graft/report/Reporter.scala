@@ -109,17 +109,11 @@ class Reporter {
           // stitch "(2)"-suffixed continuation sheets, the repo's OWN
           // split-at-1,048,576 write convention (review r11: reading
           // only the first sheet silently lost every row past the
-          // split; ScenarioIO.readScenarioXlsx stitches, this did not)
+          // split) — via the ONE shared stitcher (review r12)
           val all = graft.io.Xlsx.read(path)
           val base = all.head._1.replaceAll("\\(\\d+\\)$", "")
-          val partPattern = java.util.regex.Pattern.quote(base) + "\\(\\d+\\)"
-          val parts = all
-            .filter(p => p._1 == base || p._1.matches(partPattern))
-            .sortBy(p => if (p._1 == base) 1
-              else p._1.stripPrefix(base + "(").stripSuffix(")").toInt)
-          val rows0 = parts.head._2
-          require(rows0.nonEmpty, s"addFile: first sheet of '$path' is empty")
-          graft.io.Xlsx.rowsToDf(spark, rows0.head, parts.flatMap(_._2.drop(1)))
+          val (header, data) = graft.io.Xlsx.stitchSheets(all, base)
+          graft.io.Xlsx.rowsToDf(spark, header, data)
         }
         else spark.read.option("header", true).csv(path)
       Quantity(df.select((dims.map(col) :+ col("value").cast("double")): _*), dims, unit)
@@ -136,7 +130,9 @@ class Reporter {
       s"'$key' (registered node)"
     else
       resolveSuperset(k) match {
-        case Some(full) =>
+        case Some((reg, full)) if full.dims == k.dims =>
+          s"'$key' (registered node, spelled '$reg')"
+        case Some((_, full)) =>
           val summed = full.dims.filterNot(k.dims.contains)
           s"'$key' = sum of '${full.toString}' over [${summed.mkString(", ")}]"
         case None => s"'$key' (NOT RESOLVABLE)"
@@ -145,21 +141,28 @@ class Reporter {
 
   /** Sum-lattice resolution shared by [[describe]] and [[get]]: the
     * smallest registered key with the same name/tag whose dims cover
-    * the request (one rule, so describe() always reports what get()
-    * actually executes). */
-  private def resolveSuperset(k: Key): Option[Key] =
-    graph.keys.map(Key.parse)
-      .filter(c => c.name == k.name && c.tag == k.tag &&
-        k.dims.forall(c.dims.contains))
+    * the request, returned WITH its registered graph spelling (review
+    * r12 — compute must route through the spelling that actually sits
+    * in the graph: routing through the parsed key's canonical
+    * toString recursed forever when the two differ, e.g. a bare-name
+    * registration "i" requested as its canonical "i:"). */
+  private def resolveSuperset(k: Key): Option[(String, Key)] =
+    graph.keys.map(s => (s, Key.parse(s)))
+      .filter { case (_, c) => c.name == k.name && c.tag == k.tag &&
+        k.dims.forall(c.dims.contains) }
       // deterministic tie-break (review r11): equal-arity covering
       // keys used to resolve by mutable-Map hash iteration order — a
       // request covered by both "d:i-j" and "d:i-k" silently summed
       // over a DIFFERENT dim run-to-run. Lexicographic key order pins
       // the choice (and keeps describe() and get() agreeing forever).
-      .minByOption(c => (c.dims.length, c.toString))
+      .minByOption { case (_, c) => (c.dims.length, c.toString) }
 
   def keys: Seq[String] = graph.keys.toSeq.sorted
 
+  /** Reference-surface alias of the [[filters_=]] setter (the
+    * reference spells it Reporter.set_filters, reporter.py:111-117);
+    * routes through the setter so the cache-clearing invariant holds
+    * for both spellings. */
   def setFilters(f: Map[String, Seq[String]]): Unit = { filters = f }
 
   // Quantity-level result cache (reference CachingBackend,
@@ -199,14 +202,19 @@ class Reporter {
   private def compute(key: String): Quantity = {
     val k = Key.parse(key)
     graph.get(key).orElse(graph.get(k.toString)).map(_()) getOrElse {
-      val full = resolveSuperset(k)
+      val (regStr, full) = resolveSuperset(k)
         .getOrElse(throw new NoSuchElementException(s"no key '$key' in the graph"))
-      // route through get(), not the node directly (review r11):
-      // synchronized is reentrant, and the direct call re-ran the full
-      // leaf scan for EVERY distinct partial-sum request instead of
-      // serving them all from the one persisted superset frame
-      val q = get(full.toString)
-      Operators.sumOver(q, keep = k.dims)
+      // route through get() ON THE REGISTERED SPELLING, not the node
+      // directly (review r11: synchronized is reentrant, and the
+      // direct call re-ran the full leaf scan for EVERY distinct
+      // partial-sum request) and not the canonical toString (review
+      // r12: when the registration spelling differs — a bare-name "i"
+      // requested as "i:" — get(full.toString) missed the graph,
+      // resolved back here, and recursed to StackOverflowError).
+      // regStr always hits graph.get directly, so this terminates.
+      val q = get(regStr)
+      if (full.dims == k.dims) q // same key, different spelling
+      else Operators.sumOver(q, keep = k.dims)
     }
   }
 
@@ -548,12 +556,23 @@ object Operators {
   }
 
   /** genno sub: element-wise difference a − b (same broadcast-on-
-    * common-dims semantics as [[product]]/[[ratio]]; units must agree,
-    * like [[add]]). */
+    * common-dims semantics as [[product]]/[[ratio]]). COMPATIBLE units
+    * convert — b is scaled into a's unit like [[add]] does (review
+    * r12: sub required byte-identical unit STRINGS while its sibling
+    * converted, so `1 t − 500 kg` raised and even `kW*a` vs `a * kW`
+    * — the same unit, spelled differently — was refused); truly
+    * incompatible units still raise. */
   def sub(a: Quantity, b: Quantity): Quantity = {
-    require(a.unit == b.unit,
-      s"sub requires identical units, got '${a.unit}' and '${b.unit}'")
-    combine(a, b, (x, y) => x - y, (ua, _) => ua)
+    val bAligned =
+      if (a.unit == b.unit) b
+      else Units.conversionFactor(
+          Units.parse(b.unit), Units.parse(a.unit)) match {
+        case Some(f) =>
+          b.copy(df = b.df.withColumn("value", col("value") * f))
+        case None => throw new IllegalArgumentException(
+          s"sub: incompatible units '${a.unit}' vs '${b.unit}'")
+      }
+    combine(a, bAligned, (x, y) => x - y, (ua, _) => ua)
   }
 
   /** genno group_sum: sum over dim `sum` within groups of dim `group`
@@ -630,7 +649,7 @@ object Operators {
   def writeReport(q: Quantity, path: String): Unit = {
     val out = q.df.select(q.dims.map(col) :+ col("value") :+
       lit(q.unit).as("unit"): _*)
-    if (path.toLowerCase.endsWith(".xlsx")) {
+    if (path.toLowerCase(java.util.Locale.ROOT).endsWith(".xlsx")) {
       val header: Seq[Any] = q.dims ++ Seq("value", "unit")
       val rows = out.collect().iterator.map(_.toSeq.map {
         case null => ""

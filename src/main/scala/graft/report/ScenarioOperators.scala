@@ -32,8 +32,13 @@ object ScenarioOperators {
     ts.transact(comment) {
       // normalize ONCE so both branches accept the same layouts
       // (review r9: the after-branch required exact lowercase columns
-      // while the no-after branch tolerated IAMC-style headers)
-      val k = graft.util.Util.toIamcLayout(keys)
+      // while the no-after branch tolerated IAMC-style headers), and
+      // resolve region synonyms like every TS write/delete path
+      // (review r12: the after-branch semi-joined RAW user regions
+      // against canonical stored ones — a synonym-keyed removal
+      // silently deleted nothing while the no-after branch, routing
+      // through removeTimeseries, resolved and deleted)
+      val k = ts.resolveRegions(graft.util.Util.toIamcLayout(keys))
       after match {
         case None => ts.removeTimeseries(k)
         case Some(y0) =>

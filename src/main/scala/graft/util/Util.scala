@@ -87,7 +87,11 @@ object Util {
     * rename, inject subannual="Year" default; region/variable/unit
     * required. */
   def toIamcLayout(df: DataFrame): DataFrame = {
-    var out = df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
+    // Locale.ROOT (review r12): the default-locale toLowerCase turns
+    // "REGION" into "regıon" on a Turkish-locale JVM — the require
+    // below then rejects a perfectly valid IAMC frame
+    var out = df.toDF(df.columns.map(
+      _.toLowerCase(java.util.Locale.ROOT)).toIndexedSeq: _*)
     if (out.columns.contains("node") && !out.columns.contains("region"))
       out = out.withColumnRenamed("node", "region")
     val missing = Seq("region", "variable", "unit").filterNot(out.columns.contains)
@@ -126,17 +130,26 @@ object Util {
     // misclassified the row, and key-only frames crashed on a
     // nonexistent probe column) — pandas merge(indicator=True) tracks
     // key presence, so must we
+    val valueColsB = b.columns.filterNot(on.contains)
     val ra = valueCols.foldLeft(a) { (d, c) => d.withColumnRenamed(c, s"${c}_a") }
-      .withColumn("__in_a", lit(1))
-    val rb = b.columns.filterNot(on.contains)
+      .withColumn("__in_a", lit(1)).alias("__dl")
+    val rb = valueColsB
       .foldLeft(b) { (d, c) => d.withColumnRenamed(c, s"${c}_b") }
-      .withColumn("__in_b", lit(1))
-    ra.join(rb, on, "full_outer")
-      .withColumn("merge_ind",
-        when(col("__in_a").isNull, "right_only")
+      .withColumn("__in_b", lit(1)).alias("__dr")
+    // null-SAFE key equality (review r12, the updatePar r11 rule):
+    // pandas merge — the stated reference — matches NaN keys, so a
+    // null-dim row present on both sides is ONE 'both' row with its
+    // values paired; a plain using-columns join's EqualTo never
+    // matches null, which split it into a phantom left_only +
+    // right_only pair and lost the value comparison.
+    val cond = on.map(k => col(s"__dl.$k") <=> col(s"__dr.$k")).reduce(_ && _)
+    ra.join(rb, cond, "full_outer")
+      .select(on.map(k => coalesce(col(s"__dl.$k"), col(s"__dr.$k")).as(k)) ++
+        valueCols.map(c => col(s"${c}_a")) ++
+        valueColsB.map(c => col(s"${c}_b")) ++
+        Seq(when(col("__in_a").isNull, "right_only")
           .when(col("__in_b").isNull, "left_only")
-          .otherwise("both"))
-      .drop("__in_a", "__in_b")
+          .otherwise("both").as("merge_ind")): _*)
       .orderBy(on.map(col): _*)
   }
 
@@ -252,8 +265,22 @@ object Units {
             throw new IllegalArgumentException(
               s"cannot parse unit '$s' (unbalanced '(')")
           toks = rest.tail
+          // group exponent — "(kW*a)**2" (review r12): the normalizer
+          // leaves "^2" as the token after ')'; it previously fell
+          // through to the factor case, parsed as a phantom ''-named
+          // token, and the squaring was silently DROPPED (canonical()
+          // skips empty base tokens), so wrong-dimensionality
+          // conversions succeeded
+          val gexp = toks.headOption.filter(_.startsWith("^")) match {
+            case Some(t) =>
+              toks = toks.tail
+              t.drop(1).trim.toIntOption.getOrElse(
+                throw new IllegalArgumentException(
+                  s"cannot parse unit '$s' (group exponent '$t')"))
+            case None => 1
+          }
           inner.foreach { case (k, e) =>
-            exps = exps.updated(k, exps(k) + sign * e)
+            exps = exps.updated(k, exps(k) + sign * e * gexp)
           }
           sign = 1
         case "1" =>
@@ -271,6 +298,9 @@ object Units {
               case _ =>
                 throw new IllegalArgumentException(s"cannot parse unit '$s'")
             }
+            if (name.isEmpty)
+              throw new IllegalArgumentException(
+                s"cannot parse unit '$s' (dangling exponent '$sub')")
             if (name.matches("[0-9.]+"))
               throw new IllegalArgumentException(
                 s"cannot parse unit '$s' (numeric magnitude '$name')")

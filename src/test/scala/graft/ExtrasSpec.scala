@@ -285,11 +285,48 @@ class ExtrasSpec extends SparkSpec {
       Seq(("World", "GDP", "USD")).toDF("region", "variable", "unit"),
       after = Some(2010))
     assert(ScenarioOperators.getTs(s).select("year").as[Int].collect().toSeq == Seq(2000))
+    // synonym-keyed after-removal resolves regions (review r12): the
+    // raw semi-join against canonical stored regions silently deleted
+    // NOTHING for a synonym key
+    mp.addRegionSynonym("Globe", "World")
+    ScenarioOperators.removeTs(s,
+      Seq(("Globe", "GDP", "USD")).toDF("region", "variable", "unit"),
+      after = Some(1990))
+    assert(ScenarioOperators.getTs(s).count() == 0,
+      "a synonym-keyed remove_ts(after) must delete canonical-region rows")
     ScenarioOperators.updateScenario(s, "d",
       Seq(("seattle", "chicago", 2.2, "km")).toDF("i", "j", "value", "unit"))
     assert(s.par("d", Map("i" -> Seq("seattle"), "j" -> Seq("chicago")))
       .select("value").as[Double].head() == 2.2)
     assert(ScenarioOperators.fromUrl(mp, s"m/s#${s.version}").runId == s.runId)
+  }
+
+  test("diff matches null keys like pandas merge (review r12)") {
+    val a = Seq((Option("x"), 1.0), (None: Option[String], 2.0))
+      .toDF("k", "v")
+    val b = Seq((Option("x"), 1.5), (None: Option[String], 2.5))
+      .toDF("k", "v")
+    val got = graft.util.Util.diff(a, b, Seq("k")).collect()
+      .map(r => (Option(r.getString(0)), r.getDouble(1), r.getDouble(2),
+        r.getString(3))).toSet
+    // the null-key row is ONE 'both' row with values paired — a plain
+    // join split it into phantom left_only/right_only halves
+    assert(got == Set(
+      (Some("x"), 1.0, 1.5, "both"),
+      (None, 2.0, 2.5, "both")), s"got $got")
+  }
+
+  test("toIamcLayout is locale-independent (review r12)") {
+    val prev = java.util.Locale.getDefault
+    java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+    try {
+      // "REGION".toLowerCase under tr is "regıon" (dotless ı) — the
+      // default-locale lowercase rejected a valid IAMC frame
+      val df = Seq(("World", "GDP", "USD", 2020, 1.0))
+        .toDF("REGION", "VARIABLE", "UNIT", "YEAR", "VALUE")
+      val out = graft.util.Util.toIamcLayout(df)
+      assert(Seq("region", "variable", "unit").forall(out.columns.contains))
+    } finally java.util.Locale.setDefault(prev)
   }
 
   test("setMeta on disjoint target levels coexists; shared-context still replaces") {

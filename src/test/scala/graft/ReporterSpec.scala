@@ -61,6 +61,21 @@ class ReporterSpec extends SparkSpec {
     assert(elems == Map("seattle" -> 1.0, "san-diego" -> 1.0))
   }
 
+  test("get resolves the canonical spelling of a bare-name registration " +
+    "(review r12)") {
+    val s = solvedScenario()
+    val r = Reporter.fromScenario(s)
+    // sets register under the bare name "i"; its canonical Key
+    // spelling is "i:" — requesting that spelling used to recurse
+    // get→compute→get to StackOverflowError (the superset resolver
+    // returned a key whose toString was exactly the missing request)
+    val viaCanonical = r.get("i:")
+    val direct = r.get("i")
+    assert(viaCanonical.dims == direct.dims &&
+      viaCanonical.df.collect().toSet == direct.df.collect().toSet)
+    assert(r.describe("i:").contains("spelled 'i'"), r.describe("i:"))
+  }
+
   test("sums lattice is inferred lazily: d:i, d:j, d: (test_reporter.py:48-53)") {
     val s = solvedScenario()
     val r = Reporter.fromScenario(s)
@@ -355,6 +370,16 @@ class ReporterSpec extends SparkSpec {
     assert(math.abs(dm(("b", "y")) - (-1.5)) < 1e-12)
     intercept[IllegalArgumentException](
       Operators.sub(q, Quantity(df, Seq("r", "t"), "km")))
+    // COMPATIBLE units convert like add (review r12): b in MW scales
+    // into a's GW — v/2 GW expressed as v*500 MW subtracts identically
+    val halfMw = Quantity(df.withColumn("value", col("value") * 500),
+      Seq("r", "t"), "MW")
+    val d2 = Operators.sub(q, halfMw)
+    assert(d2.unit == "GW")
+    val dm2 = d2.df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(dm.forall { case (k, v) => math.abs(dm2(k) - v) < 1e-9 },
+      s"MW-expressed subtrahend must convert: $dm2 vs $dm")
 
     // group_sum: sum over t within groups of r ≡ sumOver(keep = r)
     val gs = Operators.groupSum(q, group = "r", sum = "t")

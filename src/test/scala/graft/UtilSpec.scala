@@ -68,6 +68,25 @@ class UtilSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Units.parse("USD/(kW"))
   }
 
+  test("unit parse: paren-group exponents apply to every member " +
+    "(review r12)") {
+    // the "^2" after ')' previously parsed as a phantom ''-named token
+    // and the squaring silently VANISHED — a wrong-dimensionality
+    // conversion then succeeded with factor 1.0
+    assert(Units.parse("(kW*a)**2").exponents == Map("kW" -> 2, "a" -> 2))
+    assert(Units.parse("USD/(kW*a)^2").exponents ==
+      Map("USD" -> 1, "kW" -> -2, "a" -> -2))
+    assert(Units.conversionFactor(
+      Units.parse("(kW*a)**2"), Units.parse("kW^2 * a^2")).contains(1.0))
+    assert(Units.conversionFactor(
+      Units.parse("(kW*a)**2"), Units.parse("kW*a")).isEmpty,
+      "a squared unit must NOT convert to its first power")
+    // dangling exponents are refused, not silently dropped
+    intercept[IllegalArgumentException](Units.parse("^2"))
+    intercept[IllegalArgumentException](Units.parse("km * ^2"))
+  }
+
+
   test("checkYear/asStr stay faithful outside int/long range (review r11)") {
     intercept[IllegalArgumentException](
       Util.checkYear(Some(5000000000L), "y"))
