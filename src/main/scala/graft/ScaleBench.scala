@@ -27,8 +27,9 @@ object ScaleBench {
       "d37_mixture_sample", "d38_mixture_epochs", "d39_url_dedup",
       // round-11 newcomer
       "d40_epoch_shuffle",
-      // round-12 newcomer
-      "d41_bm25")
+      // round-12 newcomers
+      "d41_bm25", "d42_ccnet_buckets", "d43_temperature_mix",
+      "e11_sq_codes", "e12_knn_sq8")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

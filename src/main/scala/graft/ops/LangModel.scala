@@ -88,6 +88,36 @@ object LangModel {
       .agg(count(lit(1)).as("n_pairs"), avg(col("nll")).as("avg_nll"))
   }
 
+  /** CCNet's bucketing step (Wenzek 2020 §4.3): split each language's
+    * documents into equal head / middle / tail thirds by LM score
+    * (head = most reference-like; CCNet trains downstream models on
+    * head+middle and drops or deprioritizes tail). The split is
+    * `ntile(3)` over (score, id) — pure integer rank logic with a
+    * deterministic tie-break, chosen over interpolated percentile
+    * CUTOFFS deliberately: an interpolated threshold is a derived
+    * double that can land within an ulp of an actual score and flip a
+    * bucket between engines, while equal-rank splitting has no float
+    * comparison at all. Earlier buckets take the +1 remainder rows
+    * (standard SQL ntile, identical in DuckDB — what the d42 oracle
+    * relies on).
+    *
+    * Scale: one per-group sort shuffle (the same cost class as any
+    * ranking). At 100 TB CCNet itself derives the two cutoffs from a
+    * SAMPLE and applies them map-side; that variant is
+    * `percentile_approx` on a sampled slice + a broadcast-join filter,
+    * trading the exact equal split for a shuffle-free apply. */
+  def perplexityBuckets(scored: DataFrame, groupCol: String,
+      scoreCol: String, idCol: String = "id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(scoreCol), col(idCol))
+    scored.withColumn("__t", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("__t") === 1, lit("head"))
+          .when(col("__t") === 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__t")
+  }
+
   /** Interpolated-trigram model tables (all broadcast-sized for a
     * fixed reference slice): counts per n-gram order plus the unigram
     * smoothing constants. Each order counts every n-gram that exists —

@@ -201,7 +201,15 @@ object Sampling {
     require(pairs.map(_._1).distinct.length == pairs.length,
       "temperatureWeights: duplicate source rows - pass ONE totals row per source")
     val sorted = pairs.sortBy(_._1)
-    val pw = sorted.map { case (s, n) => (s, math.pow(n.toDouble, alpha)) }
+    // α = 0.5 (a common production choice) goes through sqrt, which
+    // IEEE-754 requires to be correctly rounded — the weights are then
+    // bit-identical cross-engine and the d43 gate can oracle-check the
+    // whole plan. General pow is only ~1-ulp-accurate per libm, so
+    // other α values stay spec-proven rather than oracle-gated.
+    val pw = sorted.map { case (s, n) =>
+      (s, if (alpha == 0.5) math.sqrt(n.toDouble)
+          else math.pow(n.toDouble, alpha))
+    }
     val z = pw.foldLeft(0.0)(_ + _._2) // fixed (sorted) summation order
     pw.map { case (s, x) => s -> x / z }.toMap
   }

@@ -409,6 +409,34 @@ object Pipeline {
     idx.query(q, 5, nProbe = 2, fetch = 20).orderBy("qid", "rank")
   }
 
+  /** Scalar-quantization (SQ8) byte codes under the per-dimension
+    * min/max model trained on the corpus itself (graft.ops.Sq) — the
+    * cheapest rung of the quantization ladder (4× memory, one min/max
+    * training pass, no codebook). min/max are exact aggregates and the
+    * encode rounding is deterministic double arithmetic, so the oracle
+    * re-derives the model AND every byte code bit-for-bit. */
+  def e11SqCodes(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val model = graft.ops.Sq.train(e, "vec")
+    graft.ops.Sq.encode(e, "vec", model)
+      .select(col("id").as("vec_id"),
+        posexplode(col("codes")).as(Seq("d", "code")))
+      .orderBy("vec_id", "d")
+  }
+
+  /** Compressed-domain kNN over SQ8 codes (graft.ops.Sq.adcKnn):
+    * asymmetric cosine of the raw query against inline-decoded
+    * candidates. Unlike the trained PQ/IVF search gates this one is
+    * FULLY oracle-proven — decode, dot and norms are sequential double
+    * math, so every similarity and rank hash-matches DuckDB (no
+    * rows-only caveat anywhere in the SQ pipeline). */
+  def e12KnnSq8(s: SparkSession, dir: String): DataFrame = {
+    val (e, q) = knnInputs(s, dir)
+    val model = graft.ops.Sq.train(e, "vec")
+    graft.ops.Sq.adcKnn(graft.ops.Sq.encode(e, "vec", model), q, model, 5)
+      .orderBy("qid", "rank")
+  }
+
   /** SemDeDup-style semantic dedup over the embeddings table
     * (cluster → within-cell cosine pairs → connected-component
     * collapse → canonical keep-set), fully deterministic (md5-seeded
@@ -1159,8 +1187,50 @@ object Pipeline {
     graft.ops.Relevance.bm25(docs(s, dir), "doc_id", "text",
       Seq("join", "hash", "dup"))
 
+  /** CCNet perplexity bucketing (graft.ops.LangModel
+    * .perplexityBuckets): d27's bigram-LM scores split per language
+    * into equal head/middle/tail thirds by ntile over (rounded score,
+    * doc_id) — integer rank logic end to end, so the oracle reproduces
+    * every bucket assignment, not just the split sizes. Docs with < 2
+    * words have no score and drop (gate those on length, not
+    * perplexity — scoreNll's contract). */
+  def d42CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val (bg, cx, v) = graft.ops.LangModel.trainBigram(
+      d.filter(col("doc_id") < 250))
+    val scored = graft.ops.LangModel.scoreNll(d, bg, cx, v)
+      .select(col("id").as("doc_id"), round(col("avg_nll"), 4).as("ppl"))
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+    graft.ops.LangModel.perplexityBuckets(scored, "lang", "ppl", "doc_id")
+      .select(col("doc_id"), col("lang"), col("ppl"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-scaled (α = 0.5) mixture sampling — the mT5/XLM-R
+    * α-sampling pattern over graft.ops.Sampling.temperatureRates +
+    * applyRates: per-language weights w ∝ √tokens (sqrt is IEEE
+    * correctly-rounded, so unlike general pow the weights are
+    * bit-identical cross-engine), normalized in sorted-language order,
+    * fed through the no-upsampling rate algebra, applied as the 60-bit
+    * hash Bernoulli. The gate reports each language's planned rate AND
+    * its kept docs/tokens — plan and kept SET both oracle-proven. */
+  def d43TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("n_words",
+      size(TextFunctions.words(col("text"))))
+    val rates = graft.ops.Sampling.temperatureRates(
+      d, "lang", col("n_words"), alpha = 0.5)
+    graft.ops.Sampling.applyRates(d, "doc_id", "lang", rates)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"))
+      .join(rates.select(col("lang"), round(col("rate"), 6).as("rate")), "lang")
+      .select(col("lang"), col("rate"), col("n_docs"), col("n_tokens"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d41_bm25" -> d41Bm25 _,
+    "d42_ccnet_buckets" -> d42CcnetBuckets _,
+    "d43_temperature_mix" -> d43TemperatureMix _,
     "d10_pipeline_compose" -> d10PipelineCompose _,
     "d01_dedup_exact" -> d01DedupExact _,
     "d02_fingerprint" -> d02Fingerprint _,
@@ -1222,7 +1292,9 @@ object Pipeline {
     "e07_semantic_dedup" -> e07SemanticDedup _,
     "e08_pq_rotated" -> e08PqRotated _,
     "e09_pq_opq" -> e09PqOpq _,
-    "e10_knn_opq_ivfpq" -> e10KnnOpqIvfPq _)
+    "e10_knn_opq_ivfpq" -> e10KnnOpqIvfPq _,
+    "e11_sq_codes" -> e11SqCodes _,
+    "e12_knn_sq8" -> e12KnnSq8 _)
 
   /** The ONE copy of the md5-simhash signature CTEs (review r11: d08/
     * d11/d12/d19 carried four hand-synced copies — a change to the
@@ -1740,6 +1812,48 @@ object Pipeline {
         |SELECT doc_id,
         |  round(coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0), 4) AS score
         |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // d27's scoring CTEs + per-lang ntile(3) over (rounded score, id)
+    // — integer rank logic, no interpolated-threshold knife-edge
+    "d42_ccnet_buckets" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |pr AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(ws)), i -> {'prev': ws[i], 'cur': ws[i + 1]})) AS p
+        |  FROM w WHERE len(ws) >= 2),
+        |dp AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM pr),
+        |bg AS (SELECT prev, cur, count(*) AS n FROM dp WHERE doc_id < 250 GROUP BY 1, 2),
+        |cx AS (SELECT prev, count(*) AS n_ctx FROM dp WHERE doc_id < 250 GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT word) + 1 AS v FROM
+        |  (SELECT unnest(ws) AS word FROM w WHERE doc_id < 250 AND len(ws) >= 2)),
+        |sc AS (SELECT doc_id,
+        |  -ln((coalesce(n, 0) + 1) / CAST(coalesce(n_ctx, 0) + v AS DOUBLE)) AS nll
+        |  FROM dp LEFT JOIN bg USING (prev, cur) LEFT JOIN cx USING (prev) CROSS JOIN vv),
+        |ppl AS (SELECT doc_id, round(avg(nll), 4) AS ppl FROM sc GROUP BY doc_id),
+        |pl AS (SELECT p.doc_id, d.lang, p.ppl FROM ppl p JOIN documents d USING (doc_id)),
+        |nt AS (SELECT doc_id, lang, ppl,
+        |  ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS t FROM pl)
+        |SELECT doc_id, lang, ppl,
+        |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM nt ORDER BY doc_id""".stripMargin,
+    // alpha-sampling at 0.5: w = sqrt(n) normalized in sorted-lang
+    // order (sqrt is correctly rounded -> cross-engine bit-exact),
+    // then d37's rate algebra and hash filter
+    "d43_temperature_mix" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw FROM documents),
+        |st AS (SELECT lang, CAST(sum(nw) AS BIGINT) AS n FROM t GROUP BY lang),
+        |pw AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS pwr FROM st),
+        |z AS (SELECT list_reduce(list(pwr ORDER BY lang), (a, b) -> a + b) AS z FROM pw),
+        |sw AS (SELECT lang, n, pwr / z AS wt FROM pw CROSS JOIN z),
+        |b AS (SELECT min(CAST(n AS DOUBLE) / wt) AS budget FROM sw),
+        |r AS (SELECT lang, n, least(1.0, wt * budget / CAST(n AS DOUBLE)) AS rate
+        |      FROM sw CROSS JOIN b),
+        |kept AS (SELECT t.doc_id, t.lang, t.nw FROM t JOIN r USING (lang)
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT AS DOUBLE)
+        |      / 1152921504606846976.0 < rate)
+        |SELECT k.lang, round(r.rate, 6) AS rate,
+        |  count(*) AS n_docs, CAST(sum(k.nw) AS BIGINT) AS n_tokens
+        |FROM kept k JOIN r USING (lang) GROUP BY k.lang, r.rate
+        |ORDER BY k.lang""".stripMargin,
     "d39_url_dedup" ->
       """WITH inj AS (SELECT doc_id,
         |  'HTTPS://Site' || (doc_id % 7) || '.Example.org:443/p/' || (doc_id % 20)
@@ -2090,6 +2204,45 @@ object Pipeline {
         |  row_number() OVER (PARTITION BY vec_id, mm ORDER BY dist, j) AS rk FROM sub)
         |SELECT vec_id, CAST(mm AS INTEGER) AS m, CAST(j AS INTEGER) AS code
         |FROM rk WHERE rk = 1 ORDER BY vec_id, m""".stripMargin,
+    // SQ8: per-dim min/max are exact aggregates; code = floor((x-mn)/
+    // (mx-mn)*255 + 0.5) clamped — the Sq.SqEncodeExpr formula verbatim
+    "e11_sq_codes" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dims AS (SELECT unnest(range(0, 64)) AS d),
+        |st AS (SELECT d, min(v[d + 1]) AS mn, max(v[d + 1]) AS mx
+        |       FROM e CROSS JOIN dims GROUP BY d)
+        |SELECT e.vec_id, CAST(st.d AS INTEGER) AS d,
+        | CAST(CASE WHEN st.mx = st.mn THEN 0
+        |      ELSE least(255.0, greatest(0.0,
+        |        floor((e.v[st.d + 1] - st.mn) / (st.mx - st.mn) * 255.0 + 0.5))) END
+        |   AS INTEGER) AS code
+        |FROM e CROSS JOIN st ORDER BY vec_id, d""".stripMargin,
+    // the whole SQ kNN pipeline re-derived: model -> codes -> inline
+    // decode (mn + code*((mx-mn)/255)) -> e01's cosine/rank recipe
+    "e12_knn_sq8" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dims AS (SELECT unnest(range(0, 64)) AS d),
+        |stat AS (SELECT d, min(v[d + 1]) AS mn, max(v[d + 1]) AS mx
+        |         FROM e CROSS JOIN dims GROUP BY d),
+        |st AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM stat),
+        |c AS (SELECT id, v, list_transform(range(0, 64), d ->
+        |   CASE WHEN mxs[d + 1] = mns[d + 1] THEN 0.0
+        |        ELSE least(255.0, greatest(0.0,
+        |          floor((v[d + 1] - mns[d + 1]) / (mxs[d + 1] - mns[d + 1]) * 255.0 + 0.5))) END)
+        |  AS codes FROM e CROSS JOIN st),
+        |r AS (SELECT id, list_transform(range(0, 64), d ->
+        |   mns[d + 1] + codes[d + 1] * ((mxs[d + 1] - mns[d + 1]) / 255.0)) AS recon
+        |  FROM c CROSS JOIN st),
+        |q AS (SELECT id AS qid, v AS qvec FROM e WHERE id < 10),
+        |sims AS (SELECT qid, r.id,
+        |  list_sum(list_transform(range(1, 65), i -> qvec[i] * recon[i]))
+        |   / (sqrt(list_sum(list_transform(recon, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(qvec, x -> x * x)))) AS sim
+        |  FROM r CROSS JOIN q WHERE r.id <> qid),
+        |ranked AS (SELECT qid, id, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM sims)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // Mirrors every float op of the deterministic IVF-PQ build+query in
     // Spark's exact sequential order: unit-normalize multiplies by
     // (1/sqrt(ss)) — NOT divides — because VecUnit does; dots/dists are

@@ -1261,6 +1261,35 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
   }
 
+  test("perplexityBuckets: equal thirds per group, score-ordered, " +
+      "deterministic tie-break (d42)") {
+    import graft.ops.LangModel
+    // en: 7 docs (ntile sizes 3/2/2 — earlier buckets take the
+    // remainder), de: 3 docs (1/1/1); two en docs tie at score 2.0
+    val scored = Seq(
+      (1L, "en", 5.0), (2L, "en", 1.0), (3L, "en", 3.0), (4L, "en", 2.0),
+      (5L, "en", 2.0), (6L, "en", 7.0), (7L, "en", 4.0),
+      (10L, "de", 9.0), (11L, "de", 8.0), (12L, "de", 7.5))
+      .toDF("id", "lang", "ppl")
+    val got = LangModel.perplexityBuckets(scored, "lang", "ppl")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // en ascending by (ppl, id): 2(1.0) 4(2.0) 5(2.0) | 3(3.0) 7(4.0) |
+    // 1(5.0) 6(7.0)
+    assert(got(2L) == "head" && got(4L) == "head" && got(5L) == "head")
+    assert(got(3L) == "middle" && got(7L) == "middle")
+    assert(got(1L) == "tail" && got(6L) == "tail")
+    // de: one per bucket, lowest score = head
+    assert(got(12L) == "head" && got(11L) == "middle" && got(10L) == "tail")
+    // head scores never exceed middle, middle never exceed tail (per group)
+    val rows = LangModel.perplexityBuckets(scored, "lang", "ppl")
+      .collect().map(r => (r.getString(1), r.getString(3), r.getDouble(2)))
+    for (lang <- Seq("en", "de")) {
+      def mx(b: String) = rows.collect { case (`lang`, `b`, s) => s }.max
+      def mn(b: String) = rows.collect { case (`lang`, `b`, s) => s }.min
+      assert(mx("head") <= mn("middle") && mx("middle") <= mn("tail"))
+    }
+  }
+
   test("interpolated trigram: hand-computed nll, OOV floor, broadcast plan") {
     import graft.ops.LangModel
     // reference "a b a b c": unigrams a:2 b:2 c:1 (N=5, V=4);

@@ -218,8 +218,11 @@ class SamplingSpec extends SparkSpec {
     val w1 = Sampling.temperatureWeights(totals, "src", 1.0)
     assert(w1("web") == 0.9 && w1("wiki") == 0.1, s"got $w1")
     // alpha = 0.5: hand-computed sqrt scaling in sorted-source order
+    // (the implementation routes 0.5 through math.sqrt — correctly
+    // rounded per IEEE-754, which is what lets the d43 gate mirror the
+    // weights in a DuckDB oracle; general pow is only ~1-ulp libm)
     val w05 = Sampling.temperatureWeights(totals, "src", 0.5)
-    val (pwWeb, pwWiki) = (math.pow(900.0, 0.5), math.pow(100.0, 0.5))
+    val (pwWeb, pwWiki) = (math.sqrt(900.0), math.sqrt(100.0))
     val z = pwWeb + pwWiki // sorted order: web < wiki
     assert(w05("web") == pwWeb / z && w05("wiki") == pwWiki / z, s"got $w05")
     assert(w05("wiki") > 0.1 && w05("web") < 0.9,

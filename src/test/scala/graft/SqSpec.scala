@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Similarity, Sq, SqModel}
+
+/** Scalar quantization (SQ8): min/max training, encode bounds, clamp
+  * and zero-width edges, partition invariance, and compressed-domain
+  * kNN quality vs brute force (gates e11/e12 prove encode and search
+  * against the DuckDB oracle bit-for-bit). */
+class SqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.01/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("train: per-dimension min/max match a driver-side scan exactly") {
+    val model = Sq.train(emb, "vec")
+    assert(model.dim == 64)
+    val rows = emb.select(col("vec").cast("array<double>"))
+      .as[Seq[Double]].collect()
+    for (d <- 0 until 64) {
+      assert(model.vmin(d) == rows.map(_(d)).min)
+      assert(model.vmax(d) == rows.map(_(d)).max)
+    }
+    assert((0 until 64).forall(d => model.vmin(d) < model.vmax(d)))
+  }
+
+  test("encode: recon error bounded by half a quantization step per dim") {
+    val model = Sq.train(emb, "vec")
+    val rows = Sq.encode(emb, "vec", model)
+      .select(col("vec").cast("array<double>").as("v"), col("codes"))
+      .as[(Seq[Double], Seq[Int])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, codes) =>
+      assert(codes.length == 64)
+      for (d <- 0 until 64) {
+        val step = (model.vmax(d) - model.vmin(d)) / 255.0
+        val recon = model.vmin(d) + codes(d) * step
+        assert(codes(d) >= 0 && codes(d) <= 255)
+        // floor(r*255 + 0.5) is round-half-up: |x - recon| <= step/2
+        assert(math.abs(v(d) - recon) <= step / 2.0 + 1e-12,
+          s"dim $d: x=${v(d)} recon=$recon step=$step")
+      }
+    }
+  }
+
+  test("encode: out-of-range inputs clamp to 0/255; zero-width dim codes 0") {
+    // model over a fixed 2-dim corpus: dim0 spans [0, 10], dim1 constant
+    val train = Seq((1L, Seq(0.0, 7.0)), (2L, Seq(10.0, 7.0)))
+      .toDF("id", "vec")
+    val model = Sq.train(train, "vec")
+    assert(model.vmin(0) == 0.0 && model.vmax(0) == 10.0)
+    assert(model.vmin(1) == 7.0 && model.vmax(1) == 7.0)
+    val probe = Seq((3L, Seq(-99.0, 123.0)), (4L, Seq(999.0, -1.0)),
+      (5L, Seq(5.0, 7.0))).toDF("id", "vec")
+    val got = Sq.encode(probe, "vec", model)
+      .select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(got(3L) == Seq(0, 0))   // below range clamps; constant dim -> 0
+    assert(got(4L) == Seq(255, 0)) // above range clamps
+    assert(got(5L) == Seq(128, 0)) // midpoint: floor(0.5*255 + 0.5) = 128
+  }
+
+  test("codes are partition-invariant") {
+    val model = Sq.train(emb, "vec")
+    val a = Sq.encode(emb.repartition(1), "vec", model)
+      .select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+    val b = Sq.encode(emb.repartition(7), "vec", model)
+      .select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(a == b)
+  }
+
+  test("adcKnn recall vs brute force is near-exact at SQ8 fidelity") {
+    val q = emb.filter(col("id") < 10)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = Similarity.bruteForceKnn(emb, q, 5)
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val model = Sq.train(emb, "vec")
+    val got = Sq.adcKnn(Sq.encode(emb, "vec", model), q, model, 5)
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == exact.keySet)
+    val recall = exact.map { case (qid, ids) =>
+      got(qid).intersect(ids).size.toDouble / ids.size
+    }.sum / exact.size
+    // 8 bits/dim keeps neighbor order almost perfectly at this scale
+    assert(recall >= 0.9, s"SQ8 recall@5 = $recall")
+  }
+
+  test("adcKnn: a zero-norm query yields no rows, never NaN ranks") {
+    val model = Sq.train(emb, "vec")
+    val zq = Seq((9999L, Seq.fill(64)(0.0f))).toDF("qid", "qvec")
+    assert(Sq.adcKnn(Sq.encode(emb, "vec", model), zq, model, 5).count() == 0L)
+  }
+
+  test("train fails loudly on an empty corpus") {
+    val empty = emb.filter(col("id") < -1)
+    val err = intercept[IllegalArgumentException](Sq.train(empty, "vec"))
+    assert(err.getMessage.contains("empty"))
+  }
+}
