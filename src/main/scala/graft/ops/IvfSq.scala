@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CatalystFunctions.{vecSub, vecUnit}
+
+/** IVF + scalar quantization (the FAISS "IVF<x>,SQ8" index): coarse
+  * cells prune the candidate set exactly like [[IvfPq]], but survivors
+  * score against SQ8-encoded RESIDUALS — one byte per dimension
+  * instead of PQ's one byte per subspace. 4× memory (vs PQ's 32×) buys
+  * near-exact ranking with no codebook training: the residual model is
+  * a per-dimension min/max pass. The production middle ground when
+  * IVF-PQ's quantization error costs too much recall and raw-vector
+  * IVF costs too much memory.
+  *
+  * All vectors unit-normalize at build/query (native `VecUnit`), so
+  * every score is a cosine split dot(q, x) = dot(q, c_cell) +
+  * dot(q, residual) — the first term exact from probing, the second
+  * from the fused decode+dot `SqDotExpr`. With `md5Seeds = true` and
+  * `refineIters = 0` the ENTIRE pipeline (cells → residuals → min/max
+  * → codes → decode → score → rerank) is sequential deterministic
+  * double math — gate e13 hash-matches a DuckDB oracle end to end,
+  * which no trained-PQ composition can (Lloyd iterations are
+  * engine-specific).
+  *
+  * Scale shape: identical to [[IvfPq]] — the queryable index is
+  * (id, cell, codes), the raw corpus is touched only by the
+  * broadcast-shortlist rerank, and the only wide exchanges are the
+  * assignment shuffle and the per-query top-k window.
+  */
+final class IvfSqIndex private[ops] (
+    val ivf: IvfIndex,
+    val model: SqModel,
+    encoded: DataFrame, // (id, cell, codes) — the compact queryable index
+    corpusUnit: DataFrame, // raw unit vectors, only for the rerank pass
+    persisted: Boolean) {
+
+  def nCells: Int = ivf.nCells
+  def defaultProbe: Int = ivf.defaultProbe
+
+  /** Top-k per (qid, qvec) row; `nProbe` <= 0 probes the default
+    * quarter of cells, `fetch` > 0 exact-reranks that many
+    * SQ-candidates per query (the [[IvfPqIndex.query]] contract). */
+  def query(queries: DataFrame, k: Int, nProbe: Int = 0,
+      fetch: Int = 0): DataFrame = {
+    require(fetch <= 0 || fetch >= k,
+      s"fetch ($fetch) must be 0 (off) or >= k ($k)")
+    locally {
+      import org.apache.spark.sql.types._
+      def integral(dt: DataType): Boolean = dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      val qt = queries.schema("qid").dataType
+      val it = encoded.schema("id").dataType
+      require(qt == it || (integral(qt) && integral(it)),
+        s"query qid type ${qt.simpleString} is not comparable to " +
+          s"corpus id type ${it.simpleString}")
+    }
+    val probes = if (nProbe > 0) nProbe else defaultProbe
+    // zero-norm guard (the IvfPq rule): a zero-vector query gets NO
+    // neighbors instead of k arbitrary rows at score 0.0
+    val q = queries.select(col("qid"),
+        vecUnit(col("qvec").cast("array<double>")).as("qvec"))
+      .filter(Similarity.dot(col("qvec"), col("qvec")) > 0)
+    // unlike IvfPq there is no LUT: the raw 64-double qvec IS the
+    // scoring payload and rides the probe join directly (8× smaller
+    // than the m·ks LUT it replaces)
+    val qProbes = Similarity.topCells(ivf.centroids, q, "qid", "qvec",
+      probes, keepScore = true)
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
+    val take = if (fetch > 0) fetch else k
+    val adcTop = encoded
+      .join(qProbes, "cell")
+      .filter(col("id") =!= col("qid"))
+      .withColumn("score",
+        col("__score") + Sq.dotCol(col("codes"), col("qvec"), model))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= take)
+    if (fetch <= 0)
+      adcTop.select(col("qid"), col("rank"), col("id"),
+        round(col("score"), 4).as("sim"))
+    else {
+      val shortlist = adcTop.select(col("qid"), col("id"))
+      val wr = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+      corpusUnit.join(broadcast(shortlist), "id")
+        .join(broadcast(q), "qid")
+        .withColumn("sim", Similarity.dot(col("vec"), col("qvec")))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+    }
+  }
+
+  /** Release persisted state (later queries recompute lazily). */
+  def close(): Unit = if (persisted) { encoded.unpersist(blocking = false); () }
+
+  /** Persist under `path` as parquet tables (the [[IvfPqIndex.save]]
+    * layout with an `sqmodel` table in place of the PQ codebook); meta
+    * marker last, stale marker deleted first — crash-safe. */
+  def save(path: String): Unit = {
+    val spark = ivf.centroids.sparkSession
+    import spark.implicits._
+    IvfIndex.invalidateMeta(spark, path)
+    ivf.centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((model.vmin.toSeq, model.vmax.toSeq)).toDF("vmin", "vmax")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sqmodel")
+    encoded.write.mode("overwrite").parquet(s"$path/encoded")
+    corpusUnit.write.mode("overwrite").parquet(s"$path/corpus")
+    IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells)
+  }
+}
+
+object IvfSq {
+
+  /** Build: IVF coarse quantizer, then per-dimension min/max of the
+    * residuals (x − centroid) and one byte code per dimension for
+    * every row. The residual frame persists across its three readers
+    * (dim head + min/max aggregation + encode — the IvfPq double-
+    * reference rule). `md5Seeds = true` + `refineIters = 0` makes the
+    * whole build SQL-reproducible (gate e13). */
+  def build(corpus: DataFrame, nCells: Int = 0, refineIters: Int = 1,
+      persist: Boolean = true, md5Seeds: Boolean = false): IvfSqIndex = {
+    // zero vectors dropped at build (the IvfPq rule): they score 0.0
+    // against everything and would fill top-k slots exact paths exclude
+    val unit = corpus.select(col("id"),
+        vecUnit(col("vec").cast("array<double>")).as("vec"))
+      .filter(Similarity.dot(col("vec"), col("vec")) > 0)
+    val ivf = IvfIndex.build(unit, nCells, refineIters, persist = false,
+      md5Seeds = md5Seeds)
+    val residuals = ivf.assigned
+      .join(broadcast(ivf.centroids), "cell")
+      .select(col("id"), col("cell"),
+        vecSub(col("vec"), col("cvec")).as("rvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = Sq.train(residuals, "rvec")
+      val encoded0 = residuals.select(col("id"), col("cell"),
+        Sq.encodeCol(col("rvec"), model).as("codes"))
+      val encoded =
+        if (persist) {
+          val e = encoded0
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          e.count() // materialize through the residual cache
+          e
+        } else encoded0
+      new IvfSqIndex(ivf, model, encoded, unit, persist)
+    } finally {
+      residuals.unpersist(blocking = false); ()
+    }
+  }
+
+  /** Reload a [[IvfSqIndex.save]]d index — query results bit-identical
+    * to the freshly built one (spec-asserted, the IvfPq contract). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      persist: Boolean = true): IvfSqIndex = {
+    val cells = IvfIndex.readMeta(spark, s"$path/meta")
+    val cent = spark.read.parquet(s"$path/centroids")
+    val centMat = spark.createDataFrame(
+      java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+    val mRow = spark.read.parquet(s"$path/sqmodel").head()
+    val model = SqModel(mRow.getSeq[Double](mRow.fieldIndex("vmin")).toArray,
+      mRow.getSeq[Double](mRow.fieldIndex("vmax")).toArray)
+    val corpusUnit = spark.read.parquet(s"$path/corpus")
+    val encoded0 = spark.read.parquet(s"$path/encoded")
+    val encoded =
+      if (persist)
+        encoded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else encoded0
+    val assigned = corpusUnit
+      .join(encoded0.select(col("id"), col("cell")), "id")
+      .withColumn("nrm", Similarity.norm(col("vec")))
+    new IvfSqIndex(new IvfIndex(centMat, assigned, cells, persisted = false),
+      model, encoded, corpusUnit, persist)
+  }
+
+  /** True when `path` holds a complete saved IVF-SQ index (meta alone
+    * is ambiguous across the index family — require the sqmodel table,
+    * the IvfPq.exists rule). */
+  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    IvfIndex.exists(spark, path) &&
+      Similarity.committedParquetExists(spark, s"$path/sqmodel")
+}

@@ -91,6 +91,13 @@ object Sq {
       ExpressionUtils.expression(codes),
       ExpressionUtils.expression(qvec.cast("array<double>")), model))
 
+  /** Raw asymmetric dot(qvec, decode(codes)) — the [[IvfSq]] residual
+    * score term (no normalization: residuals are not unit vectors). */
+  def dotCol(codes: Column, qvec: Column, model: SqModel): Column =
+    ExpressionUtils.column(SqDotExpr(
+      ExpressionUtils.expression(codes),
+      ExpressionUtils.expression(qvec.cast("array<double>")), model))
+
   /** Top-k by asymmetric cosine over an SQ8-encoded corpus — the
     * compressed-domain kNN: queries broadcast raw, every candidate
     * costs one dim-length fused decode+dot pass, and the per-query
@@ -115,6 +122,53 @@ object Sq {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+  }
+}
+
+/** Raw asymmetric dot for (codes, qvec): one sequential fused
+  * decode+multiply pass, NO normalization — the residual-scoring term
+  * of [[IvfSq]] (cell dot + residual dot; residuals are not unit
+  * vectors, so cosine normalization would be wrong here). */
+final case class SqDotExpr(left: Expression, right: Expression,
+    model: SqModel) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq_dot"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(codes: Any, qvec: Any): Any =
+    SqDotExpr.compute(codes.asInstanceOf[ArrayData],
+      qvec.asInstanceOf[ArrayData], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sqmodel", model, classOf[SqModel].getName)
+    defineCodeGen(ctx, ev, (c, q) =>
+      s"graft.ops.SqDotExpr.compute($c, $q, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SqDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDotExpr {
+  def compute(codes: ArrayData, qvec: ArrayData, model: SqModel): Double = {
+    val dim = model.dim
+    require(codes.numElements() == dim,
+      s"sq_dot: codes length ${codes.numElements()} != model dim $dim")
+    require(qvec.numElements() == dim,
+      s"sq_dot: query dim ${qvec.numElements()} != model dim $dim")
+    var dot = 0.0
+    var d = 0
+    while (d < dim) {
+      require(!codes.isNullAt(d), s"sq: null code at index $d")
+      require(!qvec.isNullAt(d), s"sq: null query element at index $d")
+      val mn = model.vmin(d)
+      val mx = model.vmax(d)
+      dot += qvec.getDouble(d) * (mn + codes.getInt(d) * ((mx - mn) / 255.0))
+      d += 1
+    }
+    dot
   }
 }
 

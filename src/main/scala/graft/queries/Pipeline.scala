@@ -437,6 +437,21 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  /** Deterministic IVF-SQ8 verification gate (graft.ops.IvfSq — the
+    * FAISS "IVF4,SQ8" shape): md5-ordered cell seeding, zero Lloyd
+    * refinement — cells → residuals → per-dim min/max → byte codes →
+    * fused decode+dot scoring → exact rerank are ALL sequential double
+    * math, so the DuckDB oracle reproduces the composed index end to
+    * end (e06's recipe, with the residual quantizer swapped from PQ to
+    * SQ8 — unlike trained PQ, the SQ residual model itself is
+    * oracle-derivable, so nothing in this pipeline is engine-specific). */
+  def e13KnnIvfSqVerify(s: SparkSession, dir: String): DataFrame = {
+    val (e, q) = knnInputs(s, dir)
+    val idx = graft.ops.IvfSq.build(e, nCells = 4, refineIters = 0,
+      persist = false, md5Seeds = true)
+    idx.query(q, 5, nProbe = 2, fetch = 20).orderBy("qid", "rank")
+  }
+
   /** SemDeDup-style semantic dedup over the embeddings table
     * (cluster → within-cell cosine pairs → connected-component
     * collapse → canonical keep-set), fully deterministic (md5-seeded
@@ -1294,7 +1309,8 @@ object Pipeline {
     "e09_pq_opq" -> e09PqOpq _,
     "e10_knn_opq_ivfpq" -> e10KnnOpqIvfPq _,
     "e11_sq_codes" -> e11SqCodes _,
-    "e12_knn_sq8" -> e12KnnSq8 _)
+    "e12_knn_sq8" -> e12KnnSq8 _,
+    "e13_knn_ivfsq_verify" -> e13KnnIvfSqVerify _)
 
   /** The ONE copy of the md5-simhash signature CTEs (review r11: d08/
     * d11/d12/d19 carried four hand-synced copies — a change to the
@@ -2243,6 +2259,53 @@ object Pipeline {
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM sims)
         |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // e06's deterministic-IVF skeleton with the residual quantizer
+    // swapped to SQ8: per-dim residual min/max (exact aggregates),
+    // linear codes, inline decode, cell-dot + residual-dot score
+    "e13_knn_ivfsq_verify" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nrm AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS ss FROM e),
+        |u AS (SELECT id, CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0 / sqrt(ss))) ELSE v END AS v FROM nrm),
+        |cent AS (SELECT row_number() OVER (ORDER BY h, id) AS cell, cv FROM
+        |  (SELECT md5(CAST(id AS VARCHAR)) AS h, id, v AS cv FROM u ORDER BY h, id LIMIT 4)),
+        |asg AS (SELECT id, v, cell, cv FROM
+        |  (SELECT u.id, u.v, c.cell, c.cv,
+        |     row_number() OVER (PARTITION BY u.id
+        |       ORDER BY list_sum(list_transform(range(1, 65), i -> u.v[i] * c.cv[i])) DESC, c.cell) AS rk
+        |   FROM u CROSS JOIN cent c) WHERE rk = 1),
+        |resid AS (SELECT id, cell, list_transform(range(1, 65), i -> v[i] - cv[i]) AS r FROM asg),
+        |dims AS (SELECT unnest(range(0, 64)) AS d),
+        |stat AS (SELECT d, min(r[d + 1]) AS mn, max(r[d + 1]) AS mx
+        |         FROM resid CROSS JOIN dims GROUP BY d),
+        |st AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM stat),
+        |enc AS (SELECT id, cell, list_transform(range(0, 64), d ->
+        |   CASE WHEN mxs[d + 1] = mns[d + 1] THEN 0.0
+        |        ELSE least(255.0, greatest(0.0,
+        |          floor((r[d + 1] - mns[d + 1]) / (mxs[d + 1] - mns[d + 1]) * 255.0 + 0.5))) END)
+        |  AS codes FROM resid CROSS JOIN st),
+        |rec AS (SELECT id, cell, list_transform(range(0, 64), d ->
+        |   mns[d + 1] + codes[d + 1] * ((mxs[d + 1] - mns[d + 1]) / 255.0)) AS recon
+        |  FROM enc CROSS JOIN st),
+        |qu AS (SELECT id AS qid, v AS qv FROM u WHERE id < 10),
+        |qp AS (SELECT qid, cell, cscore FROM
+        |  (SELECT q.qid, c.cell,
+        |     list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])) AS cscore,
+        |     row_number() OVER (PARTITION BY q.qid
+        |       ORDER BY list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])) DESC, c.cell) AS rk
+        |   FROM qu q CROSS JOIN cent c) WHERE rk <= 2),
+        |cand AS (SELECT p.qid, t.id,
+        |    p.cscore + list_sum(list_transform(range(1, 65), i -> q.qv[i] * t.recon[i])) AS score
+        |  FROM qp p JOIN rec t ON t.cell = p.cell JOIN qu q ON q.qid = p.qid
+        |  WHERE t.id <> p.qid),
+        |short AS (SELECT qid, id FROM
+        |  (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk FROM cand)
+        |  WHERE rk <= 20),
+        |rer AS (SELECT s.qid, s.id,
+        |    list_sum(list_transform(range(1, 65), i -> cu.v[i] * q.qv[i])) AS sim
+        |  FROM short s JOIN u cu ON cu.id = s.id JOIN qu q ON q.qid = s.qid)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim FROM
+        |  (SELECT qid, id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM rer)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // Mirrors every float op of the deterministic IVF-PQ build+query in
     // Spark's exact sequential order: unit-normalize multiplies by
     // (1/sqrt(ss)) — NOT divides — because VecUnit does; dots/dists are

@@ -100,4 +100,50 @@ class SqSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](Sq.train(empty, "vec"))
     assert(err.getMessage.contains("empty"))
   }
+
+  test("IvfSq: production-settings recall vs brute force, zero-vector drop") {
+    import graft.ops.IvfSq
+    val q = emb.filter(col("id") < 10)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val exact = Similarity.bruteForceKnn(emb, q, 5)
+      .select("qid", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val idx = IvfSq.build(emb, persist = false)
+    try {
+      // full probe + rerank isolates quantizer quality from the IVF
+      // term (the PqSpec floor pattern): SQ8 residuals are near-exact
+      val got = idx.query(q, 5, nProbe = idx.nCells, fetch = 100)
+        .select("qid", "id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recall = exact.map { case (qid, ids) =>
+        got(qid).intersect(ids).size.toDouble / ids.size
+      }.sum / exact.size
+      assert(recall >= 0.9, s"IVF-SQ8 full-probe recall@5 = $recall")
+      // a zero-norm query row gets no neighbors (the IvfPq guard)
+      val zq = Seq((9999L, Seq.fill(64)(0.0f))).toDF("qid", "qvec")
+      assert(idx.query(zq, 5).count() == 0L)
+    } finally idx.close()
+  }
+
+  test("IvfSq save/load round-trips bit-identical query results") {
+    import graft.ops.IvfSq
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq").toString
+    val q = emb.filter(col("id") < 6)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val idx = IvfSq.build(emb, nCells = 4, refineIters = 0,
+      persist = false, md5Seeds = true)
+    idx.save(dir)
+    assert(IvfSq.exists(spark, dir))
+    val fresh = idx.query(q, 5, nProbe = 2, fetch = 20)
+      .collect().map(_.toString).sorted
+    val loaded = IvfSq.load(spark, dir, persist = false)
+      .query(q, 5, nProbe = 2, fetch = 20)
+      .collect().map(_.toString).sorted
+    assert(fresh.sameElements(loaded))
+    // a plain-IVF layout must not read as a complete IVF-SQ index
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfplain").toString
+    graft.ops.IvfIndex.build(
+      emb.select(col("id"), col("vec")), persist = false).save(dir2)
+    assert(!IvfSq.exists(spark, dir2))
+  }
 }
