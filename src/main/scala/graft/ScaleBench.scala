@@ -40,15 +40,28 @@ object ScaleBench {
     // SPARK_GRAFT_SCALE_CC_ONLY=1 skips the query battery and recall
     // sections — the isolated-rerun switch for big SCALE-CC points
     val ccOnly = sys.env.get("SPARK_GRAFT_SCALE_CC_ONLY").contains("1")
+    // SPARK_GRAFT_SCALE_ONLY=<name,name> restricts the 10× table to a
+    // subset (the Bench BENCH_ONLY twin — new-gate ratio runs and
+    // isolated adjudications without paying the full battery)
+    val names0 = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
+      case Some(subset) =>
+        val unknown = subset.filterNot(names.contains)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_SCALE_ONLY names not in the scale battery: " +
+            s"${unknown.mkString(", ")}")
+        subset
+      case None => names
+    }
     // warmup pass compiles every plan shape once
-    if (!ccOnly) names.foreach { n =>
+    if (!ccOnly) names0.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case e: Throwable => System.err.println(s"warmup $n: ${e.getMessage}") }
     }
     // SPARK_GRAFT_BENCH_FULL=1: execute each gate's own optimized plan
     // (no count-star pruning/join elimination) — see Bench.scala.
     val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
-    for (dir <- if (ccOnly) Seq.empty[String] else dirs; name <- names) {
+    for (dir <- if (ccOnly) Seq.empty[String] else dirs; name <- names0) {
       spark.catalog.clearCache()
       val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -69,9 +82,12 @@ object ScaleBench {
     // itself. Labels are verified, not assumed: every node must carry
     // its block's minimum.
     import org.apache.spark.sql.functions.{col, countDistinct, max => fmax}
+    // an isolated SCALE_ONLY run skips the CC rehearsal too unless its
+    // own knob (SCALE_CC_EDGES) asks for it explicitly
     val ccSizes = sys.env.get("SPARK_GRAFT_SCALE_CC_EDGES")
       .map(_.split(",").toSeq.map(_.trim.toLong))
-      .getOrElse(Seq(400000L, 4000000L))
+      .getOrElse(if (names0 != names) Seq.empty[Long]
+        else Seq(400000L, 4000000L))
     for (nEdges <- ccSizes) {
       val k = 16L
       val edges = spark.range(nEdges * k / (k - 1))
@@ -167,13 +183,18 @@ object ScaleBench {
     // LATENCY; without this section an ANN quality regression at 10×
     // would be invisible. recall@5 of each approximate gate against
     // e01's exact brute-force top-5 on the same directory.
-    for (dir <- if (ccOnly) Seq.empty[String] else dirs) {
+    // an isolated SCALE_ONLY run that includes no ANN gate skips the
+    // recall section (it exists to guard those gates' quality)
+    val annGates = Seq("e02_knn_ivf", "e05_knn_ivfpq", "e10_knn_opq_ivfpq")
+    val skipRecall = ccOnly ||
+      (names0 != names && !names0.exists(annGates.contains))
+    for (dir <- if (skipRecall) Seq.empty[String] else dirs) {
       spark.catalog.clearCache()
       def topSet(name: String) =
         SparkEntry.queries(name)(spark, dir).select("qid", "id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       val exact = topSet("e01_knn_brute")
-      for (g <- Seq("e02_knn_ivf", "e05_knn_ivfpq", "e10_knn_opq_ivfpq")) {
+      for (g <- annGates) {
         val rec = exact.intersect(topSet(g)).size.toDouble / exact.size
         println(f"RECALL $dir%-28s $g%-22s recall@5=$rec%.3f")
       }
