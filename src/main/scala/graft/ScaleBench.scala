@@ -46,6 +46,10 @@ object ScaleBench {
     val names0 = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
       case Some(subset) =>
+        // empty/whitespace values would silently no-op the whole run
+        // (0 timings, exit 0 — a script reads that as a healthy pass)
+        require(subset.nonEmpty,
+          "SPARK_GRAFT_SCALE_ONLY is set but names no gates")
         val unknown = subset.filterNot(names.contains)
         require(unknown.isEmpty,
           s"SPARK_GRAFT_SCALE_ONLY names not in the scale battery: " +
@@ -184,8 +188,13 @@ object ScaleBench {
     // would be invisible. recall@5 of each approximate gate against
     // e01's exact brute-force top-5 on the same directory.
     // an isolated SCALE_ONLY run that includes no ANN gate skips the
-    // recall section (it exists to guard those gates' quality)
-    val annGates = Seq("e02_knn_ivf", "e05_knn_ivfpq", "e10_knn_opq_ivfpq")
+    // recall section (it exists to guard those gates' quality). e12 is
+    // in the list because SQ8 quantization quality CAN move with data
+    // volume (per-dim min/max ranges widen, coarsening code
+    // resolution); e13/e06 stay out — fixed-seed oracle-verify twins,
+    // their recall is a constant of the deterministic pipeline.
+    val annGates = Seq("e02_knn_ivf", "e05_knn_ivfpq", "e10_knn_opq_ivfpq",
+      "e12_knn_sq8")
     val skipRecall = ccOnly ||
       (names0 != names && !names0.exists(annGates.contains))
     for (dir <- if (skipRecall) Seq.empty[String] else dirs) {

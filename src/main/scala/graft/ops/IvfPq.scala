@@ -46,24 +46,9 @@ final class IvfPqIndex private[ops] (
     require(fetch <= 0 || fetch >= k,
       s"fetch ($fetch) must be 0 (off) or >= k ($k)")
     // comparable qid/id types or the self-exclusion filter nulls out
-    // and the probe join degrades silently (the Dedup integral-id
-    // guard class). Integral families of different widths are FINE —
-    // Spark widens both sides of =!= and the shortlist join losslessly
-    // (ADVICE r11: exact-equality here needlessly rejected int qid vs
-    // long id, which always compared correctly) — the guard only
-    // rejects truly incomparable pairings like string vs long.
-    locally {
-      import org.apache.spark.sql.types._
-      def integral(dt: DataType): Boolean = dt match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }
-      val qt = queries.schema("qid").dataType
-      val it = encoded.schema("id").dataType
-      require(qt == it || (integral(qt) && integral(it)),
-        s"query qid type ${qt.simpleString} is not comparable to " +
-          s"corpus id type ${it.simpleString}")
-    }
+    // and the probe join degrades silently (ADVICE r11; the one copy
+    // of the widening-integral rule lives in Similarity)
+    Similarity.requireComparableIds(queries, encoded)
     val probes = if (nProbe > 0) nProbe else defaultProbe
     // zero-norm guard (review r11, matching bruteForceKnn/IvfIndex):
     // VecUnit passes a zero vector through, every ADC score is then
@@ -92,16 +77,8 @@ final class IvfPqIndex private[ops] (
     if (fetch <= 0)
       adcTop.select(col("qid"), col("rank"), col("id"),
         round(col("score"), 4).as("sim"))
-    else {
-      val shortlist = adcTop.select(col("qid"), col("id"))
-      val wr = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-      corpusUnit.join(broadcast(shortlist), "id")
-        .join(broadcast(q), "qid")
-        .withColumn("sim", Similarity.dot(col("vec"), col("qvec")))
-        .withColumn("rank", row_number().over(wr))
-        .filter(col("rank") <= k)
-        .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
-    }
+    else Similarity.rerankShortlist(corpusUnit,
+      adcTop.select(col("qid"), col("id")), q, k)
   }
 
   /** Release persisted state (later queries recompute lazily). */

@@ -47,18 +47,7 @@ final class IvfSqIndex private[ops] (
       fetch: Int = 0): DataFrame = {
     require(fetch <= 0 || fetch >= k,
       s"fetch ($fetch) must be 0 (off) or >= k ($k)")
-    locally {
-      import org.apache.spark.sql.types._
-      def integral(dt: DataType): Boolean = dt match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }
-      val qt = queries.schema("qid").dataType
-      val it = encoded.schema("id").dataType
-      require(qt == it || (integral(qt) && integral(it)),
-        s"query qid type ${qt.simpleString} is not comparable to " +
-          s"corpus id type ${it.simpleString}")
-    }
+    Similarity.requireComparableIds(queries, encoded)
     val probes = if (nProbe > 0) nProbe else defaultProbe
     // zero-norm guard (the IvfPq rule): a zero-vector query gets NO
     // neighbors instead of k arbitrary rows at score 0.0
@@ -82,16 +71,8 @@ final class IvfSqIndex private[ops] (
     if (fetch <= 0)
       adcTop.select(col("qid"), col("rank"), col("id"),
         round(col("score"), 4).as("sim"))
-    else {
-      val shortlist = adcTop.select(col("qid"), col("id"))
-      val wr = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-      corpusUnit.join(broadcast(shortlist), "id")
-        .join(broadcast(q), "qid")
-        .withColumn("sim", Similarity.dot(col("vec"), col("qvec")))
-        .withColumn("rank", row_number().over(wr))
-        .filter(col("rank") <= k)
-        .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
-    }
+    else Similarity.rerankShortlist(corpusUnit,
+      adcTop.select(col("qid"), col("id")), q, k)
   }
 
   /** Release persisted state (later queries recompute lazily). */

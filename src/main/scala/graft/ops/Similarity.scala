@@ -137,6 +137,42 @@ object Similarity {
   private[ops] def toDouble(c: Column): Column = asDouble(c)
   private[ops] def spreadDf(df: DataFrame): DataFrame = spread(df)
 
+  /** Loud analysis-time check that a query frame's `qid` can compare
+    * against a corpus `id` (the ONE copy of the IvfPq/IvfSq guard):
+    * widening integral pairs are fine — Spark widens both sides of
+    * `=!=` and the shortlist join losslessly — but truly incomparable
+    * pairings (string vs long) degrade the self-exclusion filter and
+    * the probe join silently. */
+  private[ops] def requireComparableIds(queries: DataFrame,
+      corpus: DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val qt = queries.schema("qid").dataType
+    val it = corpus.schema("id").dataType
+    require(qt == it || (integral(qt) && integral(it)),
+      s"query qid type ${qt.simpleString} is not comparable to " +
+        s"corpus id type ${it.simpleString}")
+  }
+
+  /** Exact-cosine rescore of a (qid, id) shortlist against raw UNIT
+    * vectors — the shared rerank tail of IvfPq/IvfSq.query: the
+    * shortlist and query set broadcast, so the rescore is one map-side
+    * corpus pass, and both sides being unit vectors makes the dot THE
+    * cosine. Callers guarantee zero-norm rows were dropped at build. */
+  private[ops] def rerankShortlist(corpusUnit: DataFrame,
+      shortlist: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val wr = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
+    corpusUnit.join(broadcast(shortlist), "id")
+      .join(broadcast(q), "qid")
+      .withColumn("sim", dot(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
+  }
+
   /** "Was this parquet write completed" check. The strong signal is
     * the `_SUCCESS` marker (written at JOB commit, after every task's
     * output is in place under committer v1 AND v2); part-file presence

@@ -72,7 +72,11 @@ object Sq {
     SqModel(mn, mx)
   }
 
-  /** Column of per-dimension byte codes (array<int>, length dim). */
+  /** Column of per-dimension byte codes (array<tinyint>, length dim —
+    * genuinely ONE byte per dimension in Tungsten caches and shuffles,
+    * which is where the 4× memory claim has to hold, not just in
+    * bit-packed parquet; consumers mask with `& 0xff` since JVM bytes
+    * are signed). */
   def encodeCol(vec: Column, model: SqModel): Column =
     ExpressionUtils.column(SqEncodeExpr(
       ExpressionUtils.expression(vec.cast("array<double>")), model))
@@ -80,6 +84,20 @@ object Sq {
   /** Corpus-encode convenience (the [[Pq.encode]] shape). */
   def encode(df: DataFrame, vecCol: String, model: SqModel): DataFrame =
     df.withColumn("codes", encodeCol(col(vecCol), model))
+
+  /** [[encode]] for a SEARCH corpus: zero-norm rows drop FIRST (the
+    * IvfPq/IvfSq build rule). A zero vector's reconstruction is pure
+    * quantization noise with an arbitrary direction, and cosine is
+    * scale-invariant — undropped, one failed-embedder row could
+    * outrank true neighbors for every query in [[adcKnn]]. */
+  def encodeCorpus(df: DataFrame, vecCol: String, model: SqModel): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    encode(df.filter(Similarity.dot(v, v) > 0), vecCol, model)
+  }
+
+  /** Unsigned view of one code (JVM bytes are signed; 255 stores as
+    * -1) — the single masking idiom for gates/specs reading codes. */
+  def codeAsInt(code: Column): Column = code.cast("int").bitwiseAND(lit(255))
 
   /** Asymmetric cosine of a RAW query vector against an SQ-encoded
     * corpus row: the codes decode inline (`mn + code·step`) and dot /
@@ -107,7 +125,10 @@ object Sq {
     * pattern applies unchanged.
     *
     * Same conventions as [[Similarity.bruteForceKnn]]: `id == qid`
-    * self-matches drop, ties break by id, sim rounds to 4dp. */
+    * self-matches drop, ties break by id, sim rounds to 4dp. Feed the
+    * corpus through [[encodeCorpus]] (not plain [[encode]]): zero-norm
+    * originals must drop BEFORE encoding — their codes reconstruct to
+    * arbitrary-direction quantization noise this side cannot detect. */
   def adcKnn(encoded: DataFrame, queries: DataFrame, model: SqModel,
       k: Int): DataFrame = {
     val q = queries.select(col("qid"),
@@ -115,9 +136,7 @@ object Sq {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
     encoded.select(col("id"), col("codes")).crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
-      .withColumn("sim", ExpressionUtils.column(SqCosineExpr(
-        ExpressionUtils.expression(col("codes")),
-        ExpressionUtils.expression(col("qvec")), model)))
+      .withColumn("sim", cosineCol(col("codes"), col("qvec"), model))
       .filter(col("sim").isNotNull) // zero-norm rows have no cosine rank
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -165,7 +184,8 @@ object SqDotExpr {
       require(!qvec.isNullAt(d), s"sq: null query element at index $d")
       val mn = model.vmin(d)
       val mx = model.vmax(d)
-      dot += qvec.getDouble(d) * (mn + codes.getInt(d) * ((mx - mn) / 255.0))
+      dot += qvec.getDouble(d) *
+        (mn + (codes.getByte(d) & 0xff) * ((mx - mn) / 255.0))
       d += 1
     }
     dot
@@ -176,11 +196,15 @@ object SqDotExpr {
   * `floor((x-mn)/(mx-mn)·255 + 0.5)` clamped to [0, 255]; a
   * zero-width dimension (mx == mn) codes 0. The formula is the ONE
   * copy both engines mirror — every op is deterministic double
-  * arithmetic, so codes are bit-reproducible cross-engine. */
+  * arithmetic, so codes are bit-reproducible cross-engine. Output is
+  * array<tinyint> — one Tungsten byte per dimension (the realized 4×;
+  * an int array would cost the same 256 B as the raw float vector);
+  * values 128..255 store as the signed bytes -128..-1 and every
+  * consumer masks with `& 0xff`. */
 final case class SqEncodeExpr(child: Expression, model: SqModel)
     extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
   override def prettyName: String = "sq_encode"
   override def nullIntolerant: Boolean = true
 
@@ -200,23 +224,24 @@ final case class SqEncodeExpr(child: Expression, model: SqModel)
 }
 
 object SqEncodeExpr {
-  def compute(a: ArrayData, model: SqModel): Array[Int] = {
+  def compute(a: ArrayData, model: SqModel): Array[Byte] = {
     val dim = model.dim
     require(a.numElements() == dim,
       s"sq_encode: vector dim ${a.numElements()} != model dim $dim")
-    val codes = new Array[Int](dim)
+    val codes = new Array[Byte](dim)
     var d = 0
     while (d < dim) {
       require(!a.isNullAt(d), s"sq: null vector element at index $d")
       val x = a.getDouble(d)
       val mn = model.vmin(d)
       val mx = model.vmax(d)
-      codes(d) =
+      val c: Int =
         if (mx == mn) 0
         else {
-          val c = math.floor((x - mn) / (mx - mn) * 255.0 + 0.5)
-          if (c < 0.0) 0 else if (c > 255.0) 255 else c.toInt
+          val r = math.floor((x - mn) / (mx - mn) * 255.0 + 0.5)
+          if (r < 0.0) 0 else if (r > 255.0) 255 else r.toInt
         }
+      codes(d) = c.toByte // 128..255 wrap to signed; consumers mask
       d += 1
     }
     codes
@@ -273,7 +298,7 @@ object SqCosineExpr {
       require(!qvec.isNullAt(d), s"sq: null query element at index $d")
       val mn = model.vmin(d)
       val mx = model.vmax(d)
-      val recon = mn + codes.getInt(d) * ((mx - mn) / 255.0)
+      val recon = mn + (codes.getByte(d) & 0xff) * ((mx - mn) / 255.0)
       val q = qvec.getDouble(d)
       dot += q * recon
       rss += recon * recon

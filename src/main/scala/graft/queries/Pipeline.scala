@@ -421,6 +421,10 @@ object Pipeline {
     graft.ops.Sq.encode(e, "vec", model)
       .select(col("id").as("vec_id"),
         posexplode(col("codes")).as(Seq("d", "code")))
+      // codes store as signed tinyints (the realized 4×); the gate
+      // reports the unsigned 0..255 value the oracle derives
+      .select(col("vec_id"), col("d"),
+        graft.ops.Sq.codeAsInt(col("code")).as("code"))
       .orderBy("vec_id", "d")
   }
 
@@ -433,8 +437,8 @@ object Pipeline {
   def e12KnnSq8(s: SparkSession, dir: String): DataFrame = {
     val (e, q) = knnInputs(s, dir)
     val model = graft.ops.Sq.train(e, "vec")
-    graft.ops.Sq.adcKnn(graft.ops.Sq.encode(e, "vec", model), q, model, 5)
-      .orderBy("qid", "rank")
+    graft.ops.Sq.adcKnn(graft.ops.Sq.encodeCorpus(e, "vec", model),
+      q, model, 5).orderBy("qid", "rank")
   }
 
   /** Deterministic IVF-SQ8 verification gate (graft.ops.IvfSq — the

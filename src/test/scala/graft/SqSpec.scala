@@ -27,13 +27,18 @@ class SqSpec extends SparkSpec {
     assert((0 until 64).forall(d => model.vmin(d) < model.vmax(d)))
   }
 
+  // codes store as SIGNED tinyints (one Tungsten byte per dim — the
+  // realized 4×); the unsigned value is (b & 0xff)
+  private def unsigned(codes: Seq[Byte]): Seq[Int] = codes.map(_ & 0xff)
+
   test("encode: recon error bounded by half a quantization step per dim") {
     val model = Sq.train(emb, "vec")
     val rows = Sq.encode(emb, "vec", model)
       .select(col("vec").cast("array<double>").as("v"), col("codes"))
-      .as[(Seq[Double], Seq[Int])].collect()
+      .as[(Seq[Double], Seq[Byte])].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (v, codes) =>
+    rows.foreach { case (v, raw) =>
+      val codes = unsigned(raw)
       assert(codes.length == 64)
       for (d <- 0 until 64) {
         val step = (model.vmax(d) - model.vmin(d)) / 255.0
@@ -46,6 +51,14 @@ class SqSpec extends SparkSpec {
     }
   }
 
+  test("codes are byte-typed (the 4x memory claim holds in Tungsten, " +
+      "not just parquet)") {
+    val model = Sq.train(emb, "vec")
+    val dt = Sq.encode(emb, "vec", model).schema("codes").dataType
+    assert(dt == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = false), s"got $dt")
+  }
+
   test("encode: out-of-range inputs clamp to 0/255; zero-width dim codes 0") {
     // model over a fixed 2-dim corpus: dim0 spans [0, 10], dim1 constant
     val train = Seq((1L, Seq(0.0, 7.0)), (2L, Seq(10.0, 7.0)))
@@ -56,19 +69,37 @@ class SqSpec extends SparkSpec {
     val probe = Seq((3L, Seq(-99.0, 123.0)), (4L, Seq(999.0, -1.0)),
       (5L, Seq(5.0, 7.0))).toDF("id", "vec")
     val got = Sq.encode(probe, "vec", model)
-      .select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+      .select("id", "codes").as[(Long, Seq[Byte])].collect().toMap
+      .view.mapValues(unsigned).toMap
     assert(got(3L) == Seq(0, 0))   // below range clamps; constant dim -> 0
-    assert(got(4L) == Seq(255, 0)) // above range clamps
+    assert(got(4L) == Seq(255, 0)) // above range clamps (255 = byte -1)
     assert(got(5L) == Seq(128, 0)) // midpoint: floor(0.5*255 + 0.5) = 128
   }
 
   test("codes are partition-invariant") {
     val model = Sq.train(emb, "vec")
     val a = Sq.encode(emb.repartition(1), "vec", model)
-      .select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+      .select("id", "codes").as[(Long, Seq[Byte])].collect().toMap
     val b = Sq.encode(emb.repartition(7), "vec", model)
-      .select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+      .select("id", "codes").as[(Long, Seq[Byte])].collect().toMap
     assert(a == b)
+  }
+
+  test("encodeCorpus drops zero-norm rows: their codes would rank as " +
+      "quantization noise (review r12)") {
+    val model = Sq.train(emb, "vec")
+    val zero = Seq((100000L, Seq.fill(64)(0.0f))).toDF("id", "vec")
+    val withZero = emb.unionByName(zero)
+    // plain encode keeps the row; encodeCorpus drops it
+    assert(Sq.encode(withZero, "vec", model).filter(col("id") === 100000L)
+      .count() == 1L)
+    val enc = Sq.encodeCorpus(withZero, "vec", model)
+    assert(enc.filter(col("id") === 100000L).count() == 0L)
+    // and no query ever sees the zero row in its top-k
+    val q = emb.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    assert(Sq.adcKnn(enc, q, model, 5)
+      .filter(col("id") === 100000L).count() == 0L)
   }
 
   test("adcKnn recall vs brute force is near-exact at SQ8 fidelity") {
