@@ -141,6 +141,28 @@ object Dedup {
   def minhashSignature(sh: Column, k: Int): Column =
     graft.functions.CatalystFunctions.minhashSignature(sh, k)
 
+  /** Band-count planner for [[minhashLsh]] (Leskovec/Rajaraman/Ullman,
+    * "Mining of Massive Datasets" §3.4.3): with `b` bands of `r` rows
+    * (b·r = numHashes), a pair at Jaccard `s` becomes a candidate with
+    * probability 1 − (1 − s^r)^b — an S-curve whose inflection sits
+    * near (1/b)^(1/r). This picks, among the divisors of `numHashes`,
+    * the band count whose inflection lands closest to the target
+    * threshold (in log space — thresholds live on a ratio scale):
+    * fewer bands ⇒ fewer false candidates below the threshold (less
+    * verify work), more bands ⇒ fewer missed pairs above it. Driver
+    * math only; feed the result to [[minhashLsh]]'s `bands`. */
+  def planBands(numHashes: Int, threshold: Double): Int = {
+    require(numHashes >= 2, s"numHashes must be >= 2, got $numHashes")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0, 1), got $threshold")
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0)
+    candidates.minBy { b =>
+      val r = numHashes / b
+      // inflection (1/b)^(1/r); compare in log space
+      math.abs(math.log(threshold) - math.log(1.0 / b) / r)
+    }
+  }
+
   /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
     *
     * Stages (each a narrow map or one shuffle):

@@ -430,6 +430,26 @@ class OpsSpec extends SparkSpec {
     assert(ex2.getMessage.contains("bands"), ex2.getMessage)
   }
 
+  test("planBands: S-curve inflection nearest the target threshold (MMDS 3.4.3)") {
+    // 128 hashes: divisor band counts have inflections (1/b)^(b/128) —
+    // b=32 (r=4) sits at 0.42, the log-nearest to 0.5 (and matches
+    // minhashLsh's default pairing of 128/32)
+    assert(Dedup.planBands(128, 0.5) == 32)
+    // high thresholds want FEWER bands (steeper, right-shifted curve):
+    // 0.8 picks b=8 (inflection 0.878) over b=16 (0.707)
+    assert(Dedup.planBands(128, 0.8) == 8)
+    // monotone: raising the threshold never raises the band count
+    val ts = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+    val bs = ts.map(Dedup.planBands(128, _))
+    assert(bs == bs.sorted.reverse, s"not monotone: $ts -> $bs")
+    // returned value always divides numHashes (minhashLsh's contract)
+    for (t <- ts; nh <- Seq(64, 128, 200))
+      assert(nh % Dedup.planBands(nh, t) == 0)
+    intercept[IllegalArgumentException](Dedup.planBands(1, 0.5))
+    intercept[IllegalArgumentException](Dedup.planBands(128, 1.0))
+    ()
+  }
+
   test("zero-norm embeddings never rank or pair (NaN guard, review r11)") {
     // Spark sorts NaN above every real double and NaN >= t is TRUE, so
     // before the guard a single all-zero embedding (failed embedder
