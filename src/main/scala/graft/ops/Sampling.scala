@@ -378,14 +378,113 @@ object Sampling {
     // id/source spine plus explicitly requested payload columns ride
     // the expansion; the per-source plan columns (full_epochs,
     // last_rate) stay available to aggregating consumers.
+    epochExpandFromPlan(docs, idCol, sourceCol, plan, payloadCols)
+  }
+
+  /** The manifest-expansion half of [[mixtureEpochExpand]] over any
+    * pre-computed plan frame carrying (sourceCol, full_epochs,
+    * last_rate) — the ONE copy of the spine/explode/partial-epoch
+    * logic, shared by the weighted planner and [[unimaxEpochPlan]]. */
+  def epochExpandFromPlan(docs: DataFrame, idCol: String,
+      sourceCol: String, plan: DataFrame,
+      payloadCols: Seq[String] = Seq.empty): DataFrame = {
     val spine = docs.select(
       (Seq(col(sourceCol), col(idCol)) ++ payloadCols.map(col)): _*)
-    spine.join(broadcast(plan.drop("n_tokens")), Seq(sourceCol))
+    spine.join(broadcast(
+        plan.select(col(sourceCol), col("full_epochs"), col("last_rate"))),
+        Seq(sourceCol))
       .withColumn("epoch",
         explode(sequence(lit(0L), col("full_epochs"))))
       .filter(col("epoch") < col("full_epochs") ||
         hashFrac(col(idCol)) < col("last_rate"))
   }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): spread a total token budget across
+    * sources as uniformly as possible subject to a per-source repeat
+    * cap — no source is seen more than `maxEpochs` times. The paper's
+    * sequential pass (ascending by size, grant each source
+    * min(cap_s, remaining budget / remaining sources)) is exactly
+    * water-filling with caps cap_s = maxEpochs·tokens_s:
+    * alloc_s = min(cap_s, λ) with λ the common level exhausting the
+    * budget. When Σcap ≤ budget every source saturates its cap and the
+    * leftover budget stays unallocated (the paper's behavior — raise
+    * maxEpochs if that is not intended).
+    *
+    * Closed form instead of the sequential loop: sorted ascending by
+    * (tokens, source), row i is capped iff
+    * budget − cumcap_i ≥ cap_i·(n−i). The test is prefix-monotone
+    * (caps ascend, so f(i) = budget − cumcap_i − cap_i·(n−i) is
+    * non-increasing: f(i) − f(i+1) = (cap_{i+1} − cap_i)(n−i) ≥ 0),
+    * which makes it one window pass — no loop, no driver iteration.
+    * All arithmetic is exact int64 until the single λ division, so a
+    * SQL oracle reproduces every allocation bit-for-bit.
+    *
+    * `totals` carries one (sourceCol, n_tokens) row per source; it is
+    * collected once for validation (≤ |sources| rows, the
+    * [[mixtureRates]] stats pattern) and the algebra runs as windows
+    * over the rebuilt local frame. Returns (sourceCol, n_tokens, cap,
+    * alloc, epochs, full_epochs, last_rate); the epoch columns feed
+    * [[epochExpandFromPlan]] directly. */
+  def unimaxPlan(totals: DataFrame, sourceCol: String, budgetTokens: Long,
+      maxEpochs: Int): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val spark = totals.sparkSession
+    val statsLazy = totals.select(col(sourceCol).cast("string").as(sourceCol),
+      col("n_tokens").cast("long").as("n_tokens"))
+    val rows = statsLazy.collect() // ONE evaluation of the caller's agg
+    require(rows.nonEmpty, "unimaxPlan: empty totals")
+    val n = rows.length
+    rows.foreach { r =>
+      require(!r.isNullAt(0), "unimaxPlan: null source")
+      require(!r.isNullAt(1) && r.getLong(1) > 0,
+        s"unimaxPlan: source '${r.getString(0)}' has zero/null tokens - " +
+          "its epoch arithmetic would divide by it")
+      // cap·(n−i) and cumcap stay exact int64 (Spark's non-ANSI long
+      // arithmetic WRAPS silently past 2^63); real corpora sit orders
+      // of magnitude below this bound (10^14 tokens × 100 epochs × 100
+      // sources ≈ 2^60).
+      require(r.getLong(1) <= Long.MaxValue / maxEpochs / n,
+        s"unimaxPlan: source '${r.getString(0)}' token count " +
+          s"${r.getLong(1)} overflows the exact int64 window " +
+          s"(> Long.Max / $maxEpochs / $n sources)")
+    }
+    require(rows.map(_.getString(0)).distinct.length == n,
+      "unimaxPlan: duplicate source rows - pass ONE totals row per source")
+    val stats = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), statsLazy.schema)
+    val ord = Window.orderBy(col("n_tokens"), col(sourceCol))
+    val all = Window.partitionBy() // ≤ |sources| rows
+    stats
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+      .withColumn("__cum", sum("cap")
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rn", row_number().over(ord).cast("long"))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__capped",
+        (lit(budgetTokens) - col("__cum")) >= col("cap") * (col("__n") - col("__rn")))
+      .withColumn("__ccap",
+        coalesce(sum(when(col("__capped"), col("cap"))).over(all), lit(0L)))
+      .withColumn("__nc", count(when(col("__capped"), lit(1))).over(all))
+      .withColumn("alloc", when(col("__capped"), col("cap").cast("double"))
+        .otherwise((lit(budgetTokens) - col("__ccap")).cast("double") /
+          (col("__n") - col("__nc")).cast("double")))
+      .withColumn("epochs", col("alloc") / col("n_tokens").cast("double"))
+      .withColumn("full_epochs", floor(col("epochs")))
+      .withColumn("last_rate", col("epochs") - col("full_epochs").cast("double"))
+      .select(col(sourceCol), col("n_tokens"), col("cap"), col("alloc"),
+        col("epochs"), col("full_epochs"), col("last_rate"))
+  }
+
+  /** [[unimaxPlan]] from the raw corpus: one per-source token
+    * aggregation, then the water-filling algebra. */
+  def unimaxEpochPlan(docs: DataFrame, sourceCol: String,
+      tokensCol: Column, budgetTokens: Long, maxEpochs: Int): DataFrame =
+    unimaxPlan(
+      docs.groupBy(sourceCol).agg(sum(tokensCol.cast("long")).as("n_tokens")),
+      sourceCol, budgetTokens, maxEpochs)
 
   /** DSIR importance scores (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169):

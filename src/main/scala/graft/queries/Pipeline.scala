@@ -1246,7 +1246,60 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Gopher/MassiveText document-shape rule battery
+    * (graft.ops.GopherRules, Rae 2021 A1.1): the seven word/line-shape
+    * rules as one map-side codegen pass — every feature is a quotient
+    * of exact small integers from split/regexp builtins in the
+    * java.regex ∩ RE2 intersection, so the oracle reproduces each
+    * ratio AND each boolean bit-for-bit. Composes with d15
+    * (repetition) for the paper's full filter. The stop list is the
+    * corpus-appropriate {the, a} (the synthetic vocabulary carries no
+    * other English function word — the paper's 8-word default would
+    * grade rule 7 as constant-false; the library default stays the
+    * paper's list). */
+  def d44GopherRules(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GopherRules.flags(docs(s, dir), stops = Seq("the", "a"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_word_len"), 4).as("mean_word_len"),
+        round(col("hash_ratio"), 4).as("hash_ratio"),
+        round(col("ellipsis_ratio"), 4).as("ellipsis_ratio"),
+        round(col("bullet_frac"), 4).as("bullet_frac"),
+        round(col("ellipsis_line_frac"), 4).as("ellipsis_line_frac"),
+        round(col("alpha_frac"), 4).as("alpha_frac"),
+        col("n_stop_hits"), col("r_word_count"), col("r_mean_word_len"),
+        col("r_symbol_ratio"), col("r_bullet_lines"),
+        col("r_ellipsis_lines"), col("r_alpha_words"), col("r_stop_words"),
+        col("keep"))
+      .orderBy("doc_id")
+
+  /** UniMax epoch-capped budget allocation (graft.ops.Sampling
+    * .unimaxPlan, Chung 2023): water-filling the budget across sources
+    * under a 2-epoch repeat cap. Budget = 90% of two corpus passes
+    * (9·total div 5 — integer division, scale-invariant), which puts
+    * the smallest sources AT their cap and the rest at the uniform λ
+    * level, so the gate exercises both branches of the closed form.
+    * Everything is exact int64 until the single λ division — the
+    * oracle reproduces every allocation bit-for-bit. */
+  def d45Unimax(s: SparkSession, dir: String): DataFrame = {
+    val totalsLazy = docs(s, dir).groupBy("source")
+      .agg(sum(size(TextFunctions.words(col("text"))).cast("long"))
+        .as("n_tokens"))
+    val rows = totalsLazy.collect() // ≤ |sources| rows, evaluated once
+    val totals = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), totalsLazy.schema)
+    val budget =
+      9L * rows.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum / 5L
+    graft.ops.Sampling.unimaxPlan(totals, "source", budget, maxEpochs = 2)
+      .select(col("source"), col("n_tokens"), col("cap"),
+        round(col("alloc"), 4).as("alloc"),
+        round(col("epochs"), 4).as("epochs"), col("full_epochs"),
+        round(col("last_rate"), 4).as("last_rate"))
+      .orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d44_gopher_rules" -> d44GopherRules _,
+    "d45_unimax" -> d45Unimax _,
     "d41_bm25" -> d41Bm25 _,
     "d42_ccnet_buckets" -> d42CcnetBuckets _,
     "d43_temperature_mix" -> d43TemperatureMix _,
@@ -1874,6 +1927,85 @@ object Pipeline {
         |  count(*) AS n_docs, CAST(sum(k.nw) AS BIGINT) AS n_tokens
         |FROM kept k JOIN r USING (lang) GROUP BY k.lang, r.rate
         |ORDER BY k.lang""".stripMargin,
+    // The seven Gopher document-shape rules verbatim: whitespace-split
+    // words via the explicit class (java/RE2 \s divergence), line
+    // splits keep trailing empties in both engines, every ratio is a
+    // single division of exact small integers
+    "d44_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS ws,
+        |  regexp_split_to_array(text, '\n') AS lines,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS lw FROM documents),
+        |f AS (SELECT doc_id, len(ws) AS n_words,
+        |  CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) AS char_sum,
+        |  length(text) - length(replace(text, '#', '')) AS n_hash,
+        |  (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3 AS n_ellipsis,
+        |  len(lines) AS n_lines,
+        |  len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS n_bullet,
+        |  len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$'))) AS n_ell_end,
+        |  len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        |  CASE WHEN list_contains(lw, 'the') THEN 1 ELSE 0 END
+        |  + CASE WHEN list_contains(lw, 'a') THEN 1 ELSE 0 END AS n_stop
+        | FROM w),
+        |r AS (SELECT doc_id, n_words,
+        |  CASE WHEN n_words > 0 THEN char_sum / CAST(n_words AS DOUBLE) END AS mean_word_len,
+        |  CASE WHEN n_words > 0 THEN CAST(n_hash AS DOUBLE) / CAST(n_words AS DOUBLE) END AS hash_ratio,
+        |  CASE WHEN n_words > 0 THEN CAST(n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE) END AS ellipsis_ratio,
+        |  CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) AS bullet_frac,
+        |  CAST(n_ell_end AS DOUBLE) / CAST(n_lines AS DOUBLE) AS ellipsis_line_frac,
+        |  CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) END AS alpha_frac,
+        |  n_stop FROM f),
+        |g AS (SELECT *,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        |  coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, false) AS r_mean_word_len,
+        |  coalesce(hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1, false) AS r_symbol_ratio,
+        |  bullet_frac < 0.9 AS r_bullet_lines,
+        |  ellipsis_line_frac < 0.3 AS r_ellipsis_lines,
+        |  coalesce(alpha_frac >= 0.8, false) AS r_alpha_words,
+        |  n_stop >= 2 AS r_stop_words FROM r)
+        |SELECT doc_id, n_words, round(mean_word_len, 4) AS mean_word_len,
+        |  round(hash_ratio, 4) AS hash_ratio,
+        |  round(ellipsis_ratio, 4) AS ellipsis_ratio,
+        |  round(bullet_frac, 4) AS bullet_frac,
+        |  round(ellipsis_line_frac, 4) AS ellipsis_line_frac,
+        |  round(alpha_frac, 4) AS alpha_frac, n_stop AS n_stop_hits,
+        |  r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet_lines,
+        |  r_ellipsis_lines, r_alpha_words, r_stop_words,
+        |  (r_word_count AND r_mean_word_len AND r_symbol_ratio
+        |   AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+        |   AND r_stop_words) AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // UniMax water-filling: capped iff budget - cumcap_i >= cap_i*(n-i)
+    // (prefix-monotone because caps ascend); exact int64 until the one
+    // lambda division
+    "d45_unimax" ->
+      """WITH t AS (SELECT source,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT (9 * CAST(sum(n_tokens) AS BIGINT)) // 5 AS budget FROM t),
+        |w AS (SELECT source, n_tokens, n_tokens * 2 AS cap,
+        |  CAST(sum(n_tokens * 2) OVER (ORDER BY n_tokens, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rn,
+        |  CAST(count(*) OVER () AS BIGINT) AS n FROM t),
+        |c AS (SELECT w.*, b.budget,
+        |  (b.budget - w.cum) >= w.cap * (w.n - w.rn) AS capped
+        |  FROM w CROSS JOIN b),
+        |a AS (SELECT *,
+        |  CAST(coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0) AS BIGINT) AS ccap,
+        |  CAST(count(CASE WHEN capped THEN 1 END) OVER () AS BIGINT) AS nc
+        |  FROM c),
+        |f AS (SELECT source, n_tokens, cap,
+        |  CASE WHEN capped THEN CAST(cap AS DOUBLE)
+        |       ELSE CAST(budget - ccap AS DOUBLE) / CAST(n - nc AS DOUBLE)
+        |  END AS alloc FROM a),
+        |g AS (SELECT source, n_tokens, cap, alloc,
+        |  alloc / CAST(n_tokens AS DOUBLE) AS epochs FROM f)
+        |SELECT source, n_tokens, cap, round(alloc, 4) AS alloc,
+        |  round(epochs, 4) AS epochs,
+        |  CAST(floor(epochs) AS BIGINT) AS full_epochs,
+        |  round(epochs - floor(epochs), 4) AS last_rate
+        |FROM g ORDER BY source""".stripMargin,
     "d39_url_dedup" ->
       """WITH inj AS (SELECT doc_id,
         |  'HTTPS://Site' || (doc_id % 7) || '.Example.org:443/p/' || (doc_id % 20)

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.GopherRules
+
+/** The Gopher/MassiveText document-shape rule battery
+  * (graft.ops.GopherRules) — hand-computed features per rule. */
+class GopherRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def flagsOf(text: String, minWords: Int = 50) = {
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    GopherRules.flags(df, minWords = minWords).collect().head
+  }
+
+  private val goodText = {
+    // 56 words, all 2-5 chars, stopword-rich, no bullets/ellipses
+    val s = "the quick brown fox jumps over that lazy dog to rest " +
+      "and we have seen it move with grace of form be calm"
+    s + " " + s + " again more words pad"
+  }
+
+  test("a clean prose doc passes every rule") {
+    val r = flagsOf(goodText)
+    assert(r.getAs[Int]("n_words") >= 50)
+    val ml = r.getAs[Double]("mean_word_len")
+    assert(ml >= 3.0 && ml <= 10.0, s"mean_word_len $ml")
+    assert(r.getAs[Int]("n_stop_hits") >= 2)
+    Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+      "r_stop_words", "keep").foreach(c =>
+      assert(r.getAs[Boolean](c), s"$c must pass"))
+  }
+
+  test("hand-computed features: mean word length, hash ratio, bullet frac") {
+    // "ab cde" -> 2 words, 5 chars, mean 2.5 (fails the 3..10 rule)
+    val a = flagsOf("ab cde", minWords = 1)
+    assert(a.getAs[Int]("n_words") == 2)
+    assert(a.getAs[Double]("mean_word_len") == 2.5)
+    assert(!a.getAs[Boolean]("r_mean_word_len"))
+    // "# ab" -> 1 hash / 2 words = 0.5 > 0.1
+    val b = flagsOf("# ab", minWords = 1)
+    assert(b.getAs[Double]("hash_ratio") == 0.5)
+    assert(!b.getAs[Boolean]("r_symbol_ratio"))
+    // "- x\ny" -> 1 bullet line of 2
+    val c = flagsOf("- x\ny", minWords = 1)
+    assert(c.getAs[Double]("bullet_frac") == 0.5)
+    assert(c.getAs[Boolean]("r_bullet_lines")) // 0.5 < 0.9 passes
+  }
+
+  test("bullet-dominated and ellipsis-dominated docs fail their line rules") {
+    val bullets = flagsOf("- one\n* two\n• three\n  - four", minWords = 1)
+    assert(bullets.getAs[Double]("bullet_frac") == 1.0)
+    assert(!bullets.getAs[Boolean]("r_bullet_lines"))
+    assert(!bullets.getAs[Boolean]("keep"))
+    val ell = flagsOf("foo...\nbar…  \nplain line", minWords = 1)
+    assert(math.abs(ell.getAs[Double]("ellipsis_line_frac") - 2.0 / 3) < 1e-12)
+    assert(!ell.getAs[Boolean]("r_ellipsis_lines"))
+    // '...' also counts toward the symbol ratio: 1 ellipsis over the
+    // 4 whitespace words (foo..., bar…, plain, line)
+    assert(ell.getAs[Double]("ellipsis_ratio") == 0.25)
+  }
+
+  test("alpha-word and stop-word rules: digits-only text fails both") {
+    val r = flagsOf("11 22 33 44 55", minWords = 1)
+    assert(r.getAs[Double]("alpha_frac") == 0.0)
+    assert(!r.getAs[Boolean]("r_alpha_words"))
+    assert(r.getAs[Int]("n_stop_hits") == 0)
+    assert(!r.getAs[Boolean]("r_stop_words"))
+    // 4 of 5 words alphabetic: 0.8 passes the >= 0.8 boundary
+    val m = flagsOf("aa bb cc dd 55", minWords = 1)
+    assert(m.getAs[Double]("alpha_frac") == 0.8)
+    assert(m.getAs[Boolean]("r_alpha_words"))
+  }
+
+  test("empty and whitespace-only docs fail cleanly (no nulls in keep)") {
+    for (t <- Seq("", "   \n\t  ")) {
+      val r = flagsOf(t, minWords = 1)
+      assert(r.getAs[Int]("n_words") == 0)
+      assert(r.isNullAt(r.fieldIndex("mean_word_len")))
+      assert(!r.getAs[Boolean]("r_mean_word_len"))
+      assert(!r.getAs[Boolean]("keep"))
+    }
+  }
+
+  test("keep() filter matches flags().filter(keep) and stays map-side") {
+    val df = Seq(
+      (1L, goodText), (2L, "- a\n- b\n- c"), (3L, "ab cd"),
+      (4L, goodText + " ######## extra " + "#" * 40)
+    ).toDF("doc_id", "text")
+    val viaFlags = GopherRules.flags(df).filter(col("keep"))
+      .select("doc_id").as[Long].collect().toSet
+    val viaKeep = GopherRules.keep(df).select("doc_id").as[Long]
+      .collect().toSet
+    assert(viaKeep == viaFlags)
+    assert(viaKeep == Set(1L))
+    // the filter form must not introduce a shuffle or join
+    val plan = GopherRules.keep(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"keep() must be one map-side filter, got:\n$plan")
+  }
+
+  test("bounds validation fails loudly") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      GopherRules.flags(df, minWords = 10, maxWords = 5).collect()
+    }
+  }
+}

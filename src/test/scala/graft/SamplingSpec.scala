@@ -439,4 +439,96 @@ class SamplingSpec extends SparkSpec {
       "SELECT repetition_stats('go go go').top_2gram_frac AS f").head()
     assert(row.getDouble(0) == 1.0)
   }
+
+  private def unimaxMap(totals: Seq[(String, Long)], budget: Long,
+      epochs: Int): Map[String, (Long, Double, Double)] = {
+    import spark.implicits._
+    Sampling.unimaxPlan(totals.toDF("source", "n_tokens"), "source",
+        budget, epochs)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("cap"), r.getAs[Double]("alloc"),
+          r.getAs[Double]("epochs"))))
+      .toMap
+  }
+
+  test("unimax: hand-computed water-filling with both branches") {
+    // caps at 2 epochs: a=20, b=40, c=200; budget 100:
+    // a capped (100-20 >= 20*2), b capped (100-60 >= 40*1),
+    // c at lambda = (100-60)/1 = 40 -> 0.4 epochs
+    val m = unimaxMap(Seq(("a", 10L), ("b", 20L), ("c", 100L)), 100L, 2)
+    assert(m("a") == ((20L, 20.0, 2.0)))
+    assert(m("b") == ((40L, 40.0, 2.0)))
+    assert(m("c") == ((200L, 40.0, 0.4)))
+    // allocations exhaust the budget exactly when Sum(cap) > budget
+    assert(m.values.map(_._2).sum == 100.0)
+  }
+
+  test("unimax: Sum(cap) <= budget saturates every source, leftover unallocated") {
+    val m = unimaxMap(Seq(("a", 10L), ("b", 20L), ("c", 100L)), 1000L, 2)
+    assert(m.values.map(v => v._2 == v._1.toDouble && v._3 == 2.0)
+      .forall(identity))
+    assert(m.values.map(_._2).sum == 260.0)
+  }
+
+  test("unimax: nothing capped -> uniform split; epoch columns compose") {
+    val m = unimaxMap(Seq(("a", 100L), ("b", 100L)), 100L, 5)
+    assert(m("a") == ((500L, 50.0, 0.5)) && m("b") == ((500L, 50.0, 0.5)))
+    import spark.implicits._
+    val plan = Sampling.unimaxPlan(
+      Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("source", "n_tokens"),
+      "source", 100L, 2)
+    val fl = plan.collect().map(r => r.getAs[String]("source") ->
+      ((r.getAs[Long]("full_epochs"), r.getAs[Double]("last_rate")))).toMap
+    assert(fl("a") == ((2L, 0.0)) && fl("b") == ((2L, 0.0)))
+    assert(fl("c")._1 == 0L && math.abs(fl("c")._2 - 0.4) < 1e-12)
+    // expansion: capped sources appear exactly `epochs` times per doc
+    val docs = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("c", 4L), ("c", 5L))
+      .toDF("source", "id")
+    val ex = Sampling.epochExpandFromPlan(docs, "id", "source", plan)
+    val per = ex.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per("a") == 4L && per("b") == 2L)
+    // c: 0 full epochs + 40% hash-Bernoulli partial pass over 2 docs
+    assert(per.getOrElse("c", 0L) <= 2L)
+  }
+
+  test("unimax matches the paper's sequential allocation loop") {
+    val tokens = Seq(("s0", 7L), ("s1", 13L), ("s2", 13L), ("s3", 40L),
+      ("s4", 160L), ("s5", 900L))
+    for ((budget, epochs) <- Seq((200L, 3), (1000L, 2), (5000L, 4),
+        (100L, 1))) {
+      // reference: ascending by (tokens, source); each source gets
+      // min(cap, remaining / remaining-source-count)
+      var remaining = budget.toDouble
+      val sorted = tokens.sortBy(identity)
+      val want = sorted.zipWithIndex.map { case ((s, t), i) =>
+        val grant = math.min(t.toDouble * epochs,
+          remaining / (sorted.length - i))
+        remaining -= grant
+        s -> grant
+      }.toMap
+      val got = unimaxMap(tokens, budget, epochs)
+      for ((s, w) <- want)
+        assert(math.abs(got(s)._2 - w) < 1e-9,
+          s"budget=$budget epochs=$epochs source=$s: ${got(s)._2} vs $w")
+    }
+  }
+
+  test("unimax validation: duplicates, zero tokens, bad budget/epochs") {
+    import spark.implicits._
+    def plan(rows: Seq[(String, Long)], b: Long = 100L, e: Int = 2) =
+      Sampling.unimaxPlan(rows.toDF("source", "n_tokens"), "source", b, e)
+    intercept[IllegalArgumentException] {
+      plan(Seq(("a", 10L), ("a", 20L)))
+    }
+    intercept[IllegalArgumentException] { plan(Seq(("a", 0L))) }
+    intercept[IllegalArgumentException] { plan(Seq(("a", 10L)), b = 0L) }
+    intercept[IllegalArgumentException] { plan(Seq(("a", 10L)), e = 0) }
+    intercept[IllegalArgumentException] { plan(Seq.empty) }
+    // int64 overflow guard: a token count that would wrap cap*(n-i)
+    intercept[IllegalArgumentException] {
+      plan(Seq(("a", Long.MaxValue / 3), ("b", 10L)), e = 2)
+    }
+  }
 }
