@@ -1297,9 +1297,38 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** C4 page cleaning (graft.ops.C4Rules, Raffel 2020 §2.2): the
+    * line-level terminal-punctuation / ≥5-word filter with the
+    * lorem-ipsum / brace / ≥3-sentence page gates. The corpus text is
+    * single-line and unpunctuated, so the gate injects a deterministic
+    * page around each doc (the d32 fixture pattern): a kept long
+    * sentence, a dropped short line, a kept 5-word sentence, a dropped
+    * 4-word question, plus per-residue lorem / brace / third-sentence
+    * lines so every rule fires both ways. clean_text is compared via
+    * md5 — reconstruction must be byte-identical, not just counted. */
+  def d46C4Rules(s: SparkSession, dir: String): DataFrame = {
+    val inj = docs(s, dir).select(col("doc_id"), concat(
+      col("text"), lit("."),
+      lit("\nshort line here"),
+      lit("\nit has exactly five words."),
+      lit("\nfour word question line?"),
+      when(col("doc_id") % 7 === 0,
+        lit("\nand one more closing sentence appears here.")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit("\nLorem Ipsum dolor sit amet.")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit("\nvar x = { 1 };")).otherwise(lit(""))).as("text"))
+    graft.ops.C4Rules.flags(inj)
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"),
+        col("n_sentences"), col("has_lorem"), col("has_brace"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d44_gopher_rules" -> d44GopherRules _,
     "d45_unimax" -> d45Unimax _,
+    "d46_c4_rules" -> d46C4Rules _,
     "d41_bm25" -> d41Bm25 _,
     "d42_ccnet_buckets" -> d42CcnetBuckets _,
     "d43_temperature_mix" -> d43TemperatureMix _,
@@ -2006,6 +2035,31 @@ object Pipeline {
         |  CAST(floor(epochs) AS BIGINT) AS full_epochs,
         |  round(epochs - floor(epochs), 4) AS last_rate
         |FROM g ORDER BY source""".stripMargin,
+    // C4 line/page rules over the same injected page; rtrim strips
+    // spaces only in both engines, md5 proves the rebuilt clean text
+    // byte-for-byte
+    "d46_c4_rules" ->
+      """WITH inj AS (SELECT doc_id, text || '.' || chr(10) || 'short line here'
+        |  || chr(10) || 'it has exactly five words.'
+        |  || chr(10) || 'four word question line?'
+        |  || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'and one more closing sentence appears here.' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Lorem Ipsum dolor sit amet.' ELSE '' END
+        |  || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'var x = { 1 };' ELSE '' END AS page
+        |  FROM documents),
+        |l AS (SELECT doc_id, page, regexp_split_to_array(page, '\n') AS lines FROM inj),
+        |k AS (SELECT doc_id, page, lines,
+        |  list_filter(lines, x -> regexp_matches(rtrim(x), '[.!?"]$')
+        |    AND len(list_filter(regexp_split_to_array(x, '[ \t\n\x0B\f\r]+'), w -> w <> '')) >= 5) AS kept
+        |  FROM l),
+        |c AS (SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines,
+        |  array_to_string(kept, chr(10)) AS clean,
+        |  contains(lower(page), 'lorem ipsum') AS has_lorem,
+        |  contains(page, '{') AS has_brace FROM k),
+        |f AS (SELECT *, length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) AS n_sentences FROM c)
+        |SELECT doc_id, n_lines, n_kept_lines, md5(clean) AS clean_md5,
+        |  n_sentences, has_lorem, has_brace,
+        |  (NOT has_lorem AND NOT has_brace AND n_sentences >= 3) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "d39_url_dedup" ->
       """WITH inj AS (SELECT doc_id,
         |  'HTTPS://Site' || (doc_id % 7) || '.Example.org:443/p/' || (doc_id % 20)

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.C4Rules
+
+/** C4 page-cleaning rules (graft.ops.C4Rules) — hand-computed line
+  * keeps and page gates. */
+class C4RulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def flagsOf(text: String) = {
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    C4Rules.flags(df).collect().head
+  }
+
+  test("line rules: terminal punctuation AND five words, trailing blanks ignored") {
+    val page = Seq(
+      "Good first sentence goes right here.", // kept
+      "bad", // no punct, short
+      "Another full sentence right here!", // kept
+      "four word question line?", // punct but 4 words
+      "no terminal punctuation on this line", // words but no punct
+      "Ends with a period after spaces.   ", // kept: rtrim before test
+      "A truly quoted ending \"here\"" // kept: closing-quote terminal
+    ).mkString("\n")
+    val r = flagsOf(page)
+    assert(r.getAs[Int]("n_lines") == 7)
+    assert(r.getAs[Int]("n_kept_lines") == 4)
+    val clean = r.getAs[String]("clean_text")
+    assert(clean == Seq("Good first sentence goes right here.",
+      "Another full sentence right here!",
+      "Ends with a period after spaces.   ",
+      "A truly quoted ending \"here\"").mkString("\n"))
+    // sentences = terminal marks in the CLEAN text: . ! . = 3
+    assert(r.getAs[Int]("n_sentences") == 3)
+    assert(r.getAs[Boolean]("keep"))
+  }
+
+  test("page gates: lorem ipsum (case-insensitive), brace, sentence floor") {
+    val good = "One full sentence stands here.\n" +
+      "Two full sentences stand here.\nThree full sentences stand here."
+    assert(flagsOf(good).getAs[Boolean]("keep"))
+    val lorem = good + "\nSome Lorem IPSUM filler text."
+    val rl = flagsOf(lorem)
+    assert(rl.getAs[Boolean]("has_lorem") && !rl.getAs[Boolean]("keep"))
+    val brace = good + "\nconfig = { a }"
+    val rb = flagsOf(brace)
+    assert(rb.getAs[Boolean]("has_brace") && !rb.getAs[Boolean]("keep"))
+    // only two surviving sentences -> below the 3-sentence floor
+    val thin = "One full sentence stands here.\nshort\n" +
+      "Two full sentences stand here.\nno terminal punctuation here at all"
+    val rt = flagsOf(thin)
+    assert(rt.getAs[Int]("n_sentences") == 2 && !rt.getAs[Boolean]("keep"))
+  }
+
+  test("clean() keeps survivors only, replaces text, stays map-side") {
+    val docs = Seq(
+      (1L, "en", "First good sentence is here.\nmid junk\n" +
+        "Second good sentence is here.\nThird good sentence is here."),
+      (2L, "de", "Nothing here terminates properly"),
+      (3L, "fr", "Has a brace { inside.\nSecond good sentence is here.\n" +
+        "Third good sentence is here.\nFourth good sentence is here.")
+    ).toDF("doc_id", "lang", "text")
+    val out = C4Rules.clean(docs).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+    val r = out.head
+    assert(r.getAs[String]("lang") == "en") // other columns survive
+    assert(r.getAs[String]("text") ==
+      "First good sentence is here.\nSecond good sentence is here.\n" +
+        "Third good sentence is here.")
+    val plan = C4Rules.clean(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"clean() must be one map-side pass, got:\n$plan")
+  }
+
+  test("empty page and validation") {
+    val r = flagsOf("")
+    assert(r.getAs[Int]("n_kept_lines") == 0 &&
+      r.getAs[Int]("n_sentences") == 0 && !r.getAs[Boolean]("keep"))
+    intercept[IllegalArgumentException] {
+      C4Rules.flags(Seq((1L, "x")).toDF("doc_id", "text"), minLineWords = 0)
+    }
+  }
+}
