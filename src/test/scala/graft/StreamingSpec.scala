@@ -96,6 +96,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Gopher and C4 filters are stateless: streaming output equals batch") {
+    val rows = Seq(
+      (1L, ("the quick brown fox jumps over a lazy dog to rest " +
+        "and we have seen it move with grace of form be calm ") * 3,
+        t("2026-01-01 10:00:00")),
+      (2L, "- a\n- b\n- c", t("2026-01-01 10:01:00")),
+      (3L, "Good first sentence is here.\njunk\nSecond good sentence " +
+        "is here.\nThird good sentence is here.", t("2026-01-01 10:02:00")))
+    val batchDf = spark.createDataFrame(rows).toDF("doc_id", "text", "ts")
+    val gBatch = graft.ops.GopherRules.keep(batchDf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cBatch = graft.ops.C4Rules.clean(batchDf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q1 = graft.ops.GopherRules.keep(docs)
+      .writeStream.format("memory").queryName("gopher_out")
+      .outputMode(OutputMode.Append()).start()
+    val q2 = graft.ops.C4Rules.clean(docs)
+      .writeStream.format("memory").queryName("c4_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val gStream = spark.table("gopher_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val cStream = spark.table("c4_out").select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(gStream == gBatch && gBatch == Set(1L))
+      assert(cStream == cBatch && cBatch.keySet == Set(3L))
+      assert(cBatch(3L) == "Good first sentence is here.\nSecond good " +
+        "sentence is here.\nThird good sentence is here.")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("dedupStream runs on a BATCH frame; all-boilerplate docs can emit " +
     "a marker (review r11)") {
     // batch fallback: dropDuplicatesWithinWatermark is stream-only
