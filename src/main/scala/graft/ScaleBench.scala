@@ -30,7 +30,8 @@ object ScaleBench {
       // round-12 newcomers
       "d41_bm25", "d42_ccnet_buckets", "d43_temperature_mix",
       "e11_sq_codes", "e12_knn_sq8", "e13_knn_ivfsq_verify",
-      "d44_gopher_rules", "d45_unimax", "d46_c4_rules")
+      "d44_gopher_rules", "d45_unimax", "d46_c4_rules",
+      "e14_knn_matryoshka")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -194,8 +195,12 @@ object ScaleBench {
     // volume (per-dim min/max ranges widen, coarsening code
     // resolution); e13/e06 stay out — fixed-seed oracle-verify twins,
     // their recall is a constant of the deterministic pipeline.
+    // e14 joins for the same reason as e12: the funnel's shortlist
+    // recall is a data property (how much cosine mass the 16-d prefix
+    // carries CAN shift with corpus density), even though the gate
+    // itself is deterministic and oracle-proven.
     val annGates = Seq("e02_knn_ivf", "e05_knn_ivfpq", "e10_knn_opq_ivfpq",
-      "e12_knn_sq8")
+      "e12_knn_sq8", "e14_knn_matryoshka")
     val skipRecall = ccOnly ||
       (names0 != names && !names0.exists(annGates.contains))
     for (dir <- if (skipRecall) Seq.empty[String] else dirs) {

@@ -85,6 +85,66 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Unit-normalize a vector column; NULL for zero-norm rows (the
+    * [[cosineSim]] convention — a zero vector has no direction). */
+  def unitVec(vec: Column): Column = {
+    val v = asDouble(vec)
+    val n = norm(v)
+    when(n > lit(0.0), transform(v, x => x / n))
+  }
+
+  /** Matryoshka truncation (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning", NeurIPS 2022): keep the first `dims`
+    * coordinates and re-normalize to unit length — the storage/search
+    * form for MRL-trained embeddings, whose information concentrates
+    * in the prefix. NULL when the prefix is all-zero; a `dims` beyond
+    * the vector length is the identity truncation (slice caps at the
+    * array end). Pure map-side slice + fold + sqrt + divide, all IEEE
+    * correctly rounded, so a SQL oracle reproduces every coordinate
+    * bit-for-bit. */
+  def matryoshka(vec: Column, dims: Int): Column = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    unitVec(slice(asDouble(vec), 1, dims))
+  }
+
+  /** Two-stage Matryoshka kNN (the MRL paper's funnel retrieval):
+    * shortlist `fetch` candidates per query by cosine over the first
+    * `dims` coordinates (cosine is scale-invariant, so the raw slice
+    * stands in for the normalized prefix — one less pass), then
+    * exact full-dimension rerank of the shortlist to top-k. The
+    * shortlist stage pays 1/(D/dims) of the full dot cost; at scale,
+    * swap the brute shortlist for an [[IvfIndex]] built over
+    * [[matryoshka]] vectors — the rerank tail is shared either way.
+    * Queries follow the [[bruteForceKnn]] conventions (qid drawn from
+    * the corpus id space; self-match excluded; zero-norm prefixes
+    * drop from that query's candidates). Fully deterministic — no
+    * training state — so unlike IVF this ANN path is oracle-exact.
+    *
+    * Recall caveat: the funnel presumes MRL-TRAINED embeddings, whose
+    * loss concentrates cosine mass in the prefix. On isotropic
+    * vectors (this repo's synthetic corpus) a dims/D prefix carries
+    * only ~dims/D of the mass — ScaleBench charts e14 recall@5 ≈ 0.2
+    * at sf0.1 for 16/64, exactly that prediction, while the gate's
+    * own oracle stays bit-exact (correctness and funnel quality are
+    * independent axes here). */
+  def matryoshkaKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      dims: Int, fetch: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val f = if (fetch <= 0) math.max(4 * k, 30) else fetch
+    require(f >= k, s"fetch ($f) must be >= k ($k)")
+    val ct = spread(corpus)
+      .select(col("id"), asDouble(slice(col("vec"), 1, dims)).as("vec"))
+    val qt = queries
+      .select(col("qid"), asDouble(slice(col("qvec"), 1, dims)).as("qvec"))
+    val shortlist = bruteForceKnn(ct, qt, f).select("qid", "id")
+    val cu = spread(corpus).select(col("id"), unitVec(col("vec")).as("vec"))
+      .filter(col("vec").isNotNull)
+    val qu = queries.select(col("qid"), unitVec(col("qvec")).as("qvec"))
+      .filter(col("qvec").isNotNull)
+    rerankShortlist(cu, shortlist, qu, k)
+  }
+
   /** IVF ANN: coarse-quantize the corpus to `nCells` centroids, then
     * search only the `nProbe` best cells per query.
     *

@@ -191,6 +191,17 @@ object Pipeline {
     Similarity.bruteForceKnn(e, q, 5).orderBy("qid", "rank")
   }
 
+  /** Matryoshka funnel kNN (Similarity.matryoshkaKnn, Kusupati 2022):
+    * 16-d truncated-cosine shortlist (fetch 30), exact 64-d rerank to
+    * top-5. No trained state anywhere in the path, so unlike the IVF
+    * family this ANN gate is fully oracle-proven — shortlist set,
+    * rerank scores, and ranks all reproduce bit-for-bit. */
+  def e14KnnMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    val (e, q) = knnInputs(s, dir)
+    Similarity.matryoshkaKnn(e, q, k = 5, dims = 16, fetch = 30)
+      .orderBy("qid", "rank")
+  }
+
   /** IVF-bucketed ANN over the same queries (approximate; rows-only).
     * Build-once/query-many like e05: the index persists as parquet
     * keyed by the data directory, so the gate measures probe cost —
@@ -1396,7 +1407,8 @@ object Pipeline {
     "e10_knn_opq_ivfpq" -> e10KnnOpqIvfPq _,
     "e11_sq_codes" -> e11SqCodes _,
     "e12_knn_sq8" -> e12KnnSq8 _,
-    "e13_knn_ivfsq_verify" -> e13KnnIvfSqVerify _)
+    "e13_knn_ivfsq_verify" -> e13KnnIvfSqVerify _,
+    "e14_knn_matryoshka" -> e14KnnMatryoshka _)
 
   /** The ONE copy of the md5-simhash signature CTEs (review r11: d08/
     * d11/d12/d19 carried four hand-synced copies — a change to the
@@ -2357,6 +2369,37 @@ object Pipeline {
         |  FROM v CROSS JOIN q WHERE id <> qid),
         |ranked AS (SELECT qid, id, sim,
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM sims)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // Matryoshka funnel: 16-d slice cosine shortlist (raw slices —
+    // cosine is scale-invariant), unit-vector dot rerank at 64-d;
+    // zero-norm guards mirror the engine's NULL-cosine convention
+    "e14_knn_matryoshka" ->
+      """WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+        |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 10),
+        |tv AS (SELECT id, vec[1:16] AS t FROM v),
+        |tq AS (SELECT qid, qvec[1:16] AS tq FROM q),
+        |s1 AS (SELECT qid, id,
+        |  list_sum(list_transform(range(1, len(t) + 1), i -> t[i] * tq[i]))
+        |   / (sqrt(list_sum(list_transform(t, x -> x * x)))
+        |      * sqrt(list_sum(list_transform(tq, x -> x * x)))) AS sim
+        |  FROM tv CROSS JOIN tq WHERE id <> qid
+        |    AND list_sum(list_transform(t, x -> x * x)) > 0
+        |    AND list_sum(list_transform(tq, x -> x * x)) > 0),
+        |short AS (SELECT qid, id FROM (SELECT qid, id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk FROM s1)
+        |  WHERE rk <= 30),
+        |u AS (SELECT id, list_transform(vec,
+        |    x -> x / sqrt(list_sum(list_transform(vec, y -> y * y)))) AS uv FROM v
+        |  WHERE list_sum(list_transform(vec, y -> y * y)) > 0),
+        |uq AS (SELECT qid, list_transform(qvec,
+        |    x -> x / sqrt(list_sum(list_transform(qvec, y -> y * y)))) AS uqv FROM q
+        |  WHERE list_sum(list_transform(qvec, y -> y * y)) > 0),
+        |rr AS (SELECT s.qid, s.id,
+        |  list_sum(list_transform(range(1, len(uv) + 1), i -> uv[i] * uqv[i])) AS sim
+        |  FROM short s JOIN u ON s.id = u.id JOIN uq ON s.qid = uq.qid),
+        |ranked AS (SELECT qid, id, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM rr)
         |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "e03_cosine_near_dup" ->

@@ -401,6 +401,46 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 3L), (2, 1L))) // 3 closer than 1; 2 excluded
   }
 
+  test("matryoshka: prefix truncation renormalizes; funnel knn is exact " +
+    "when the shortlist covers the corpus") {
+    val m = Similarity.matryoshka(col("vec"), 2)
+    val got = Seq((1L, Array(3.0f, 4.0f, 99.0f, 99.0f)),
+      (2L, Array(0.0f, 0.0f, 7.0f, 7.0f))).toDF("id", "vec")
+      .select(col("id"), m.as("t")).collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[scala.collection.Seq[Double]]("t"))).toMap
+    assert(got(1L).get.toSeq == Seq(0.6, 0.8)) // (3,4)/5 — exact doubles
+    assert(got(2L).isEmpty, "all-zero prefix has no direction -> NULL")
+
+    // 12 well-separated 4-d vectors whose 2-d prefixes rank DIFFERENTLY
+    // than the full vectors (the tail dominates some sims)
+    val corpus = (0 until 12).map { i =>
+      (i.toLong, Array((i % 5 + 1).toFloat, (i % 3).toFloat,
+        (11 - i).toFloat, (i * i % 7 + 1).toFloat))
+    }.toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val exact = ranks(Similarity.bruteForceKnn(corpus, queries, 5))
+    // fetch >= |corpus|-1: every candidate reaches the exact rerank,
+    // so the funnel must reproduce the full-dimension ranking
+    val funnel = ranks(Similarity.matryoshkaKnn(corpus, queries, 5,
+      dims = 2, fetch = 11))
+    assert(funnel == exact, s"funnel $funnel vs exact $exact")
+    // a tight shortlist is allowed to miss (funnel property), but
+    // whatever it returns must be rank-consistent with full cosine
+    val tight = Similarity.matryoshkaKnn(corpus, queries, 3, dims = 2,
+      fetch = 4).collect()
+    assert(tight.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaKnn(corpus, queries, 5, dims = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.matryoshkaKnn(corpus, queries, 5, dims = 2, fetch = 3)
+    }
+  }
+
   test("word-less docs never simhash-pair; collapse refuses string ids " +
     "loudly (review r11)") {
     import graft.ops.Dedup
