@@ -33,11 +33,32 @@ object C4Rules {
 
   private val wsClass = "[ \\t\\n\\x0B\\f\\r]+"
 
-  /** Line keeper: ends in terminal punctuation (ignoring trailing
-    * blanks) AND carries at least `minLineWords` words. */
+  /** Line keeper: ends in terminal punctuation — ignoring trailing
+    * spaces, tabs, AND \r (review r12: rtrim strips only 0x20, so a
+    * CRLF page split on \n kept a \r on every line and the whole
+    * page silently cleaned to empty) — AND carries at least
+    * `minLineWords` words. */
   private def lineKept(l: Column, minLineWords: Int): Column =
-    rtrim(l).rlike("[.!?\"]$") &&
+    l.rlike("[.!?\"][ \\t\\r]*$") &&
       size(filter(split(l, wsClass), w => length(w) > lit(0))) >= minLineWords
+
+  /** The ONE copy of the page decomposition (review r12: flags/clean
+    * each inlined it — a rule fix applied to one form would silently
+    * desynchronize the other): (lines, kept lines, clean text,
+    * sentence count, has_lorem, has_brace). */
+  private def pageCols(t: Column, minLineWords: Int, minSentences: Int)
+      : (Column, Column, Column, Column, Column, Column) = {
+    require(minLineWords >= 1 && minSentences >= 1,
+      s"minLineWords/minSentences must be >= 1, got $minLineWords/$minSentences")
+    val lines = split(t, "\n")
+    val kept = filter(lines, l => lineKept(l, minLineWords))
+    val clean = array_join(kept, "\n")
+    val nSentences = length(clean) -
+      length(regexp_replace(clean, "[.!?]", ""))
+    val hasLorem = contains(lower(t), lit("lorem ipsum"))
+    val hasBrace = contains(t, lit("{"))
+    (lines, kept, clean, nSentences, hasLorem, hasBrace)
+  }
 
   /** Per-page C4 features and flags. Output: the id column, n_lines,
     * n_kept_lines, clean_text (kept lines re-joined with newlines),
@@ -47,16 +68,8 @@ object C4Rules {
   def flags(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minLineWords: Int = 5,
       minSentences: Int = 3): DataFrame = {
-    require(minLineWords >= 1 && minSentences >= 1,
-      s"minLineWords/minSentences must be >= 1, got $minLineWords/$minSentences")
-    val t = col(textCol)
-    val lines = split(t, "\n")
-    val kept = filter(lines, l => lineKept(l, minLineWords))
-    val clean = array_join(kept, "\n")
-    val nSentences = length(clean) -
-      length(regexp_replace(clean, "[.!?]", ""))
-    val hasLorem = contains(lower(t), lit("lorem ipsum"))
-    val hasBrace = contains(t, lit("{"))
+    val (lines, kept, clean, nSentences, hasLorem, hasBrace) =
+      pageCols(col(textCol), minLineWords, minSentences)
     docs.select(col(idCol), size(lines).as("n_lines"),
       size(kept).as("n_kept_lines"), clean.as("clean_text"),
       nSentences.as("n_sentences"), hasLorem.as("has_lorem"),
@@ -69,16 +82,10 @@ object C4Rules {
     * curation stage, still one map-side pass. */
   def clean(docs: DataFrame, textCol: String = "text",
       minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
-    require(minLineWords >= 1 && minSentences >= 1,
-      s"minLineWords/minSentences must be >= 1, got $minLineWords/$minSentences")
-    val t = col(textCol)
-    val kept = filter(split(t, "\n"), l => lineKept(l, minLineWords))
-    val clean = array_join(kept, "\n")
-    val nSentences = length(clean) -
-      length(regexp_replace(clean, "[.!?]", ""))
+    val (_, _, cleanText, nSentences, hasLorem, hasBrace) =
+      pageCols(col(textCol), minLineWords, minSentences)
     docs
-      .filter(!contains(lower(t), lit("lorem ipsum")) &&
-        !contains(t, lit("{")) && nSentences >= minSentences)
-      .withColumn(textCol, clean)
+      .filter(!hasLorem && !hasBrace && nSentences >= minSentences)
+      .withColumn(textCol, cleanText)
   }
 }

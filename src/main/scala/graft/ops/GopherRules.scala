@@ -69,12 +69,18 @@ object GopherRules {
     val nWords = size(wsTok)
     val charSum = aggregate(wsTok, lit(0L), (acc, w) => acc + length(w).cast("long"))
     val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    // both spellings of the ellipsis (review r12: counting only the
+    // ASCII form let U+2026-heavy pages through the symbol rule while
+    // the identical ASCII page was rejected)
     val nEllipsis = ((length(t) -
-      length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+      length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long") +
+      (length(t) - length(regexp_replace(t, "\u2026", ""))).cast("long")
     val nLines = size(lines) // >= 1: split of "" is [""]
     val nBullet = size(filter(lines, l => l.rlike("^[ \\t]*[-*\u2022]")))
+    // trailing \r tolerated (review r12: CRLF pages split on \n keep
+    // the \r, which hid every line ending from the rule)
     val nEllipsisEnd = size(filter(lines,
-      l => l.rlike("(\\.\\.\\.|\u2026)[ \\t]*$")))
+      l => l.rlike("(\\.\\.\\.|\u2026)[ \\t\\r]*$")))
     val nAlpha = size(filter(wsTok, w => w.rlike("[A-Za-z]")))
     val nStop = stops
       .map(sw => when(array_contains(lw, sw), 1).otherwise(0))

@@ -157,13 +157,20 @@ object Sampling {
       cap: Int, broadcastCounts: Boolean = true,
       salt: String = ""): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
+    // NULL-SAFE count join (review r12): groupBy puts null-group rows
+    // in one count row, but a plain equi-join never matches null = null
+    // — every null-group row silently vanished, while the exact
+    // groupQuota KEEPS and caps the null group (it is one window
+    // partition there). <=> restores parity between the two forms.
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-    df.join(if (broadcastCounts) broadcast(counts) else counts, Seq(groupCol))
+      .withColumnRenamed(groupCol, "__g")
+    df.join(if (broadcastCounts) broadcast(counts) else counts,
+        col(groupCol) <=> col("__g"))
       .withColumn("__thr", least(lit(1.0), lit(cap.toDouble) / col("__n")))
       // salt if df was itself hash-sampled upstream (see hashFrac):
       // correlated fractions overshoot the cap by 1/upstream-rate
       .filter(hashFrac(col(idCol), salt) < col("__thr"))
-      .drop("__n", "__thr")
+      .drop("__g", "__n", "__thr")
   }
 
   /** Temperature-scaled mixture weights — α-sampling (mT5 §3.1 /
@@ -323,19 +330,25 @@ object Sampling {
     * [[hashFrac]] map-side filter, one corpus scan, reproducible
     * run-to-run and engine-to-engine like every sampler here. `rates`
     * needs (sourceCol, rate); stateless, so it runs unchanged on a
-    * STREAMING `docs` (stream-static joins need no watermark). */
+    * STREAMING `docs` (stream-static joins need no watermark). Pass a
+    * distinct `salt` when `docs` was ITSELF hash-sampled upstream
+    * (review r12 — the hashFrac composition law): unsalted, the rate
+    * decision is fully correlated with the upstream keep set, so a
+    * 0.5-sampled input fed a 0.4-rate plan keeps 0.8 of survivors,
+    * not 0.4. */
   def applyRates(docs: DataFrame, idCol: String, sourceCol: String,
-      rates: DataFrame): DataFrame =
+      rates: DataFrame, salt: String = ""): DataFrame =
     docs.join(broadcast(rates.select(col(sourceCol), col("rate"))),
         Seq(sourceCol))
-      .filter(hashFrac(col(idCol)) < col("rate"))
+      .filter(hashFrac(col(idCol), salt) < col("rate"))
       .drop("rate")
 
   /** Plan + apply in one call (the batch one-shot). */
   def mixtureSample(docs: DataFrame, idCol: String, sourceCol: String,
-      tokensCol: Column, weights: Map[String, Double]): DataFrame =
+      tokensCol: Column, weights: Map[String, Double],
+      salt: String = ""): DataFrame =
     applyRates(docs, idCol, sourceCol,
-      mixtureRates(docs, sourceCol, tokensCol, weights))
+      mixtureRates(docs, sourceCol, tokensCol, weights), salt)
 
   /** Fixed-budget mixture plan WITH up-sampling — the multi-epoch
     * variant of [[mixtureRates]] (when a target share exceeds a
@@ -369,7 +382,8 @@ object Sampling {
     * training job joins epochs back to payloads shard by shard. */
   def mixtureEpochExpand(docs: DataFrame, idCol: String, sourceCol: String,
       tokensCol: Column, weights: Map[String, Double],
-      budgetTokens: Long, payloadCols: Seq[String] = Seq.empty): DataFrame = {
+      budgetTokens: Long, payloadCols: Seq[String] = Seq.empty,
+      salt: String = ""): DataFrame = {
     val plan = mixtureEpochPlan(docs, sourceCol, tokensCol, weights,
       budgetTokens)
     // manifest stays NARROW (review r11): joining the full docs frame
@@ -378,16 +392,18 @@ object Sampling {
     // id/source spine plus explicitly requested payload columns ride
     // the expansion; the per-source plan columns (full_epochs,
     // last_rate) stay available to aggregating consumers.
-    epochExpandFromPlan(docs, idCol, sourceCol, plan, payloadCols)
+    epochExpandFromPlan(docs, idCol, sourceCol, plan, payloadCols, salt)
   }
 
   /** The manifest-expansion half of [[mixtureEpochExpand]] over any
     * pre-computed plan frame carrying (sourceCol, full_epochs,
     * last_rate) — the ONE copy of the spine/explode/partial-epoch
-    * logic, shared by the weighted planner and [[unimaxEpochPlan]]. */
+    * logic, shared by the weighted planner and [[unimaxEpochPlan]].
+    * `salt` decorrelates the partial-epoch Bernoulli from upstream
+    * hash samplers (review r12; see [[applyRates]]). */
   def epochExpandFromPlan(docs: DataFrame, idCol: String,
       sourceCol: String, plan: DataFrame,
-      payloadCols: Seq[String] = Seq.empty): DataFrame = {
+      payloadCols: Seq[String] = Seq.empty, salt: String = ""): DataFrame = {
     val spine = docs.select(
       (Seq(col(sourceCol), col(idCol)) ++ payloadCols.map(col)): _*)
     spine.join(broadcast(
@@ -396,7 +412,7 @@ object Sampling {
       .withColumn("epoch",
         explode(sequence(lit(0L), col("full_epochs"))))
       .filter(col("epoch") < col("full_epochs") ||
-        hashFrac(col(idCol)) < col("last_rate"))
+        hashFrac(col(idCol), salt) < col("last_rate"))
   }
 
   /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
@@ -530,6 +546,14 @@ object Sampling {
         count(when(col("__t"), 1)).as("tc"))
       .withColumn("nr", sum("rc").over(Window.partitionBy()))
       .withColumn("nt", sum("tc").over(Window.partitionBy()))
+      // fail-loudly (review r12): a targetPred matching ZERO documents
+      // has nt = 0 and every tc = 0 — the "importance" scores would
+      // silently be pure inverse-frequency noise. The branch runs per
+      // histogram row (<= buckets), not per corpus row.
+      .withColumn("nt", when(col("nt") > 0, col("nt")).otherwise(
+        raise_error(lit("dsirScores: targetPred matched no documents - " +
+          "the scores would be inverse-frequency noise, not importance " +
+          "ratios; fix the predicate or the target slice"))))
     // Each factor casts to double BEFORE the multiply (review r9): the
     // int64 product (tc+1)·(nr+B) overflows past nr ~ 10^12 total
     // features with a skewed bucket, turning scores into log(negative)

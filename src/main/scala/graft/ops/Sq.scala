@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -52,6 +52,11 @@ object Sq {
     val c = corpus.select(col(vecCol).cast("array<double>").as("__v"))
     val firstRow = c.select(size(col("__v"))).limit(1).collect()
     require(firstRow.nonEmpty, "sq train: corpus is empty")
+    // size(NULL) is NULL and limit(1) picks a nondeterministic row —
+    // a bare getInt would NPE on one run and pass on the next
+    // (review r12)
+    require(!firstRow.head.isNullAt(0),
+      "sq train: sampled row has a null vector - clean nulls upstream")
     val dim = firstRow.head.getInt(0)
     require(dim > 0, "sq train: zero-length vectors")
     val aggs = (0 until dim).flatMap { d =>
@@ -131,6 +136,10 @@ object Sq {
     * arbitrary-direction quantization noise this side cannot detect. */
   def adcKnn(encoded: DataFrame, queries: DataFrame, model: SqModel,
       k: Int): DataFrame = {
+    // same analysis-time guard as IvfSq.query (review r12): without
+    // it an incomparable qid/id pairing dies mid-job in the ANSI cast
+    // instead of failing loudly here
+    Similarity.requireComparableIds(queries, encoded)
     val q = queries.select(col("qid"),
       col("qvec").cast("array<double>").as("qvec"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
@@ -208,14 +217,19 @@ final case class SqEncodeExpr(child: Expression, model: SqModel)
   override def prettyName: String = "sq_encode"
   override def nullIntolerant: Boolean = true
 
+  // UnsafeArrayData.fromPrimitiveArray, not GenericArrayData: the
+  // byte[] GenericArrayData constructor boxes every element (one
+  // java.lang.Byte per dimension per corpus row in the hottest build
+  // loop) — the same idiom every CatalystExprs array producer uses
+  // (review r12)
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(SqEncodeExpr.compute(
-      input.asInstanceOf[ArrayData], model))
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      SqEncodeExpr.compute(input.asInstanceOf[ArrayData], model))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("sqmodel", model, classOf[SqModel].getName)
     defineCodeGen(ctx, ev, c =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(" +
         s"graft.ops.SqEncodeExpr.compute($c, $ref))")
   }
 

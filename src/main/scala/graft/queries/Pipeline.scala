@@ -1980,10 +1980,11 @@ object Pipeline {
         |f AS (SELECT doc_id, len(ws) AS n_words,
         |  CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) AS char_sum,
         |  length(text) - length(replace(text, '#', '')) AS n_hash,
-        |  (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3 AS n_ellipsis,
+        |  (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3
+        |    + (length(text) - length(replace(text, '…', ''))) AS n_ellipsis,
         |  len(lines) AS n_lines,
         |  len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS n_bullet,
-        |  len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$'))) AS n_ell_end,
+        |  len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)[ \t\r]*$'))) AS n_ell_end,
         |  len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
         |  CASE WHEN list_contains(lw, 'the') THEN 1 ELSE 0 END
         |  + CASE WHEN list_contains(lw, 'a') THEN 1 ELSE 0 END AS n_stop
@@ -2060,7 +2061,7 @@ object Pipeline {
         |  FROM documents),
         |l AS (SELECT doc_id, page, regexp_split_to_array(page, '\n') AS lines FROM inj),
         |k AS (SELECT doc_id, page, lines,
-        |  list_filter(lines, x -> regexp_matches(rtrim(x), '[.!?"]$')
+        |  list_filter(lines, x -> regexp_matches(x, '[.!?"][ \t\r]*$')
         |    AND len(list_filter(regexp_split_to_array(x, '[ \t\n\x0B\f\r]+'), w -> w <> '')) >= 5) AS kept
         |  FROM l),
         |c AS (SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines,

@@ -74,6 +74,15 @@ class C4RulesSpec extends SparkSpec {
       s"clean() must be one map-side pass, got:\n$plan")
   }
 
+  test("CRLF pages survive: trailing \\r never hides a line ending (review r12)") {
+    val crlf = "First good sentence is here.\r\nmid junk\r\n" +
+      "Second good sentence is here.\r\nThird good sentence is here.\r"
+    val r = flagsOf(crlf)
+    assert(r.getAs[Int]("n_kept_lines") == 3,
+      s"CRLF lines must keep: ${r.getAs[Int]("n_kept_lines")}")
+    assert(r.getAs[Int]("n_sentences") == 3 && r.getAs[Boolean]("keep"))
+  }
+
   test("empty page and validation") {
     val r = flagsOf("")
     assert(r.getAs[Int]("n_kept_lines") == 0 &&

@@ -57,9 +57,19 @@ class GopherRulesSpec extends SparkSpec {
     val ell = flagsOf("foo...\nbar…  \nplain line", minWords = 1)
     assert(math.abs(ell.getAs[Double]("ellipsis_line_frac") - 2.0 / 3) < 1e-12)
     assert(!ell.getAs[Boolean]("r_ellipsis_lines"))
-    // '...' also counts toward the symbol ratio: 1 ellipsis over the
-    // 4 whitespace words (foo..., bar…, plain, line)
-    assert(ell.getAs[Double]("ellipsis_ratio") == 0.25)
+    // both ellipsis spellings count toward the symbol ratio (review
+    // r12): '...' + '…' = 2 over the 4 whitespace words
+    assert(ell.getAs[Double]("ellipsis_ratio") == 0.5)
+  }
+
+  test("unicode ellipsis counts like ASCII in the symbol rule; CRLF line " +
+    "endings don't hide the ellipsis-line rule (review r12)") {
+    // 4 words, 1 U+2026: same 0.25 ratio as the ASCII spelling
+    val u = flagsOf("she paused… then left", minWords = 1)
+    assert(u.getAs[Double]("ellipsis_ratio") == 0.25)
+    // CRLF: both ellipsis-ended lines count despite the trailing \r
+    val crlf = flagsOf("foo...\r\nbar…\r\nplain line here", minWords = 1)
+    assert(math.abs(crlf.getAs[Double]("ellipsis_line_frac") - 2.0 / 3) < 1e-12)
   }
 
   test("alpha-word and stop-word rules: digits-only text fails both") {

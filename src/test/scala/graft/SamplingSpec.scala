@@ -440,6 +440,53 @@ class SamplingSpec extends SparkSpec {
     assert(row.getDouble(0) == 1.0)
   }
 
+  test("groupQuotaApprox keeps and caps the null group like groupQuota " +
+    "(review r12)") {
+    val df = (1L to 400L).map(i =>
+      (i, if (i % 4 == 0) None else Some(s"g${i % 2}")))
+      .toDF("id", "grp")
+    val approx = Sampling.groupQuotaApprox(df, "id", "grp", cap = 30)
+    val nullKept = approx.filter(col("grp").isNull).count()
+    assert(nullKept > 0, "null-group rows must not vanish")
+    // 100 null-group rows at rate 30/100: binomial around 30
+    assert(nullKept >= 15 && nullKept <= 50, s"nullKept=$nullKept")
+    // exact form for comparison: exactly cap rows of the null group
+    val exact = Sampling.groupQuota(df, "id", "grp", cap = 30)
+    assert(exact.filter(col("grp").isNull).count() == 30)
+  }
+
+  test("applyRates/epoch expansion accept a salt: composed sampling is " +
+    "decorrelated (review r12)") {
+    import spark.implicits._
+    val docs = (1L to 4000L).map(i => (i, "s")).toDF("id", "src")
+    val rates = Seq(("s", 0.4)).toDF("src", "rate")
+    val upstream = Sampling.bernoulli(docs, "id", 0.5)
+    // unsalted: the 0.4 rate re-reads the same hash -> all upstream
+    // survivors with frac < 0.4 stay = 80% of them
+    val unsalted = Sampling.applyRates(upstream, "id", "src", rates).count()
+    assert(unsalted > 0.7 * upstream.count(), s"unsalted=$unsalted")
+    // salted: independent decision -> ~40% of survivors
+    val salted = Sampling.applyRates(upstream, "id", "src", rates,
+      salt = "mix").count()
+    val frac = salted.toDouble / upstream.count()
+    assert(frac > 0.3 && frac < 0.5, s"salted frac=$frac")
+  }
+
+  test("dsirScores fails loudly when targetPred matches no documents " +
+    "(review r12)") {
+    val docs = (1L to 50L).map(i => (i, s"alpha beta gamma doc $i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val ex = intercept[Exception] {
+      Sampling.dsirScores(docs, col("lang") === "zz").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert((ex.getMessage + rootMsg(ex)).contains("matched no documents"),
+      s"guard must fire: ${ex.getMessage}")
+    // the guard is inert when the target exists
+    assert(Sampling.dsirScores(docs, col("lang") === "en").count() == 50)
+  }
+
   private def unimaxMap(totals: Seq[(String, Long)], budget: Long,
       epochs: Int): Map[String, (Long, Double, Double)] = {
     import spark.implicits._

@@ -177,4 +177,21 @@ class SqSpec extends SparkSpec {
       emb.select(col("id"), col("vec")), persist = false).save(dir2)
     assert(!IvfSq.exists(spark, dir2))
   }
+
+  test("train names a null sampled vector; adcKnn rejects incomparable " +
+    "qids at analysis time (review r12)") {
+    // one-row corpus -> limit(1) deterministically picks the null row
+    val nullVec = Seq((1L, None: Option[Seq[Double]])).toDF("id", "vec")
+    val ex = intercept[IllegalArgumentException] {
+      Sq.train(nullVec, "vec")
+    }
+    assert(ex.getMessage.contains("null vector"), ex.getMessage)
+    val model = Sq.train(emb, "vec")
+    val enc = Sq.encodeCorpus(emb, "vec", model)
+    val sq = Seq(("q-1", Seq.fill(64)(0.5))).toDF("qid", "qvec")
+    val ex2 = intercept[IllegalArgumentException] {
+      Sq.adcKnn(enc, sq, model, 3)
+    }
+    assert(ex2.getMessage.contains("not comparable"), ex2.getMessage)
+  }
 }
