@@ -241,4 +241,49 @@ object TextFunctions {
       .foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
     trim(regexp_replace(decoded, lit(s"$wsClass+"), lit(" ")))
   }
+
+  /** Markdown → plain text (the source-document twin of [[stripHtml]]
+    * for README/docs corpora): fenced code blocks drop WITH contents
+    * (boilerplate at corpus scale), inline-code backticks strip
+    * keeping the span, images become their alt text and links their
+    * anchor text, header/blockquote/list/rule markers strip, asterisk
+    * emphasis and `~~` strikethrough unwrap, whitespace collapses.
+    * Underscore emphasis is left ALONE on purpose — `_x_` is
+    * indistinguishable from identifiers like `foo_bar_` without a
+    * parser, and a wrong strip corrupts code-adjacent text.
+    *
+    * Ordering is load-bearing: fences before inline code (fence
+    * contents must not survive as code spans), images before links
+    * (the link pattern would eat `[alt](url)` leaving the `!`).
+    * Every regex is in the java.regex ∩ RE2 intersection ((?s)/(?m)
+    * inline flags, non-greedy `.*?`, explicit whitespace class), so a
+    * DuckDB oracle replays the chain verbatim — Spark replacements
+    * write `$1` where DuckDB writes `\1`, the one syntactic
+    * difference. Pure map-side, one codegen pass. */
+  def stripMarkdown(md: Column): Column = {
+    val chain = Seq(
+      // fenced code blocks, with contents — one pass per fence
+      // delimiter (RE2 has no backreferences, the stripHtml per-tag
+      // lesson)
+      "(?s)(?m)^[ \\t]*```.*?^[ \\t]*```[ \\t]*$" -> " ",
+      "(?s)(?m)^[ \\t]*~~~.*?^[ \\t]*~~~[ \\t]*$" -> " ",
+      // inline code spans: keep the content, drop the backticks
+      "`([^`\\n]*)`" -> "$1",
+      // images -> alt text; links -> anchor text (images FIRST)
+      "!\\[([^\\]]*)\\]\\(([^)]*)\\)" -> "$1",
+      "\\[([^\\]]*)\\]\\(([^)]*)\\)" -> "$1",
+      // ATX headers, blockquote markers, horizontal rules
+      "(?m)^[ \\t]{0,3}#{1,6}[ \\t]*" -> "",
+      "(?m)^[ \\t]*>[ \\t]?" -> "",
+      "(?m)^[ \\t]*([-*_][ \\t]*){3,}$" -> " ",
+      // list bullets / ordered-list markers
+      "(?m)^[ \\t]*([-*+]|[0-9]+[.)])[ \\t]+" -> "",
+      // asterisk emphasis + strikethrough unwrap
+      "\\*{1,3}([^*\\n]+)\\*{1,3}" -> "$1",
+      "~~([^~\\n]+)~~" -> "$1")
+    val stripped = chain.foldLeft(md) { case (c, (re, repl)) =>
+      regexp_replace(c, lit(re), lit(repl))
+    }
+    trim(regexp_replace(stripped, lit(s"$wsClass+"), lit(" ")))
+  }
 }

@@ -1336,10 +1336,33 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Markdown → text extraction (TextFunctions.stripMarkdown — the
+    * README/docs-corpus twin of d32's HTML path): fences drop with
+    * contents, links/images keep their text, headers/quotes/bullets/
+    * rules strip, asterisk emphasis unwraps. Injected fixture wraps
+    * each doc in a full markdown page (the d32 pattern); every regex
+    * is in the java.regex ∩ RE2 intersection so the oracle replays
+    * the chain verbatim (Spark `$1` = DuckDB `\1` is the one
+    * replacement-syntax difference; RE2 has no backreferences, hence
+    * one pass per fence delimiter). */
+  def d47MarkdownExtract(s: SparkSession, dir: String): DataFrame = {
+    val inj = docs(s, dir).select(col("doc_id"), concat(
+      lit("# Title "), col("doc_id"),
+      lit("\n**Bold** and *em* text with `code span` here.\n"),
+      lit("> quoted wisdom line\n- item one\n2. item two\n"),
+      lit("[link text](https://example.com/"), col("doc_id"),
+      lit(") and ![alt text](img.png)\n```\nvar code = "), col("doc_id"),
+      lit(";\n```\n---\n"), col("text")).as("md"))
+    inj.select(col("doc_id"),
+        TextFunctions.stripMarkdown(col("md")).as("clean"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d44_gopher_rules" -> d44GopherRules _,
     "d45_unimax" -> d45Unimax _,
     "d46_c4_rules" -> d46C4Rules _,
+    "d47_markdown_extract" -> d47MarkdownExtract _,
     "d41_bm25" -> d41Bm25 _,
     "d42_ccnet_buckets" -> d42CcnetBuckets _,
     "d43_temperature_mix" -> d43TemperatureMix _,
@@ -2073,6 +2096,39 @@ object Pipeline {
         |  n_sentences, has_lorem, has_brace,
         |  (NOT has_lorem AND NOT has_brace AND n_sentences >= 3) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    // The same injected markdown page run through the strip chain
+    // verbatim (DuckDB replacement groups are \1 where Spark writes
+    // $1; the 'g' flag is mandatory — DuckDB replaces first-match-only
+    // by default)
+    "d47_markdown_extract" ->
+      """WITH inj AS (SELECT doc_id,
+        |  '# Title ' || doc_id || chr(10)
+        |  || '**Bold** and *em* text with `code span` here.' || chr(10)
+        |  || '> quoted wisdom line' || chr(10) || '- item one' || chr(10)
+        |  || '2. item two' || chr(10)
+        |  || '[link text](https://example.com/' || doc_id
+        |  || ') and ![alt text](img.png)' || chr(10) || '```' || chr(10)
+        |  || 'var code = ' || doc_id || ';' || chr(10) || '```' || chr(10)
+        |  || '---' || chr(10) || text AS md FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(md,
+        |  '(?s)(?m)^[ \t]*```.*?^[ \t]*```[ \t]*$', ' ', 'g'),
+        |  '(?s)(?m)^[ \t]*~~~.*?^[ \t]*~~~[ \t]*$', ' ', 'g') AS md FROM inj),
+        |c2 AS (SELECT doc_id, regexp_replace(md,
+        |  '`([^`\n]*)`', '\1', 'g') AS md FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(md,
+        |  '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+        |  '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') AS md FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(md,
+        |  '(?m)^[ \t]{0,3}#{1,6}[ \t]*', '', 'g'),
+        |  '(?m)^[ \t]*>[ \t]?', '', 'g'),
+        |  '(?m)^[ \t]*([-*_][ \t]*){3,}$', ' ', 'g') AS md FROM c3),
+        |c5 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(md,
+        |  '(?m)^[ \t]*([-*+]|[0-9]+[.)])[ \t]+', '', 'g'),
+        |  '\*{1,3}([^*\n]+)\*{1,3}', '\1', 'g'),
+        |  '~~([^~\n]+)~~', '\1', 'g') AS md FROM c4)
+        |SELECT doc_id, trim(regexp_replace(md,
+        |  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
+        |FROM c5 ORDER BY doc_id""".stripMargin,
     "d39_url_dedup" ->
       """WITH inj AS (SELECT doc_id,
         |  'HTTPS://Site' || (doc_id % 7) || '.Example.org:443/p/' || (doc_id % 20)

@@ -297,6 +297,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("stripMarkdown: fences drop with contents, links/images keep their " +
+    "text, markers strip, underscores survive") {
+    val cases = Seq(
+      (1L, "# Head\nbody line.", "Head body line."),
+      (2L, "```\nsecret code();\n```\nafter", "after"),
+      (3L, "~~~\nalso secret\n~~~\nkept", "kept"),
+      (4L, "use `foo()` and **bold** or *em* and ~~gone~~ text",
+        "use foo() and bold or em and gone text"),
+      (5L, "[anchor](http://x/y) then ![alt words](i.png)",
+        "anchor then alt words"),
+      (6L, "> quote line\n- bullet a\n* bullet b\n3) numbered",
+        "quote line bullet a bullet b numbered"),
+      (7L, "above\n---\nbelow", "above below"),
+      // underscore emphasis is intentionally untouched (identifier
+      // ambiguity): the markers survive
+      (8L, "snake_case_name and _em_", "snake_case_name and _em_"),
+      (9L, "no markup at all", "no markup at all")
+    ).toDF("id", "md", "expect")
+    val out = cases.select(col("id"),
+        TextFunctions.stripMarkdown(col("md")).as("got"), col("expect"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+    out.foreach { case (id, (got, exp)) =>
+      assert(got == exp, s"case $id: got '$got', expected '$exp'")
+    }
+  }
+
   test("bpe train: Sennrich example merges in hand-computed order") {
     // word counts low:5 lower:2 newest:6 widest:3 (the paper's corpus,
     // no end-of-word marker). Hand-computed pair stats give the merge
