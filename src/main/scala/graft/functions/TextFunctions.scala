@@ -246,11 +246,12 @@ object TextFunctions {
     * for README/docs corpora): fenced code blocks drop WITH contents
     * (boilerplate at corpus scale), inline-code backticks strip
     * keeping the span, images become their alt text and links their
-    * anchor text, header/blockquote/list/rule markers strip, asterisk
-    * emphasis and `~~` strikethrough unwrap, whitespace collapses.
-    * Underscore emphasis is left ALONE on purpose — `_x_` is
-    * indistinguishable from identifiers like `foo_bar_` without a
-    * parser, and a wrong strip corrupts code-adjacent text.
+    * anchor text, header/blockquote/list/rule markers strip (ATX and
+    * setext), asterisk emphasis and `~~` strikethrough unwrap,
+    * whitespace collapses. Underscore emphasis is left ALONE on
+    * purpose — `_x_` is indistinguishable from identifiers like
+    * `foo_bar_` without a parser, and a wrong strip corrupts
+    * code-adjacent text.
     *
     * Ordering is load-bearing: fences before inline code (fence
     * contents must not survive as code spans), images before links
@@ -259,24 +260,45 @@ object TextFunctions {
     * inline flags, non-greedy `.*?`, explicit whitespace class), so a
     * DuckDB oracle replays the chain verbatim — Spark replacements
     * write `$1` where DuckDB writes `\1`, the one syntactic
-    * difference. Pure map-side, one codegen pass. */
+    * difference. Line-END anchors consume an optional \r first
+    * (review r12, the C4/Gopher lesson in its java-vs-RE2 form:
+    * java's (?m)$ matches before \r\n, RE2's only before \n — a
+    * bare $ silently desynchronizes the two engines on CRLF text).
+    * Pure map-side, one codegen pass.
+    *
+    * KNOWN LIMITATION (review r12, documented not fixed): a regexp
+    * chain cannot scope later rules OUTSIDE kept code spans — a span
+    * whose content looks like a link (`arr[0](x)`) or carries `*` is
+    * rewritten by the link/emphasis rules after its backticks strip.
+    * Protecting spans needs placeholder extraction (a parser, not a
+    * chain); for corpus text extraction the trade-off is accepted,
+    * for rendering it would not be. Block markers cap at 3 leading
+    * spaces per CommonMark (4+ = indented code) EXCEPT list bullets,
+    * where deeper indentation means a NESTED list far more often
+    * than code in real READMEs — that one strips at any depth. */
   def stripMarkdown(md: Column): Column = {
     val chain = Seq(
       // fenced code blocks, with contents — one pass per fence
       // delimiter (RE2 has no backreferences, the stripHtml per-tag
       // lesson)
-      "(?s)(?m)^[ \\t]*```.*?^[ \\t]*```[ \\t]*$" -> " ",
-      "(?s)(?m)^[ \\t]*~~~.*?^[ \\t]*~~~[ \\t]*$" -> " ",
+      "(?s)(?m)^[ \\t]{0,3}```.*?^[ \\t]{0,3}```[ \\t]*\\r?$" -> " ",
+      "(?s)(?m)^[ \\t]{0,3}~~~.*?^[ \\t]{0,3}~~~[ \\t]*\\r?$" -> " ",
       // inline code spans: keep the content, drop the backticks
       "`([^`\\n]*)`" -> "$1",
       // images -> alt text; links -> anchor text (images FIRST)
       "!\\[([^\\]]*)\\]\\(([^)]*)\\)" -> "$1",
       "\\[([^\\]]*)\\]\\(([^)]*)\\)" -> "$1",
-      // ATX headers, blockquote markers, horizontal rules
-      "(?m)^[ \\t]{0,3}#{1,6}[ \\t]*" -> "",
-      "(?m)^[ \\t]*>[ \\t]?" -> "",
-      "(?m)^[ \\t]*([-*_][ \\t]*){3,}$" -> " ",
-      // list bullets / ordered-list markers
+      // ATX headers: CommonMark requires whitespace after the hashes
+      // ('#42 fixed it' is prose, not a heading — review r12)
+      "(?m)^[ \\t]{0,3}#{1,6}[ \\t]+" -> "",
+      // setext underlines (the '=====' H1 form; the '---' H2 form is
+      // consumed by the horizontal-rule pass below)
+      "(?m)^[ \\t]{0,3}=+[ \\t]*\\r?$" -> " ",
+      // blockquote markers, horizontal rules
+      "(?m)^[ \\t]{0,3}>[ \\t]?" -> "",
+      "(?m)^[ \\t]{0,3}([-*_][ \\t]*){3,}\\r?$" -> " ",
+      // list bullets / ordered-list markers (any indent — nested
+      // lists; see the scaladoc trade-off)
       "(?m)^[ \\t]*([-*+]|[0-9]+[.)])[ \\t]+" -> "",
       // asterisk emphasis + strikethrough unwrap
       "\\*{1,3}([^*\\n]+)\\*{1,3}" -> "$1",

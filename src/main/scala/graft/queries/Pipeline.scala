@@ -1353,8 +1353,11 @@ object Pipeline {
       lit("[link text](https://example.com/"), col("doc_id"),
       lit(") and ![alt text](img.png)\n```\nvar code = "), col("doc_id"),
       lit(";\n```\n---\n"), col("text")).as("md"))
+    // length + md5, not the full text (the d32 artifact convention —
+    // same proof, no corpus-sized verify dumps; review r12)
     inj.select(col("doc_id"),
-        TextFunctions.stripMarkdown(col("md")).as("clean"))
+        length(TextFunctions.stripMarkdown(col("md"))).as("n_chars"),
+        md5(TextFunctions.stripMarkdown(col("md")).cast("binary")).as("clean_md5"))
       .orderBy("doc_id")
   }
 
@@ -2111,24 +2114,27 @@ object Pipeline {
         |  || 'var code = ' || doc_id || ';' || chr(10) || '```' || chr(10)
         |  || '---' || chr(10) || text AS md FROM documents),
         |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(md,
-        |  '(?s)(?m)^[ \t]*```.*?^[ \t]*```[ \t]*$', ' ', 'g'),
-        |  '(?s)(?m)^[ \t]*~~~.*?^[ \t]*~~~[ \t]*$', ' ', 'g') AS md FROM inj),
+        |  '(?s)(?m)^[ \t]{0,3}```.*?^[ \t]{0,3}```[ \t]*\r?$', ' ', 'g'),
+        |  '(?s)(?m)^[ \t]{0,3}~~~.*?^[ \t]{0,3}~~~[ \t]*\r?$', ' ', 'g') AS md FROM inj),
         |c2 AS (SELECT doc_id, regexp_replace(md,
         |  '`([^`\n]*)`', '\1', 'g') AS md FROM c1),
         |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(md,
         |  '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
         |  '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') AS md FROM c2),
-        |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(md,
-        |  '(?m)^[ \t]{0,3}#{1,6}[ \t]*', '', 'g'),
-        |  '(?m)^[ \t]*>[ \t]?', '', 'g'),
-        |  '(?m)^[ \t]*([-*_][ \t]*){3,}$', ' ', 'g') AS md FROM c3),
+        |c4 AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(md,
+        |  '(?m)^[ \t]{0,3}#{1,6}[ \t]+', '', 'g'),
+        |  '(?m)^[ \t]{0,3}=+[ \t]*\r?$', ' ', 'g'),
+        |  '(?m)^[ \t]{0,3}>[ \t]?', '', 'g'),
+        |  '(?m)^[ \t]{0,3}([-*_][ \t]*){3,}\r?$', ' ', 'g') AS md FROM c3),
         |c5 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(md,
         |  '(?m)^[ \t]*([-*+]|[0-9]+[.)])[ \t]+', '', 'g'),
         |  '\*{1,3}([^*\n]+)\*{1,3}', '\1', 'g'),
-        |  '~~([^~\n]+)~~', '\1', 'g') AS md FROM c4)
-        |SELECT doc_id, trim(regexp_replace(md,
-        |  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean
-        |FROM c5 ORDER BY doc_id""".stripMargin,
+        |  '~~([^~\n]+)~~', '\1', 'g') AS md FROM c4),
+        |c6 AS (SELECT doc_id, trim(regexp_replace(md,
+        |  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean FROM c5)
+        |SELECT doc_id, length(clean) AS n_chars, md5(clean) AS clean_md5
+        |FROM c6 ORDER BY doc_id""".stripMargin,
     "d39_url_dedup" ->
       """WITH inj AS (SELECT doc_id,
         |  'HTTPS://Site' || (doc_id % 7) || '.Example.org:443/p/' || (doc_id % 20)

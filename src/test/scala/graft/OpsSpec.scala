@@ -313,7 +313,18 @@ class OpsSpec extends SparkSpec {
       // underscore emphasis is intentionally untouched (identifier
       // ambiguity): the markers survive
       (8L, "snake_case_name and _em_", "snake_case_name and _em_"),
-      (9L, "no markup at all", "no markup at all")
+      (9L, "no markup at all", "no markup at all"),
+      // review r12: '#42' is prose (CommonMark needs a space after
+      // the hashes), setext '=====' underlines strip, and CRLF fences
+      // still drop (\r consumed before the $ anchor — java (?m)$
+      // matches before \r\n, RE2 does not)
+      (10L, "#42 fixed the crash", "#42 fixed the crash"),
+      (11L, "Title\n=====\nbody", "Title body"),
+      (12L, "```\r\nsecret();\r\n```\r\nafter crlf", "after crlf"),
+      // review r12, documented limitation: kept code-span CONTENT is
+      // not protected from the later link/emphasis rules — this pins
+      // the documented behavior so a change is a conscious one
+      (13L, "use `arr[0](x)` here", "use arr0 here")
     ).toDF("id", "md", "expect")
     val out = cases.select(col("id"),
         TextFunctions.stripMarkdown(col("md")).as("got"), col("expect"))
