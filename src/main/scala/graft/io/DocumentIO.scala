@@ -32,11 +32,17 @@ object DocumentIO {
       .json(path)
 
   /** Read a JSONL corpus under an enforced schema. Malformed lines
-    * land in `__corrupt` (PERMISSIVE mode) with every schema column
-    * null. To audit rejects, `cache()` the frame FIRST and then filter
-    * `__corrupt.isNotNull` — Spark refuses raw-scan queries that
-    * reference only the corrupt-record column (IOSpec shows the
-    * pattern); use [[readJsonlClean]] when rejects don't matter. */
+    * land in `__corrupt` (PERMISSIVE mode). NB (review r12): schema
+    * columns are all-null only for UNPARSEABLE lines; a line that
+    * parses but fails a FIELD cast ({"doc_id": 1, "text": 5}) keeps
+    * its good fields (doc_id = 1, text = null) alongside the raw line
+    * in `__corrupt` — so `__corrupt.isNotNull` is the ONE correct
+    * reject predicate; null-checking a schema column misclassifies
+    * partially-parsed records. To audit rejects, `cache()` the frame
+    * FIRST and then filter `__corrupt.isNotNull` — Spark refuses
+    * raw-scan queries that reference only the corrupt-record column
+    * (IOSpec shows the pattern); use [[readJsonlClean]] when rejects
+    * don't matter. */
   def readJsonl(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
     // a schema already carrying __corrupt (e.g. derived from a prior

@@ -36,6 +36,28 @@ import graft.functions.TextFunctions
   */
 object LangModel {
 
+  // Tokenized reference slice: referenced by two-to-four aggregations
+  // during train (pairs/contexts/vocab; uni/bi/tri tables) — persisted
+  // so the words() regexp pass over the reference runs once per train,
+  // not once per model table (review r12; the lineDedup linePersist
+  // idiom). One slot: a new train evicts the previous reference.
+  private val refPersist = new PersistSlot
+
+  /** The ONE bigram-position explode (review r12: train and score
+    * inlined it separately — the oracle-exactness contract needs both
+    * sides tokenizing bit-identically, so the identity lives here). */
+  private[ops] def pairExplode(ws: org.apache.spark.sql.Column) =
+    explode(arrays_zip(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1)))
+
+  /** The ONE trigram-position explode (same rule as [[pairExplode]]). */
+  private[ops] def tripleExplode(ws: org.apache.spark.sql.Column) =
+    explode(arrays_zip(
+      slice(ws, lit(1), size(ws) - 2),
+      slice(ws, lit(2), size(ws) - 2),
+      slice(ws, lit(3), size(ws) - 2)))
+
   /** Train the bigram model on `ref`. Returns (bigrams, contexts, V):
     * (prev, cur, n) pair counts, (prev, n_ctx) context counts, and the
     * smoothing vocabulary size (distinct reference words + 1).
@@ -50,11 +72,10 @@ object LangModel {
     * HAS that order instead. */
   def trainBigram(ref: DataFrame, textCol: String = "text")
       : (DataFrame, DataFrame, Long) = {
-    val ws = ref.select(TextFunctions.words(col(textCol)).as("ws"))
-      .filter(size(col("ws")) >= 2)
-    val pairs = ws.select(explode(arrays_zip(
-        slice(col("ws"), lit(1), size(col("ws")) - 1),
-        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
+    val ws = refPersist(
+      ref.select(TextFunctions.words(col(textCol)).as("ws"))
+        .filter(size(col("ws")) >= 2))
+    val pairs = ws.select(pairExplode(col("ws")).as("p"))
       .select(col("p.0").as("prev"), col("p.1").as("cur"))
     val bigrams = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("n"))
     val contexts = pairs.groupBy("prev").agg(count(lit(1)).as("n_ctx"))
@@ -74,9 +95,7 @@ object LangModel {
     val ws = docs.select(col(idCol).as("id"),
         TextFunctions.words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= 2)
-    val pairs = ws.select(col("id"), explode(arrays_zip(
-        slice(col("ws"), lit(1), size(col("ws")) - 1),
-        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
+    val pairs = ws.select(col("id"), pairExplode(col("ws")).as("p"))
       .select(col("id"), col("p.0").as("prev"), col("p.1").as("cur"))
     pairs
       .join(broadcast(bigrams), Seq("prev", "cur"), "left_outer")
@@ -146,23 +165,19 @@ object LangModel {
     * its term (ML 0/0 := 0). The unigram add-one floor keeps every
     * score finite for any input, OOV included. */
   def trainTrigram(ref: DataFrame, textCol: String = "text"): TrigramModel = {
-    val ws = ref.select(TextFunctions.words(col(textCol)).as("ws"))
+    val ws = refPersist(
+      ref.select(TextFunctions.words(col(textCol)).as("ws")))
     val uni = ws.select(explode(col("ws")).as("w"))
     val unigrams = uni.groupBy("w").agg(count(lit(1)).as("n1"))
     val totals = uni.agg(count(lit(1)), countDistinct(col("w"))).head()
     val (nTok, v) = (totals.getLong(0), totals.getLong(1) + 1)
     val pairs = ws.filter(size(col("ws")) >= 2)
-      .select(explode(arrays_zip(
-        slice(col("ws"), lit(1), size(col("ws")) - 1),
-        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
+      .select(pairExplode(col("ws")).as("p"))
       .select(col("p.0").as("v"), col("p.1").as("w"))
     val bigrams = pairs.groupBy("v", "w").agg(count(lit(1)).as("n2"))
     val bigramCtx = pairs.groupBy("v").agg(count(lit(1)).as("c2"))
     val triples = ws.filter(size(col("ws")) >= 3)
-      .select(explode(arrays_zip(
-        slice(col("ws"), lit(1), size(col("ws")) - 2),
-        slice(col("ws"), lit(2), size(col("ws")) - 2),
-        slice(col("ws"), lit(3), size(col("ws")) - 2))).as("t"))
+      .select(tripleExplode(col("ws")).as("t"))
       .select(col("t.0").as("u"), col("t.1").as("v"), col("t.2").as("w"))
     val trigrams = triples.groupBy("u", "v", "w").agg(count(lit(1)).as("n3"))
     val trigramCtx = triples.groupBy("u", "v").agg(count(lit(1)).as("c3"))
@@ -209,10 +224,7 @@ object LangModel {
     val ws = docs.select(col(idCol).as("id"),
         TextFunctions.words(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= 3)
-    val triples = ws.select(col("id"), explode(arrays_zip(
-        slice(col("ws"), lit(1), size(col("ws")) - 2),
-        slice(col("ws"), lit(2), size(col("ws")) - 2),
-        slice(col("ws"), lit(3), size(col("ws")) - 2))).as("t"))
+    val triples = ws.select(col("id"), tripleExplode(col("ws")).as("t"))
       .select(col("id"), col("t.0").as("u"), col("t.1").as("v"),
         col("t.2").as("w"))
     val a3 = coalesce(col("n3"), lit(0L))

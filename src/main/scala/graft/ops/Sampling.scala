@@ -337,11 +337,27 @@ object Sampling {
     * 0.5-sampled input fed a 0.4-rate plan keeps 0.8 of survivors,
     * not 0.4. */
   def applyRates(docs: DataFrame, idCol: String, sourceCol: String,
-      rates: DataFrame, salt: String = ""): DataFrame =
-    docs.join(broadcast(rates.select(col(sourceCol), col("rate"))),
-        Seq(sourceCol))
-      .filter(hashFrac(col(idCol), salt) < col("rate"))
-      .drop("rate")
+      rates: DataFrame, salt: String = "",
+      onUnplanned: String = "drop"): DataFrame = {
+    // "drop" is the batch contract (mixtureRates documents that
+    // unweighted sources drop); "fail" raises per-row on a source
+    // with no planned rate — the STREAMING apply half uses it, where
+    // an empty/stale rates frame would otherwise silently emit
+    // nothing (review r12; EventStream.mixtureSampleStream).
+    require(onUnplanned == "drop" || onUnplanned == "fail",
+      s"onUnplanned must be 'drop' or 'fail', got '$onUnplanned'")
+    val r = broadcast(rates.select(col(sourceCol), col("rate")))
+    val joined =
+      if (onUnplanned == "drop") docs.join(r, Seq(sourceCol))
+      else docs.join(r, Seq(sourceCol), "left_outer")
+        .withColumn("rate", when(col("rate").isNotNull, col("rate"))
+          .otherwise(raise_error(concat(
+            lit("applyRates: source '"), col(sourceCol).cast("string"),
+            lit("' has no planned rate - the rates frame is empty or " +
+              "stale (publish a plan before starting the stream, or " +
+              "re-plan for new sources)")))))
+    joined.filter(hashFrac(col(idCol), salt) < col("rate")).drop("rate")
+  }
 
   /** Plan + apply in one call (the batch one-shot). */
   def mixtureSample(docs: DataFrame, idCol: String, sourceCol: String,

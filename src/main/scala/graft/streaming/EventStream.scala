@@ -165,7 +165,11 @@ object EventStream {
     * reference). */
   def boilerplateDigests(docs: DataFrame, minCount: Int = 2,
       watermark: String = "1 hour", window_ : String = "1 hour",
-      sep: String = "\n"): DataFrame =
+      sep: String = "\n"): DataFrame = {
+    // batch lineDedup enforces this; the streaming twins feed the
+    // same stripBoilerplateLines consumer, and minCount < 2 would
+    // publish EVERY distinct line as boilerplate (review r12)
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     docs
       .withWatermark("ts", watermark)
       .select(col("ts"),
@@ -177,6 +181,7 @@ object EventStream {
       .filter(col("n") >= minCount)
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("__h"), col("n"))
+  }
 
   /** The PLAN half of a streaming corpus-mixture sampler (the NOTES
     * depth idea; the batch one-shot is graft.ops.Sampling
@@ -207,10 +212,27 @@ object EventStream {
     * stream-static join + md5-hash filter), which is stateless, so it
     * needs no watermark and its output is reproducible for a given
     * rates frame: re-running a window after a rates republish keeps or
-    * drops exactly the same documents. */
+    * drops exactly the same documents.
+    *
+    * Coverage contract (review r12): an EMPTY rates frame is refused
+    * at call time — the inner join would otherwise silently emit
+    * NOTHING for the whole stream (the bootstrap-before-first-replan
+    * trap); publish an initial plan (rate-1.0 passthrough or a prior
+    * window's plan) before starting the query. A NON-empty plan that
+    * merely omits a source keeps the batch planner's documented
+    * drop-unweighted semantics by default; pass
+    * `onUnplanned = "fail"` to instead fail the query by name when an
+    * unplanned source appears mid-stream. */
   def mixtureSampleStream(docs: DataFrame, idCol: String,
-      sourceCol: String, rates: DataFrame): DataFrame =
-    graft.ops.Sampling.applyRates(docs, idCol, sourceCol, rates)
+      sourceCol: String, rates: DataFrame,
+      onUnplanned: String = "drop"): DataFrame = {
+    require(!rates.isEmpty,
+      "mixtureSampleStream: empty rates frame - the stream-static " +
+        "join would silently emit nothing; publish an initial plan " +
+        "before starting the query")
+    graft.ops.Sampling.applyRates(docs, idCol, sourceCol, rates,
+      onUnplanned = onUnplanned)
+  }
 
   final case class CmsState(counters: Array[Int], published: Seq[String])
   final case class CmsDigest(windowStart: java.sql.Timestamp,
@@ -270,13 +292,21 @@ object EventStream {
       watermark: String = "1 hour", window_ : String = "1 hour",
       sep: String = "\n", width: Int = 8192, depth: Int = 4,
       maxPublish: Int = 100000): DataFrame = {
+    // batch lineDedup enforces this; the streaming twins feed the
+    // same stripBoilerplateLines consumer, and minCount < 2 would
+    // publish EVERY distinct line as boilerplate (review r12)
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     require(depth >= 1 && depth <= 4, s"depth must be 1..4 (md5 has 4 words), got $depth")
     require(width >= 16, s"width must be >= 16, got $width")
     // window bounds are keyed at WHOLE-SECOND resolution (the
     // cast("long")s below): a sub-second window would truncate both
     // bounds and silently merge counts of distinct windows (review r11)
-    require(!window_.toLowerCase(java.util.Locale.ROOT)
-        .matches(".*(milli|micro|nano).*"),
+    val wLower = window_.toLowerCase(java.util.Locale.ROOT)
+    // fractional seconds ('0.25 seconds') are as corrupting as milli
+    // units — Spark parses them, the cast("long") truncates them
+    // (review r12)
+    require(!wLower.matches(".*(milli|micro|nano).*") &&
+        !wLower.matches(".*\\.[0-9]+\\s*sec.*"),
       s"boilerplateDigestsSketch keys windows at second resolution; " +
         s"sub-second window '$window_' would corrupt group keys")
     val spark = docs.sparkSession

@@ -472,6 +472,28 @@ class SamplingSpec extends SparkSpec {
     assert(frac > 0.3 && frac < 0.5, s"salted frac=$frac")
   }
 
+  test("applyRates onUnplanned='fail' names the unplanned source; " +
+    "'drop' keeps the batch contract (review r12)") {
+    import spark.implicits._
+    val docs = Seq((1L, "wiki"), (2L, "books"), (3L, "wiki"))
+      .toDF("id", "src")
+    val rates = Seq(("wiki", 1.0)).toDF("src", "rate")
+    // drop (default): unlisted 'books' silently drops — documented
+    assert(Sampling.applyRates(docs, "id", "src", rates)
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+    val ex = intercept[Exception] {
+      Sampling.applyRates(docs, "id", "src", rates,
+        onUnplanned = "fail").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert((ex.getMessage + rootMsg(ex)).contains("no planned rate"),
+      ex.getMessage)
+    intercept[IllegalArgumentException] {
+      Sampling.applyRates(docs, "id", "src", rates, onUnplanned = "boom")
+    }
+  }
+
   test("dsirScores fails loudly when targetPred matches no documents " +
     "(review r12)") {
     val docs = (1L to 50L).map(i => (i, s"alpha beta gamma doc $i", "en"))

@@ -96,6 +96,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mixtureSampleStream fails loudly on an unplanned source instead " +
+    "of silently emitting nothing (review r12); sketch/digest guards") {
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "src", "ts")
+    // an EMPTY rates frame (bootstrap-before-replan) refuses at call
+    // time — the stream would otherwise run "healthy" emitting nothing
+    val empty = Seq.empty[(String, Double)].toDF("src", "rate")
+    val exEmpty = intercept[IllegalArgumentException] {
+      EventStream.mixtureSampleStream(docs, "doc_id", "src", empty)
+    }
+    assert(exEmpty.getMessage.contains("empty rates frame"))
+    // strict mode: a NON-empty plan missing a mid-stream source fails
+    // the query by name (default keeps the batch drop-unweighted rule)
+    val partial = Seq(("wiki", 1.0)).toDF("src", "rate")
+    val q = EventStream.mixtureSampleStream(docs, "doc_id", "src",
+        partial, onUnplanned = "fail")
+      .writeStream.format("memory").queryName("mix_fail_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "code", t("2026-01-01 10:00:00")))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def rootMsg(th: Throwable): String =
+        Option(th.getCause).map(rootMsg).getOrElse(
+          Option(th.getMessage).getOrElse(""))
+      assert((Option(ex.getMessage).getOrElse("") + rootMsg(ex))
+        .contains("no planned rate"), s"got: ${ex.getMessage}")
+    } finally q.stop()
+    // sub-second windows: the fractional form corrupts keys like the
+    // milli form (review r12)
+    intercept[IllegalArgumentException] {
+      EventStream.boilerplateDigestsSketch(docs, window_ = "0.25 seconds")
+    }
+    // minCount < 2 publishes every distinct line (batch lineDedup's
+    // guard, now on both streaming twins)
+    intercept[IllegalArgumentException] {
+      EventStream.boilerplateDigests(docs, minCount = 1)
+    }
+    intercept[IllegalArgumentException] {
+      EventStream.boilerplateDigestsSketch(docs, minCount = 1)
+    }
+  }
+
   test("Gopher and C4 filters are stateless: streaming output equals batch") {
     val rows = Seq(
       (1L, ("the quick brown fox jumps over a lazy dog to rest " +
