@@ -31,7 +31,8 @@ object ScaleBench {
       "d41_bm25", "d42_ccnet_buckets", "d43_temperature_mix",
       "e11_sq_codes", "e12_knn_sq8", "e13_knn_ivfsq_verify",
       "d44_gopher_rules", "d45_unimax", "d46_c4_rules",
-      "e14_knn_matryoshka", "d47_markdown_extract")
+      "e14_knn_matryoshka", "d47_markdown_extract",
+      "d48_curation_pipeline")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -141,10 +141,24 @@ object GopherRules {
 
   /** The filter form: documents passing every rule, original columns
     * untouched (the composable curation stage) — one map-side filter
-    * that fuses into the scan, no join. */
+    * that fuses into the scan, no join. NB (review r12, measured in
+    * d48): a FILTER predicate gets no whole-stage-codegen
+    * subexpression elimination, so the battery re-tokenizes the text
+    * per rule reference here; when the text column is itself an
+    * expensive expression, prefer [[keepCol]] inside a projection /
+    * aggregation (both CSE) over this form. */
   def keep(docs: DataFrame, textCol: String = "text", minWords: Int = 50,
       maxWords: Int = 100000, stops: Seq[String] = stopWords,
       minStopHits: Int = 2): DataFrame =
     docs.filter(
       ruleCols(col(textCol), minWords, maxWords, stops, minStopHits).last._2)
+
+  /** The `keep` verdict as a COLUMN over a text column — for
+    * aggregation-side gating (`count(when(keep, 1))`), where
+    * HashAggregate's subexpression elimination evaluates the shared
+    * tokenization once instead of once per rule (see [[keep]]'s
+    * caveat). */
+  def keepCol(text: Column, minWords: Int = 50, maxWords: Int = 100000,
+      stops: Seq[String] = stopWords, minStopHits: Int = 2): Column =
+    ruleCols(text, minWords, maxWords, stops, minStopHits).last._2
 }

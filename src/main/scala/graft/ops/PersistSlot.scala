@@ -22,7 +22,7 @@ import org.apache.spark.sql.DataFrame
   * this type exists to cap, so the slot stays single-frame. Callers
   * needing two live results of one family should consume (or
   * checkpoint) the first before the second call. */
-private[ops] final class PersistSlot {
+private[graft] final class PersistSlot {
   private var last: Option[DataFrame] = None
   def apply(df: DataFrame): DataFrame = synchronized {
     last.foreach(_.unpersist(blocking = false))

@@ -14,6 +14,10 @@ object Pipeline {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+
+  // d48's stripped-text intermediate: referenced by the rule-battery
+  // filter AND the stats projection (see the gate's scaladoc)
+  private val d48Persist = new graft.ops.PersistSlot
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
@@ -1361,11 +1365,53 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Composed modern-curation pipeline over the round-12 operators
+    * (the d10/d18 composition story with the NEW stages): markdown →
+    * text (d47's chain), Gopher document-shape gate (d44's rules via
+    * GopherRules.keep — one fused filter), then per-language survivor
+    * stats. The whole chain is ONE Catalyst plan: every stage is
+    * map-side (regexp chain + rule arithmetic fuse into the scan
+    * projection), and the only shuffle is the final partial-aggregated
+    * (lang, stats) groupBy. The fixture re-wraps each doc in the d47
+    * markdown page, so the strip stage has real work to undo.
+    *
+    * The stripped text PERSISTS between the strip and rule stages
+    * (the NOTES double-reference law: the rule battery references the
+    * text many times and predicate pushdown inlines the 12-pass
+    * regexp chain into a filter — un-cached AND filter-gated the gate
+    * read 3.85 s at sf0.1 / 24 s at sf1; persisted, with the verdict
+    * as an aggregation-side column instead of a filter, 1.48 s /
+    * 10.5 s, of which the strip chain itself is ~9 s at sf1 — the
+    * floor is honest regexp CPU, linear and map-side). */
+  def d48CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val inj = docs(s, dir).select(col("doc_id"), col("lang"), concat(
+      lit("# Title "), col("doc_id"),
+      lit("\n**Bold** and *em* text with `code span` here.\n"),
+      lit("[link text](https://example.com/"), col("doc_id"),
+      lit(")\n```\nvar code = "), col("doc_id"),
+      lit(";\n```\n"), col("text")).as("md"))
+    val text = d48Persist(inj.select(col("doc_id"), col("lang"),
+      TextFunctions.stripMarkdown(col("md")).as("text")))
+    // rule verdict as an aggregation-side column, NOT a filter
+    // (GopherRules.keep scaladoc: a filter predicate gets no codegen
+    // CSE, so the battery re-tokenized the text once per rule)
+    text.select(col("lang"),
+        graft.ops.GopherRules.keepCol(col("text"), minWords = 40,
+          stops = Seq("the", "a")).as("keep"),
+        size(TextFunctions.words(col("text"))).as("n_words"))
+      .groupBy("lang")
+      .agg(count(when(col("keep"), 1)).as("n_docs"),
+        round(avg(when(col("keep"), col("n_words"))), 4).as("avg_words"))
+      .filter(col("n_docs") > 0)
+      .orderBy("lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d44_gopher_rules" -> d44GopherRules _,
     "d45_unimax" -> d45Unimax _,
     "d46_c4_rules" -> d46C4Rules _,
     "d47_markdown_extract" -> d47MarkdownExtract _,
+    "d48_curation_pipeline" -> d48CurationPipeline _,
     "d41_bm25" -> d41Bm25 _,
     "d42_ccnet_buckets" -> d42CcnetBuckets _,
     "d43_temperature_mix" -> d43TemperatureMix _,
@@ -2099,6 +2145,67 @@ object Pipeline {
         |  n_sentences, has_lorem, has_brace,
         |  (NOT has_lorem AND NOT has_brace AND n_sentences >= 3) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    // Composed pipeline: the d47 markdown chain (smaller fixture) into
+    // the d44 rule battery at minWords=40/stops={the,a}, then survivor
+    // stats — every intermediate replayed verbatim
+    "d48_curation_pipeline" ->
+      """WITH inj AS (SELECT doc_id, lang,
+        |  '# Title ' || doc_id || chr(10)
+        |  || '**Bold** and *em* text with `code span` here.' || chr(10)
+        |  || '[link text](https://example.com/' || doc_id || ')' || chr(10)
+        |  || '```' || chr(10) || 'var code = ' || doc_id || ';' || chr(10)
+        |  || '```' || chr(10) || text AS md FROM documents),
+        |c1 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(md,
+        |  '(?s)(?m)^[ \t]{0,3}```.*?^[ \t]{0,3}```[ \t]*\r?$', ' ', 'g'),
+        |  '(?s)(?m)^[ \t]{0,3}~~~.*?^[ \t]{0,3}~~~[ \t]*\r?$', ' ', 'g') AS md FROM inj),
+        |c2 AS (SELECT doc_id, lang, regexp_replace(md,
+        |  '`([^`\n]*)`', '\1', 'g') AS md FROM c1),
+        |c3 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(md,
+        |  '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+        |  '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') AS md FROM c2),
+        |c4 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(md,
+        |  '(?m)^[ \t]{0,3}#{1,6}[ \t]+', '', 'g'),
+        |  '(?m)^[ \t]{0,3}=+[ \t]*\r?$', ' ', 'g'),
+        |  '(?m)^[ \t]{0,3}>[ \t]?', '', 'g'),
+        |  '(?m)^[ \t]{0,3}([-*_][ \t]*){3,}\r?$', ' ', 'g') AS md FROM c3),
+        |c5 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(regexp_replace(md,
+        |  '(?m)^[ \t]*([-*+]|[0-9]+[.)])[ \t]+', '', 'g'),
+        |  '\*{1,3}([^*\n]+)\*{1,3}', '\1', 'g'),
+        |  '~~([^~\n]+)~~', '\1', 'g') AS md FROM c4),
+        |tx AS (SELECT doc_id, lang, trim(regexp_replace(md,
+        |  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text FROM c5),
+        |w AS (SELECT doc_id, lang, text,
+        |  list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS ws,
+        |  regexp_split_to_array(text, '\n') AS lines,
+        |  regexp_extract_all(lower(text), '[a-z0-9]+') AS lw FROM tx),
+        |f AS (SELECT doc_id, lang, lw, len(ws) AS n_words,
+        |  CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) AS char_sum,
+        |  length(text) - length(replace(text, '#', '')) AS n_hash,
+        |  (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3
+        |    + (length(text) - length(replace(text, '…', ''))) AS n_ellipsis,
+        |  len(lines) AS n_lines,
+        |  len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS n_bullet,
+        |  len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)[ \t\r]*$'))) AS n_ell_end,
+        |  len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        |  CASE WHEN list_contains(lw, 'the') THEN 1 ELSE 0 END
+        |  + CASE WHEN list_contains(lw, 'a') THEN 1 ELSE 0 END AS n_stop
+        | FROM w),
+        |g AS (SELECT doc_id, lang, len(lw) AS nw,
+        |  ((n_words >= 40 AND n_words <= 100000)
+        |  AND coalesce(char_sum / CAST(n_words AS DOUBLE) >= 3.0
+        |    AND char_sum / CAST(n_words AS DOUBLE) <= 10.0, false)
+        |  AND coalesce(CAST(n_hash AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1
+        |    AND CAST(n_ellipsis AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.1, false)
+        |  AND CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.9
+        |  AND CAST(n_ell_end AS DOUBLE) / CAST(n_lines AS DOUBLE) < 0.3
+        |  AND coalesce(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8, false)
+        |  AND n_stop >= 2) AS keep FROM f)
+        |SELECT lang, count(CASE WHEN keep THEN 1 END) AS n_docs,
+        |  round(avg(CASE WHEN keep THEN nw END), 4) AS avg_words
+        |FROM g GROUP BY lang
+        |HAVING count(CASE WHEN keep THEN 1 END) > 0
+        |ORDER BY lang""".stripMargin,
     // The same injected markdown page run through the strip chain
     // verbatim (DuckDB replacement groups are \1 where Spark writes
     // $1; the 'g' flag is mandatory — DuckDB replaces first-match-only

@@ -111,6 +111,20 @@ class GopherRulesSpec extends SparkSpec {
       s"keep() must be one map-side filter, got:\n$plan")
   }
 
+  test("d48 composed pipeline: strip+rules fuse map-side, ONE aggregation " +
+    "shuffle") {
+    val df = graft.queries.Pipeline.all("d48_curation_pipeline")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // markdown chain + rule battery fuse into the scan projection;
+    // only the (lang, stats) groupBy hash-exchanges (the final orderBy
+    // adds a range exchange, which is the gate's presentation sort)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+      s"composed pipeline must shuffle once:\n$plan")
+    assert(!plan.contains("Join"), "no join belongs in this pipeline")
+    assert(df.count() > 0)
+  }
+
   test("bounds validation fails loudly") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
