@@ -3,8 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
-
 /** The Gopher/MassiveText document-shape quality rules (Rae et al.
   * 2021, "Scaling Language Models: Methods, Analysis & Insights from
   * Training Gopher", arXiv:2112.11446, Appendix A1.1) — the standard
@@ -36,10 +34,6 @@ import graft.functions.TextFunctions
   */
 object GopherRules {
 
-  /** Explicit whitespace class — keep in the java.regex ∩ RE2
-    * intersection (\s differs between the engines on \x0B). */
-  private val wsClass = "[ \\t\\n\\x0B\\f\\r]+"
-
   /** The paper's stop-word list for rule 7 (the default; pass a
     * corpus-appropriate list for non-English or synthetic corpora —
     * the rule is "contains common function words", and a fixed English
@@ -50,41 +44,33 @@ object GopherRules {
   private def ratio(num: Column, den: Column): Column =
     when(den > 0, num.cast("double") / den.cast("double"))
 
-  /** The full rule column set over a text column — shared by the
-    * projection form ([[flags]]) and the filter form ([[keep]]). */
-  private def ruleCols(t: Column, minWords: Int, maxWords: Int,
-      stops: Seq[String], minStopHits: Int): Seq[(String, Column)] = {
+  /** The full rule column set over a STATS STRUCT column (the
+    * [[graft.functions.GopherStatsExpr]] output) — shared by the
+    * projection form ([[flags]]) and the filter form ([[keep]]).
+    *
+    * Callers MUST materialize the struct in its OWN projection and
+    * pass the resulting ATTRIBUTE here (the d04 two-select pattern):
+    * whole-stage codegen does NOT subexpression-eliminate a repeated
+    * expensive expression, so inlining the stats expression under
+    * these ~16 field references re-ran the full text pass per
+    * reference (measured 13.9 s vs 0.9 s for one pass at 10x scale);
+    * two stacked projections survive because CollapseProject refuses
+    * to duplicate a non-cheap, multiply-referenced producer. */
+  private def ruleCols(g: Column, minWords: Int, maxWords: Int,
+      minStopHits: Int): Seq[(String, Column)] = {
     require(minWords >= 0 && maxWords >= minWords,
       s"word-count bounds must satisfy 0 <= min <= max, got [$minWords, $maxWords]")
-    require(stops.nonEmpty && minStopHits >= 0,
-      s"need a non-empty stop list and minStopHits >= 0, got ${stops.length}/$minStopHits")
-    // Raw whitespace-delimited words (rules 1, 2, 3, 6 speak about
-    // words as typed, punctuation attached); split keeps leading/
-    // trailing empties, the filter drops them in both engines.
-    val wsTok = filter(split(t, wsClass), w => length(w) > lit(0))
-    // Lowercase alnum tokens for the stop-word membership test (the
-    // engine-wide word identity, TextFunctions.words).
-    val lw = TextFunctions.words(t)
-    val lines = split(t, "\n")
-    val nWords = size(wsTok)
-    val charSum = aggregate(wsTok, lit(0L), (acc, w) => acc + length(w).cast("long"))
-    val nHash = length(t) - length(regexp_replace(t, "#", ""))
-    // both spellings of the ellipsis (review r12: counting only the
-    // ASCII form let U+2026-heavy pages through the symbol rule while
-    // the identical ASCII page was rejected)
-    val nEllipsis = ((length(t) -
-      length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long") +
-      (length(t) - length(regexp_replace(t, "\u2026", ""))).cast("long")
-    val nLines = size(lines) // >= 1: split of "" is [""]
-    val nBullet = size(filter(lines, l => l.rlike("^[ \\t]*[-*\u2022]")))
-    // trailing \r tolerated (review r12: CRLF pages split on \n keep
-    // the \r, which hid every line ending from the rule)
-    val nEllipsisEnd = size(filter(lines,
-      l => l.rlike("(\\.\\.\\.|\u2026)[ \\t\\r]*$")))
-    val nAlpha = size(filter(wsTok, w => w.rlike("[A-Za-z]")))
-    val nStop = stops
-      .map(sw => when(array_contains(lw, sw), 1).otherwise(0))
-      .reduce(_ + _)
+    require(minStopHits >= 0,
+      s"minStopHits must be >= 0, got $minStopHits")
+    val nWords = g.getField("n_words")
+    val charSum = g.getField("char_sum")
+    val nHash = g.getField("n_hash")
+    val nEllipsis = g.getField("n_ellipsis")
+    val nLines = g.getField("n_lines")
+    val nBullet = g.getField("n_bullet")
+    val nEllipsisEnd = g.getField("n_ell_end")
+    val nAlpha = g.getField("n_alpha")
+    val nStop = g.getField("n_stop")
 
     val meanLen = ratio(charSum, nWords)
     val hashRatio = ratio(nHash, nWords)
@@ -113,6 +99,7 @@ object GopherRules {
       "ellipsis_line_frac" -> ellipsisLineFrac,
       "alpha_frac" -> alphaFrac,
       "n_stop_hits" -> nStop,
+      "n_alnum_words" -> g.getField("n_alnum"),
       "r_word_count" -> rWordCount,
       "r_mean_word_len" -> rMeanLen,
       "r_symbol_ratio" -> rSymbol,
@@ -134,31 +121,43 @@ object GopherRules {
   def flags(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minWords: Int = 50,
       maxWords: Int = 100000, stops: Seq[String] = stopWords,
-      minStopHits: Int = 2): DataFrame = {
-    val cols = ruleCols(col(textCol), minWords, maxWords, stops, minStopHits)
-    docs.select(col(idCol) +: cols.map { case (n, c) => c.as(n) }: _*)
+      minStopHits: Int = 2, carry: Seq[String] = Seq.empty): DataFrame = {
+    require(stops.nonEmpty, "need a non-empty stop list")
+    // struct in its own projection; rules read the ATTRIBUTE (see
+    // ruleCols — one text pass per row instead of one per rule)
+    val withStats = docs.select(
+      (Seq(col(idCol)) ++ carry.map(col) :+
+        graft.functions.CatalystFunctions.gopherStats(col(textCol), stops)
+          .as("__g")): _*)
+    val cols = ruleCols(col("__g"), minWords, maxWords, minStopHits)
+    withStats.select(
+      (Seq(col(idCol)) ++ carry.map(col) ++
+        cols.map { case (n, c) => c.as(n) }): _*)
   }
 
   /** The filter form: documents passing every rule, original columns
-    * untouched (the composable curation stage) — one map-side filter
-    * that fuses into the scan, no join. NB (review r12, measured in
-    * d48): a FILTER predicate gets no whole-stage-codegen
-    * subexpression elimination, so the battery re-tokenizes the text
-    * per rule reference here; when the text column is itself an
-    * expensive expression, prefer [[keepCol]] inside a projection /
-    * aggregation (both CSE) over this form. */
+    * untouched (the composable curation stage) — one map-side filter,
+    * no join. NB: predicate pushdown can substitute the stats struct
+    * back under the filter's ~12 rule references (no codegen CSE in a
+    * predicate) — fine on a raw text column, but when the text is
+    * itself an expensive expression (d48's markdown strip), gate at
+    * the AGGREGATION over a [[flags]] carry instead. */
   def keep(docs: DataFrame, textCol: String = "text", minWords: Int = 50,
       maxWords: Int = 100000, stops: Seq[String] = stopWords,
-      minStopHits: Int = 2): DataFrame =
-    docs.filter(
-      ruleCols(col(textCol), minWords, maxWords, stops, minStopHits).last._2)
+      minStopHits: Int = 2): DataFrame = {
+    require(stops.nonEmpty, "need a non-empty stop list")
+    docs
+      .withColumn("__g",
+        graft.functions.CatalystFunctions.gopherStats(col(textCol), stops))
+      .filter(ruleCols(col("__g"), minWords, maxWords, minStopHits).last._2)
+      .drop("__g")
+  }
 
-  /** The `keep` verdict as a COLUMN over a text column — for
-    * aggregation-side gating (`count(when(keep, 1))`), where
-    * HashAggregate's subexpression elimination evaluates the shared
-    * tokenization once instead of once per rule (see [[keep]]'s
-    * caveat). */
-  def keepCol(text: Column, minWords: Int = 50, maxWords: Int = 100000,
-      stops: Seq[String] = stopWords, minStopHits: Int = 2): Column =
-    ruleCols(text, minWords, maxWords, stops, minStopHits).last._2
+  /** The `keep` verdict as a COLUMN over a PRE-MATERIALIZED stats
+    * struct attribute (build it with
+    * `CatalystFunctions.gopherStats(text, stops).as("__g")` in its
+    * own projection — the [[ruleCols]] CSE contract). */
+  def keepFromStats(g: Column, minWords: Int = 50, maxWords: Int = 100000,
+      minStopHits: Int = 2): Column =
+    ruleCols(g, minWords, maxWords, minStopHits).last._2
 }

@@ -1392,16 +1392,15 @@ object Pipeline {
       lit(";\n```\n"), col("text")).as("md"))
     val text = d48Persist(inj.select(col("doc_id"), col("lang"),
       TextFunctions.stripMarkdown(col("md")).as("text")))
-    // rule verdict as an aggregation-side column, NOT a filter
-    // (GopherRules.keep scaladoc: a filter predicate gets no codegen
-    // CSE, so the battery re-tokenized the text once per rule)
-    text.select(col("lang"),
-        graft.ops.GopherRules.keepCol(col("text"), minWords = 40,
-          stops = Seq("the", "a")).as("keep"),
-        size(TextFunctions.words(col("text"))).as("n_words"))
+    // rule verdict via flags() (struct materialized in its own
+    // projection — the GopherRules CSE contract), gated at the
+    // aggregation rather than a filter so nothing re-inlines the
+    // battery under a pushed-down predicate
+    graft.ops.GopherRules.flags(text, minWords = 40,
+        stops = Seq("the", "a"), carry = Seq("lang"))
       .groupBy("lang")
       .agg(count(when(col("keep"), 1)).as("n_docs"),
-        round(avg(when(col("keep"), col("n_words"))), 4).as("avg_words"))
+        round(avg(when(col("keep"), col("n_alnum_words"))), 4).as("avg_words"))
       .filter(col("n_docs") > 0)
       .orderBy("lang")
   }

@@ -84,6 +84,34 @@ class GopherRulesSpec extends SparkSpec {
     assert(m.getAs[Boolean]("r_alpha_words"))
   }
 
+  test("native single-pass counters pin the regex semantics (review r12)") {
+    // surrogate pair counts as ONE code point in word length (Spark
+    // length() semantics): words a😀b(3) cd(2) -> mean 2.5
+    val emoji = flagsOf("a😀b cd", minWords = 1)
+    assert(emoji.getAs[Int]("n_words") == 2)
+    assert(emoji.getAs[Double]("mean_word_len") == 2.5)
+    // '....' counts ONE leftmost non-overlapping ASCII ellipsis
+    // (regexp_replace semantics)
+    val dots = flagsOf("....", minWords = 1)
+    assert(dots.getAs[Double]("ellipsis_ratio") == 1.0)
+    assert(!dots.getAs[Boolean]("r_symbol_ratio"))
+    // vertical tab and form feed split words like the explicit class
+    val vt = flagsOf("x\u000By\fz", minWords = 1)
+    assert(vt.getAs[Int]("n_words") == 3)
+    // stop membership follows Spark lower(): 'İ' lowers to i +
+    // combining dot, so the run breaks after 'i' — but 'the'/'a'
+    // still hit; n_alnum_words counts the [a-z0-9]+ runs
+    val tr = {
+      val df = Seq((1L, "İstanbul the a")).toDF("doc_id", "text")
+      GopherRules.flags(df, minWords = 1, stops = Seq("the", "a")).collect().head
+    }
+    assert(tr.getAs[Int]("n_stop_hits") == 2)
+    assert(tr.getAs[Int]("n_alnum_words") == 4) // i, stanbul, the, a
+    // '####' is 4 hash symbols over 2 words
+    val h = flagsOf("#### ok", minWords = 1)
+    assert(h.getAs[Double]("hash_ratio") == 2.0)
+  }
+
   test("empty and whitespace-only docs fail cleanly (no nulls in keep)") {
     for (t <- Seq("", "   \n\t  ")) {
       val r = flagsOf(t, minWords = 1)
