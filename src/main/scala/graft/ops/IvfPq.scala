@@ -68,7 +68,12 @@ final class IvfPqIndex private[ops] (
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     val take = if (fetch > 0) fetch else k
     val adcTop = encoded
-      .join(qProbes.drop("qvec").join(broadcast(qlut), "qid"), "cell")
+      // probe side explicitly broadcast (review r12): it is |q|·nProbe
+      // tiny rows, but its crossJoin+window lineage defeats size
+      // estimation — left to chance, a sort-merge plan would shuffle
+      // the ENTIRE codes table by cell per query batch
+      .join(broadcast(qProbes.drop("qvec").join(broadcast(qlut), "qid")),
+        "cell")
       .filter(col("id") =!= col("qid"))
       .withColumn("score",
         col("__score") + graft.ops.Pq.adcCol(col("codes"), col("__lut"), cb.ks))
@@ -96,6 +101,8 @@ final class IvfPqIndex private[ops] (
     val spark = ivf.centroids.sparkSession
     import spark.implicits._
     IvfIndex.invalidateMeta(spark, path)
+    IvfIndex.clearStale(spark, path,
+      Set("centroids", "codebook", "encoded", "corpus"))
     ivf.centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     Seq((cb.m, cb.ks, cb.dsub, cb.centroids.toSeq))
       .toDF("m", "ks", "dsub", "centroids")

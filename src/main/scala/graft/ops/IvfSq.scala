@@ -62,7 +62,11 @@ final class IvfSqIndex private[ops] (
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     val take = if (fetch > 0) fetch else k
     val adcTop = encoded
-      .join(qProbes, "cell")
+      // probe side explicitly broadcast (review r12, the IvfPq rule):
+      // |q|·nProbe tiny rows whose crossJoin+window lineage defeats
+      // size estimation — left unhinted, a sort-merge plan would
+      // shuffle the ENTIRE codes table by cell per query batch
+      .join(broadcast(qProbes), "cell")
       .filter(col("id") =!= col("qid"))
       .withColumn("score",
         col("__score") + Sq.dotCol(col("codes"), col("qvec"), model))
@@ -85,6 +89,8 @@ final class IvfSqIndex private[ops] (
     val spark = ivf.centroids.sparkSession
     import spark.implicits._
     IvfIndex.invalidateMeta(spark, path)
+    IvfIndex.clearStale(spark, path,
+      Set("centroids", "sqmodel", "encoded", "corpus"))
     ivf.centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     Seq((model.vmin.toSeq, model.vmax.toSeq)).toDF("vmin", "vmax")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/sqmodel")

@@ -45,7 +45,18 @@ object Packing {
     // non-overlapping spans whatever the id multiplicity.
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("__n", tokensCol.cast("long"))
+    // null/negative token counts corrupt EVERY later offset in the
+    // group (review r12: size(null) is -1 under default Spark, so one
+    // null-text doc silently shifted the whole layout backward; sum()
+    // skipping nulls did the same one doc later). Same loud contract
+    // as greedyPack.
+    val nTok = tokensCol.cast("long")
+    docs.withColumn("__n",
+        when(nTok.isNull || nTok < 0, raise_error(concat(lit(
+          "concatChunkPlan: null/negative token count ("),
+          coalesce(nTok.cast("string"), lit("null")),
+          lit(") - a words()-of-null doc reads -1; clean upstream"))))
+          .otherwise(nTok))
       .withColumn("__end", sum(col("__n")).over(w))
       .withColumn("token_offset", col("__end") - col("__n"))
       // integer `div`, not floating floor(x / b): at 100 TB a group's
@@ -71,12 +82,17 @@ object Packing {
     require(overlap >= 0 && chunkTokens > overlap,
       s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
     val stride = chunkTokens - overlap
-    val n = size(tokensCol)
+    // size(null) = -1 under default Spark: a null token array emitted
+    // a phantom (n_tokens = -1, chunk = null) row (review r12)
+    val checked = when(tokensCol.isNull, raise_error(lit(
+      "slidingChunks: null token array - clean or filter upstream")))
+      .otherwise(tokensCol)
+    val n = size(checked)
     val nChunks = greatest(
       ceil((n - overlap).cast("double") / stride).cast("int"), lit(1))
     docs.select(col(idCol),
         posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => slice(tokensCol, i * stride + 1, lit(chunkTokens))))
+          i => slice(checked, i * stride + 1, lit(chunkTokens))))
           .as(Seq("chunk_id", "toks")))
       .select(col(idCol), col("chunk_id"),
         size(col("toks")).as("n_tokens"),
@@ -88,7 +104,9 @@ object Packing {
     * would exceed `budget`, in which case it opens the next bin; a
     * document larger than the whole budget gets a bin of its own.
     * Returns (group, id, n_tokens, bin_id) with bins numbered from 0
-    * per group. */
+    * per group. NB: the returned `group` column is the input group
+    * CAST TO STRING (the streaming pass's tuple encoding) — re-cast
+    * before joining back against a non-string group column. */
   def greedyPack(docs: DataFrame, idCol: String, groupCol: String,
       tokensCol: Column, budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
@@ -110,7 +128,12 @@ object Packing {
     // with an opaque message mid-job; diagnose at the contract instead
     val nTok = tokensCol.cast("long")
     docs.select(col(groupCol).cast("string").as("group"),
-        col(idCol).cast("long").as("id"),
+        // null ids pass the TYPE require above but crash the
+        // non-nullable tuple encoder mid-job (review r12) — same loud
+        // contract as the token-count guard below
+        when(col(idCol).isNull, raise_error(lit(
+          "greedyPack: null id - clean or coalesce upstream")))
+          .otherwise(col(idCol).cast("long")).as("id"),
         when(nTok.isNull, raise_error(lit(
           "greedyPack: null token count - clean or coalesce upstream")))
           .otherwise(nTok).as("n_tokens"))

@@ -528,6 +528,7 @@ final class IvfIndex private[ops] (
   def save(path: String): Unit = {
     val spark = centroids.sparkSession
     IvfIndex.invalidateMeta(spark, path)
+    IvfIndex.clearStale(spark, path, Set("centroids", "assigned"))
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assigned.write.mode("overwrite").parquet(s"$path/assigned")
     IvfIndex.writeMeta(spark, s"$path/meta", nCells)
@@ -556,6 +557,29 @@ object IvfIndex {
   private[ops] def readMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): Int =
     spark.read.parquet(dir).head().getInt(0)
+
+  /** Every table name any index layout under one path may write —
+    * plain IVF (centroids/assigned), IVF-PQ (codebook/encoded/corpus),
+    * IVF-SQ (sqmodel/encoded/corpus). */
+  private[ops] val layoutTables = Seq("centroids", "assigned",
+    "codebook", "encoded", "corpus", "sqmodel")
+
+  /** Delete the sibling layout tables a save will NOT rewrite (review
+    * r12): the index family shares one path layout, and a path
+    * re-saved as a DIFFERENT index type left the other type's tables
+    * standing — IvfPq.exists (meta + codebook) then graded a plain-IVF
+    * re-save as a complete IVF-PQ index, and load() silently combined
+    * the NEW centroids with the STALE codes. Runs after
+    * invalidateMeta (no marker stands while the layout mutates),
+    * before any write. */
+  private[ops] def clearStale(spark: org.apache.spark.sql.SparkSession,
+      path: String, writes: Set[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    layoutTables.filterNot(writes).foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$t")
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
 
   /** True when `path` holds a COMPLETE saved index (meta marker is
     * written last by save). Completeness = `_SUCCESS` in the meta dir

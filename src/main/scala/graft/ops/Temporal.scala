@@ -64,8 +64,19 @@ object Temporal {
     // left row. `__side` ascending keeps an equal-timestamp right row
     // (side 0) ahead of the left row in BOTH sort directions.
     val timeOrder = if (fwd) col(timeCol).desc else col(timeCol).asc
+    // Deterministic tie-break among right rows sharing (key, time)
+    // (review r12): without it, last() carried whichever tied payload
+    // the engine happened to sort last — run-to-run nondeterminism in
+    // an operator the oracle gates on. When the payload struct is
+    // orderable (no map-typed right columns) ties resolve to the
+    // GREATEST payload; unorderable payloads keep the documented
+    // arbitrary-tie contract (pre-dedup right on (key, time) there).
+    val payloadOrderable = org.apache.spark.sql.catalyst.expressions
+      .RowOrdering.isOrderable(r2.schema("__rpay").dataType)
+    val tieBreak: Seq[Column] =
+      if (payloadOrderable) Seq(col("__rpay")) else Seq.empty
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(timeOrder, col("__side"))
+      .orderBy((timeOrder +: col("__side") +: tieBreak): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__match", when(col(timeCol).isNotNull,
@@ -136,13 +147,20 @@ object Temporal {
       case "hour" => 3600000000L
       case "day" => 86400000000L
     }
+    // a "disable the cap" value like Long.MaxValue must saturate, not
+    // wrap (review r12: an overflowed negative product sent EVERY
+    // interval down the quadratic tail — correct results, silently
+    // quadratic cost)
+    val capUs =
+      try Math.multiplyExact(maxSpanBuckets, bucketUs)
+      catch { case _: ArithmeticException => Long.MaxValue }
     val contained = col(pointTs) >= col(startTs) && col(pointTs) < col(endTs)
     val spanUs = unix_micros(col(endTs)) - unix_micros(col(startTs))
     val valid = intervals.filter(col(endTs) > col(startTs))
     val step = expr(s"interval 1 $bucket")
     val p = points.withColumn("__bkt", date_trunc(bucket, col(pointTs)))
     val short = valid
-      .filter(spanUs <= maxSpanBuckets * bucketUs)
+      .filter(spanUs <= capUs)
       .withColumn("__bkt",
         explode(sequence(date_trunc(bucket, col(startTs)),
           date_trunc(bucket,
@@ -156,7 +174,7 @@ object Temporal {
     // the (rare, sentinel-class) over-span intervals (review r12: an
     // nonEmpty-keys require here needlessly broke keyless callers the
     // pre-r12 bucketed-only code served).
-    val longIv = valid.filter(spanUs > maxSpanBuckets * bucketUs)
+    val longIv = valid.filter(spanUs > capUs)
     val longTail =
       (if (keys.isEmpty) points.crossJoin(longIv)
        else points.join(longIv, keys))
@@ -205,7 +223,11 @@ object Temporal {
     require(units(unit.toLowerCase(java.util.Locale.ROOT)),
       s"tumblingAgg: unit must be one of ${units.toSeq.sorted.mkString("|")}, got '$unit'")
     require(aggs.nonEmpty, "tumblingAgg: at least one aggregate required")
-    events.withColumn("window_start", date_trunc(unit, col(timeCol)))
+    // null timestamps drop (review r12 — the file's null-time rule:
+    // asOfJoin filters them, sessionize drops them; without this they
+    // aggregated into a phantom null-window row)
+    events.filter(col(timeCol).isNotNull)
+      .withColumn("window_start", date_trunc(unit, col(timeCol)))
       .groupBy((col("window_start") +: groupCols.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
   }

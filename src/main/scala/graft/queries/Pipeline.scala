@@ -2461,7 +2461,8 @@ object Pipeline {
     "q22_window_agg" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_us, event_type,
         | count(*) AS n, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_us, event_type""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY window_us, event_type""".stripMargin,
     "d10_pipeline_compose" ->
       """WITH f AS (SELECT doc_id, text,
         |  regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),

@@ -133,6 +133,35 @@ class PackingSpec extends SparkSpec {
     assert(exchanges(Packing.slidingChunks(toks, "id", col("ws"), 2, 1)) == 0)
   }
 
+  test("null token counts, token arrays, and ids fail loudly (review r12)") {
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(Option(t.getMessage).getOrElse(""))
+    // concatChunkPlan: a words()-of-null doc reads size = -1 and used
+    // to silently shift every later offset in the group
+    val bad = Seq((1L, "g", Some(5L)), (2L, "g", None: Option[Long]))
+      .toDF("id", "grp", "n")
+    val ex = intercept[Exception] {
+      Packing.concatChunkPlan(bad, "id", "grp", col("n"), 10).collect()
+    }
+    assert((ex.getMessage + rootMsg(ex)).contains("token count"), ex.getMessage)
+    // slidingChunks: null token array used to emit a phantom
+    // (n_tokens = -1, chunk = null) row
+    val badArr = Seq((1L, Some(Seq("a", "b"))), (2L, None: Option[Seq[String]]))
+      .toDF("id", "toks")
+    val ex2 = intercept[Exception] {
+      Packing.slidingChunks(badArr, "id", col("toks"), 2, 0).collect()
+    }
+    assert((ex2.getMessage + rootMsg(ex2)).contains("token array"), ex2.getMessage)
+    // greedyPack: a null id passed the integral-TYPE require and then
+    // crashed the tuple encoder mid-job with an opaque message
+    val badId = Seq((Some(1L), "g", 3L), (None: Option[Long], "g", 4L))
+      .toDF("id", "grp", "n")
+    val ex3 = intercept[Exception] {
+      Packing.greedyPack(badId, "id", "grp", col("n"), 10L).collect()
+    }
+    assert((ex3.getMessage + rootMsg(ex3)).contains("null id"), ex3.getMessage)
+  }
+
   test("greedyPack matches a driver-side reference fold on pseudo-random sizes") {
     val rows = (1L to 200L).map { i =>
       (i, s"g${i % 3}", 1L + math.abs(java.util.Arrays.hashCode(Array(i)) % 97))

@@ -178,6 +178,40 @@ class SqSpec extends SparkSpec {
     assert(!IvfSq.exists(spark, dir2))
   }
 
+  test("re-saving a path as a DIFFERENT index type clears the stale " +
+    "layout (review r12)") {
+    val dir = java.nio.file.Files.createTempDirectory("idxswap").toString
+    val corpus = emb.limit(300)
+    graft.ops.IvfSq.build(corpus, nCells = 4, refineIters = 0,
+      persist = false).save(dir)
+    assert(graft.ops.IvfSq.exists(spark, dir))
+    // re-save the SAME path as a plain IVF index: the old sqmodel/
+    // encoded/corpus tables must not survive to grade this as a
+    // complete IVF-SQ index over mismatched centroids
+    graft.ops.IvfIndex.build(corpus.select(col("id"), col("vec")),
+      nCells = 4, refineIters = 0, persist = false).save(dir)
+    assert(graft.ops.IvfIndex.exists(spark, dir))
+    assert(!graft.ops.IvfSq.exists(spark, dir),
+      "stale IVF-SQ layout must be cleared by the plain-IVF save")
+    assert(!graft.ops.IvfPq.exists(spark, dir))
+    // and the fresh plain index loads and queries
+    val idx = graft.ops.IvfIndex.load(spark, dir, persist = false)
+    val q = corpus.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    assert(idx.query(q, 3).count() > 0)
+  }
+
+  test("IVF-SQ probe join broadcasts the probe side — the codes table " +
+    "never sort-merge shuffles (review r12)") {
+    val idx = graft.ops.IvfSq.build(emb, nCells = 8, refineIters = 0,
+      persist = false)
+    val q = emb.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val plan = idx.query(q, 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe join must broadcast, got:\n$plan")
+  }
+
   test("train names a null sampled vector; adcKnn rejects incomparable " +
     "qids at analysis time (review r12)") {
     // one-row corpus -> limit(1) deterministically picks the null row

@@ -302,6 +302,49 @@ class TemporalSpec extends SparkSpec {
     assert(s((1L, 1L)) == 2 && s((1L, 2L)) == 1 && s((2L, 1L)) == 1)
   }
 
+  test("asOfJoin ties at identical (key, time) resolve deterministically " +
+    "to the greatest payload (review r12)") {
+    val right = Seq(
+      (1L, t("2026-01-01 10:00:00"), "A"),
+      (1L, t("2026-01-01 10:00:00"), "B"),
+      (1L, t("2026-01-01 10:00:00"), "C")
+    ).toDF("user_id", "ts", "v")
+    val leftDf = Seq((9L, 1L, t("2026-01-01 10:30:00")))
+      .toDF("trade_id", "user_id", "ts")
+    def run(r: org.apache.spark.sql.DataFrame) =
+      Temporal.asOfJoin(leftDf, r, Seq("user_id"), "ts", Seq("v"))
+        .select("v").collect().map(_.getString(0)).toSeq
+    // greatest payload struct: (10:00, "C") — and stable under
+    // repartitioning (the old arbitrary pick was partition-dependent)
+    assert(run(right) == Seq("C"))
+    assert(run(right.repartition(7)) == Seq("C"))
+    assert(run(right.orderBy(col("v").desc)) == Seq("C"))
+  }
+
+  test("rangeJoin: an effectively-unbounded cap saturates instead of " +
+    "wrapping to the quadratic tail (review r12)") {
+    val points = Seq((1L, t("2026-01-01 10:30:00")))
+      .toDF("user_id", "ts")
+    val ivs = Seq((1L, t("2026-01-01 10:00:00"), t("2026-01-01 11:00:00"), "w"))
+      .toDF("user_id", "start_ts", "end_ts", "tag")
+    val out = Temporal.rangeJoin(points, ivs, Seq("user_id"), "ts",
+      "start_ts", "end_ts", maxSpanBuckets = Long.MaxValue / 2)
+    assert(out.count() == 1) // wrapped product used to mis-route rows
+  }
+
+  test("tumblingAgg drops null timestamps like the rest of the file " +
+    "(review r12)") {
+    val ev = Seq(
+      (Some(t("2026-01-01 10:10:00")), "a", 1.0),
+      (None: Option[Timestamp], "a", 99.0),
+      (Some(t("2026-01-01 10:20:00")), "a", 2.0)
+    ).toDF("ts", "event_type", "value")
+    val out = Temporal.tumblingAgg(ev, "ts", "hour", Seq("event_type"),
+      Seq(sum("value").as("s"))).collect()
+    assert(out.length == 1, "no phantom null-window row")
+    assert(out.head.getDouble(2) == 3.0) // (window_start, event_type, s)
+  }
+
   test("tumblingAgg buckets by truncated time") {
     val ev = Seq(
       (t("2026-01-01 10:05:00"), "a", 1.0), (t("2026-01-01 10:55:00"), "a", 2.0),
