@@ -153,6 +153,59 @@ class GopherRulesSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("differential fuzz: native counters equal an independent " +
+    "java-regex reference on adversarial strings (review r12)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the oracle's regex semantics, re-implemented independently with
+    // java.util.regex (the same family DuckDB's RE2 agrees with on
+    // these patterns — proven by the 500-doc d44 hash match)
+    def reference(s: String, stops: Seq[String]) = {
+      val ws = s.split("[ \t\n\u000B\f\r]+", -1).filter(_.nonEmpty)
+      val lines = s.split("\n", -1)
+      val lw = "[a-z0-9]+".r.findAllIn(s.toLowerCase).toSet
+      val bullet = java.util.regex.Pattern.compile("^[ \t]*[-*•]")
+      val ellEnd = java.util.regex.Pattern.compile("(\\.\\.\\.|…)[ \t\r]*$")
+      (ws.length,
+        ws.map(w => w.codePointCount(0, w.length).toLong).sum,
+        s.count(_ == '#'),
+        (s.length - s.replace("...", "").length) / 3 +
+          s.count(_ == '…'),
+        lines.length,
+        lines.count(l => bullet.matcher(l).find()),
+        lines.count(l => ellEnd.matcher(l).find()),
+        ws.count(_.exists(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))),
+        stops.count(lw.contains),
+        "[a-z0-9]+".r.findAllIn(s.toLowerCase).length)
+    }
+    val piece = Gen.oneOf("the", "a", "word", "#", "...", "….", "- x",
+      "\n", "\r\n", " ", "\t", "42", "ab.", "!?", "\u000B", "•",
+      "😀", "longerword", "…", ".", "x...", "\f", "İx")
+    val gen = Gen.listOfN(12, piece).map(_.mkString)
+    val stops = Seq("the", "a", "word")
+    val texts = (0 until 400).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.functions.CatalystFunctions.gopherStats(col("text"), stops)
+          .as("g"))
+      .select(col("doc_id"), col("g.*")).collect()
+      .map(r => r.getLong(0) -> (
+        (r.getAs[Int]("n_words"), r.getAs[Long]("char_sum"),
+          r.getAs[Int]("n_hash"), r.getAs[Long]("n_ellipsis"),
+          r.getAs[Int]("n_lines"), r.getAs[Int]("n_bullet"),
+          r.getAs[Int]("n_ell_end"), r.getAs[Int]("n_alpha"),
+          r.getAs[Int]("n_stop"), r.getAs[Int]("n_alnum")))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val (a, b, c, d, e, f, g2, h, s9, al) = reference(t, stops)
+      val want = (a, b, c.toInt, d.toLong, e, f, g2, h, s9, al)
+      assert(got(i.toLong) == want,
+        s"text ${t.map(ch => f"\\u${ch.toInt}%04x").mkString} native " +
+          s"${got(i.toLong)} vs reference $want")
+    }
+  }
+
   test("bounds validation fails loudly") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
