@@ -215,7 +215,11 @@ object Xlsx {
     val partPattern = java.util.regex.Pattern.quote(base) + "\\(\\d+\\)"
     val parts = all.map(_._1)
       .filter(k => k == base || k.matches(partPattern))
-      .sortBy(k => if (k == base) 1
+      // base maps BELOW any numbered part: the writer convention
+      // starts continuations at (2), but a literal 'base(1)' sheet
+      // must still sort strictly after the base rather than tying
+      // with it and riding input order (ADVICE r12)
+      .sortBy(k => if (k == base) Int.MinValue
         else k.stripPrefix(base + "(").stripSuffix(")").toInt)
     require(parts.nonEmpty, s"no sheet '$base' in the workbook")
     val header = byName(parts.head).headOption.getOrElse(

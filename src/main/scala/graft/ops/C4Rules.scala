@@ -74,7 +74,14 @@ object C4Rules {
       size(kept).as("n_kept_lines"), clean.as("clean_text"),
       nSentences.as("n_sentences"), hasLorem.as("has_lorem"),
       hasBrace.as("has_brace"),
-      (!hasLorem && !hasBrace && nSentences >= minSentences).as("keep"))
+      // a null text yields null page features and a three-valued keep —
+      // coalesce to false (the GopherRules.pass contract, ADVICE r12)
+      // so a consumer counting rejections with filter(!keep) sees
+      // null-text pages instead of silently skipping them; clean()'s
+      // filter drops the same pages (NULL predicate = drop), so the
+      // two forms agree
+      coalesce(!hasLorem && !hasBrace && nSentences >= minSentences,
+        lit(false)).as("keep"))
   }
 
   /** The pipeline form: surviving pages only, `textCol` REPLACED by

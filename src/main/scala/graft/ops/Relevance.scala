@@ -60,6 +60,14 @@ object Relevance {
     * tokenizer (anything else can never match and is refused loudly
     * rather than silently scoring nothing).
     *
+    * The result is DRIVER-LOCALIZED (a LocalRelation of ≤ topK rows —
+    * the validatedStats recipe, ADVICE r12): the lazy ranking plan
+    * roots at this object's shared persist slots, so a still-lazy
+    * result would re-tokenize after a second bm25 call evicted them,
+    * silently mixing one corpus's N/avgdl with another's tf when the
+    * input is nondeterministic. Collecting here makes the returned
+    * frame independent of both the slots and later calls.
+    *
     * PRECONDITION: `idCol` is unique per document. Duplicate ids
     * inflate df (each (id, dl) pair counts toward document frequency)
     * and give the per-term sums multiple rows, which surrenders the
@@ -67,6 +75,19 @@ object Relevance {
     * (d01/d02) first — checking here would cost a corpus aggregation
     * per call. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    val ranked = bm25Plan(docs, idCol, textCol, terms, k1, b, topK)
+    val rows = ranked.collect()
+    docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), ranked.schema)
+  }
+
+  /** The lazy ranking plan behind [[bm25]] (package-visible so specs
+    * can assert the TakeOrderedAndProject top-k shape — the public
+    * form localizes it away). Consume before the next call: it reads
+    * the shared slots. */
+  private[graft] def bm25Plan(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25: at least one query term")

@@ -17,6 +17,17 @@ import org.apache.spark.sql.{GraftExprBridge => ExpressionUtils}
 final case class SqModel(vmin: Array[Double], vmax: Array[Double]) {
   require(vmin.length == vmax.length && vmin.length > 0,
     "sq model: vmin/vmax length mismatch or empty")
+  // a NaN range poisons every decode silently (NaN fails both clamp
+  // comparisons in encode, so EVERY value would code to 0) — the same
+  // loud contract as the null-element guards (ADVICE r12)
+  locally {
+    var d = 0
+    while (d < vmin.length) {
+      require(!vmin(d).isNaN && !vmax(d).isNaN,
+        s"sq model: NaN range bound at dimension $d - clean NaN vectors upstream")
+      d += 1
+    }
+  }
   def dim: Int = vmin.length
 }
 
@@ -247,6 +258,10 @@ object SqEncodeExpr {
     while (d < dim) {
       require(!a.isNullAt(d), s"sq: null vector element at index $d")
       val x = a.getDouble(d)
+      // NaN fails BOTH clamp comparisons and toInt's to 0 — a NaN
+      // element would silently encode as code 0 (= vmin) instead of
+      // failing like a null element does (ADVICE r12)
+      require(!x.isNaN, s"sq: NaN vector element at index $d")
       val mn = model.vmin(d)
       val mx = model.vmax(d)
       val c: Int =

@@ -2142,7 +2142,7 @@ object Pipeline {
         |f AS (SELECT *, length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) AS n_sentences FROM c)
         |SELECT doc_id, n_lines, n_kept_lines, md5(clean) AS clean_md5,
         |  n_sentences, has_lorem, has_brace,
-        |  (NOT has_lorem AND NOT has_brace AND n_sentences >= 3) AS keep
+        |  COALESCE(NOT has_lorem AND NOT has_brace AND n_sentences >= 3, FALSE) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
     // Composed pipeline: the d47 markdown chain (smaller fixture) into
     // the d44 rule battery at minWords=40/stops={the,a}, then survivor

@@ -37,6 +37,23 @@ class C4RulesSpec extends SparkSpec {
     assert(r.getAs[Boolean]("keep"))
   }
 
+  test("null text: keep is FALSE, never three-valued (ADVICE r12)") {
+    val df = Seq((1L, Some("One good full sentence right here. And two " +
+        "more sentences follow. Third one closes it.")),
+      (2L, None: Option[String])).toDF("doc_id", "text")
+    val rows = C4Rules.flags(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the null-text page is COUNTED as rejected, not skipped: keep is a
+    // real false (a filter(!keep) consumer sees it)
+    assert(!rows(2L).isNullAt(rows(2L).fieldIndex("keep")))
+    assert(!rows(2L).getAs[Boolean]("keep"))
+    assert(rows(1L).getAs[Boolean]("keep"))
+    val rejected = C4Rules.flags(df).filter(!col("keep")).count()
+    assert(rejected == 1L)
+    // clean() agrees: the null page drops
+    assert(C4Rules.clean(df).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("page gates: lorem ipsum (case-insensitive), brace, sentence floor") {
     val good = "One full sentence stands here.\n" +
       "Two full sentences stand here.\nThree full sentences stand here."

@@ -395,6 +395,22 @@ class IOSpec extends SparkSpec {
       s"error must name the row and the would-be-lost cell: ${ex.getMessage}")
   }
 
+  test("stitchSheets: base sorts strictly before a literal 'base(1)' " +
+      "continuation (ADVICE r12)") {
+    val hdr = Seq("h")
+    // input order puts base(1) FIRST — an input-order tie would
+    // misplace its rows before the base sheet's
+    val sheets = Seq(
+      "s(1)" -> Seq(hdr, Seq("from-part-1")),
+      "s" -> Seq(hdr, Seq("from-base")),
+      "s(2)" -> Seq(hdr, Seq("from-part-2")),
+      "other" -> Seq(hdr, Seq("unrelated")))
+    val (header, rows) = graft.io.Xlsx.stitchSheets(sheets, "s")
+    assert(header == hdr)
+    assert(rows.map(_.head) ==
+      Seq("from-base", "from-part-1", "from-part-2"))
+  }
+
   test("timeseries CSV round-trip with year bounds") {
     val mp = new Platform(spark, tmpDir("graft-io4"))
     mp.addUnit("USD")

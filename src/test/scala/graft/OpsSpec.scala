@@ -1318,10 +1318,25 @@ class OpsSpec extends SparkSpec {
     val s2 = r4(idf(2) * tfn(1, 2) + 0.0)
     assert(got.toSeq == Seq((1L, s1), (2L, s2)), s"got ${got.toSeq}, want " +
       s"Seq((1,$s1), (2,$s2))")
-    // top-k plans as TakeOrderedAndProject, never a global sort
-    val plan = Relevance.bm25(docs, "doc_id", "text", Seq("join"))
+    // top-k plans as TakeOrderedAndProject, never a global sort (the
+    // lazy plan form; the public bm25 localizes it away)
+    val plan = Relevance.bm25Plan(docs, "doc_id", "text", Seq("join"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"no top-k plan:\n$plan")
+    // the public result is a LocalRelation (ADVICE r12): a second call
+    // may evict the shared persist slots, so the first result must not
+    // still read them — interleave two calls and consume the FIRST last
+    val first = Relevance.bm25(docs, "doc_id", "text", Seq("join", "hash"))
+    val firstLeaves = first.queryExecution.optimizedPlan.collectLeaves()
+    assert(firstLeaves.forall(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"bm25 result must be localized, got leaves: $firstLeaves")
+    val other = Relevance.bm25(
+      Seq((9L, "hash only doc")).toDF("doc_id", "text"), "doc_id", "text",
+      Seq("hash"))
+    assert(other.collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(first.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == got.toSeq, "first result must survive the second call unchanged")
     // loud guards: non-tokenizable and duplicate terms can never match
     intercept[IllegalArgumentException] {
       Relevance.bm25(docs, "doc_id", "text", Seq("Join"))

@@ -126,6 +126,27 @@ class SqSpec extends SparkSpec {
     assert(Sq.adcKnn(Sq.encode(emb, "vec", model), zq, model, 5).count() == 0L)
   }
 
+  test("NaN fails loudly: train via the model guard, encode per element " +
+      "(ADVICE r12 - NaN fails both clamps and would silently code 0)") {
+    // a NaN anywhere in the corpus reaches vmax (Spark orders NaN above
+    // every double) and the SqModel ctor names the dimension
+    val poisoned = Seq((1L, Seq(0.0, 1.0)), (2L, Seq(Double.NaN, 2.0)))
+      .toDF("id", "vec")
+    val ex = intercept[IllegalArgumentException](Sq.train(poisoned, "vec"))
+    assert(ex.getMessage.contains("NaN"), ex.getMessage)
+    // a NaN element against a clean model fails in the encode kernel,
+    // not silently clamp to code 0
+    val model = Sq.train(Seq((1L, Seq(0.0, 1.0)), (2L, Seq(10.0, 2.0)))
+      .toDF("id", "vec"), "vec")
+    val probe = Seq((3L, Seq(Double.NaN, 1.5))).toDF("id", "vec")
+    val ex2 = intercept[Exception] {
+      Sq.encode(probe, "vec", model).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(ex2).contains("NaN vector element"), chain(ex2))
+  }
+
   test("train fails loudly on an empty corpus") {
     val empty = emb.filter(col("id") < -1)
     val err = intercept[IllegalArgumentException](Sq.train(empty, "vec"))
