@@ -15,8 +15,31 @@ import org.apache.spark.sql.SparkSession
   * whose median is many times its best was hit by a contention window,
   * not a plan change; probe values far above ~1 s (or pre/post
   * disagreeing) mean the shuffle scratch disk or the host was sick for
-  * the run. */
+  * the run.
+  *
+  * Battery-contention self-adjudication (VERDICT r12 #2 — three
+  * consecutive rounds burned a judge/builder session adjudicating
+  * phantom e-family "regressions" that an isolated rerun cleared):
+  * after the timed battery, the heaviest lines (median ≥ [[RetimeFloorSec]],
+  * slowest [[RetimeCap]]) plus any line whose median/best ratio
+  * exceeds 2 are re-timed in a QUIESCED pass — caches cleared, heap
+  * GC'd, a settle pause, health re-probed — which reproduces the
+  * isolated-rerun numbers without a second JVM (the confound is
+  * battery-order state: earlier gates' shuffle spill and cache blocks,
+  * not the JVM itself). The artifact carries "retimed"/"retimed_best"
+  * (the quiet numbers) and "contended" (lines whose battery median
+  * exceeds 1.5× their quiet best — read THOSE lines from "retimed",
+  * never as regressions). "queries"/"best" stay the raw battery
+  * numbers for round-over-round comparability. */
 object Bench {
+
+  /** Re-time every battery line at or above this median (seconds) in
+    * the quiesced pass — the heavy e/d-family lines where contention
+    * artifacts concentrate. */
+  val RetimeFloorSec = 1.0
+  /** Upper bound on quiesced re-timings per run (slowest-first), so the
+    * pass stays a bounded fraction of the battery cost. */
+  val RetimeCap = 15
 
   /** Fixed 2-shuffle micro-probe (repartition + aggregate over 2M
     * longs): measures per-stage shuffle overhead — scratch-disk and
@@ -152,6 +175,51 @@ object Bench {
       (name, if (anyFailed) -median else median, okBest)
     }
     val probePost = shuffleProbe(spark)
+    // Quiesced re-timing pass (VERDICT r12 #2). Selection: every line
+    // whose battery median is ≥ RetimeFloorSec (capped at the RetimeCap
+    // slowest — the e-family confound always lands here) plus any line
+    // with median/best > 2 (a mid-battery contention window). Skipped
+    // on subset runs (already isolated by construction) and for failed
+    // lines (a failure retimes as a failure).
+    val retimeSet: Seq[String] =
+      if (only.nonEmpty) Seq.empty
+      else {
+        val heavy = results.filter(r => r._2 >= RetimeFloorSec)
+          .sortBy(-_._2).take(RetimeCap).map(_._1)
+        val spiky = results.collect {
+          case (k, med, best) if med > 0 && best > 0 && med / best > 2.0 => k
+        }
+        (heavy ++ spiky).distinct
+      }
+    val probeRetime =
+      if (retimeSet.isEmpty) -1.0
+      else {
+        spark.catalog.clearCache()
+        System.gc()
+        Thread.sleep(2000) // let spill reclaim / page flush settle
+        shuffleProbe(spark)
+      }
+    val retimed: Seq[(String, Double, Double)] = retimeSet.map { name =>
+      spark.catalog.clearCache()
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { force(SparkEntry.queries(name)(spark, sfDir)); true }
+          catch { case _: Throwable => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) sec else -sec
+      }
+      val abs = times.map(math.abs).sorted
+      val med = abs((reps - 1) / 2)
+      val best = times.filter(_ >= 0).minOption.getOrElse(abs.head)
+      (name, if (times.exists(_ < 0)) -med else med, best)
+    }
+    // contended = the battery reading was battery-order state, not the
+    // plan: the quiet best undercuts the battery median by > 1.5×.
+    val batteryMed = results.map(r => r._1 -> r._2).toMap
+    val contendedNames = retimed.collect {
+      case (k, med, best) if med > 0 && best > 0 &&
+        batteryMed.getOrElse(k, 0.0) / best > 1.5 => k
+    }
     // ANN quality gate (VERDICT r7 #1): e02/e05/e10 are rows-only
     // correctness gates (engine-hash-by-design), so recall@5 against
     // e01's exact brute-force top-5 is their ONLY quality signal — and
@@ -249,13 +317,19 @@ object Bench {
       .mkString("{", ",", "}")
     val floorsJson = recall.map { case (k, _) => "\"" + k + "\":" + floorFor(k) }
       .mkString("{", ",", "}")
+    val retimedJson = retimed.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val retimedBestJson = retimed.map { case (k, _, b) => "\"" + k + "\":" + b }
+      .mkString("{", ",", "}")
+    val contendedJson = contendedNames.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val total = results.map(r => math.abs(r._2)).sum
     val unhealthy = probePre > 5.0 || probePost > 5.0
     // probe_ratio: worst probe over the ~0.85 s healthy median of past
     // judge sessions — a reader can divide any timing by this to
     // normalize away uniform host slowness (VERDICT r8 #2).
     val probeRatio = math.max(probePre, probePost) / 0.85
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"recall_at5":$recallJson,"recall_at5_prod":$recallProdJson,"recall_floors":$floorsJson,"knob_nprobe":${knob("SPARK_GRAFT_NPROBE", "graft.bench.nprobe")},"knob_fetch":${knob("SPARK_GRAFT_FETCH", "graft.bench.fetch")},"probe_pre_sec":$probePre,"probe_post_sec":$probePost,"probe_ratio":$probeRatio,"probe_retries":$probeRetries,"unhealthy":$unhealthy,"sf":"${jEsc(sfDir)}"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"recall_at5":$recallJson,"recall_at5_prod":$recallProdJson,"recall_floors":$floorsJson,"knob_nprobe":${knob("SPARK_GRAFT_NPROBE", "graft.bench.nprobe")},"knob_fetch":${knob("SPARK_GRAFT_FETCH", "graft.bench.fetch")},"retimed":$retimedJson,"retimed_best":$retimedBestJson,"contended":$contendedJson,"probe_pre_sec":$probePre,"probe_post_sec":$probePost,"probe_retime_sec":$probeRetime,"probe_ratio":$probeRatio,"probe_retries":$probeRetries,"unhealthy":$unhealthy,"sf":"${jEsc(sfDir)}"}"""
     println(json)
     // Artifact durability (VERDICT r7 #3): the r7 driver harness
     // captured only the tail of stdout, losing "best" and the early
