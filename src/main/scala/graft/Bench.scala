@@ -260,18 +260,17 @@ object Bench {
       }
     val recall: Seq[(String, Double)] =
       if (only.isEmpty) runRecall() else Seq.empty
-    // Second recall point at the PRODUCTION REFERENCE config (VERDICT
-    // r9 ask #2): quarter-cell probe with a fetch-30 rerank — the
-    // pre-r8 default operating point on the NOTES knob curve. (The
-    // bare library default is fetch=0, i.e. no exact rerank at all;
-    // the reference point keeps the rerank ON because that is how the
-    // quarter-probe config was always charted — apples to apples with
-    // the curve.) The gate numbers stay 80% probe / fetch 100; floors
-    // grade ONLY the gate config. Skipped when the user already
-    // overrode a knob — via env OR a pre-set system property (review
-    // r11: knobVal reads props FIRST, so a pre-set prop would both be
-    // shadowed by this pass and misreport as "default") — and any
-    // pre-existing prop value is restored, not deleted.
+    // Second recall point at the LIBRARY-DEFAULT config (VERDICT r9
+    // ask #2; re-anchored by VERDICT r12 #3): nprobe "lib" = query()'s
+    // half-cell default AND fetch "lib" = query()'s auto-rerank
+    // default (max(20k, 100)) — the exact out-of-the-box operating
+    // point a defaults-taking user gets, no synthetic reference knobs.
+    // The gate numbers stay 80% probe / fetch 100; floors grade ONLY
+    // the gate config. Skipped when the user already overrode a knob —
+    // via env OR a pre-set system property (review r11: knobVal reads
+    // props FIRST, so a pre-set prop would both be shadowed by this
+    // pass and misreport as "default") — and any pre-existing prop
+    // value is restored, not deleted.
     val knobEnvSet = Seq("SPARK_GRAFT_NPROBE", "SPARK_GRAFT_FETCH")
       .exists(e => sys.env.get(e).exists(_.trim.nonEmpty))
     val knobPropSet = Seq("graft.bench.nprobe", "graft.bench.fetch")
@@ -281,7 +280,7 @@ object Bench {
         val prior = Seq("graft.bench.nprobe", "graft.bench.fetch")
           .map(p => p -> sys.props.get(p))
         sys.props("graft.bench.nprobe") = "lib"
-        sys.props("graft.bench.fetch") = "30"
+        sys.props("graft.bench.fetch") = "lib"
         try runRecall()
         finally prior.foreach {
           case (p, Some(v)) => sys.props(p) = v

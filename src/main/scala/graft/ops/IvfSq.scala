@@ -40,13 +40,15 @@ final class IvfSqIndex private[ops] (
   def nCells: Int = ivf.nCells
   def defaultProbe: Int = ivf.defaultProbe
 
-  /** Top-k per (qid, qvec) row; `nProbe` <= 0 probes the default
-    * quarter of cells, `fetch` > 0 exact-reranks that many
-    * SQ-candidates per query (the [[IvfPqIndex.query]] contract). */
+  /** Top-k per (qid, qvec) row; `nProbe` <= 0 probes [[defaultProbe]]
+    * (half the cells), `fetch` follows the [[IvfPqIndex.query]]
+    * contract: default -1 = auto rerank at max(20·k, 100), 0 = rerank
+    * off (no raw-corpus pass), >= k = explicit budget. */
   def query(queries: DataFrame, k: Int, nProbe: Int = 0,
-      fetch: Int = 0): DataFrame = {
-    require(fetch <= 0 || fetch >= k,
-      s"fetch ($fetch) must be 0 (off) or >= k ($k)")
+      fetch: Int = -1): DataFrame = {
+    val f = if (fetch < 0) math.max(20 * k, 100) else fetch
+    require(f == 0 || f >= k,
+      s"fetch ($f) must be 0 (off), negative (auto), or >= k ($k)")
     Similarity.requireComparableIds(queries, encoded)
     val probes = if (nProbe > 0) nProbe else defaultProbe
     // zero-norm guard (the IvfPq rule): a zero-vector query gets NO
@@ -60,7 +62,7 @@ final class IvfSqIndex private[ops] (
     val qProbes = Similarity.topCells(ivf.centroids, q, "qid", "qvec",
       probes, keepScore = true)
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
-    val take = if (fetch > 0) fetch else k
+    val take = if (f > 0) f else k
     val adcTop = encoded
       // probe side explicitly broadcast (review r12, the IvfPq rule):
       // |q|·nProbe tiny rows whose crossJoin+window lineage defeats
@@ -72,7 +74,7 @@ final class IvfSqIndex private[ops] (
         col("__score") + Sq.dotCol(col("codes"), col("qvec"), model))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= take)
-    if (fetch <= 0)
+    if (f == 0)
       adcTop.select(col("qid"), col("rank"), col("id"),
         round(col("score"), 4).as("sim"))
     else Similarity.rerankShortlist(corpusUnit,

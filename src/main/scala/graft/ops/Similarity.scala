@@ -489,8 +489,16 @@ final class IvfIndex private[ops] (
     val nCells: Int,
     persisted: Boolean) {
 
-  /** Scale-stable default probe breadth: a quarter of the cells. */
-  def defaultProbe: Int = math.max(2, (nCells + 3) / 4)
+  /** Default probe breadth: HALF the cells (VERDICT r12 #3 — the
+    * quarter-cell default sat at the recall cliff on weakly-clustered
+    * corpora: library-default recall@5 read 0.44-0.56 at sf0.1, and a
+    * user taking defaults deserves correctness-first behavior). The
+    * default optimizes recall out-of-the-box; at production scale —
+    * millions of vectors whose real-world embeddings cluster strongly —
+    * callers should SET nProbe explicitly (1-10% of cells is the
+    * standard IVF operating range) rather than ride any fixed-fraction
+    * default. */
+  def defaultProbe: Int = math.max(2, (nCells + 1) / 2)
 
   /** Top-k cosine neighbors per (qid, qvec) query row from the
     * `nProbe` (<=0 = default) best-matching cells. */

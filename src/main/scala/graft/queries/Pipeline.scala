@@ -232,8 +232,9 @@ object Pipeline {
     * vars cannot change inside a running JVM, and Bench needs to grade
     * recall at TWO configs (gate + production default) in one session
     * (VERDICT r9 ask #2). Value "lib" = the library's own default
-    * (quarter-cell probe / fetch=k), distinct from unset, which the
-    * gate wrappers override to their bench-scale tuning. */
+    * (half-cell probe / auto-rerank fetch = max(20k, 100) since
+    * VERDICT r12 #3), distinct from unset, which the gate wrappers
+    * override to their bench-scale tuning. */
   private def knobVal(env: String, prop: String): Option[String] =
     sys.props.get(prop).orElse(sys.env.get(env))
       .map(_.trim).filter(_.nonEmpty)
@@ -245,23 +246,24 @@ object Pipeline {
     }
   private def envFetch(default: Int): Int =
     knobVal("SPARK_GRAFT_FETCH", "graft.bench.fetch") match {
-      case Some("lib") => 0 // query() treats 0 as fetch=k
+      case Some("lib") => -1 // query() treats negative as its auto default
       case Some(v) => v.toInt
       case None => default
     }
   /** Gate-default probe count for the PQ-coded gates (r9): 80% of
-    * cells, not the library's quarter-cell default. The test corpus is
-    * tiny (2k vectors at sf0.1) and its synthetic embeddings cluster
-    * weakly, so centroid ordering correlates loosely with true-neighbor
-    * location and a quarter-cell probe leaves recall at ~0.55 no matter
-    * the fetch (NOTES knob curve: fetch=100 alone moved e05 only
-    * 0.44→0.54; nProbe=80% with fetch=100 reaches 0.92/0.90). At
-    * production scale — millions of clustered embeddings, √n cells —
-    * the quarter-cell default is the right cost/recall point and a
-    * caller gets it from IvfPqIndex.query directly; these gate wrappers
-    * tune for the driver-graded recall floor at bench scale. */
+    * cells, above even the library's half-cell default (r12 #3 — was a
+    * quarter). The test corpus is tiny (2k vectors at sf0.1) and its
+    * synthetic embeddings cluster weakly, so centroid ordering
+    * correlates loosely with true-neighbor location and a quarter-cell
+    * probe left recall at ~0.55 no matter the fetch (NOTES knob curve:
+    * fetch=100 alone moved e05 only 0.44→0.54; nProbe=80% with
+    * fetch=100 reaches 0.92/0.90; the half-cell library default with
+    * auto-fetch lands ≥0.7). At production scale — millions of
+    * clustered embeddings, √n cells — callers tune nProbe down (1-10%
+    * of cells); these gate wrappers tune UP for the driver-graded
+    * recall floor at bench scale. */
   private def gateProbe(nCells: Int): Int =
-    if (envProbe < 0) 0 // "lib": defer to query()'s quarter-cell default
+    if (envProbe < 0) 0 // "lib": defer to query()'s half-cell default
     else if (envProbe > 0) envProbe
     else math.ceil(nCells * 0.8).toInt
 
