@@ -32,7 +32,9 @@ object ScaleBench {
       "e11_sq_codes", "e12_knn_sq8", "e13_knn_ivfsq_verify",
       "d44_gopher_rules", "d45_unimax", "d46_c4_rules",
       "e14_knn_matryoshka", "d47_markdown_extract",
-      "d48_curation_pipeline")
+      "d48_curation_pipeline",
+      // round-13 newcomer
+      "d49_unigram_encode")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

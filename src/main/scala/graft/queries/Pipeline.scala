@@ -1407,7 +1407,51 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** The d49 gate vocabulary: dyadic-style INTEGER piece costs
+    * (cost = −logp), the ONE copy both engines derive from — the gate
+    * model maps each cost to logp = −cost and the oracle renders the
+    * same pairs as its VALUES table. Integer costs make every Viterbi
+    * path score an exact int64, so min-cost comparisons are
+    * engine-exact (the d28 exact-rational recipe in tokenizer form).
+    * Singles cover the whole [a-z0-9] words() alphabet at cost 8, so
+    * the <unk> fallback never fires and every word segments. */
+  private val d49MultiCosts: Seq[(String, Int)] = Seq(
+    "th" -> 11, "he" -> 12, "in" -> 11, "er" -> 12, "an" -> 12,
+    "on" -> 12, "re" -> 13, "ed" -> 13, "nd" -> 13, "at" -> 13,
+    "or" -> 13, "es" -> 13, "ing" -> 16, "ion" -> 17, "ent" -> 17,
+    "ter" -> 17)
+  private val d49Singles: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(String.valueOf)
+  private lazy val d49Model: graft.ops.UnigramModel = {
+    val pairs = d49Singles.map(_ -> 8) ++ d49MultiCosts
+    graft.ops.UnigramModel(pairs.map(_._1).toVector,
+      pairs.map(p => -p._2.toDouble).toVector, unkLogp = -64.0)
+  }
+
+  /** Unigram-LM Viterbi encode (graft.ops.Unigram, Kudo 2018 — the
+    * SentencePiece algorithm) under the fixed dyadic-cost vocabulary
+    * above. Output per doc: word count, total Viterbi piece count and
+    * total path cost — both tie-INVARIANT aggregates (min cost is
+    * unique by definition; min pieces among min-cost paths is unique
+    * as a number), so the oracle needs no tie-break mirroring: it
+    * ENUMERATES every segmentation of every distinct word with a
+    * recursive CTE and takes the same (min cost, min pieces) pair.
+    * The token sequences themselves are pinned by OpsSpec's
+    * hand-computed segmentations. One map-side codegen pass + the
+    * d04 two-projection struct pattern. */
+  def d49UnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val ws = docs(s, dir).select(col("doc_id"),
+      TextFunctions.words(col("text")).as("ws"))
+    ws.select(col("doc_id"), size(col("ws")).as("n_words"),
+        graft.ops.Unigram.encodeCol(col("ws"), d49Model).as("u"))
+      .select(col("doc_id"), col("n_words"),
+        col("u.n_pieces").as("n_pieces"),
+        (-col("u.score")).cast("long").as("total_cost"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d49_unigram_encode" -> d49UnigramEncode _,
     "d44_gopher_rules" -> d44GopherRules _,
     "d45_unimax" -> d45Unimax _,
     "d46_c4_rules" -> d46C4Rules _,
@@ -1523,6 +1567,43 @@ object Pipeline {
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Unigram Viterbi via FULL-path enumeration: the recursive CTE
+    // expands every segmentation of every distinct word over the same
+    // (piece, cost) VALUES the Spark gate's model derives from
+    // (d49MultiCosts/d49Singles — ONE vocabulary copy), then takes
+    // min cost and min pieces-at-min-cost per word. UNION (distinct)
+    // collapses equal (word, pos, cost, np) states, which bounds the
+    // expansion; integer costs make every comparison exact. The LEFT
+    // JOIN keeps wordless docs at (0, 0, 0) like the Spark side.
+    "d49_unigram_encode" -> {
+      val vocabRows = (d49Singles.map(s => s"('$s',8)") ++
+        d49MultiCosts.map { case (p, c) => s"('$p',$c)" }).mkString(",")
+      s"""WITH RECURSIVE wpos AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |dw AS (SELECT DISTINCT w FROM wpos),
+        |vocab(piece, cost) AS (VALUES $vocabRows),
+        |r AS (
+        |  SELECT w, 0 AS pos, 0 AS cost, 0 AS np FROM dw
+        |  UNION
+        |  SELECT r.w, r.pos + length(v.piece), r.cost + v.cost, r.np + 1
+        |  FROM r JOIN vocab v
+        |    ON substr(r.w, r.pos + 1, length(v.piece)) = v.piece
+        |  WHERE r.pos < length(r.w)),
+        |fin AS (SELECT w, cost, np FROM r WHERE pos = length(w)),
+        |best AS (SELECT w, min(cost) AS mc FROM fin GROUP BY w),
+        |bw AS (SELECT f.w, b.mc AS cost, min(f.np) AS np
+        |       FROM fin f JOIN best b ON f.w = b.w AND f.cost = b.mc
+        |       GROUP BY f.w, b.mc),
+        |agg AS (SELECT wp.doc_id, count(*) AS nw, sum(bw.np) AS np,
+        |          sum(bw.cost) AS c
+        |        FROM wpos wp JOIN bw ON wp.w = bw.w GROUP BY wp.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(agg.nw, 0) AS INTEGER) AS n_words,
+        |  CAST(coalesce(agg.np, 0) AS INTEGER) AS n_pieces,
+        |  CAST(coalesce(agg.c, 0) AS BIGINT) AS total_cost
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    },
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -379,6 +379,91 @@ class OpsSpec extends SparkSpec {
     assert(out == "aa a | b anan a")
   }
 
+  test("unigram viterbi: hand-computed segmentations under integer costs") {
+    import graft.ops.{Unigram, UnigramModel}
+    // the d49 gate shape: singles cost 8, th=11 he=12 in=11 er=12 ing=16
+    val pairs = (('a' to 'z').map(c => String.valueOf(c) -> 8)) ++
+      Seq("th" -> 11, "he" -> 12, "in" -> 11, "er" -> 12, "ing" -> 16)
+    val m = UnigramModel(pairs.map(_._1).toVector,
+      pairs.map(p => -p._2.toDouble).toVector, unkLogp = -64.0)
+    // there: th+er+e = 31 beats th+e+re(no re piece)=..., t+he+re, chars
+    val (s1, p1) = Unigram.viterbi("there", m)
+    assert(p1.toSeq == Seq("th", "er", "e") && s1 == -31.0, s"${p1.toSeq} $s1")
+    // ingoing: ing+o+ing = 40 (vs in+g+o+ing = 43, chars = 56)
+    val (s2, p2) = Unigram.viterbi("ingoing", m)
+    assert(p2.toSeq == Seq("ing", "o", "ing") && s2 == -40.0, s"${p2.toSeq} $s2")
+    // single unknown char rides the unk fallback; multi-char misses never
+    val (s3, p3) = Unigram.viterbi("a9", m) // '9' not in this vocab
+    assert(p3.toSeq == Seq("a", "9") && s3 == -72.0, s"${p3.toSeq} $s3")
+  }
+
+  test("unigram viterbi tie-break: max score, then fewest pieces, then " +
+      "longest last piece") {
+    import graft.ops.{Unigram, UnigramModel}
+    val m = UnigramModel(
+      Vector("a", "b", "c", "ab", "bc"),
+      Vector(-1.0, -1.0, -1.0, -2.0, -2.0), unkLogp = -64.0)
+    // "ab": score -2 both as [ab] (1 piece) and [a,b] (2) -> fewer wins
+    assert(Unigram.viterbi("ab", m)._2.toSeq == Seq("ab"))
+    // "abc": [ab,c], [a,bc], [a,b,c] all score -3; np prefers the 2-piece
+    // paths; among those the LONGER last piece (bc) wins
+    val (s, p) = Unigram.viterbi("abc", m)
+    assert(s == -3.0 && p.toSeq == Seq("a", "bc"), s"${p.toSeq} $s")
+  }
+
+  test("unigram encode: column form matches the kernel, analysis-time " +
+      "type check, null word loud") {
+    import graft.ops.{Unigram, UnigramModel}
+    val pairs = (('a' to 'z').map(c => String.valueOf(c) -> 8)) ++
+      Seq("th" -> 11, "er" -> 12)
+    val m = UnigramModel(pairs.map(_._1).toVector,
+      pairs.map(p => -p._2.toDouble).toVector, unkLogp = -64.0)
+    val r = Seq((1L, "there is"))
+      .toDF("doc_id", "text")
+      .select(Unigram.encodeCol(TextFunctions.words(col("text")), m).as("u"))
+      .select(col("u.n_pieces"), col("u.score"), col("u.toks")).head()
+    // there = th er e (-31), is = i s (-16)
+    assert(r.getInt(0) == 5 && r.getDouble(1) == -47.0 &&
+      r.getString(2) == "th er e | i s", r.toString)
+    // raw string column (no words()) must fail at analysis, not runtime
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, "x")).toDF("doc_id", "text")
+        .select(Unigram.encodeCol(col("text"), m)).collect()
+    }
+    assert(ex.getMessage.contains("array<string>"), ex.getMessage)
+  }
+
+  test("unigram train: coverage, compression, frequent substrings become " +
+      "pieces, deterministic across partitionings") {
+    import graft.ops.Unigram
+    val corpus = (Seq.fill(8)("banana bandana cabana") ++
+      Seq.fill(4)("the other thing on the bank") ++
+      Seq.fill(2)("running winning sing"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m1 = Unigram.train(corpus, vocabSize = 60, maxPieceLen = 3,
+      seedSize = 500, iters = 2)
+    val m2 = Unigram.train(corpus.repartition(7), vocabSize = 60,
+      maxPieceLen = 3, seedSize = 500, iters = 2)
+    assert(m1 == m2, "model must not depend on partitioning")
+    // coverage: every corpus character is a piece
+    val chars = "bananbdcthoeringwunks".toSet
+    chars.foreach(c => assert(m1.pieces.contains(String.valueOf(c)),
+      s"single '$c' must survive pruning"))
+    // a frequent substring ("an" appears 5x per banana-line) is a piece
+    assert(m1.pieces.exists(p => p.length >= 2 && p.contains("an")),
+      s"expected an 'an'-family piece in ${m1.pieces.filter(_.length >= 2)}")
+    // compression: encoding the corpus takes fewer pieces than chars
+    val enc = corpus
+      .select(Unigram.encodeCol(TextFunctions.words(col("text")), m1).as("u"),
+        TextFunctions.words(col("text")).as("ws"))
+      .select(col("u.n_pieces").as("np"),
+        aggregate(transform(col("ws"), w => length(w)), lit(0),
+          (acc, x) => acc + x).as("nc"))
+      .agg(sum("np"), sum("nc")).head()
+    assert(enc.getLong(0) < enc.getLong(1),
+      s"pieces ${enc.getLong(0)} must compress chars ${enc.getLong(1)}")
+  }
+
   test("quality classifier: learns separable labels, decisions stable") {
     import graft.ops.QualityClassifier
     // good docs speak "quality" vocabulary, bad docs junk vocabulary;
