@@ -276,8 +276,11 @@ object TextFunctions {
     * spaces per CommonMark (4+ = indented code) EXCEPT list bullets,
     * where deeper indentation means a NESTED list far more often
     * than code in real READMEs — that one strips at any depth. */
-  def stripMarkdown(md: Column): Column = {
-    val chain = Seq(
+  /** The [[stripMarkdown]] pass list — ONE copy (package-visible so
+    * the differential fuzz spec replays it with driver-side JDK regex
+    * against Spark's codegen'd execution; the DuckDB side is replayed
+    * verbatim by the d47/d48 oracles). */
+  private[graft] val markdownChain: Seq[(String, String)] = Seq(
       // fenced code blocks, with contents — one pass per fence
       // delimiter (RE2 has no backreferences, the stripHtml per-tag
       // lesson)
@@ -303,7 +306,9 @@ object TextFunctions {
       // asterisk emphasis + strikethrough unwrap
       "\\*{1,3}([^*\\n]+)\\*{1,3}" -> "$1",
       "~~([^~\\n]+)~~" -> "$1")
-    val stripped = chain.foldLeft(md) { case (c, (re, repl)) =>
+
+  def stripMarkdown(md: Column): Column = {
+    val stripped = markdownChain.foldLeft(md) { case (c, (re, repl)) =>
       regexp_replace(c, lit(re), lit(repl))
     }
     trim(regexp_replace(stripped, lit(s"$wsClass+"), lit(" ")))

@@ -108,4 +108,50 @@ class C4RulesSpec extends SparkSpec {
       C4Rules.flags(Seq((1L, "x")).toDF("doc_id", "text"), minLineWords = 0)
     }
   }
+
+  test("differential fuzz: flags equal an independent plain-string " +
+      "reference on adversarial pages (VERDICT r12 #4)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the C4 page decomposition, re-implemented independently with
+    // plain string operations (the GopherRulesSpec fuzz recipe); only
+    // the terminal-punctuation line test shares the regex FAMILY,
+    // compiled directly with java.util.regex
+    val lineEnd = java.util.regex.Pattern.compile("[.!?\"][ \\t\\r]*$")
+    def reference(s: String): (Int, Int, String, Int, Boolean, Boolean, Boolean) = {
+      val lines = s.split("\n", -1)
+      def nWords(l: String) =
+        l.split("[ \t\n\u000B\f\r]+", -1).count(_.nonEmpty)
+      val kept = lines.filter(l => lineEnd.matcher(l).find() && nWords(l) >= 5)
+      val clean = kept.mkString("\n")
+      val ns = clean.count(c => c == '.' || c == '!' || c == '?')
+      val lorem = s.toLowerCase.contains("lorem ipsum")
+      val brace = s.contains("{")
+      (lines.length, kept.length, clean, ns, lorem, brace,
+        !lorem && !brace && ns >= 3)
+    }
+    val piece = Gen.oneOf(
+      "Good first sentence goes right here.", "short.", "\n", "\r\n",
+      "four word question line?", "it has exactly five words!",
+      "A quoted terminal ending \"here\"", "{", "lorem ipsum",
+      "Lorem Ipsum dolor", "no terminal punctuation on this line",
+      "Ends after trailing blanks.   ", "\t", " ", "…", "...",
+      "tab\tseparated words count here too.", "", "😀 emoji words",
+      "İstanbul casing line with words.", "\r", "one two three four five.")
+    val gen = Gen.listOfN(8, piece).map(_.mkString(" "))
+    val texts = (0 until 400).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong))).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = C4Rules.flags(df).collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Int]("n_lines"),
+        r.getAs[Int]("n_kept_lines"), r.getAs[String]("clean_text"),
+        r.getAs[Int]("n_sentences"), r.getAs[Boolean]("has_lorem"),
+        r.getAs[Boolean]("has_brace"), r.getAs[Boolean]("keep")))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == reference(t),
+        s"text ${t.map(ch => f"\\u${ch.toInt}%04x").mkString}: native " +
+          s"${got(i.toLong)} vs reference ${reference(t)}")
+    }
+  }
 }

@@ -334,6 +334,49 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("differential fuzz: stripMarkdown's codegen'd chain equals a " +
+      "driver-side JDK regex replay on adversarial inputs (VERDICT r12 #4)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // scope (the GopherRulesSpec fuzz recipe, adapted): the production
+    // path executes the shared TextFunctions.markdownChain through
+    // Spark's codegen'd regexp_replace over UTF8String; the reference
+    // replays the SAME pass list with java.util.regex over JDK strings
+    // on the driver. Divergence would mean Spark-side execution
+    // (UTF8String byte offsets, surrogate pairs, codegen splicing,
+    // group substitution) disagrees with JDK semantics — the
+    // DuckDB/RE2 side of the chain is separately oracle-proven
+    // byte-exact by gates d47/d48.
+    def reference(s: String): String = {
+      val stripped = TextFunctions.markdownChain.foldLeft(s) {
+        case (acc, (re, repl)) =>
+          java.util.regex.Pattern.compile(re).matcher(acc).replaceAll(repl)
+      }
+      val collapsed = java.util.regex.Pattern
+        .compile("[ \\t\\n\\x0B\\f\\r]+").matcher(stripped).replaceAll(" ")
+      // Spark trim() strips 0x20 only — String.trim would also eat
+      // control chars below 0x20 and silently diverge
+      collapsed.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    }
+    val piece = Gen.oneOf("```", "~~~", "\n", "\r\n", "`code span`", "`",
+      "# Title ", "#42", "=====", "> quoted", "- item", "1. item", "2) item",
+      "***", "**bold**", "*em*", "~~strike~~", "[text](url)", "![alt](i.png)",
+      "(", ")", "[", "]", "*", "_id_", "word", "😀", "İx", "...", "…",
+      " ", "\t", "---", "___", "    indented", "~~", "=")
+    val gen = Gen.listOfN(10, piece).map(_.mkString(" "))
+    val texts = (0 until 400).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(1000L + i))).distinct
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "md")
+      .select(col("id"), TextFunctions.stripMarkdown(col("md")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == reference(t),
+        s"md ${t.map(ch => f"\\u${ch.toInt}%04x").mkString}: spark " +
+          s"'${got(i.toLong)}' vs jdk '${reference(t)}'")
+    }
+  }
+
   test("bpe train: Sennrich example merges in hand-computed order") {
     // word counts low:5 lower:2 newest:6 widest:3 (the paper's corpus,
     // no end-of-word marker). Hand-computed pair stats give the merge
