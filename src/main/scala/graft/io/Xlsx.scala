@@ -373,7 +373,22 @@ object Xlsx {
             case "t" => inT = false
             case "c" =>
               val value = cellType match {
-                case "s" => shared(text.toString.trim.toInt)
+                case "s" =>
+                  // name the cell on a corrupt shared-string reference
+                  // (review r13): a bare NumberFormatException /
+                  // IndexOutOfBounds from a third-party writer's file
+                  // gives the user nothing to locate the damage with
+                  val idx = text.toString.trim
+                  val i = try idx.toInt catch { case _: NumberFormatException =>
+                    throw new IllegalArgumentException(
+                      s"corrupt xlsx: cell ${colLetters(cellCol)} has " +
+                        s"non-numeric shared-string index '$idx'")
+                  }
+                  if (i < 0 || i >= shared.length)
+                    throw new IllegalArgumentException(
+                      s"corrupt xlsx: cell ${colLetters(cellCol)} references " +
+                        s"shared string $i of ${shared.length}")
+                  shared(i)
                 case "b" => if (text.toString.trim == "1") "true" else "false"
                 case _ => text.toString // n, str, inlineStr
               }

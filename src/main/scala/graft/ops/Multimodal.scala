@@ -24,10 +24,15 @@ object Multimodal {
         length(content).as("n_bytes"),
         xxhash64(content).as("content_hash")))
 
-  /** Deterministic mime guess from leading bytes (magic numbers). */
+  /** Deterministic mime guess from leading bytes (magic numbers).
+    * NULL payloads sniff as NULL (review r13): the when-chain's
+    * otherwise() would claim "application/octet-stream" for an asset
+    * we know NOTHING about — "unreadable" and "binary data" are
+    * different facts to a quarantine consumer. */
   def sniffMime(content: Column): Column = {
     val head = hex(substring(content, 1, 4))
-    when(head.startsWith("FFD8"), "image/jpeg")
+    when(content.isNull, lit(null).cast("string"))
+      .when(head.startsWith("FFD8"), "image/jpeg")
       .when(head.startsWith("89504E47"), "image/png")
       .when(head.startsWith("494433"), "audio/mpeg")
       .when(head.startsWith("1A45DFA3"), "video/webm")
@@ -43,8 +48,13 @@ object Multimodal {
     // sequence(0, -1) DESCENDS (the sampleChunksDf bug class, review
     // r11): dims <= 0 returned a phantom 2-element vector silently
     require(dims >= 1, s"dims must be >= 1, got $dims")
-    transform(sequence(lit(0), lit(dims - 1)), i =>
-      (xxhash64(content, i).cast("double") / lit(Long.MaxValue.toDouble)))
+    // NULL payloads get a NULL vector (review r13): xxhash64 SKIPS
+    // null children, so every null asset hashed to the identical
+    // index-only vector — a downstream cosine dedup would collapse all
+    // failed-fetch assets into one bogus near-dup cluster
+    when(content.isNull, lit(null).cast("array<double>"))
+      .otherwise(transform(sequence(lit(0), lit(dims - 1)), i =>
+        (xxhash64(content, i).cast("double") / lit(Long.MaxValue.toDouble))))
   }
 
   /** Byte-level content statistics (real, not stubbed): size, a

@@ -464,6 +464,27 @@ class IOSpec extends SparkSpec {
       .as[Int].collect().forall(_ <= 100))
   }
 
+  test("multimodal null payloads: NULL mime and NULL features, never a " +
+      "shared fake identity (review r13)") {
+    val df = Seq((1L, Some("real bytes".getBytes("UTF-8"))),
+      (2L, None: Option[Array[Byte]]),
+      (3L, None: Option[Array[Byte]])).toDF("id", "content")
+    // a null asset sniffs NULL, not octet-stream ("unreadable" and
+    // "binary data" are different facts)
+    val mimes = df.select(col("id"), Multimodal.sniffMime(col("content")))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(mimes(1L).contains("application/octet-stream"))
+    assert(mimes(2L).isEmpty && mimes(3L).isEmpty)
+    // null assets get NULL feature vectors — xxhash64 skips null
+    // children, so un-guarded they all shared ONE index-only vector
+    // and clustered as perfect near-dups
+    val feats = df.select(col("id"),
+        Multimodal.decodeFeaturesStub(col("content"), 4).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(feats(1L).nonEmpty)
+    assert(feats(2L).isEmpty && feats(3L).isEmpty)
+  }
+
   test("JSONL corpus round-trip: gzip parts, enforced schema, corrupt-line quarantine") {
     import graft.io.DocumentIO
     import org.apache.spark.sql.types._
