@@ -133,6 +133,32 @@ class PackingSpec extends SparkSpec {
     assert(exchanges(Packing.slidingChunks(toks, "id", col("ws"), 2, 1)) == 0)
   }
 
+  test("unigram encode composes with concatChunkPlan (the p04 anchor: " +
+      "the planner consumes REAL unigram tokenizer output)") {
+    import graft.ops.{Unigram, UnigramModel}
+    val pairs = (('a' to 'z').map(c => String.valueOf(c) -> 8)) ++
+      Seq("th" -> 11, "er" -> 12, "in" -> 11)
+    val m = UnigramModel(pairs.map(_._1).toVector,
+      pairs.map(p => -p._2.toDouble).toVector, unkLogp = -64.0)
+    val docs = Seq(
+      (1L, "en", "there there"), // th er e ×2 -> 6 pieces
+      (2L, "en", "inner ring"), // in n er | r in g -> 6 pieces
+      (3L, "de", "zz") // z z -> 2 pieces
+    ).toDF("doc_id", "lang", "text")
+    val enc = docs.select(col("doc_id"), col("lang"),
+      Unigram.encodeCol(graft.functions.TextFunctions.words(col("text")), m)
+        .getField("n_pieces").cast("long").as("n_tok"))
+    val plan = Packing.concatChunkPlan(enc, "doc_id", "lang",
+        col("n_tok"), budget = 8)
+      .select("doc_id", "token_offset", "n_chunks")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // en stream: doc1 [0,6) chunk 0; doc2 [6,12) straddles chunks 0-1
+    assert(plan(1L) == (0L, 1L))
+    assert(plan(2L) == (6L, 2L))
+    // de stream restarts
+    assert(plan(3L) == (0L, 1L))
+  }
+
   test("null token counts, token arrays, and ids fail loudly (review r12)") {
     def rootMsg(t: Throwable): String =
       Option(t.getCause).map(rootMsg).getOrElse(Option(t.getMessage).getOrElse(""))
