@@ -33,8 +33,8 @@ object ScaleBench {
       "d44_gopher_rules", "d45_unimax", "d46_c4_rules",
       "e14_knn_matryoshka", "d47_markdown_extract",
       "d48_curation_pipeline",
-      // round-13 newcomer
-      "d49_unigram_encode")
+      // round-13 newcomers
+      "d49_unigram_encode", "d50_warc_extract")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

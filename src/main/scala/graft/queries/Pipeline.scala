@@ -855,8 +855,11 @@ object Pipeline {
     * BOTH engines (the d25/m02 injection pattern), then
     * TextFunctions.stripHtml extracts and the gate compares length +
     * md5 of the recovered text. */
-  def d32HtmlExtract(s: SparkSession, dir: String): DataFrame = {
-    val injected = docs(s, dir).select(col("doc_id"), concat(
+  /** The d32 deterministic HTML page around each doc — ONE copy,
+    * shared with d50's WARC round-trip (whose oracle is d32's oracle:
+    * lossless ingestion means the framing cancels out exactly). */
+  private def d32InjectHtml(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), concat(
       lit("<html><head><title>D"), col("doc_id").cast("string"),
       lit("</title><style>p{c:1}</style></head><body><!-- note "),
       col("doc_id").cast("string"),
@@ -864,9 +867,53 @@ object Pipeline {
       lit("&gt;</h1><p>"), col("text"),
       lit("</p><script>var x = 1 < 2;</script><br/>&nbsp;tail</body></html>"))
       .as("html"))
-    injected
+
+  def d32HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    d32InjectHtml(docs(s, dir))
       .select(col("doc_id"),
         TextFunctions.stripHtml(col("html")).as("t"))
+      .select(col("doc_id"), length(col("t")).as("n_chars"),
+        md5(col("t").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** WARC ingestion round-trip (graft.io.WarcIO — the CommonCrawl
+    * entry format): wrap every doc's d32 HTML page in an HTTP response
+    * + WARC response record, write ONE real .warc.gz (per-record gzip
+    * members, the CC layout), read it back with readWarc, split the
+    * HTTP envelope, extract text. The oracle is d32's EXACT query —
+    * a hash match proves the whole container path (WARC framing,
+    * gzip members, Content-Length byte math, HTTP split, UTF-8
+    * round-trip) is byte-lossless. The fixture write is driver-side
+    * (the m02/d21 fixture convention; real ingestion reads existing
+    * archives); the READ path is the production map-side task. */
+  def d50WarcExtract(s: SparkSession, dir: String): DataFrame = {
+    import graft.io.{WarcIO, WarcRecord}
+    val pages = d32InjectHtml(docs(s, dir))
+      .select(col("doc_id").cast("long"), col("html"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val records = pages.map { case (id, html) =>
+      val body = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+        s"charset=utf-8\r\nContent-Length: ${body.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ body
+      WarcRecord("", id.toInt, "response", s"https://corpus.test/$id",
+        "2026-01-01T00:00:00Z", "application/http; msgtype=response",
+        Map.empty, http)
+    }
+    // fixed per-user scratch path, overwritten per call (gates run
+    // sequentially; a fresh temp file per bench rep would leak)
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-d50-${System.getProperty("user.name", "u")}-" +
+        dir.replaceAll("[^A-Za-z0-9.-]", "_") + ".warc.gz").getPath
+    WarcIO.writeWarc(path, records.toSeq, gzip = true)
+    WarcIO.readWarc(s, path)
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        TextFunctions.stripHtml(WarcIO.payloadText(
+          WarcIO.httpBody(col("content")))).as("t"))
       .select(col("doc_id"), length(col("t")).as("n_chars"),
         md5(col("t").cast("binary")).as("text_md5"))
       .orderBy("doc_id")
@@ -1452,6 +1499,7 @@ object Pipeline {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d49_unigram_encode" -> d49UnigramEncode _,
+    "d50_warc_extract" -> d50WarcExtract _,
     "d44_gopher_rules" -> d44GopherRules _,
     "d45_unimax" -> d45Unimax _,
     "d46_c4_rules" -> d46C4Rules _,
@@ -1565,6 +1613,29 @@ object Pipeline {
       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       |   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** d32's oracle — the HTML injection + strip chain replayed in SQL;
+    * ALSO d50's oracle (the WARC round-trip must be byte-lossless, so
+    * the two gates' outputs are identical by contract). */
+  private val d32OracleSql: String =
+    """WITH inj AS (SELECT doc_id,
+      |  '<html><head><title>D' || doc_id || '</title><style>p{c:1}</style></head><body><!-- note '
+      |  || doc_id || ' --><h1 class="t">Doc &amp; &lt;' || doc_id || '&gt;</h1><p>' || text
+      |  || '</p><script>var x = 1 < 2;</script><br/>&nbsp;tail</body></html>' AS html
+      | FROM documents),
+      |x1a AS (SELECT doc_id, regexp_replace(html,
+      |  '(?is)<script\b[^>]*>.*?</script[ \t\n\x0B\f\r]*>', ' ', 'g') AS s FROM inj),
+      |x1b AS (SELECT doc_id, regexp_replace(s,
+      |  '(?is)<style\b[^>]*>.*?</style[ \t\n\x0B\f\r]*>', ' ', 'g') AS s FROM x1a),
+      |x1 AS (SELECT doc_id, regexp_replace(s,
+      |  '(?is)<head\b[^>]*>.*?</head[ \t\n\x0B\f\r]*>', ' ', 'g') AS s FROM x1b),
+      |x2 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM x1),
+      |x3 AS (SELECT doc_id, regexp_replace(s, '(?s)</?[A-Za-z!][^>]*>', ' ', 'g') AS s FROM x2),
+      |x4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(s,
+      |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS s FROM x3),
+      |fin AS (SELECT doc_id, trim(regexp_replace(s, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t FROM x4)
+      |SELECT doc_id, CAST(length(t) AS INTEGER) AS n_chars, md5(t) AS text_md5
+      |FROM fin ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Unigram Viterbi via FULL-path enumeration: the recursive CTE
@@ -2353,25 +2424,10 @@ object Pipeline {
     // Same injected page; the regex chain is the java.regex ∩ RE2
     // intersection run verbatim (DuckDB needs the 'g' flag — its
     // regexp_replace replaces only the first match by default).
-    "d32_html_extract" ->
-      """WITH inj AS (SELECT doc_id,
-        |  '<html><head><title>D' || doc_id || '</title><style>p{c:1}</style></head><body><!-- note '
-        |  || doc_id || ' --><h1 class="t">Doc &amp; &lt;' || doc_id || '&gt;</h1><p>' || text
-        |  || '</p><script>var x = 1 < 2;</script><br/>&nbsp;tail</body></html>' AS html
-        | FROM documents),
-        |x1a AS (SELECT doc_id, regexp_replace(html,
-        |  '(?is)<script\b[^>]*>.*?</script[ \t\n\x0B\f\r]*>', ' ', 'g') AS s FROM inj),
-        |x1b AS (SELECT doc_id, regexp_replace(s,
-        |  '(?is)<style\b[^>]*>.*?</style[ \t\n\x0B\f\r]*>', ' ', 'g') AS s FROM x1a),
-        |x1 AS (SELECT doc_id, regexp_replace(s,
-        |  '(?is)<head\b[^>]*>.*?</head[ \t\n\x0B\f\r]*>', ' ', 'g') AS s FROM x1b),
-        |x2 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM x1),
-        |x3 AS (SELECT doc_id, regexp_replace(s, '(?s)</?[A-Za-z!][^>]*>', ' ', 'g') AS s FROM x2),
-        |x4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(s,
-        |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS s FROM x3),
-        |fin AS (SELECT doc_id, trim(regexp_replace(s, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t FROM x4)
-        |SELECT doc_id, CAST(length(t) AS INTEGER) AS n_chars, md5(t) AS text_md5
-        |FROM fin ORDER BY doc_id""".stripMargin,
+    "d32_html_extract" -> d32OracleSql,
+    // WARC round-trip is byte-lossless by contract, so its oracle IS
+    // d32's query — the framing cancels out of the compare entirely
+    "d50_warc_extract" -> d32OracleSql,
     // Hashed uni+bigram features (md5-60bit % 10000), add-one-smoothed
     // target (lang='en') vs raw histograms; each feature's log ratio is
     // ln of one exact-int64 division, mean rounded 4dp.
