@@ -127,31 +127,83 @@ object WarcIO {
   def payloadText(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     decode(payload, "UTF-8")
 
+  /** One record's framed bytes (optionally as its own gzip member —
+    * the CC layout). The ONE serializer shared by [[writeWarc]] and
+    * the distributed [[writeWetDir]] sink. */
+  def recordBytes(r: WarcRecord, gzip: Boolean): Array[Byte] = {
+    val head = new StringBuilder
+    head ++= "WARC/1.0\r\n"
+    head ++= s"WARC-Type: ${r.warc_type}\r\n"
+    if (r.target_uri.nonEmpty) head ++= s"WARC-Target-URI: ${r.target_uri}\r\n"
+    if (r.warc_date.nonEmpty) head ++= s"WARC-Date: ${r.warc_date}\r\n"
+    if (r.content_type.nonEmpty) head ++= s"Content-Type: ${r.content_type}\r\n"
+    head ++= s"Content-Length: ${r.content.length}\r\n\r\n"
+    val bytes = new ByteArrayOutputStream()
+    bytes.write(head.toString.getBytes(StandardCharsets.UTF_8))
+    bytes.write(r.content)
+    bytes.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
+    if (gzip) {
+      val gz = new ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(gz)
+      g.write(bytes.toByteArray); g.close()
+      gz.toByteArray
+    } else bytes.toByteArray
+  }
+
   /** Write records as one WARC file (driver-side — fixture generation
     * and small exports; bulk corpora live in parquet after ingestion).
     * `gzip = true` writes one gzip member PER RECORD (the CC layout). */
   def writeWarc(path: String, records: Seq[WarcRecord],
       gzip: Boolean = false): Unit = {
     val out = new java.io.FileOutputStream(path)
-    try records.foreach { r =>
-      val head = new StringBuilder
-      head ++= "WARC/1.0\r\n"
-      head ++= s"WARC-Type: ${r.warc_type}\r\n"
-      if (r.target_uri.nonEmpty) head ++= s"WARC-Target-URI: ${r.target_uri}\r\n"
-      if (r.warc_date.nonEmpty) head ++= s"WARC-Date: ${r.warc_date}\r\n"
-      if (r.content_type.nonEmpty) head ++= s"Content-Type: ${r.content_type}\r\n"
-      head ++= s"Content-Length: ${r.content.length}\r\n\r\n"
-      val bytes = new ByteArrayOutputStream()
-      bytes.write(head.toString.getBytes(StandardCharsets.UTF_8))
-      bytes.write(r.content)
-      bytes.write("\r\n\r\n".getBytes(StandardCharsets.UTF_8))
-      if (gzip) {
-        val gz = new ByteArrayOutputStream()
-        val g = new java.util.zip.GZIPOutputStream(gz)
-        g.write(bytes.toByteArray); g.close()
-        out.write(gz.toByteArray)
-      } else out.write(bytes.toByteArray)
-    } finally out.close()
+    try records.foreach(r => out.write(recordBytes(r, gzip)))
+    finally out.close()
+  }
+
+  /** WET convenience source: WET files ARE WARC files whose text
+    * lives in `conversion` records — (target_uri, warc_date, text). */
+  def readWet(spark: SparkSession, path: String): DataFrame =
+    readWarc(spark, path)
+      .filter(col("warc_type") === "conversion")
+      .select(col("target_uri"), col("warc_date"),
+        payloadText(col("content")).as("text"))
+
+  /** Distributed WET sink: each partition writes its own
+    * `part-NNNNN.warc.gz` of per-record-gzipped `conversion` records
+    * under `dir` — the CC text-corpus layout, parallel across
+    * executors with no shuffle and no driver collection. Files write
+    * through the Hadoop FileSystem API, so any supported scheme works;
+    * tasks construct a default Configuration (custom hadoop conf
+    * entries needed for exotic stores should be in core-site.xml, the
+    * standard cluster arrangement). A `_SUCCESS` marker lands LAST —
+    * the committed-write protocol readers can trust. */
+  def writeWetDir(df: DataFrame, dir: String, uriCol: String = "url",
+      textCol: String = "text",
+      date: String = "1970-01-01T00:00:00Z"): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(uriCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val p = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.warc.gz")
+        val fs = p.getFileSystem(conf)
+        val out = fs.create(p, true)
+        var n = 0L
+        try it.foreach { case (uri, text) =>
+          val body = Option(text).getOrElse("")
+            .getBytes(StandardCharsets.UTF_8)
+          out.write(recordBytes(WarcRecord("", 0, "conversion",
+            Option(uri).getOrElse(""), date, "text/plain", Map.empty,
+            body), gzip = true))
+          n += 1
+        } finally out.close()
+        Iterator.single(n)
+      }.sum() // one action drives all partition writes
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    val fs = marker.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
   }
 
   /** Decompress concatenated gzip members (the per-record CC layout —

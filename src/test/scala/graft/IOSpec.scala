@@ -540,6 +540,29 @@ class IOSpec extends SparkSpec {
     assert(chain(ex).contains("truncated"), chain(ex))
   }
 
+  test("WET round-trip: distributed per-partition sink, conversion-record " +
+      "source, committed marker") {
+    import graft.io.WarcIO
+    val dir = tmpDir("graft-wet")
+    val docs = Seq(
+      ("https://a.test/1", "alpha beta gamma"),
+      ("https://a.test/2", "delta epsilon"),
+      ("https://a.test/3", "zeta eta theta iota")
+    ).toDF("url", "text").repartition(2)
+    WarcIO.writeWetDir(docs, s"$dir/wet")
+    // committed-write marker lands
+    assert(new java.io.File(s"$dir/wet/_SUCCESS").exists())
+    val parts = new java.io.File(s"$dir/wet").listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(parts.length == 2, s"one part per partition: ${parts.length}")
+    val back = WarcIO.readWet(spark, s"$dir/wet/*.warc.gz")
+      .select("target_uri", "text").as[(String, String)].collect().toSet
+    assert(back == Set(
+      ("https://a.test/1", "alpha beta gamma"),
+      ("https://a.test/2", "delta epsilon"),
+      ("https://a.test/3", "zeta eta theta iota")))
+  }
+
   test("JSONL corpus round-trip: gzip parts, enforced schema, corrupt-line quarantine") {
     import graft.io.DocumentIO
     import org.apache.spark.sql.types._

@@ -476,6 +476,17 @@ class OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("array<string>"), ex.getMessage)
   }
 
+  test("d49 gate plan: one map-side codegen pass, no shuffle before the " +
+      "presentation sort, no join") {
+    val df = graft.queries.Pipeline.all("d49_unigram_encode")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unigram encode must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"no join belongs in this gate:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("unigram train: coverage, compression, frequent substrings become " +
       "pieces, deterministic across partitionings") {
     import graft.ops.Unigram
