@@ -238,6 +238,133 @@ object Unigram {
     normalize(singleFinal ++ prunedMulti.toMap)
   }
 
+  /** The k smallest DISTINCT segmentation costs (cost = −score) of one
+    * word, ascending. Distinct-cost sets compose positionally (the
+    * k-smallest distinct sums over a prefix extend piece-wise), so the
+    * DP carries ≤ k costs per position — no path explosion. This is
+    * the tie-INVARIANT skeleton of n-best decoding: gate d51 grades
+    * cost ranks (unique numbers), while [[kbest]] returns the actual
+    * ranked paths for sampling. */
+  def kbestDistinctCosts(w: String, model: UnigramModel, k: Int): Array[Double] = {
+    require(k >= 1, s"kbestDistinctCosts: k must be >= 1, got $k")
+    val n = w.length
+    require(n > 0, "unigram kbestDistinctCosts: empty word")
+    val maxLen = model.maxPieceLen
+    val dp = new Array[Array[Double]](n + 1)
+    dp(0) = Array(0.0)
+    var i = 1
+    while (i <= n) {
+      val cand = scala.collection.mutable.SortedSet.empty[Double]
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        val piece = w.substring(j, i)
+        val lpBoxed = model.table.get(piece)
+        val lp: Double =
+          if (lpBoxed != null) lpBoxed.doubleValue()
+          else if (i - j == 1) model.unkLogp
+          else Double.NaN
+        if (!lp.isNaN && dp(j) != null) {
+          val cost = -lp
+          dp(j).foreach { c =>
+            val t = c + cost
+            // contains-check FIRST: evicting the max and then adding a
+            // value already in the set would silently shrink it
+            if (!cand.contains(t)) {
+              if (cand.size < k) { cand += t; () }
+              else if (t < cand.last) { cand -= cand.last; cand += t; () }
+            }
+          }
+        }
+        j += 1
+      }
+      dp(i) = if (cand.isEmpty) null else cand.toArray
+      i += 1
+    }
+    dp(n) // non-null: singles + unk fallback reach every position
+  }
+
+  /** The k best segmentations of one word as (score, pieces), ranked
+    * by the pinned total order (score desc, fewer pieces, then the
+    * deterministic backpointer order) — the sampling lattice of
+    * subword regularization (Kudo 2018 §3; SentencePiece samples from
+    * the l-best list with probability ∝ P(path)^alpha). */
+  def kbest(w: String, model: UnigramModel,
+      k: Int): Array[(Double, Array[String])] = {
+    require(k >= 1, s"kbest: k must be >= 1, got $k")
+    val n = w.length
+    require(n > 0, "unigram kbest: empty word")
+    val maxLen = model.maxPieceLen
+    // dp(i): up to k entries (score, np, prevPos, prevIdx), best-first
+    // under (score desc, np asc, prevPos asc, prevIdx asc)
+    final case class E(score: Double, np: Int, prevPos: Int, prevIdx: Int)
+    val ord = Ordering.by[E, (Double, Int, Int, Int)](e =>
+      (-e.score, e.np, e.prevPos, e.prevIdx))
+    val dp = new Array[Array[E]](n + 1)
+    dp(0) = Array(E(0.0, 0, -1, -1))
+    var i = 1
+    while (i <= n) {
+      val cand = scala.collection.mutable.ArrayBuffer.empty[E]
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        val piece = w.substring(j, i)
+        val lpBoxed = model.table.get(piece)
+        val lp: Double =
+          if (lpBoxed != null) lpBoxed.doubleValue()
+          else if (i - j == 1) model.unkLogp
+          else Double.NaN
+        if (!lp.isNaN && dp(j) != null) {
+          var x = 0
+          while (x < dp(j).length) {
+            cand += E(dp(j)(x).score + lp, dp(j)(x).np + 1, j, x)
+            x += 1
+          }
+        }
+        j += 1
+      }
+      dp(i) = if (cand.isEmpty) null else cand.sorted(ord).take(k).toArray
+      i += 1
+    }
+    dp(n).map { last =>
+      val out = new Array[String](last.np)
+      var e = last
+      var pos = n
+      var idx = last.np - 1
+      while (e.prevPos >= 0) {
+        out(idx) = w.substring(e.prevPos, pos)
+        pos = e.prevPos
+        val prev = dp(e.prevPos)(e.prevIdx)
+        e = prev
+        idx -= 1
+      }
+      (last.score, out)
+    }
+  }
+
+  /** One sampled segmentation (subword regularization): draw from the
+    * word's [[kbest]] list with probability ∝ exp(alpha·score) — the
+    * SentencePiece l-best approximation of lattice sampling. `u` is
+    * the caller's uniform draw in [0,1) (derive it deterministically,
+    * e.g. from a doc id + word index hash, for reproducible epochs);
+    * alpha → ∞ recovers Viterbi, alpha = 0 samples uniformly. */
+  def sampleSegmentation(w: String, model: UnigramModel, k: Int,
+      alpha: Double, u: Double): Array[String] = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    require(u >= 0.0 && u < 1.0, s"u must be in [0,1), got $u")
+    val paths = kbest(w, model, k)
+    // subtract the max before exponentiating (standard softmax guard)
+    val m = paths.iterator.map(_._1).max
+    val ws = paths.map(p => math.exp(alpha * (p._1 - m)))
+    val z = ws.sum
+    var acc = 0.0
+    var i = 0
+    while (i < paths.length - 1) {
+      acc += ws(i) / z
+      if (u < acc) return paths(i)._2
+      i += 1
+    }
+    paths(paths.length - 1)._2
+  }
+
   /** Encode a words column (tokenize with
     * [[graft.functions.TextFunctions.words]] first) under a unigram
     * model: struct(n_pieces int, score double, toks string) — `toks`
@@ -249,6 +376,40 @@ object Unigram {
   def encodeCol(ws: Column, model: UnigramModel): Column =
     ExpressionUtils.column(UnigramEncodeExpr(
       ExpressionUtils.expression(ws), model))
+
+  /** Per-doc n-best cost summary over a words column:
+    * struct(total_best double, total_second double, n_single int) —
+    * per word, the best and SECOND-best DISTINCT segmentation costs
+    * (second falls back to best for single-segmentation words, which
+    * n_single counts). Both ranks are tie-invariant numbers, so the
+    * d51 enumeration oracle grades them exactly. The best-vs-second
+    * margin is the lattice-flatness signal subword regularization
+    * cares about: a flat lattice (small margin) yields diverse
+    * samples. */
+  def nbestCol(ws: Column, model: UnigramModel): Column =
+    ExpressionUtils.column(UnigramNbestExpr(
+      ExpressionUtils.expression(ws), model))
+
+  /** Sampled encode (subword regularization): one [[sampleSegmentation]]
+    * draw per word, the uniform derived from splitmix64(seed, word
+    * index) — same seed ⇒ same segmentation, different seeds (e.g.
+    * epoch numbers) ⇒ independent draws. Output schema matches
+    * [[encodeCol]]. */
+  def encodeSampledCol(ws: Column, seed: Column, model: UnigramModel,
+      k: Int = 8, alpha: Double = 0.2): Column =
+    ExpressionUtils.column(UnigramSampleExpr(
+      ExpressionUtils.expression(ws),
+      ExpressionUtils.expression(seed.cast("long")), model, k, alpha))
+
+  /** splitmix64 step → uniform double in [0,1) (the standard 53-bit
+    * mantissa construction). ONE copy for every sampling consumer. */
+  def splitmixUniform(seed: Long): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble
+  }
 }
 
 /** Viterbi unigram encode of a words array — see [[Unigram.encodeCol]].
@@ -286,6 +447,143 @@ final case class UnigramEncodeExpr(child: Expression, model: UnigramModel)
   override protected def withNewChildInternal(
       newChild: Expression): UnigramEncodeExpr =
     copy(child = newChild)
+}
+
+/** Per-doc (best, second-distinct) segmentation-cost sums — see
+  * [[Unigram.nbestCol]]. */
+final case class UnigramNbestExpr(child: Expression, model: UnigramModel)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<string> (tokenize with words() " +
+            s"first), got ${dt.catalogString}")
+    }
+
+  override def dataType: DataType = UnigramNbestExpr.schema
+  override def prettyName: String = "unigram_nbest"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramNbestExpr.compute(input.asInstanceOf[ArrayData], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigrammodel", model,
+      classOf[UnigramModel].getName)
+    defineCodeGen(ctx, ev, c => s"graft.ops.UnigramNbestExpr.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramNbestExpr =
+    copy(child = newChild)
+}
+
+object UnigramNbestExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("total_best", DoubleType, nullable = false),
+    StructField("total_second", DoubleType, nullable = false),
+    StructField("n_single", IntegerType, nullable = false)))
+
+  def compute(arr: ArrayData, model: UnigramModel): InternalRow = {
+    val nw = arr.numElements()
+    var best = 0.0
+    var second = 0.0
+    var nSingle = 0
+    var wi = 0
+    while (wi < nw) {
+      require(!arr.isNullAt(wi), s"unigram: null word at index $wi")
+      val w = arr.getUTF8String(wi).toString
+      val costs = Unigram.kbestDistinctCosts(w, model, 2)
+      best += costs(0)
+      if (costs.length >= 2) second += costs(1)
+      else { second += costs(0); nSingle += 1 }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, second, nSingle))
+  }
+}
+
+/** Sampled unigram encode — see [[Unigram.encodeSampledCol]]. */
+final case class UnigramSampleExpr(left: Expression, right: Expression,
+    model: UnigramModel, k: Int, alpha: Double)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k >= 1, s"unigram_sample: k must be >= 1, got $k")
+  require(alpha >= 0, s"unigram_sample: alpha must be >= 0, got $alpha")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<string>, bigint seed), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = UnigramEncodeExpr.schema
+  override def prettyName: String = "unigram_sample"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(ws: Any, seed: Any): Any =
+    UnigramSampleExpr.compute(ws.asInstanceOf[ArrayData],
+      seed.asInstanceOf[Long], model, k, alpha)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigrammodel", model,
+      classOf[UnigramModel].getName)
+    defineCodeGen(ctx, ev, (c, s) =>
+      s"graft.ops.UnigramSampleExpr.compute($c, $s, $ref, $k, $alpha)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): UnigramSampleExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object UnigramSampleExpr {
+  def compute(arr: ArrayData, seed: Long, model: UnigramModel, k: Int,
+      alpha: Double): InternalRow = {
+    val nw = arr.numElements()
+    val sb = new java.lang.StringBuilder
+    var total = 0
+    var score = 0.0
+    var wi = 0
+    while (wi < nw) {
+      require(!arr.isNullAt(wi), s"unigram: null word at index $wi")
+      val w = arr.getUTF8String(wi).toString
+      // mix the word INDEX into the stream so identical words in one
+      // doc draw independently; the seed keys the whole epoch
+      val u = Unigram.splitmixUniform(seed * 0x100000001b3L + wi)
+      val pieces = Unigram.sampleSegmentation(w, model, k, alpha, u)
+      var s = 0.0
+      var j = 0
+      while (j < pieces.length) {
+        val lp = model.table.get(pieces(j))
+        s += (if (lp != null) lp.doubleValue() else model.unkLogp)
+        j += 1
+      }
+      score += s
+      total += pieces.length
+      if (wi > 0) sb.append(" | ")
+      j = 0
+      while (j < pieces.length) {
+        if (j > 0) sb.append(' ')
+        sb.append(pieces(j))
+        j += 1
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      total, score, org.apache.spark.unsafe.types.UTF8String.fromString(
+        sb.toString)))
+  }
 }
 
 object UnigramEncodeExpr {

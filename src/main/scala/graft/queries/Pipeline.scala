@@ -1497,9 +1497,30 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Unigram n-best costs (graft.ops.Unigram.nbestCol — the
+    * tie-invariant skeleton of subword-regularization sampling, Kudo
+    * 2018 §3): per doc, the summed BEST and SECOND-best DISTINCT
+    * segmentation costs under the d49 vocabulary, plus the count of
+    * single-segmentation words. Cost ranks are unique numbers, so the
+    * d49 enumeration oracle extends to rank 2 with one window
+    * function; the actual sampled paths are spec territory
+    * (OpsSpec: kbest ranking, softmax draw determinism). */
+  def d51UnigramNbest(s: SparkSession, dir: String): DataFrame = {
+    val ws = docs(s, dir).select(col("doc_id"),
+      TextFunctions.words(col("text")).as("ws"))
+    ws.select(col("doc_id"), size(col("ws")).as("n_words"),
+        graft.ops.Unigram.nbestCol(col("ws"), d49Model).as("u"))
+      .select(col("doc_id"), col("n_words"),
+        col("u.total_best").cast("long").as("total_best"),
+        col("u.total_second").cast("long").as("total_second"),
+        col("u.n_single").as("n_single"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d49_unigram_encode" -> d49UnigramEncode _,
     "d50_warc_extract" -> d50WarcExtract _,
+    "d51_unigram_nbest" -> d51UnigramNbest _,
     "d44_gopher_rules" -> d44GopherRules _,
     "d45_unimax" -> d45Unimax _,
     "d46_c4_rules" -> d46C4Rules _,
@@ -1672,6 +1693,41 @@ object Pipeline {
         |SELECT d.doc_id, CAST(coalesce(agg.nw, 0) AS INTEGER) AS n_words,
         |  CAST(coalesce(agg.np, 0) AS INTEGER) AS n_pieces,
         |  CAST(coalesce(agg.c, 0) AS BIGINT) AS total_cost
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    },
+    // d49's enumeration extended to rank 2: distinct costs per word,
+    // row_number picks rank 1 and 2; a word with no rank-2 cost is a
+    // single-segmentation word (n_single) and its second = best
+    "d51_unigram_nbest" -> {
+      val vocabRows = (d49Singles.map(s => s"('$s',8)") ++
+        d49MultiCosts.map { case (p, c) => s"('$p',$c)" }).mkString(",")
+      s"""WITH RECURSIVE wpos AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |dw AS (SELECT DISTINCT w FROM wpos),
+        |vocab(piece, cost) AS (VALUES $vocabRows),
+        |r AS (
+        |  SELECT w, 0 AS pos, 0 AS cost, 0 AS np FROM dw
+        |  UNION
+        |  SELECT r.w, r.pos + length(v.piece), r.cost + v.cost, r.np + 1
+        |  FROM r JOIN vocab v
+        |    ON substr(r.w, r.pos + 1, length(v.piece)) = v.piece
+        |  WHERE r.pos < length(r.w)),
+        |dcost AS (SELECT DISTINCT w, cost FROM r WHERE pos = length(w)),
+        |ranked AS (SELECT w, cost,
+        |  row_number() OVER (PARTITION BY w ORDER BY cost) AS rk FROM dcost),
+        |bw AS (SELECT w, min(CASE WHEN rk = 1 THEN cost END) AS c1,
+        |         min(CASE WHEN rk = 2 THEN cost END) AS c2
+        |       FROM ranked GROUP BY w),
+        |agg AS (SELECT wp.doc_id, count(*) AS nw,
+        |          sum(bw.c1) AS tb, sum(coalesce(bw.c2, bw.c1)) AS ts,
+        |          sum(CASE WHEN bw.c2 IS NULL THEN 1 ELSE 0 END) AS ns
+        |        FROM wpos wp JOIN bw ON wp.w = bw.w GROUP BY wp.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(agg.nw, 0) AS INTEGER) AS n_words,
+        |  CAST(coalesce(agg.tb, 0) AS BIGINT) AS total_best,
+        |  CAST(coalesce(agg.ts, 0) AS BIGINT) AS total_second,
+        |  CAST(coalesce(agg.ns, 0) AS INTEGER) AS n_single
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         |ORDER BY d.doc_id""".stripMargin
     },

@@ -487,6 +487,49 @@ class OpsSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("unigram n-best: distinct-cost ranks, kbest path order, softmax " +
+      "sampling determinism (Kudo 2018 subword regularization)") {
+    import graft.ops.{Unigram, UnigramModel}
+    val pairs = (('a' to 'z').map(c => String.valueOf(c) -> 8)) ++
+      Seq("th" -> 11, "he" -> 12, "in" -> 11, "er" -> 12, "ing" -> 16)
+    val m = UnigramModel(pairs.map(_._1).toVector,
+      pairs.map(p => -p._2.toDouble).toVector, unkLogp = -64.0)
+    // there: best th+er+e = 31, second-distinct th+e+r+e = 35
+    assert(Unigram.kbestDistinctCosts("there", m, 2).toSeq == Seq(31.0, 35.0))
+    // a word whose every segmentation ties to ONE distinct cost
+    val tie = UnigramModel(Vector("a", "b", "c", "ab", "bc"),
+      Vector(-1.0, -1.0, -1.0, -2.0, -2.0), unkLogp = -64.0)
+    assert(Unigram.kbestDistinctCosts("abc", tie, 3).toSeq == Seq(3.0))
+    // kbest paths rank by (score desc, fewer pieces, pinned order)
+    val paths = Unigram.kbest("there", m, 3)
+    assert(paths(0)._1 == -31.0 && paths(0)._2.toSeq == Seq("th", "er", "e"))
+    assert(paths(1)._1 == -35.0 &&
+      paths(1)._2.toSeq == Seq("th", "e", "r", "e"))
+    // huge alpha recovers Viterbi for any u; alpha 0 samples uniformly
+    assert(Unigram.sampleSegmentation("there", m, 2, 100.0, 0.99).toSeq ==
+      Seq("th", "er", "e"))
+    assert(Unigram.sampleSegmentation("there", m, 2, 0.0, 0.9).toSeq ==
+      Seq("th", "e", "r", "e"))
+    // column form: same seed = same draw; huge alpha = Viterbi toks
+    val df = Seq((1L, "there is nothing here")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.words(col("text")).as("ws"))
+    def sampled(seed: Long, alpha: Double) =
+      df.select(Unigram.encodeSampledCol(col("ws"), lit(seed), m,
+        k = 4, alpha = alpha).getField("toks")).head().getString(0)
+    assert(sampled(7L, 0.2) == sampled(7L, 0.2), "same seed must reproduce")
+    assert(sampled(7L, 1000.0) ==
+      df.select(Unigram.encodeCol(col("ws"), m).getField("toks"))
+        .head().getString(0), "alpha->inf recovers Viterbi")
+    // nbestCol agrees with the kernel: best equals encode's -score
+    val nb = df.select(Unigram.nbestCol(col("ws"), m).as("u"))
+      .select(col("u.total_best"), col("u.total_second"), col("u.n_single"))
+      .head()
+    val enc = df.select(Unigram.encodeCol(col("ws"), m).getField("score"))
+      .head().getDouble(0)
+    assert(nb.getDouble(0) == -enc, s"${nb.getDouble(0)} vs ${-enc}")
+    assert(nb.getDouble(1) >= nb.getDouble(0))
+  }
+
   test("unigram train: coverage, compression, frequent substrings become " +
       "pieces, deterministic across partitionings") {
     import graft.ops.Unigram
