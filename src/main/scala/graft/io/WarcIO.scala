@@ -44,10 +44,35 @@ object WarcIO {
     * DataFrame of [[WarcRecord]] rows. Malformed framing fails LOUDLY
     * naming the file and offset — a silently skipped record is a
     * corpus-loss bug at archive scale. */
-  def readWarc(spark: SparkSession, path: String): DataFrame = {
+  def readWarc(spark: SparkSession, path: String): DataFrame =
+    parseFiles(spark, spark.read.format("binaryFile").load(path))
+
+  /** Streaming twin of [[readWarc]]: watch `path` as a landing
+    * directory (the continuous-ingestion shape — a crawler drops
+    * .warc.gz files, every micro-batch parses ONLY the new ones), same
+    * schema, same parse, stateless — so the whole batch curation chain
+    * (httpBody → stripHtml → Gopher/C4 → dedup sketches) runs
+    * UNCHANGED downstream, the EventStream design rule. */
+  def readWarcStream(spark: SparkSession, path: String): DataFrame =
+    parseFiles(spark, spark.readStream.format("binaryFile")
+      // streaming file sources require an explicit schema; binaryFile's
+      // is fixed by the format
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(path))
+
+  // ONE parse plumbing for batch and stream (a fix applied to one
+  // would silently desynchronize the other — the pageCols lesson)
+  private def parseFiles(spark: SparkSession, files: DataFrame): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
+    files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) => parseAll(p, bytes) }
       .toDF()

@@ -573,6 +573,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming WARC landing dir: per-micro-batch file pickup, " +
+      "extraction equals the batch reader (stream-batch parity)") {
+    import graft.io.{WarcIO, WarcRecord}
+    val dir = tmpDir("graft-warc-stream")
+    val landing = s"$dir/landing"
+    new java.io.File(landing).mkdirs()
+    def responseRecord(id: Int): WarcRecord = {
+      val html = s"<html><body><p>Streamed page $id text body.</p></body></html>"
+      WarcRecord("", id, "response", s"https://s.test/$id",
+        "2026-01-01T00:00:00Z", "application/http; msgtype=response",
+        Map.empty, ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          html).getBytes("UTF-8"))
+    }
+    WarcIO.writeWarc(s"$landing/a.warc.gz", Seq(responseRecord(1)), gzip = true)
+    // the SAME downstream chain as batch: envelope split + HTML strip
+    val extracted = WarcIO.readWarcStream(spark, landing)
+      .filter(col("warc_type") === "response")
+      .select(col("target_uri"),
+        graft.functions.TextFunctions.stripHtml(
+          WarcIO.payloadText(WarcIO.httpBody(col("content")))).as("text"))
+    val q = extracted.writeStream.format("memory").queryName("warc_out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q.processAllAvailable()
+      // second file lands AFTER the first micro-batch — only the new
+      // file is parsed next round
+      WarcIO.writeWarc(s"$landing/b.warc.gz",
+        Seq(responseRecord(2), responseRecord(3)), gzip = true)
+      q.processAllAvailable()
+      val got = spark.table("warc_out")
+        .as[(String, String)].collect().toSet
+      val batch = WarcIO.readWarc(spark, s"$landing/*.warc.gz")
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri"),
+          graft.functions.TextFunctions.stripHtml(
+            WarcIO.payloadText(WarcIO.httpBody(col("content")))).as("text"))
+        .as[(String, String)].collect().toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got == Set(
+        ("https://s.test/1", "Streamed page 1 text body."),
+        ("https://s.test/2", "Streamed page 2 text body."),
+        ("https://s.test/3", "Streamed page 3 text body.")))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals accumulate across batches") {
     val input = MemoryStream[Ev](spark)
     val q = EventStream.runningTotals(input.toDF())
