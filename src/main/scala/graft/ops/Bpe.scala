@@ -99,6 +99,24 @@ object Bpe {
     out.toArray
   }
 
+  /** Persist a trained merge list (ORDER is the algorithm — Sennrich
+    * merges apply in learned order, so the table carries an explicit
+    * ordinal and [[loadMerges]] sorts by it, never by file order). */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("ord", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveMerges]]d list in learned order. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("ord")
+      .collect().map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+      .toSeq
+
   /** Encode a words column under a merge list:
     * struct(n_bpe int, toks string) where `toks` renders each word's
     * tokens space-joined and words joined by " | " (the same rendering

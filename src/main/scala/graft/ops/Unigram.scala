@@ -401,6 +401,28 @@ object Unigram {
       ExpressionUtils.expression(ws),
       ExpressionUtils.expression(seed.cast("long")), model, k, alpha))
 
+  /** Persist a trained model as ONE single-row parquet table —
+    * tokenizers are train-once / use-everywhere, and a vocabulary that
+    * lives only in a JVM dies with the session (the IvfPq save/load
+    * argument). Overwrite-atomic at this size (one file). */
+  def save(spark: org.apache.spark.sql.SparkSession, model: UnigramModel,
+      path: String): Unit = {
+    import spark.implicits._
+    Seq((model.pieces, model.logp, model.unkLogp))
+      .toDF("pieces", "logp", "unk_logp")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[save]]d model — encode results are bit-identical to
+    * the in-memory original (the spec asserts this: pieces, logps and
+    * the unk floor round-trip exactly through parquet doubles). */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): UnigramModel = {
+    val r = spark.read.parquet(path).head()
+    UnigramModel(r.getSeq[String](0).toVector,
+      r.getSeq[Double](1).toVector, r.getDouble(2))
+  }
+
   /** splitmix64 step → uniform double in [0,1) (the standard 53-bit
     * mantissa construction). ONE copy for every sampling consumer. */
   def splitmixUniform(seed: Long): Double = {
@@ -514,7 +536,12 @@ final case class UnigramSampleExpr(left: Expression, right: Expression,
     model: UnigramModel, k: Int, alpha: Double)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   require(k >= 1, s"unigram_sample: k must be >= 1, got $k")
-  require(alpha >= 0, s"unigram_sample: alpha must be >= 0, got $alpha")
+  // finite, not just >= 0: alpha splices into generated Java source
+  // below, and "Infinity"/"NaN" are not valid literals (the
+  // QualityClassifier codegen lesson — a huge finite alpha is the
+  // Viterbi limit anyway)
+  require(java.lang.Double.isFinite(alpha) && alpha >= 0,
+    s"unigram_sample: alpha must be finite and >= 0, got $alpha")
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -561,6 +561,28 @@ class OpsSpec extends SparkSpec {
       s"pieces ${enc.getLong(0)} must compress chars ${enc.getLong(1)}")
   }
 
+  test("tokenizer persistence: unigram model and BPE merges round-trip " +
+      "parquet with bit-identical encodes") {
+    import graft.ops.{Bpe, Unigram}
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok").toString
+    val corpus = Seq.fill(6)("banana bandana the other thing")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // unigram: model fields AND encode output survive the round-trip
+    val m = Unigram.train(corpus, vocabSize = 50, maxPieceLen = 3, iters = 1)
+    Unigram.save(spark, m, s"$dir/uni")
+    val m2 = Unigram.load(spark, s"$dir/uni")
+    assert(m2 == m, "unigram model must round-trip exactly")
+    def encAll(mm: graft.ops.UnigramModel) = corpus
+      .select(Unigram.encodeCol(TextFunctions.words(col("text")), mm)
+        .getField("toks")).collect().map(_.getString(0)).toSeq
+    assert(encAll(m2) == encAll(m))
+    // bpe: merge ORDER survives (the algorithm lives in the order)
+    val merges = Bpe.train(corpus, nMerges = 10)
+    assert(merges.nonEmpty)
+    Bpe.saveMerges(spark, merges, s"$dir/bpe")
+    assert(Bpe.loadMerges(spark, s"$dir/bpe") == merges)
+  }
+
   test("quality classifier: learns separable labels, decisions stable") {
     import graft.ops.QualityClassifier
     // good docs speak "quality" vocabulary, bad docs junk vocabulary;

@@ -176,6 +176,41 @@ class StreamingSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("unigram encode is stateless: streaming output equals batch " +
+      "(deterministic sampled form included under a fixed seed)") {
+    import graft.ops.{Unigram, UnigramModel}
+    val pairs = (('a' to 'z').map(c => String.valueOf(c) -> 8)) ++
+      Seq("th" -> 11, "er" -> 12, "in" -> 11)
+    val m = UnigramModel(pairs.map(_._1).toVector,
+      pairs.map(p => -p._2.toDouble).toVector, unkLogp = -64.0)
+    val rows = Seq(
+      (1L, "there is something here", t("2026-01-01 10:00:00")),
+      (2L, "inner thing spins", t("2026-01-01 10:01:00")))
+    def enc(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        Unigram.encodeCol(
+          graft.functions.TextFunctions.words(col("text")), m)
+          .getField("toks").as("toks"),
+        Unigram.encodeSampledCol(
+          graft.functions.TextFunctions.words(col("text")),
+          col("doc_id"), m, k = 4, alpha = 0.2)
+          .getField("toks").as("sampled"))
+    val batch = enc(spark.createDataFrame(rows).toDF("doc_id", "text", "ts"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val q = enc(input.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("uni_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("uni_out").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+      assert(stream == batch, s"stream $stream vs batch $batch")
+    } finally q.stop()
+  }
+
   test("dedupStream runs on a BATCH frame; all-boilerplate docs can emit " +
     "a marker (review r11)") {
     // batch fallback: dropDuplicatesWithinWatermark is stream-only
