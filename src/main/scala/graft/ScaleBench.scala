@@ -34,7 +34,8 @@ object ScaleBench {
       "e14_knn_matryoshka", "d47_markdown_extract",
       "d48_curation_pipeline",
       // round-13 newcomers
-      "d49_unigram_encode", "d50_warc_extract", "d51_unigram_nbest")
+      "d49_unigram_encode", "d50_warc_extract", "d51_unigram_nbest",
+      "d52_warc_tokenize")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

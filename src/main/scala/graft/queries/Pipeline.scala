@@ -887,7 +887,11 @@ object Pipeline {
     * round-trip) is byte-lossless. The fixture write is driver-side
     * (the m02/d21 fixture convention; real ingestion reads existing
     * archives); the READ path is the production map-side task. */
-  def d50WarcExtract(s: SparkSession, dir: String): DataFrame = {
+  /** Build (if needed, each call — gates run sequentially) the WARC
+    * fixture holding every doc's d32 HTML page as an HTTP response
+    * record, and return the extracted (doc_id, t) frame — shared by
+    * d50 (extraction proof) and d52 (tokenization of the extraction). */
+  private def warcExtractedText(s: SparkSession, dir: String): DataFrame = {
     import graft.io.{WarcIO, WarcRecord}
     val pages = d32InjectHtml(docs(s, dir))
       .select(col("doc_id").cast("long"), col("html"))
@@ -901,8 +905,8 @@ object Pipeline {
         "2026-01-01T00:00:00Z", "application/http; msgtype=response",
         Map.empty, http)
     }
-    // fixed per-user scratch path, overwritten per call (gates run
-    // sequentially; a fresh temp file per bench rep would leak)
+    // fixed per-user scratch path, overwritten per call (a fresh temp
+    // file per bench rep would leak)
     val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-d50-${System.getProperty("user.name", "u")}-" +
         dir.replaceAll("[^A-Za-z0-9.-]", "_") + ".warc.gz").getPath
@@ -914,9 +918,36 @@ object Pipeline {
           .cast("long").as("doc_id"),
         TextFunctions.stripHtml(WarcIO.payloadText(
           WarcIO.httpBody(col("content")))).as("t"))
+  }
+
+  def d50WarcExtract(s: SparkSession, dir: String): DataFrame =
+    warcExtractedText(s, dir)
       .select(col("doc_id"), length(col("t")).as("n_chars"),
         md5(col("t").cast("binary")).as("text_md5"))
       .orderBy("doc_id")
+
+  /** The full container→tokens chain (the round-13 composition story):
+    * WARC archive → HTTP envelope split → HTML text extraction →
+    * unigram-LM Viterbi tokenization (d49's vocabulary) → per-language
+    * token statistics. Every stage is a verbatim-replayable piece the
+    * oracle composes from d32's strip CTEs + d49's enumeration; lang
+    * rides a broadcast join against the documents table (at real
+    * scale, metadata-by-id joins against a docs catalog are exactly
+    * this shape). */
+  def d52WarcTokenize(s: SparkSession, dir: String): DataFrame = {
+    val text = warcExtractedText(s, dir)
+    val withLang = text.join(
+      broadcast(docs(s, dir).select(col("doc_id"), col("lang"))), "doc_id")
+    withLang
+      .select(col("lang"), TextFunctions.words(col("t")).as("ws"))
+      .select(col("lang"), size(col("ws")).as("nw"),
+        graft.ops.Unigram.encodeCol(col("ws"), d49Model).as("u"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("u.n_pieces").cast("long")).as("n_pieces"),
+        sum((-col("u.score")).cast("long")).as("total_cost"))
+      .orderBy("lang")
   }
 
   /** BPE subword encoding under a FIXED demo merge list (gate-proves
@@ -1521,6 +1552,7 @@ object Pipeline {
     "d49_unigram_encode" -> d49UnigramEncode _,
     "d50_warc_extract" -> d50WarcExtract _,
     "d51_unigram_nbest" -> d51UnigramNbest _,
+    "d52_warc_tokenize" -> d52WarcTokenize _,
     "d44_gopher_rules" -> d44GopherRules _,
     "d45_unimax" -> d45Unimax _,
     "d46_c4_rules" -> d46C4Rules _,
@@ -1635,11 +1667,12 @@ object Pipeline {
       |   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** d32's oracle — the HTML injection + strip chain replayed in SQL;
-    * ALSO d50's oracle (the WARC round-trip must be byte-lossless, so
-    * the two gates' outputs are identical by contract). */
-  private val d32OracleSql: String =
-    """WITH inj AS (SELECT doc_id,
+  /** The d32 HTML-injection + strip chain as a reusable CTE prefix
+    * ending in `fin(doc_id, t)` — composed by d32's oracle, d50's
+    * (identical by the lossless-round-trip contract) and d52's (which
+    * tokenizes `t`). */
+  private val d32StripCtes: String =
+    """inj AS (SELECT doc_id,
       |  '<html><head><title>D' || doc_id || '</title><style>p{c:1}</style></head><body><!-- note '
       |  || doc_id || ' --><h1 class="t">Doc &amp; &lt;' || doc_id || '&gt;</h1><p>' || text
       |  || '</p><script>var x = 1 < 2;</script><br/>&nbsp;tail</body></html>' AS html
@@ -1654,9 +1687,18 @@ object Pipeline {
       |x3 AS (SELECT doc_id, regexp_replace(s, '(?s)</?[A-Za-z!][^>]*>', ' ', 'g') AS s FROM x2),
       |x4 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(s,
       |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS s FROM x3),
-      |fin AS (SELECT doc_id, trim(regexp_replace(s, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t FROM x4)
-      |SELECT doc_id, CAST(length(t) AS INTEGER) AS n_chars, md5(t) AS text_md5
-      |FROM fin ORDER BY doc_id""".stripMargin
+      |fin AS (SELECT doc_id, trim(regexp_replace(s, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t FROM x4)""".stripMargin
+
+  /** d32's oracle — the HTML injection + strip chain replayed in SQL;
+    * ALSO d50's oracle (the WARC round-trip must be byte-lossless, so
+    * the two gates' outputs are identical by contract). */
+  // NB: concatenated, NOT interpolated under stripMargin — the CTE
+  // block's '|| doc_id' concat lines begin with whitespace + '|', which
+  // a second stripMargin pass would mangle into bare '|' operators
+  private val d32OracleSql: String =
+    "WITH " + d32StripCtes + "\n" +
+      """SELECT doc_id, CAST(length(t) AS INTEGER) AS n_chars, md5(t) AS text_md5
+        |FROM fin ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Unigram Viterbi via FULL-path enumeration: the recursive CTE
@@ -1730,6 +1772,39 @@ object Pipeline {
         |  CAST(coalesce(agg.ns, 0) AS INTEGER) AS n_single
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         |ORDER BY d.doc_id""".stripMargin
+    },
+    // the full container→tokens chain: d32's strip CTEs feed d49's
+    // enumeration machinery (renamed vfin — the strip chain owns
+    // 'fin'), aggregated per language; docs with NO words still count
+    // toward n_docs via the LEFT JOIN
+    "d52_warc_tokenize" -> {
+      val vocabRows = (d49Singles.map(s => s"('$s',8)") ++
+        d49MultiCosts.map { case (p, c) => s"('$p',$c)" }).mkString(",")
+      // prefix concatenated, not re-stripMargin'd (see d32OracleSql)
+      "WITH RECURSIVE " + d32StripCtes + ",\n" + s"""wpos AS (SELECT doc_id, unnest(regexp_extract_all(lower(t), '[a-z0-9]+')) AS w FROM fin),
+        |dw AS (SELECT DISTINCT w FROM wpos),
+        |vocab(piece, cost) AS (VALUES $vocabRows),
+        |r AS (
+        |  SELECT w, 0 AS pos, 0 AS cost, 0 AS np FROM dw
+        |  UNION
+        |  SELECT r.w, r.pos + length(v.piece), r.cost + v.cost, r.np + 1
+        |  FROM r JOIN vocab v
+        |    ON substr(r.w, r.pos + 1, length(v.piece)) = v.piece
+        |  WHERE r.pos < length(r.w)),
+        |vfin AS (SELECT w, cost, np FROM r WHERE pos = length(w)),
+        |best AS (SELECT w, min(cost) AS mc FROM vfin GROUP BY w),
+        |bw AS (SELECT f.w, b.mc AS cost, min(f.np) AS np
+        |       FROM vfin f JOIN best b ON f.w = b.w AND f.cost = b.mc
+        |       GROUP BY f.w, b.mc),
+        |agg AS (SELECT wp.doc_id, count(*) AS nw, sum(bw.np) AS np,
+        |          sum(bw.cost) AS c
+        |        FROM wpos wp JOIN bw ON wp.w = bw.w GROUP BY wp.doc_id)
+        |SELECT d.lang, CAST(count(*) AS INTEGER) AS n_docs,
+        |  CAST(sum(coalesce(agg.nw, 0)) AS BIGINT) AS n_words,
+        |  CAST(sum(coalesce(agg.np, 0)) AS BIGINT) AS n_pieces,
+        |  CAST(sum(coalesce(agg.c, 0)) AS BIGINT) AS total_cost
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
     },
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
