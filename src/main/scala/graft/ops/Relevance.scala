@@ -90,6 +90,27 @@ object Relevance {
   private[graft] def bm25Plan(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 20): DataFrame = {
+    validateQuery(terms, k1, b, topK)
+    val w = wPersist(docs.select(col(idCol).as("doc_id"),
+      TextFunctions.words(col(textCol)).as("ws")))
+
+    // pass 1: corpus stats — one row to the driver (materializes the
+    // tokenized cache; the tf pass below reads the same rows)
+    val (n, tot) = corpusStats(w)
+    val avgdl = tot.toDouble / n // same division as the oracle
+
+    // pass 2: matching (doc, term) frequencies; the isin filter rides
+    // the explode projection, so non-query tokens die map-side
+    val tf = tfPersist(w.select(col("doc_id"), size(col("ws")).as("dl"),
+        explode(col("ws")).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf")))
+
+    scorePlan(tf, n, avgdl, terms, k1, b, topK)
+  }
+
+  private def validateQuery(terms: Seq[String], k1: Double, b: Double,
+      topK: Int): Unit = {
     require(terms.nonEmpty, "bm25: at least one query term")
     require(terms.size <= 64,
       s"bm25: ${terms.size} terms - the fixed-order score add is built " +
@@ -100,12 +121,11 @@ object Relevance {
       s"bm25: term '$t' is not a lowercase [a-z0-9]+ token - it can never match"))
     require(k1 > 0 && b >= 0 && b <= 1, s"bm25: k1 > 0 and b in [0,1]")
     require(topK >= 1, "bm25: topK must be >= 1")
+  }
 
-    val w = wPersist(docs.select(col(idCol).as("doc_id"),
-      TextFunctions.words(col(textCol)).as("ws")))
-
-    // pass 1: corpus stats — one row to the driver (materializes the
-    // tokenized cache; the tf pass below reads the same rows)
+  /** (doc count, token total) in ONE aggregation — avgdl is derived by
+    * the caller with the identical `tot/n` division the oracle uses. */
+  private def corpusStats(w: DataFrame): (Long, Long) = {
     val st = w.agg(count(lit(1)).as("n"),
       sum(size(col("ws")).cast("long")).as("tot")).head()
     val n = st.getLong(0)
@@ -114,15 +134,14 @@ object Relevance {
     // name the error instead of an NPE at getLong (review r12)
     require(!st.isNullAt(1),
       "bm25: every document's text is null - nothing to tokenize")
-    val avgdl = st.getLong(1).toDouble / n // same division as the oracle
+    (n, st.getLong(1))
+  }
 
-    // pass 2: matching (doc, term) frequencies; the isin filter rides
-    // the explode projection, so non-query tokens die map-side
-    val tf = tfPersist(w.select(col("doc_id"), size(col("ws")).as("dl"),
-        explode(col("ws")).as("word"))
-      .filter(col("word").isin(terms: _*))
-      .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf")))
-
+  /** The ONE scoring tail shared by the direct scan and the persisted
+    * index: takes a (doc_id, dl, word, tf) frame restricted to the
+    * query terms plus the corpus stats, produces the ranked top-k. */
+  private def scorePlan(tf: DataFrame, n: Long, avgdl: Double,
+      terms: Seq[String], k1: Double, b: Double, topK: Int): DataFrame = {
     // per-term document frequency: ≤ |terms| rows, driver-bounded
     val dfMap = tf.groupBy("word").agg(count(lit(1)).as("df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -153,5 +172,55 @@ object Relevance {
       .select("doc_id", "score")
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
+  }
+
+  /** Persist the inverted index: build ONCE (one tokenize pass), query
+    * many times without ever rescanning the corpus — the production
+    * retrieval shape [[bm25]]'s per-call scan cannot offer. Layout:
+    *  - `postings` (word, doc_id, dl, tf), repartitioned BY WORD and
+    *    sorted within partitions, so parquet row-group min/max stats
+    *    prune every non-query term at scan time (the pushed `isin`
+    *    reads only matching row groups — at 100 TB the per-query read
+    *    is proportional to the terms' posting lists, not the corpus);
+    *  - a one-row `stats` table (n, avgdl's numerator/denominator),
+    *    written LAST as the commit marker (the IvfIndex meta-last
+    *    protocol: a crashed build never looks complete). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.words(col(textCol)).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (n, tot) = corpusStats(w)
+      w.select(col("doc_id"), size(col("ws")).as("dl"),
+          explode(col("ws")).as("word"))
+        .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+        .repartition(col("word")).sortWithinPartitions("word", "doc_id")
+        .write.mode("overwrite").parquet(s"$path/postings")
+      // stats LAST = commit marker; store n and tot so avgdl is
+      // re-derived by the IDENTICAL division the direct path uses
+      Seq((n, tot)).toDF("n", "tot")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    } finally { w.unpersist(blocking = false); () }
+  }
+
+  /** Query a [[buildIndex]]-persisted index: scores are IDENTICAL to
+    * [[bm25]] over the same corpus (gate d53 proves it against d41's
+    * oracle). Driver-localized result, same as [[bm25]]. */
+  def queryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    validateQuery(terms, k1, b, topK)
+    val st = spark.read.parquet(s"$path/stats").head()
+    val n = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / n
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("word").isin(terms: _*)) // pushed to the parquet scan
+    val ranked = scorePlan(tf, n, avgdl, terms, k1, b, topK)
+    val rows = ranked.collect()
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), ranked.schema)
   }
 }

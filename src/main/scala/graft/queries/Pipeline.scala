@@ -1301,6 +1301,21 @@ object Pipeline {
     graft.ops.Relevance.bm25(docs(s, dir), "doc_id", "text",
       Seq("join", "hash", "dup"))
 
+  /** Index-backed BM25 (graft.ops.Relevance.buildIndex/queryIndex —
+    * the build-once/query-many production retrieval shape): postings
+    * persist word-partitioned parquet, the query's pushed `isin` reads
+    * only matching row groups, and scores are bit-identical to d41's
+    * direct scan (shared scorePlan, shared oracle). The gate rebuilds
+    * the index each call (sequential gates, bounded corpus); real
+    * deployments build once. */
+  def d53Bm25Index(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-d53-${System.getProperty("user.name", "u")}-" +
+        dir.replaceAll("[^A-Za-z0-9.-]", "_")).getPath
+    graft.ops.Relevance.buildIndex(docs(s, dir), "doc_id", "text", path)
+    graft.ops.Relevance.queryIndex(s, path, Seq("join", "hash", "dup"))
+  }
+
   /** CCNet perplexity bucketing (graft.ops.LangModel
     * .perplexityBuckets): d27's bigram-LM scores split per language
     * into equal head/middle/tail thirds by ntile over (rounded score,
@@ -1553,6 +1568,7 @@ object Pipeline {
     "d50_warc_extract" -> d50WarcExtract _,
     "d51_unigram_nbest" -> d51UnigramNbest _,
     "d52_warc_tokenize" -> d52WarcTokenize _,
+    "d53_bm25_index" -> d53Bm25Index _,
     "d44_gopher_rules" -> d44GopherRules _,
     "d45_unimax" -> d45Unimax _,
     "d46_c4_rules" -> d46C4Rules _,
@@ -1699,6 +1715,29 @@ object Pipeline {
     "WITH " + d32StripCtes + "\n" +
       """SELECT doc_id, CAST(length(t) AS INTEGER) AS n_chars, md5(t) AS text_md5
         |FROM fin ORDER BY doc_id""".stripMargin
+
+  /** d41's oracle — Okapi BM25 with Lucene idf over three fixed terms;
+    * ALSO d53's (an index-backed query must reproduce the direct
+    * scan's scores bit-for-bit). */
+  private val d41OracleSql: String =
+    """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |st AS (SELECT count(*) AS n, CAST(sum(len(ws)) AS DOUBLE)/count(*) AS avgdl FROM w),
+      |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM w),
+      |tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM tok
+      |  WHERE word IN ('join', 'hash', 'dup') GROUP BY 1, 2, 3),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |c AS (SELECT doc_id, word,
+      |  ln(1 + (n - df + 0.5)/(df + 0.5)) *
+      |    (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+      | FROM tf JOIN df USING (word) CROSS JOIN st),
+      |s AS (SELECT doc_id,
+      |  sum(CASE WHEN word = 'join' THEN contrib END) AS c1,
+      |  sum(CASE WHEN word = 'hash' THEN contrib END) AS c2,
+      |  sum(CASE WHEN word = 'dup' THEN contrib END) AS c3
+      | FROM c GROUP BY doc_id)
+      |SELECT doc_id,
+      |  round(coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0), 4) AS score
+      |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Unigram Viterbi via FULL-path enumeration: the recursive CTE
@@ -2263,25 +2302,11 @@ object Pipeline {
     // Relevance.bm25 verbatim and the per-doc score adds the per-term
     // contributions in the same fixed order (c_join + c_hash + c_dup),
     // so scores match bit-for-bit before the 4dp display round.
-    "d41_bm25" ->
-      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
-        |st AS (SELECT count(*) AS n, CAST(sum(len(ws)) AS DOUBLE)/count(*) AS avgdl FROM w),
-        |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS word FROM w),
-        |tf AS (SELECT doc_id, dl, word, count(*) AS tf FROM tok
-        |  WHERE word IN ('join', 'hash', 'dup') GROUP BY 1, 2, 3),
-        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-        |c AS (SELECT doc_id, word,
-        |  ln(1 + (n - df + 0.5)/(df + 0.5)) *
-        |    (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS contrib
-        | FROM tf JOIN df USING (word) CROSS JOIN st),
-        |s AS (SELECT doc_id,
-        |  sum(CASE WHEN word = 'join' THEN contrib END) AS c1,
-        |  sum(CASE WHEN word = 'hash' THEN contrib END) AS c2,
-        |  sum(CASE WHEN word = 'dup' THEN contrib END) AS c3
-        | FROM c GROUP BY doc_id)
-        |SELECT doc_id,
-        |  round(coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0), 4) AS score
-        |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "d41_bm25" -> d41OracleSql,
+    // index-backed retrieval must score IDENTICALLY to the direct
+    // scan, so its oracle IS d41's query — the persisted postings
+    // cancel out of the compare entirely (the d50/d32 contract shape)
+    "d53_bm25_index" -> d41OracleSql,
     // d27's scoring CTEs + per-lang ntile(3) over (rounded score, id)
     // — integer rank logic, no interpolated-threshold knife-edge
     "d42_ccnet_buckets" ->

@@ -1551,6 +1551,32 @@ class OpsSpec extends SparkSpec {
     ()
   }
 
+  test("bm25 index: term filter pushes to the postings scan, scores equal " +
+      "the direct path, stats table is the commit marker") {
+    import graft.ops.Relevance
+    val docs = Seq(
+      (1L, "join join hash"), (2L, "join scan"), (3L, "scan filter merge"),
+      (4L, "hash hash dup join")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+    Relevance.buildIndex(docs, "doc_id", "text", s"$dir/idx")
+    val direct = Relevance.bm25(docs, "doc_id", "text", Seq("join", "hash"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIndex = Relevance.queryIndex(spark, s"$dir/idx",
+      Seq("join", "hash")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == direct, s"index $viaIndex vs direct $direct")
+    // the term filter must reach the parquet scan (row-group pruning is
+    // the whole 100TB story): PushedFilters carries In(word, ...)
+    val raw = spark.read.parquet(s"$dir/idx/postings")
+      .filter(col("word").isin("join", "hash"))
+    val plan = raw.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(word"),
+      s"term filter must push to the scan:\n$plan")
+    // stats written LAST: a build that died before it must not read as
+    // a complete index
+    assert(new java.io.File(s"$dir/idx/stats").exists())
+  }
+
   test("bigram perplexity: hand-computed nll, OOV smoothing, broadcast plan") {
     import graft.ops.LangModel
     // reference "a b a b c": bigrams (a,b)x2 (b,a)x1 (b,c)x1; contexts
