@@ -91,6 +91,18 @@ class TimeSeries(val platform: Platform, protected var run: RunInfo) {
     * distinct units. A fresh store already carries the reference
     * defaults (World; the ixmp4 unit list; see ParquetStore). */
   private def validateTsCodelists(incoming: DataFrame): Unit = {
+    // null upsert keys fail LOUDLY (review r13): region/unit nulls
+    // already die on the codelist checks below, but a null variable,
+    // year or subannual sailed through — and the upsert's anti-join
+    // EqualTo never matches null, so RE-adding the same row silently
+    // ACCUMULATED a duplicate instead of replacing (the reference's
+    // DB schema makes these columns NOT NULL)
+    val nullKey = incoming.filter(col("variable").isNull ||
+        col("year").isNull || col("subannual").isNull)
+      .limit(1).collect()
+    require(nullKey.isEmpty,
+      "TS rows must carry non-null variable/year/subannual - a null " +
+        s"upsert key can never be replaced or removed (got ${nullKey.headOption})")
     val canonical = store.regions()
       .filter(col("hierarchy") =!= "synonym").select("region")
     val badRegion = incoming.select("region").distinct()

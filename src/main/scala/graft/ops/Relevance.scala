@@ -213,6 +213,11 @@ object Relevance {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 20): DataFrame = {
     validateQuery(terms, k1, b, topK)
+    // stats is the commit marker (written LAST): name the failure
+    // instead of a bare path-not-found from a crashed/partial build
+    require(Similarity.committedParquetExists(spark, s"$path/stats"),
+      s"bm25 index at '$path' is missing or incomplete " +
+        "(no committed stats table - builds write it last)")
     val st = spark.read.parquet(s"$path/stats").head()
     val n = st.getLong(0)
     val avgdl = st.getLong(1).toDouble / n

@@ -518,21 +518,35 @@ object Operators {
   }
 
   /** genno combine: weighted sum Σ wᵢ·qᵢ of same-dim quantities (one
-    * union + one aggregation — the weights fold into the map side). */
+    * union + one aggregation — the weights fold into the map side).
+    * COMPATIBLE units convert into the first quantity's unit before
+    * summing; incompatible units raise (review r13: this had the exact
+    * defect [[add]] was cured of in r11 — mixed units summed raw
+    * magnitudes and blanked the unit, so 1 kg + 1 t combined to 2 of
+    * nothing while the add/sub siblings converted). */
   def combineWeighted(qs: Seq[Quantity], weights: Seq[Double]): Quantity = {
     require(qs.nonEmpty && qs.size == weights.size,
       "combine needs one weight per quantity")
     val dims = qs.head.dims
     require(qs.forall(_.dims.sorted == dims.sorted),
       "combine requires identical dims")
+    val aligned = qs.map { q =>
+      if (q.unit == qs.head.unit) q
+      else Units.conversionFactor(
+          Units.parse(q.unit), Units.parse(qs.head.unit)) match {
+        case Some(f) =>
+          q.copy(df = q.df.withColumn("value", col("value") * f))
+        case None => throw new IllegalArgumentException(
+          s"combine: incompatible units '${qs.head.unit}' vs '${q.unit}'")
+      }
+    }
     val cols = qs.head.df.columns.map(col).toSeq
-    val weighted = qs.zip(weights).map { case (q, w) =>
+    val weighted = aligned.zip(weights).map { case (q, w) =>
       q.df.select(cols: _*).withColumn("value", col("value") * lit(w))
     }
     val df = weighted.reduce(_ unionByName _)
       .groupBy(dims.map(col): _*).agg(sum("value").as("value"))
-    Quantity(df, dims,
-      if (qs.map(_.unit).distinct.size == 1) qs.head.unit else "")
+    Quantity(df, dims, qs.head.unit)
   }
 
   /** genno pow: integer power of a quantity; units exponentiate. */

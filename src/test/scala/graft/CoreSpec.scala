@@ -145,6 +145,15 @@ class CoreSpec extends SparkSpec {
         .toDF("region", "variable", "unit", "year", "value"))
     }
     assert(e4.getMessage.contains("Wrold"))
+    // a null upsert key can never be replaced or removed (the
+    // anti-join's EqualTo never matches null) — refuse it loudly
+    // instead of silently accumulating duplicates on re-add
+    val e4b = intercept[IllegalArgumentException] {
+      s.addTimeseries(Seq((Some("World"), None: Option[String],
+          Some("USD"), Some(2020), Some(1.0)))
+        .toDF("region", "variable", "unit", "year", "value"))
+    }
+    assert(e4b.getMessage.contains("non-null variable"), e4b.getMessage)
     // 0-D SET is not a scalar (the idxNames-only guard let it through
     // to a raw unresolved-column error)
     s.initSet("flag")

@@ -1575,6 +1575,11 @@ class OpsSpec extends SparkSpec {
     // stats written LAST: a build that died before it must not read as
     // a complete index
     assert(new java.io.File(s"$dir/idx/stats").exists())
+    // ...and a query against a stats-less path names the failure
+    val ex = intercept[IllegalArgumentException] {
+      Relevance.queryIndex(spark, s"$dir/nothere", Seq("join"))
+    }
+    assert(ex.getMessage.contains("missing or incomplete"), ex.getMessage)
   }
 
   test("bigram perplexity: hand-computed nll, OOV smoothing, broadcast plan") {

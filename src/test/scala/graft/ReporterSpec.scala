@@ -192,6 +192,21 @@ class ReporterSpec extends SparkSpec {
       .select("value").as[Double].head()
     assert(math.abs(cv - seaChi) < 1e-9, "2d - d = d")
     assert(c.unit == d.unit)
+    // combine converts COMPATIBLE units into the head's unit (review
+    // r13 — the add r11 defect in its weighted sibling: mixed units
+    // used to sum raw magnitudes and blank the unit)
+    val dm = d.copy(df = d.df.withColumn("value", col("value") * 1000),
+      unit = "m")
+    val cm = Operators.combineWeighted(Seq(d, dm), Seq(1.0, 1.0))
+    assert(cm.unit == d.unit, s"unit must stay '${d.unit}', got '${cm.unit}'")
+    val cmv = cm.df.filter(col("i") === "seattle" && col("j") === "chicago")
+      .select("value").as[Double].head()
+    assert(math.abs(cmv - 2 * seaChi) < 1e-9,
+      s"1 km + 1000 m must combine to 2 km, got $cmv vs ${2 * seaChi}")
+    // truly incompatible units raise instead of blanking
+    intercept[IllegalArgumentException] {
+      Operators.combineWeighted(Seq(d, d.copy(unit = "kg")), Seq(1.0, 1.0))
+    }
     // pow: value squared, unit exponentiates (km -> km ** 2)
     val p2 = Operators.pow(d, 2)
     assert(p2.unit == "km ** 2")
