@@ -35,7 +35,7 @@ object ScaleBench {
       "d48_curation_pipeline",
       // round-13 newcomers
       "d49_unigram_encode", "d50_warc_extract", "d51_unigram_nbest",
-      "d52_warc_tokenize", "d53_bm25_index")
+      "d52_warc_tokenize", "d53_bm25_index", "d54_dedup_keep_best")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -710,6 +710,35 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).cast("int"))
   }
 
+  /** Keep-policy over near-dup clusters: keep the BEST-scoring member
+    * per cluster, ties to the smallest id — the production selection
+    * rule ([[clusterPairs]]' min-id `is_canonical` keeps an ARBITRARY
+    * member; FineWeb keeps the longest document, quality-first
+    * pipelines keep the classifier's top one). `labels` is
+    * [[clusterPairs]]/[[Similarity.semanticDedup]] output (idCol +
+    * cluster_id); `scores` maps every labeled id to a non-null score —
+    * a missing or null score fails LOUDLY (an inner join would
+    * silently drop the document from the corpus; a null score would
+    * rank on engine-dependent null ordering). Scale shape: one equi-
+    * join + one per-cluster window — clusters are near-dup groups,
+    * never corpus-sized partitions. */
+  def keepBestByScore(labels: DataFrame, scores: DataFrame,
+      idCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
+    val missing = labels.select(idCol)
+      .join(scores.select(idCol), Seq(idCol), "left_anti").limit(1).collect()
+    require(missing.isEmpty,
+      s"keepBestByScore: id '${missing.headOption.map(_.get(0)).getOrElse("")}'" +
+        " has no score - every labeled doc needs one")
+    val nullScore = scores.filter(col(scoreCol).isNull).limit(1).collect()
+    require(nullScore.isEmpty,
+      "keepBestByScore: null scores are not rankable - clean them upstream")
+    val j = labels.join(
+      scores.select(col(idCol), col(scoreCol).as("__score")), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("__score").desc, col(idCol))
+    j.withColumn("keep", row_number().over(w) === 1).drop("__score")
+  }
+
   /** Partial-overlap (containment) pairs via winnowed rolling-hash
     * fingerprints (MOSS): docs sharing at least `threshold` of the
     * smaller doc's fingerprints. Complements Jaccard near-dup — a

@@ -609,6 +609,25 @@ object Pipeline {
     Dedup.clusterPairs(pairs, d).orderBy("doc_id")
   }
 
+  /** Keep-best dedup policy (graft.ops.Dedup.keepBestByScore — the
+    * FineWeb selection rule): d19's near-dup clusters, but per cluster
+    * the LONGEST document survives instead of the arbitrary min-id
+    * canonical. Score = length(text), deterministic in both engines;
+    * ties break to the smaller id. */
+  def d54DedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.simhashPairsFrom(
+      d.select(col("doc_id"),
+        graft.functions.CatalystFunctions.simhashMd5(
+          TextFunctions.words(col("text"))).as("simhash")),
+      maxHamming = 3)
+    val labels = Dedup.clusterPairs(pairs, d).select("doc_id", "cluster_id")
+    Dedup.keepBestByScore(labels,
+        d.select(col("doc_id"), length(col("text")).as("score")))
+      .select("doc_id", "cluster_id", "keep")
+      .orderBy("doc_id")
+  }
+
   /** C4/RefinedWeb-style corpus-level line dedup: the documents table
     * has no newlines (single-line word soup), so the gate first lays
     * each doc out as 10-word lines — deterministically, on BOTH
@@ -1569,6 +1588,7 @@ object Pipeline {
     "d51_unigram_nbest" -> d51UnigramNbest _,
     "d52_warc_tokenize" -> d52WarcTokenize _,
     "d53_bm25_index" -> d53Bm25Index _,
+    "d54_dedup_keep_best" -> d54DedupKeepBest _,
     "d44_gopher_rules" -> d44GopherRules _,
     "d45_unimax" -> d45Unimax _,
     "d46_c4_rules" -> d46C4Rules _,
@@ -1715,6 +1735,23 @@ object Pipeline {
     "WITH " + d32StripCtes + "\n" +
       """SELECT doc_id, CAST(length(t) AS INTEGER) AS n_chars, md5(t) AS text_md5
         |FROM fin ORDER BY doc_id""".stripMargin
+
+  /** d19's simhash-pair connected-components CTE block ending in
+    * `lab(doc_id, cluster_id)` — shared by d19's oracle and d54's
+    * keep-best ranking on top of the same clusters. */
+  private lazy val d19ClusterCtes: String =
+    s"""$simhashSigCtes,
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      | FROM s a JOIN s b ON a.doc_id < b.doc_id
+      | WHERE len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) <= 3),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst),
+      |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |        FROM reach GROUP BY src)""".stripMargin
 
   /** d41's oracle — Okapi BM25 with Lucene idf over three fixed terms;
     * ALSO d53's (an index-backed query must reproduce the direct
@@ -1977,25 +2014,26 @@ object Pipeline {
         |SELECT source, count(*) AS n_docs, round(avg(n_words), 4) AS avg_words
         |FROM cp WHERE rk <= 10 GROUP BY source ORDER BY source""".stripMargin,
     "d19_dedup_clusters" ->
-      s"""WITH RECURSIVE
-        |$simhashSigCtes,
-        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM s a JOIN s b ON a.doc_id < b.doc_id
-        | WHERE len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) <= 3),
-        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst),
-        |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        |        FROM reach GROUP BY src)
-        |SELECT d.doc_id,
-        | coalesce(l.cluster_id, d.doc_id) AS cluster_id,
-        | CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id
-        |      THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
-        |FROM documents d LEFT JOIN lab l USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+      (s"WITH RECURSIVE\n$d19ClusterCtes\n" +
+        """SELECT d.doc_id,
+          | coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+          | CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id
+          |      THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+          |FROM documents d LEFT JOIN lab l USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
+    // d19's components + the keep-best policy: rank each cluster by
+    // (length desc, doc_id) and keep rank 1 — the FineWeb rule
+    "d54_dedup_keep_best" ->
+      (s"WITH RECURSIVE\n$d19ClusterCtes,\n" +
+        """allrows AS (SELECT d.doc_id,
+          |  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+          |  length(d.text) AS score
+          |  FROM documents d LEFT JOIN lab l USING (doc_id)),
+          |ranked AS (SELECT doc_id, cluster_id,
+          |  row_number() OVER (PARTITION BY cluster_id
+          |    ORDER BY score DESC, doc_id) AS rk FROM allrows)
+          |SELECT doc_id, cluster_id, (rk = 1) AS keep
+          |FROM ranked ORDER BY doc_id""".stripMargin),
     // Same deterministic 10-word-line fixture as the Spark side, then
     // the line-dedup algebra: global line frequency, anti-join, ordered
     // string_agg reassembly.

@@ -583,6 +583,29 @@ class OpsSpec extends SparkSpec {
     assert(Bpe.loadMerges(spark, s"$dir/bpe") == merges)
   }
 
+  test("keepBestByScore: best member per cluster survives, ties to the " +
+      "smaller id, missing/null scores fail loudly") {
+    import graft.ops.Dedup
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 10.0), (2L, 30.0), (3L, 30.0), (4L, 1.0), (5L, 2.0))
+      .toDF("doc_id", "score")
+    val kept = Dedup.keepBestByScore(labels, scores)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    // cluster 1: docs 2 and 3 tie at 30 -> smaller id 2; singletons keep
+    assert(kept == Set(2L, 4L, 5L), s"got $kept")
+    val exMissing = intercept[IllegalArgumentException] {
+      Dedup.keepBestByScore(labels, scores.filter(col("doc_id") =!= 3L))
+    }
+    assert(exMissing.getMessage.contains("has no score"), exMissing.getMessage)
+    val exNull = intercept[IllegalArgumentException] {
+      Dedup.keepBestByScore(labels, Seq((1L, Some(1.0)), (2L, Some(2.0)),
+        (3L, None: Option[Double]), (4L, Some(1.0)), (5L, Some(1.0)))
+        .toDF("doc_id", "score"))
+    }
+    assert(exNull.getMessage.contains("null scores"), exNull.getMessage)
+  }
+
   test("quality classifier: learns separable labels, decisions stable") {
     import graft.ops.QualityClassifier
     // good docs speak "quality" vocabulary, bad docs junk vocabulary;
