@@ -530,6 +530,30 @@ class OpsSpec extends SparkSpec {
     assert(nb.getDouble(1) >= nb.getDouble(0))
   }
 
+  test("unigram kbest edge laws: fewer paths than k, unk single in the " +
+      "lattice, and d51 total_best equals d49 total_cost per doc") {
+    import graft.ops.{Unigram, UnigramModel}
+    // singles-only vocab: one segmentation exists; kbest(5) returns it
+    val singlesOnly = UnigramModel(Vector("a", "b"),
+      Vector(-8.0, -8.0), unkLogp = -64.0)
+    val only = Unigram.kbest("ab", singlesOnly, 5)
+    assert(only.length == 1 && only(0)._2.toSeq == Seq("a", "b"))
+    // an unknown single char rides the unk fallback in EVERY ranked path
+    val withUnk = Unigram.kbest("a9", singlesOnly, 3)
+    assert(withUnk.forall(_._2.toSeq == Seq("a", "9")) &&
+      withUnk.head._1 == -72.0)
+    // cross-gate invariant: the n-best gate's rank-1 sum IS the encode
+    // gate's total cost on the same corpus slice
+    val d49 = graft.queries.Pipeline.all("d49_unigram_encode")(
+      spark, "/root/testdata/sf0.001")
+      .select("doc_id", "total_cost").as[(Long, Long)].collect().toMap
+    val d51 = graft.queries.Pipeline.all("d51_unigram_nbest")(
+      spark, "/root/testdata/sf0.001")
+      .select("doc_id", "total_best").as[(Long, Long)].collect().toMap
+    assert(d49 == d51,
+      s"rank-1 n-best must equal Viterbi: ${d49.size} vs ${d51.size} docs")
+  }
+
   test("unigram train: coverage, compression, frequent substrings become " +
       "pieces, deterministic across partitionings") {
     import graft.ops.Unigram
