@@ -45,6 +45,8 @@ object Dedup {
   private val simhashPersist = new PersistSlot // simhash blocked fingerprints
   private val substrPersist = new PersistSlot  // substringSpans gram anchors
   private val bandPersist = new PersistSlot    // minhashLsh banded signatures
+  private val deltaSetPersist = new PersistSlot  // dedupDelta shard shingles
+  private val deltaBandPersist = new PersistSlot // dedupDelta shard band keys
   // pre-filter frames whose cap/stop-list aggregate references them a
   // second time (review r11: caching only the POST-filter frame left
   // the expensive featurization pass running twice — once for the
@@ -213,12 +215,7 @@ object Dedup {
     // capBuckets' count aggregate — un-cached, the 128-slot signature
     // pass re-ran per plan reference, the very double-reference law
     // simhashPairsFrom and cosineNearDup already apply
-    val banded0 = bandPersist(sig
-      .select(col("doc_id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"),
-        col("sig"))
-      .select(col("doc_id"), col("band"),
-        xxhash64(slice(col("sig"), col("band") * r + 1, lit(r)), col("band")).as("band_hash")))
+    val banded0 = bandPersist(bandKeys(sig, bands, r))
     val banded = capBuckets(banded0, Seq("band", "band_hash"), maxBucket)
 
     val a = banded.alias("a")
@@ -231,6 +228,122 @@ object Dedup {
       .distinct()
 
     verifyJaccard(candidates, sets, threshold)
+  }
+
+  /** (doc_id, band, band_hash) rows from a signature frame — the ONE
+    * banding definition shared by [[minhashLsh]], [[buildLshIndex]] and
+    * [[dedupDelta]]: an index built here and a delta sketched here
+    * collide in exactly the bands a one-shot [[minhashLsh]] over the
+    * union would, which is what makes the delta path's output equal a
+    * full recompute (gate d55's contract). */
+  private def bandKeys(sig: DataFrame, bands: Int, r: Int): DataFrame =
+    sig.select(col("doc_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("sig"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(slice(col("sig"), col("band") * r + 1, lit(r)),
+          col("band")).as("band_hash"))
+
+  /** Persist a MinHash-LSH near-dup index: build ONCE over the standing
+    * corpus (one tokenize+sketch pass), then pair each arriving shard
+    * against it with [[dedupDelta]] WITHOUT re-sketching the corpus —
+    * the incremental-crawl shape (real corpora grow by deltas; a
+    * per-run [[minhashLsh]] re-pays the full-corpus sketch every
+    * time). Layout (the BM25 `Relevance.buildIndex` protocol):
+    *  - `sets` (doc_id, sh): the hashed shingle sets, kept for the
+    *    exact-Jaccard verification of candidate pairs;
+    *  - `bands` (doc_id, band, band_hash): the LSH band keys,
+    *    repartitioned+sorted by (band, band_hash) — narrow ~20-byte
+    *    rows, so the delta join's index-side scan reads band keys,
+    *    never corpus text;
+    *  - `meta` (one row: n_gram, num_hashes, bands), written LAST as
+    *    the commit marker — a crashed build never looks complete — and
+    *    carrying the sketch parameters so a delta run can never pair
+    *    incompatible signatures. */
+  def buildLshIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nGram: Int = 3, numHashes: Int = 128,
+      bands: Int = 32): Unit = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = shingleSets(docs, idCol, textCol, nGram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sets.write.mode("overwrite").parquet(s"$path/sets")
+      val sig = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
+      bandKeys(sig, bands, r)
+        .repartition(col("band"), col("band_hash"))
+        .sortWithinPartitions("band", "band_hash")
+        .write.mode("overwrite").parquet(s"$path/bands")
+      Seq((nGram, numHashes, bands)).toDF("n_gram", "num_hashes", "bands")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally { sets.unpersist(blocking = false); () }
+  }
+
+  /** Near-dup pairs for an arriving `delta` shard against a
+    * [[buildLshIndex]]-persisted corpus: every (corpus, delta) and
+    * (delta, delta) pair at Jaccard ≥ `threshold` — exactly the pairs
+    * a full [[minhashLsh]] recompute over corpus ∪ delta would emit
+    * that touch the delta (gate d55 proves the equality against the
+    * exact-Jaccard oracle). Corpus-corpus pairs were the BUILD's
+    * business and are never re-derived.
+    *
+    * Cost shape (the whole point): tokenize/sketch the DELTA only; the
+    * index side contributes one narrow band-key scan (join on
+    * (band, band_hash)) plus shingle-set fetches for candidate ids
+    * only — the standing corpus's text is never re-read, never
+    * re-sketched. At 100 TB standing / 100 GB daily delta that is the
+    * difference between a full-corpus pass and a delta-sized one.
+    *
+    * PRECONDITION: delta ids are disjoint from indexed ids (same-id
+    * re-sends would self-pair and double-count in the verify join;
+    * checking would cost an extra index pass per call — key deltas by
+    * a globally unique id upstream). `maxBucket` caps band buckets on
+    * EACH side independently (see [[minhashLsh]]'s cap rationale). */
+  def dedupDelta(delta: DataFrame, idCol: String, textCol: String,
+      path: String, threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
+    val spark = delta.sparkSession
+    require(graft.ops.Similarity.committedParquetExists(spark, s"$path/meta"),
+      s"lsh index at '$path' is missing or incomplete " +
+        "(no committed meta table - builds write it last)")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (nGram, numHashes, bands) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val r = numHashes / bands
+
+    // delta-side sketch: the only tokenization in the whole plan. The
+    // sets feed the banding pass plus both verify joins; the banded
+    // frame feeds the cross join, the self-join (twice) and (with
+    // maxBucket) the cap aggregate — both are persist-slot material.
+    val dSets = deltaSetPersist(shingleSets(delta, idCol, textCol, nGram))
+    val dBanded = deltaBandPersist(bandKeys(
+      dSets.withColumn("sig", minhashSignature(col("sh"), numHashes)),
+      bands, r))
+    val dCapped = capBuckets(dBanded, Seq("band", "band_hash"), maxBucket)
+
+    val iBanded = capBuckets(spark.read.parquet(s"$path/bands"),
+      Seq("band", "band_hash"), maxBucket)
+
+    // corpus-vs-delta: plain equi-join on the band key (no id order —
+    // the sides are disjoint by contract), oriented afterwards
+    val cross = iBanded.alias("a").join(dCapped.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+    // delta-vs-delta: the minhashLsh self-join shape over the shard
+    val self = dCapped.alias("a").join(dCapped.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val candidates = cross.union(self).distinct()
+
+    val allSets = spark.read.parquet(s"$path/sets").union(dSets)
+    verifyJaccard(candidates, allSets, threshold)
   }
 
   /** Drop bucket keys with more than `max` members (0/negative = off):

@@ -45,6 +45,51 @@ class OpsSpec extends SparkSpec {
     assert(pairs == exact)
   }
 
+  test("lsh delta index: delta path equals a full recompute's " +
+      "delta-touching pairs without re-reading the corpus (d55)") {
+    // standing corpus: the near-dup trio + a distinct doc; delta shard
+    // arrives with an exact dup of 1 (corpus-delta pair), a near dup
+    // of 3 (corpus-delta), a delta-internal near-dup pair (20,21) and
+    // one unrelated doc
+    val corpusRows = Seq((1L, base), (3L, base.replace("jumps", "leaps")),
+      (4L, "completely different content about spark engines and shuffles"))
+    val deltaRows = Seq((20L, base), (21L, base + " extra tail words here"),
+      (22L, base.replace("jumps", "leaps").replace("dog", "wolf")),
+      (23L, "nothing like anything else in this corpus at all truly"))
+    val dir = tmpDir("graft-lshidx")
+    // corpus from PARQUET so the plan assertion below can prove the
+    // delta run never rescans it
+    corpusRows.toDF("doc_id", "text").write.parquet(s"$dir/corpus")
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    Dedup.buildLshIndex(corpus, "doc_id", "text", s"$dir/idx")
+    val delta = deltaRows.toDF("doc_id", "text")
+    val out = Dedup.dedupDelta(delta, "doc_id", "text", s"$dir/idx")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // oracle: full recompute over the union, restricted to pairs with
+    // a delta (id >= 20) member
+    val full = Dedup.minhashLsh((corpusRows ++ deltaRows).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = full.filter(p => p._1 >= 20L || p._2 >= 20L)
+    assert(got == expect, s"delta $got vs full-recompute $expect")
+    assert(got.contains((1L, 20L)) && got.contains((20L, 21L)),
+      s"expected a corpus-delta and a delta-delta pair in $got")
+    assert(!got.exists(p => p._1 < 20L && p._2 < 20L),
+      "corpus-corpus pairs are the build's business")
+    // plan shape: the delta run scans the index's bands+sets parquet,
+    // NEVER the corpus source it was built from (the whole point:
+    // delta cost is delta-sized, the standing corpus is not re-read)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("idx/bands") && plan.contains("idx/sets"),
+      s"delta plan must read the persisted index:\n$plan")
+    assert(!plan.contains("corpus"),
+      s"delta plan must not rescan the corpus source:\n$plan")
+    // a stats-less path names the failure (meta is the commit marker)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupDelta(delta, "doc_id", "text", s"$dir/nothere")
+    }
+    assert(ex.getMessage.contains("missing or incomplete"), ex.getMessage)
+  }
+
   test("simhash pairs near-dups within hamming budget") {
     val pairs = Dedup.simhashPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
