@@ -651,6 +651,53 @@ object Pipeline {
       .orderBy("id_a", "id_b")
   }
 
+  /** Trained-shape multi-class language ID
+    * (graft.ops.QualityClassifier.scoreSparseMulti — the fastText K-
+    * class head, Joulin 2016 §2, that CCNet/RefinedWeb run as their
+    * first gate): per-class margins over md5-bucketed uni+bigram
+    * features with FIXED dyadic weights (the d34 train-via-spec /
+    * apply-via-oracle split — a trained weight vector is a runtime
+    * float artifact no cross-engine oracle can reproduce; OpsSpec
+    * proves [[graft.ops.QualityClassifier.trainMulti]] learns a
+    * separable 3-language corpus), argmax with ties to the earliest
+    * class in fixed [en, de, fr, es, zh] order. Dyadic weights make
+    * every margin an exact multiple of 2⁻⁶ — order-independent sums,
+    * so margins AND the argmax hash-match in any engine. */
+  def d56LangIdScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = (c: org.apache.spark.sql.Column) =>
+      graft.ops.Sampling.featureBucket(c, 10000)
+    val weights = d56Weights.toDF("word", "cls", "w")
+      .select(bucket(col("word")).as("b"), col("cls"), col("w"))
+    val feats = docs(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id").as("id"),
+        explode(TextFunctions.uniBigrams(
+          TextFunctions.words(col("text")))).as("f"))
+      .select(col("id"), bucket(col("f")).as("b"))
+    graft.ops.QualityClassifier.scoreSparseMulti(feats, weights, d56Biases)
+      .select(col("id").as("doc_id") +: col("n_feats") +:
+        d56Biases.map { case (c, _) =>
+          round(col(s"margin_$c"), 4).as(s"margin_$c") } :+
+        col("pred").as("lang_pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** The d56 weight table — ONE copy both the gate and its oracle
+    * render (marker words chosen from the synthetic vocabulary so
+    * margins actually vary per doc; one bigram feature exercises the
+    * bigram half of the featurizer). All weights dyadic. */
+  private val d56Weights: Seq[(String, String, Double)] = Seq(
+    ("the", "en", 0.5), ("table", "en", 0.25), ("order", "en", 0.125),
+    ("the a", "en", 0.0625),
+    ("customer", "de", 0.5), ("batch", "de", 0.25), ("hash", "de", 0.125),
+    ("scan", "fr", 0.5), ("query", "fr", 0.25), ("data", "fr", 0.125),
+    ("slow", "es", 0.5), ("agg", "es", 0.25), ("merge", "es", 0.125),
+    ("join", "zh", 0.5), ("row", "zh", 0.25), ("small", "zh", 0.125))
+  private val d56Biases: Seq[(String, Double)] = Seq(
+    "en" -> 0.125, "de" -> 0.0625, "fr" -> 0.03125,
+    "es" -> 0.0, "zh" -> -0.03125)
+
   /** C4/RefinedWeb-style corpus-level line dedup: the documents table
     * has no newlines (single-line word soup), so the gate first lays
     * each doc out as 10-word lines — deterministically, on BOTH
@@ -1613,6 +1660,7 @@ object Pipeline {
     "d53_bm25_index" -> d53Bm25Index _,
     "d54_dedup_keep_best" -> d54DedupKeepBest _,
     "d55_lsh_delta_dedup" -> d55LshDeltaDedup _,
+    "d56_langid_score" -> d56LangIdScore _,
     "d44_gopher_rules" -> d44GopherRules _,
     "d45_unimax" -> d45Unimax _,
     "d46_c4_rules" -> d46C4Rules _,
@@ -2245,6 +2293,47 @@ object Pipeline {
     // in-engine from the literal word list (grouped by bucket so a
     // collision cannot duplicate join rows), dyadic-rational weights
     // -> the margin sum is float-exact in any order.
+    // the d34 featurization (md5 uni+bigram buckets) widened to one
+    // margin per class + a CASE-chain argmax whose comparison ORDER
+    // mirrors scoreSparseMulti's first-max rule over [en,de,fr,es,zh];
+    // margins are exact dyadic sums, so >=-comparisons are engine-exact
+    "d56_langid_score" ->
+      ("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |f0 AS (SELECT doc_id, list_concat(ws,
+        |   CASE WHEN len(ws) >= 2
+        |        THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |        ELSE [] END) AS fs
+        | FROM t),
+        |f AS (SELECT doc_id,
+        |   ('0x' || substr(md5(unnest(fs)), 1, 15))::UBIGINT % 10000 AS b
+        | FROM f0),
+        |wl AS (SELECT b,
+        |   sum(CASE WHEN cls = 'en' THEN w END) AS w_en,
+        |   sum(CASE WHEN cls = 'de' THEN w END) AS w_de,
+        |   sum(CASE WHEN cls = 'fr' THEN w END) AS w_fr,
+        |   sum(CASE WHEN cls = 'es' THEN w END) AS w_es,
+        |   sum(CASE WHEN cls = 'zh' THEN w END) AS w_zh
+        | FROM (SELECT ('0x' || substr(md5(word), 1, 15))::UBIGINT % 10000 AS b, cls, w
+        |   FROM (VALUES """.stripMargin +
+        d56Weights.map { case (wd, c, w) => s"('$wd', '$c', $w)" }
+          .mkString(", ") +
+        """) AS v(word, cls, w)) GROUP BY b),
+        |sc AS (SELECT doc_id, count(*) AS n_feats,
+        |   sum(coalesce(w_en, 0.0)) + 0.125 AS m_en,
+        |   sum(coalesce(w_de, 0.0)) + 0.0625 AS m_de,
+        |   sum(coalesce(w_fr, 0.0)) + 0.03125 AS m_fr,
+        |   sum(coalesce(w_es, 0.0)) + 0.0 AS m_es,
+        |   sum(coalesce(w_zh, 0.0)) - 0.03125 AS m_zh
+        | FROM f LEFT JOIN wl USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_feats,
+        | round(m_en, 4) AS margin_en, round(m_de, 4) AS margin_de,
+        | round(m_fr, 4) AS margin_fr, round(m_es, 4) AS margin_es,
+        | round(m_zh, 4) AS margin_zh,
+        | CASE WHEN m_en >= m_de AND m_en >= m_fr AND m_en >= m_es AND m_en >= m_zh THEN 'en'
+        |      WHEN m_de >= m_fr AND m_de >= m_es AND m_de >= m_zh THEN 'de'
+        |      WHEN m_fr >= m_es AND m_fr >= m_zh THEN 'fr'
+        |      WHEN m_es >= m_zh THEN 'es' ELSE 'zh' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin),
     "d34_quality_score" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
         |f0 AS (SELECT doc_id, list_concat(ws,

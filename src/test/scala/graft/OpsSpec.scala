@@ -707,6 +707,58 @@ class OpsSpec extends SparkSpec {
     assert(margins2(100L) > 0 && margins2(101L) < 0)
   }
 
+  test("multi-class classifier: learns a separable 3-language corpus, " +
+      "held-out generalization, tie goes to the earliest class (d56)") {
+    import graft.ops.QualityClassifier
+    // three disjoint vocabularies — softmax GD must drive each doc's
+    // argmax to its own label
+    val en = Seq("the quick brown fox and the lazy dog",
+      "a clear day with the bright sun and wind",
+      "the old house and a quiet garden path")
+    val de = Seq("der schnelle braune fuchs und der faule hund",
+      "ein klarer tag mit der hellen sonne und wind",
+      "das alte haus und ein stiller garten weg")
+    val fr = Seq("le renard brun rapide et le chien paresseux",
+      "un jour clair avec le soleil brillant et vent",
+      "la vieille maison et un jardin calme chemin")
+    val rows = (en.map((_, "en")) ++ de.map((_, "de")) ++ fr.map((_, "fr")))
+      .zipWithIndex.map { case ((t, y), i) => (i.toLong, t, y) }
+    val train = rows.toDF("doc_id", "text", "lang")
+    val model = QualityClassifier.trainMulti(train, col("lang"),
+      buckets = 1 << 10, iters = 60)
+    assert(model.classes == Vector("de", "en", "fr"), model.classes)
+    val heldOut = Seq(
+      (100L, "the bright fox and a quiet dog", "en"),
+      (101L, "der helle fuchs und ein stiller hund", "de"),
+      (102L, "le renard brillant et un chien calme", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val preds = QualityClassifier.scoreMulti(
+        train.unionByName(heldOut), model)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    rows.foreach { case (i, _, y) =>
+      assert(preds(i) == y, s"train doc $i: got ${preds(i)}, want $y") }
+    assert(preds(100L) == "en" && preds(101L) == "de" && preds(102L) == "fr",
+      s"held-out generalization: $preds")
+    // decisions survive repartitioning (float-sum jitter must not flip
+    // the argmax on a separable corpus)
+    val m2 = QualityClassifier.trainMulti(train.repartition(5), col("lang"),
+      buckets = 1 << 10, iters = 60)
+    val p2 = QualityClassifier.scoreMulti(heldOut, m2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(p2(100L) == "en" && p2(101L) == "de" && p2(102L) == "fr")
+    // sparse relational path: exact-tie argmax goes to the EARLIEST
+    // class in the biases order (the oracle's CASE-chain rule)
+    val feats = Seq((1L, 7L)).toDF("id", "b")
+    val w = Seq((7L, "x", 0.25), (7L, "y", 0.25)).toDF("b", "cls", "w")
+    val tied = QualityClassifier.scoreSparseMulti(feats, w,
+      Seq("x" -> 0.0, "y" -> 0.0)).collect().head
+    assert(tied.getAs[String]("pred") == "x", tied.toString)
+    // ...and the order of `biases` decides, not lexicography
+    val tied2 = QualityClassifier.scoreSparseMulti(feats, w,
+      Seq("y" -> 0.0, "x" -> 0.0)).collect().head
+    assert(tied2.getAs[String]("pred") == "y", tied2.toString)
+  }
+
   test("language id picks marker language") {
     val langs = docs.select(col("doc_id"),
       TextFunctions.langId(TextFunctions.words(col("text"))).as("lang"))
