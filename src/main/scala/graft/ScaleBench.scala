@@ -35,7 +35,9 @@ object ScaleBench {
       "d48_curation_pipeline",
       // round-13 newcomers
       "d49_unigram_encode", "d50_warc_extract", "d51_unigram_nbest",
-      "d52_warc_tokenize", "d53_bm25_index", "d54_dedup_keep_best")
+      "d52_warc_tokenize", "d53_bm25_index", "d54_dedup_keep_best",
+      // round-14 newcomers
+      "d55_lsh_delta_dedup", "d56_langid_score")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -91,8 +93,11 @@ object ScaleBench {
     // digging it out of NOTES. Subset / count-mode runs never touch it
     // (a partial table would read as a regressed-to-missing one).
     if (full && !ccOnly && names0 == names && dirs.size == 2) {
+      // default derives from the working directory (ADVICE r13: a
+      // baked-in absolute path wrote outside the repo on any other
+      // checkout location); SPARK_GRAFT_SCALE_OUT still overrides
       val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
-        "/root/repo/tools/scalebench_full.md")
+        new java.io.File("tools/scalebench_full.md").getAbsolutePath)
       try {
         val sb = new StringBuilder
         sb ++= "# FULL-mode 10x ScaleBench (standing artifact)\n\n"

@@ -31,12 +31,15 @@ final case class WarcRecord(
   * archive files and hands ONE FILE PER TASK to executors — the
   * standard CC processing grain (CC ships ~1 GB .warc.gz files, and
   * gzip members make intra-file splits impractical anyway); parsing is
-  * a pure map-side pass (no shuffle, no driver involvement beyond the
-  * listing). Caveats documented, not hidden: `binaryFile` materializes
-  * one file per row (Spark caps a row at 2 GB — fine at CC's file
-  * sizing; re-chunk upstream archives that exceed it), and
-  * per-record-gzipped archives decompress as concatenated members
-  * (java's GZIPInputStream consumes them back to back).
+  * a pure map-side STREAMING pass (no shuffle, no driver involvement
+  * beyond the listing; records materialize one at a time, so the
+  * DECOMPRESSED archive size is unbounded — a 1 GB .warc.gz expanding
+  * to 4+ GB parses fine). Caveats documented, not hidden: `binaryFile`
+  * materializes one file's COMPRESSED bytes per row (Spark caps a row
+  * at 2 GB — fine at CC's file sizing; re-chunk upstream archives
+  * that exceed it), and per-record-gzipped archives decompress as
+  * concatenated members (java's GZIPInputStream consumes them back to
+  * back).
   */
 object WarcIO {
 
@@ -74,61 +77,130 @@ object WarcIO {
     import spark.implicits._
     files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) => parseAll(p, bytes) }
+      .flatMap { case (p, bytes) =>
+        parseStream(p, new java.io.ByteArrayInputStream(bytes)) }
       .toDF()
   }
 
-  /** All records in one archive's bytes (gunzipped first when the
-    * magic says so). Driver-callable for fixtures; executor-side under
-    * [[readWarc]]. */
-  def parseAll(file: String, raw: Array[Byte]): Seq[WarcRecord] = {
-    val data =
-      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
-        gunzipAll(raw)
-      else raw
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
-    var pos = 0
-    var idx = 0
-    while (pos < data.length) {
-      // tolerate inter-record CRLF padding (the spec's record
-      // separator is exactly two CRLFs, some writers add more)
-      while (pos < data.length &&
-        (data(pos) == '\r'.toByte || data(pos) == '\n'.toByte)) pos += 1
-      if (pos < data.length) {
-        val headEnd = indexOfCrlfCrlf(data, pos)
-        require(headEnd >= 0,
-          s"warc $file: record $idx at offset $pos has no header terminator")
-        val head = new String(data, pos, headEnd - pos, StandardCharsets.UTF_8)
-        val lines = head.split("\r\n")
-        require(lines.nonEmpty && lines.head.startsWith("WARC/"),
-          s"warc $file: record $idx at offset $pos does not start with a " +
-            s"WARC version line (got '${lines.headOption.getOrElse("")}')")
-        val headers = lines.tail.map { l =>
-          val i = l.indexOf(':')
-          require(i > 0, s"warc $file: record $idx has a malformed header '$l'")
-          l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim
-        }.toMap
-        val len = headers.getOrElse("content-length",
-          throw new IllegalArgumentException(
-            s"warc $file: record $idx has no Content-Length")).toLong
-        val bodyStart = headEnd + 4
-        require(bodyStart + len <= data.length,
-          s"warc $file: record $idx claims $len content bytes but only " +
-            s"${data.length - bodyStart} remain (truncated archive)")
-        out += WarcRecord(file, idx,
-          headers.getOrElse("warc-type", ""),
+  /** All records in one archive's bytes (gunzipped when the magic says
+    * so). Driver-callable for fixtures; [[parseStream]] is the real
+    * worker. */
+  def parseAll(file: String, raw: Array[Byte]): Seq[WarcRecord] =
+    parseStream(file, new java.io.ByteArrayInputStream(raw)).toSeq
+
+  /** Incremental record parser over a raw archive stream (ADVICE r13:
+    * the former whole-archive gunzip buffer overflowed Int capacity at
+    * ~512 MB compressed and could never exceed the 2 GB JVM array cap
+    * — a real CC archive decompresses past 4 GB). Records materialize
+    * ONE AT A TIME: peak memory is a single record's content plus the
+    * 64 KiB stream buffers, so archive size is unbounded (each record
+    * itself must still fit in an array — WARC payloads are
+    * page-sized). Gzip archives decompress through the stream
+    * (java's GZIPInputStream consumes concatenated members back to
+    * back — the per-record-gzipped CC layout). Malformed framing fails
+    * LOUDLY naming the file, record index, and decompressed-stream
+    * offset — a silently skipped record is a corpus-loss bug at
+    * archive scale.
+    *
+    * Legal repeated headers (e.g. WARC-Concurrent-To) are preserved
+    * comma-joined in the `headers` map (the RFC 7230 list rule) rather
+    * than last-wins-dropped (ADVICE r13). */
+  def parseStream(file: String, raw: java.io.InputStream): Iterator[WarcRecord] = {
+    val buffered = new java.io.BufferedInputStream(raw, 1 << 16)
+    buffered.mark(2)
+    val b0 = buffered.read(); val b1 = buffered.read()
+    buffered.reset()
+    val in = new java.io.PushbackInputStream(
+      if (b0 == 0x1f && b1 == 0x8b)
+        new java.io.BufferedInputStream(
+          new java.util.zip.GZIPInputStream(buffered, 1 << 16), 1 << 16)
+      else buffered, 1)
+
+    new scala.collection.AbstractIterator[WarcRecord] {
+      private var idx = 0
+      private var offset = 0L // decompressed-stream position (diagnostics)
+      private var nextRec: WarcRecord = null
+      private var finished = false
+
+      private def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(
+          s"warc $file: record $idx at offset $offset $msg")
+
+      /** One CRLF-terminated header line (tolerates bare LF; strips the
+        * terminator). Null = clean EOF at a line start. */
+      private def readLine(): String = {
+        val sb = new java.lang.StringBuilder(96)
+        var b = in.read()
+        if (b < 0) return null
+        while (b >= 0 && b != '\n') {
+          offset += 1
+          sb.append(b.toChar) // header bytes are ASCII per ISO 28500
+          b = in.read()
+        }
+        if (b == '\n') offset += 1
+        val n = sb.length()
+        if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
+        sb.toString
+      }
+
+      private def advance(): Unit = {
+        // tolerate inter-record CRLF padding (the spec's separator is
+        // exactly two CRLFs, some writers add more)
+        var b = in.read()
+        while (b == '\r' || b == '\n') { offset += 1; b = in.read() }
+        if (b < 0) { finished = true; return }
+        in.unread(b)
+        val version = readLine()
+        if (version == null || !version.startsWith("WARC/"))
+          fail(s"does not start with a WARC version line (got '${
+            Option(version).getOrElse("")}')")
+        // header block until the blank line; duplicates comma-join
+        val headers = new java.util.LinkedHashMap[String, String]()
+        var line = readLine()
+        while (line != null && line.nonEmpty) {
+          val i = line.indexOf(':')
+          if (i <= 0) fail(s"has a malformed header '$line'")
+          val k = line.substring(0, i).trim.toLowerCase
+          val v = line.substring(i + 1).trim
+          headers.merge(k, v, (a: String, nv: String) => a + ", " + nv)
+          line = readLine()
+        }
+        if (line == null) fail("has no header terminator (truncated archive)")
+        val h = {
+          val mb = Map.newBuilder[String, String]
+          headers.forEach((k, v) => mb += (k -> v))
+          mb.result()
+        }
+        val len = h.getOrElse("content-length", fail("has no Content-Length"))
+          .toLong
+        if (len > Int.MaxValue - 8)
+          fail(s"claims $len content bytes - a single record above the " +
+            "2 GB JVM array cap cannot materialize as one row; re-chunk " +
+            "the upstream archive")
+        val content = in.readNBytes(len.toInt)
+        if (content.length < len)
+          fail(s"claims $len content bytes but only ${content.length} " +
+            "remain (truncated archive)")
+        offset += len
+        nextRec = WarcRecord(file, idx,
+          h.getOrElse("warc-type", ""),
           // CC writes the URI bare; WARC/1.0 tooling wraps it in <>
-          headers.getOrElse("warc-target-uri", "")
-            .stripPrefix("<").stripSuffix(">"),
-          headers.getOrElse("warc-date", ""),
-          headers.getOrElse("content-type", ""),
-          headers, java.util.Arrays.copyOfRange(data, bodyStart.toInt,
-            (bodyStart + len).toInt))
-        pos = (bodyStart + len).toInt
+          h.getOrElse("warc-target-uri", "").stripPrefix("<").stripSuffix(">"),
+          h.getOrElse("warc-date", ""),
+          h.getOrElse("content-type", ""),
+          h, content)
         idx += 1
       }
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !finished) advance()
+        nextRec != null
+      }
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException("warc iterator")
+        val r = nextRec; nextRec = null; r
+      }
     }
-    out.toSeq
   }
 
   /** Body of an HTTP message payload (a `response` record's content):
@@ -152,15 +224,38 @@ object WarcIO {
   def payloadText(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     decode(payload, "UTF-8")
 
+  /** The header fields [[recordBytes]] writes explicitly — everything
+    * ELSE in a record's `headers` map serializes verbatim, so a
+    * read→write round-trip preserves headers instead of dropping them
+    * (ADVICE r13). */
+  private val explicitHeaderKeys = Set("warc-type", "warc-target-uri",
+    "warc-date", "content-type", "content-length", "warc-record-id")
+
   /** One record's framed bytes (optionally as its own gzip member —
     * the CC layout). The ONE serializer shared by [[writeWarc]] and
-    * the distributed [[writeWetDir]] sink. */
+    * the distributed [[writeWetDir]] sink. Every record gets a
+    * WARC-Record-ID (mandatory per ISO 28500 §5.2): the parsed one
+    * when present in `headers`, else a DETERMINISTIC urn:uuid derived
+    * from the record's content+uri hash (same record bytes → same id,
+    * so re-exports stay reproducible); remaining parsed headers
+    * serialize in sorted order (deterministic bytes). */
   def recordBytes(r: WarcRecord, gzip: Boolean): Array[Byte] = {
     val head = new StringBuilder
     head ++= "WARC/1.0\r\n"
     head ++= s"WARC-Type: ${r.warc_type}\r\n"
     if (r.target_uri.nonEmpty) head ++= s"WARC-Target-URI: ${r.target_uri}\r\n"
     if (r.warc_date.nonEmpty) head ++= s"WARC-Date: ${r.warc_date}\r\n"
+    val recId = r.headers.getOrElse("warc-record-id", {
+      val seed = new ByteArrayOutputStream()
+      seed.write(r.target_uri.getBytes(StandardCharsets.UTF_8))
+      seed.write(0)
+      seed.write(r.content)
+      s"<urn:uuid:${java.util.UUID.nameUUIDFromBytes(seed.toByteArray)}>"
+    })
+    head ++= s"WARC-Record-ID: $recId\r\n"
+    r.headers.toSeq.filterNot(kv => explicitHeaderKeys.contains(kv._1))
+      .sortBy(_._1)
+      .foreach { case (k, v) => head ++= s"$k: $v\r\n" }
     if (r.content_type.nonEmpty) head ++= s"Content-Type: ${r.content_type}\r\n"
     head ++= s"Content-Length: ${r.content.length}\r\n\r\n"
     val bytes = new ByteArrayOutputStream()
@@ -197,22 +292,26 @@ object WarcIO {
     * `part-NNNNN.warc.gz` of per-record-gzipped `conversion` records
     * under `dir` — the CC text-corpus layout, parallel across
     * executors with no shuffle and no driver collection. Files write
-    * through the Hadoop FileSystem API, so any supported scheme works;
-    * tasks construct a default Configuration (custom hadoop conf
-    * entries needed for exotic stores should be in core-site.xml, the
-    * standard cluster arrangement). A `_SUCCESS` marker lands LAST —
-    * the committed-write protocol readers can trust. */
+    * through the Hadoop FileSystem API under the SESSION's hadoop
+    * configuration, broadcast to the tasks (ADVICE r13: a per-task
+    * default Configuration ignored spark.hadoop.* settings — object
+    * store credentials/endpoints — while the _SUCCESS marker used the
+    * session's, so one job could write data and marker against two
+    * different filesystems). The marker lands LAST — the
+    * committed-write protocol readers can trust. */
   def writeWetDir(df: DataFrame, dir: String, uriCol: String = "url",
       textCol: String = "text",
       date: String = "1970-01-01T00:00:00Z"): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     df.select(col(uriCol).cast("string"), col(textCol).cast("string"))
       .as[(String, String)]
       .rdd.mapPartitionsWithIndex { (pid, it) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         val p = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.warc.gz")
-        val fs = p.getFileSystem(conf)
+        val fs = p.getFileSystem(confBc.value.value)
         val out = fs.create(p, true)
         var n = 0L
         try it.foreach { case (uri, text) =>
@@ -231,29 +330,4 @@ object WarcIO {
     fs.create(marker, true).close()
   }
 
-  /** Decompress concatenated gzip members (the per-record CC layout —
-    * java's GZIPInputStream reads members back to back). */
-  private def gunzipAll(raw: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(raw))
-    val out = new ByteArrayOutputStream(raw.length * 4)
-    val buf = new Array[Byte](65536)
-    var n = in.read(buf)
-    while (n >= 0) {
-      out.write(buf, 0, n)
-      n = in.read(buf)
-    }
-    in.close()
-    out.toByteArray
-  }
-
-  private def indexOfCrlfCrlf(data: Array[Byte], from: Int): Int = {
-    var i = from
-    while (i + 3 < data.length) {
-      if (data(i) == '\r' && data(i + 1) == '\n' &&
-        data(i + 2) == '\r' && data(i + 3) == '\n') return i
-      i += 1
-    }
-    -1
-  }
 }

@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -67,13 +69,13 @@ final case class UnigramModel(pieces: Vector[String], logp: Vector[Double],
   * the d26 shape); seeding, EM and pruning then iterate on the driver
   * over a dict capped at `maxWords` word types (Zipf: the top 50k
   * types carry virtually all substring mass) — corpus size only
-  * affects the one count pass. This is deliberately hard-EM (each
-  * word's counts come from its single Viterbi-best segmentation)
-  * rather than Kudo's full forward-backward EM with
-  * likelihood-loss pruning: counts stay exact integers (deterministic
-  * across runs and platforms) and the spec proves the properties that
-  * matter — coverage, convergence of frequent substrings into pieces,
-  * and compression over the character baseline.
+  * affects the one count pass. TWO trainers share that shape:
+  * [[Unigram.train]] is hard-EM (each word's counts come from its
+  * single Viterbi-best segmentation — counts stay exact integers,
+  * deterministic across runs AND platforms), and [[Unigram.trainEm]]
+  * is Kudo's forward-backward EM proper with likelihood-loss pruning
+  * (expected counts over all segmentations; corpus log-likelihood
+  * provably ascends per step — the SentencePiece-parity mode).
   *
   * Encode scale shape: one pure map-side codegen pass; the model rides
   * as a reference object; no shuffle, no UDF. Gate d49 proves the
@@ -161,43 +163,10 @@ object Unigram {
     require(vocabSize >= 2, s"vocabSize must be >= 2, got $vocabSize")
     require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val wc = docs
-      .select(explode(graft.functions.TextFunctions.words(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w")).limit(maxWords)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    require(wc.nonEmpty, "unigram train: corpus has no words")
-
-    // singles: the coverage floor — every character of every dict word
-    val singleCounts = new java.util.TreeMap[String, Long]()
-    wc.foreach { case (w, c) =>
-      var i = 0
-      while (i < w.length) {
-        singleCounts.merge(String.valueOf(w.charAt(i)), c, (a, b) => a + b)
-        i += 1
-      }
-    }
-    val singles: Vector[String] =
-      singleCounts.keySet().toArray(Array.empty[String]).toVector
-
-    // seed: every substring of length 2..maxPieceLen, occurrence-counted
-    val sub = new java.util.HashMap[String, Long]()
-    wc.foreach { case (w, c) =>
-      var len = 2
-      while (len <= maxPieceLen) {
-        var i = 0
-        while (i + len <= w.length) {
-          sub.merge(w.substring(i, i + len), c, (a, b) => a + b)
-          i += 1
-        }
-        len += 1
-      }
-    }
-    var multi: Vector[(String, Long)] = {
-      val arr = new scala.collection.mutable.ArrayBuffer[(String, Long)](sub.size)
-      sub.forEach((p, c) => if (c >= minCount) { arr += ((p, c)); () })
-      arr.sortBy { case (p, c) => (-c, p) }.take(seedSize).toVector
-    }
+    val wc = collectDict(docs, textCol, maxWords)
+    val (singles, singleCounts, multi0) =
+      seedFrom(wc, maxPieceLen, seedSize, minCount)
+    var multi: Vector[(String, Long)] = multi0
 
     def normalize(counts: Map[String, Long]): UnigramModel = {
       // sorted iteration order pins the float total (determinism)
@@ -236,6 +205,276 @@ object Unigram {
     val budget = math.max(0, vocabSize - singles.length)
     val prunedMulti = multi.sortBy { case (p, c) => (-c, p) }.take(budget)
     normalize(singleFinal ++ prunedMulti.toMap)
+  }
+
+  /** ONE distributed word-count pass → the driver dict, (count desc,
+    * word)-truncated to `maxWords` (the [[Bpe.train]] Zipf argument) —
+    * shared by hard-EM [[train]] and forward-backward [[trainEm]]. */
+  private def collectDict(docs: DataFrame, textCol: String,
+      maxWords: Int): Array[(String, Long)] = {
+    val wc = docs
+      .select(explode(graft.functions.TextFunctions.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(wc.nonEmpty, "unigram train: corpus has no words")
+    wc
+  }
+
+  /** Seed construction shared by both trainers: singles (the coverage
+    * floor — every character of every dict word, so the <unk> fallback
+    * never fires during training and the EM lattice is a proper
+    * multinomial over pieces) and the (count desc, piece)-truncated
+    * multi-char substring candidates. */
+  private def seedFrom(wc: Array[(String, Long)], maxPieceLen: Int,
+      seedSize: Int, minCount: Long)
+      : (Vector[String], java.util.TreeMap[String, Long], Vector[(String, Long)]) = {
+    val singleCounts = new java.util.TreeMap[String, Long]()
+    wc.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        singleCounts.merge(String.valueOf(w.charAt(i)), c, (a, b) => a + b)
+        i += 1
+      }
+    }
+    val singles: Vector[String] =
+      singleCounts.keySet().toArray(Array.empty[String]).toVector
+    val sub = new java.util.HashMap[String, Long]()
+    wc.foreach { case (w, c) =>
+      var len = 2
+      while (len <= maxPieceLen) {
+        var i = 0
+        while (i + len <= w.length) {
+          sub.merge(w.substring(i, i + len), c, (a, b) => a + b)
+          i += 1
+        }
+        len += 1
+      }
+    }
+    val multi: Vector[(String, Long)] = {
+      val arr = new scala.collection.mutable.ArrayBuffer[(String, Long)](sub.size)
+      sub.forEach((p, c) => if (c >= minCount) { arr += ((p, c)); () })
+      arr.sortBy { case (p, c) => (-c, p) }.take(seedSize).toVector
+    }
+    (singles, singleCounts, multi)
+  }
+
+  /** Forward-backward EM training — Kudo 2018 §3.2 / the SentencePiece
+    * unigram trainer proper, closing [[train]]'s documented hard-EM
+    * simplification: the E-step accumulates EXPECTED piece counts over
+    * ALL segmentations of each dict word (forward/backward marginals
+    * on the segmentation lattice, log-domain), the M-step is the exact
+    * multinomial ML update, and pruning ranks pieces by Kudo's
+    * likelihood LOSS (how much the corpus log-likelihood drops when
+    * the piece is removed and its mass re-segments) instead of raw
+    * count. Because the seed singles cover every dict character, the
+    * lattice never needs the <unk> fallback and every EM step is a
+    * true EM step — corpus log-likelihood ascends monotonically
+    * (UnigramSpec proves the property; [[trainEmWithTrace]] exposes
+    * the per-step trace).
+    *
+    * Same scale shape as [[train]]: ONE distributed word-count pass,
+    * then driver iteration over the ≤ `maxWords` dict. [[train]]
+    * remains the deterministic exact-integer mode; this is the
+    * SentencePiece-parity mode (float expected counts, fixed
+    * accumulation order, so still run-to-run reproducible).
+    *
+    * The alternating schedule is Kudo's: `iters` EM steps, then prune
+    * the worst multi-char pieces to max(budget, 75% of current) by
+    * likelihood loss, repeat until the budget holds, with a final
+    * `iters` EM steps on the surviving vocabulary. */
+  def trainEm(docs: DataFrame, textCol: String = "text", vocabSize: Int = 1000,
+      maxPieceLen: Int = 4, seedSize: Int = 8000, iters: Int = 2,
+      maxWords: Int = 50000, minCount: Long = 2L): UnigramModel =
+    trainEmWithTrace(docs, textCol, vocabSize, maxPieceLen, seedSize, iters,
+      maxWords, minCount)._1
+
+  /** [[trainEm]] plus the corpus log-likelihood measured at the START
+    * of each EM step (so within one prune round the trace is the
+    * textbook nondecreasing EM sequence; a prune is allowed to drop
+    * it — that is the size/likelihood trade being bought). */
+  def trainEmWithTrace(docs: DataFrame, textCol: String = "text",
+      vocabSize: Int = 1000, maxPieceLen: Int = 4, seedSize: Int = 8000,
+      iters: Int = 2, maxWords: Int = 50000, minCount: Long = 2L)
+      : (UnigramModel, Vector[Vector[Double]]) = {
+    require(vocabSize >= 2, s"vocabSize must be >= 2, got $vocabSize")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    require(iters >= 1, s"trainEm: iters must be >= 1, got $iters")
+    val wc = collectDict(docs, textCol, maxWords)
+    val (singles, singleCounts, multi0) =
+      seedFrom(wc, maxPieceLen, seedSize, minCount)
+    val singleSet = singles.toSet
+
+    def normalizeD(counts: Map[String, Double]): UnigramModel = {
+      val ordered = counts.toVector.sortBy(_._1)
+      val total = ordered.iterator.map(_._2).sum
+      UnigramModel(ordered.map(_._1),
+        ordered.map { case (_, c) => math.log(c / total) },
+        unkLogp = math.log(0.5 / total))
+    }
+
+    var pieceCounts: Map[String, Double] =
+      (singles.map(s => s -> singleCounts.get(s).doubleValue()) ++
+        multi0.map { case (p, c) => p -> c.toDouble }).toMap
+    var model = normalizeD(pieceCounts)
+    val budget = math.max(0, vocabSize - singles.length)
+    val traces = scala.collection.mutable.ArrayBuffer.empty[Vector[Double]]
+
+    var done = false
+    while (!done) {
+      // `iters` EM steps on the current piece set
+      val trace = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var it = 0
+      while (it < iters) {
+        val (ll, expected) = emStep(wc, model)
+        trace += ll
+        // every candidate keeps positive expected mass (all spans have
+        // nonzero posterior), so the exact M-step never zeroes a piece
+        pieceCounts = expected
+        model = normalizeD(pieceCounts)
+        it += 1
+      }
+      traces += trace.toVector
+      val multiNow = pieceCounts.keysIterator
+        .filterNot(singleSet.contains).toVector
+      if (multiNow.size <= budget) done = true
+      else {
+        // Kudo's likelihood-loss prune: loss(p) = E[count_p] ·
+        // (logp(p) − best alternative segmentation of p without p
+        // itself). Low loss = cheap to remove. Shrink to
+        // max(budget, 75%) and re-run EM on the survivors.
+        val keep = math.max(budget, (multiNow.size * 3) / 4)
+        val losses = multiNow.map { p =>
+          val lp = model.table.get(p).doubleValue()
+          val alt = viterbiExcludingSelf(p, model)
+          (p, pieceCounts(p) * (lp - alt))
+        }
+        val kept = losses.sortBy { case (p, l) => (-l, p) }.take(keep)
+          .map(_._1).toSet
+        pieceCounts = pieceCounts.filter { case (p, _) =>
+          singleSet.contains(p) || kept.contains(p) }
+        model = normalizeD(pieceCounts)
+      }
+    }
+    (model, traces.toVector)
+  }
+
+  /** One forward-backward E-step over the dict: returns (corpus
+    * log-likelihood under `model`, expected piece counts). Fixed
+    * iteration order (the dict's (count desc, word) order, spans
+    * scanned j-then-i ascending) pins the float accumulation. */
+  private def emStep(wc: Array[(String, Long)], model: UnigramModel)
+      : (Double, Map[String, Double]) = {
+    val counts = new java.util.HashMap[String, java.lang.Double]()
+    var ll = 0.0
+    wc.foreach { case (w, c) =>
+      val n = w.length
+      val maxLen = model.maxPieceLen
+      // forward: alpha(i) = logsumexp_j alpha(j) + lp(w[j..i))
+      val alpha = new Array[Double](n + 1)
+      java.util.Arrays.fill(alpha, Double.NegativeInfinity)
+      alpha(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        var j = math.max(0, i - maxLen)
+        while (j < i) {
+          val lp = pieceLogp(w, j, i, model)
+          if (!lp.isNaN && alpha(j) != Double.NegativeInfinity)
+            alpha(i) = logAdd(alpha(i), alpha(j) + lp)
+          j += 1
+        }
+        i += 1
+      }
+      // beta: beta(j) = logsumexp_i lp(w[j..i)) + beta(i)
+      val beta = new Array[Double](n + 1)
+      java.util.Arrays.fill(beta, Double.NegativeInfinity)
+      beta(n) = 0.0
+      var j2 = n - 1
+      while (j2 >= 0) {
+        var i2 = j2 + 1
+        val lim = math.min(n, j2 + maxLen)
+        while (i2 <= lim) {
+          val lp = pieceLogp(w, j2, i2, model)
+          if (!lp.isNaN && beta(i2) != Double.NegativeInfinity)
+            beta(j2) = logAdd(beta(j2), lp + beta(i2))
+          i2 += 1
+        }
+        j2 -= 1
+      }
+      val z = alpha(n) // == beta(0) up to float noise
+      ll += c * z
+      // span posteriors -> expected counts
+      var j3 = 0
+      while (j3 < n) {
+        var i3 = j3 + 1
+        val lim = math.min(n, j3 + maxLen)
+        while (i3 <= lim) {
+          val lp = pieceLogp(w, j3, i3, model)
+          if (!lp.isNaN) {
+            val gamma = math.exp(alpha(j3) + lp + beta(i3) - z)
+            if (gamma > 0.0) {
+              val p = w.substring(j3, i3)
+              counts.merge(p, c * gamma, (a, b) => a + b)
+            }
+          }
+          i3 += 1
+        }
+        j3 += 1
+      }
+    }
+    val out = Map.newBuilder[String, Double]
+    counts.forEach((p, c) => out += (p -> c.doubleValue()))
+    (ll, out.result())
+  }
+
+  /** logp of span w[j..i) under the model; NaN = no such piece. The
+    * <unk> fallback is deliberately ABSENT: training seeds cover every
+    * dict character, and letting unk leak into the lattice would break
+    * the proper-multinomial EM guarantee. */
+  private def pieceLogp(w: String, j: Int, i: Int,
+      model: UnigramModel): Double = {
+    val lpBoxed = model.table.get(w.substring(j, i))
+    if (lpBoxed != null) lpBoxed.doubleValue() else Double.NaN
+  }
+
+  private def logAdd(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else if (a >= b) a + math.log1p(math.exp(b - a))
+    else b + math.log1p(math.exp(a - b))
+
+  /** Best segmentation score of the STRING `p` when `p` itself is off
+    * the table (its occurrences must re-segment) — the alternative
+    * term of the likelihood-loss prune. Singles keep the unk fallback
+    * here: a single-char piece can never re-segment, so its loss is
+    * moot (singles are never pruned). */
+  private def viterbiExcludingSelf(p: String, model: UnigramModel): Double = {
+    val n = p.length
+    val maxLen = model.maxPieceLen
+    val score = new Array[Double](n + 1)
+    java.util.Arrays.fill(score, Double.NegativeInfinity)
+    score(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        // skip the full span == p (that IS the piece being costed out)
+        if (!(j == 0 && i == n)) {
+          val lpBoxed = model.table.get(p.substring(j, i))
+          val lp: Double =
+            if (lpBoxed != null) lpBoxed.doubleValue()
+            else if (i - j == 1) model.unkLogp
+            else Double.NaN
+          if (!lp.isNaN && score(j) != Double.NegativeInfinity) {
+            val s = score(j) + lp
+            if (s > score(i)) score(i) = s
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    score(n)
   }
 
   /** The k smallest DISTINCT segmentation costs (cost = −score) of one
@@ -423,6 +662,91 @@ object Unigram {
       r.getSeq[Double](1).toVector, r.getDouble(2))
   }
 
+  // ——— byte fallback (GPT-2 / SentencePiece --byte_fallback) ———
+
+  /** The byte piece for one byte value: `<0xAB>` (SentencePiece's
+    * rendering). With the 256 byte pieces appended to a vocabulary,
+    * EVERY UTF-8 input encodes into a CLOSED vocab — no <unk> token
+    * ever reaches training data. */
+  def bytePiece(b: Int): String = f"<0x${b & 0xff}%02X>"
+
+  private def isBytePiece(p: String): Boolean =
+    p.length == 6 && p.startsWith("<0x") && p.charAt(5) == '>' &&
+      isHex(p.charAt(3)) && isHex(p.charAt(4))
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F')
+
+  /** [[viterbi]] pieces with byte fallback: each out-of-vocabulary
+    * single character (the spans the plain encoder scores as <unk>)
+    * expands into its UTF-8 `<0xXX>` byte pieces, so the output draws
+    * only from model pieces ∪ the 256 byte pieces and ANY string
+    * encodes losslessly ([[decodePieces]] inverts it — the spec's
+    * round-trip contract). Scores are [[viterbi]]'s (the fallback
+    * char still costs one unkLogp — byte expansion is a RENDERING of
+    * the unk single, not a different lattice path).
+    *
+    * Collision contract: a vocabulary must not contain a literal
+    * `<0xXX>` string as a piece (the model's [a-z0-9]+-word training
+    * never produces one); [[decodePieces]] would decode it as a byte. */
+  def viterbiBytes(w: String, model: UnigramModel): Array[String] =
+    expandBytes(viterbi(w, model)._2, model)
+
+  /** Expand each out-of-vocabulary piece (exactly the unk singles the
+    * Viterbi emitted) into `<0xXX>` byte pieces — shared by
+    * [[viterbiBytes]] and the encode expression's byteFallback mode.
+    * MAXIMAL RUNS of adjacent OOV singles expand as one string: the
+    * Viterbi DP walks UTF-16 chars, so an astral codepoint (emoji) is
+    * TWO adjacent unk singles — encoding each lone surrogate alone
+    * would mangle it to '?' bytes; rejoined, the pair UTF-8-encodes
+    * correctly and the round-trip survives. */
+  private[ops] def expandBytes(pieces: Array[String],
+      model: UnigramModel): Array[String] = {
+    var anyMiss = false
+    var i = 0
+    while (i < pieces.length && !anyMiss) {
+      if (!model.table.containsKey(pieces(i))) anyMiss = true
+      i += 1
+    }
+    if (!anyMiss) pieces // the common path: no allocation
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[String](pieces.length)
+      val run = new java.lang.StringBuilder
+      def flush(): Unit = {
+        if (run.length() > 0) {
+          run.toString.getBytes(StandardCharsets.UTF_8)
+            .foreach(b => out += bytePiece(b.toInt))
+          run.setLength(0)
+        }
+      }
+      pieces.foreach { p =>
+        if (model.table.containsKey(p)) { flush(); out += p }
+        else run.append(p)
+      }
+      flush()
+      out.toArray
+    }
+  }
+
+  /** Inverse of [[viterbiBytes]]: model pieces concatenate as text,
+    * `<0xXX>` pieces concatenate as raw bytes, the whole buffer decodes
+    * as UTF-8 — arbitrary input round-trips encode→decode exactly. */
+  def decodePieces(pieces: Seq[String]): String = {
+    val bytes = new java.io.ByteArrayOutputStream(64)
+    pieces.foreach { p =>
+      if (isBytePiece(p))
+        bytes.write(Integer.parseInt(p.substring(3, 5), 16))
+      else bytes.write(p.getBytes(StandardCharsets.UTF_8))
+    }
+    new String(bytes.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  /** [[encodeCol]] with byte fallback: same struct schema, `toks`
+    * renders byte pieces inline — a closed-vocabulary encode whose
+    * piece stream [[decodePieces]] can invert. */
+  def encodeBytesCol(ws: Column, model: UnigramModel): Column =
+    ExpressionUtils.column(UnigramEncodeExpr(
+      ExpressionUtils.expression(ws), model, byteFallback = true))
+
   /** splitmix64 step → uniform double in [0,1) (the standard 53-bit
     * mantissa construction). ONE copy for every sampling consumer. */
   def splitmixUniform(seed: Long): Double = {
@@ -437,8 +761,8 @@ object Unigram {
 /** Viterbi unigram encode of a words array — see [[Unigram.encodeCol]].
   * One driver-trained model reference object; per-word DP with the
   * pinned (score, n_pieces, longest-last-piece) tie-break. */
-final case class UnigramEncodeExpr(child: Expression, model: UnigramModel)
-    extends UnaryExpression {
+final case class UnigramEncodeExpr(child: Expression, model: UnigramModel,
+    byteFallback: Boolean = false) extends UnaryExpression {
 
   // loud at ANALYSIS, not a per-task cast failure (the BpeEncodeExpr
   // contract): raw text is the easy mistake — words() is required
@@ -458,12 +782,14 @@ final case class UnigramEncodeExpr(child: Expression, model: UnigramModel)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    UnigramEncodeExpr.compute(input.asInstanceOf[ArrayData], model)
+    UnigramEncodeExpr.compute(input.asInstanceOf[ArrayData], model,
+      byteFallback)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("unigrammodel", model,
       classOf[UnigramModel].getName)
-    defineCodeGen(ctx, ev, c => s"graft.ops.UnigramEncodeExpr.compute($c, $ref)")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.UnigramEncodeExpr.compute($c, $ref, $byteFallback)")
   }
 
   override protected def withNewChildInternal(
@@ -619,7 +945,8 @@ object UnigramEncodeExpr {
     StructField("score", DoubleType, nullable = false),
     StructField("toks", StringType, nullable = false)))
 
-  def compute(arr: ArrayData, model: UnigramModel): InternalRow = {
+  def compute(arr: ArrayData, model: UnigramModel,
+      byteFallback: Boolean): InternalRow = {
     val nw = arr.numElements()
     val sb = new java.lang.StringBuilder
     var total = 0
@@ -628,7 +955,9 @@ object UnigramEncodeExpr {
     while (wi < nw) {
       require(!arr.isNullAt(wi), s"unigram: null word at index $wi")
       val w = arr.getUTF8String(wi).toString
-      val (s, pieces) = Unigram.viterbi(w, model)
+      val (s, pieces0) = Unigram.viterbi(w, model)
+      val pieces =
+        if (byteFallback) Unigram.expandBytes(pieces0, model) else pieces0
       score += s
       total += pieces.length
       if (wi > 0) sb.append(" | ")

@@ -540,6 +540,48 @@ class IOSpec extends SparkSpec {
     assert(chain(ex).contains("truncated"), chain(ex))
   }
 
+  test("WARC headers: mandatory Record-ID emitted deterministically, " +
+      "extra headers round-trip, legal duplicates comma-join (ADVICE r13)") {
+    import graft.io.{WarcIO, WarcRecord}
+    val rec = WarcRecord("", 0, "response", "https://example.com/x",
+      "2026-08-15T00:00:00Z", "text/plain",
+      Map("warc-concurrent-to" -> "<urn:uuid:aaa>",
+        "warc-ip-address" -> "10.0.0.1"),
+      "body text".getBytes("UTF-8"))
+    val b1 = WarcIO.recordBytes(rec, gzip = false)
+    // deterministic: same record -> same bytes (the Record-ID derives
+    // from content, not a random UUID)
+    assert(java.util.Arrays.equals(b1, WarcIO.recordBytes(rec, gzip = false)))
+    val parsed = WarcIO.parseAll("t", b1)
+    assert(parsed.length == 1)
+    val h = parsed.head.headers
+    assert(h.get("warc-record-id").exists(_.startsWith("<urn:uuid:")), h)
+    assert(h.get("warc-ip-address").contains("10.0.0.1"), h)
+    assert(h.get("warc-concurrent-to").contains("<urn:uuid:aaa>"), h)
+    // a parsed Record-ID survives a re-write verbatim (round-trip)
+    val again = WarcIO.parseAll("t",
+      WarcIO.recordBytes(parsed.head, gzip = false)).head
+    assert(again.headers.get("warc-record-id") == h.get("warc-record-id"))
+    // legal repeated headers (WARC-Concurrent-To) comma-join instead
+    // of last-wins dropping
+    val dup = ("WARC/1.0\r\nWARC-Type: metadata\r\n" +
+      "WARC-Concurrent-To: <urn:uuid:one>\r\n" +
+      "WARC-Concurrent-To: <urn:uuid:two>\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes("UTF-8")
+    val d = WarcIO.parseAll("t", dup).head
+    assert(d.headers("warc-concurrent-to") == "<urn:uuid:one>, <urn:uuid:two>",
+      d.headers.toString)
+    // the streaming parser is record-incremental: a many-record gzip
+    // archive (concatenated members) parses via the iterator without
+    // whole-archive materialization
+    val many = (0 until 200).flatMap(i => WarcIO.recordBytes(
+      rec.copy(record_idx = i, content = s"body $i".getBytes("UTF-8")),
+      gzip = true)).toArray
+    val it = WarcIO.parseStream("m", new java.io.ByteArrayInputStream(many))
+    assert(it.take(3).toSeq.map(r => new String(r.content, "UTF-8")) ==
+      Seq("body 0", "body 1", "body 2"))
+  }
+
   test("WET round-trip: distributed per-partition sink, conversion-record " +
       "source, committed marker") {
     import graft.io.WarcIO

@@ -630,6 +630,86 @@ class OpsSpec extends SparkSpec {
       s"pieces ${enc.getLong(0)} must compress chars ${enc.getLong(1)}")
   }
 
+  test("unigram byte fallback: arbitrary UTF-8 round-trips encode -> " +
+      "decode into a closed vocabulary (VERDICT r13 stretch #6)") {
+    import graft.ops.{Unigram, UnigramModel}
+    // ASCII-only toy vocabulary; anything outside it must byte-expand
+    val m = UnigramModel(
+      Vector("a", "b", "c", "ab"), Vector(-2.0, -2.0, -2.0, -3.0),
+      unkLogp = -10.0)
+    val fixtures = Seq("abc", "héllo", "日本語x", "a😀b", "ab c",
+      "ab", "über-maß")
+    fixtures.foreach { w =>
+      val pieces = Unigram.viterbiBytes(w, m)
+      // closed vocabulary: every piece is a model piece or a byte piece
+      pieces.foreach(p => assert(
+        m.pieces.contains(p) || p.matches("<0x[0-9A-F]{2}>"),
+        s"'$w' produced open-vocab piece '$p'"))
+      assert(Unigram.decodePieces(pieces.toSeq) == w,
+        s"'$w' -> ${pieces.mkString("[", ",", "]")} failed to round-trip")
+    }
+    // in-vocab words never expand (the no-allocation common path)
+    assert(Unigram.viterbiBytes("abc", m).toSeq == Seq("ab", "c"))
+    // column form: same expansion, n_pieces counts expanded pieces
+    val df = Seq((1L, Seq("héllo", "ab"))).toDF("id", "ws")
+      .select(col("id"), Unigram.encodeBytesCol(col("ws"), m).as("u"))
+      .select(col("id"), col("u.n_pieces"), col("u.toks")).collect().head
+    // héllo: h,é(2 bytes),l,l,o -> 1 + 2 + 3 = 6 pieces; ab -> 1
+    assert(df.getInt(1) == 7, df.toString)
+    assert(df.getString(2).contains("<0xC3> <0xA9>"), df.getString(2))
+  }
+
+  test("unigram forward-backward EM: corpus log-likelihood ascends " +
+      "monotonically within each prune round, beats hard-EM, " +
+      "seeds-to-pieces regression") {
+    import graft.ops.Unigram
+    val corpus = (Seq.fill(8)("banana bandana cabana") ++
+      Seq.fill(4)("the other thing on the bank") ++
+      Seq.fill(2)("running winning sing"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (m, traces) = Unigram.trainEmWithTrace(corpus, vocabSize = 60,
+      maxPieceLen = 3, seedSize = 500, iters = 4)
+    // the EM guarantee: within a prune round every step's corpus LL is
+    // >= the previous step's (tolerance = float accumulation noise)
+    traces.foreach { round =>
+      round.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b >= a - math.abs(a) * 1e-12,
+            s"EM likelihood must ascend: $a -> $b in $round")
+        case _ => ()
+      }
+    }
+    assert(traces.nonEmpty && traces.head.size == 4)
+    // pruning happened: at least one extra round ran and the final
+    // vocabulary respects the budget
+    assert(m.pieces.length <= 60, s"budget: ${m.pieces.length}")
+    // coverage floor survives likelihood-loss pruning
+    "bananbdcthoeringwunks".toSet.foreach((c: Char) =>
+      assert(m.pieces.contains(String.valueOf(c)), s"single '$c'"))
+    // the EM model's corpus LL is at least the hard-EM model's (soft
+    // counts dominate Viterbi-only counts on this corpus)
+    val hard = Unigram.train(corpus, vocabSize = 60, maxPieceLen = 3,
+      seedSize = 500, iters = 4)
+    def corpusLl(model: graft.ops.UnigramModel): Double = {
+      val words = Seq.fill(8)("banana bandana cabana").flatMap(_.split(" ")) ++
+        Seq.fill(4)("the other thing on the bank").flatMap(_.split(" ")) ++
+        Seq.fill(2)("running winning sing").flatMap(_.split(" "))
+      words.map(w => Unigram.viterbi(w, model)._1).sum
+    }
+    assert(corpusLl(m) >= corpusLl(hard) - 1e-9,
+      s"soft-EM ${corpusLl(m)} vs hard-EM ${corpusLl(hard)}")
+    // determinism: same data, any partitioning -> same model
+    val m2 = Unigram.trainEm(corpus.repartition(7), vocabSize = 60,
+      maxPieceLen = 3, seedSize = 500, iters = 4)
+    assert(m2 == m, "EM model must not depend on partitioning")
+    // seeds-to-pieces regression fixture: the frequent 'an'/'na'
+    // family must survive as multi-char pieces on this corpus
+    val multi = m.pieces.filter(_.length >= 2).toSet
+    assert(multi.exists(_.contains("an")), s"an-family in $multi")
+    assert(multi.exists(p => p.contains("ing") || p.contains("in")),
+      s"ing-family in $multi")
+  }
+
   test("tokenizer persistence: unigram model and BPE merges round-trip " +
       "parquet with bit-identical encodes") {
     import graft.ops.{Bpe, Unigram}
@@ -757,6 +837,54 @@ class OpsSpec extends SparkSpec {
     val tied2 = QualityClassifier.scoreSparseMulti(feats, w,
       Seq("y" -> 0.0, "x" -> 0.0)).collect().head
     assert(tied2.getAs[String]("pred") == "y", tied2.toString)
+  }
+
+  test("telemetry twins: approx percentiles bounded vs exact, CMS top-k " +
+      "never undercounts and coincides with exact at ample width " +
+      "(VERDICT r13 stretch #7)") {
+    import graft.ops.Telemetry
+    // skewed corpus: word w<i> appears ~zipf times across two groups
+    val rows = (0 until 400).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      val reps = 1 + (400 / (i + 1))
+      (i.toLong, lang, (s"w$i " * reps).trim)
+    }
+    val d = rows.toDF("doc_id", "lang", "text")
+      .withColumn("n_words", size(TextFunctions.words(col("text"))))
+    // percentiles: exact path matches the d24 shape; approx at high
+    // accuracy must land within Spark's rank-error bound (<= n/acc
+    // ranks; with acc >> group size that is EXACT)
+    val exact = Telemetry.lengthStats(d, "lang", "n_words")
+      .collect().map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5))).toMap
+    val approx = Telemetry.lengthStats(d, "lang", "n_words", exact = false,
+        accuracy = 100000)
+      .collect().map(r => r.getString(0) -> (r.getDouble(4), r.getDouble(5))).toMap
+    // approx_percentile returns an OBSERVED value at a rank within the
+    // bound; exact `percentile` interpolates between ranks — at 200
+    // values per group the two can differ by at most one observed step
+    Seq("en", "de").foreach { g =>
+      val (e50, e90) = exact(g); val (a50, a90) = approx(g)
+      assert(math.abs(a50 - e50) <= 1.0, s"$g p50: approx $a50 vs exact $e50")
+      assert(math.abs(a90 - e90) <= 1.0, s"$g p90: approx $a90 vs exact $e90")
+    }
+    // CMS top-k: estimates never undercount; with width >> vocab and
+    // cand >= vocab the top-k SET and ORDER equal the exact path
+    val trueCounts = rows.flatMap(_._3.split(" ")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val got = Telemetry.vocabTopKSketch(d, "text", k = 20,
+        width = 1 << 14, cand = 512)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    got.foreach { case (w, est) =>
+      assert(est >= trueCounts(w), s"CMS must overcount: $w est $est " +
+        s"< true ${trueCounts(w)}") }
+    val exactTop = trueCounts.toSeq.sortBy { case (w, n) => (-n, w) }.take(20)
+    assert(got.toSeq == exactTop,
+      s"ample-width sketch must equal exact top-k:\n$got\nvs\n$exactTop")
+    // repartitioning must not change the answer (merge path exercised)
+    val got2 = Telemetry.vocabTopKSketch(d.repartition(7), "text", k = 20,
+        width = 1 << 14, cand = 512)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got2.toSeq == exactTop, "partition-invariant at ample width")
   }
 
   test("language id picks marker language") {
