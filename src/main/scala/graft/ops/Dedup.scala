@@ -249,38 +249,90 @@ object Dedup {
     * against it with [[dedupDelta]] WITHOUT re-sketching the corpus —
     * the incremental-crawl shape (real corpora grow by deltas; a
     * per-run [[minhashLsh]] re-pays the full-corpus sketch every
-    * time). Layout (the BM25 `Relevance.buildIndex` protocol):
-    *  - `sets` (doc_id, sh): the hashed shingle sets, kept for the
-    *    exact-Jaccard verification of candidate pairs;
-    *  - `bands` (doc_id, band, band_hash): the LSH band keys,
+    * time). Layout (the BM25 `Relevance.buildIndex` protocol, SHARDED
+    * so [[appendToLshIndex]] can grow it crash-safely):
+    *  - `sets/shard=G` (doc_id, sh): the hashed shingle sets, kept for
+    *    the exact-Jaccard verification of candidate pairs;
+    *  - `bands/shard=G` (doc_id, band, band_hash): the LSH band keys,
     *    repartitioned+sorted by (band, band_hash) — narrow ~20-byte
     *    rows, so the delta join's index-side scan reads band keys,
     *    never corpus text;
-    *  - `meta` (one row: n_gram, num_hashes, bands), written LAST as
-    *    the commit marker — a crashed build never looks complete — and
-    *    carrying the sketch parameters so a delta run can never pair
+    *  - `meta` (one row: n_gram, num_hashes, bands, shards), written
+    *    LAST as the commit marker — a crashed build or append never
+    *    looks complete (readers prune shard > the committed frontier,
+    *    so a half-written shard directory is invisible) — and carrying
+    *    the sketch parameters so a delta run can never pair
     *    incompatible signatures. */
   def buildLshIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nGram: Int = 3, numHashes: Int = 128,
       bands: Int = 32): Unit = {
     require(bands >= 1, s"bands must be >= 1, got $bands")
     require(numHashes % bands == 0, "bands must divide numHashes")
+    writeLshShard(docs, idCol, textCol, path, nGram, numHashes, bands,
+      shard = 0)
+  }
+
+  /** Fold an already-deduped delta shard INTO the index so the NEXT
+    * delta pairs against it too — the full incremental loop:
+    * `dedupDelta(shard) → resolve pairs → appendToLshIndex(shard)`.
+    * One sketch pass over the shard (same cost as its dedupDelta
+    * sketch); the standing shards are untouched — no rewrite, no
+    * re-read. Crash-safe: the new `shard=G` directories become visible
+    * only when the meta rewrite (LAST step) commits the new shard
+    * count; a crash mid-append leaves an orphan directory readers
+    * never select. Same disjoint-ids precondition as [[dedupDelta]]. */
+  def appendToLshIndex(delta: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = delta.sparkSession
+    val (nGram, numHashes, bands, shards) = readLshMeta(spark, path)
+    writeLshShard(delta, idCol, textCol, path, nGram, numHashes, bands,
+      shard = shards + 1)
+  }
+
+  /** ONE shard writer shared by build (shard 0) and append (shard G+1):
+    * sets + bands parquet under `shard=G` directories, then the meta
+    * commit row naming G as the committed frontier. */
+  private def writeLshShard(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nGram: Int, numHashes: Int, bands: Int,
+      shard: Int): Unit = {
     val r = numHashes / bands
     val spark = docs.sparkSession
     import spark.implicits._
     val sets = shingleSets(docs, idCol, textCol, nGram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      sets.write.mode("overwrite").parquet(s"$path/sets")
+      sets.write.mode("overwrite").parquet(s"$path/sets/shard=$shard")
       val sig = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
       bandKeys(sig, bands, r)
         .repartition(col("band"), col("band_hash"))
         .sortWithinPartitions("band", "band_hash")
-        .write.mode("overwrite").parquet(s"$path/bands")
-      Seq((nGram, numHashes, bands)).toDF("n_gram", "num_hashes", "bands")
+        .write.mode("overwrite").parquet(s"$path/bands/shard=$shard")
+      Seq((nGram, numHashes, bands, shard))
+        .toDF("n_gram", "num_hashes", "bands", "shards")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     } finally { sets.unpersist(blocking = false); () }
   }
+
+  /** Committed index parameters; loud when the commit marker is
+    * missing (a crashed build never looks complete). */
+  private def readLshMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Int, Int) = {
+    require(graft.ops.Similarity.committedParquetExists(spark, s"$path/meta"),
+      s"lsh index at '$path' is missing or incomplete " +
+        "(no committed meta table - builds write it last)")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+  }
+
+  /** The committed rows of an index-side table: directory-partitioned
+    * by shard, filtered to the meta-committed frontier (an orphan
+    * shard directory from a crashed append is invisible — partition
+    * PRUNING drops it at planning, its files are never opened). */
+  private def committedShards(spark: org.apache.spark.sql.SparkSession,
+      dir: String, shards: Int, cols: Seq[String]): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("shard") <= shards)
+      .select(cols.map(col): _*)
 
   /** Near-dup pairs for an arriving `delta` shard against a
     * [[buildLshIndex]]-persisted corpus: every (corpus, delta) and
@@ -305,12 +357,7 @@ object Dedup {
   def dedupDelta(delta: DataFrame, idCol: String, textCol: String,
       path: String, threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
     val spark = delta.sparkSession
-    require(graft.ops.Similarity.committedParquetExists(spark, s"$path/meta"),
-      s"lsh index at '$path' is missing or incomplete " +
-        "(no committed meta table - builds write it last)")
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val (nGram, numHashes, bands) =
-      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val (nGram, numHashes, bands, shards) = readLshMeta(spark, path)
     val r = numHashes / bands
 
     // delta-side sketch: the only tokenization in the whole plan. The
@@ -323,7 +370,9 @@ object Dedup {
       bands, r))
     val dCapped = capBuckets(dBanded, Seq("band", "band_hash"), maxBucket)
 
-    val iBanded = capBuckets(spark.read.parquet(s"$path/bands"),
+    val iBanded = capBuckets(
+      committedShards(spark, s"$path/bands", shards,
+        Seq("doc_id", "band", "band_hash")),
       Seq("band", "band_hash"), maxBucket)
 
     // corpus-vs-delta: plain equi-join on the band key (no id order —
@@ -342,7 +391,8 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val candidates = cross.union(self).distinct()
 
-    val allSets = spark.read.parquet(s"$path/sets").union(dSets)
+    val allSets = committedShards(spark, s"$path/sets", shards,
+      Seq("doc_id", "sh")).union(dSets)
     verifyJaccard(candidates, allSets, threshold)
   }
 

@@ -88,6 +88,25 @@ class OpsSpec extends SparkSpec {
       Dedup.dedupDelta(delta, "doc_id", "text", s"$dir/nothere")
     }
     assert(ex.getMessage.contains("missing or incomplete"), ex.getMessage)
+    // the incremental loop: fold the deduped delta INTO the index; a
+    // SECOND delta must now pair against both the corpus and shard 1
+    Dedup.appendToLshIndex(delta, "doc_id", "text", s"$dir/idx")
+    val delta2 = Seq((30L, base), // dup of 1 (corpus) AND 20 (shard 1)
+      (31L, "fresh unrelated words that match nothing else at all here"))
+      .toDF("doc_id", "text")
+    val got2 = Dedup.dedupDelta(delta2, "doc_id", "text", s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2.contains((1L, 30L)) && got2.contains((20L, 30L)),
+      s"second delta must pair against corpus AND appended shard: $got2")
+    assert(!got2.exists(p => p._2 == 31L), s"unrelated doc pairs nothing: $got2")
+    // crash-safety: an ORPHAN shard directory (append died before the
+    // meta commit) is invisible — same query, same answer
+    Dedup.shingleSets(Seq((99L, base)).toDF("doc_id", "text"),
+        "doc_id", "text", 3)
+      .write.parquet(s"$dir/idx/sets/shard=9")
+    val got3 = Dedup.dedupDelta(delta2, "doc_id", "text", s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3 == got2, s"orphan shard must be pruned: $got3 vs $got2")
   }
 
   test("simhash pairs near-dups within hamming budget") {
