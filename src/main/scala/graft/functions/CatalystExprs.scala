@@ -973,8 +973,13 @@ final case class GopherStatsExpr(child: Expression, stops: Seq[String])
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], stopArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Java SOURCE type, never classOf[Array[String]].getName — that is
+    // the JVM binary name "[Ljava.lang.String;", which janino rejects
+    // ("Unexpected token [") and the whole stage silently fell back to
+    // INTERPRETED eval for every d44/d46/d48 plan containing this
+    // expression (review r14; the Bpe merges reference had it right)
     val ref = ctx.addReferenceObj("gopherStops", stopArr,
-      classOf[Array[String]].getName)
+      "java.lang.String[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.GopherStatsExpr.compute($c, $ref)")
   }

@@ -21,6 +21,27 @@ class GopherRulesSpec extends SparkSpec {
     s + " " + s + " again more words pad"
   }
 
+  test("gopher_stats codegen COMPILES - no silent interpreted fallback " +
+      "(review r14: the [Ljava.lang.String; reference-type bug meant " +
+      "every d44/d46/d48 stage fell back to interpreted eval)") {
+    // CODEGEN_ONLY + fallback off: a compile failure throws instead of
+    // silently degrading the whole stage
+    val prevMode = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFb = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = GopherRules.flags(
+        Seq((1L, goodText)).toDF("doc_id", "text")).count()
+      assert(n == 1L)
+    } finally {
+      prevMode.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      prevFb.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
   test("a clean prose doc passes every rule") {
     val r = flagsOf(goodText)
     assert(r.getAs[Int]("n_words") >= 50)
