@@ -281,12 +281,20 @@ object Dedup {
     * only when the meta rewrite (LAST step) commits the new shard
     * count; a crash mid-append leaves an orphan directory readers
     * never select. Same disjoint-ids precondition as [[dedupDelta]]. */
+  /** @param tag idempotence token for retried appends (a streaming
+    *   foreachBatch re-runs a FAILED batch; without the guard the
+    *   retry would append the same docs as a second shard, putting
+    *   duplicate ids in the index). A non-empty tag equal to the LAST
+    *   committed one makes the call a no-op — sufficient for
+    *   Structured Streaming, which always retries batch N to
+    *   completion before starting N+1. */
   def appendToLshIndex(delta: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
+      path: String, tag: String = ""): Unit = {
     val spark = delta.sparkSession
-    val (nGram, numHashes, bands, shards) = readLshMeta(spark, path)
-    writeLshShard(delta, idCol, textCol, path, nGram, numHashes, bands,
-      shard = shards + 1)
+    val m = readLshMeta(spark, path)
+    if (tag.nonEmpty && tag == m.tag) () // retry of an applied append
+    else writeLshShard(delta, idCol, textCol, path, m.nGram, m.numHashes,
+      m.bands, shard = m.shards + 1, tag = tag)
   }
 
   /** ONE shard writer shared by build (shard 0) and append (shard G+1):
@@ -294,7 +302,7 @@ object Dedup {
     * commit row naming G as the committed frontier. */
   private def writeLshShard(docs: DataFrame, idCol: String, textCol: String,
       path: String, nGram: Int, numHashes: Int, bands: Int,
-      shard: Int): Unit = {
+      shard: Int, tag: String = ""): Unit = {
     val r = numHashes / bands
     val spark = docs.sparkSession
     import spark.implicits._
@@ -307,21 +315,25 @@ object Dedup {
         .repartition(col("band"), col("band_hash"))
         .sortWithinPartitions("band", "band_hash")
         .write.mode("overwrite").parquet(s"$path/bands/shard=$shard")
-      Seq((nGram, numHashes, bands, shard))
-        .toDF("n_gram", "num_hashes", "bands", "shards")
+      Seq((nGram, numHashes, bands, shard, tag))
+        .toDF("n_gram", "num_hashes", "bands", "shards", "tag")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     } finally { sets.unpersist(blocking = false); () }
   }
 
+  private[ops] final case class LshMeta(nGram: Int, numHashes: Int,
+      bands: Int, shards: Int, tag: String)
+
   /** Committed index parameters; loud when the commit marker is
     * missing (a crashed build never looks complete). */
   private def readLshMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Int, Int, Int, Int) = {
+      path: String): LshMeta = {
     require(graft.ops.Similarity.committedParquetExists(spark, s"$path/meta"),
       s"lsh index at '$path' is missing or incomplete " +
         "(no committed meta table - builds write it last)")
     val meta = spark.read.parquet(s"$path/meta").head()
-    (meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3))
+    LshMeta(meta.getInt(0), meta.getInt(1), meta.getInt(2), meta.getInt(3),
+      meta.getString(4))
   }
 
   /** The committed rows of an index-side table: directory-partitioned
@@ -357,7 +369,7 @@ object Dedup {
   def dedupDelta(delta: DataFrame, idCol: String, textCol: String,
       path: String, threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
     val spark = delta.sparkSession
-    val (nGram, numHashes, bands, shards) = readLshMeta(spark, path)
+    val LshMeta(nGram, numHashes, bands, shards, _) = readLshMeta(spark, path)
     val r = numHashes / bands
 
     // delta-side sketch: the only tokenization in the whole plan. The

@@ -130,6 +130,41 @@ object EventStream {
     * shared n-gram contributes exactly one row.
     * Shares ShingleHashes identity with batch d20/d23, so a backfill
     * and the incremental path agree on what is contaminated. */
+  /** Continuous near-dup dedup of an arriving document stream against
+    * a persisted LSH index — the full incremental-crawl loop
+    * ([[graft.ops.Dedup.buildLshIndex]] once, then this) as ONE
+    * foreachBatch composition. Per micro-batch:
+    *   1. `dedupDelta(batch)` emits the batch's delta-touching pairs
+    *      (vs the index AND within the batch);
+    *   2. the pairs land at `pairsDir/batch=<id>` with OVERWRITE —
+    *      a retried batch rewrites its own directory, so the pair
+    *      audit trail is exactly-once per batch id;
+    *   3. `appendToLshIndex(batch, tag = "batch-<id>")` folds the
+    *      batch into the index, so the NEXT micro-batch pairs against
+    *      everything that came before; the tag makes a retried append
+    *      a no-op (Structured Streaming re-runs a failed batch N to
+    *      completion before N+1, so guarding against the LAST applied
+    *      tag is sufficient for exactly-once index growth).
+    *
+    * Caller contract: globally unique doc ids across the stream's
+    * lifetime (the dedupDelta disjointness precondition, batch to
+    * batch). Returns the configured DataStreamWriter — caller picks
+    * trigger/checkpoint and starts it. */
+  def dedupDeltaStream(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, pairsDir: String, threshold: Double = 0.5,
+      maxBucket: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Dedup
+            .dedupDelta(batch, idCol, textCol, indexPath, threshold, maxBucket)
+            .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+          graft.ops.Dedup.appendToLshIndex(batch, idCol, textCol, indexPath,
+            tag = s"batch-$batchId")
+        }
+    }
+
   def decontaminateHits(docs: DataFrame, benchShingles: DataFrame,
       nGram: Int = 3): DataFrame =
     docs.select(col("doc_id"),

@@ -139,6 +139,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupDeltaStream: micro-batches dedup against the index AND each " +
+      "other via the append loop; retried appends are no-ops") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "patient cat watches from the old wooden fence near the garden gate"
+    val dir = tmpDir("graft-lshstream")
+    graft.ops.Dedup.buildLshIndex(
+      Seq((1L, base),
+        (2L, "completely different content about spark engines and shuffles"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventStream.dedupDeltaStream(
+        input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/idx", s"$dir/pairs")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // batch 0: a dup of indexed doc 1 + an unrelated doc
+      input.addData((10L, base),
+        (11L, "nothing matching anything else in this corpus at all truly"))
+      q.processAllAvailable()
+      // batch 1: a dup of BATCH-0 doc 10 — only visible if batch 0 was
+      // folded into the index by the append loop
+      input.addData((20L, base + " extra tail"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b", "batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 10L, 0)), s"index-vs-batch0 pair: $pairs")
+    assert(pairs.contains((10L, 20L, 1)),
+      s"batch0 doc must be IN the index when batch1 arrives: $pairs")
+    assert(pairs.contains((1L, 20L, 1)), s"original corpus still pairs: $pairs")
+    assert(!pairs.exists(p => p._1 == 11L || p._2 == 11L),
+      s"unrelated doc pairs nothing: $pairs")
+    // retried append (same tag) is a no-op: shard count must not grow
+    def shards() = spark.read.parquet(s"$dir/idx/meta").head().getInt(3)
+    val before = shards()
+    graft.ops.Dedup.appendToLshIndex(
+      Seq((20L, base + " extra tail")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx", tag = "batch-1")
+    assert(shards() == before, "same-tag append must be a no-op")
+    graft.ops.Dedup.appendToLshIndex(
+      Seq((30L, "genuinely new words arriving later on this stream"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx", tag = "batch-2")
+    assert(shards() == before + 1, "new-tag append must land")
+  }
+
   test("Gopher and C4 filters are stateless: streaming output equals batch") {
     val rows = Seq(
       (1L, ("the quick brown fox jumps over a lazy dog to rest " +
