@@ -47,6 +47,7 @@ object Dedup {
   private val bandPersist = new PersistSlot    // minhashLsh banded signatures
   private val deltaSetPersist = new PersistSlot  // dedupDelta shard shingles
   private val deltaBandPersist = new PersistSlot // dedupDelta shard band keys
+  private val simhashDeltaPersist = new PersistSlot // simhashDelta shard blocks
   // pre-filter frames whose cap/stop-list aggregate references them a
   // second time (review r11: caching only the POST-filter frame left
   // the expensive featurization pass running twice — once for the
@@ -495,9 +496,11 @@ object Dedup {
     * see [[minhashLsh]]'s cap rationale (dedup exact first; capping
     * over-cap buckets bounds the quadratic blowup at the cost of
     * recall only for docs that collide with > maxBucket others). */
-  def simhashPairsFrom(fp: DataFrame, maxHamming: Int,
-      maxBucket: Int = 0): DataFrame = {
-    val blocked0 = fp.select(col("doc_id"), col("simhash"),
+  /** (doc_id, simhash, block, block_key) rows — the ONE pigeonhole
+    * blocking shared by [[simhashPairsFrom]], [[buildSimhashIndex]]
+    * and [[simhashDelta]] (same reuse contract as [[bandKeys]]). */
+  private def blockKeys(fp: DataFrame, maxHamming: Int): DataFrame =
+    fp.select(col("doc_id"), col("simhash"),
         explode(array(blockLayout(maxHamming).map { case (blk, off, w) =>
           val mask = if (w == 64) -1L else (1L << w) - 1
           struct(
@@ -506,6 +509,10 @@ object Dedup {
         }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.block").as("block"), col("bk.block_key").as("block_key"))
+
+  def simhashPairsFrom(fp: DataFrame, maxHamming: Int,
+      maxBucket: Int = 0): DataFrame = {
+    val blocked0 = blockKeys(fp, maxHamming)
     // both self-join sides consume the blocked fingerprints: persist
     // (slot-bounded) so the SimHash pass over the corpus runs once,
     // not per side — the same double-reference law minhashLsh's
@@ -534,6 +541,95 @@ object Dedup {
       textCol: String = "text", maxHamming: Int = 3,
       maxBucket: Int = 0): DataFrame =
     simhashPairsFrom(simhash(docs, idCol, textCol), maxHamming, maxBucket)
+
+  /** Persist a SimHash near-dup index — the [[buildLshIndex]] protocol
+    * for the Charikar-sketch family (and, via
+    * `Multimodal.byteSimhash`, for media payloads text shingling has
+    * nothing to grab on). Even LEANER than the MinHash index: a
+    * fingerprint is 8 bytes, block keys are bit-slices of it, so the
+    * index stores ONLY `sigs/shard=G` (doc_id, simhash) — a delta run
+    * derives block keys from the narrow sig scan map-side, and
+    * verification is an xor+popcount on the joined sigs (no
+    * shingle-set fetch at all). `meta` (max_hamming, shards, tag)
+    * writes LAST as the commit marker; recall keeps the pigeonhole
+    * EXACTNESS guarantee: a pair within `maxHamming` agrees on ≥ 1 of
+    * the maxHamming+1 blocks wherever its two docs live (index or
+    * delta), so the delta path emits EXACTLY the delta-touching pairs
+    * of a full [[simhashPairsFrom]] recompute (gate d57 proves it
+    * against the brute-force hamming oracle).
+    *
+    * Takes a precomputed (doc_id, simhash) frame (the
+    * [[simhashPairsFrom]] convention — callers pick the XXH64
+    * production fingerprint or the md5 oracle-reproducible one). Same
+    * disjoint-ids precondition as [[dedupDelta]]. */
+  def buildSimhashIndex(fp: DataFrame, path: String,
+      maxHamming: Int = 3): Unit =
+    writeSimhashShard(fp, path, maxHamming, shard = 0, tag = "")
+
+  /** Fold an already-deduped delta's fingerprints into the index (the
+    * [[appendToLshIndex]] contract: same-`tag` retries are no-ops). */
+  def appendToSimhashIndex(fp: DataFrame, path: String,
+      tag: String = ""): Unit = {
+    val m = readSimhashMeta(fp.sparkSession, path)
+    if (tag.nonEmpty && tag == m._3) ()
+    else writeSimhashShard(fp, path, m._1, shard = m._2 + 1, tag = tag)
+  }
+
+  /** Near-dup pairs of a delta's fingerprints against a
+    * [[buildSimhashIndex]]-persisted corpus: every (corpus, delta) and
+    * (delta, delta) pair within the index's hamming radius, with the
+    * radius read FROM the index (a mismatched radius would silently
+    * halve recall — the parameter travels with the data). Output
+    * (id_a, id_b, hamming), the [[simhashPairsFrom]] schema. */
+  def simhashDelta(fp: DataFrame, path: String,
+      maxBucket: Int = 0): DataFrame = {
+    val spark = fp.sparkSession
+    val (maxHamming, shards, _) = readSimhashMeta(spark, path)
+    val dBlocked = capBuckets(
+      simhashDeltaPersist(blockKeys(fp, maxHamming)),
+      Seq("block", "block_key"), maxBucket)
+    val iBlocked = capBuckets(
+      blockKeys(spark.read.parquet(s"$path/sigs")
+        .filter(col("shard") <= shards).select("doc_id", "simhash"),
+        maxHamming),
+      Seq("block", "block_key"), maxBucket)
+    val cross = iBlocked.alias("a").join(dBlocked.alias("b"),
+        col("a.block") === col("b.block") &&
+          col("a.block_key") === col("b.block_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+    val self = dBlocked.alias("a").join(dBlocked.alias("b"),
+        col("a.block") === col("b.block") &&
+          col("a.block_key") === col("b.block_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+    cross.union(self).distinct().filter(col("hamming") <= maxHamming)
+  }
+
+  private def writeSimhashShard(fp: DataFrame, path: String,
+      maxHamming: Int, shard: Int, tag: String): Unit = {
+    blockLayout(maxHamming) // validates the radius loudly
+    val spark = fp.sparkSession
+    import spark.implicits._
+    fp.select(col("doc_id"), col("simhash"))
+      .write.mode("overwrite").parquet(s"$path/sigs/shard=$shard")
+    Seq((maxHamming, shard, tag)).toDF("max_hamming", "shards", "tag")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def readSimhashMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, String) = {
+    require(graft.ops.Similarity.committedParquetExists(spark, s"$path/meta"),
+      s"simhash index at '$path' is missing or incomplete " +
+        "(no committed meta table - builds write it last)")
+    val m = spark.read.parquet(s"$path/meta").head()
+    (m.getInt(0), m.getInt(1), m.getString(2))
+  }
 
   /** Benchmark decontamination: flag training docs that share at least
     * `minHits` distinct word n-gram shingles with ANY doc of a

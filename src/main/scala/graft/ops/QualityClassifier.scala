@@ -50,6 +50,37 @@ object QualityClassifier {
     transform(graft.functions.TextFunctions.uniBigrams(ws),
       g => pmod(xxhash64(g), lit(buckets)))
 
+  /** Character n-grams of every word, boundary-marked (`<word>`) — the
+    * SUBWORD half of fastText (Bojanowski 2017, "Enriching Word
+    * Vectors with Subword Information"): `<ru`, `run`, `ing`, `ng>`, …
+    * for n in [minN, maxN]. What lets the classifier generalize to
+    * words it never saw — morphology transfers ("-ung>" fires on any
+    * German nominalization). All builtin codegen'd expressions. */
+  def charGrams(ws: Column, minN: Int = 3, maxN: Int = 5): Column = {
+    require(minN >= 2 && maxN >= minN,
+      s"charGrams: need 2 <= minN <= maxN, got ($minN, $maxN)")
+    flatten(transform(ws, w => {
+      val padded = concat(lit("<"), w, lit(">"))
+      val perN = (minN to maxN).map { n =>
+        when(length(padded) >= n,
+          transform(sequence(lit(1), length(padded) - n + 1),
+            i => padded.substr(i, lit(n))))
+          .otherwise(array())
+      }
+      flatten(array(perN: _*))
+    }))
+  }
+
+  /** Word uni+bigrams PLUS char n-grams, bucketed — the full fastText
+    * feature set. Train and score must agree on (minN, maxN); the
+    * [[MultiModel]] carries them so the pair can never desync. */
+  def featureBucketsSubword(ws: Column, buckets: Int, minN: Int,
+      maxN: Int): Column =
+    transform(
+      concat(graft.functions.TextFunctions.uniBigrams(ws),
+        charGrams(ws, minN, maxN)),
+      g => pmod(xxhash64(g), lit(buckets)))
+
   /** Train on labeled docs (`labelCol` boolean — true = keep-quality).
     * Full-batch GD on the logistic loss, `iters` epochs at rate `lr`
     * with L2 decay `l2`. */
@@ -133,9 +164,12 @@ object QualityClassifier {
 
   /** Trained K-class model: one dense weight vector + bias per class,
     * argmax decides. `classes` order is the tie-break order (ties go
-    * to the earliest class). */
+    * to the earliest class). (subwordMin, subwordMax) > 0 means the
+    * model was trained WITH char n-gram features — carried here so
+    * [[scoreMulti]] featurizes identically by construction. */
   final case class MultiModel(classes: Vector[String],
-      weights: Vector[Array[Double]], bias: Array[Double]) {
+      weights: Vector[Array[Double]], bias: Array[Double],
+      subwordMin: Int = 0, subwordMax: Int = 0) {
     require(classes.size >= 2, s"multi model: need >= 2 classes")
     require(classes.distinct.size == classes.size,
       "multi model: duplicate class names")
@@ -144,7 +178,14 @@ object QualityClassifier {
         s"vectors / ${bias.length} biases")
     require(weights.map(_.length).distinct.size == 1,
       "multi model: ragged weight vectors")
+    require(subwordMin == 0 || (subwordMin >= 2 && subwordMax >= subwordMin),
+      s"multi model: subword range ($subwordMin, $subwordMax) must be " +
+        "(0, 0) = off or 2 <= min <= max")
     def buckets: Int = weights.head.length
+    private[ops] def bucketsCol(ws: Column): Column =
+      if (subwordMin > 0)
+        featureBucketsSubword(ws, buckets, subwordMin, subwordMax)
+      else featureBuckets(ws, buckets)
   }
 
   /** Train a K-class softmax classifier on labeled docs (`labelCol`
@@ -161,11 +202,17 @@ object QualityClassifier {
     * on a labeled sample and broadcast the weights everywhere. */
   def trainMulti(docs: DataFrame, labelCol: Column, idCol: String = "doc_id",
       textCol: String = "text", buckets: Int = 1 << 15, iters: Int = 30,
-      lr: Double = 0.5, l2: Double = 1e-6): MultiModel = {
+      lr: Double = 0.5, l2: Double = 1e-6, subwordMin: Int = 0,
+      subwordMax: Int = 0): MultiModel = {
     require(iters >= 1 && buckets >= 2, "trainMulti: iters >= 1, buckets >= 2")
+    // a throwaway model carries the featurizer choice (bucketsCol) so
+    // train and score share ONE definition
+    val featShape = MultiModel(Vector("a", "b"),
+      Vector.fill(2)(new Array[Double](buckets)), new Array[Double](2),
+      subwordMin, subwordMax)
     val fx = docs.select(labelCol.cast("string").as("y"),
-        featureBuckets(graft.functions.TextFunctions.words(col(textCol)),
-          buckets).as("bs"))
+        featShape.bucketsCol(
+          graft.functions.TextFunctions.words(col(textCol))).as("bs"))
       .filter(col("y").isNotNull && size(col("bs")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -218,7 +265,7 @@ object QualityClassifier {
         w = next; bias = nextBias
         it += 1
       }
-      MultiModel(classes, w, bias)
+      MultiModel(classes, w, bias, subwordMin, subwordMax)
     } finally { fx.unpersist(blocking = false); () }
   }
 
@@ -230,14 +277,38 @@ object QualityClassifier {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val k = model.classes.size
     docs.select(col(idCol).as("id"),
-        featureBuckets(graft.functions.TextFunctions.words(col(textCol)),
-          model.buckets).as("bs"))
+        model.bucketsCol(
+          graft.functions.TextFunctions.words(col(textCol))).as("bs"))
       .select(col("id"), size(col("bs")).as("n_feats"),
         array((0 until k).map(c =>
           bucketDot(col("bs"), model.weights(c), model.bias(c))): _*)
           .as("margins"))
       .withColumn("pred", element_at(typedLit(model.classes),
         array_position(col("margins"), array_max(col("margins"))).cast("int")))
+  }
+
+  /** Persist a trained [[MultiModel]] as ONE single-row parquet table
+    * (the Unigram.save pattern — classifiers are train-once /
+    * use-everywhere, and a model living only in a JVM dies with the
+    * session). Overwrite-atomic at this size. */
+  def saveMulti(spark: org.apache.spark.sql.SparkSession, model: MultiModel,
+      path: String): Unit = {
+    import spark.implicits._
+    Seq((model.classes, model.weights.map(_.toSeq), model.bias.toSeq,
+        model.subwordMin, model.subwordMax))
+      .toDF("classes", "weights", "bias", "subword_min", "subword_max")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveMulti]]-persisted model — predictions bit-identical
+    * to the in-memory original (doubles round-trip parquet exactly;
+    * the featurizer range rides along so scoring cannot desync). */
+  def loadMulti(spark: org.apache.spark.sql.SparkSession,
+      path: String): MultiModel = {
+    val r = spark.read.parquet(path).head()
+    MultiModel(r.getSeq[String](0).toVector,
+      r.getSeq[scala.collection.Seq[Double]](1).map(_.toArray).toVector,
+      r.getSeq[Double](2).toArray, r.getInt(3), r.getInt(4))
   }
 
   /** Relational K-class scorer for a SPARSE (b, cls, w) weights table —

@@ -651,6 +651,25 @@ object Pipeline {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental SimHash near-dup dedup against a persisted index
+    * (graft.ops.Dedup.buildSimhashIndex / simhashDelta — the d55
+    * protocol for the Charikar-sketch family, and unlike LSH the
+    * pigeonhole recall is EXACT): same %5 corpus/delta split, md5
+    * fingerprints (the d12 engine-reproducible path), radius 3 read
+    * from the index meta. Oracle = d12's brute-force hamming scan
+    * restricted to delta-touching pairs — full hash gate. */
+  def d57SimhashDelta(s: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-d57-${System.getProperty("user.name", "u")}-" +
+        dir.replaceAll("[^A-Za-z0-9.-]", "_")).getPath
+    val fp = docs(s, dir).select(col("doc_id"),
+      graft.functions.CatalystFunctions.simhashMd5(
+        TextFunctions.words(col("text"))).as("simhash"))
+    Dedup.buildSimhashIndex(fp.filter(col("doc_id") % 5 =!= 0), path)
+    Dedup.simhashDelta(fp.filter(col("doc_id") % 5 === 0), path)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Trained-shape multi-class language ID
     * (graft.ops.QualityClassifier.scoreSparseMulti — the fastText K-
     * class head, Joulin 2016 §2, that CCNet/RefinedWeb run as their
@@ -1661,6 +1680,7 @@ object Pipeline {
     "d54_dedup_keep_best" -> d54DedupKeepBest _,
     "d55_lsh_delta_dedup" -> d55LshDeltaDedup _,
     "d56_langid_score" -> d56LangIdScore _,
+    "d57_simhash_delta" -> d57SimhashDelta _,
     "d44_gopher_rules" -> d44GopherRules _,
     "d45_unimax" -> d45Unimax _,
     "d46_c4_rules" -> d46C4Rules _,
@@ -1752,12 +1772,14 @@ object Pipeline {
       | FROM h)""".stripMargin
 
   /** Brute-force hamming pair scan at `radius` over [[simhashSigCtes]]
-    * — the d08 (radius 2) / d12 (radius 3) oracle body. */
-  private def simhashPairsOracle(radius: Int) =
+    * — the d08 (radius 2) / d12 (radius 3) oracle body; `pairWhere`
+    * restricts to delta-touching pairs for d57 (the oracle stays the
+    * full-union recompute). */
+  private def simhashPairsOracle(radius: Int, pairWhere: String = "") =
     s"""WITH $simhashSigCtes
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        | CAST(len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS INTEGER) AS hamming
-       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id$pairWhere
        |WHERE len(list_filter(range(1, 65), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) <= $radius
        |ORDER BY id_a, id_b""".stripMargin
 
@@ -2017,6 +2039,10 @@ object Pipeline {
       s"""WITH $simhashSigCtes
          |SELECT doc_id, sig FROM s ORDER BY doc_id""".stripMargin,
     "d12_simhash_pairs_verify" -> simhashPairsOracle(3),
+    // d12's full-union brute-force scan restricted to pairs touching
+    // the doc_id%5=0 delta shard (the d55 restriction pattern)
+    "d57_simhash_delta" -> simhashPairsOracle(3,
+      " AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)"),
     "d13_winnow_fingerprint" ->
       """WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s FROM documents),
         |kg AS (SELECT doc_id, list_transform(range(1, len(s) - 8 + 2), i ->

@@ -109,6 +109,41 @@ class OpsSpec extends SparkSpec {
     assert(got3 == got2, s"orphan shard must be pruned: $got3 vs $got2")
   }
 
+  test("simhash delta index: pigeonhole-exact delta pairs vs a full " +
+      "recompute, append loop, radius travels with the index (d57)") {
+    val fpOf = (rows: Seq[(Long, String)]) =>
+      rows.toDF("doc_id", "text").select(col("doc_id"),
+        graft.functions.CatalystFunctions.simhashMd5(
+          TextFunctions.words(col("text"))).as("simhash"))
+    val corpusRows = Seq((1L, base), (3L, base.replace("jumps", "leaps")),
+      (4L, "completely different content about spark engines and shuffles"))
+    val deltaRows = Seq((20L, base), (21L, base + " extra tail words"),
+      (23L, "nothing like anything else in this corpus at all truly"))
+    val dir = tmpDir("graft-simidx")
+    Dedup.buildSimhashIndex(fpOf(corpusRows), s"$dir/idx", maxHamming = 3)
+    val got = Dedup.simhashDelta(fpOf(deltaRows), s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.simhashPairsFrom(fpOf(corpusRows ++ deltaRows),
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = full.filter(p => p._1 >= 20L || p._2 >= 20L)
+    assert(got == expect, s"delta $got vs full recompute $expect")
+    assert(got.contains((1L, 20L)), s"corpus-delta exact dup in $got")
+    // append: a later shard pairs against the folded-in delta
+    Dedup.appendToSimhashIndex(fpOf(deltaRows), s"$dir/idx", tag = "b0")
+    val got2 = Dedup.simhashDelta(fpOf(Seq((30L, base))), s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2.contains((20L, 30L)) && got2.contains((1L, 30L)), got2.toString)
+    // same-tag retry is a no-op
+    Dedup.appendToSimhashIndex(fpOf(deltaRows), s"$dir/idx", tag = "b0")
+    assert(spark.read.parquet(s"$dir/idx/meta").head().getInt(1) == 1)
+    // missing commit marker names the failure
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashDelta(fpOf(deltaRows), s"$dir/nothere")
+    }
+    assert(ex.getMessage.contains("missing or incomplete"), ex.getMessage)
+  }
+
   test("simhash pairs near-dups within hamming budget") {
     val pairs = Dedup.simhashPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -904,6 +939,49 @@ class OpsSpec extends SparkSpec {
         width = 1 << 14, cand = 512)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got2.toSeq == exactTop, "partition-invariant at ample width")
+  }
+
+  test("subword features: char n-grams generalize to UNSEEN words where " +
+      "word-level features cannot (Bojanowski 2017)") {
+    import graft.ops.QualityClassifier
+    // two morphology-distinct synthetic languages; every held-out WORD
+    // is unseen, only the affixes transfer
+    val ingish = Seq("running jumping walking", "singing talking resting",
+      "leaping sitting standing")
+    val ungish = Seq("zeitung ordnung bildung", "wanderung hoffnung losung",
+      "sammlung wirkung haltung")
+    val train = (ingish.map((_, "ing")) ++ ungish.map((_, "ung")))
+      .zipWithIndex.map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("doc_id", "text", "lang")
+    val heldOut = Seq((100L, "climbing swimming"), (101L, "werbung endung"))
+      .toDF("doc_id", "text")
+    val sub = QualityClassifier.trainMulti(train, col("lang"),
+      buckets = 1 << 12, iters = 60, subwordMin = 3, subwordMax = 4)
+    assert(sub.subwordMin == 3, "model carries the featurizer range")
+    val p = QualityClassifier.scoreMulti(heldOut, sub)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(p(100L) == "ing" && p(101L) == "ung",
+      s"subword model must classify unseen words by affix: $p")
+    // persistence: model round-trips parquet with identical predictions
+    // AND the featurizer range (scoring cannot silently desync)
+    val dir = tmpDir("graft-multimodel")
+    QualityClassifier.saveMulti(spark, sub, s"$dir/m")
+    val re = QualityClassifier.loadMulti(spark, s"$dir/m")
+    // field-wise: Array members make case-class == reference equality
+    assert(re.classes == sub.classes &&
+      re.weights.map(_.toSeq) == sub.weights.map(_.toSeq) &&
+      re.bias.toSeq == sub.bias.toSeq &&
+      re.subwordMin == sub.subwordMin && re.subwordMax == sub.subwordMax,
+      "multi model must round-trip exactly")
+    val p2 = QualityClassifier.scoreMulti(heldOut, re)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(p2 == p, "reloaded model must predict identically")
+    // char-gram column: boundary-marked n-grams, short words clamp
+    val gs = Seq(Tuple1(Seq("ab"))).toDF("ws")
+      .select(QualityClassifier.charGrams(col("ws"), 3, 5).as("g"))
+      .collect().head.getSeq[String](0)
+    // "<ab>": 3-grams <ab, ab>; 4-gram <ab>; no 5-gram
+    assert(gs == Seq("<ab", "ab>", "<ab>"), gs.toString)
   }
 
   test("language id picks marker language") {
