@@ -37,7 +37,8 @@ object ScaleBench {
       "d49_unigram_encode", "d50_warc_extract", "d51_unigram_nbest",
       "d52_warc_tokenize", "d53_bm25_index", "d54_dedup_keep_best",
       // round-14 newcomers
-      "d55_lsh_delta_dedup", "d56_langid_score", "d57_simhash_delta")
+      "d55_lsh_delta_dedup", "d56_langid_score", "d57_simhash_delta",
+      "d58_vocab_sketch")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -104,9 +104,16 @@ class OpsSpec extends SparkSpec {
     Dedup.shingleSets(Seq((99L, base)).toDF("doc_id", "text"),
         "doc_id", "text", 3)
       .write.parquet(s"$dir/idx/sets/shard=9")
-    val got3 = Dedup.dedupDelta(delta2, "doc_id", "text", s"$dir/idx")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got3Df = Dedup.dedupDelta(delta2, "doc_id", "text", s"$dir/idx")
+    val got3 = got3Df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got3 == got2, s"orphan shard must be pruned: $got3 vs $got2")
+    // ...and pruned at PLANNING, not post-scan: the frontier filter
+    // must appear as a partition filter on the index scans (the
+    // "orphan files are never opened" claim)
+    val plan3 = got3Df.queryExecution.executedPlan.toString
+    assert(plan3.contains("PartitionFilters") &&
+      plan3.contains("(shard"),
+      s"shard frontier must be a partition filter:\n$plan3")
   }
 
   test("simhash delta index: pigeonhole-exact delta pairs vs a full " +
