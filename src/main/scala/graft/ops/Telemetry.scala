@@ -58,9 +58,17 @@ object Telemetry {
 
   /** Lowercase-hex md5 of a word's UTF-8 bytes — the SAME digest the
     * streaming CMS keys on (there via the md5() column function), so
-    * the two sketches' row indexing agrees. */
+    * the two sketches' row indexing agrees. The digest instance is
+    * reused per thread (getInstance-per-word was a hot-path
+    * allocation; MessageDigest.digest() resets after each call, and
+    * treeAggregate's seqOp is single-threaded per task). */
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
   private def md5Hex(w: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = md5Local.get()
       .digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val sb = new java.lang.StringBuilder(32)
     d.foreach { b =>
