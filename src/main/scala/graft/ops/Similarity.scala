@@ -537,18 +537,35 @@ final class IvfIndex private[ops] (
     val spark = centroids.sparkSession
     IvfIndex.invalidateMeta(spark, path)
     IvfIndex.clearStale(spark, path, Set("centroids", "assigned"))
+    // the assigned table is SHARDED (shard=G dirs, the LSH-index
+    // protocol) so [[IvfIndex.append]] can grow it crash-safely;
+    // delete the whole dir first — overwrite mode only clears the
+    // shard=0 subdir, and stale sibling shards from a previous save's
+    // appends would otherwise survive under a meta that re-commits
+    // them
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$path/assigned")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    assigned.write.mode("overwrite").parquet(s"$path/assigned")
+    assigned.write.mode("overwrite").parquet(s"$path/assigned/shard=0")
     IvfIndex.writeMeta(spark, s"$path/meta", nCells)
   }
 }
 
 object IvfIndex {
 
+  /** The meta commit row. `shards`/`tag` serve the sharded `assigned`
+    * layout ([[IvfIndex.append]]): shards names the committed
+    * frontier, tag is the append-idempotence token. The PQ/SQ
+    * composed indexes share this writer (their layouts are not
+    * sharded; the extra columns are inert there). */
   private[ops] def writeMeta(spark: org.apache.spark.sql.SparkSession,
-      dir: String, nCells: Int): Unit = {
+      dir: String, nCells: Int, shards: Int = 0, tag: String = ""): Unit = {
     import spark.implicits._
-    Seq(nCells).toDF("n_cells").coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq((nCells, shards, tag)).toDF("n_cells", "shards", "tag")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
   /** Drop `path`'s meta marker so the index reads as incomplete while
@@ -599,7 +616,13 @@ object IvfIndex {
     * marker-on path: part-files alone are not crash-safe under
     * committer v2). */
   def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
-    Similarity.committedParquetExists(spark, s"$path/meta")
+    Similarity.committedParquetExists(spark, s"$path/meta") &&
+      // layout-epoch guard (r14: the assigned table went sharded) — an
+      // index saved under the old flat layout reads as incomplete and
+      // rebuilds once, instead of load() failing on the missing shard
+      // column; same one-redundant-rebuild trade committedParquetExists
+      // already documents for the markers-off corner
+      spark.read.parquet(s"$path/meta").schema.fieldNames.contains("shards")
 
   /** Reload a [[save]]d index. Centroids are re-materialized driver-side
     * (they are broadcast into every probe join); the assigned corpus
@@ -607,16 +630,61 @@ object IvfIndex {
     * query batches. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       persist: Boolean = true): IvfIndex = {
-    val cells = readMeta(spark, s"$path/meta")
+    val m = spark.read.parquet(s"$path/meta").head()
+    val cells = m.getInt(m.fieldIndex("n_cells"))
+    val shards = m.getInt(m.fieldIndex("shards"))
     val cent = spark.read.parquet(s"$path/centroids")
     val centMat = spark.createDataFrame(
       java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+    // committed shards only: an orphan dir from a crashed append is
+    // partition-pruned at planning (the LSH-index frontier rule)
     val assigned0 = spark.read.parquet(s"$path/assigned")
+      .filter(col("shard") <= shards)
+      .select("id", "cell", "vec", "nrm")
     val assigned =
       if (persist)
         assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else assigned0
     new IvfIndex(centMat, assigned, cells, persist)
+  }
+
+  /** Fold new vectors into a [[IvfIndex.save]]d index WITHOUT
+    * retraining: the delta assigns to the EXISTING (frozen) centroids
+    * — one broadcast-join assignment pass over the delta only, the
+    * standing shards untouched — and lands as the next `shard=G`
+    * directory; the meta rewrite (LAST) commits the new frontier. The
+    * incremental-corpus shape for the ANN family (new embeddings
+    * arrive daily; a rebuild re-pays seeding + Lloyd + the full-corpus
+    * assignment). Centroids are deliberately frozen: moving them would
+    * orphan every standing assignment — re-training is a REBUILD, done
+    * when drift accumulates (the FAISS add-vs-train split).
+    *
+    * `tag` is the idempotence token (the [[Dedup.appendToLshIndex]]
+    * contract): a non-empty tag equal to the last committed one makes
+    * the call a no-op, so streaming foreachBatch retries never append
+    * a batch twice. Caller contract: `delta` ids are new (duplicate
+    * ids would double-count in queries), and delta vectors carry the
+    * SAME preprocessing as the build corpus (e.g. unit-normalized if
+    * the build input was — assignment and scoring both assume it). */
+  def append(delta: DataFrame, path: String, tag: String = ""): Unit = {
+    val spark = delta.sparkSession
+    require(exists(spark, path),
+      s"ivf index at '$path' is missing or incomplete " +
+        "(no committed meta table - saves write it last)")
+    val m = spark.read.parquet(s"$path/meta").head()
+    val cells = m.getInt(m.fieldIndex("n_cells"))
+    val shards = m.getInt(m.fieldIndex("shards"))
+    val lastTag = m.getString(m.fieldIndex("tag"))
+    if (tag.nonEmpty && tag == lastTag) return // retry of an applied append
+    val cent = spark.read.parquet(s"$path/centroids")
+    val centMat = spark.createDataFrame(
+      java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+    val d = Similarity.spreadDf(delta)
+      .select(col("id"), Similarity.toDouble(col("vec")).as("vec"))
+    Similarity.assignCell(centMat, d, "id", "vec")
+      .withColumn("nrm", Similarity.norm(col("vec")))
+      .write.mode("overwrite").parquet(s"$path/assigned/shard=${shards + 1}")
+    writeMeta(spark, s"$path/meta", cells, shards + 1, tag)
   }
 
   /** Index `corpus` (id, vec) rows. `nCells` <= 0 auto-sizes to

@@ -1786,6 +1786,48 @@ class OpsSpec extends SparkSpec {
     } finally reloaded.close()
   }
 
+  test("IvfIndex.append: delta assigns to frozen centroids, standing " +
+      "results unchanged, retries no-op, orphan shards pruned") {
+    import graft.ops.IvfIndex
+    // corpus A clusters near e1, delta B near e2 — disjoint cells, so
+    // A-queries' neighborhoods are untouched by the append
+    def vecA(i: Int) = Array.tabulate(4)(d =>
+      (if (d == 0) 1.0f else 0.01f * ((i + d) % 3)))
+    def vecB(i: Int) = Array.tabulate(4)(d =>
+      (if (d == 1) 1.0f else 0.01f * ((i + d) % 3)))
+    val a = (0 until 20).map(i => (i.toLong, vecA(i))).toDF("id", "vec")
+    val b = (100 until 110).map(i => (i.toLong, vecB(i))).toDF("id", "vec")
+    val path = tmpDir("ivf-append")
+    IvfIndex.build(a, nCells = 2, refineIters = 1, persist = false).save(path)
+    val qa = Seq((-1L, vecA(0))).toDF("qid", "qvec")
+    val qb = Seq((-2L, vecB(100))).toDF("qid", "qvec")
+    val before = IvfIndex.load(spark, path, persist = false)
+      .query(qa, 4, nProbe = 2).collect().map(_.toSeq).toSet
+    IvfIndex.append(b, path, tag = "day-1")
+    val idx2 = IvfIndex.load(spark, path, persist = false)
+    // appended vectors are findable: qb's own value ranks its id first
+    val hitB = idx2.query(qb, 3, nProbe = 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(hitB(1) == 100L, s"appended vector must rank first: $hitB")
+    // A-side results are bit-identical (frozen centroids, disjoint cells)
+    val after = idx2.query(qa, 4, nProbe = 2).collect().map(_.toSeq).toSet
+    assert(after == before, s"standing results must not move:\n$after\n$before")
+    // same-tag retry is a no-op (frontier unchanged)
+    def frontier() = { val m = spark.read.parquet(s"$path/meta").head()
+      m.getInt(m.fieldIndex("shards")) }
+    val f1 = frontier()
+    IvfIndex.append(b, path, tag = "day-1")
+    assert(frontier() == f1, "same-tag append must be a no-op")
+    // orphan shard (crashed append: dir written, meta not) is invisible
+    spark.read.parquet(s"$path/assigned").filter(col("shard") <= f1)
+      .select("id", "cell", "vec", "nrm")
+      .limit(3).withColumn("id", col("id") + 1000)
+      .write.parquet(s"$path/assigned/shard=9")
+    val idx3 = IvfIndex.load(spark, path, persist = false)
+    val after3 = idx3.query(qa, 4, nProbe = 2).collect().map(_.toSeq).toSet
+    assert(after3 == before, "orphan shard must be pruned at planning")
+  }
+
   test("cosineNearDup validates band geometry") {
     val df = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("id", "vec")
     // review r11: full-width single band (r = 64) is legal — the mask
