@@ -111,12 +111,23 @@ final class IvfPqIndex private[ops] (
     IvfIndex.invalidateMeta(spark, path)
     IvfIndex.clearStale(spark, path,
       Set("centroids", "codebook", "encoded", "corpus"))
+    // encoded + corpus are SHARDED (shard=G dirs) so [[IvfPq.append]]
+    // can grow them crash-safely; delete the whole dirs first —
+    // overwrite only clears shard=0, and stale sibling shards from a
+    // previous save's appends would survive under a re-committing meta
+    locally {
+      val conf = spark.sparkContext.hadoopConfiguration
+      Seq("encoded", "corpus").foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/$t")
+        p.getFileSystem(conf).delete(p, true)
+      }
+    }
     ivf.centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     Seq((cb.m, cb.ks, cb.dsub, cb.centroids.toSeq))
       .toDF("m", "ks", "dsub", "centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    encoded.write.mode("overwrite").parquet(s"$path/encoded")
-    corpusUnit.write.mode("overwrite").parquet(s"$path/corpus")
+    encoded.write.mode("overwrite").parquet(s"$path/encoded/shard=0")
+    corpusUnit.write.mode("overwrite").parquet(s"$path/corpus/shard=0")
     IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells)
   }
 }
@@ -183,15 +194,20 @@ object IvfPq {
     * directly). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       persist: Boolean = true): IvfPqIndex = {
-    val cells = IvfIndex.readMeta(spark, s"$path/meta")
+    val m0 = spark.read.parquet(s"$path/meta").head()
+    val cells = m0.getInt(m0.fieldIndex("n_cells"))
+    val shards = m0.getInt(m0.fieldIndex("shards"))
     val cent = spark.read.parquet(s"$path/centroids")
     val centMat = spark.createDataFrame(
       java.util.Arrays.asList(cent.collect(): _*), cent.schema)
     val cbRow = spark.read.parquet(s"$path/codebook").head()
     val cb = PqCodebook(cbRow.getAs[Int]("m"), cbRow.getAs[Int]("ks"),
       cbRow.getAs[Int]("dsub"), cbRow.getAs[Seq[Double]]("centroids").toArray)
+    // committed shards only (the IvfIndex.append frontier rule)
     val corpusUnit = spark.read.parquet(s"$path/corpus")
+      .filter(col("shard") <= shards).select("id", "vec")
     val encoded0 = spark.read.parquet(s"$path/encoded")
+      .filter(col("shard") <= shards).select("id", "cell", "codes")
     val encoded =
       if (persist)
         encoded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -203,6 +219,51 @@ object IvfPq {
       cb, encoded, corpusUnit, persist)
   }
 
+  /** Fold new vectors into a saved IVF-PQ index WITHOUT retraining —
+    * the [[IvfIndex.append]] contract extended to the compressed
+    * family (FAISS `add` on an "IVF,PQ" index): the delta
+    * unit-normalizes and drops zero vectors (the build rule), assigns
+    * to the FROZEN coarse centroids, encodes its residuals with the
+    * FROZEN codebook, and lands as the next `shard=G` of both the
+    * `encoded` (hot) and `corpus` (rerank) tables; the meta rewrite
+    * (LAST) commits the frontier. One delta-sized pass — the standing
+    * corpus's codes are never touched or re-read. Quantization error
+    * for the delta is whatever the frozen codebook gives it;
+    * re-training on drift is a REBUILD (the add-vs-train split). Same
+    * `tag` idempotence and unique-ids contract as the other appends. */
+  def append(delta: DataFrame, path: String, tag: String = ""): Unit = {
+    val spark = delta.sparkSession
+    require(exists(spark, path),
+      s"ivfpq index at '$path' is missing or incomplete " +
+        "(no committed meta/codebook - saves write meta last)")
+    val m0 = spark.read.parquet(s"$path/meta").head()
+    val cells = m0.getInt(m0.fieldIndex("n_cells"))
+    val shards = m0.getInt(m0.fieldIndex("shards"))
+    val lastTag = m0.getString(m0.fieldIndex("tag"))
+    if (tag.nonEmpty && tag == lastTag) return // retry of an applied append
+    val cent = spark.read.parquet(s"$path/centroids")
+    val centMat = spark.createDataFrame(
+      java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+    val cbRow = spark.read.parquet(s"$path/codebook").head()
+    val cb = PqCodebook(cbRow.getAs[Int]("m"), cbRow.getAs[Int]("ks"),
+      cbRow.getAs[Int]("dsub"), cbRow.getAs[Seq[Double]]("centroids").toArray)
+    val unit = delta.select(col("id"),
+        vecUnit(col("vec").cast("array<double>")).as("vec"))
+      .filter(Similarity.dot(col("vec"), col("vec")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // corpus shard first, encoded second, meta LAST — a crash at any
+      // point leaves only orphan dirs the frontier never selects
+      unit.write.mode("overwrite").parquet(s"$path/corpus/shard=${shards + 1}")
+      Similarity.assignCell(centMat, unit, "id", "vec")
+        .join(broadcast(centMat), "cell")
+        .select(col("id"), col("cell"),
+          Pq.encodeCol(vecSub(col("vec"), col("cvec")), cb).as("codes"))
+        .write.mode("overwrite").parquet(s"$path/encoded/shard=${shards + 1}")
+      IvfIndex.writeMeta(spark, s"$path/meta", cells, shards + 1, tag)
+    } finally { unit.unpersist(blocking = false); () }
+  }
+
   /** True when `path` holds a complete saved IVF-PQ index. The meta
     * marker alone is ambiguous (IvfIndex.save writes the identical
     * layout, review r11): a plain-IVF path would read as complete here
@@ -210,5 +271,10 @@ object IvfPq {
     * codebook table too. */
   def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
     IvfIndex.exists(spark, path) &&
-      Similarity.committedParquetExists(spark, s"$path/codebook")
+      Similarity.committedParquetExists(spark, s"$path/codebook") &&
+      // layout-epoch guard (r14: encoded/corpus went sharded) — an
+      // index whose meta already carried the shards column but whose
+      // tables predate the sharding reads as incomplete and rebuilds
+      // once, instead of load() failing on the missing shard column
+      Similarity.committedParquetExists(spark, s"$path/encoded/shard=0")
 }

@@ -165,6 +165,22 @@ object EventStream {
         }
     }
 
+  /** Continuous ANN-index ingestion — the vector-database write path:
+    * each micro-batch of (id, vec) rows folds into a saved
+    * [[graft.ops.IvfIndex]] via `append` (frozen centroids, one
+    * delta-sized assignment pass, exactly-once via the batch tag —
+    * the [[dedupDeltaStream]] contract). Queries against the index
+    * see each batch as soon as its meta commit lands. Caller contract:
+    * ids globally unique across the stream, vectors preprocessed like
+    * the build corpus. */
+  def ivfAppendStream(vecs: DataFrame, indexPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.IvfIndex.append(batch, indexPath, tag = s"batch-$batchId")
+    }
+
   def decontaminateHits(docs: DataFrame, benchShingles: DataFrame,
       nGram: Int = 3): DataFrame =
     docs.select(col("doc_id"),

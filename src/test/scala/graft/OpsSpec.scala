@@ -1866,6 +1866,42 @@ class OpsSpec extends SparkSpec {
     } finally loaded.close()
   }
 
+  test("IvfPq.append: frozen codebook encodes the delta, appended " +
+      "vectors findable via exact rerank, standing results unchanged") {
+    import graft.ops.IvfPq
+    // A clusters near e1, delta B near e2 (disjoint cells — standing
+    // query results must be bit-identical after the append)
+    def vecA(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 0) 1.0f else 0.02f * ((i + d) % 5)))
+    def vecB(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 1) 1.0f else 0.02f * ((i + d) % 5)))
+    val a = (0 until 24).map(i => (i.toLong, vecA(i))).toDF("id", "vec")
+    val b = (100 until 112).map(i => (i.toLong, vecB(i))).toDF("id", "vec")
+    val path = tmpDir("ivfpq-append")
+    IvfPq.build(a, nCells = 2, m = 4, ks = 8, pqIters = 1, persist = false)
+      .save(path)
+    val qa = Seq((-1L, vecA(0))).toDF("qid", "qvec")
+    val qb = Seq((-2L, vecB(100))).toDF("qid", "qvec")
+    val before = IvfPq.load(spark, path, persist = false)
+      .query(qa, 4, nProbe = 2, fetch = 10).collect().map(_.toSeq).toSet
+    IvfPq.append(b, path, tag = "day-1")
+    val idx2 = IvfPq.load(spark, path, persist = false)
+    // appended vector findable: exact rerank puts qb's own value first
+    val hitB = idx2.query(qb, 3, nProbe = 2, fetch = 10).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(hitB(1) == 100L, s"appended vector must rank first: $hitB")
+    // standing A-side results bit-identical (frozen centroids+codebook)
+    val after = idx2.query(qa, 4, nProbe = 2, fetch = 10)
+      .collect().map(_.toSeq).toSet
+    assert(after == before, s"standing results must not move:\n$after\n$before")
+    // same-tag retry no-op
+    def frontier() = { val m = spark.read.parquet(s"$path/meta").head()
+      m.getInt(m.fieldIndex("shards")) }
+    val f1 = frontier()
+    IvfPq.append(b, path, tag = "day-1")
+    assert(frontier() == f1, "same-tag append must be a no-op")
+  }
+
   test("index completeness honors _SUCCESS when markers are on, " +
     "part-files only when markers are off (ADVICE r11)") {
     import graft.ops.IvfIndex

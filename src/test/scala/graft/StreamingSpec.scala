@@ -188,6 +188,37 @@ class StreamingSpec extends SparkSpec {
     assert(shards() == before + 1, "new-tag append must land")
   }
 
+  test("ivfAppendStream: micro-batched vectors become queryable as " +
+      "their batch commits; frozen centroids") {
+    import spark.implicits._
+    import graft.ops.IvfIndex
+    def vecA(i: Int) = Array.tabulate(4)(d =>
+      (if (d == 0) 1.0f else 0.01f * ((i + d) % 3)))
+    def vecB(i: Int) = Array.tabulate(4)(d =>
+      (if (d == 1) 1.0f else 0.01f * ((i + d) % 3)))
+    val dir = tmpDir("graft-ivfstream")
+    IvfIndex.build((0 until 16).map(i => (i.toLong, vecA(i))).toDF("id", "vec"),
+      nCells = 2, refineIters = 1, persist = false).save(s"$dir/idx")
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = EventStream.ivfAppendStream(
+        input.toDF().toDF("id", "vec"), s"$dir/idx")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData((100L, vecB(100)), (101L, vecB(101)))
+      q.processAllAvailable()
+      input.addData((102L, vecB(102)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val idx = IvfIndex.load(spark, s"$dir/idx", persist = false)
+    val got = idx.query(Seq((-1L, vecB(102))).toDF("qid", "qvec"),
+        k = 3, nProbe = 2)
+      .collect().map(r => r.getLong(2)).toSet
+    assert(got == Set(100L, 101L, 102L),
+      s"both batches' vectors must be queryable: $got")
+    val m = spark.read.parquet(s"$dir/idx/meta").head()
+    assert(m.getInt(m.fieldIndex("shards")) == 2, "one shard per batch")
+  }
+
   test("Gopher and C4 filters are stateless: streaming output equals batch") {
     val rows = Seq(
       (1L, ("the quick brown fox jumps over a lazy dog to rest " +
