@@ -93,11 +93,21 @@ final class IvfSqIndex private[ops] (
     IvfIndex.invalidateMeta(spark, path)
     IvfIndex.clearStale(spark, path,
       Set("centroids", "sqmodel", "encoded", "corpus"))
+    // encoded + corpus are SHARDED for [[IvfSq.append]] (the IvfPq
+    // rule); delete the dirs first — stale sibling shards from a
+    // previous save's appends must not survive a re-committing meta
+    locally {
+      val conf = spark.sparkContext.hadoopConfiguration
+      Seq("encoded", "corpus").foreach { t =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/$t")
+        p.getFileSystem(conf).delete(p, true)
+      }
+    }
     ivf.centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     Seq((model.vmin.toSeq, model.vmax.toSeq)).toDF("vmin", "vmax")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/sqmodel")
-    encoded.write.mode("overwrite").parquet(s"$path/encoded")
-    corpusUnit.write.mode("overwrite").parquet(s"$path/corpus")
+    encoded.write.mode("overwrite").parquet(s"$path/encoded/shard=0")
+    corpusUnit.write.mode("overwrite").parquet(s"$path/corpus/shard=0")
     IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells)
   }
 }
@@ -145,15 +155,20 @@ object IvfSq {
     * to the freshly built one (spec-asserted, the IvfPq contract). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       persist: Boolean = true): IvfSqIndex = {
-    val cells = IvfIndex.readMeta(spark, s"$path/meta")
+    val m0 = spark.read.parquet(s"$path/meta").head()
+    val cells = m0.getInt(m0.fieldIndex("n_cells"))
+    val shards = m0.getInt(m0.fieldIndex("shards"))
     val cent = spark.read.parquet(s"$path/centroids")
     val centMat = spark.createDataFrame(
       java.util.Arrays.asList(cent.collect(): _*), cent.schema)
     val mRow = spark.read.parquet(s"$path/sqmodel").head()
     val model = SqModel(mRow.getSeq[Double](mRow.fieldIndex("vmin")).toArray,
       mRow.getSeq[Double](mRow.fieldIndex("vmax")).toArray)
+    // committed shards only (the IvfIndex.append frontier rule)
     val corpusUnit = spark.read.parquet(s"$path/corpus")
+      .filter(col("shard") <= shards).select("id", "vec")
     val encoded0 = spark.read.parquet(s"$path/encoded")
+      .filter(col("shard") <= shards).select("id", "cell", "codes")
     val encoded =
       if (persist)
         encoded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -165,10 +180,51 @@ object IvfSq {
       model, encoded, corpusUnit, persist)
   }
 
+  /** Fold new vectors into a saved IVF-SQ index WITHOUT retraining —
+    * the [[IvfPq.append]] contract with the SQ quantizer: unit-
+    * normalize + drop zero vectors (the build rule), assign to the
+    * FROZEN centroids, byte-encode residuals with the FROZEN min/max
+    * model (values outside the trained range clamp — the Sq encode
+    * contract; retrain-on-drift is a rebuild), land as the next
+    * `shard=G` of encoded + corpus, meta rewrite LAST. Same `tag`
+    * idempotence and unique-ids contract as the other appends. */
+  def append(delta: DataFrame, path: String, tag: String = ""): Unit = {
+    val spark = delta.sparkSession
+    require(exists(spark, path),
+      s"ivfsq index at '$path' is missing or incomplete " +
+        "(no committed meta/sqmodel - saves write meta last)")
+    val m0 = spark.read.parquet(s"$path/meta").head()
+    val cells = m0.getInt(m0.fieldIndex("n_cells"))
+    val shards = m0.getInt(m0.fieldIndex("shards"))
+    val lastTag = m0.getString(m0.fieldIndex("tag"))
+    if (tag.nonEmpty && tag == lastTag) return // retry of an applied append
+    val cent = spark.read.parquet(s"$path/centroids")
+    val centMat = spark.createDataFrame(
+      java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+    val mRow = spark.read.parquet(s"$path/sqmodel").head()
+    val model = SqModel(mRow.getSeq[Double](mRow.fieldIndex("vmin")).toArray,
+      mRow.getSeq[Double](mRow.fieldIndex("vmax")).toArray)
+    val unit = delta.select(col("id"),
+        vecUnit(col("vec").cast("array<double>")).as("vec"))
+      .filter(Similarity.dot(col("vec"), col("vec")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      unit.write.mode("overwrite").parquet(s"$path/corpus/shard=${shards + 1}")
+      Similarity.assignCell(centMat, unit, "id", "vec")
+        .join(broadcast(centMat), "cell")
+        .select(col("id"), col("cell"),
+          Sq.encodeCol(vecSub(col("vec"), col("cvec")), model).as("codes"))
+        .write.mode("overwrite").parquet(s"$path/encoded/shard=${shards + 1}")
+      IvfIndex.writeMeta(spark, s"$path/meta", cells, shards + 1, tag)
+    } finally { unit.unpersist(blocking = false); () }
+  }
+
   /** True when `path` holds a complete saved IVF-SQ index (meta alone
     * is ambiguous across the index family — require the sqmodel table,
-    * the IvfPq.exists rule). */
+    * the IvfPq.exists rule; the `encoded/shard=0` check is the r14
+    * layout-epoch guard — pre-sharding caches rebuild once). */
   def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
     IvfIndex.exists(spark, path) &&
-      Similarity.committedParquetExists(spark, s"$path/sqmodel")
+      Similarity.committedParquetExists(spark, s"$path/sqmodel") &&
+      Similarity.committedParquetExists(spark, s"$path/encoded/shard=0")
 }

@@ -199,6 +199,36 @@ class SqSpec extends SparkSpec {
     assert(!IvfSq.exists(spark, dir2))
   }
 
+  test("IvfSq.append: frozen model byte-encodes the delta, appended " +
+      "vectors findable via exact rerank, standing results unchanged") {
+    import graft.ops.IvfSq
+    def vecA(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 0) 1.0f else 0.02f * ((i + d) % 5)))
+    def vecB(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 1) 1.0f else 0.02f * ((i + d) % 5)))
+    val a = (0 until 24).map(i => (i.toLong, vecA(i))).toDF("id", "vec")
+    val b = (100 until 112).map(i => (i.toLong, vecB(i))).toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq-append").toString
+    IvfSq.build(a, nCells = 2, refineIters = 1, persist = false).save(dir)
+    val qa = Seq((-1L, vecA(0))).toDF("qid", "qvec")
+    val qb = Seq((-2L, vecB(100))).toDF("qid", "qvec")
+    val before = IvfSq.load(spark, dir, persist = false)
+      .query(qa, 4, nProbe = 2, fetch = 10).collect().map(_.toSeq).toSet
+    IvfSq.append(b, dir, tag = "day-1")
+    val idx2 = IvfSq.load(spark, dir, persist = false)
+    val hitB = idx2.query(qb, 3, nProbe = 2, fetch = 10).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(hitB(1) == 100L, s"appended vector must rank first: $hitB")
+    val after = idx2.query(qa, 4, nProbe = 2, fetch = 10)
+      .collect().map(_.toSeq).toSet
+    assert(after == before, s"standing results must not move:\n$after\n$before")
+    def frontier() = { val m = spark.read.parquet(s"$dir/meta").head()
+      m.getInt(m.fieldIndex("shards")) }
+    val f1 = frontier()
+    IvfSq.append(b, dir, tag = "day-1")
+    assert(frontier() == f1, "same-tag append must be a no-op")
+  }
+
   test("re-saving a path as a DIFFERENT index type clears the stale " +
     "layout (review r12)") {
     val dir = java.nio.file.Files.createTempDirectory("idxswap").toString
