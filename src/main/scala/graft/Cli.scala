@@ -29,12 +29,18 @@ import graft.report.Reporter
   * pipeline end to end over a JSONL corpus:
   * {{{
   *   graft.Cli curate <in.jsonl[.gz]> <outDir> [minWords]
+  *             [--lang-model <path>] [--langs a,b,..]
   * }}}
   * quality/language gate → PII redaction → fingerprint dedup (min-id
   * keep, whitespace/case-normalized — the same identity the streaming
   * path uses) → corpus line dedup (C4/RefinedWeb boilerplate rule) →
   * JSONL out,
   * with a per-stage survivor count printed as the audit trail.
+  * `--lang-model` points at a saveMulti-persisted
+  * [[graft.ops.QualityClassifier.MultiModel]]: the language gate then
+  * uses the trained classifier's prediction (the d56 production path)
+  * instead of the d05 marker heuristic; `--langs` restricts which
+  * predicted classes survive (default en,de,fr,es).
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -63,9 +69,31 @@ object Cli {
     * shuffles (dedup) only on the survivors. */
   private[graft] def curateCmd(spark: SparkSession, args: Array[String]): Unit = {
     import org.apache.spark.sql.functions.col
-    need(args, 2, "Cli curate <in.jsonl> <outDir> [minWords]")
+    need(args, 2,
+      "Cli curate <in.jsonl> <outDir> [minWords] [--lang-model <path>] " +
+        "[--langs a,b,..]")
     val (in, outDir) = (args(0), args(1))
-    val minWords = if (args.length > 2) args(2).toInt else 20
+    // positional minWords first (back-compat), then --flag value pairs
+    val rest = args.drop(2)
+    val minWords =
+      if (rest.nonEmpty && !rest(0).startsWith("--")) rest(0).toInt else 20
+    val flags = rest.dropWhile(!_.startsWith("--")).grouped(2).map {
+      case Array(k, v) if k.startsWith("--") => k -> v
+      case other => throw new IllegalArgumentException(
+        s"curate: dangling flag '${other.mkString(" ")}'")
+    }.toMap
+    val known = Set("--lang-model", "--langs")
+    val unknown = flags.keySet.diff(known)
+    require(unknown.isEmpty, s"curate: unknown flags ${unknown.mkString(", ")}")
+    // --lang-model <path>: gate language with a TRAINED MultiModel
+    // (the d56 production classifier) instead of the d05 marker
+    // heuristic — VERDICT r14 #5: the trained gate catches the
+    // wrong-language docs four stopword marker sets cannot
+    val langModel = flags.get("--lang-model")
+      .map(p => graft.ops.QualityClassifier.loadMulti(spark, p))
+    val langs = flags.get("--langs")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("en", "de", "fr", "es"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, text STRING, lang STRING, source STRING")
     val docs = graft.io.DocumentIO.readJsonlClean(spark, in, schema)
@@ -76,7 +104,8 @@ object Cli {
     // side, joins, stage counts) — persist so the regexp-heavy gate
     // runs once (the double-reference law)
     val gated = graft.streaming.EventStream.curateStream(
-        docs, minWords = minWords, redact = true)
+        docs, minWords = minWords, langs = langs, redact = true,
+        langModel = langModel)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // stage 2: fingerprint dedup, min-id keeper — the NORMALIZED

@@ -235,6 +235,38 @@ object ScaleBench {
       println(f"SCALE-DENSE label check: 0 of $nLab nodes mislabeled " +
         f"(coverage $nLab = $nBase x $copies)")
     }
+    // SCALE-LSH-DELTA (VERDICT r14 #1): the 10× table's d55 row grows
+    // the index AND the delta together, so it cannot isolate the
+    // verify read's shape. This section holds the DELTA FIXED (sf0.01
+    // documents, ids shifted disjoint) and grows only the STANDING
+    // INDEX (one build per dir, 1× vs 10×): with the sets table
+    // id-bucketed and the verify read pruned to candidate buckets, the
+    // per-delta time must stay near-flat — unbucketed, it was linear
+    // in the standing corpus (the r14 `weak`). Enable with
+    // SPARK_GRAFT_SCALE_LSH_DELTA=1.
+    if (sys.env.get("SPARK_GRAFT_SCALE_LSH_DELTA").contains("1")) {
+      import org.apache.spark.sql.functions.col
+      val delta = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      for (dir <- dirs) {
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft-scale-lsh").toString + "/idx"
+        val docs = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val tb0 = System.nanoTime()
+        graft.ops.Dedup.buildLshIndex(docs, "doc_id", "text", idx)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        val reps = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val n = graft.ops.Dedup
+            .dedupDelta(delta, "doc_id", "text", idx).count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        println(f"SCALE-LSH-DELTA $dir%-28s build=${buildSec}%7.2f s  " +
+          f"fixed-delta=${reps.map(_._1).min}%7.2f s  pairs=${reps.head._2}")
+      }
+    }
     // ANN recall at scale (VERDICT r6 #3): the table above rehearses
     // LATENCY; without this section an ANN quality regression at 10×
     // would be invisible. recall@5 of each approximate gate against

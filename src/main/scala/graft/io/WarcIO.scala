@@ -127,20 +127,26 @@ object WarcIO {
           s"warc $file: record $idx at offset $offset $msg")
 
       /** One CRLF-terminated header line (tolerates bare LF; strips the
-        * terminator). Null = clean EOF at a line start. */
+        * terminator). Null = clean EOF at a line start. Raw bytes are
+        * accumulated and the LINE decodes as UTF-8 (ADVICE r14): ISO
+        * 28500's ASCII rule covers field NAMES only — values (notably
+        * WARC-Target-URI) legally carry UTF-8, and a per-byte toChar
+        * append decoded them as Latin-1, mangling every multi-byte
+        * character in a real CC archive's non-ASCII URIs. */
       private def readLine(): String = {
-        val sb = new java.lang.StringBuilder(96)
+        val buf = new java.io.ByteArrayOutputStream(96)
         var b = in.read()
         if (b < 0) return null
         while (b >= 0 && b != '\n') {
           offset += 1
-          sb.append(b.toChar) // header bytes are ASCII per ISO 28500
+          buf.write(b)
           b = in.read()
         }
         if (b == '\n') offset += 1
-        val n = sb.length()
-        if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
-        sb.toString
+        val arr = buf.toByteArray
+        var n = arr.length
+        if (n > 0 && arr(n - 1) == '\r') n -= 1
+        new String(arr, 0, n, java.nio.charset.StandardCharsets.UTF_8)
       }
 
       private def advance(): Unit = {

@@ -194,7 +194,7 @@ object IvfPq {
     * directly). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       persist: Boolean = true): IvfPqIndex = {
-    val m0 = spark.read.parquet(s"$path/meta").head()
+    val m0 = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
     val cells = m0.getInt(m0.fieldIndex("n_cells"))
     val shards = m0.getInt(m0.fieldIndex("shards"))
     val cent = spark.read.parquet(s"$path/centroids")
@@ -236,7 +236,7 @@ object IvfPq {
     require(exists(spark, path),
       s"ivfpq index at '$path' is missing or incomplete " +
         "(no committed meta/codebook - saves write meta last)")
-    val m0 = spark.read.parquet(s"$path/meta").head()
+    val m0 = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
     val cells = m0.getInt(m0.fieldIndex("n_cells"))
     val shards = m0.getInt(m0.fieldIndex("shards"))
     val lastTag = m0.getString(m0.fieldIndex("tag"))
@@ -262,6 +262,19 @@ object IvfPq {
         .write.mode("overwrite").parquet(s"$path/encoded/shard=${shards + 1}")
       IvfIndex.writeMeta(spark, s"$path/meta", cells, shards + 1, tag)
     } finally { unit.unpersist(blocking = false); () }
+  }
+
+  /** Per-shard centroid-drift telemetry (the [[IvfIndex.driftStats]]
+    * contract and rebuild rule — drift_ratio > ~1.5 on an appended
+    * shard means the frozen coarse geometry no longer fits the
+    * incoming distribution; for PQ the CODEBOOK shares the same frozen
+    * fate, so coarse drift is the leading indicator for both). */
+  def driftStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    require(exists(spark, path),
+      s"ivfpq index at '$path' is missing or incomplete " +
+        "(no committed meta/codebook - saves write meta last)")
+    IvfIndex.corpusDriftStats(spark, path)
   }
 
   /** True when `path` holds a complete saved IVF-PQ index. The meta

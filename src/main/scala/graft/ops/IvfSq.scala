@@ -155,7 +155,7 @@ object IvfSq {
     * to the freshly built one (spec-asserted, the IvfPq contract). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       persist: Boolean = true): IvfSqIndex = {
-    val m0 = spark.read.parquet(s"$path/meta").head()
+    val m0 = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
     val cells = m0.getInt(m0.fieldIndex("n_cells"))
     val shards = m0.getInt(m0.fieldIndex("shards"))
     val cent = spark.read.parquet(s"$path/centroids")
@@ -193,7 +193,7 @@ object IvfSq {
     require(exists(spark, path),
       s"ivfsq index at '$path' is missing or incomplete " +
         "(no committed meta/sqmodel - saves write meta last)")
-    val m0 = spark.read.parquet(s"$path/meta").head()
+    val m0 = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
     val cells = m0.getInt(m0.fieldIndex("n_cells"))
     val shards = m0.getInt(m0.fieldIndex("shards"))
     val lastTag = m0.getString(m0.fieldIndex("tag"))
@@ -217,6 +217,20 @@ object IvfSq {
         .write.mode("overwrite").parquet(s"$path/encoded/shard=${shards + 1}")
       IvfIndex.writeMeta(spark, s"$path/meta", cells, shards + 1, tag)
     } finally { unit.unpersist(blocking = false); () }
+  }
+
+  /** Per-shard centroid-drift telemetry (the [[IvfIndex.driftStats]]
+    * contract and rebuild rule — drift_ratio > ~1.5 on an appended
+    * shard means the frozen coarse geometry no longer fits; for SQ the
+    * per-dimension min/max model is additionally CLAMPED on
+    * out-of-range residuals, so drift here decays ranking quality
+    * faster than plain IVF). */
+  def driftStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    require(exists(spark, path),
+      s"ivfsq index at '$path' is missing or incomplete " +
+        "(no committed meta/sqmodel - saves write meta last)")
+    IvfIndex.corpusDriftStats(spark, path)
   }
 
   /** True when `path` holds a complete saved IVF-SQ index (meta alone

@@ -287,6 +287,22 @@ object QualityClassifier {
         array_position(col("margins"), array_max(col("margins"))).cast("int")))
   }
 
+  /** The [[scoreMulti]] argmax as ONE inline column (pred only) — for
+    * pipelines that gate on the predicted class IN PLACE (the Cli
+    * curate language gate, VERDICT r14 #5): a separate scored frame
+    * would need a join back, which a streaming caller cannot afford
+    * (stream-stream). Same first-max tie rule as scoreMulti; the K
+    * bucket arrays share one subexpression under whole-stage codegen
+    * CSE. */
+  def predMulti(model: MultiModel, text: Column): Column = {
+    val k = model.classes.size
+    val bs = model.bucketsCol(graft.functions.TextFunctions.words(text))
+    val margins = array((0 until k).map(c =>
+      bucketDot(bs, model.weights(c), model.bias(c))): _*)
+    element_at(typedLit(model.classes),
+      array_position(margins, array_max(margins)).cast("int"))
+  }
+
   /** Persist a trained [[MultiModel]] as ONE single-row parquet table
     * (the Unigram.save pattern — classifiers are train-once /
     * use-everywhere, and a model living only in a JVM dies with the

@@ -554,18 +554,105 @@ final class IvfIndex private[ops] (
   }
 }
 
+/** Durable meta-marker rewrite for the persisted-index family (ADVICE
+  * r14): rewriting `meta` with overwrite mode deletes the standing
+  * commit marker before the new one lands, so ONE crashed append made
+  * the entire healthy index read as "missing or incomplete" and forced
+  * a full rebuild — weaker than the documented "a crash leaves only
+  * orphan dirs readers never select". Writers instead commit the new
+  * row to `<dir>.next` (its own _SUCCESS-marked parquet write), then
+  * swap (delete main, rename next → main). Readers prefer a committed
+  * `.next` over main: the newer row is only durable AFTER its shard
+  * data (every append writes data first, meta last), so preferring it
+  * is always safe — and at EVERY crash point a committed marker naming
+  * a fully-durable frontier stands:
+  *   - crash while writing `.next`: main stands (previous frontier),
+  *     the uncommitted `.next` is ignored and healed away;
+  *   - crash between the `.next` commit and the swap: `.next` is read
+  *     (new frontier — its shard data is already durable);
+  *   - crash after the swap: main (new frontier).
+  * Single-writer contract (the same one appends themselves carry);
+  * readers never mutate — only the next WRITE heals a pending swap. */
+private[ops] object MetaSwap {
+
+  private def hfs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private[ops] def nextDir(dir: String): String = dir + ".next"
+
+  /** True when SOME committed meta marker stands (main or a crashed
+    * swap's `.next`) — the [[Similarity.committedParquetExists]] rule
+    * lifted over the two-marker layout. */
+  def committed(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean =
+    Similarity.committedParquetExists(spark, dir) ||
+      Similarity.committedParquetExists(spark, nextDir(dir))
+
+  /** The committed meta directory to READ: `.next` when committed (a
+    * crashed swap's newer row — its data is durable by write order),
+    * else the main dir. Never mutates: safe under concurrent readers. */
+  def readDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    if (Similarity.committedParquetExists(spark, nextDir(dir))) nextDir(dir)
+    else dir
+
+  /** Finish or discard a pending swap (writer-side, before writing):
+    * a committed `.next` promotes (delete main, rename next → main);
+    * an uncommitted one — a crashed write — is deleted. */
+  private def heal(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (fs, next) = hfs(spark, nextDir(dir))
+    if (fs.exists(next)) {
+      val main = new org.apache.hadoop.fs.Path(dir)
+      if (Similarity.committedParquetExists(spark, nextDir(dir))) {
+        fs.delete(main, true)
+        fs.rename(next, main)
+      } else fs.delete(next, true)
+      ()
+    }
+  }
+
+  /** Swap-commit `df` (one row) as the new meta marker at `dir`. The
+    * previous marker survives until the new one is durable. */
+  def commit(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    heal(spark, dir)
+    df.coalesce(1).write.mode("overwrite").parquet(nextDir(dir))
+    val (fs, next) = hfs(spark, nextDir(dir))
+    val main = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(main, true)
+    fs.rename(next, main)
+    ()
+  }
+
+  /** Delete BOTH marker dirs — the rebuild-time invalidation (a
+    * rebuild MUST read as incomplete while its tables are mid-rewrite;
+    * see IvfIndex.invalidateMeta). */
+  def invalidate(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (fs, p) = hfs(spark, dir)
+    fs.delete(p, true)
+    fs.delete(new org.apache.hadoop.fs.Path(nextDir(dir)), true)
+    ()
+  }
+}
+
 object IvfIndex {
 
   /** The meta commit row. `shards`/`tag` serve the sharded `assigned`
     * layout ([[IvfIndex.append]]): shards names the committed
     * frontier, tag is the append-idempotence token. The PQ/SQ
     * composed indexes share this writer (their layouts are not
-    * sharded; the extra columns are inert there). */
+    * sharded; the extra columns are inert there). Swap-committed
+    * ([[MetaSwap.commit]]) so an append's meta rewrite never deletes
+    * the previous marker before the new one is durable. */
   private[ops] def writeMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String, nCells: Int, shards: Int = 0, tag: String = ""): Unit = {
     import spark.implicits._
-    Seq((nCells, shards, tag)).toDF("n_cells", "shards", "tag")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    MetaSwap.commit(
+      Seq((nCells, shards, tag)).toDF("n_cells", "shards", "tag"), dir)
   }
 
   /** Drop `path`'s meta marker so the index reads as incomplete while
@@ -573,11 +660,8 @@ object IvfIndex {
     * save (review r9: overwrite-in-place kept the previous save's
     * marker standing through the data rewrite). */
   private[ops] def invalidateMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
-  }
+      path: String): Unit =
+    MetaSwap.invalidate(spark, s"$path/meta")
 
   private[ops] def readMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): Int =
@@ -616,13 +700,14 @@ object IvfIndex {
     * marker-on path: part-files alone are not crash-safe under
     * committer v2). */
   def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
-    Similarity.committedParquetExists(spark, s"$path/meta") &&
+    MetaSwap.committed(spark, s"$path/meta") &&
       // layout-epoch guard (r14: the assigned table went sharded) — an
       // index saved under the old flat layout reads as incomplete and
       // rebuilds once, instead of load() failing on the missing shard
       // column; same one-redundant-rebuild trade committedParquetExists
       // already documents for the markers-off corner
-      spark.read.parquet(s"$path/meta").schema.fieldNames.contains("shards")
+      spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta"))
+        .schema.fieldNames.contains("shards")
 
   /** Reload a [[save]]d index. Centroids are re-materialized driver-side
     * (they are broadcast into every probe join); the assigned corpus
@@ -630,7 +715,7 @@ object IvfIndex {
     * query batches. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       persist: Boolean = true): IvfIndex = {
-    val m = spark.read.parquet(s"$path/meta").head()
+    val m = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
     val cells = m.getInt(m.fieldIndex("n_cells"))
     val shards = m.getInt(m.fieldIndex("shards"))
     val cent = spark.read.parquet(s"$path/centroids")
@@ -671,7 +756,7 @@ object IvfIndex {
     require(exists(spark, path),
       s"ivf index at '$path' is missing or incomplete " +
         "(no committed meta table - saves write it last)")
-    val m = spark.read.parquet(s"$path/meta").head()
+    val m = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
     val cells = m.getInt(m.fieldIndex("n_cells"))
     val shards = m.getInt(m.fieldIndex("shards"))
     val lastTag = m.getString(m.fieldIndex("tag"))
@@ -685,6 +770,89 @@ object IvfIndex {
       .withColumn("nrm", Similarity.norm(col("vec")))
       .write.mode("overwrite").parquet(s"$path/assigned/shard=${shards + 1}")
     writeMeta(spark, s"$path/meta", cells, shards + 1, tag)
+  }
+
+  /** Per-shard centroid-drift telemetry for a saved (possibly
+    * appended) index — the REBUILD-decision input (VERDICT r14 #4):
+    * frozen-centroid appends are correct but silently lossy when the
+    * incoming distribution shifts away from the build corpus (deltas
+    * land in ill-fitting cells, cell-pruning recall decays with no
+    * error anywhere). One row per committed shard:
+    * `(shard, n, mean_residual, drift_ratio)` where mean_residual is
+    * the mean ||vec − centroid(cell)|| over the shard's rows and
+    * drift_ratio normalizes it by shard 0's (the build corpus — 1.0
+    * by definition).
+    *
+    * Rebuild rule (documented, data-driven): retrain when a shard's
+    * drift_ratio exceeds ~1.5 — residuals 50% above the build's mean
+    * put delta rows materially farther from every centroid than the
+    * population the cell geometry was trained on, which is where
+    * probed-cell recall starts paying. In-distribution appends sit
+    * near 1.0 (sampling noise only).
+    *
+    * Scale shape: centroids broadcast; ONE scan of the assigned table
+    * (cell is stored, no re-assignment); the aggregation shuffles one
+    * (shard, sum, count) row per shard after map-side partials. */
+  def driftStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    require(exists(spark, path),
+      s"ivf index at '$path' is missing or incomplete " +
+        "(no committed meta table - saves write it last)")
+    val m = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
+    val shards = m.getInt(m.fieldIndex("shards"))
+    val cent = spark.read.parquet(s"$path/centroids")
+    val res = spark.read.parquet(s"$path/assigned")
+      .filter(col("shard") <= shards)
+      .select(col("shard"), col("cell"), col("vec"))
+      .join(broadcast(cent), "cell")
+      .select(col("shard"), Similarity.norm(
+        graft.functions.CatalystFunctions.vecSub(col("vec"), col("cvec")))
+        .as("__res"))
+    shardDrift(res)
+  }
+
+  /** (shard, n, mean_residual, drift_ratio) from (shard, __res) rows —
+    * the aggregation half of [[driftStats]], shared with the PQ/SQ
+    * layouts' drift surfaces. */
+  private[ops] def shardDrift(res: DataFrame): DataFrame = {
+    val stats = res.groupBy("shard")
+      .agg(count(lit(1)).as("n"), avg("__res").as("__mr"))
+    val base = stats.filter(col("shard") === 0)
+      .select(col("__mr").as("__base"))
+    stats.crossJoin(broadcast(base))
+      .select(col("shard"), col("n"),
+        round(col("__mr"), 6).as("mean_residual"),
+        round(col("__mr") / col("__base"), 4).as("drift_ratio"))
+      .orderBy("shard")
+  }
+
+  /** [[driftStats]] for the PQ/SQ layouts (shared by
+    * [[IvfPq.driftStats]] and [[IvfSq.driftStats]]): those store unit
+    * vectors in a `corpus` table WITHOUT the cell column, so the
+    * assignment re-derives from the frozen centroids — bit-identical
+    * to the stored one (same deterministic max-dot rule) and cheaper
+    * than an id-join against `encoded` (map-side partial aggregation
+    * of the scored crossJoin vs a full shuffle of both tables). */
+  private[ops] def corpusDriftStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val m = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
+    val shards = m.getInt(m.fieldIndex("shards"))
+    val cent = spark.read.parquet(s"$path/centroids")
+    val centMat = spark.createDataFrame(
+      java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+    val res = spark.read.parquet(s"$path/corpus")
+      .filter(col("shard") <= shards)
+      .select(col("shard"), col("id"), col("vec"))
+      .crossJoin(broadcast(centMat))
+      .withColumn("__score", Similarity.dot(col("vec"), col("cvec")))
+      .groupBy(col("id"))
+      .agg(first(col("shard")).as("shard"),
+        max_by(col("cvec"), struct(col("__score"), -col("cell"))).as("__c"),
+        first(col("vec")).as("vec"))
+      .select(col("shard"), Similarity.norm(
+        graft.functions.CatalystFunctions.vecSub(col("vec"), col("__c")))
+        .as("__res"))
+    shardDrift(res)
   }
 
   /** Index `corpus` (id, vec) rows. `nCells` <= 0 auto-sizes to

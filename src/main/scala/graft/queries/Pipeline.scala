@@ -473,6 +473,33 @@ object Pipeline {
     idx.query(q, 5, nProbe = 2, fetch = 20).orderBy("qid", "rank")
   }
 
+  /** End-to-end SHARDED-ANN verification gate (VERDICT r14 #7): build
+    * a deterministic IVF-SQ index (e13's recipe — md5 seeds, zero
+    * refinement) over 3/4 of the corpus, fold the remaining quarter in
+    * as TWO append shards (frozen centroids + frozen SQ model), and
+    * query THROUGH the persisted three-shard layout. This pins the
+    * sharded read path itself — meta frontier, shard-union scans,
+    * per-shard encode, the swap-committed meta — to a full-hash DuckDB
+    * oracle (the e13 math with centroid seeding and the SQ min/max
+    * model restricted to the BUILD subset; appended rows encode under
+    * the frozen model exactly as `IvfSq.append` does, clamping
+    * included). Until now the sharded layout was only spec-checked
+    * (identity vs pre-append results), never oracle-proven.
+    *
+    * A FRESH temp dir per call: the gate's appends must not accumulate
+    * onto a cached index across bench/verify repetitions. */
+  def e15KnnIvfSqSharded(s: SparkSession, dir: String): DataFrame = {
+    val (e, q) = knnInputs(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-e15")
+      .toString + "/idx"
+    graft.ops.IvfSq.build(e.filter(col("id") % 4 =!= 0), nCells = 4,
+      refineIters = 0, persist = false, md5Seeds = true).save(path)
+    graft.ops.IvfSq.append(e.filter(col("id") % 8 === 0), path, tag = "delta-a")
+    graft.ops.IvfSq.append(e.filter(col("id") % 8 === 4), path, tag = "delta-b")
+    val idx = graft.ops.IvfSq.load(s, path, persist = false)
+    idx.query(q, 5, nProbe = 2, fetch = 20).orderBy("qid", "rank")
+  }
+
   /** SemDeDup-style semantic dedup over the embeddings table
     * (cluster → within-cell cosine pairs → connected-component
     * collapse → canonical keep-set), fully deterministic (md5-seeded
@@ -1770,7 +1797,8 @@ object Pipeline {
     "e11_sq_codes" -> e11SqCodes _,
     "e12_knn_sq8" -> e12KnnSq8 _,
     "e13_knn_ivfsq_verify" -> e13KnnIvfSqVerify _,
-    "e14_knn_matryoshka" -> e14KnnMatryoshka _)
+    "e14_knn_matryoshka" -> e14KnnMatryoshka _,
+    "e15_knn_ivfsq_sharded" -> e15KnnIvfSqSharded _)
 
   /** The ONE copy of the md5-simhash signature CTEs (review r11: d08/
     * d11/d12/d19 carried four hand-synced copies — a change to the
@@ -3196,6 +3224,56 @@ object Pipeline {
         |dims AS (SELECT unnest(range(0, 64)) AS d),
         |stat AS (SELECT d, min(r[d + 1]) AS mn, max(r[d + 1]) AS mx
         |         FROM resid CROSS JOIN dims GROUP BY d),
+        |st AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM stat),
+        |enc AS (SELECT id, cell, list_transform(range(0, 64), d ->
+        |   CASE WHEN mxs[d + 1] = mns[d + 1] THEN 0.0
+        |        ELSE least(255.0, greatest(0.0,
+        |          floor((r[d + 1] - mns[d + 1]) / (mxs[d + 1] - mns[d + 1]) * 255.0 + 0.5))) END)
+        |  AS codes FROM resid CROSS JOIN st),
+        |rec AS (SELECT id, cell, list_transform(range(0, 64), d ->
+        |   mns[d + 1] + codes[d + 1] * ((mxs[d + 1] - mns[d + 1]) / 255.0)) AS recon
+        |  FROM enc CROSS JOIN st),
+        |qu AS (SELECT id AS qid, v AS qv FROM u WHERE id < 10),
+        |qp AS (SELECT qid, cell, cscore FROM
+        |  (SELECT q.qid, c.cell,
+        |     list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])) AS cscore,
+        |     row_number() OVER (PARTITION BY q.qid
+        |       ORDER BY list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])) DESC, c.cell) AS rk
+        |   FROM qu q CROSS JOIN cent c) WHERE rk <= 2),
+        |cand AS (SELECT p.qid, t.id,
+        |    p.cscore + list_sum(list_transform(range(1, 65), i -> q.qv[i] * t.recon[i])) AS score
+        |  FROM qp p JOIN rec t ON t.cell = p.cell JOIN qu q ON q.qid = p.qid
+        |  WHERE t.id <> p.qid),
+        |short AS (SELECT qid, id FROM
+        |  (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk FROM cand)
+        |  WHERE rk <= 20),
+        |rer AS (SELECT s.qid, s.id,
+        |    list_sum(list_transform(range(1, 65), i -> cu.v[i] * q.qv[i])) AS sim
+        |  FROM short s JOIN u cu ON cu.id = s.id JOIN qu q ON q.qid = s.qid)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim FROM
+        |  (SELECT qid, id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM rer)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // e13's oracle with the TRAINED state (centroid seeds + SQ min/max)
+    // restricted to the BUILD subset (id % 4 <> 0): appended rows (the
+    // two delta shards) assign and encode under the FROZEN model —
+    // including the 0/255 clamp on out-of-range residuals — exactly as
+    // IvfSq.append does, so the whole sharded layout is hash-provable.
+    "e15_knn_ivfsq_sharded" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nrm AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS ss FROM e),
+        |u AS (SELECT id, CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0 / sqrt(ss))) ELSE v END AS v FROM nrm),
+        |cent AS (SELECT row_number() OVER (ORDER BY h, id) AS cell, cv FROM
+        |  (SELECT md5(CAST(id AS VARCHAR)) AS h, id, v AS cv FROM u
+        |   WHERE id % 4 <> 0 ORDER BY h, id LIMIT 4)),
+        |asg AS (SELECT id, v, cell, cv FROM
+        |  (SELECT u.id, u.v, c.cell, c.cv,
+        |     row_number() OVER (PARTITION BY u.id
+        |       ORDER BY list_sum(list_transform(range(1, 65), i -> u.v[i] * c.cv[i])) DESC, c.cell) AS rk
+        |   FROM u CROSS JOIN cent c) WHERE rk = 1),
+        |resid AS (SELECT id, cell, list_transform(range(1, 65), i -> v[i] - cv[i]) AS r FROM asg),
+        |dims AS (SELECT unnest(range(0, 64)) AS d),
+        |stat AS (SELECT d, min(r[d + 1]) AS mn, max(r[d + 1]) AS mx
+        |         FROM resid CROSS JOIN dims WHERE id % 4 <> 0 GROUP BY d),
         |st AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM stat),
         |enc AS (SELECT id, cell, list_transform(range(0, 64), d ->
         |   CASE WHEN mxs[d + 1] = mns[d + 1] THEN 0.0

@@ -65,16 +65,31 @@ object EventStream {
     * language ID run unchanged in streaming (no state, no watermark
     * needed) — the same codegen'd expressions as batch d04/d05.
     * `redact = true` additionally scrubs PII in-flight (the batch d22
-    * operator; also stateless, so it streams for free). */
+    * operator; also stateless, so it streams for free).
+    *
+    * `langModel` (VERDICT r14 #5) swaps the stopword-marker heuristic
+    * for a TRAINED K-class classifier
+    * ([[graft.ops.QualityClassifier.trainMulti]], the d56 path): the
+    * `lang` column becomes the model's argmax class and the gate keeps
+    * `langs` ∩ the model's vocabulary. Still stateless (K native dots
+    * per row, weights as codegen reference objects), so the trained
+    * gate streams exactly like the heuristic one. The heuristic only
+    * knows four marker sets — a production pipeline trains on labeled
+    * samples and gates with the model. */
   def curateStream(docs: DataFrame, minWords: Int = 20,
       langs: Seq[String] = Seq("en", "de", "fr", "es"),
-      redact: Boolean = false): DataFrame = {
-    val gated = docs
+      redact: Boolean = false,
+      langModel: Option[graft.ops.QualityClassifier.MultiModel] = None)
+      : DataFrame = {
+    val quality = docs
       .withColumn("q", graft.functions.TextFunctions.textFeatures(col("text")))
       .filter(col("q.n_words") >= minWords && col("q.stopword_ratio") >= 0.02)
-      .withColumn("lang", col("q.lang"))
-      .filter(col("lang").isin(langs: _*))
-      .drop("q")
+    val labeled = langModel match {
+      case Some(m) => quality.withColumn("lang",
+        graft.ops.QualityClassifier.predMulti(m, col("text")))
+      case None => quality.withColumn("lang", col("q.lang"))
+    }
+    val gated = labeled.filter(col("lang").isin(langs: _*)).drop("q")
     if (redact)
       gated.withColumn("text",
         graft.functions.TextFunctions.redactPii(col("text")))
@@ -157,11 +172,25 @@ object EventStream {
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.ops.Dedup
-            .dedupDelta(batch, idCol, textCol, indexPath, threshold, maxBucket)
-            .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-          graft.ops.Dedup.appendToLshIndex(batch, idCol, textCol, indexPath,
-            tag = s"batch-$batchId")
+          val tag = s"batch-$batchId"
+          // retry guard (ADVICE r14): a batch that crashed AFTER the
+          // append's meta commit is already IN the index — re-pairing
+          // would violate dedupDelta's disjoint-ids precondition (the
+          // batch's ids would self-pair against their indexed copies
+          // and the rewritten pairs/batch=N would carry duplicate
+          // rows). A committed tag proves BOTH halves finished (pairs
+          // land before the append starts), so the whole retry is a
+          // no-op — the appendToLshIndex tag check alone only guarded
+          // the second half.
+          if (graft.ops.Dedup.lshIndexTag(batch.sparkSession, indexPath)
+              != tag) {
+            graft.ops.Dedup
+              .dedupDelta(batch, idCol, textCol, indexPath, threshold,
+                maxBucket)
+              .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+            graft.ops.Dedup.appendToLshIndex(batch, idCol, textCol, indexPath,
+              tag = tag)
+          }
         }
     }
 

@@ -113,6 +113,63 @@ class CliSpec extends SparkSpec {
     assert(spark.read.schema(schema).json(out2).count() == 0)
   }
 
+  test("curate command: --lang-model routes the gate through a trained " +
+      "MultiModel that drops what the marker heuristic misses (VERDICT r14 #5)") {
+    import graft.ops.QualityClassifier
+    // synthetic language "zz" salted with English stopword markers: the
+    // d05 marker heuristic labels it "en" (markers are all it sees),
+    // but hashed uni+bigram features separate it trivially
+    def en(i: Int) = s"the quick brown fox number$i jumps over the lazy " +
+      "dog and it runs through the garden with a happy friendly sound"
+    def zz(i: Int) = s"the gorp blivet$i snarf quux zibble the wumpus " +
+      "frobnicate and glorp snork the blargh wibble zot grue fnord plugh"
+    val train = ((0 until 12).map(i => (i.toLong, en(i), "en")) ++
+      (100 until 112).map(i => (i.toLong, zz(i), "zz")))
+      .toDF("doc_id", "text", "label")
+    val model = QualityClassifier.trainMulti(train, col("label"),
+      buckets = 1 << 10, iters = 20)
+    val modelDir = tmpDir("graft-cli-langmodel")
+    QualityClassifier.saveMulti(spark, model, modelDir)
+
+    val in = tmpDir("graft-cli-curate4-in")
+    Seq(
+      (1L, en(900), "en", "web"),
+      (2L, zz(901), "en", "web") // marker heuristic says "en"
+    ).toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").json(in)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING")
+
+    // heuristic path keeps BOTH (the miss this feature exists for)
+    val outH = tmpDir("graft-cli-curate4-outh")
+    Cli.curateCmd(spark, Array(in, outH, "10"))
+    assert(spark.read.schema(schema).json(outH)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+
+    // trained gate drops the disguised doc and RELABELS the survivor
+    // from the model (not the heuristic)
+    val outM = tmpDir("graft-cli-curate4-outm")
+    Cli.curateCmd(spark, Array(in, outM, "10",
+      "--lang-model", modelDir, "--langs", "en"))
+    val got = spark.read.schema(schema).json(outM)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en"), s"got $got")
+
+    // ...and --langs zz inverts the keep set (the model's class
+    // vocabulary is the gate, not the heuristic's four markers)
+    val outZ = tmpDir("graft-cli-curate4-outz")
+    Cli.curateCmd(spark, Array(in, outZ, "10",
+      "--lang-model", modelDir, "--langs", "zz"))
+    assert(spark.read.schema(schema).json(outZ)
+      .select("doc_id").as[Long].collect().toSet == Set(2L))
+
+    // unknown flag is loud
+    intercept[IllegalArgumentException] {
+      Cli.curateCmd(spark, Array(in, outZ, "10", "--bogus", "x"))
+    }
+    ()
+  }
+
   test("platform registry: add/list/remove + named ixmp:// URL resolution") {
     import graft.core.PlatformRegistry
     val cfg = java.nio.file.Paths.get(tmpDir("graft-reg"), "platforms.properties")

@@ -103,7 +103,7 @@ class OpsSpec extends SparkSpec {
     // meta commit) is invisible — same query, same answer
     Dedup.shingleSets(Seq((99L, base)).toDF("doc_id", "text"),
         "doc_id", "text", 3)
-      .write.parquet(s"$dir/idx/sets/shard=9")
+      .write.parquet(s"$dir/idx/sets/shard=9/bucket=0")
     val got3Df = Dedup.dedupDelta(delta2, "doc_id", "text", s"$dir/idx")
     val got3 = got3Df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got3 == got2, s"orphan shard must be pruned: $got3 vs $got2")
@@ -114,6 +114,124 @@ class OpsSpec extends SparkSpec {
     assert(plan3.contains("PartitionFilters") &&
       plan3.contains("(shard"),
       s"shard frontier must be a partition filter:\n$plan3")
+    // ...and the verify stage's sets read is pruned to the candidate
+    // ids' BUCKETS (VERDICT r14: unbucketed, it re-read the
+    // corpus-sized sets table per delta): the bucket restriction must
+    // be a partition filter too, so non-candidate buckets' files are
+    // never opened
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan3).isDefined,
+      s"sets read must carry a bucket partition filter:\n$plan3")
+  }
+
+  test("lsh delta index: checkIds fails loudly on a re-sent id; " +
+      "rebuild invalidates before rewriting (crash = incomplete, " +
+      "never complete-but-mixed)") {
+    val corpusRows = Seq((1L, base),
+      (4L, "completely different content about spark engines and shuffles"))
+    val dir = tmpDir("graft-lshguard")
+    Dedup.buildLshIndex(corpusRows.toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx")
+    // disjoint delta passes WITH the guard on
+    val ok = Dedup.dedupDelta(Seq((20L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx", checkIds = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok == Set((1L, 20L)), ok.toString)
+    // re-sent id 1 violates the disjointness precondition: loud, and
+    // the message names the offending id
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupDelta(Seq((1L, base)).toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/idx", checkIds = true)
+    }
+    assert(ex.getMessage.contains("'1'") &&
+      ex.getMessage.contains("disjoint"), ex.getMessage)
+    // default-off path is unchanged (no guard scan, no error)
+    Dedup.dedupDelta(Seq((21L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx").collect()
+    // the simhash twin's guard
+    val fpOf = (rows: Seq[(Long, String)]) =>
+      rows.toDF("doc_id", "text").select(col("doc_id"),
+        graft.functions.CatalystFunctions.simhashMd5(
+          TextFunctions.words(col("text"))).as("simhash"))
+    Dedup.buildSimhashIndex(fpOf(corpusRows), s"$dir/sim")
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.simhashDelta(fpOf(Seq((1L, base))), s"$dir/sim",
+        checkIds = true)
+    }
+    assert(ex2.getMessage.contains("'1'"), ex2.getMessage)
+
+    // REBUILD over the standing index: grow it to 2 shards, then
+    // rebuild with a corpus whose shingle writes THROW mid-build — the
+    // crashed rebuild must read as incomplete (ADVICE r14: before the
+    // invalidate-first rule, the OLD meta (shards=1) stood over the
+    // partially-deleted tables and readers silently mis-paired)
+    Dedup.appendToLshIndex(Seq((30L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx")
+    val boom = org.apache.spark.sql.functions.udf((s: String) =>
+      { throw new RuntimeException("boom"); s })
+    intercept[Exception] {
+      Dedup.buildLshIndex(
+        Seq((50L, base)).toDF("doc_id", "text")
+          .withColumn("text", boom(col("text"))),
+        "doc_id", "text", s"$dir/idx")
+    }
+    val ex3 = intercept[IllegalArgumentException] {
+      Dedup.dedupDelta(Seq((60L, base)).toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/idx")
+    }
+    assert(ex3.getMessage.contains("missing or incomplete"), ex3.getMessage)
+    // ...and a SUCCESSFUL rebuild leaves no stale shard-1 trees behind
+    // (sets/bands are cleared up front, not overwritten shard-0-only)
+    Dedup.buildLshIndex(corpusRows.toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/idx/sets/shard=1")),
+      "rebuild must clear the previous build's appended shards")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/idx/bands/shard=1")))
+  }
+
+  test("index meta swap-commit: a crashed append's meta rewrite never " +
+      "unseats the standing commit marker (ADVICE r14)") {
+    val corpusRows = Seq((1L, base),
+      (4L, "completely different content about spark engines and shuffles"))
+    val dir = tmpDir("graft-metaswap")
+    Dedup.buildLshIndex(corpusRows.toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(s"$dir/idx/meta")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/idx/meta.next")
+
+    // crash window A: append died while WRITING meta.next (uncommitted
+    // — no _SUCCESS). The standing marker must win and the index stay
+    // healthy (the old overwrite protocol had already deleted it here).
+    fs.mkdirs(next)
+    val out = Dedup.dedupDelta(Seq((20L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 20L)), out.toString)
+    fs.delete(next, true)
+
+    // crash window B: append died BETWEEN the meta.next commit and the
+    // swap (main deleted, next committed). The committed next row —
+    // whose shard data is durable by write order — must be read.
+    Dedup.appendToLshIndex(Seq((20L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx", tag = "b1")
+    fs.rename(meta, next) // simulate: new marker durable, swap unfinished
+    val got2 = Dedup.dedupDelta(Seq((30L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((1L, 30L), (20L, 30L)),
+      s"pending-swap marker must commit the appended shard: $got2")
+    // the next WRITE heals the pending swap and keeps working
+    Dedup.appendToLshIndex(Seq((30L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx", tag = "b2")
+    assert(fs.exists(meta) && !fs.exists(next),
+      "the next append must promote the pending marker")
+    val got3 = Dedup.dedupDelta(Seq((40L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3 == Set((1L, 40L), (20L, 40L), (30L, 40L)), got3.toString)
   }
 
   test("simhash delta index: pigeonhole-exact delta pairs vs a full " +
@@ -1828,6 +1946,33 @@ class OpsSpec extends SparkSpec {
     assert(after3 == before, "orphan shard must be pruned at planning")
   }
 
+  test("IvfIndex.driftStats: in-distribution appends sit near 1.0, a " +
+      "shifted distribution crosses the documented rebuild threshold") {
+    import graft.ops.IvfIndex
+    def vecA(i: Int) = Array.tabulate(4)(d =>
+      (if (d == 0) 1.0f else 0.01f * ((i + d) % 3)))
+    def vecShift(i: Int) = Array.tabulate(4)(d =>
+      (if (d == 2) 1.0f else 0.01f * ((i + d) % 3)))
+    val a = (0 until 30).map(i => (i.toLong, vecA(i))).toDF("id", "vec")
+    val inDist = (100 until 115).map(i => (i.toLong, vecA(i))).toDF("id", "vec")
+    val shifted = (200 until 215).map(i => (i.toLong, vecShift(i)))
+      .toDF("id", "vec")
+    val path = tmpDir("ivf-drift")
+    IvfIndex.build(a, nCells = 2, refineIters = 1, persist = false).save(path)
+    IvfIndex.append(inDist, path, tag = "day-1")
+    IvfIndex.append(shifted, path, tag = "day-2")
+    val d = IvfIndex.driftStats(spark, path).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(d.keySet == Set(0, 1, 2), d.toString)
+    assert(d(0)._1 == 30L && d(0)._2 == 1.0, d.toString)
+    // same generator, new ids: residuals within sampling noise of the
+    // build corpus — well under the rebuild threshold
+    assert(d(1)._2 < 1.5, s"in-distribution shard must sit near 1.0: $d")
+    // distribution shifted to an untrained direction: residuals blow
+    // past the documented drift_ratio > 1.5 rebuild rule
+    assert(d(2)._2 > 1.5, s"shifted shard must cross the threshold: $d")
+  }
+
   test("cosineNearDup validates band geometry") {
     val df = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f))).toDF("id", "vec")
     // review r11: full-width single band (r = 64) is legal — the mask
@@ -1900,6 +2045,12 @@ class OpsSpec extends SparkSpec {
     val f1 = frontier()
     IvfPq.append(b, path, tag = "day-1")
     assert(frontier() == f1, "same-tag append must be a no-op")
+    // drift telemetry: B is a shifted distribution (e2 cluster vs the
+    // e1-trained cells), so its shard must cross the rebuild threshold
+    val drift = IvfPq.driftStats(spark, path).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(drift(0) == 1.0 && drift(1) > 1.5,
+      s"shifted append must surface as drift: $drift")
   }
 
   test("index completeness honors _SUCCESS when markers are on, " +

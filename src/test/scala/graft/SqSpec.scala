@@ -227,6 +227,14 @@ class SqSpec extends SparkSpec {
     val f1 = frontier()
     IvfSq.append(b, dir, tag = "day-1")
     assert(frontier() == f1, "same-tag append must be a no-op")
+    // drift telemetry (VERDICT r14 #4): B is a shifted distribution
+    // (e2 cluster vs e1-trained cells) — its shard must cross the
+    // documented drift_ratio > 1.5 rebuild threshold, and the build
+    // shard anchors at exactly 1.0
+    val drift = IvfSq.driftStats(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(drift(0) == 1.0 && drift(1) > 1.5,
+      s"shifted append must surface as drift: $drift")
   }
 
   test("re-saving a path as a DIFFERENT index type clears the stale " +

@@ -175,7 +175,9 @@ class StreamingSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 11L || p._2 == 11L),
       s"unrelated doc pairs nothing: $pairs")
     // retried append (same tag) is a no-op: shard count must not grow
-    def shards() = spark.read.parquet(s"$dir/idx/meta").head().getInt(3)
+    // (by NAME — r15 added n_buckets to the meta row)
+    def shards() = { val m = spark.read.parquet(s"$dir/idx/meta").head()
+      m.getAs[Int]("shards") }
     val before = shards()
     graft.ops.Dedup.appendToLshIndex(
       Seq((20L, base + " extra tail")).toDF("doc_id", "text"),
