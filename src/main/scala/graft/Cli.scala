@@ -30,6 +30,7 @@ import graft.report.Reporter
   * {{{
   *   graft.Cli curate <in.jsonl[.gz]> <outDir> [minWords]
   *             [--lang-model <path>] [--langs a,b,..]
+  *             [--quality-model <path>] [--quality-min <x>]
   * }}}
   * quality/language gate → PII redaction → fingerprint dedup (min-id
   * keep, whitespace/case-normalized — the same identity the streaming
@@ -41,6 +42,10 @@ import graft.report.Reporter
   * uses the trained classifier's prediction (the d56 production path)
   * instead of the d05 marker heuristic; `--langs` restricts which
   * predicted classes survive (default en,de,fr,es).
+  * `--quality-model` points at a save-persisted binary
+  * [[graft.ops.QualityClassifier.Model]] (the d34 classifier): docs
+  * whose trained margin falls below `--quality-min` (default 0.0)
+  * drop after the heuristic gate.
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -71,7 +76,7 @@ object Cli {
     import org.apache.spark.sql.functions.col
     need(args, 2,
       "Cli curate <in.jsonl> <outDir> [minWords] [--lang-model <path>] " +
-        "[--langs a,b,..]")
+        "[--langs a,b,..] [--quality-model <path>] [--quality-min <x>]")
     val (in, outDir) = (args(0), args(1))
     // positional minWords first (back-compat), then --flag value pairs
     val rest = args.drop(2)
@@ -82,7 +87,8 @@ object Cli {
       case other => throw new IllegalArgumentException(
         s"curate: dangling flag '${other.mkString(" ")}'")
     }.toMap
-    val known = Set("--lang-model", "--langs")
+    val known = Set("--lang-model", "--langs", "--quality-model",
+      "--quality-min")
     val unknown = flags.keySet.diff(known)
     require(unknown.isEmpty, s"curate: unknown flags ${unknown.mkString(", ")}")
     // --lang-model <path>: gate language with a TRAINED MultiModel
@@ -94,6 +100,16 @@ object Cli {
     val langs = flags.get("--langs")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq("en", "de", "fr", "es"))
+    // --quality-model <path> [--quality-min <x>]: additionally gate on
+    // a trained binary quality margin (the d34 classifier) — the
+    // heuristic word-count/stopword gate stays as the cheap pre-filter,
+    // the trained margin drops the fluent-but-junk docs it can't see
+    require(flags.contains("--quality-model") ||
+        !flags.contains("--quality-min"),
+      "curate: --quality-min needs --quality-model")
+    val qualityModel = flags.get("--quality-model")
+      .map(p => graft.ops.QualityClassifier.load(spark, p))
+    val qualityMin = flags.get("--quality-min").map(_.toDouble).getOrElse(0.0)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, text STRING, lang STRING, source STRING")
     val docs = graft.io.DocumentIO.readJsonlClean(spark, in, schema)
@@ -103,9 +119,12 @@ object Cli {
     // gated and deduped each feed several references (dedup build
     // side, joins, stage counts) — persist so the regexp-heavy gate
     // runs once (the double-reference law)
-    val gated = graft.streaming.EventStream.curateStream(
-        docs, minWords = minWords, langs = langs, redact = true,
-        langModel = langModel)
+    val gated0 = graft.streaming.EventStream.curateStream(
+      docs, minWords = minWords, langs = langs, redact = true,
+      langModel = langModel)
+    val gated = qualityModel.fold(gated0)(m =>
+        gated0.filter(graft.ops.QualityClassifier.margin(m,
+          org.apache.spark.sql.functions.col("text")) >= qualityMin))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // stage 2: fingerprint dedup, min-id keeper — the NORMALIZED

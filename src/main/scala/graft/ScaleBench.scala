@@ -38,7 +38,9 @@ object ScaleBench {
       "d52_warc_tokenize", "d53_bm25_index", "d54_dedup_keep_best",
       // round-14 newcomers
       "d55_lsh_delta_dedup", "d56_langid_score", "d57_simhash_delta",
-      "d58_vocab_sketch")
+      "d58_vocab_sketch",
+      // round-15 newcomer
+      "e15_knn_ivfsq_sharded")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

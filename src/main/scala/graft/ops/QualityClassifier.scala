@@ -148,6 +148,31 @@ object QualityClassifier {
       .select(col("id"), size(col("bs")).as("n_feats"),
         bucketDot(col("bs"), model.weights, model.bias).as("margin"))
 
+  /** The [[score]] margin as ONE inline column — the binary twin of
+    * [[predMulti]] (gate a frame on trained quality IN PLACE; a
+    * separate scored frame would need a join back). Positive margin =
+    * keep-quality under the training labels. */
+  def margin(model: Model, text: Column): Column =
+    bucketDot(featureBuckets(
+      graft.functions.TextFunctions.words(text), model.buckets),
+      model.weights, model.bias)
+
+  /** Persist a trained binary [[Model]] as ONE single-row parquet
+    * table (the [[saveMulti]] pattern — train-once / use-everywhere). */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    import spark.implicits._
+    Seq((model.weights.toSeq, model.bias)).toDF("weights", "bias")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[save]]d binary model — margins bit-identical to the
+    * in-memory original (doubles round-trip parquet exactly). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val r = spark.read.parquet(path).head()
+    Model(r.getSeq[Double](0).toArray, r.getDouble(1))
+  }
+
   /** Relational scorer for a SPARSE weights table (bucket, weight) —
     * the cross-engine-checkable path (gate d34 uses md5 buckets and
     * dyadic-rational literal weights so the margin is exact in any

@@ -167,6 +167,35 @@ class CliSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Cli.curateCmd(spark, Array(in, outZ, "10", "--bogus", "x"))
     }
+
+    // --quality-model: a trained binary margin drops fluent-but-junk
+    // docs the heuristic gate (word count + stopword ratio) passes
+    def spam(i: Int) = s"the best cheap pills$i and the top deals now " +
+      "with the free casino bonus and the instant winner prize today"
+    val qtrain = ((0 until 12).map(i => (i.toLong, en(i), true)) ++
+      (100 until 112).map(i => (i.toLong, spam(i), false)))
+      .toDF("doc_id", "text", "label")
+    val qm = QualityClassifier.train(qtrain, col("label"),
+      buckets = 1 << 10, iters = 20)
+    val qmDir = tmpDir("graft-cli-qmodel")
+    QualityClassifier.save(spark, qm, qmDir)
+    // round-trip sanity: the persisted model scores like the original
+    val qmBack = QualityClassifier.load(spark, qmDir)
+    assert(qmBack.bias == qm.bias &&
+      qmBack.weights.sameElements(qm.weights))
+    val inQ = tmpDir("graft-cli-curate5-in")
+    Seq((1L, en(900), "en", "web"), (2L, spam(901), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").json(inQ)
+    val outQ = tmpDir("graft-cli-curate5-out")
+    Cli.curateCmd(spark, Array(inQ, outQ, "10", "--quality-model", qmDir))
+    assert(spark.read.schema(schema).json(outQ)
+      .select("doc_id").as[Long].collect().toSet == Set(1L),
+      "trained quality margin must drop the fluent spam doc")
+    // --quality-min without --quality-model is loud
+    intercept[IllegalArgumentException] {
+      Cli.curateCmd(spark, Array(inQ, outQ, "10", "--quality-min", "0.5"))
+    }
     ()
   }
 
