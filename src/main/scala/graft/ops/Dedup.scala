@@ -326,13 +326,24 @@ object Dedup {
     *   committed one makes the call a no-op — sufficient for
     *   Structured Streaming, which always retries batch N to
     *   completion before starting N+1. */
+  /** @param checkIds opt-in disjointness guard (the [[dedupDelta]]
+    *   contract): a duplicate id folded INTO the index corrupts every
+    *   later delta's verify join, so the append is where the check
+    *   pays for itself most. */
   def appendToLshIndex(delta: DataFrame, idCol: String, textCol: String,
-      path: String, tag: String = ""): Unit = {
+      path: String, tag: String = "", checkIds: Boolean = false): Unit = {
     val spark = delta.sparkSession
     val m = readLshMeta(spark, path)
     if (tag.nonEmpty && tag == m.tag) () // retry of an applied append
-    else writeLshShard(delta, idCol, textCol, path, m.nGram, m.numHashes,
-      m.bands, m.nBuckets, shard = m.shards + 1, tag = tag)
+    else {
+      if (checkIds)
+        assertDisjointIds(
+          delta.select(col(idCol).as("doc_id")),
+          committedShards(spark, s"$path/sets", m.shards, Seq("doc_id")),
+          s"lsh index at '$path'")
+      writeLshShard(delta, idCol, textCol, path, m.nGram, m.numHashes,
+        m.bands, m.nBuckets, shard = m.shards + 1, tag = tag)
+    }
   }
 
   /** ONE shard writer shared by build (shard 0) and append (shard G+1):
@@ -396,6 +407,10 @@ object Dedup {
     * [[dedupDelta]]'s disjoint-ids precondition; ADVICE r14). */
   private[graft] def lshIndexTag(spark: org.apache.spark.sql.SparkSession,
       path: String): String = readLshMeta(spark, path).tag
+
+  /** [[lshIndexTag]]'s SimHash twin (the simhashDeltaStream guard). */
+  private[graft] def simhashIndexTag(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = readSimhashMeta(spark, path)._3
 
   /** The committed rows of an index-side table: directory-partitioned
     * by shard, filtered to the meta-committed frontier (an orphan
@@ -682,10 +697,19 @@ object Dedup {
   /** Fold an already-deduped delta's fingerprints into the index (the
     * [[appendToLshIndex]] contract: same-`tag` retries are no-ops). */
   def appendToSimhashIndex(fp: DataFrame, path: String,
-      tag: String = ""): Unit = {
-    val m = readSimhashMeta(fp.sparkSession, path)
+      tag: String = "", checkIds: Boolean = false): Unit = {
+    val spark = fp.sparkSession
+    val m = readSimhashMeta(spark, path)
     if (tag.nonEmpty && tag == m._3) ()
-    else writeSimhashShard(fp, path, m._1, shard = m._2 + 1, tag = tag)
+    else {
+      if (checkIds)
+        assertDisjointIds(
+          fp.select(col("doc_id")),
+          spark.read.parquet(s"$path/sigs")
+            .filter(col("shard") <= m._2).select("doc_id"),
+          s"simhash index at '$path'")
+      writeSimhashShard(fp, path, m._1, shard = m._2 + 1, tag = tag)
+    }
   }
 
   /** Near-dup pairs of a delta's fingerprints against a

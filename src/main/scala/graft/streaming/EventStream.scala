@@ -194,6 +194,39 @@ object EventStream {
         }
     }
 
+  /** [[dedupDeltaStream]]'s SimHash twin: continuous near-dup dedup of
+    * a document stream against a persisted
+    * [[graft.ops.Dedup.buildSimhashIndex]] index. Per micro-batch:
+    * fingerprint in-flight ([[graft.ops.Dedup.simhash]] — word-less
+    * docs drop, the batch d08 rule), emit the batch's delta-touching
+    * pairs at `pairsDir/batch=<id>` (overwrite — exactly-once per
+    * batch id), fold the fingerprints in with `tag = batch-<id>`. Same
+    * retry guard as the LSH twin: a committed tag proves both halves
+    * finished, so the whole retry no-ops instead of re-pairing a batch
+    * that is already IN the index. LEANER than the LSH loop end to
+    * end: 8-byte sigs in, xor+popcount verify, no shingle storage.
+    * Caller contract: globally unique doc ids across the stream. */
+  def simhashDeltaStream(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, pairsDir: String, maxBucket: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val tag = s"batch-$batchId"
+          if (graft.ops.Dedup.simhashIndexTag(batch.sparkSession, indexPath)
+              != tag) {
+            // one fingerprint pass serves the pairing AND the append
+            val fp = graft.ops.Dedup.simhash(batch, idCol, textCol)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              graft.ops.Dedup.simhashDelta(fp, indexPath, maxBucket)
+                .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+              graft.ops.Dedup.appendToSimhashIndex(fp, indexPath, tag = tag)
+            } finally { fp.unpersist(blocking = false); () }
+          }
+        }
+    }
+
   /** Continuous ANN-index ingestion — the vector-database write path:
     * each micro-batch of (id, vec) rows folds into a saved
     * [[graft.ops.IvfIndex]] via `append` (frozen centroids, one

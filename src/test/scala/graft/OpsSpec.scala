@@ -147,6 +147,12 @@ class OpsSpec extends SparkSpec {
     // default-off path is unchanged (no guard scan, no error)
     Dedup.dedupDelta(Seq((21L, base)).toDF("doc_id", "text"),
       "doc_id", "text", s"$dir/idx").collect()
+    // the APPEND paths carry the same guard (a duplicate id folded
+    // into the index poisons every later delta, not just this one)
+    intercept[IllegalArgumentException] {
+      Dedup.appendToLshIndex(Seq((1L, base)).toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/idx", checkIds = true)
+    }
     // the simhash twin's guard
     val fpOf = (rows: Seq[(Long, String)]) =>
       rows.toDF("doc_id", "text").select(col("doc_id"),
@@ -158,6 +164,10 @@ class OpsSpec extends SparkSpec {
         checkIds = true)
     }
     assert(ex2.getMessage.contains("'1'"), ex2.getMessage)
+    intercept[IllegalArgumentException] {
+      Dedup.appendToSimhashIndex(fpOf(Seq((1L, base))), s"$dir/sim",
+        checkIds = true)
+    }
 
     // REBUILD over the standing index: grow it to 2 shards, then
     // rebuild with a corpus whose shingle writes THROW mid-build — the

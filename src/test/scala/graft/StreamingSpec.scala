@@ -190,6 +190,50 @@ class StreamingSpec extends SparkSpec {
     assert(shards() == before + 1, "new-tag append must land")
   }
 
+  test("simhashDeltaStream: the lean fingerprint twin of the LSH loop " +
+      "pairs batches against the index and each other") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "patient cat watches from the old wooden fence near the garden gate"
+    val dir = tmpDir("graft-simstream")
+    graft.ops.Dedup.buildSimhashIndex(
+      graft.ops.Dedup.simhash(
+        Seq((1L, base),
+          (2L, "completely different content about spark engines and shuffles"))
+          .toDF("doc_id", "text")),
+      s"$dir/idx", maxHamming = 3)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventStream.simhashDeltaStream(
+        input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/idx", s"$dir/pairs")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData((10L, base),
+        (11L, "nothing matching anything else in this corpus at all truly"))
+      q.processAllAvailable()
+      // batch 1 pairs against batch 0's doc only if the append landed
+      input.addData((20L, base))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.read.parquet(s"$dir/pairs")
+      .select("id_a", "id_b", "batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 10L, 0)), s"index-vs-batch0 pair: $pairs")
+    assert(pairs.contains((10L, 20L, 1)),
+      s"batch0 doc must be IN the index when batch1 arrives: $pairs")
+    assert(pairs.contains((1L, 20L, 1)), s"original corpus still pairs: $pairs")
+    assert(!pairs.exists(p => p._1 == 11L || p._2 == 11L),
+      s"unrelated doc pairs nothing: $pairs")
+    // retried tag is a no-op on the index frontier
+    val before = spark.read.parquet(s"$dir/idx/meta").head()
+      .getAs[Int]("shards")
+    graft.ops.Dedup.appendToSimhashIndex(
+      graft.ops.Dedup.simhash(Seq((20L, base)).toDF("doc_id", "text")),
+      s"$dir/idx", tag = "batch-1")
+    assert(spark.read.parquet(s"$dir/idx/meta").head()
+      .getAs[Int]("shards") == before, "same-tag append must be a no-op")
+  }
+
   test("ivfAppendStream: micro-batched vectors become queryable as " +
       "their batch commits; frozen centroids") {
     import spark.implicits._
