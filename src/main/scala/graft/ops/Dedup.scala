@@ -362,7 +362,17 @@ object Dedup {
     val sets = shingleSets(docs, idCol, textCol, nGram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // repartition by bucket so each bucket lands WHOLE in one task:
+      // B files total instead of tasks×B (the unshuffled dynamic-
+      // partition write opened ~2k writers at sf0.1 and tripled the
+      // build; at 32k-task scale it would mean millions of small
+      // files). One extra sets-sized exchange per build/append, paid
+      // once and amortized over every delta. Scale note: a bucket
+      // writes from one task, so pick `buckets` >= the cluster's
+      // parallelism when building huge corpora (the default 64 suits
+      // up to ~64-way write parallelism; the knob is on buildLshIndex).
       sets.withColumn("bucket", setBucket(col("doc_id"), buckets))
+        .repartition(col("bucket"))
         .write.partitionBy("bucket")
         .mode("overwrite").parquet(s"$path/sets/shard=$shard")
       val sig = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
