@@ -105,15 +105,17 @@ object Bpe {
   def saveMerges(spark: org.apache.spark.sql.SparkSession,
       merges: Seq[(String, String)], path: String): Unit = {
     import spark.implicits._
-    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
-      .toDF("ord", "left", "right")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    // swap-committed (r15): a crashed re-train save never destroys the
+    // standing merge list — see MetaSwap
+    MetaSwap.commit(
+      merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+        .toDF("ord", "left", "right"), path)
   }
 
   /** Reload a [[saveMerges]]d list in learned order. */
   def loadMerges(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(String, String)] =
-    spark.read.parquet(path).orderBy("ord")
+    spark.read.parquet(MetaSwap.readDir(spark, path)).orderBy("ord")
       .collect().map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
       .toSeq
 

@@ -162,14 +162,14 @@ object QualityClassifier {
   def save(spark: org.apache.spark.sql.SparkSession, model: Model,
       path: String): Unit = {
     import spark.implicits._
-    Seq((model.weights.toSeq, model.bias)).toDF("weights", "bias")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    MetaSwap.commit(
+      Seq((model.weights.toSeq, model.bias)).toDF("weights", "bias"), path)
   }
 
   /** Reload a [[save]]d binary model — margins bit-identical to the
     * in-memory original (doubles round-trip parquet exactly). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
-    val r = spark.read.parquet(path).head()
+    val r = spark.read.parquet(MetaSwap.readDir(spark, path)).head()
     Model(r.getSeq[Double](0).toArray, r.getDouble(1))
   }
 
@@ -335,10 +335,13 @@ object QualityClassifier {
   def saveMulti(spark: org.apache.spark.sql.SparkSession, model: MultiModel,
       path: String): Unit = {
     import spark.implicits._
-    Seq((model.classes, model.weights.map(_.toSeq), model.bias.toSeq,
+    // swap-committed (r15): a crashed re-train save never destroys the
+    // standing model — see MetaSwap
+    MetaSwap.commit(
+      Seq((model.classes, model.weights.map(_.toSeq), model.bias.toSeq,
         model.subwordMin, model.subwordMax))
-      .toDF("classes", "weights", "bias", "subword_min", "subword_max")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+        .toDF("classes", "weights", "bias", "subword_min", "subword_max"),
+      path)
   }
 
   /** Reload a [[saveMulti]]-persisted model — predictions bit-identical
@@ -346,7 +349,7 @@ object QualityClassifier {
     * the featurizer range rides along so scoring cannot desync). */
   def loadMulti(spark: org.apache.spark.sql.SparkSession,
       path: String): MultiModel = {
-    val r = spark.read.parquet(path).head()
+    val r = spark.read.parquet(MetaSwap.readDir(spark, path)).head()
     MultiModel(r.getSeq[String](0).toVector,
       r.getSeq[scala.collection.Seq[Double]](1).map(_.toArray).toVector,
       r.getSeq[Double](2).toArray, r.getInt(3), r.getInt(4))

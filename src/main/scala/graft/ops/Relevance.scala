@@ -184,11 +184,17 @@ object Relevance {
     *    is proportional to the terms' posting lists, not the corpus);
     *  - a one-row `stats` table (n, avgdl's numerator/denominator),
     *    written LAST as the commit marker (the IvfIndex meta-last
-    *    protocol: a crashed build never looks complete). */
+    *    protocol: a crashed build never looks complete).
+    *
+    * REBUILD over an existing path drops the stats marker FIRST (the
+    * buildLshIndex/IvfIndex.save rule, r15): without it a crash
+    * mid-rebuild left the OLD committed stats standing over new or
+    * partial postings — complete-looking and silently wrong. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    MetaSwap.invalidate(spark, s"$path/stats")
     val w = docs.select(col(idCol).as("doc_id"),
         TextFunctions.words(col(textCol)).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

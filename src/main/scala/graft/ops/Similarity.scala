@@ -614,8 +614,10 @@ private[ops] object MetaSwap {
     }
   }
 
-  /** Swap-commit `df` (one row) as the new meta marker at `dir`. The
-    * previous marker survives until the new one is durable. */
+  /** Swap-commit `df` (a small driver-sized table — meta markers and
+    * trained models) at `dir`. The previous committed table survives
+    * until the new one is durable, so a crashed rewrite (index meta OR
+    * a model re-train) never destroys the standing artifact. */
   def commit(df: DataFrame, dir: String): Unit = {
     val spark = df.sparkSession
     heal(spark, dir)

@@ -647,9 +647,10 @@ object Unigram {
   def save(spark: org.apache.spark.sql.SparkSession, model: UnigramModel,
       path: String): Unit = {
     import spark.implicits._
-    Seq((model.pieces, model.logp, model.unkLogp))
-      .toDF("pieces", "logp", "unk_logp")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    // swap-committed (r15, the index-meta rule): a re-train whose save
+    // crashes must not destroy the standing production model
+    MetaSwap.commit(Seq((model.pieces, model.logp, model.unkLogp))
+      .toDF("pieces", "logp", "unk_logp"), path)
   }
 
   /** Reload a [[save]]d model — encode results are bit-identical to
@@ -657,7 +658,7 @@ object Unigram {
     * the unk floor round-trip exactly through parquet doubles). */
   def load(spark: org.apache.spark.sql.SparkSession,
       path: String): UnigramModel = {
-    val r = spark.read.parquet(path).head()
+    val r = spark.read.parquet(MetaSwap.readDir(spark, path)).head()
     UnigramModel(r.getSeq[String](0).toVector,
       r.getSeq[Double](1).toVector, r.getDouble(2))
   }

@@ -580,6 +580,16 @@ class IOSpec extends SparkSpec {
     val it = WarcIO.parseStream("m", new java.io.ByteArrayInputStream(many))
     assert(it.take(3).toSeq.map(r => new String(r.content, "UTF-8")) ==
       Seq("body 0", "body 1", "body 2"))
+    // header VALUES decode as UTF-8 (ADVICE r14): a multi-byte
+    // Target-URI must survive the streaming parser — the per-byte
+    // toChar read decoded it Latin-1 ('é' came back as 'Ã©')
+    val uri = "https://ex.test/café/日本"
+    val utf = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes("UTF-8")
+    val u = WarcIO.parseStream("u",
+      new java.io.ByteArrayInputStream(utf)).next()
+    assert(u.target_uri == uri, u.target_uri)
   }
 
   test("WET round-trip: distributed per-partition sink, conversion-record " +

@@ -919,6 +919,26 @@ class OpsSpec extends SparkSpec {
     assert(merges.nonEmpty)
     Bpe.saveMerges(spark, merges, s"$dir/bpe")
     assert(Bpe.loadMerges(spark, s"$dir/bpe") == merges)
+    // model saves are swap-committed (r15): simulate a re-train save
+    // that crashed mid-write — an UNCOMMITTED <path>.next beside the
+    // standing model — and one that crashed mid-swap (main gone,
+    // committed .next). The standing model survives the first; the
+    // durable newer one wins the second.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/uni.next"))
+    assert(Unigram.load(spark, s"$dir/uni") == m,
+      "uncommitted .next must not shadow the standing model")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/uni.next"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/uni"),
+      new org.apache.hadoop.fs.Path(s"$dir/uni.next"))
+    assert(Unigram.load(spark, s"$dir/uni") == m,
+      "a committed pending swap must be readable")
+    // the next save heals: main stands again, .next gone
+    Unigram.save(spark, m, s"$dir/uni")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/uni")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/uni.next")))
+    assert(Unigram.load(spark, s"$dir/uni") == m)
   }
 
   test("keepBestByScore: best member per cluster survives, ties to the " +
@@ -2195,6 +2215,19 @@ class OpsSpec extends SparkSpec {
       Relevance.queryIndex(spark, s"$dir/nothere", Seq("join"))
     }
     assert(ex.getMessage.contains("missing or incomplete"), ex.getMessage)
+    // REBUILD crash-safety (r15, the buildLshIndex rule): a rebuild
+    // whose postings write dies must read as incomplete — not as the
+    // OLD stats standing over partial postings
+    val boom = org.apache.spark.sql.functions.udf((s: String) =>
+      { throw new RuntimeException("boom"); s })
+    intercept[Exception] {
+      Relevance.buildIndex(docs.withColumn("text", boom(col("text"))),
+        "doc_id", "text", s"$dir/idx")
+    }
+    val ex2 = intercept[IllegalArgumentException] {
+      Relevance.queryIndex(spark, s"$dir/idx", Seq("join"))
+    }
+    assert(ex2.getMessage.contains("missing or incomplete"), ex2.getMessage)
   }
 
   test("bigram perplexity: hand-computed nll, OOV smoothing, broadcast plan") {
