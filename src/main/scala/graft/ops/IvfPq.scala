@@ -277,6 +277,27 @@ object IvfPq {
     IvfIndex.corpusDriftStats(spark, path)
   }
 
+  /** Per-shard recall@k of the PQ probe path vs exact brute force over
+    * the saved unit corpus (the [[IvfIndex.probeRecall]] contract —
+    * recall here also prices the FROZEN codebook's quantization error
+    * on drifted shards, which residual norms alone understate). */
+  def probeRecall(spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int = 5, perShard: Int = 20, nProbe: Int = 0,
+      fetch: Int = -1): DataFrame = {
+    require(exists(spark, path),
+      s"ivfpq index at '$path' is missing or incomplete " +
+        "(no committed meta/codebook - saves write meta last)")
+    val m = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
+    val shards = m.getInt(m.fieldIndex("shards"))
+    val corpus = spark.read.parquet(s"$path/corpus")
+      .filter(col("shard") <= shards)
+      .select(col("shard"), col("id"), col("vec"))
+    val idx = load(spark, path, persist = false)
+    try IvfIndex.recallByShard(spark, corpus,
+      q => idx.query(q, k, nProbe, fetch), k, perShard)
+    finally idx.close()
+  }
+
   /** True when `path` holds a complete saved IVF-PQ index. The meta
     * marker alone is ambiguous (IvfIndex.save writes the identical
     * layout, review r11): a plain-IVF path would read as complete here

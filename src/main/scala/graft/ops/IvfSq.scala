@@ -233,6 +233,27 @@ object IvfSq {
     IvfIndex.corpusDriftStats(spark, path)
   }
 
+  /** Per-shard recall@k of the SQ probe path vs exact brute force over
+    * the saved unit corpus (the [[IvfIndex.probeRecall]] contract —
+    * recall here also prices the frozen min/max model's CLAMP on
+    * drifted shards' out-of-range residuals). */
+  def probeRecall(spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int = 5, perShard: Int = 20, nProbe: Int = 0,
+      fetch: Int = -1): DataFrame = {
+    require(exists(spark, path),
+      s"ivfsq index at '$path' is missing or incomplete " +
+        "(no committed meta/sqmodel - saves write meta last)")
+    val m = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
+    val shards = m.getInt(m.fieldIndex("shards"))
+    val corpus = spark.read.parquet(s"$path/corpus")
+      .filter(col("shard") <= shards)
+      .select(col("shard"), col("id"), col("vec"))
+    val idx = load(spark, path, persist = false)
+    try IvfIndex.recallByShard(spark, corpus,
+      q => idx.query(q, k, nProbe, fetch), k, perShard)
+    finally idx.close()
+  }
+
   /** True when `path` holds a complete saved IVF-SQ index (meta alone
     * is ambiguous across the index family — require the sqmodel table,
     * the IvfPq.exists rule; the `encoded/shard=0` check is the r14

@@ -813,6 +813,74 @@ object IvfIndex {
     shardDrift(res)
   }
 
+  /** Per-shard recall@k of an index's own (approximate) query path
+    * against exact brute force — the QUALITY half of the drift
+    * telemetry (VERDICT r14 #4's parenthetical): [[driftStats]] says
+    * the frozen geometry stopped fitting; this measures what that
+    * costs where it hurts, probed-cell recall, per shard. From each
+    * committed shard, `perShard` member vectors (hash-ordered —
+    * deterministic) query the index; micro-averaged recall vs
+    * [[Similarity.bruteForceKnn]] over the same corpus, grouped by the
+    * query's HOME shard (a drifted shard's members are the queries
+    * that lose neighbors first).
+    *
+    * Cost: the sampled queries are driver-bounded (shards × perShard)
+    * and broadcast; each side scans the corpus once. Sanity law
+    * (spec-pinned): with every cell probed the probe path IS exact
+    * search — identical float math, identical (sim desc, id) ranking —
+    * so every shard reads exactly 1.0. */
+  def probeRecall(spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int = 5, perShard: Int = 20, nProbe: Int = 0): DataFrame = {
+    require(exists(spark, path),
+      s"ivf index at '$path' is missing or incomplete " +
+        "(no committed meta table - saves write it last)")
+    val m = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
+    val shards = m.getInt(m.fieldIndex("shards"))
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .filter(col("shard") <= shards)
+      .select(col("shard"), col("id"), col("vec"))
+    val idx = load(spark, path, persist = false)
+    recallByShard(spark, assigned,
+      q => idx.query(q, k, nProbe), k, perShard)
+  }
+
+  /** The sampling + scoring half of [[probeRecall]], shared with the
+    * PQ/SQ surfaces: `corpus` is (shard, id, vec) committed rows,
+    * `queryFn` maps a (qid, qvec) frame to ranked (…, qid, …, id)
+    * results. Returns (shard, n_queries, recall). */
+  private[ops] def recallByShard(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, queryFn: DataFrame => DataFrame,
+      k: Int, perShard: Int): DataFrame = {
+    require(k >= 1 && perShard >= 1, "probeRecall: k, perShard >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(xxhash64(col("id")), col("id"))
+    val qRows = corpus
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perShard)
+      .select(col("shard").as("qshard"), col("id").as("qid"),
+        col("vec").as("qvec"))
+    // driver-materialized: the sample feeds the index query, the exact
+    // oracle AND the shard join — three consumers of a bounded frame
+    val qMat = spark.createDataFrame(
+      java.util.Arrays.asList(qRows.collect(): _*), qRows.schema)
+    val q = qMat.select(col("qid"), col("qvec"))
+    val got = queryFn(q).select(col("qid"), col("id"))
+    val exact = Similarity.bruteForceKnn(
+      corpus.select(col("id"), col("vec")), q, k)
+      .select(col("qid"), col("id"))
+    val hits = exact.join(got, Seq("qid", "id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("__hit"))
+    exact.groupBy("qid").agg(count(lit(1)).as("__n"))
+      .join(hits, Seq("qid"), "left_outer")
+      .join(broadcast(qMat.select(col("qshard"), col("qid"))), "qid")
+      .groupBy("qshard")
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(coalesce(col("__hit"), lit(0L))) / sum(col("__n")), 4)
+          .as("recall"))
+      .select(col("qshard").as("shard"), col("n_queries"), col("recall"))
+      .orderBy("shard")
+  }
+
   /** (shard, n, mean_residual, drift_ratio) from (shard, __res) rows —
     * the aggregation half of [[driftStats]], shared with the PQ/SQ
     * layouts' drift surfaces. */

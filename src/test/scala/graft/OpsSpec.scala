@@ -2001,6 +2001,19 @@ class OpsSpec extends SparkSpec {
     // distribution shifted to an untrained direction: residuals blow
     // past the documented drift_ratio > 1.5 rebuild rule
     assert(d(2)._2 > 1.5, s"shifted shard must cross the threshold: $d")
+    // probe recall — the telemetry's QUALITY half. Sanity law: with
+    // every cell probed the probe path IS exact search (identical
+    // float math and tie-break), so every shard reads exactly 1.0
+    val pr = IvfIndex.probeRecall(spark, path, k = 3, perShard = 10,
+        nProbe = 2).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(pr.keySet == Set(0, 1, 2), pr.toString)
+    assert(pr.values.forall(_._1 == 10L), s"perShard cap: $pr")
+    assert(pr.values.forall(_._2 == 1.0), s"full probe = exact: $pr")
+    // partial probe stays a well-formed [0,1] per-shard number
+    val pr1 = IvfIndex.probeRecall(spark, path, k = 3, perShard = 10,
+        nProbe = 1).collect().map(_.getDouble(2))
+    assert(pr1.length == 3 && pr1.forall(r => r >= 0.0 && r <= 1.0))
   }
 
   test("cosineNearDup validates band geometry") {
@@ -2081,6 +2094,13 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getDouble(3)).toMap
     assert(drift(0) == 1.0 && drift(1) > 1.5,
       s"shifted append must surface as drift: $drift")
+    // probe recall per shard (the telemetry's quality half)
+    val pr = IvfPq.probeRecall(spark, path, k = 3, perShard = 8,
+        nProbe = 2, fetch = 12).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(pr.keySet == Set(0, 1) &&
+      pr.values.forall(r => r >= 0.0 && r <= 1.0), pr.toString)
+    assert(pr(0) >= 0.9, s"build-cluster recall at full probe: $pr")
   }
 
   test("index completeness honors _SUCCESS when markers are on, " +

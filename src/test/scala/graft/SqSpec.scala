@@ -235,6 +235,15 @@ class SqSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getDouble(3)).toMap
     assert(drift(0) == 1.0 && drift(1) > 1.5,
       s"shifted append must surface as drift: $drift")
+    // probe recall per shard: one row per shard, sane bounds; the
+    // well-separated build cluster reads (near-)perfect at full probe
+    // + ample rerank fetch
+    val pr = IvfSq.probeRecall(spark, dir, k = 3, perShard = 8,
+        nProbe = 2, fetch = 12).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(pr.keySet == Set(0, 1), pr.toString)
+    assert(pr.values.forall(r => r >= 0.0 && r <= 1.0), pr.toString)
+    assert(pr(0) >= 0.9, s"build-cluster recall at full probe: $pr")
   }
 
   test("re-saving a path as a DIFFERENT index type clears the stale " +
