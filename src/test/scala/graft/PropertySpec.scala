@@ -116,6 +116,28 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.io.Xlsx.colLetters(702) == "AAA")
   }
 
+  test("unigram byte fallback: decode(encode(w)) == w and the piece " +
+      "stream stays inside the closed vocab, for arbitrary unicode") {
+    import graft.ops.{Unigram, UnigramModel}
+    val model = UnigramModel(Vector("a", "b", "ab", "the"),
+      Vector(-1.0, -1.5, -2.0, -1.2), unkLogp = math.log(0.001))
+    // tokens mix model pieces, OOV ASCII, multi-byte BMP chars and
+    // astral emoji (UTF-16 surrogate PAIRS — the run-rejoin corner)
+    val tokenGen = Gen.oneOf("a", "b", "ab", "the", "z", "Q", "~",
+      "é", "日", "語", "ß", "😀", "🦄", " ")
+    val strGen = Gen.choose(1, 10)
+      .flatMap(n => Gen.listOfN(n, tokenGen)).map(_.mkString)
+    forAllG(strGen) { w =>
+      val pieces = Unigram.viterbiBytes(w, model)
+      assert(Unigram.decodePieces(pieces.toIndexedSeq) == w,
+        s"round-trip failed for '$w' via ${pieces.mkString("|")}")
+      // closed vocabulary: model pieces ∪ the 256 <0xXX> byte pieces
+      assert(pieces.forall(p => model.pieces.contains(p) ||
+        (p.length == 6 && p.startsWith("<0x") && p.endsWith(">"))),
+        s"OOV piece leaked for '$w': ${pieces.mkString("|")}")
+    }
+  }
+
   test("simhash blockLayout: partition of 64 bits, any h in [0,63]") {
     (0 to 63).foreach { h =>
       val layout = graft.ops.Dedup.blockLayout(h)
