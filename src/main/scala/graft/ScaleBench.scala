@@ -39,8 +39,8 @@ object ScaleBench {
       // round-14 newcomers
       "d55_lsh_delta_dedup", "d56_langid_score", "d57_simhash_delta",
       "d58_vocab_sketch",
-      // round-15 newcomer
-      "e15_knn_ivfsq_sharded")
+      // round-15 newcomers
+      "e15_knn_ivfsq_sharded", "e16_drift_stats")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -500,6 +500,26 @@ object Pipeline {
     idx.query(q, 5, nProbe = 2, fetch = 20).orderBy("qid", "rank")
   }
 
+  /** Drift telemetry as a hash-gated pipeline (the d58 rule: a
+    * scale-ops tool is machinery once an oracle re-derives it, not
+    * just a spec claim): deterministic IVF-SQ build (e13's recipe)
+    * over 3/4 of the corpus, ONE append shard, then
+    * `IvfSq.driftStats` — per-shard row count, mean residual norm
+    * and drift_ratio vs the build shard. Every number is sequential
+    * double math over a deterministic assignment, so DuckDB re-derives
+    * the whole table (residual norms per row, per-shard means, the
+    * ratio); the build shard's ratio is exactly 1.0 by construction.
+    * Fresh temp dir per call (the e15 rule). */
+  def e16DriftStats(s: SparkSession, dir: String): DataFrame = {
+    val (e, _) = knnInputs(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-e16")
+      .toString + "/idx"
+    graft.ops.IvfSq.build(e.filter(col("id") % 4 =!= 0), nCells = 4,
+      refineIters = 0, persist = false, md5Seeds = true).save(path)
+    graft.ops.IvfSq.append(e.filter(col("id") % 4 === 0), path, tag = "delta")
+    graft.ops.IvfSq.driftStats(s, path).orderBy("shard")
+  }
+
   /** SemDeDup-style semantic dedup over the embeddings table
     * (cluster → within-cell cosine pairs → connected-component
     * collapse → canonical keep-set), fully deterministic (md5-seeded
@@ -1798,7 +1818,8 @@ object Pipeline {
     "e12_knn_sq8" -> e12KnnSq8 _,
     "e13_knn_ivfsq_verify" -> e13KnnIvfSqVerify _,
     "e14_knn_matryoshka" -> e14KnnMatryoshka _,
-    "e15_knn_ivfsq_sharded" -> e15KnnIvfSqSharded _)
+    "e15_knn_ivfsq_sharded" -> e15KnnIvfSqSharded _,
+    "e16_drift_stats" -> e16DriftStats _)
 
   /** The ONE copy of the md5-simhash signature CTEs (review r11: d08/
     * d11/d12/d19 carried four hand-synced copies — a change to the
@@ -3303,6 +3324,32 @@ object Pipeline {
         |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim FROM
         |  (SELECT qid, id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM rer)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // e15's deterministic-assignment prefix (centroids from the BUILD
+    // subset; zero vectors dropped like IvfSq.build does), then the
+    // drift table itself: per-row residual norm (sequential double
+    // math), per-shard mean, ratio vs shard 0 — shard membership is
+    // the id split, so the whole telemetry re-derives in SQL.
+    "e16_drift_stats" ->
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nrm AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS ss FROM e),
+        |u AS (SELECT id, list_transform(v, x -> x * (1.0 / sqrt(ss))) AS v
+        |      FROM nrm WHERE ss > 0),
+        |cent AS (SELECT row_number() OVER (ORDER BY h, id) AS cell, cv FROM
+        |  (SELECT md5(CAST(id AS VARCHAR)) AS h, id, v AS cv FROM u
+        |   WHERE id % 4 <> 0 ORDER BY h, id LIMIT 4)),
+        |asg AS (SELECT id, v, cell, cv FROM
+        |  (SELECT u.id, u.v, c.cell, c.cv,
+        |     row_number() OVER (PARTITION BY u.id
+        |       ORDER BY list_sum(list_transform(range(1, 65), i -> u.v[i] * c.cv[i])) DESC, c.cell) AS rk
+        |   FROM u CROSS JOIN cent c) WHERE rk = 1),
+        |rn AS (SELECT id, CASE WHEN id % 4 = 0 THEN 1 ELSE 0 END AS shard,
+        |   sqrt(list_sum(list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i])))) AS res
+        |  FROM asg),
+        |st AS (SELECT shard, count(*) AS n, avg(res) AS mr FROM rn GROUP BY shard),
+        |b AS (SELECT mr AS mr0 FROM st WHERE shard = 0)
+        |SELECT CAST(st.shard AS INTEGER) AS shard, n,
+        |  round(mr, 6) AS mean_residual, round(mr / mr0, 4) AS drift_ratio
+        |FROM st CROSS JOIN b ORDER BY shard""".stripMargin,
     // Mirrors every float op of the deterministic IVF-PQ build+query in
     // Spark's exact sequential order: unit-normalize multiplies by
     // (1/sqrt(ss)) — NOT divides — because VecUnit does; dots/dists are
