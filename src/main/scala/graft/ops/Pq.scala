@@ -352,6 +352,44 @@ object Pq {
     (cb, r)
   }
 
+  /** Stable fingerprint of a rotation matrix — the cache-key component
+    * that pins an IVF-PQ index to the OPQ rotation its corpus was
+    * encoded under (the e10 rule: fold this into the index path so
+    * retraining just the OPQ model can never leave a surviving index
+    * silently queried under a mismatched rotation). */
+  def rotationHash(r: Array[Double]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8 * r.length)
+    r.foreach(bb.putDouble)
+    md.digest(bb.array()).take(6).map("%02x".format(_)).mkString
+  }
+
+  /** Fold a delta into an IVF-PQ index built over an OPQ-rotated
+    * corpus — the incremental append for the full FAISS
+    * "OPQ_M,IVFx,PQM" composition, the one index family the r14
+    * append work left out: rotate the delta with the FROZEN rotation
+    * from the saved OPQ model, then [[IvfPq.append]] (frozen
+    * centroids + codebook encode the rotated delta; meta-commit-last,
+    * tag idempotence, orphan-shard pruning all inherited — the FAISS
+    * add-vs-train split extended one level up, to the rotation).
+    *
+    * The index at `indexPath` must have been BUILT over
+    * `matVecCol(corpus, R)` for the same R — key the index path by
+    * [[rotationHash]] (the e10 rule) so a retrained model can never
+    * meet a stale index. Queries stay caller-composed: rotate with the
+    * same R before `query` (exact rerank is rotation-invariant, so
+    * ranks remain comparable to unrotated exact search). */
+  def appendOpq(delta: DataFrame, idCol: String, vecCol: String,
+      opqPath: String, indexPath: String, tag: String = ""): Unit = {
+    val spark = delta.sparkSession
+    require(opqExists(spark, opqPath),
+      s"opq model at '$opqPath' is missing or incomplete " +
+        "(saveOpq writes its meta marker last)")
+    val (cb, r) = loadOpq(spark, opqPath)
+    IvfPq.append(delta.select(col(idCol).as("id"),
+      matVecCol(col(vecCol), r, cb.dim).as("vec")), indexPath, tag)
+  }
+
   /** Encode a corpus: adds a `codes` column (keep it, drop the vector,
     * and the stored index is m bytes-of-int per row). */
   def encode(df: DataFrame, vecCol: String, cb: PqCodebook,

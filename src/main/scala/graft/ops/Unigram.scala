@@ -303,6 +303,21 @@ object Unigram {
     val wc = collectDict(docs, textCol, maxWords)
     val (singles, singleCounts, multi0) =
       seedFrom(wc, maxPieceLen, seedSize, minCount)
+    emTrainLoop(singles, s => singleCounts.get(s).longValue(), multi0,
+      vocabSize, iters, m => emStep(wc, m))
+  }
+
+  /** The shared EM-then-prune alternation (Kudo's schedule) behind
+    * [[trainEmWithTrace]] and [[trainEmDistributedWithTrace]] — the
+    * two trainers differ ONLY in how one E-step runs (driver loop over
+    * the collected dict vs one Spark job over the dict table), so the
+    * M-step, the likelihood-loss prune, and the stopping rule live
+    * here once and can never drift apart. */
+  private def emTrainLoop(singles: Vector[String],
+      singleCount: String => Long, multi0: Vector[(String, Long)],
+      vocabSize: Int, iters: Int,
+      em: UnigramModel => (Double, Map[String, Double]))
+      : (UnigramModel, Vector[Vector[Double]]) = {
     val singleSet = singles.toSet
 
     def normalizeD(counts: Map[String, Double]): UnigramModel = {
@@ -314,7 +329,7 @@ object Unigram {
     }
 
     var pieceCounts: Map[String, Double] =
-      (singles.map(s => s -> singleCounts.get(s).doubleValue()) ++
+      (singles.map(s => s -> singleCount(s).toDouble) ++
         multi0.map { case (p, c) => p -> c.toDouble }).toMap
     var model = normalizeD(pieceCounts)
     val budget = math.max(0, vocabSize - singles.length)
@@ -326,7 +341,7 @@ object Unigram {
       val trace = scala.collection.mutable.ArrayBuffer.empty[Double]
       var it = 0
       while (it < iters) {
-        val (ll, expected) = emStep(wc, model)
+        val (ll, expected) = em(model)
         trace += ll
         // every candidate keeps positive expected mass (all spans have
         // nonzero posterior), so the exact M-step never zeroes a piece
@@ -359,6 +374,98 @@ object Unigram {
     (model, traces.toVector)
   }
 
+  /** Fully distributed forward-backward EM — [[trainEm]] with the
+    * driver dict removed: the word-count table NEVER lands on the
+    * driver (no `maxWords` cap — the cap is [[trainEm]]'s one scale
+    * limit), seeding is a distributed substring count, and each E-step
+    * is ONE Spark job (dict scan → [[UnigramEmExpr]] explode →
+    * map-side partial sums → per-piece totals), collecting only the
+    * piece-count table (≤ singles + seedSize + 1 rows — vocab-sized by
+    * construction, corpus-size-independent). M-step and
+    * likelihood-loss prune are [[emTrainLoop]], shared verbatim with
+    * the driver trainer.
+    *
+    * Determinism: seeding is exact (integer sums; the seed truncation
+    * order `(count desc, piece)` follows Spark's binary-UTF-8 string
+    * order, which differs from the driver's UTF-16 order only for
+    * supplementary-plane ties at the seedSize boundary). E-step totals
+    * are float sums in shuffle-arrival order, so logp carries ~1e-12
+    * relative jitter vs [[trainEm]] — UnigramSpec pins pieces
+    * identical and logp parity under tolerance, and run-to-run
+    * partition invariance. Use [[train]] when bit-exact determinism
+    * matters more than SentencePiece-parity soft counts. */
+  def trainEmDistributed(docs: DataFrame, textCol: String = "text",
+      vocabSize: Int = 1000, maxPieceLen: Int = 4, seedSize: Int = 8000,
+      iters: Int = 2, minCount: Long = 2L): UnigramModel =
+    trainEmDistributedWithTrace(docs, textCol, vocabSize, maxPieceLen,
+      seedSize, iters, minCount)._1
+
+  /** [[trainEmDistributed]] plus the per-step corpus log-likelihood
+    * trace ([[trainEmWithTrace]]'s contract). */
+  def trainEmDistributedWithTrace(docs: DataFrame, textCol: String = "text",
+      vocabSize: Int = 1000, maxPieceLen: Int = 4, seedSize: Int = 8000,
+      iters: Int = 2, minCount: Long = 2L)
+      : (UnigramModel, Vector[Vector[Double]]) = {
+    require(vocabSize >= 2, s"vocabSize must be >= 2, got $vocabSize")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    require(iters >= 1, s"trainEm: iters must be >= 1, got $iters")
+    // ONE corpus pass; EM iterates over this (persisted) dict table —
+    // the corpus is never rescanned
+    val dict = docs
+      .select(explode(graft.functions.TextFunctions.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // distributed seeding: substring counts are integer sums (exact,
+      // order-independent). Singles = every distinct character of the
+      // dict (alphabet-bounded collect — the EM coverage invariant);
+      // multi = (count desc, piece)-truncated candidates, pruned to
+      // seedSize INSIDE Spark so the driver only sees the survivors.
+      val singles: Vector[(String, Long)] = dict
+        .select(col("c"), explode(substringsCol(col("w"), 1, 1)).as("p"))
+        .groupBy("p").agg(sum(col("c")).as("pc"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toVector
+      require(singles.nonEmpty, "unigram train: corpus has no words")
+      val multi0: Vector[(String, Long)] = dict
+        .select(col("c"),
+          explode(substringsCol(col("w"), 2, maxPieceLen)).as("p"))
+        .groupBy("p").agg(sum(col("c")).as("pc"))
+        .where(col("pc") >= minCount)
+        .orderBy(col("pc").desc, col("p")).limit(seedSize)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toVector
+      val singleMap = singles.toMap
+      def emDistributed(model: UnigramModel)
+          : (Double, Map[String, Double]) = {
+        val rows = dict
+          .select(explode(ExpressionUtils.column(
+            UnigramEmExpr(ExpressionUtils.expression(col("w")),
+              ExpressionUtils.expression(col("c")), model))).as("e"))
+          .groupBy(col("e.p").as("p")).agg(sum(col("e.m")).as("m"))
+          .collect()
+        var ll = 0.0
+        val b = Map.newBuilder[String, Double]
+        rows.foreach { r =>
+          val p = r.getString(0)
+          // "" is the LL sentinel (pieces are nonempty substrings)
+          if (p.isEmpty) ll = r.getDouble(1) else b += (p -> r.getDouble(1))
+        }
+        (ll, b.result())
+      }
+      emTrainLoop(singles.map(_._1), singleMap, multi0, vocabSize, iters,
+        emDistributed)
+    } finally {
+      dict.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** All substrings of UTF-16 length `minLen..maxLen` (one entry per
+    * OCCURRENCE — the [[seedFrom]] counting rule) as a column. */
+  private def substringsCol(w: Column, minLen: Int, maxLen: Int): Column =
+    ExpressionUtils.column(
+      SubstringsExpr(ExpressionUtils.expression(w), minLen, maxLen))
+
   /** One forward-backward E-step over the dict: returns (corpus
     * log-likelihood under `model`, expected piece counts). Fixed
     * iteration order (the dict's (count desc, word) order, spans
@@ -368,63 +475,80 @@ object Unigram {
     val counts = new java.util.HashMap[String, java.lang.Double]()
     var ll = 0.0
     wc.foreach { case (w, c) =>
-      val n = w.length
-      val maxLen = model.maxPieceLen
-      // forward: alpha(i) = logsumexp_j alpha(j) + lp(w[j..i))
-      val alpha = new Array[Double](n + 1)
-      java.util.Arrays.fill(alpha, Double.NegativeInfinity)
-      alpha(0) = 0.0
-      var i = 1
-      while (i <= n) {
-        var j = math.max(0, i - maxLen)
-        while (j < i) {
-          val lp = pieceLogp(w, j, i, model)
-          if (!lp.isNaN && alpha(j) != Double.NegativeInfinity)
-            alpha(i) = logAdd(alpha(i), alpha(j) + lp)
-          j += 1
-        }
-        i += 1
-      }
-      // beta: beta(j) = logsumexp_i lp(w[j..i)) + beta(i)
-      val beta = new Array[Double](n + 1)
-      java.util.Arrays.fill(beta, Double.NegativeInfinity)
-      beta(n) = 0.0
-      var j2 = n - 1
-      while (j2 >= 0) {
-        var i2 = j2 + 1
-        val lim = math.min(n, j2 + maxLen)
-        while (i2 <= lim) {
-          val lp = pieceLogp(w, j2, i2, model)
-          if (!lp.isNaN && beta(i2) != Double.NegativeInfinity)
-            beta(j2) = logAdd(beta(j2), lp + beta(i2))
-          i2 += 1
-        }
-        j2 -= 1
-      }
-      val z = alpha(n) // == beta(0) up to float noise
+      val (z, contrib) = emWord(w, c, model)
       ll += c * z
-      // span posteriors -> expected counts
-      var j3 = 0
-      while (j3 < n) {
-        var i3 = j3 + 1
-        val lim = math.min(n, j3 + maxLen)
-        while (i3 <= lim) {
-          val lp = pieceLogp(w, j3, i3, model)
-          if (!lp.isNaN) {
-            val gamma = math.exp(alpha(j3) + lp + beta(i3) - z)
-            if (gamma > 0.0) {
-              val p = w.substring(j3, i3)
-              counts.merge(p, c * gamma, (a, b) => a + b)
-            }
-          }
-          i3 += 1
-        }
-        j3 += 1
+      var k = 0
+      while (k < contrib.length) {
+        val (p, m) = contrib(k)
+        counts.merge(p, m, (a, b) => a + b)
+        k += 1
       }
     }
     val out = Map.newBuilder[String, Double]
     counts.forEach((p, c) => out += (p -> c.doubleValue()))
     (ll, out.result())
+  }
+
+  /** Per-word E-step kernel shared by the driver [[emStep]] and the
+    * distributed [[UnigramEmExpr]]: forward/backward marginals over
+    * ONE dict word's segmentation lattice. Returns (z = log Z(w), the
+    * per-span (piece, c·gamma) contributions in the fixed j-then-i
+    * scan order — merging them in that order reproduces the old
+    * inlined accumulation bit-for-bit, so extracting this kernel
+    * changed no float). Spans may repeat a piece; callers sum. */
+  private[ops] def emWord(w: String, c: Long, model: UnigramModel)
+      : (Double, Array[(String, Double)]) = {
+    val n = w.length
+    val maxLen = model.maxPieceLen
+    // forward: alpha(i) = logsumexp_j alpha(j) + lp(w[j..i))
+    val alpha = new Array[Double](n + 1)
+    java.util.Arrays.fill(alpha, Double.NegativeInfinity)
+    alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        val lp = pieceLogp(w, j, i, model)
+        if (!lp.isNaN && alpha(j) != Double.NegativeInfinity)
+          alpha(i) = logAdd(alpha(i), alpha(j) + lp)
+        j += 1
+      }
+      i += 1
+    }
+    // beta: beta(j) = logsumexp_i lp(w[j..i)) + beta(i)
+    val beta = new Array[Double](n + 1)
+    java.util.Arrays.fill(beta, Double.NegativeInfinity)
+    beta(n) = 0.0
+    var j2 = n - 1
+    while (j2 >= 0) {
+      var i2 = j2 + 1
+      val lim = math.min(n, j2 + maxLen)
+      while (i2 <= lim) {
+        val lp = pieceLogp(w, j2, i2, model)
+        if (!lp.isNaN && beta(i2) != Double.NegativeInfinity)
+          beta(j2) = logAdd(beta(j2), lp + beta(i2))
+        i2 += 1
+      }
+      j2 -= 1
+    }
+    val z = alpha(n) // == beta(0) up to float noise
+    // span posteriors -> expected-count contributions
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var j3 = 0
+    while (j3 < n) {
+      var i3 = j3 + 1
+      val lim = math.min(n, j3 + maxLen)
+      while (i3 <= lim) {
+        val lp = pieceLogp(w, j3, i3, model)
+        if (!lp.isNaN) {
+          val gamma = math.exp(alpha(j3) + lp + beta(i3) - z)
+          if (gamma > 0.0) out += ((w.substring(j3, i3), c * gamma))
+        }
+        i3 += 1
+      }
+      j3 += 1
+    }
+    (z, out.toArray)
   }
 
   /** logp of span w[j..i) under the model; NaN = no such piece. The
@@ -973,5 +1097,133 @@ object UnigramEncodeExpr {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
       total, score, org.apache.spark.unsafe.types.UTF8String.fromString(
         sb.toString)))
+  }
+}
+
+/** All substrings of one word with UTF-16 lengths in [minLen, maxLen],
+  * one array entry per OCCURRENCE — the distributed form of
+  * [[Unigram]] seeding's per-position substring count (same loops, so
+  * the two seeders count identically). Codegen'd: the seed pass runs
+  * over the full distinct-word dict, the one table that can reach
+  * billions of rows at corpus scale. */
+final case class SubstringsExpr(child: Expression, minLen: Int, maxLen: Int)
+    extends UnaryExpression {
+  require(minLen >= 1 && maxLen >= minLen,
+    s"substrings: need 1 <= minLen <= maxLen, got ($minLen, $maxLen)")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects string, got ${dt.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "substrings"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SubstringsExpr.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      minLen, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.SubstringsExpr.compute($c, $minLen, $maxLen)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SubstringsExpr =
+    copy(child = newChild)
+}
+
+object SubstringsExpr {
+  def compute(w: org.apache.spark.unsafe.types.UTF8String,
+      minLen: Int, maxLen: Int): ArrayData = {
+    val s = w.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var len = minLen
+    while (len <= maxLen) {
+      var i = 0
+      while (i + len <= n) {
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(
+          s.substring(i, i + len))
+        i += 1
+      }
+      len += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** Distributed E-step kernel: (word, count) → the word's expected
+  * piece-count contributions `array<struct<p, m>>` under a broadcast
+  * [[UnigramModel]], plus ONE sentinel row `("", count·log Z(w))`
+  * carrying the word's corpus-log-likelihood term (the empty string
+  * can never collide with a piece — pieces are nonempty substrings; the
+  * trainMulti sentinel-bucket trick). One explode + per-piece sum turns
+  * a whole E-step into a single Spark job whose collect is vocab-sized,
+  * so [[Unigram.trainEmDistributed]] never materializes the dict on the
+  * driver. Shares [[Unigram.emWord]] with the driver E-step — the float
+  * math per word is identical; only the cross-word sum order differs. */
+final case class UnigramEmExpr(left: Expression, right: Expression,
+    model: UnigramModel)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (string word, bigint count), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = UnigramEmExpr.schema
+  override def prettyName: String = "unigram_em"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(w: Any, c: Any): Any =
+    UnigramEmExpr.compute(
+      w.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      c.asInstanceOf[Long], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigrammodel", model,
+      classOf[UnigramModel].getName)
+    defineCodeGen(ctx, ev, (w, c) =>
+      s"graft.ops.UnigramEmExpr.compute($w, $c, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): UnigramEmExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object UnigramEmExpr {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("p", StringType, nullable = false),
+    StructField("m", DoubleType, nullable = false))), containsNull = false)
+
+  def compute(w: org.apache.spark.unsafe.types.UTF8String, c: Long,
+      model: UnigramModel): ArrayData = {
+    val (z, contrib) = Unigram.emWord(w.toString, c, model)
+    val out = new Array[Any](contrib.length + 1)
+    out(0) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8, c * z))
+    var k = 0
+    while (k < contrib.length) {
+      val (p, m) = contrib(k)
+      out(k + 1) =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(p), m))
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

@@ -372,13 +372,7 @@ object Pipeline {
     // hash of R into the cache key so retraining just the e09 model
     // (e.g. after deleting its dir) can never leave a surviving e10
     // index silently queried under a mismatched rotation (ADVICE r6)
-    val rHash = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val bb = java.nio.ByteBuffer.allocate(8 * r.length)
-      r.foreach(bb.putDouble)
-      md.digest(bb.array()).take(6).map("%02x".format(_)).mkString
-    }
-    val path = idxPath(s, dir, s"e10-$rHash")
+    val path = idxPath(s, dir, s"e10-${graft.ops.Pq.rotationHash(r)}")
     if (!graft.ops.IvfPq.exists(s, path))
       graft.ops.IvfPq.build(rot, m = 8, ks = 64, pqIters = 1,
         persist = false).save(path)

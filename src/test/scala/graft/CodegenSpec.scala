@@ -77,6 +77,10 @@ class CodegenSpec extends SparkSpec {
       // takes the byteFallback branch
       assert(docs.select(graft.ops.Unigram.encodeBytesCol(
         graft.functions.TextFunctions.words(col("text")), um)).count() == 2)
+      // distributed EM drives SubstringsExpr (seeding) and
+      // UnigramEmExpr (the per-word E-step kernel) — both r15
+      assert(graft.ops.Unigram.trainEmDistributed(docs, vocabSize = 30,
+        maxPieceLen = 3, seedSize = 50, iters = 1).pieces.nonEmpty)
     } finally {
       prevMode.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))

@@ -899,6 +899,57 @@ class OpsSpec extends SparkSpec {
       s"ing-family in $multi")
   }
 
+  test("unigram distributed EM: driver-trainer parity, the maxWords cap " +
+      "is gone, partition invariance, monotone LL (r15)") {
+    import graft.ops.Unigram
+    val corpus = (Seq.fill(8)("banana bandana cabana") ++
+      Seq.fill(4)("the other thing on the bank") ++
+      Seq.fill(2)("running winning sing"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (md, tracesD) = Unigram.trainEmDistributedWithTrace(corpus,
+      vocabSize = 60, maxPieceLen = 3, seedSize = 500, iters = 4)
+    val (m, traces) = Unigram.trainEmWithTrace(corpus, vocabSize = 60,
+      maxPieceLen = 3, seedSize = 500, iters = 4)
+    // same pieces; logp differs only by cross-word float-sum order
+    // (the documented jitter — per-word math is the shared emWord)
+    assert(md.pieces == m.pieces,
+      s"distributed pieces ${md.pieces} vs driver ${m.pieces}")
+    md.logp.zip(m.logp).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= math.abs(b) * 1e-9 + 1e-12, s"$a vs $b") }
+    assert(math.abs(md.unkLogp - m.unkLogp) <= math.abs(m.unkLogp) * 1e-9)
+    // LL traces align step for step within the same tolerance, and the
+    // EM monotonicity law holds on the distributed trace directly
+    assert(tracesD.map(_.size) == traces.map(_.size))
+    tracesD.flatten.zip(traces.flatten).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= math.abs(b) * 1e-9, s"trace $a vs $b") }
+    tracesD.foreach { round =>
+      round.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b >= a - math.abs(a) * 1e-9,
+            s"EM likelihood must ascend: $a -> $b in $round")
+        case _ => ()
+      }
+    }
+    // partitioning must not change WHAT is learned (float jitter moves
+    // last bits; pieces and the prune outcome are not knife-edge here)
+    val md2 = Unigram.trainEmDistributed(corpus.repartition(7),
+      vocabSize = 60, maxPieceLen = 3, seedSize = 500, iters = 4)
+    assert(md2.pieces == md.pieces)
+    // the point of the distributed trainer: no maxWords dict cap. A
+    // capped driver dict drops the rare word 'zq' entirely (its chars
+    // never seed); the distributed dict always covers every word.
+    val tiny = Seq((1L, "aaa aaa aaa"), (2L, "zq"))
+      .toDF("doc_id", "text")
+    val capped = Unigram.trainEm(tiny, vocabSize = 20, maxPieceLen = 2,
+      seedSize = 10, iters = 1, maxWords = 1, minCount = 1L)
+    assert(!capped.pieces.contains("z"),
+      s"capped dict should miss 'zq': ${capped.pieces}")
+    val full = Unigram.trainEmDistributed(tiny, vocabSize = 20,
+      maxPieceLen = 2, seedSize = 10, iters = 1, minCount = 1L)
+    assert(full.pieces.contains("z") && full.pieces.contains("q"),
+      s"uncapped coverage: ${full.pieces}")
+  }
+
   test("tokenizer persistence: unigram model and BPE merges round-trip " +
       "parquet with bit-identical encodes") {
     import graft.ops.{Bpe, Unigram}
@@ -2101,6 +2152,57 @@ class OpsSpec extends SparkSpec {
     assert(pr.keySet == Set(0, 1) &&
       pr.values.forall(r => r >= 0.0 && r <= 1.0), pr.toString)
     assert(pr(0) >= 0.9, s"build-cluster recall at full probe: $pr")
+  }
+
+  test("Pq.appendOpq: the OPQ+IVF-PQ composition appends under the " +
+      "frozen rotation — standing results unchanged, delta findable, " +
+      "retry no-op, missing model loud (r15)") {
+    import graft.ops.{IvfPq, Pq}
+    def vecA(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 0) 1.0f else 0.02f * ((i + d) % 5)))
+    def vecB(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 1) 1.0f else 0.02f * ((i + d) % 5)))
+    val a = (0 until 24).map(i => (i.toLong, vecA(i))).toDF("id", "vec")
+    val b = (100 until 112).map(i => (i.toLong, vecB(i))).toDF("id", "vec")
+    val opqPath = tmpDir("opq-model")
+    val (cb, r) = Pq.trainOpq(a, "id", "vec", m = 4, ks = 8, iters = 1,
+      opqIters = 2)
+    Pq.saveOpq(opqPath, cb, r, spark)
+    // index path keyed by the rotation hash (the e10 rule the helper
+    // documents); corpus and queries both live in the rotated space
+    val idxPath = tmpDir(s"opq-ivfpq-${Pq.rotationHash(r)}")
+    IvfPq.build(a.select(col("id"), Pq.matVecCol(col("vec"), r, 8).as("vec")),
+      nCells = 2, m = 4, ks = 8, pqIters = 1, persist = false).save(idxPath)
+    def rotQ(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), Pq.matVecCol(col("qvec"), r, 8).as("qvec"))
+    val qa = rotQ(Seq((-1L, vecA(0))).toDF("qid", "qvec"))
+    val qb = rotQ(Seq((-2L, vecB(100))).toDF("qid", "qvec"))
+    val before = IvfPq.load(spark, idxPath, persist = false)
+      .query(qa, 4, nProbe = 2, fetch = 10).collect().map(_.toSeq).toSet
+    Pq.appendOpq(b, "id", "vec", opqPath, idxPath, tag = "day-1")
+    val idx2 = IvfPq.load(spark, idxPath, persist = false)
+    // the delta vector is findable through the rotated probe path:
+    // exact rerank is rotation-invariant, so its own value ranks first
+    val hitB = idx2.query(qb, 3, nProbe = 2, fetch = 10).collect()
+      .map(row => (row.getInt(1), row.getLong(2))).toMap
+    assert(hitB(1) == 100L, s"appended vector must rank first: $hitB")
+    // frozen rotation + centroids + codebook: standing results exact
+    val after = idx2.query(qa, 4, nProbe = 2, fetch = 10)
+      .collect().map(_.toSeq).toSet
+    assert(after == before, s"standing results must not move:\n$after\n$before")
+    // tag idempotence rides through the composition
+    def frontier() = { val m = spark.read.parquet(s"$idxPath/meta").head()
+      m.getInt(m.fieldIndex("shards")) }
+    val f1 = frontier()
+    Pq.appendOpq(b, "id", "vec", opqPath, idxPath, tag = "day-1")
+    assert(frontier() == f1, "same-tag appendOpq must be a no-op")
+    // a missing/incomplete OPQ model fails loudly BEFORE touching the
+    // index (appending unrotated data would corrupt it silently)
+    val ex = intercept[IllegalArgumentException] {
+      Pq.appendOpq(b, "id", "vec", tmpDir("opq-none"), idxPath, tag = "x")
+    }
+    assert(ex.getMessage.contains("missing or incomplete"), ex.getMessage)
+    assert(frontier() == f1)
   }
 
   test("index completeness honors _SUCCESS when markers are on, " +
