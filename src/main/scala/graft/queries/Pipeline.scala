@@ -1137,6 +1137,34 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** WordPiece greedy longest-match encode (graft.ops.WordPiece — the
+    * BERT tokenizer, completing the big-three subword family next to
+    * BPE d33 and unigram-LM d49) under a FIXED demo vocabulary: all
+    * [a-z0-9] singles in both positions (so [UNK] never fires and the
+    * oracle's per-position fallback is always the single char) plus
+    * multi-char pieces whose cores are all >= 2 chars. The oracle
+    * replays greedy matching exactly: longest multi-piece match per
+    * (word, position) — position 1 takes word-initial pieces, later
+    * positions ##-continuations — else the single char, walked
+    * linearly by a recursive CTE. Training is OpsSpec's job (the
+    * d33/d34 split: a trained vocab is a runtime value). Pure
+    * map-side codegen encode; one scan. */
+  private val d59Multis = Seq("the", "##he", "##er", "an", "##an",
+    "##nd", "in", "##ing", "th", "##ed", "er", "##es")
+  private val demoWpVocab = graft.ops.WordPieceVocab(
+    (('a' to 'z') ++ ('0' to '9'))
+      .flatMap(ch => Seq(ch.toString, "##" + ch)).toVector ++ d59Multis)
+
+  def d59Wordpiece(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.ops.WordPiece.encodeCol(TextFunctions.words(col("text")),
+          demoWpVocab).as("b"))
+      .select(col("doc_id"), col("b.n_wp").as("n_wp"),
+        md5(col("b.toks").cast("binary")).as("toks_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Linear quality-classifier scoring (the fastText-shaped apply
     * path, graft.ops.QualityClassifier.scoreSparse) under a FIXED
     * sparse weight table: weights are dyadic rationals keyed by words
@@ -1779,6 +1807,7 @@ object Pipeline {
     "d31_remove_spans" -> d31RemoveSpans _,
     "d32_html_extract" -> d32HtmlExtract _,
     "d33_bpe_encode" -> d33BpeEncode _,
+    "d59_wordpiece" -> d59Wordpiece _,
     "d34_quality_score" -> d34QualityScore _,
     "d35_cluster_sample" -> d35ClusterSample _,
     "d36_fix_encoding" -> d36FixEncoding _,
@@ -2475,6 +2504,51 @@ object Pipeline {
         |   array_to_string(list_transform(enc, s -> array_to_string(str_split(trim(s, '·'), '··'), ' ')), ' | ') AS toks
         | FROM e)
         |SELECT doc_id, n_bpe, md5(toks) AS toks_md5 FROM r ORDER BY doc_id""".stripMargin,
+    // Greedy longest-match replay: `best` precomputes the longest
+    // multi-piece match per (word, position) — position 1 takes
+    // word-initial pieces, later positions ##-continuations; two
+    // same-length matches at one position are necessarily the SAME
+    // piece, so clen DESC alone is deterministic — `step` falls back
+    // to the always-present single char, and the recursive walk is
+    // linear (exactly one step row per position). Docs with no words
+    // keep n_wp 0 / md5('') via the LEFT JOIN.
+    "d59_wordpiece" -> {
+      val vmRows = d59Multis.map(p => s"('$p')").mkString(",")
+      s"""WITH RECURSIVE
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |wpos AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wi, unnest(ws) AS w FROM t),
+        |dw AS (SELECT DISTINCT w FROM wpos),
+        |vm(piece) AS (VALUES $vmRows),
+        |pp AS (SELECT w, unnest(range(1, length(w) + 1)) AS pos FROM dw),
+        |cand AS (SELECT pp.w, pp.pos, v.piece,
+        |    CASE WHEN v.piece LIKE '##%' THEN length(v.piece) - 2 ELSE length(v.piece) END AS clen
+        |  FROM pp JOIN vm v
+        |    ON ((pp.pos = 1) = (v.piece NOT LIKE '##%'))
+        |   AND substr(pp.w, pp.pos, CASE WHEN v.piece LIKE '##%' THEN length(v.piece) - 2 ELSE length(v.piece) END)
+        |       = CASE WHEN v.piece LIKE '##%' THEN substr(v.piece, 3) ELSE v.piece END),
+        |best AS (SELECT w, pos, piece, clen FROM (SELECT w, pos, piece, clen,
+        |    row_number() OVER (PARTITION BY w, pos ORDER BY clen DESC) AS rk FROM cand) WHERE rk = 1),
+        |step AS (SELECT pp.w, pp.pos,
+        |    coalesce(b.piece, CASE WHEN pp.pos = 1 THEN substr(pp.w, 1, 1)
+        |                           ELSE '##' || substr(pp.w, pp.pos, 1) END) AS piece,
+        |    coalesce(b.clen, 1) AS clen
+        |  FROM pp LEFT JOIN best b ON b.w = pp.w AND b.pos = pp.pos),
+        |g AS (
+        |  SELECT w, 1 AS pos, CAST('' AS VARCHAR) AS toks, 0 AS np FROM dw
+        |  UNION ALL
+        |  SELECT g.w, g.pos + s.clen,
+        |    g.toks || CASE WHEN g.pos = 1 THEN '' ELSE ' ' END || s.piece, g.np + 1
+        |  FROM g JOIN step s ON s.w = g.w AND s.pos = g.pos
+        |  WHERE g.pos <= length(g.w)),
+        |seg AS (SELECT w, toks, np FROM g WHERE pos = length(w) + 1),
+        |j AS (SELECT wp.doc_id, wp.wi, s.toks, s.np FROM wpos wp JOIN seg s ON s.w = wp.w),
+        |agg AS (SELECT doc_id, sum(np) AS n_wp,
+        |    string_agg(toks, ' | ' ORDER BY wi) AS toks FROM j GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(agg.n_wp, 0) AS INTEGER) AS n_wp,
+        |  md5(coalesce(agg.toks, '')) AS toks_md5
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    },
     // Unit-normalize (x · (1/√ss), the e06 recipe), argmax-cosine
     // assign to the fixed 8-seed centroid set (ties to the smaller
     // cell), then the d16 md5-rank quota per cluster.

@@ -34,6 +34,7 @@ class CodegenSpec extends SparkSpec {
         "d13_winnow_fingerprint",   // WinnowHashes
         "d15_repetition",           // RepetitionStatsExpr
         "d33_bpe_encode",           // BpeEncodeExpr
+        "d59_wordpiece",            // WordPieceEncodeExpr
         "d44_gopher_rules",         // GopherStatsExpr (the r14 find)
         "d49_unigram_encode",       // UnigramEncodeExpr
         "d51_unigram_nbest",        // UnigramNbestExpr

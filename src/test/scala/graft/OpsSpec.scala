@@ -950,6 +950,49 @@ class OpsSpec extends SparkSpec {
       s"uncapped coverage: ${full.pieces}")
   }
 
+  test("wordpiece: greedy longest-match encode with [UNK], the " +
+      "likelihood objective prefers cohesion over raw count, " +
+      "persistence and partition determinism (r15)") {
+    import graft.ops.{WordPiece, WordPieceVocab}
+    // hand-computed greedy segmentations (longest match at each
+    // position; continuation positions probe with ##)
+    val v = WordPieceVocab(Vector("a", "b", "c", "d",
+      "##a", "##b", "##c", "##d", "ab", "##cd", "abc"))
+    assert(WordPiece.encodeWord("abcd", v).toSeq == Seq("abc", "##d"),
+      "longest word-initial piece wins even when ab + ##cd uses fewer")
+    assert(WordPiece.encodeWord("ab", v).toSeq == Seq("ab"))
+    assert(WordPiece.encodeWord("dab", v).toSeq == Seq("d", "##a", "##b"),
+      "'ab' is word-initial only; continuations fall back to singles")
+    assert(WordPiece.encodeWord("abz", v).toSeq == Seq("[UNK]"))
+    assert(WordPiece.encodeWord("za", v).toSeq == Seq("[UNK]"))
+    // the WordPiece objective: count(ab)/(count(a)count(b)). 'xy' is
+    // 3x more frequent than 'qv', but x and ##y each occur in other
+    // words (low cohesion) while q and ##v occur ONLY together —
+    // the first learned piece must be qv (raw-count BPE would take a
+    // 6-count pair first)
+    val corpus = (Seq.fill(6)("xy xz wy") ++ Seq.fill(2)("qv"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val trained = WordPiece.train(corpus, vocabSize = 7, minPairCount = 2L)
+    val multis = trained.pieces.filter(p => p.stripPrefix("##").length >= 2)
+    assert(multis == Vector("qv"),
+      s"likelihood score must pick the cohesive pair: $multis")
+    assert(WordPiece.encodeWord("qv", trained).toSeq == Seq("qv"))
+    assert(WordPiece.encodeWord("xy", trained).toSeq == Seq("x", "##y"))
+    // determinism across partitionings
+    assert(WordPiece.train(corpus.repartition(7), vocabSize = 7,
+      minPairCount = 2L) == trained)
+    // column form matches the kernel; persistence round-trips
+    val dir = tmpDir("wp-vocab")
+    WordPiece.saveVocab(spark, trained, dir)
+    assert(WordPiece.loadVocab(spark, dir) == trained)
+    val row = corpus.filter(col("doc_id") === 0L)
+      .select(WordPiece.encodeCol(TextFunctions.words(col("text")),
+        trained).as("b"))
+      .select(col("b.n_wp"), col("b.toks")).collect().head
+    assert(row.getInt(0) == 6 && row.getString(1) == "x ##y | x ##z | w ##y",
+      row.toString)
+  }
+
   test("tokenizer persistence: unigram model and BPE merges round-trip " +
       "parquet with bit-identical encodes") {
     import graft.ops.{Bpe, Unigram}
