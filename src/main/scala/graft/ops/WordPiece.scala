@@ -141,7 +141,12 @@ object WordPiece {
       if (best == null || bestCount < minPairCount) continue = false
       else {
         // merged symbol keeps the LEFT side's position marker: the
-        // right side is by construction a continuation (##-prefixed)
+        // right side is by construction a continuation (##-prefixed).
+        // Two different merge paths can re-derive the SAME string
+        // (x + ##yz == xy + ##z): the set add no-ops and the round
+        // does not grow the vocab — but every applied merge strictly
+        // shrinks the total symbol count (the pair occurs by
+        // construction), so the loop still terminates.
         pieces += (best._1 + core(best._2))
         vocab = vocab.map { case (syms, c) => (mergeOnce(syms, best), c) }
       }

@@ -337,6 +337,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wordpiece encode is stateless: streaming output equals batch (r15)") {
+    import graft.ops.{WordPiece, WordPieceVocab}
+    val v = WordPieceVocab(
+      ('a' to 'z').flatMap(c => Seq(c.toString, "##" + c)).toVector ++
+        Vector("th", "##er", "in", "##ing"))
+    val rows = Seq(
+      (1L, "there is something here", t("2026-01-01 10:00:00")),
+      (2L, "inner thing spins", t("2026-01-01 10:01:00")))
+    def enc(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        WordPiece.encodeCol(
+          graft.functions.TextFunctions.words(col("text")), v)
+          .getField("toks").as("toks"))
+    val batch = enc(spark.createDataFrame(rows).toDF("doc_id", "text", "ts"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val input = MemoryStream[(Long, String, Timestamp)](spark)
+    val q = enc(input.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("wp_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.table("wp_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(stream == batch, s"stream $stream vs batch $batch")
+      assert(batch(1L).startsWith("th ##er ##e"), batch(1L))
+    } finally q.stop()
+  }
+
   test("dedupStream runs on a BATCH frame; all-boilerplate docs can emit " +
     "a marker (review r11)") {
     // batch fallback: dropDuplicatesWithinWatermark is stream-only
