@@ -168,14 +168,8 @@ object Unigram {
       seedFrom(wc, maxPieceLen, seedSize, minCount)
     var multi: Vector[(String, Long)] = multi0
 
-    def normalize(counts: Map[String, Long]): UnigramModel = {
-      // sorted iteration order pins the float total (determinism)
-      val ordered = counts.toVector.sortBy(_._1)
-      val total = ordered.iterator.map(_._2).sum.toDouble
-      val lp = ordered.map { case (_, c) => math.log(c / total) }
-      UnigramModel(ordered.map(_._1), lp,
-        unkLogp = math.log(0.5 / total))
-    }
+    def normalize(counts: Map[String, Long]): UnigramModel =
+      normalizeCounts(counts)
 
     var singleFinal: Map[String, Long] =
       singles.map(s => s -> singleCounts.get(s).longValue()).toMap
@@ -205,6 +199,20 @@ object Unigram {
     val budget = math.max(0, vocabSize - singles.length)
     val prunedMulti = multi.sortBy { case (p, c) => (-c, p) }.take(budget)
     normalize(singleFinal ++ prunedMulti.toMap)
+  }
+
+  /** Integer-count multinomial normalization shared by hard-EM
+    * [[train]] and [[trainDistributed]] — the ONE place the
+    * exact-integer mode turns counts into a model: sorted iteration
+    * order pins the float total, so two identical count maps always
+    * produce the bit-identical model (what makes the distributed
+    * trainer's exact-equality guarantee possible at all). */
+  private def normalizeCounts(counts: Map[String, Long]): UnigramModel = {
+    val ordered = counts.toVector.sortBy(_._1)
+    val total = ordered.iterator.map(_._2).sum.toDouble
+    UnigramModel(ordered.map(_._1),
+      ordered.map { case (_, c) => math.log(c / total) },
+      unkLogp = math.log(0.5 / total))
   }
 
   /** ONE distributed word-count pass → the driver dict, (count desc,
@@ -374,6 +382,98 @@ object Unigram {
     (model, traces.toVector)
   }
 
+  /** Fully distributed hard-EM — [[train]] with the driver dict
+    * removed (the [[trainEmDistributed]] treatment for the
+    * exact-integer mode): the word-count table stays a persisted
+    * TABLE, seeding is the same distributed substring count, and each
+    * hard-EM step is ONE Spark job ([[UnigramViterbiPiecesExpr]]
+    * explode → map-side-combined per-piece LONG sums → vocab-sized
+    * collect). Because Viterbi counts are INTEGERS, the cross-word
+    * sums are exact and order-independent — so unlike the soft
+    * trainer's documented float jitter, this one is BIT-IDENTICAL to
+    * [[train]] whenever the driver dict is uncapped (UnigramSpec pins
+    * `trainDistributed(docs) == train(docs, maxWords = huge)`), and
+    * bit-identical across partitionings unconditionally. The only
+    * remaining driver-vs-distributed divergence is [[train]]'s
+    * `maxWords` truncation itself — which is exactly what this
+    * removes. (Seed-boundary caveat shared with the soft trainer:
+    * the (count desc, piece) truncation tie order is binary-UTF-8
+    * here vs UTF-16 on the driver — supplementary-plane ties only.) */
+  def trainDistributed(docs: DataFrame, textCol: String = "text",
+      vocabSize: Int = 1000, maxPieceLen: Int = 4, seedSize: Int = 8000,
+      iters: Int = 2, minCount: Long = 2L): UnigramModel = {
+    require(vocabSize >= 2, s"vocabSize must be >= 2, got $vocabSize")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val dict = docs
+      .select(explode(graft.functions.TextFunctions.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (singles, multi0) = seedDistributed(dict, maxPieceLen,
+        seedSize, minCount)
+      val singleCounts = singles.toMap
+
+      def normalize(counts: Map[String, Long]): UnigramModel =
+        normalizeCounts(counts)
+
+      var singleFinal: Map[String, Long] = singleCounts
+      var multi: Vector[(String, Long)] = multi0
+      var model = normalize(singleFinal ++ multi.toMap)
+      var it = 0
+      while (it < iters) {
+        // ONE job: Viterbi-segment every dict word under the broadcast
+        // model, weight each piece by the word count, sum per piece
+        // (LONG sums — exact, order-independent)
+        val counts: Map[String, Long] = dict
+          .select(col("c"), explode(ExpressionUtils.column(
+            UnigramViterbiPiecesExpr(ExpressionUtils.expression(col("w")),
+              model))).as("p"))
+          .groupBy("p").agg(sum(col("c")).as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        // the [[train]] M-step verbatim: singles keep add-one floor
+        // counts, multi-char pieces with zero Viterbi mass drop
+        singleFinal = singleCounts.map { case (s, _) =>
+          s -> (counts.getOrElse(s, 0L) + 1L) }
+        multi = multi.flatMap { case (p, _) =>
+          counts.get(p).filter(_ > 0L).map(c => (p, c)) }
+        model = normalize(singleFinal ++ multi.toMap)
+        it += 1
+      }
+      val budget = math.max(0, vocabSize - singleCounts.size)
+      val prunedMulti = multi.sortBy { case (p, c) => (-c, p) }.take(budget)
+      normalize(singleFinal ++ prunedMulti.toMap)
+    } finally {
+      dict.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** Distributed seed construction shared by [[trainDistributed]] and
+    * [[trainEmDistributedWithTrace]]: singles = every distinct
+    * character of the dict with its total count (alphabet-bounded
+    * collect — the coverage floor), multi = the (count desc, piece)-
+    * truncated substring candidates, pruned to `seedSize` INSIDE
+    * Spark. Counts are integer sums — exact and order-independent. */
+  private def seedDistributed(dict: DataFrame, maxPieceLen: Int,
+      seedSize: Int, minCount: Long)
+      : (Vector[(String, Long)], Vector[(String, Long)]) = {
+    val singles: Vector[(String, Long)] = dict
+      .select(col("c"), explode(substringsCol(col("w"), 1, 1)).as("p"))
+      .groupBy("p").agg(sum(col("c")).as("pc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).toVector
+    require(singles.nonEmpty, "unigram train: corpus has no words")
+    val multi0: Vector[(String, Long)] = dict
+      .select(col("c"),
+        explode(substringsCol(col("w"), 2, maxPieceLen)).as("p"))
+      .groupBy("p").agg(sum(col("c")).as("pc"))
+      .where(col("pc") >= minCount)
+      .orderBy(col("pc").desc, col("p")).limit(seedSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toVector
+    (singles, multi0)
+  }
+
   /** Fully distributed forward-backward EM — [[trainEm]] with the
     * driver dict removed: the word-count table NEVER lands on the
     * driver (no `maxWords` cap — the cap is [[trainEm]]'s one scale
@@ -416,24 +516,8 @@ object Unigram {
       .groupBy("w").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // distributed seeding: substring counts are integer sums (exact,
-      // order-independent). Singles = every distinct character of the
-      // dict (alphabet-bounded collect — the EM coverage invariant);
-      // multi = (count desc, piece)-truncated candidates, pruned to
-      // seedSize INSIDE Spark so the driver only sees the survivors.
-      val singles: Vector[(String, Long)] = dict
-        .select(col("c"), explode(substringsCol(col("w"), 1, 1)).as("p"))
-        .groupBy("p").agg(sum(col("c")).as("pc"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-        .sortBy(_._1).toVector
-      require(singles.nonEmpty, "unigram train: corpus has no words")
-      val multi0: Vector[(String, Long)] = dict
-        .select(col("c"),
-          explode(substringsCol(col("w"), 2, maxPieceLen)).as("p"))
-        .groupBy("p").agg(sum(col("c")).as("pc"))
-        .where(col("pc") >= minCount)
-        .orderBy(col("pc").desc, col("p")).limit(seedSize)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toVector
+      val (singles, multi0) = seedDistributed(dict, maxPieceLen,
+        seedSize, minCount)
       val singleMap = singles.toMap
       def emDistributed(model: UnigramModel)
           : (Double, Map[String, Double]) = {
@@ -1223,6 +1307,59 @@ object UnigramEmExpr {
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(p), m))
       k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Viterbi-best piece sequence of ONE dict word as an array column —
+  * the distributed hard-EM count step ([[Unigram.trainDistributed]]):
+  * explode + a per-piece LONG sum weighted by the word count turns a
+  * whole hard-EM iteration into a single Spark job with an exact,
+  * order-independent result. Shares [[Unigram.viterbi]] with the
+  * driver trainer and the encode expression — one DP kernel. */
+final case class UnigramViterbiPiecesExpr(child: Expression,
+    model: UnigramModel) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects a string word column, got ${dt.catalogString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_viterbi_pieces"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramViterbiPiecesExpr.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigrammodel", model,
+      classOf[UnigramModel].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.UnigramViterbiPiecesExpr.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramViterbiPiecesExpr =
+    copy(child = newChild)
+}
+
+object UnigramViterbiPiecesExpr {
+  def compute(w: org.apache.spark.unsafe.types.UTF8String,
+      model: UnigramModel): ArrayData = {
+    val (_, pieces) = Unigram.viterbi(w.toString, model)
+    val out = new Array[Any](pieces.length)
+    var i = 0
+    while (i < pieces.length) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(pieces(i))
+      i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }

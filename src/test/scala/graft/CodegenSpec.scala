@@ -82,6 +82,9 @@ class CodegenSpec extends SparkSpec {
       // UnigramEmExpr (the per-word E-step kernel) — both r15
       assert(graft.ops.Unigram.trainEmDistributed(docs, vocabSize = 30,
         maxPieceLen = 3, seedSize = 50, iters = 1).pieces.nonEmpty)
+      // distributed hard-EM drives UnigramViterbiPiecesExpr (r15)
+      assert(graft.ops.Unigram.trainDistributed(docs, vocabSize = 30,
+        maxPieceLen = 3, seedSize = 50, iters = 1).pieces.nonEmpty)
     } finally {
       prevMode.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
         spark.conf.set("spark.sql.codegen.factoryMode", _))

@@ -950,6 +950,31 @@ class OpsSpec extends SparkSpec {
       s"uncapped coverage: ${full.pieces}")
   }
 
+  test("unigram distributed hard-EM: BIT-identical to the uncapped " +
+      "driver trainer (integer counts), partition-invariant exactly (r15)") {
+    import graft.ops.Unigram
+    val corpus = (Seq.fill(8)("banana bandana cabana") ++
+      Seq.fill(4)("the other thing on the bank") ++
+      Seq.fill(2)("running winning sing"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val md = Unigram.trainDistributed(corpus, vocabSize = 60,
+      maxPieceLen = 3, seedSize = 500, iters = 3)
+    // Viterbi counts are integers, so distributed sums are exact and
+    // order-independent: equality is ==, not tolerance (the soft
+    // trainer can only promise piece parity + logp jitter)
+    val m = Unigram.train(corpus, vocabSize = 60, maxPieceLen = 3,
+      seedSize = 500, iters = 3, maxWords = 1000000)
+    assert(md == m,
+      "distributed hard-EM must equal the uncapped driver trainer exactly")
+    assert(Unigram.trainDistributed(corpus.repartition(7), vocabSize = 60,
+      maxPieceLen = 3, seedSize = 500, iters = 3) == md)
+    // iters = 0 short-circuit: seeds-only model, still exact
+    assert(Unigram.trainDistributed(corpus, vocabSize = 60,
+      maxPieceLen = 3, seedSize = 500, iters = 0) ==
+      Unigram.train(corpus, vocabSize = 60, maxPieceLen = 3,
+        seedSize = 500, iters = 0, maxWords = 1000000))
+  }
+
   test("wordpiece: greedy longest-match encode with [UNK], the " +
       "likelihood objective prefers cohesion over raw count, " +
       "persistence and partition determinism (r15)") {
