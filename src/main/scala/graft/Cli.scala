@@ -31,6 +31,7 @@ import graft.report.Reporter
   *   graft.Cli curate <in.jsonl[.gz]> <outDir> [minWords]
   *             [--lang-model <path>] [--langs a,b,..]
   *             [--quality-model <path>] [--quality-min <x>]
+  *             [--tokenizer unigram|wordpiece|bpe --tok-model <path>]
   * }}}
   * quality/language gate → PII redaction → fingerprint dedup (min-id
   * keep, whitespace/case-normalized — the same identity the streaming
@@ -46,6 +47,12 @@ import graft.report.Reporter
   * [[graft.ops.QualityClassifier.Model]] (the d34 classifier): docs
   * whose trained margin falls below `--quality-min` (default 0.0)
   * drop after the heuristic gate.
+  * `--tokenizer`/`--tok-model` annotate the written output with a
+  * per-doc `n_tokens` column under a persisted trained tokenizer
+  * ([[graft.ops.Unigram]] model, [[graft.ops.WordPiece]] vocab, or
+  * [[graft.ops.Bpe]] merges) — the mixture-planning precursor
+  * (UniMax/temperature weights and the packing planners consume token
+  * counts), computed map-side on the final curated text.
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -76,7 +83,8 @@ object Cli {
     import org.apache.spark.sql.functions.col
     need(args, 2,
       "Cli curate <in.jsonl> <outDir> [minWords] [--lang-model <path>] " +
-        "[--langs a,b,..] [--quality-model <path>] [--quality-min <x>]")
+        "[--langs a,b,..] [--quality-model <path>] [--quality-min <x>] " +
+        "[--tokenizer unigram|wordpiece|bpe --tok-model <path>]")
     val (in, outDir) = (args(0), args(1))
     // positional minWords first (back-compat), then --flag value pairs
     val rest = args.drop(2)
@@ -88,7 +96,7 @@ object Cli {
         s"curate: dangling flag '${other.mkString(" ")}'")
     }.toMap
     val known = Set("--lang-model", "--langs", "--quality-model",
-      "--quality-min")
+      "--quality-min", "--tokenizer", "--tok-model")
     val unknown = flags.keySet.diff(known)
     require(unknown.isEmpty, s"curate: unknown flags ${unknown.mkString(", ")}")
     // --lang-model <path>: gate language with a TRAINED MultiModel
@@ -110,6 +118,27 @@ object Cli {
     val qualityModel = flags.get("--quality-model")
       .map(p => graft.ops.QualityClassifier.load(spark, p))
     val qualityMin = flags.get("--quality-min").map(_.toDouble).getOrElse(0.0)
+    // --tokenizer unigram|wordpiece|bpe --tok-model <path>: annotate
+    // the written output with per-doc token counts under a PERSISTED
+    // trained tokenizer — the mixture-planning precursor (UniMax /
+    // temperature weights and the packing planners all consume token
+    // counts, not word counts). Map-side encode, no extra shuffle.
+    require(flags.contains("--tokenizer") == flags.contains("--tok-model"),
+      "curate: --tokenizer and --tok-model go together")
+    val tokCount: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      flags.get("--tokenizer").map {
+        case "unigram" =>
+          val m = graft.ops.Unigram.load(spark, flags("--tok-model"))
+          ws => graft.ops.Unigram.encodeCol(ws, m).getField("n_pieces")
+        case "wordpiece" =>
+          val v = graft.ops.WordPiece.loadVocab(spark, flags("--tok-model"))
+          ws => graft.ops.WordPiece.encodeCol(ws, v).getField("n_wp")
+        case "bpe" =>
+          val ms = graft.ops.Bpe.loadMerges(spark, flags("--tok-model"))
+          ws => graft.ops.Bpe.encodeCol(ws, ms).getField("n_bpe")
+        case other => throw new IllegalArgumentException(
+          s"curate: unknown --tokenizer '$other' (unigram|wordpiece|bpe)")
+      }
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "doc_id BIGINT, text STRING, lang STRING, source STRING")
     val docs = graft.io.DocumentIO.readJsonlClean(spark, in, schema)
@@ -149,13 +178,19 @@ object Cli {
           .filter(col("n_kept") > 0 &&
             org.apache.spark.sql.functions.length(
               org.apache.spark.sql.functions.trim(col("text"))) > 0)
-        val out = cleaned.join(
+        val out0 = cleaned.join(
           deduped.select(col("doc_id"), col("lang"), col("source")), "doc_id")
           .select("doc_id", "text", "lang", "source")
+        // token counting runs LAST — on the curated survivors' final
+        // (line-deduped) text, the text a training run would consume
+        val out = tokCount.fold(out0)(f => out0.withColumn("n_tokens",
+          f(graft.functions.TextFunctions.words(col("text")))))
         graft.io.DocumentIO.writeJsonl(out, outDir, compression = "none")
         // read back with the KNOWN schema: inference on an empty
         // output directory throws instead of reporting 0 (review r9)
-        val nOut = spark.read.schema(schema).json(outDir).count()
+        val outSchema = if (tokCount.isEmpty) schema
+          else schema.add("n_tokens", org.apache.spark.sql.types.IntegerType)
+        val nOut = spark.read.schema(outSchema).json(outDir).count()
         println(s"curate: $total read, ${gated.count()} passed quality/lang, " +
           s"${deduped.count()} after fingerprint dedup, $nOut written to $outDir")
       } finally { deduped.unpersist(blocking = false); () }

@@ -231,4 +231,56 @@ class CliSpec extends SparkSpec {
     intercept[IllegalArgumentException](reg.resolve("alpha"))
     intercept[IllegalArgumentException](Cli.platformCmd(Array("bogus"), reg))
   }
+
+  test("curate command: --tokenizer/--tok-model annotate the output " +
+      "with per-doc n_tokens from a persisted trained tokenizer (r15)") {
+    import graft.ops.{Unigram, WordPiece}
+    def en(i: Int) = s"the quick brown fox number$i jumps over the lazy " +
+      "dog and it runs through the garden with a happy friendly sound"
+    val docsDf = Seq((1L, en(1)), (2L, en(2))).toDF("doc_id", "text")
+    val in = tmpDir("graft-cli-curate6-in")
+    Seq((1L, en(1), "en", "web"), (2L, en(2), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").json(in)
+    val schemaT = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING, lang STRING, source STRING, n_tokens INT")
+
+    // wordpiece route: n_tokens equals a direct encode of the WRITTEN
+    // text (the count runs on the final curated text, post-dedup)
+    val v = WordPiece.train(docsDf, vocabSize = 120, minPairCount = 2L)
+    val vDir = tmpDir("graft-cli-wpvocab")
+    WordPiece.saveVocab(spark, v, vDir)
+    val outW = tmpDir("graft-cli-curate6-outw")
+    Cli.curateCmd(spark, Array(in, outW, "10",
+      "--tokenizer", "wordpiece", "--tok-model", vDir))
+    val gotW = spark.read.schema(schemaT).json(outW)
+      .select(col("doc_id"), col("n_tokens"),
+        WordPiece.encodeCol(graft.functions.TextFunctions.words(col("text")), v)
+          .getField("n_wp").as("direct"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(gotW.length == 2 &&
+      gotW.forall { case (_, n, direct) => n == direct && n > 0 },
+      gotW.mkString(", "))
+
+    // unigram route shares the plumbing
+    val um = Unigram.train(docsDf, vocabSize = 60, maxPieceLen = 3,
+      iters = 1)
+    val uDir = tmpDir("graft-cli-unimodel")
+    Unigram.save(spark, um, uDir)
+    val outU = tmpDir("graft-cli-curate6-outu")
+    Cli.curateCmd(spark, Array(in, outU, "10",
+      "--tokenizer", "unigram", "--tok-model", uDir))
+    assert(spark.read.schema(schemaT).json(outU)
+      .select("n_tokens").as[Int].collect().forall(_ > 0))
+
+    // flag misuse is loud: half a pair, or an unknown tokenizer name
+    val outX = tmpDir("graft-cli-curate6-outx")
+    intercept[IllegalArgumentException] {
+      Cli.curateCmd(spark, Array(in, outX, "10", "--tok-model", vDir))
+    }
+    intercept[IllegalArgumentException] {
+      Cli.curateCmd(spark, Array(in, outX, "10",
+        "--tokenizer", "sentencepiece", "--tok-model", vDir))
+    }
+  }
 }
