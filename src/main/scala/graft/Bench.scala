@@ -93,8 +93,8 @@ object Bench {
     // this just shrinks its corrections). The rest stay alphabetical
     // for round-over-round comparability.
     val heavyFirst = Seq("d30_dsir_scores", "d19_dedup_clusters",
-      "e07_semantic_dedup", "e15_knn_ivfsq_sharded", "d54_dedup_keep_best",
-      "d55_lsh_delta_dedup",
+      "e07_semantic_dedup", "e15_knn_ivfsq_sharded", "e17_knn_opq_sharded",
+      "d54_dedup_keep_best", "d55_lsh_delta_dedup",
       "d29_substring_spans", "e13_knn_ivfsq_verify", "e06_knn_ivfpq_verify",
       "d53_bm25_index", "d14_winnow_overlap", "d23_bloom_decontaminate")
     val names = if (recallOnly) Seq.empty[String]

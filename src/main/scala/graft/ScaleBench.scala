@@ -40,7 +40,8 @@ object ScaleBench {
       "d55_lsh_delta_dedup", "d56_langid_score", "d57_simhash_delta",
       "d58_vocab_sketch",
       // round-15 newcomers
-      "e15_knn_ivfsq_sharded", "e16_drift_stats", "d59_wordpiece")
+      "e15_knn_ivfsq_sharded", "e16_drift_stats", "d59_wordpiece",
+      "e17_knn_opq_sharded")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -494,6 +494,40 @@ object Pipeline {
     idx.query(q, 5, nProbe = 2, fetch = 20).orderBy("qid", "rank")
   }
 
+  /** End-to-end SHARDED OPQ+IVF-PQ verification gate — the e15
+    * treatment for the IVF-PQ append path (until now spec-only), with
+    * the e08 FIXED signed-permutation rotation standing in for the
+    * trained OPQ matrix so the whole composition stays
+    * oracle-derivable: rotate the corpus (±1·permute — IEEE-exact),
+    * build a deterministic IVF-PQ index (e06's recipe — md5 seeds for
+    * cells AND codebook, zero refinement) over 3/4 of the rotated
+    * corpus, fold the remaining quarter in as TWO `IvfPq.append`
+    * shards (frozen centroids + frozen codebook — the exact arithmetic
+    * `Pq.appendOpq` runs after its rotation step), and query through
+    * the persisted three-shard layout with rotated queries. The oracle
+    * is e06's SQL with the rotation CTE prefixed and the cell/codebook
+    * seed pools restricted to the BUILD subset; appended rows assign
+    * and encode under the frozen model with the same formulas as build
+    * rows, so ONE enc CTE covers all three shards. Fresh temp dir per
+    * call (the e15 rule: appends must not accumulate across reps). */
+  def e17KnnOpqIvfPqSharded(s: SparkSession, dir: String): DataFrame = {
+    val (e, q) = knnInputs(s, dir)
+    val er = e.select(col("id"), graft.ops.Pq.rotateCol(col("vec"), 64).as("vec"))
+    val path = java.nio.file.Files.createTempDirectory("graft-e17")
+      .toString + "/idx"
+    graft.ops.IvfPq.build(er.filter(col("id") % 4 =!= 0), nCells = 4,
+      m = 8, ks = 16, pqIters = 0, refineIters = 0, persist = false,
+      md5Seeds = true).save(path)
+    graft.ops.IvfPq.append(er.filter(col("id") % 8 === 0), path,
+      tag = "delta-a")
+    graft.ops.IvfPq.append(er.filter(col("id") % 8 === 4), path,
+      tag = "delta-b")
+    val idx = graft.ops.IvfPq.load(s, path, persist = false)
+    val qr = q.select(col("qid"),
+      graft.ops.Pq.rotateCol(col("qvec"), 64).as("qvec"))
+    idx.query(qr, 5, nProbe = 2, fetch = 20).orderBy("qid", "rank")
+  }
+
   /** Drift telemetry as a hash-gated pipeline (the d58 rule: a
     * scale-ops tool is machinery once an oracle re-derives it, not
     * just a spec claim): deterministic IVF-SQ build (e13's recipe)
@@ -1842,7 +1876,8 @@ object Pipeline {
     "e13_knn_ivfsq_verify" -> e13KnnIvfSqVerify _,
     "e14_knn_matryoshka" -> e14KnnMatryoshka _,
     "e15_knn_ivfsq_sharded" -> e15KnnIvfSqSharded _,
-    "e16_drift_stats" -> e16DriftStats _)
+    "e16_drift_stats" -> e16DriftStats _,
+    "e17_knn_opq_sharded" -> e17KnnOpqIvfPqSharded _)
 
   /** The ONE copy of the md5-simhash signature CTEs (review r11: d08/
     * d11/d12/d19 carried four hand-synced copies — a change to the
@@ -3439,6 +3474,70 @@ object Pipeline {
         |resid AS (SELECT id, cell, list_transform(range(1, 65), i -> v[i] - cv[i]) AS r FROM asg),
         |pqseed AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS j, r FROM
         |  (SELECT md5(CAST(id AS VARCHAR)) AS h, id, r FROM resid ORDER BY h, id LIMIT 16)),
+        |ms AS (SELECT unnest(range(0, 8)) AS mm),
+        |sub AS (SELECT t.id, t.cell, s.j, ms.mm,
+        |   list_reduce(list_transform(range(1, 9), i ->
+        |     (t.r[ms.mm * 8 + i] - s.r[ms.mm * 8 + i]) * (t.r[ms.mm * 8 + i] - s.r[ms.mm * 8 + i])),
+        |     (a, b) -> a + b) AS dist
+        |  FROM resid t CROSS JOIN pqseed s CROSS JOIN ms),
+        |code1 AS (SELECT id, cell, mm, j FROM
+        |  (SELECT id, cell, mm, j, row_number() OVER (PARTITION BY id, mm ORDER BY dist, j) AS rk FROM sub)
+        |  WHERE rk = 1),
+        |enc AS (SELECT id, any_value(cell) AS cell, list(j ORDER BY mm) AS codes FROM code1 GROUP BY id),
+        |qu AS (SELECT id AS qid, v AS qv FROM u WHERE id < 10),
+        |qp AS (SELECT qid, cell, cscore FROM
+        |  (SELECT q.qid, c.cell,
+        |     list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])) AS cscore,
+        |     row_number() OVER (PARTITION BY q.qid
+        |       ORDER BY list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])) DESC, c.cell) AS rk
+        |   FROM qu q CROSS JOIN cent c) WHERE rk <= 2),
+        |lutv AS (SELECT q.qid, ms.mm, s.j,
+        |    list_sum(list_transform(range(1, 9), i -> q.qv[ms.mm * 8 + i] * s.r[ms.mm * 8 + i])) AS lv
+        |  FROM qu q CROSS JOIN pqseed s CROSS JOIN ms),
+        |lut AS (SELECT qid, list(lv ORDER BY mm, j) AS l FROM lutv GROUP BY qid),
+        |cand AS (SELECT p.qid, t.id,
+        |    p.cscore + list_sum(list_transform(range(0, 8), mm -> l.l[mm * 16 + t.codes[mm + 1] + 1])) AS score
+        |  FROM qp p JOIN enc t ON t.cell = p.cell JOIN lut l ON l.qid = p.qid
+        |  WHERE t.id <> p.qid),
+        |short AS (SELECT qid, id FROM
+        |  (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk FROM cand)
+        |  WHERE rk <= 20),
+        |rer AS (SELECT s.qid, s.id,
+        |    list_sum(list_transform(range(1, 65), i -> cu.v[i] * q.qv[i])) AS sim
+        |  FROM short s JOIN u cu ON cu.id = s.id JOIN qu q ON q.qid = s.qid)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim FROM
+        |  (SELECT qid, id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM rer)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // e06's pipeline with (a) the e08 fixed signed-permutation
+    // rotation prefixed (rotation BEFORE unit-normalize — the norm's
+    // float sum runs in ROTATED index order, matching vecUnit over the
+    // rotated array), and (b) the cell/codebook seed pools restricted
+    // to the BUILD subset (id % 4 <> 0). Appended rows (the remaining
+    // quarter) assign and PQ-encode under the frozen model with the
+    // same formulas as build rows, so one enc CTE covers all shards.
+    "e17_knn_opq_sharded" ->
+      """WITH pm AS (SELECT list(i ORDER BY md5(CAST(i AS VARCHAR)), i) AS perm
+        |  FROM range(0, 64) t(i)),
+        |sg AS (SELECT list(CASE WHEN substr(md5('s' || CAST(i AS VARCHAR)), 1, 1) <= '7'
+        |    THEN -1.0 ELSE 1.0 END ORDER BY i) AS signs FROM range(0, 64) t(i)),
+        |e0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+        |e AS (SELECT id,
+        |  list_transform(range(1, 65), j -> e0.v0[pm.perm[j] + 1] * sg.signs[j]) AS v
+        | FROM e0, pm, sg),
+        |nrm AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS ss FROM e),
+        |u AS (SELECT id, CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0 / sqrt(ss))) ELSE v END AS v FROM nrm),
+        |cent AS (SELECT row_number() OVER (ORDER BY h, id) AS cell, cv FROM
+        |  (SELECT md5(CAST(id AS VARCHAR)) AS h, id, v AS cv FROM u
+        |   WHERE id % 4 <> 0 ORDER BY h, id LIMIT 4)),
+        |asg AS (SELECT id, v, cell, cv FROM
+        |  (SELECT u.id, u.v, c.cell, c.cv,
+        |     row_number() OVER (PARTITION BY u.id
+        |       ORDER BY list_sum(list_transform(range(1, 65), i -> u.v[i] * c.cv[i])) DESC, c.cell) AS rk
+        |   FROM u CROSS JOIN cent c) WHERE rk = 1),
+        |resid AS (SELECT id, cell, list_transform(range(1, 65), i -> v[i] - cv[i]) AS r FROM asg),
+        |pqseed AS (SELECT row_number() OVER (ORDER BY h, id) - 1 AS j, r FROM
+        |  (SELECT md5(CAST(id AS VARCHAR)) AS h, id, r FROM resid
+        |   WHERE id % 4 <> 0 ORDER BY h, id LIMIT 16)),
         |ms AS (SELECT unnest(range(0, 8)) AS mm),
         |sub AS (SELECT t.id, t.cell, s.j, ms.mm,
         |   list_reduce(list_transform(range(1, 9), i ->
