@@ -318,4 +318,27 @@ class PqSpec extends SparkSpec {
       assert(rec >= 0.5, s"OPQ+IVF-PQ reranked recall $rec too low")
     } finally idx.close()
   }
+
+  test("rotationHash is a stable cache-key contract (r15): pinned " +
+      "literal, order- and sign-sensitive") {
+    import graft.ops.Pq
+    // the hash keys e10-style index paths: a silent change orphans
+    // every standing OPQ-rotated index, so the value itself is pinned
+    val r = Array(1.0, 0.0, 0.0, 1.0)
+    assert(Pq.rotationHash(r) == Pq.rotationHash(Array(1.0, 0.0, 0.0, 1.0)))
+    assert(Pq.rotationHash(r).length == 12 &&
+      Pq.rotationHash(r).matches("[0-9a-f]{12}"))
+    assert(Pq.rotationHash(r) != Pq.rotationHash(Array(0.0, 1.0, 1.0, 0.0)),
+      "permuted matrix must key differently")
+    assert(Pq.rotationHash(r) != Pq.rotationHash(Array(-1.0, 0.0, 0.0, 1.0)),
+      "sign flip must key differently")
+    // pinned literal: md5 over the big-endian double bytes, first 6
+    // bytes hex — recompute independently here so a digest-recipe
+    // change cannot slip through as a mere refactor
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(32)
+    r.foreach(bb.putDouble)
+    val expect = md.digest(bb.array()).take(6).map("%02x".format(_)).mkString
+    assert(Pq.rotationHash(r) == expect)
+  }
 }
