@@ -194,20 +194,20 @@ object IvfPq {
     * directly). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       persist: Boolean = true): IvfPqIndex = {
-    val m0 = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
-    val cells = m0.getInt(m0.fieldIndex("n_cells"))
-    val shards = m0.getInt(m0.fieldIndex("shards"))
+    val (cells, shards, base, _) = IvfIndex.readMetaNamed(spark, path)
     val cent = spark.read.parquet(s"$path/centroids")
     val centMat = spark.createDataFrame(
       java.util.Arrays.asList(cent.collect(): _*), cent.schema)
     val cbRow = spark.read.parquet(s"$path/codebook").head()
     val cb = PqCodebook(cbRow.getAs[Int]("m"), cbRow.getAs[Int]("ks"),
       cbRow.getAs[Int]("dsub"), cbRow.getAs[Seq[Double]]("centroids").toArray)
-    // committed shards only (the IvfIndex.append frontier rule)
+    // committed LIVE shards only (the IvfIndex frontier + base rule)
     val corpusUnit = spark.read.parquet(s"$path/corpus")
-      .filter(col("shard") <= shards).select("id", "vec")
+      .filter(col("shard") >= base && col("shard") <= shards)
+      .select("id", "vec")
     val encoded0 = spark.read.parquet(s"$path/encoded")
-      .filter(col("shard") <= shards).select("id", "cell", "codes")
+      .filter(col("shard") >= base && col("shard") <= shards)
+      .select("id", "cell", "codes")
     val encoded =
       if (persist)
         encoded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -236,10 +236,7 @@ object IvfPq {
     require(exists(spark, path),
       s"ivfpq index at '$path' is missing or incomplete " +
         "(no committed meta/codebook - saves write meta last)")
-    val m0 = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
-    val cells = m0.getInt(m0.fieldIndex("n_cells"))
-    val shards = m0.getInt(m0.fieldIndex("shards"))
-    val lastTag = m0.getString(m0.fieldIndex("tag"))
+    val (cells, shards, base, lastTag) = IvfIndex.readMetaNamed(spark, path)
     if (tag.nonEmpty && tag == lastTag) return // retry of an applied append
     val cent = spark.read.parquet(s"$path/centroids")
     val centMat = spark.createDataFrame(
@@ -260,7 +257,9 @@ object IvfPq {
         .select(col("id"), col("cell"),
           Pq.encodeCol(vecSub(col("vec"), col("cvec")), cb).as("codes"))
         .write.mode("overwrite").parquet(s"$path/encoded/shard=${shards + 1}")
-      IvfIndex.writeMeta(spark, s"$path/meta", cells, shards + 1, tag)
+      // base carries through (the IvfIndex.append rule)
+      IvfIndex.writeMeta(spark, s"$path/meta", cells, shards + 1, tag,
+        base = base)
     } finally { unit.unpersist(blocking = false); () }
   }
 
@@ -287,10 +286,9 @@ object IvfPq {
     require(exists(spark, path),
       s"ivfpq index at '$path' is missing or incomplete " +
         "(no committed meta/codebook - saves write meta last)")
-    val m = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
-    val shards = m.getInt(m.fieldIndex("shards"))
+    val (_, shards, base, _) = IvfIndex.readMetaNamed(spark, path)
     val corpus = spark.read.parquet(s"$path/corpus")
-      .filter(col("shard") <= shards)
+      .filter(col("shard") >= base && col("shard") <= shards)
       .select(col("shard"), col("id"), col("vec"))
     val idx = load(spark, path, persist = false)
     try IvfIndex.recallByShard(spark, corpus,
@@ -309,6 +307,22 @@ object IvfPq {
       // layout-epoch guard (r14: encoded/corpus went sharded) — an
       // index whose meta already carried the shards column but whose
       // tables predate the sharding reads as incomplete and rebuilds
-      // once, instead of load() failing on the missing shard column
-      Similarity.committedParquetExists(spark, s"$path/encoded/shard=0")
+      // once, instead of load() failing on the missing shard column.
+      // The guarded dir is the BASE shard: after a compaction shard=0
+      // is gone by design and the merged shard is the layout witness.
+      Similarity.committedParquetExists(spark,
+        s"$path/encoded/shard=${IvfIndex.readMetaNamed(spark, path)._3}")
+
+  /** Merge all live shards into one ([[IvfIndex.compactTables]] over
+    * this family's `corpus` + `encoded` tables) — query results are
+    * bit-identical (frozen centroids + codebook make a row's encoding
+    * independent of which shard holds it); read amplification drops
+    * from one dir per append to one. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    require(exists(spark, path),
+      s"ivfpq index at '$path' is missing or incomplete " +
+        "(no committed meta/codebook - saves write meta last)")
+    IvfIndex.compactTables(spark, path, Seq("corpus", "encoded"))
+  }
 }

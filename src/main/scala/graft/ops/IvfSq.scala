@@ -155,20 +155,20 @@ object IvfSq {
     * to the freshly built one (spec-asserted, the IvfPq contract). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       persist: Boolean = true): IvfSqIndex = {
-    val m0 = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
-    val cells = m0.getInt(m0.fieldIndex("n_cells"))
-    val shards = m0.getInt(m0.fieldIndex("shards"))
+    val (cells, shards, base, _) = IvfIndex.readMetaNamed(spark, path)
     val cent = spark.read.parquet(s"$path/centroids")
     val centMat = spark.createDataFrame(
       java.util.Arrays.asList(cent.collect(): _*), cent.schema)
     val mRow = spark.read.parquet(s"$path/sqmodel").head()
     val model = SqModel(mRow.getSeq[Double](mRow.fieldIndex("vmin")).toArray,
       mRow.getSeq[Double](mRow.fieldIndex("vmax")).toArray)
-    // committed shards only (the IvfIndex.append frontier rule)
+    // committed LIVE shards only (the IvfIndex frontier + base rule)
     val corpusUnit = spark.read.parquet(s"$path/corpus")
-      .filter(col("shard") <= shards).select("id", "vec")
+      .filter(col("shard") >= base && col("shard") <= shards)
+      .select("id", "vec")
     val encoded0 = spark.read.parquet(s"$path/encoded")
-      .filter(col("shard") <= shards).select("id", "cell", "codes")
+      .filter(col("shard") >= base && col("shard") <= shards)
+      .select("id", "cell", "codes")
     val encoded =
       if (persist)
         encoded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -193,10 +193,7 @@ object IvfSq {
     require(exists(spark, path),
       s"ivfsq index at '$path' is missing or incomplete " +
         "(no committed meta/sqmodel - saves write meta last)")
-    val m0 = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
-    val cells = m0.getInt(m0.fieldIndex("n_cells"))
-    val shards = m0.getInt(m0.fieldIndex("shards"))
-    val lastTag = m0.getString(m0.fieldIndex("tag"))
+    val (cells, shards, base, lastTag) = IvfIndex.readMetaNamed(spark, path)
     if (tag.nonEmpty && tag == lastTag) return // retry of an applied append
     val cent = spark.read.parquet(s"$path/centroids")
     val centMat = spark.createDataFrame(
@@ -215,7 +212,9 @@ object IvfSq {
         .select(col("id"), col("cell"),
           Sq.encodeCol(vecSub(col("vec"), col("cvec")), model).as("codes"))
         .write.mode("overwrite").parquet(s"$path/encoded/shard=${shards + 1}")
-      IvfIndex.writeMeta(spark, s"$path/meta", cells, shards + 1, tag)
+      // base carries through (the IvfIndex.append rule)
+      IvfIndex.writeMeta(spark, s"$path/meta", cells, shards + 1, tag,
+        base = base)
     } finally { unit.unpersist(blocking = false); () }
   }
 
@@ -243,10 +242,9 @@ object IvfSq {
     require(exists(spark, path),
       s"ivfsq index at '$path' is missing or incomplete " +
         "(no committed meta/sqmodel - saves write meta last)")
-    val m = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
-    val shards = m.getInt(m.fieldIndex("shards"))
+    val (_, shards, base, _) = IvfIndex.readMetaNamed(spark, path)
     val corpus = spark.read.parquet(s"$path/corpus")
-      .filter(col("shard") <= shards)
+      .filter(col("shard") >= base && col("shard") <= shards)
       .select(col("shard"), col("id"), col("vec"))
     val idx = load(spark, path, persist = false)
     try IvfIndex.recallByShard(spark, corpus,
@@ -261,5 +259,19 @@ object IvfSq {
   def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
     IvfIndex.exists(spark, path) &&
       Similarity.committedParquetExists(spark, s"$path/sqmodel") &&
-      Similarity.committedParquetExists(spark, s"$path/encoded/shard=0")
+      // the guarded dir is the BASE shard (after compaction shard=0
+      // is gone by design; the merged shard is the layout witness)
+      Similarity.committedParquetExists(spark,
+        s"$path/encoded/shard=${IvfIndex.readMetaNamed(spark, path)._3}")
+
+  /** Merge all live shards into one ([[IvfIndex.compactTables]] over
+    * `corpus` + `encoded`) — query results bit-identical (frozen
+    * centroids + min/max model), read amplification back to one dir. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    require(exists(spark, path),
+      s"ivfsq index at '$path' is missing or incomplete " +
+        "(no committed meta/sqmodel - saves write meta last)")
+    IvfIndex.compactTables(spark, path, Seq("corpus", "encoded"))
+  }
 }

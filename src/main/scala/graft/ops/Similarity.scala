@@ -651,10 +651,80 @@ object IvfIndex {
     * ([[MetaSwap.commit]]) so an append's meta rewrite never deletes
     * the previous marker before the new one is durable. */
   private[ops] def writeMeta(spark: org.apache.spark.sql.SparkSession,
-      dir: String, nCells: Int, shards: Int = 0, tag: String = ""): Unit = {
+      dir: String, nCells: Int, shards: Int = 0, tag: String = "",
+      base: Int = 0): Unit = {
     import spark.implicits._
     MetaSwap.commit(
-      Seq((nCells, shards, tag)).toDF("n_cells", "shards", "tag"), dir)
+      Seq((nCells, shards, tag, base)).toDF("n_cells", "shards", "tag",
+        "base"), dir)
+  }
+
+  /** Name-based meta read shared by every reader of the sharded
+    * layouts: (nCells, shards, base, tag). `base` is the lowest LIVE
+    * shard ([[compactTables]] raises it past the merged-away dirs);
+    * metas written before compaction existed lack the column and read
+    * as base = 0 — no layout epoch, old indexes stay valid as-is.
+    * Reading by NAME, not position, is the r15 StreamingSpec lesson
+    * (a positional getInt silently read the wrong column when the
+    * schema grew). */
+  private[ops] def readMetaNamed(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Int, String) = {
+    val m = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
+    val base = if (m.schema.fieldNames.contains("base"))
+      m.getInt(m.fieldIndex("base")) else 0
+    (m.getInt(m.fieldIndex("n_cells")), m.getInt(m.fieldIndex("shards")),
+      base, m.getString(m.fieldIndex("tag")))
+  }
+
+  /** Merge every live shard of `tables` into ONE new shard — the
+    * segment-merge of the incremental-index story (appends accumulate
+    * `shard=G` dirs; each query unions base..frontier, so a
+    * long-running ingest pays read amplification linear in append
+    * count until compaction). The standing index stays LIVE and
+    * correct through every crash window:
+    *   1. each table's rows in [base, frontier] rewrite to
+    *      `shard=frontier+1` — an orphan above the committed frontier,
+    *      invisible to readers (and a later append's overwrite of that
+    *      dir discards a half-written merge);
+    *   2. the meta swap-commits (shards = base = frontier+1, tag
+    *      preserved so a crashed append's retry still no-ops);
+    *   3. old dirs below the new base delete best-effort LAST — a
+    *      crash leaves them as garbage readers never select (every
+    *      scan filters shard >= base), and the next compact sweeps
+    *      everything below base again.
+    * Rows are merged as stored — frozen centroids/codebooks make a
+    * shard's encoding independent of WHICH shard holds it, so
+    * compaction never touches vector math and query results are
+    * bit-identical (OpsSpec/SqSpec-pinned). */
+  private[ops] def compactTables(spark: org.apache.spark.sql.SparkSession,
+      path: String, tables: Seq[String]): Unit = {
+    val (cells, shards, base, tag) = readMetaNamed(spark, path)
+    if (base == shards) return // single live shard - nothing to merge
+    tables.foreach { t =>
+      spark.read.parquet(s"$path/$t")
+        .filter(col("shard") >= base && col("shard") <= shards)
+        .drop("shard")
+        .write.mode("overwrite").parquet(s"$path/$t/shard=${shards + 1}")
+    }
+    writeMeta(spark, s"$path/meta", cells, shards + 1, tag,
+      base = shards + 1)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    tables.foreach { t =>
+      (0 to shards).foreach { g =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/$t/shard=$g")
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) { fs.delete(p, true); () }
+      }
+    }
+  }
+
+  /** [[compactTables]] for a plain IVF index (the `assigned` table). */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    require(exists(spark, path),
+      s"ivf index at '$path' is missing or incomplete " +
+        "(no committed meta table - saves write it last)")
+    compactTables(spark, path, Seq("assigned"))
   }
 
   /** Drop `path`'s meta marker so the index reads as incomplete while
@@ -717,16 +787,15 @@ object IvfIndex {
     * query batches. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       persist: Boolean = true): IvfIndex = {
-    val m = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
-    val cells = m.getInt(m.fieldIndex("n_cells"))
-    val shards = m.getInt(m.fieldIndex("shards"))
+    val (cells, shards, base, _) = readMetaNamed(spark, path)
     val cent = spark.read.parquet(s"$path/centroids")
     val centMat = spark.createDataFrame(
       java.util.Arrays.asList(cent.collect(): _*), cent.schema)
-    // committed shards only: an orphan dir from a crashed append is
-    // partition-pruned at planning (the LSH-index frontier rule)
+    // committed LIVE shards only: an orphan dir from a crashed append
+    // (above the frontier) or a compacted-away dir from a crashed
+    // cleanup (below base) is partition-pruned at planning
     val assigned0 = spark.read.parquet(s"$path/assigned")
-      .filter(col("shard") <= shards)
+      .filter(col("shard") >= base && col("shard") <= shards)
       .select("id", "cell", "vec", "nrm")
     val assigned =
       if (persist)
@@ -758,10 +827,7 @@ object IvfIndex {
     require(exists(spark, path),
       s"ivf index at '$path' is missing or incomplete " +
         "(no committed meta table - saves write it last)")
-    val m = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
-    val cells = m.getInt(m.fieldIndex("n_cells"))
-    val shards = m.getInt(m.fieldIndex("shards"))
-    val lastTag = m.getString(m.fieldIndex("tag"))
+    val (cells, shards, base, lastTag) = readMetaNamed(spark, path)
     if (tag.nonEmpty && tag == lastTag) return // retry of an applied append
     val cent = spark.read.parquet(s"$path/centroids")
     val centMat = spark.createDataFrame(
@@ -771,7 +837,9 @@ object IvfIndex {
     Similarity.assignCell(centMat, d, "id", "vec")
       .withColumn("nrm", Similarity.norm(col("vec")))
       .write.mode("overwrite").parquet(s"$path/assigned/shard=${shards + 1}")
-    writeMeta(spark, s"$path/meta", cells, shards + 1, tag)
+    // base carries through: resetting it would re-select compacted-away
+    // dirs a crashed cleanup left behind
+    writeMeta(spark, s"$path/meta", cells, shards + 1, tag, base = base)
   }
 
   /** Per-shard centroid-drift telemetry for a saved (possibly
@@ -800,17 +868,16 @@ object IvfIndex {
     require(exists(spark, path),
       s"ivf index at '$path' is missing or incomplete " +
         "(no committed meta table - saves write it last)")
-    val m = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
-    val shards = m.getInt(m.fieldIndex("shards"))
+    val (_, shards, base, _) = readMetaNamed(spark, path)
     val cent = spark.read.parquet(s"$path/centroids")
     val res = spark.read.parquet(s"$path/assigned")
-      .filter(col("shard") <= shards)
+      .filter(col("shard") >= base && col("shard") <= shards)
       .select(col("shard"), col("cell"), col("vec"))
       .join(broadcast(cent), "cell")
       .select(col("shard"), Similarity.norm(
         graft.functions.CatalystFunctions.vecSub(col("vec"), col("cvec")))
         .as("__res"))
-    shardDrift(res)
+    shardDrift(res, base)
   }
 
   /** Per-shard recall@k of an index's own (approximate) query path
@@ -834,10 +901,9 @@ object IvfIndex {
     require(exists(spark, path),
       s"ivf index at '$path' is missing or incomplete " +
         "(no committed meta table - saves write it last)")
-    val m = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
-    val shards = m.getInt(m.fieldIndex("shards"))
+    val (_, shards, base, _) = readMetaNamed(spark, path)
     val assigned = spark.read.parquet(s"$path/assigned")
-      .filter(col("shard") <= shards)
+      .filter(col("shard") >= base && col("shard") <= shards)
       .select(col("shard"), col("id"), col("vec"))
     val idx = load(spark, path, persist = false)
     recallByShard(spark, assigned,
@@ -883,11 +949,14 @@ object IvfIndex {
 
   /** (shard, n, mean_residual, drift_ratio) from (shard, __res) rows —
     * the aggregation half of [[driftStats]], shared with the PQ/SQ
-    * layouts' drift surfaces. */
-  private[ops] def shardDrift(res: DataFrame): DataFrame = {
+    * layouts' drift surfaces. The ratio normalizes against the BASE
+    * (lowest live) shard — shard 0 until a compaction folds the build
+    * corpus into a merged shard, after which the merged shard is the
+    * reference population (its ratio reads exactly 1.0). */
+  private[ops] def shardDrift(res: DataFrame, baseShard: Int = 0): DataFrame = {
     val stats = res.groupBy("shard")
       .agg(count(lit(1)).as("n"), avg("__res").as("__mr"))
-    val base = stats.filter(col("shard") === 0)
+    val base = stats.filter(col("shard") === lit(baseShard))
       .select(col("__mr").as("__base"))
     stats.crossJoin(broadcast(base))
       .select(col("shard"), col("n"),
@@ -905,13 +974,12 @@ object IvfIndex {
     * of the scored crossJoin vs a full shuffle of both tables). */
   private[ops] def corpusDriftStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val m = spark.read.parquet(MetaSwap.readDir(spark, s"$path/meta")).head()
-    val shards = m.getInt(m.fieldIndex("shards"))
+    val (_, shards, base, _) = readMetaNamed(spark, path)
     val cent = spark.read.parquet(s"$path/centroids")
     val centMat = spark.createDataFrame(
       java.util.Arrays.asList(cent.collect(): _*), cent.schema)
     val res = spark.read.parquet(s"$path/corpus")
-      .filter(col("shard") <= shards)
+      .filter(col("shard") >= base && col("shard") <= shards)
       .select(col("shard"), col("id"), col("vec"))
       .crossJoin(broadcast(centMat))
       .withColumn("__score", Similarity.dot(col("vec"), col("cvec")))
@@ -922,7 +990,7 @@ object IvfIndex {
       .select(col("shard"), Similarity.norm(
         graft.functions.CatalystFunctions.vecSub(col("vec"), col("__c")))
         .as("__res"))
-    shardDrift(res)
+    shardDrift(res, base)
   }
 
   /** Index `corpus` (id, vec) rows. `nCells` <= 0 auto-sizes to

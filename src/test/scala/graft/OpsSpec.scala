@@ -2222,6 +2222,81 @@ class OpsSpec extends SparkSpec {
     assert(pr(0) >= 0.9, s"build-cluster recall at full probe: $pr")
   }
 
+  test("IvfPq.compact: live shards merge into one — query results " +
+      "bit-identical, tag preserved, old dirs swept, leftover garbage " +
+      "below base never read, appends continue (r15)") {
+    import graft.ops.IvfPq
+    def vecA(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 0) 1.0f else 0.02f * ((i + d) % 5)))
+    def vecB(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 1) 1.0f else 0.02f * ((i + d) % 5)))
+    val a = (0 until 24).map(i => (i.toLong, vecA(i))).toDF("id", "vec")
+    val b1 = (100 until 112).map(i => (i.toLong, vecB(i))).toDF("id", "vec")
+    val b2 = (200 until 212).map(i => (i.toLong, vecB(i))).toDF("id", "vec")
+    val path = tmpDir("ivfpq-compact")
+    IvfPq.build(a, nCells = 2, m = 4, ks = 8, pqIters = 1, persist = false)
+      .save(path)
+    IvfPq.append(b1, path, tag = "day-1")
+    IvfPq.append(b2, path, tag = "day-2")
+    def meta() = { val m = spark.read.parquet(s"$path/meta").head()
+      (m.getInt(m.fieldIndex("shards")), m.getInt(m.fieldIndex("base")),
+        m.getString(m.fieldIndex("tag"))) }
+    val qa = Seq((-1L, vecA(0))).toDF("qid", "qvec")
+    val qb = Seq((-2L, vecB(100))).toDF("qid", "qvec")
+    def results() = {
+      val idx = IvfPq.load(spark, path, persist = false)
+      (idx.query(qa, 4, nProbe = 2, fetch = 10).collect().map(_.toSeq).toSet,
+        idx.query(qb, 4, nProbe = 2, fetch = 10).collect().map(_.toSeq).toSet)
+    }
+    val before = results()
+    IvfPq.compact(spark, path)
+    assert(meta() == ((3, 3, "day-2")),
+      s"compact must raise base to the merged shard: ${meta()}")
+    // frozen centroids + codebook: row encoding is shard-independent,
+    // so the merged index answers EXACTLY as the sharded one did
+    assert(results() == before)
+    assert(IvfPq.exists(spark, path), "compacted index must stay complete")
+    // old shard dirs are gone; the merged one is live
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("corpus", "encoded").foreach { t =>
+      (0 to 2).foreach(g => assert(!fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/$t/shard=$g")), s"$t/$g"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t/shard=3")))
+    }
+    // drift telemetry after compaction: ONE shard, ratio exactly 1.0
+    // (the merged population is its own reference)
+    val drift = IvfPq.driftStats(spark, path).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(drift == Map(3 -> 1.0), drift.toString)
+    // crash-after-commit-before-cleanup simulation: a garbage dir
+    // below base (same ids as live rows — if it were read, the rerank
+    // join would duplicate result rows) is never selected
+    spark.read.parquet(s"$path/corpus/shard=3").write
+      .parquet(s"$path/corpus/shard=1")
+    assert(results() == before,
+      "rows below base must be partition-pruned, not merged in")
+    // appends continue on the compacted index; base carries through.
+    // (vecB(300) would equal vecB(100) exactly — the %5 pattern — so
+    // b3 gets its own axis to make id 300 the unique self-match)
+    def vecC(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 2) 1.0f else 0.02f * ((i + d) % 7)))
+    val b3 = (300 until 306).map(i => (i.toLong, vecC(i))).toDF("id", "vec")
+    IvfPq.append(b3, path, tag = "day-3")
+    assert(meta() == ((4, 3, "day-3")), meta().toString)
+    val idx2 = IvfPq.load(spark, path, persist = false)
+    val hit = idx2.query(Seq((-3L, vecC(300))).toDF("qid", "qvec"), 3,
+        nProbe = 2, fetch = 10).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(hit(1) == 300L, s"post-compaction append must be findable: $hit")
+    // compacting again folds the new shard in; a further compact with
+    // one live shard is a no-op
+    IvfPq.compact(spark, path)
+    assert(meta() == ((5, 5, "day-3")), meta().toString)
+    IvfPq.compact(spark, path)
+    assert(meta() == ((5, 5, "day-3")), "single-shard compact must no-op")
+  }
+
   test("Pq.appendOpq: the OPQ+IVF-PQ composition appends under the " +
       "frozen rotation — standing results unchanged, delta findable, " +
       "retry no-op, missing model loud (r15)") {

@@ -296,4 +296,46 @@ class SqSpec extends SparkSpec {
     }
     assert(ex2.getMessage.contains("not comparable"), ex2.getMessage)
   }
+
+  test("IvfSq.compact + IvfIndex.compact: merged index answers " +
+      "bit-identically; probe recall and e-gate layout survive (r15)") {
+    import graft.ops.{IvfIndex, IvfSq}
+    def vecA(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 0) 1.0f else 0.02f * ((i + d) % 5)))
+    def vecB(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 1) 1.0f else 0.02f * ((i + d) % 5)))
+    val a = (0 until 24).map(i => (i.toLong, vecA(i))).toDF("id", "vec")
+    val b = (100 until 112).map(i => (i.toLong, vecB(i))).toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq-compact").toString
+    IvfSq.build(a, nCells = 2, refineIters = 1, persist = false).save(dir)
+    IvfSq.append(b, dir, tag = "day-1")
+    val q = Seq((-1L, vecA(0)), (-2L, vecB(100))).toDF("qid", "qvec")
+    val before = IvfSq.load(spark, dir, persist = false)
+      .query(q, 4, nProbe = 2, fetch = 10).collect().map(_.toSeq).toSet
+    IvfSq.compact(spark, dir)
+    assert(IvfSq.exists(spark, dir))
+    val after = IvfSq.load(spark, dir, persist = false)
+      .query(q, 4, nProbe = 2, fetch = 10).collect().map(_.toSeq).toSet
+    assert(after == before, s"compaction must not move results")
+    // telemetry over the merged layout: one shard, self-referenced
+    val drift = IvfSq.driftStats(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(drift == Map(2 -> 1.0), drift.toString)
+    val pr = IvfSq.probeRecall(spark, dir, k = 3, perShard = 8,
+        nProbe = 2, fetch = 12).collect().map(_.getInt(0)).toSet
+    assert(pr == Set(2), pr.toString)
+
+    // the plain-IVF family shares the machinery
+    val dir2 = java.nio.file.Files.createTempDirectory("ivf-compact").toString
+    graft.ops.IvfIndex.build(a, nCells = 2, refineIters = 1,
+      persist = false).save(dir2)
+    IvfIndex.append(b, dir2, tag = "day-1")
+    val q2 = Seq((-1L, vecA(0))).toDF("qid", "qvec")
+    val b4 = IvfIndex.load(spark, dir2, persist = false)
+      .query(q2, 4, nProbe = 2).collect().map(_.toSeq).toSet
+    IvfIndex.compact(spark, dir2)
+    val a4 = IvfIndex.load(spark, dir2, persist = false)
+      .query(q2, 4, nProbe = 2).collect().map(_.toSeq).toSet
+    assert(a4 == b4 && IvfIndex.exists(spark, dir2))
+  }
 }
