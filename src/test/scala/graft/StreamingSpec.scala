@@ -263,6 +263,29 @@ class StreamingSpec extends SparkSpec {
       s"both batches' vectors must be queryable: $got")
     val m = spark.read.parquet(s"$dir/idx/meta").head()
     assert(m.getInt(m.fieldIndex("shards")) == 2, "one shard per batch")
+
+    // compaction interleaves with the ingest loop (r15): merge the
+    // accumulated shards, then keep streaming — the append after
+    // compaction must carry the raised base (a reset would re-select
+    // crashed-cleanup garbage) and every vector stays queryable
+    IvfIndex.compact(spark, s"$dir/idx")
+    val q2 = EventStream.ivfAppendStream(
+        input.toDF().toDF("id", "vec"), s"$dir/idx")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData((103L, vecB(103)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val idx3 = IvfIndex.load(spark, s"$dir/idx", persist = false)
+    val got3 = idx3.query(Seq((-1L, vecB(102))).toDF("qid", "qvec"),
+        k = 4, nProbe = 2)
+      .collect().map(r => r.getLong(2)).toSet
+    assert(got3 == Set(100L, 101L, 102L, 103L),
+      s"pre-compaction and post-compaction vectors must coexist: $got3")
+    val m3 = spark.read.parquet(s"$dir/idx/meta").head()
+    assert(m3.getInt(m3.fieldIndex("shards")) == 4 &&
+      m3.getInt(m3.fieldIndex("base")) == 3,
+      "stream append after compact must carry base forward")
   }
 
   test("Gopher and C4 filters are stateless: streaming output equals batch") {
