@@ -104,8 +104,16 @@ final class IvfPqIndex private[ops] (
     * codes table, 32× smaller). The `meta` marker is written LAST so a
     * crashed save never looks complete; a RE-save deletes the previous
     * marker before overwriting any table (review r9 — stale meta over
-    * partially-rewritten tables would read as a complete index). */
-  def save(path: String): Unit = {
+    * partially-rewritten tables would read as a complete index).
+    *
+    * `rot` pins an index built over an OPQ-ROTATED corpus to its
+    * rotation (pass [[graft.ops.Pq.rotationHash]] of the matrix;
+    * VERDICT r15 #2): the pin is stored in the meta and REQUIRED to
+    * match on every [[IvfPq.append]]/[[graft.ops.Pq.appendOpq]] with a
+    * rotation claim, so retraining the OPQ model in place can never
+    * silently mix rotations in one codes table (the codes would be
+    * garbage with no error anywhere). */
+  def save(path: String, rot: String = ""): Unit = {
     val spark = ivf.centroids.sparkSession
     import spark.implicits._
     IvfIndex.invalidateMeta(spark, path)
@@ -128,7 +136,7 @@ final class IvfPqIndex private[ops] (
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     encoded.write.mode("overwrite").parquet(s"$path/encoded/shard=0")
     corpusUnit.write.mode("overwrite").parquet(s"$path/corpus/shard=0")
-    IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells)
+    IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells, rot = rot)
   }
 }
 
@@ -231,13 +239,55 @@ object IvfPq {
     * for the delta is whatever the frozen codebook gives it;
     * re-training on drift is a REBUILD (the add-vs-train split). Same
     * `tag` idempotence and unique-ids contract as the other appends. */
-  def append(delta: DataFrame, path: String, tag: String = ""): Unit = {
-    val spark = delta.sparkSession
-    require(exists(spark, path),
+  /** ONE committed-meta read + completeness check serving a whole
+    * operation (ADVICE r15: exists() re-read the meta for the
+    * layout-witness dir and every caller read it again — two to three
+    * driver-side Spark jobs per append/compact where one suffices; the
+    * codebook/base-shard witnesses are cheap FS checks). */
+  private def metaIfCompletePq(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[IvfIndex.IdxMeta] =
+    IvfIndex.metaIfComplete(spark, path).filter { m =>
+      Similarity.committedParquetExists(spark, s"$path/codebook") &&
+      // layout-epoch guard (r14: encoded/corpus went sharded) — an
+      // index whose meta already carried the shards column but whose
+      // tables predate the sharding reads as incomplete and rebuilds
+      // once. The guarded dir is the BASE shard: after a compaction
+      // shard=0 is gone by design; the merged shard is the witness.
+      Similarity.committedParquetExists(spark, s"$path/encoded/shard=${m.base}")
+    }
+
+  private def requireMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex.IdxMeta = {
+    val m = metaIfCompletePq(spark, path)
+    require(m.isDefined,
       s"ivfpq index at '$path' is missing or incomplete " +
         "(no committed meta/codebook - saves write meta last)")
-    val (cells, shards, base, lastTag) = IvfIndex.readMetaNamed(spark, path)
-    if (tag.nonEmpty && tag == lastTag) return // retry of an applied append
+    m.get
+  }
+
+  /** `rot` is the caller's rotation claim ([[graft.ops.Pq.appendOpq]]
+    * passes its loaded model's [[graft.ops.Pq.rotationHash]]; plain
+    * unrotated appends pass ""): an index whose meta carries a
+    * rotation pin REFUSES any append whose claim differs — including
+    * the empty claim of a plain append, which would mix unrotated
+    * vectors into a rotated codes table. An UNPINNED index appended
+    * with a rotation claim adopts the pin (legacy indexes saved before
+    * the pin existed close the hole after their first appendOpq). */
+  def append(delta: DataFrame, path: String, tag: String = "",
+      rot: String = ""): Unit = {
+    val spark = delta.sparkSession
+    val meta = requireMeta(spark, path)
+    if (meta.rot.nonEmpty && rot != meta.rot)
+      throw new IllegalArgumentException(
+        s"ivfpq index at '$path' is pinned to OPQ rotation " +
+          s"'${meta.rot}' but this append claims '${if (rot.isEmpty) "<unrotated>" else rot}' - " +
+          "the index was built over a corpus rotated by a DIFFERENT " +
+          "matrix (retrained model in place?); appending would silently " +
+          "mix rotations in one codes table. Rebuild the index under " +
+          "the new model, or append through Pq.appendOpq with the " +
+          "matching model")
+    if (tag.nonEmpty && tag == meta.tag) return // retry of an applied append
+    val shards = meta.shards
     val cent = spark.read.parquet(s"$path/centroids")
     val centMat = spark.createDataFrame(
       java.util.Arrays.asList(cent.collect(): _*), cent.schema)
@@ -257,9 +307,11 @@ object IvfPq {
         .select(col("id"), col("cell"),
           Pq.encodeCol(vecSub(col("vec"), col("cvec")), cb).as("codes"))
         .write.mode("overwrite").parquet(s"$path/encoded/shard=${shards + 1}")
-      // base carries through (the IvfIndex.append rule)
-      IvfIndex.writeMeta(spark, s"$path/meta", cells, shards + 1, tag,
-        base = base)
+      // base carries through (the IvfIndex.append rule); CAS commit
+      // aborts loudly if a concurrent writer moved the frontier
+      IvfIndex.commitMetaCas(spark, path, shards + 1, tag,
+        newBase = meta.base, expect = meta, what = "ivfpq append",
+        newRot = if (meta.rot.isEmpty && rot.nonEmpty) Some(rot) else None)
     } finally { unit.unpersist(blocking = false); () }
   }
 
@@ -270,9 +322,7 @@ object IvfPq {
     * fate, so coarse drift is the leading indicator for both). */
   def driftStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    require(exists(spark, path),
-      s"ivfpq index at '$path' is missing or incomplete " +
-        "(no committed meta/codebook - saves write meta last)")
+    requireMeta(spark, path)
     IvfIndex.corpusDriftStats(spark, path)
   }
 
@@ -283,12 +333,9 @@ object IvfPq {
   def probeRecall(spark: org.apache.spark.sql.SparkSession, path: String,
       k: Int = 5, perShard: Int = 20, nProbe: Int = 0,
       fetch: Int = -1): DataFrame = {
-    require(exists(spark, path),
-      s"ivfpq index at '$path' is missing or incomplete " +
-        "(no committed meta/codebook - saves write meta last)")
-    val (_, shards, base, _) = IvfIndex.readMetaNamed(spark, path)
+    val meta = requireMeta(spark, path)
     val corpus = spark.read.parquet(s"$path/corpus")
-      .filter(col("shard") >= base && col("shard") <= shards)
+      .filter(col("shard") >= meta.base && col("shard") <= meta.shards)
       .select(col("shard"), col("id"), col("vec"))
     val idx = load(spark, path, persist = false)
     try IvfIndex.recallByShard(spark, corpus,
@@ -302,16 +349,13 @@ object IvfPq {
     * and then crash load() on the missing codebook — so require the
     * codebook table too. */
   def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
-    IvfIndex.exists(spark, path) &&
-      Similarity.committedParquetExists(spark, s"$path/codebook") &&
-      // layout-epoch guard (r14: encoded/corpus went sharded) — an
-      // index whose meta already carried the shards column but whose
-      // tables predate the sharding reads as incomplete and rebuilds
-      // once, instead of load() failing on the missing shard column.
-      // The guarded dir is the BASE shard: after a compaction shard=0
-      // is gone by design and the merged shard is the layout witness.
-      Similarity.committedParquetExists(spark,
-        s"$path/encoded/shard=${IvfIndex.readMetaNamed(spark, path)._3}")
+    metaIfCompletePq(spark, path).isDefined
+
+  /** The index's OPQ rotation pin ("" when unpinned) — callers
+    * composing the rotated QUERY path check their model against it
+    * ([[graft.ops.Pq.checkRotation]]) before probing. */
+  def rotationPin(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = requireMeta(spark, path).rot
 
   /** Merge all live shards into one ([[IvfIndex.compactTables]] over
     * this family's `corpus` + `encoded` tables) — query results are
@@ -319,10 +363,7 @@ object IvfPq {
     * independent of which shard holds it); read amplification drops
     * from one dir per append to one. */
   def compact(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
-    require(exists(spark, path),
-      s"ivfpq index at '$path' is missing or incomplete " +
-        "(no committed meta/codebook - saves write meta last)")
-    IvfIndex.compactTables(spark, path, Seq("corpus", "encoded"))
-  }
+      path: String): Unit =
+    IvfIndex.compactTables(spark, path, Seq("corpus", "encoded"),
+      requireMeta(spark, path))
 }

@@ -190,11 +190,9 @@ object IvfSq {
     * idempotence and unique-ids contract as the other appends. */
   def append(delta: DataFrame, path: String, tag: String = ""): Unit = {
     val spark = delta.sparkSession
-    require(exists(spark, path),
-      s"ivfsq index at '$path' is missing or incomplete " +
-        "(no committed meta/sqmodel - saves write meta last)")
-    val (cells, shards, base, lastTag) = IvfIndex.readMetaNamed(spark, path)
-    if (tag.nonEmpty && tag == lastTag) return // retry of an applied append
+    val meta = requireMeta(spark, path)
+    if (tag.nonEmpty && tag == meta.tag) return // retry of an applied append
+    val shards = meta.shards
     val cent = spark.read.parquet(s"$path/centroids")
     val centMat = spark.createDataFrame(
       java.util.Arrays.asList(cent.collect(): _*), cent.schema)
@@ -212,9 +210,10 @@ object IvfSq {
         .select(col("id"), col("cell"),
           Sq.encodeCol(vecSub(col("vec"), col("cvec")), model).as("codes"))
         .write.mode("overwrite").parquet(s"$path/encoded/shard=${shards + 1}")
-      // base carries through (the IvfIndex.append rule)
-      IvfIndex.writeMeta(spark, s"$path/meta", cells, shards + 1, tag,
-        base = base)
+      // base carries through (the IvfIndex.append rule); CAS commit
+      // aborts loudly if a concurrent writer moved the frontier
+      IvfIndex.commitMetaCas(spark, path, shards + 1, tag,
+        newBase = meta.base, expect = meta, what = "ivfsq append")
     } finally { unit.unpersist(blocking = false); () }
   }
 
@@ -226,9 +225,7 @@ object IvfSq {
     * faster than plain IVF). */
   def driftStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    require(exists(spark, path),
-      s"ivfsq index at '$path' is missing or incomplete " +
-        "(no committed meta/sqmodel - saves write meta last)")
+    requireMeta(spark, path)
     IvfIndex.corpusDriftStats(spark, path)
   }
 
@@ -239,12 +236,9 @@ object IvfSq {
   def probeRecall(spark: org.apache.spark.sql.SparkSession, path: String,
       k: Int = 5, perShard: Int = 20, nProbe: Int = 0,
       fetch: Int = -1): DataFrame = {
-    require(exists(spark, path),
-      s"ivfsq index at '$path' is missing or incomplete " +
-        "(no committed meta/sqmodel - saves write meta last)")
-    val (_, shards, base, _) = IvfIndex.readMetaNamed(spark, path)
+    val meta = requireMeta(spark, path)
     val corpus = spark.read.parquet(s"$path/corpus")
-      .filter(col("shard") >= base && col("shard") <= shards)
+      .filter(col("shard") >= meta.base && col("shard") <= meta.shards)
       .select(col("shard"), col("id"), col("vec"))
     val idx = load(spark, path, persist = false)
     try IvfIndex.recallByShard(spark, corpus,
@@ -252,26 +246,37 @@ object IvfSq {
     finally idx.close()
   }
 
-  /** True when `path` holds a complete saved IVF-SQ index (meta alone
-    * is ambiguous across the index family — require the sqmodel table,
-    * the IvfPq.exists rule; the `encoded/shard=0` check is the r14
-    * layout-epoch guard — pre-sharding caches rebuild once). */
-  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
-    IvfIndex.exists(spark, path) &&
+  /** ONE committed-meta read + completeness check serving a whole
+    * operation (ADVICE r15 — the IvfPq.metaIfCompletePq rule): meta
+    * alone is ambiguous across the index family, so require the
+    * sqmodel table (FS check) and the base-shard layout witness
+    * (pre-sharding caches rebuild once; after compaction shard=0 is
+    * gone by design and the merged shard is the witness). */
+  private def metaIfCompleteSq(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[IvfIndex.IdxMeta] =
+    IvfIndex.metaIfComplete(spark, path).filter { m =>
       Similarity.committedParquetExists(spark, s"$path/sqmodel") &&
-      // the guarded dir is the BASE shard (after compaction shard=0
-      // is gone by design; the merged shard is the layout witness)
-      Similarity.committedParquetExists(spark,
-        s"$path/encoded/shard=${IvfIndex.readMetaNamed(spark, path)._3}")
+      Similarity.committedParquetExists(spark, s"$path/encoded/shard=${m.base}")
+    }
+
+  private def requireMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfIndex.IdxMeta = {
+    val m = metaIfCompleteSq(spark, path)
+    require(m.isDefined,
+      s"ivfsq index at '$path' is missing or incomplete " +
+        "(no committed meta/sqmodel - saves write meta last)")
+    m.get
+  }
+
+  /** True when `path` holds a complete saved IVF-SQ index. */
+  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    metaIfCompleteSq(spark, path).isDefined
 
   /** Merge all live shards into one ([[IvfIndex.compactTables]] over
     * `corpus` + `encoded`) — query results bit-identical (frozen
     * centroids + min/max model), read amplification back to one dir. */
   def compact(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
-    require(exists(spark, path),
-      s"ivfsq index at '$path' is missing or incomplete " +
-        "(no committed meta/sqmodel - saves write meta last)")
-    IvfIndex.compactTables(spark, path, Seq("corpus", "encoded"))
-  }
+      path: String): Unit =
+    IvfIndex.compactTables(spark, path, Seq("corpus", "encoded"),
+      requireMeta(spark, path))
 }

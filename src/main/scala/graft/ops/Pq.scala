@@ -374,11 +374,18 @@ object Pq {
     * add-vs-train split extended one level up, to the rotation).
     *
     * The index at `indexPath` must have been BUILT over
-    * `matVecCol(corpus, R)` for the same R — key the index path by
-    * [[rotationHash]] (the e10 rule) so a retrained model can never
-    * meet a stale index. Queries stay caller-composed: rotate with the
-    * same R before `query` (exact rerank is rotation-invariant, so
-    * ranks remain comparable to unrotated exact search). */
+    * `matVecCol(corpus, R)` for the same R. ENFORCED, not convention
+    * (VERDICT r15 #2): the index meta carries [[rotationHash]] of its
+    * build rotation (`IvfPqIndex.save(path, rot = ...)`), and the
+    * append passes the LOADED model's hash as its rotation claim —
+    * `IvfPq.append` refuses a mismatch loudly, naming both hashes, so
+    * retraining the OPQ model in place can never silently mix
+    * rotations in one codes table. An index saved WITHOUT the pin
+    * (legacy) adopts this append's hash as its pin. Queries stay
+    * caller-composed: rotate with the same R before `query`
+    * ([[checkRotation]] guards that path the same way; exact rerank is
+    * rotation-invariant, so ranks remain comparable to unrotated
+    * exact search). */
   def appendOpq(delta: DataFrame, idCol: String, vecCol: String,
       opqPath: String, indexPath: String, tag: String = ""): Unit = {
     val spark = delta.sparkSession
@@ -387,7 +394,24 @@ object Pq {
         "(saveOpq writes its meta marker last)")
     val (cb, r) = loadOpq(spark, opqPath)
     IvfPq.append(delta.select(col(idCol).as("id"),
-      matVecCol(col(vecCol), r, cb.dim).as("vec")), indexPath, tag)
+      matVecCol(col(vecCol), r, cb.dim).as("vec")), indexPath, tag,
+      rot = rotationHash(r))
+  }
+
+  /** Guard for the caller-composed rotated QUERY path: require that a
+    * pinned index's rotation matches the model the caller is about to
+    * rotate queries with. Loud on mismatch (both hashes named); a
+    * legacy unpinned index passes — it has nothing to check against
+    * until its first [[appendOpq]] pins it. */
+  def checkRotation(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, r: Array[Double]): Unit = {
+    val pin = IvfPq.rotationPin(spark, indexPath)
+    val claim = rotationHash(r)
+    require(pin.isEmpty || pin == claim,
+      s"ivfpq index at '$indexPath' is pinned to OPQ rotation '$pin' " +
+        s"but the query rotation hashes to '$claim' - probing with a " +
+        "mismatched rotation returns garbage neighbors with no error; " +
+        "load the model the index was built under, or rebuild")
   }
 
   /** Encode a corpus: adds a `codes` column (keep it, drop the vector,

@@ -371,11 +371,15 @@ object Pipeline {
     // the saved IVF-PQ index is only valid UNDER this rotation: fold a
     // hash of R into the cache key so retraining just the e09 model
     // (e.g. after deleting its dir) can never leave a surviving e10
-    // index silently queried under a mismatched rotation (ADVICE r6)
+    // index silently queried under a mismatched rotation (ADVICE r6).
+    // Since r16 the hash is also PINNED in the index meta and enforced
+    // on append and (here) on the rotated query path — the path-naming
+    // convention alone guarded nothing (VERDICT r15 #2).
     val path = idxPath(s, dir, s"e10-${graft.ops.Pq.rotationHash(r)}")
     if (!graft.ops.IvfPq.exists(s, path))
       graft.ops.IvfPq.build(rot, m = 8, ks = 64, pqIters = 1,
-        persist = false).save(path)
+        persist = false).save(path, rot = graft.ops.Pq.rotationHash(r))
+    graft.ops.Pq.checkRotation(s, path, r)
     val idx = graft.ops.IvfPq.load(s, path, persist = false)
     val qr = q.select(col("qid"),
       graft.ops.Pq.matVecCol(col("qvec"), r, 64).as("qvec"))

@@ -2250,7 +2250,9 @@ class OpsSpec extends SparkSpec {
     }
     val before = results()
     IvfPq.compact(spark, path)
-    assert(meta() == ((3, 3, "day-2")),
+    // the merged shard lands at frontier+2 (r16: frontier+1 is append
+    // territory - the concurrency-guard namespace split)
+    assert(meta() == ((4, 4, "day-2")),
       s"compact must raise base to the merged shard: ${meta()}")
     // frozen centroids + codebook: row encoding is shard-independent,
     // so the merged index answers EXACTLY as the sharded one did
@@ -2260,19 +2262,19 @@ class OpsSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("corpus", "encoded").foreach { t =>
-      (0 to 2).foreach(g => assert(!fs.exists(
+      (0 to 3).foreach(g => assert(!fs.exists(
         new org.apache.hadoop.fs.Path(s"$path/$t/shard=$g")), s"$t/$g"))
-      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t/shard=3")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t/shard=4")))
     }
     // drift telemetry after compaction: ONE shard, ratio exactly 1.0
     // (the merged population is its own reference)
     val drift = IvfPq.driftStats(spark, path).collect()
       .map(r => r.getInt(0) -> r.getDouble(3)).toMap
-    assert(drift == Map(3 -> 1.0), drift.toString)
+    assert(drift == Map(4 -> 1.0), drift.toString)
     // crash-after-commit-before-cleanup simulation: a garbage dir
     // below base (same ids as live rows — if it were read, the rerank
     // join would duplicate result rows) is never selected
-    spark.read.parquet(s"$path/corpus/shard=3").write
+    spark.read.parquet(s"$path/corpus/shard=4").write
       .parquet(s"$path/corpus/shard=1")
     assert(results() == before,
       "rows below base must be partition-pruned, not merged in")
@@ -2283,7 +2285,7 @@ class OpsSpec extends SparkSpec {
       (if (d == 2) 1.0f else 0.02f * ((i + d) % 7)))
     val b3 = (300 until 306).map(i => (i.toLong, vecC(i))).toDF("id", "vec")
     IvfPq.append(b3, path, tag = "day-3")
-    assert(meta() == ((4, 3, "day-3")), meta().toString)
+    assert(meta() == ((5, 4, "day-3")), meta().toString)
     val idx2 = IvfPq.load(spark, path, persist = false)
     val hit = idx2.query(Seq((-3L, vecC(300))).toDF("qid", "qvec"), 3,
         nProbe = 2, fetch = 10).collect()
@@ -2292,9 +2294,9 @@ class OpsSpec extends SparkSpec {
     // compacting again folds the new shard in; a further compact with
     // one live shard is a no-op
     IvfPq.compact(spark, path)
-    assert(meta() == ((5, 5, "day-3")), meta().toString)
+    assert(meta() == ((7, 7, "day-3")), meta().toString)
     IvfPq.compact(spark, path)
-    assert(meta() == ((5, 5, "day-3")), "single-shard compact must no-op")
+    assert(meta() == ((7, 7, "day-3")), "single-shard compact must no-op")
   }
 
   test("Pq.appendOpq: the OPQ+IVF-PQ composition appends under the " +
@@ -2346,6 +2348,152 @@ class OpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("missing or incomplete"), ex.getMessage)
     assert(frontier() == f1)
+  }
+
+  test("OPQ rotation pin: a retrained model at the same path fails the " +
+      "next appendOpq loudly naming both hashes; plain append on a " +
+      "pinned index refuses; checkRotation guards the query path (r16)") {
+    import graft.ops.{IvfPq, Pq}
+    def vecA(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 0) 1.0f else 0.02f * ((i + d) % 5)))
+    def vecB(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 1) 1.0f else 0.02f * ((i + d) % 5)))
+    val a = (0 until 24).map(i => (i.toLong, vecA(i))).toDF("id", "vec")
+    val b = (100 until 106).map(i => (i.toLong, vecB(i))).toDF("id", "vec")
+    val opqPath = tmpDir("opq-pin-model")
+    val (cb, r) = Pq.trainOpq(a, "id", "vec", m = 4, ks = 8, iters = 1,
+      opqIters = 1)
+    Pq.saveOpq(opqPath, cb, r, spark)
+    val idxPath = tmpDir("opq-pin-idx")
+    // save WITH the pin (the r16 contract; e10 does the same)
+    IvfPq.build(a.select(col("id"), Pq.matVecCol(col("vec"), r, 8).as("vec")),
+        nCells = 2, m = 4, ks = 8, pqIters = 1, persist = false)
+      .save(idxPath, rot = Pq.rotationHash(r))
+    assert(IvfPq.rotationPin(spark, idxPath) == Pq.rotationHash(r))
+    Pq.appendOpq(b, "id", "vec", opqPath, idxPath, tag = "day-1")
+    // retrain the model IN PLACE (different opqIters -> different R):
+    // the exact silent-mix scenario VERDICT r15 #2 named
+    val (cb2, r2) = Pq.trainOpq(a, "id", "vec", m = 4, ks = 8, iters = 1,
+      opqIters = 2)
+    assert(Pq.rotationHash(r2) != Pq.rotationHash(r),
+      "fixture must produce a genuinely different rotation")
+    Pq.saveOpq(opqPath, cb2, r2, spark)
+    val c = (200 until 206).map(i => (i.toLong, vecB(i))).toDF("id", "vec")
+    val ex = intercept[IllegalArgumentException] {
+      Pq.appendOpq(c, "id", "vec", opqPath, idxPath, tag = "day-2")
+    }
+    assert(ex.getMessage.contains(Pq.rotationHash(r)) &&
+      ex.getMessage.contains(Pq.rotationHash(r2)),
+      s"mismatch must name both hashes: ${ex.getMessage}")
+    // a PLAIN append (no rotation claim) on a pinned index is the same
+    // bug - unrotated vectors into a rotated codes table
+    val ex2 = intercept[IllegalArgumentException] {
+      IvfPq.append(c, idxPath, tag = "day-2")
+    }
+    assert(ex2.getMessage.contains("pinned to OPQ rotation"),
+      ex2.getMessage)
+    // query-path guard: the retrained model fails checkRotation; the
+    // original passes
+    val ex3 = intercept[IllegalArgumentException] {
+      Pq.checkRotation(spark, idxPath, r2)
+    }
+    assert(ex3.getMessage.contains(Pq.rotationHash(r2)), ex3.getMessage)
+    Pq.checkRotation(spark, idxPath, r)
+    // nothing committed by the refusals: frontier still day-1's
+    val m = spark.read.parquet(s"$idxPath/meta").head()
+    assert(m.getInt(m.fieldIndex("shards")) == 1 &&
+      m.getString(m.fieldIndex("tag")) == "day-1")
+    // a legacy UNPINNED index adopts the pin on its first appendOpq
+    val legacy = tmpDir("opq-pin-legacy")
+    IvfPq.build(a.select(col("id"), Pq.matVecCol(col("vec"), r2, 8).as("vec")),
+        nCells = 2, m = 4, ks = 8, pqIters = 1, persist = false)
+      .save(legacy)
+    assert(IvfPq.rotationPin(spark, legacy) == "")
+    Pq.appendOpq(b, "id", "vec", opqPath, legacy, tag = "day-1")
+    assert(IvfPq.rotationPin(spark, legacy) == Pq.rotationHash(r2),
+      "first rotated append must pin a legacy index")
+  }
+
+  test("index maintenance CAS: an interleaved compact/append pair ends " +
+      "with ONE winner committed and the loser raising - never a " +
+      "silently clobbered shard (r16)") {
+    import graft.ops.{IvfIndex, IvfPq}
+    def vecA(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 0) 1.0f else 0.02f * ((i + d) % 5)))
+    def vecB(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 1) 1.0f else 0.02f * ((i + d) % 5)))
+    def vecC(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 2) 1.0f else 0.02f * ((i + d) % 7)))
+    val a = (0 until 24).map(i => (i.toLong, vecA(i))).toDF("id", "vec")
+    val b = (100 until 112).map(i => (i.toLong, vecB(i))).toDF("id", "vec")
+    val c = (200 until 206).map(i => (i.toLong, vecC(i))).toDF("id", "vec")
+    // the test seam orders the interleaving deterministically: the
+    // FIRST writer plans, writes its data dirs, and just before its
+    // CAS re-read the hook runs the competing writer to full commit
+    def onceCas(f: => Unit): Unit =
+      IvfIndex.beforeCasCommit = () => {
+        IvfIndex.beforeCasCommit = () => (); f
+      }
+    def meta(path: String) = {
+      val m = spark.read.parquet(s"$path/meta").head()
+      (m.getInt(m.fieldIndex("shards")), m.getInt(m.fieldIndex("base")),
+        m.getString(m.fieldIndex("tag")))
+    }
+    try {
+      // --- compact loses to a racing append ---
+      val p1 = tmpDir("cas-compact-loses")
+      IvfPq.build(a, nCells = 2, m = 4, ks = 8, pqIters = 1,
+        persist = false).save(p1)
+      IvfPq.append(b, p1, tag = "day-1")
+      val qb = Seq((-2L, vecB(100))).toDF("qid", "qvec")
+      onceCas { IvfPq.append(c, p1, tag = "racer") }
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        IvfPq.compact(spark, p1)
+      }
+      assert(ex.getMessage.contains("lost the commit race"), ex.getMessage)
+      // the append (winner) is committed; the compact left only an
+      // invisible orphan above the frontier
+      assert(meta(p1) == ((2, 0, "racer")), meta(p1).toString)
+      val idx = IvfPq.load(spark, p1, persist = false)
+      val hits = idx.query(Seq((-3L, vecC(200))).toDF("qid", "qvec"), 3,
+          nProbe = 2, fetch = 10).collect().map(r => r.getLong(2)).toSet
+      assert(hits.contains(200L), s"winner's rows must be queryable: $hits")
+      val standing = idx.query(qb, 3, nProbe = 2, fetch = 10).collect()
+        .map(r => r.getLong(2)).toSet
+      assert(standing.contains(100L), "standing rows must survive the race")
+      // a retried compact now merges everything incl. the winner and
+      // sweeps the aborted merge's orphan
+      IvfPq.compact(spark, p1)
+      assert(meta(p1) == ((4, 4, "racer")), meta(p1).toString)
+      val fs = new org.apache.hadoop.fs.Path(p1)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (0 to 3).foreach(g => assert(!fs.exists(
+        new org.apache.hadoop.fs.Path(s"$p1/encoded/shard=$g")), s"g=$g"))
+      val hits2 = IvfPq.load(spark, p1, persist = false)
+        .query(Seq((-3L, vecC(200))).toDF("qid", "qvec"), 3,
+          nProbe = 2, fetch = 10).collect().map(r => r.getLong(2)).toSet
+      assert(hits2.contains(200L), "merged index keeps every committed row")
+
+      // --- append loses to a racing compact ---
+      val p2 = tmpDir("cas-append-loses")
+      IvfPq.build(a, nCells = 2, m = 4, ks = 8, pqIters = 1,
+        persist = false).save(p2)
+      IvfPq.append(b, p2, tag = "day-1")
+      onceCas { IvfPq.compact(spark, p2) }
+      val ex2 = intercept[java.util.ConcurrentModificationException] {
+        IvfPq.append(c, p2, tag = "day-2")
+      }
+      assert(ex2.getMessage.contains("lost the commit race"), ex2.getMessage)
+      assert(meta(p2) == ((3, 3, "day-1")),
+        s"compact (winner) must stand: ${meta(p2)}")
+      // the loser's caller retries against the new frontier and wins
+      IvfPq.append(c, p2, tag = "day-2")
+      assert(meta(p2) == ((4, 3, "day-2")), meta(p2).toString)
+      val hits3 = IvfPq.load(spark, p2, persist = false)
+        .query(Seq((-3L, vecC(200))).toDF("qid", "qvec"), 3,
+          nProbe = 2, fetch = 10).collect().map(r => r.getLong(2)).toSet
+      assert(hits3.contains(200L), "retried append must land")
+    } finally IvfIndex.beforeCasCommit = () => ()
   }
 
   test("index completeness honors _SUCCESS when markers are on, " +

@@ -320,10 +320,10 @@ class SqSpec extends SparkSpec {
     // telemetry over the merged layout: one shard, self-referenced
     val drift = IvfSq.driftStats(spark, dir).collect()
       .map(r => r.getInt(0) -> r.getDouble(3)).toMap
-    assert(drift == Map(2 -> 1.0), drift.toString)
+    assert(drift == Map(3 -> 1.0), drift.toString)
     val pr = IvfSq.probeRecall(spark, dir, k = 3, perShard = 8,
         nProbe = 2, fetch = 12).collect().map(_.getInt(0)).toSet
-    assert(pr == Set(2), pr.toString)
+    assert(pr == Set(3), pr.toString)
 
     // the plain-IVF family shares the machinery
     val dir2 = java.nio.file.Files.createTempDirectory("ivf-compact").toString

@@ -283,9 +283,53 @@ class StreamingSpec extends SparkSpec {
     assert(got3 == Set(100L, 101L, 102L, 103L),
       s"pre-compaction and post-compaction vectors must coexist: $got3")
     val m3 = spark.read.parquet(s"$dir/idx/meta").head()
-    assert(m3.getInt(m3.fieldIndex("shards")) == 4 &&
-      m3.getInt(m3.fieldIndex("base")) == 3,
+    assert(m3.getInt(m3.fieldIndex("shards")) == 5 &&
+      m3.getInt(m3.fieldIndex("base")) == 4,
       "stream append after compact must carry base forward")
+
+    // CAS guard (r16): a compact that commits DURING a streaming
+    // append's window makes the append lose loudly — the batch fails,
+    // the compact's commit stands untouched, and the stream's retry of
+    // the same batch lands on the new frontier. Never a silently
+    // clobbered shard.
+    graft.ops.IvfIndex.beforeCasCommit = () => {
+      graft.ops.IvfIndex.beforeCasCommit = () => ()
+      graft.ops.IvfIndex.compact(spark, s"$dir/idx")
+    }
+    try {
+      val q3 = EventStream.ivfAppendStream(
+          input.toDF().toDF("id", "vec"), s"$dir/idx")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      val exq = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        try {
+          input.addData((104L, vecB(104)))
+          q3.processAllAvailable()
+        } finally q3.stop()
+      }
+      def rootMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")) ++ Iterator("")).mkString(" | ")
+      assert(rootMsg(exq).contains("lost the commit race"), rootMsg(exq))
+    } finally { graft.ops.IvfIndex.beforeCasCommit = () => () }
+    // the compact (winner) committed: base == shards == merged dir
+    val m4 = spark.read.parquet(s"$dir/idx/meta").head()
+    assert(m4.getInt(m4.fieldIndex("shards")) == 7 &&
+      m4.getInt(m4.fieldIndex("base")) == 7,
+      "compact's commit must stand after winning the race")
+    // stream restart replays the failed batch against the new frontier
+    val q4 = EventStream.ivfAppendStream(
+        input.toDF().toDF("id", "vec"), s"$dir/idx")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try q4.processAllAvailable() finally q4.stop()
+    val idx5 = IvfIndex.load(spark, s"$dir/idx", persist = false)
+    val got5 = idx5.query(Seq((-1L, vecB(102))).toDF("qid", "qvec"),
+        k = 5, nProbe = 2)
+      .collect().map(r => r.getLong(2)).toSet
+    assert(got5 == Set(100L, 101L, 102L, 103L, 104L),
+      s"retried batch must land after the lost race: $got5")
+    val m5 = spark.read.parquet(s"$dir/idx/meta").head()
+    assert(m5.getInt(m5.fieldIndex("shards")) == 8 &&
+      m5.getInt(m5.fieldIndex("base")) == 7, "retry lands on the new frontier")
   }
 
   test("Gopher and C4 filters are stateless: streaming output equals batch") {
