@@ -339,10 +339,12 @@ object Dedup {
       if (checkIds)
         assertDisjointIds(
           delta.select(col(idCol).as("doc_id")),
-          committedShards(spark, s"$path/sets", m.shards, Seq("doc_id")),
+          committedShards(spark, s"$path/sets", m.base, m.shards,
+            Seq("doc_id")),
           s"lsh index at '$path'")
       writeLshShard(delta, idCol, textCol, path, m.nGram, m.numHashes,
-        m.bands, m.nBuckets, shard = m.shards + 1, tag = tag)
+        m.bands, m.nBuckets, shard = m.shards + 1, tag = tag,
+        base = m.base, expect = Some(m))
     }
   }
 
@@ -355,7 +357,8 @@ object Dedup {
     * append made the whole healthy index read as incomplete). */
   private def writeLshShard(docs: DataFrame, idCol: String, textCol: String,
       path: String, nGram: Int, numHashes: Int, bands: Int, buckets: Int,
-      shard: Int, tag: String = ""): Unit = {
+      shard: Int, tag: String = "", base: Int = 0,
+      expect: Option[LshMeta] = None): Unit = {
     val r = numHashes / bands
     val spark = docs.sparkSession
     import spark.implicits._
@@ -380,15 +383,101 @@ object Dedup {
         .repartition(col("band"), col("band_hash"))
         .sortWithinPartitions("band", "band_hash")
         .write.mode("overwrite").parquet(s"$path/bands/shard=$shard")
-      graft.ops.MetaSwap.commit(
-        Seq((nGram, numHashes, bands, buckets, shard, tag))
-          .toDF("n_gram", "num_hashes", "bands", "n_buckets", "shards", "tag"),
-        s"$path/meta")
+      commitLshMeta(spark, path, nGram, numHashes, bands, buckets, shard,
+        tag, base, expect)
     } finally { sets.unpersist(blocking = false); () }
   }
 
+  /** The LSH meta commit, CAS-guarded for appends/compacts (the
+    * [[graft.ops.IvfIndex.commitMetaCas]] rule, VERDICT r15 #1):
+    * `expect` carries the writer's planning read — the commit re-reads
+    * the meta and aborts loudly if the frontier or tag moved, so a
+    * concurrent writer's committed shards are never silently erased by
+    * a stale meta swap. Builds pass None (they own the whole layout —
+    * invalidateIndex dropped the marker first). Shares
+    * [[graft.ops.IvfIndex.beforeCasCommit]], the index family's ONE
+    * deterministic-interleaving test seam. */
+  private def commitLshMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, nGram: Int, numHashes: Int, bands: Int, buckets: Int,
+      shard: Int, tag: String, base: Int, expect: Option[LshMeta]): Unit = {
+    import spark.implicits._
+    expect.foreach { e =>
+      graft.ops.IvfIndex.beforeCasCommit()
+      val cur = readLshMeta(spark, path)
+      if (cur.shards != e.shards || cur.tag != e.tag)
+        throw new java.util.ConcurrentModificationException(
+          s"lsh index write at '$path' lost the commit race: meta moved " +
+            s"from shards=${e.shards}/tag='${e.tag}' to " +
+            s"shards=${cur.shards}/tag='${cur.tag}' since this operation " +
+            "planned. A concurrent writer committed first; this writer's " +
+            "orphan shard dirs are never read and the next compact " +
+            "sweeps them - retry against the new frontier")
+    }
+    graft.ops.MetaSwap.commit(
+      Seq((nGram, numHashes, bands, buckets, shard, tag, base))
+        .toDF("n_gram", "num_hashes", "bands", "n_buckets", "shards",
+          "tag", "base"),
+      s"$path/meta")
+  }
+
+  /** Merge every live shard of an LSH index into ONE — the
+    * [[graft.ops.IvfIndex.compactTables]] protocol for the dedup-index
+    * family (VERDICT r15 missing #2: a long-running
+    * [[graft.streaming.EventStream.dedupDeltaStream]] ingest
+    * accumulates one `shard=G` dir per batch, and every
+    * [[dedupDelta]]'s band join + verify read pays read amplification
+    * linear in append count until the dirs merge). The standing index
+    * stays LIVE and correct through every crash window:
+    *   1. live rows of `sets` and `bands` rewrite to
+    *      `shard=frontier+2` — an orphan above the committed frontier,
+    *      invisible to readers, in a dir no racing append (which
+    *      targets frontier+1) can touch without an intervening commit
+    *      the CAS catches. The sets rewrite PRESERVES the id-bucket
+    *      sub-partitioning (repartition + partitionBy, the
+    *      writeLshShard layout) so the bucket-pruned verify read
+    *      survives the merge; bands re-cluster by (band, band_hash).
+    *   2. the meta swap-commits (shards = base = frontier+2, tag
+    *      preserved so a crashed append's retry still no-ops), CAS-
+    *      guarded against concurrent writers;
+    *   3. dirs below the new base delete best-effort LAST — a crash
+    *      leaves them as garbage readers never select, reclaimed by
+    *      the next compact's sweep.
+    * Merged as stored: sketches are deterministic functions of the
+    * documents, so a row's (sh, band keys) are independent of WHICH
+    * shard holds them — delta results are bit-identical post-compact
+    * (OpsSpec-pinned). */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val m = readLshMeta(spark, path)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def sweepBelow(b: Int): Unit = Seq("sets", "bands").foreach { t =>
+      (0 until b).foreach { g =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/$t/shard=$g")
+        val fs = p.getFileSystem(hconf)
+        if (fs.exists(p)) { fs.delete(p, true); () }
+      }
+    }
+    if (m.base == m.shards) { sweepBelow(m.base); return }
+    val merged = m.shards + 2
+    spark.read.parquet(s"$path/sets")
+      .filter(col("shard") >= m.base && col("shard") <= m.shards)
+      .select("doc_id", "sh", "bucket")
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket")
+      .mode("overwrite").parquet(s"$path/sets/shard=$merged")
+    spark.read.parquet(s"$path/bands")
+      .filter(col("shard") >= m.base && col("shard") <= m.shards)
+      .select("doc_id", "band", "band_hash")
+      .repartition(col("band"), col("band_hash"))
+      .sortWithinPartitions("band", "band_hash")
+      .write.mode("overwrite").parquet(s"$path/bands/shard=$merged")
+    commitLshMeta(spark, path, m.nGram, m.numHashes, m.bands, m.nBuckets,
+      merged, m.tag, base = merged, expect = Some(m))
+    sweepBelow(merged)
+  }
+
   private[ops] final case class LshMeta(nGram: Int, numHashes: Int,
-      bands: Int, nBuckets: Int, shards: Int, tag: String)
+      bands: Int, nBuckets: Int, shards: Int, tag: String, base: Int)
 
   /** Committed index parameters; loud when the commit marker is
     * missing (a crashed build never looks complete). */
@@ -405,9 +494,14 @@ object Dedup {
     // bucket partition column
     require(meta.schema.fieldNames.contains("n_buckets"),
       s"lsh index at '$path' predates the bucketed-sets layout - rebuild it")
+    // `base` is the lowest LIVE shard ([[compactLshIndex]] raises it
+    // past merged-away dirs); metas written before compaction existed
+    // lack the column and read as base = 0 — no layout epoch
+    val base = if (meta.schema.fieldNames.contains("base"))
+      meta.getAs[Int]("base") else 0
     LshMeta(meta.getAs[Int]("n_gram"), meta.getAs[Int]("num_hashes"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("n_buckets"),
-      meta.getAs[Int]("shards"), meta.getAs[String]("tag"))
+      meta.getAs[Int]("shards"), meta.getAs[String]("tag"), base)
   }
 
   /** The LAST committed append tag of an LSH index — the streaming
@@ -420,16 +514,18 @@ object Dedup {
 
   /** [[lshIndexTag]]'s SimHash twin (the simhashDeltaStream guard). */
   private[graft] def simhashIndexTag(spark: org.apache.spark.sql.SparkSession,
-      path: String): String = readSimhashMeta(spark, path)._3
+      path: String): String = readSimhashMeta(spark, path).tag
 
-  /** The committed rows of an index-side table: directory-partitioned
-    * by shard, filtered to the meta-committed frontier (an orphan
-    * shard directory from a crashed append is invisible — partition
-    * PRUNING drops it at planning, its files are never opened). */
+  /** The committed LIVE rows of an index-side table: directory-
+    * partitioned by shard, filtered to [base, frontier] (an orphan
+    * shard directory from a crashed append — above the frontier — or
+    * a compacted-away dir a crashed cleanup left below base is
+    * invisible: partition PRUNING drops it at planning, its files are
+    * never opened). */
   private def committedShards(spark: org.apache.spark.sql.SparkSession,
-      dir: String, shards: Int, cols: Seq[String]): DataFrame =
+      dir: String, base: Int, shards: Int, cols: Seq[String]): DataFrame =
     spark.read.parquet(dir)
-      .filter(col("shard") <= shards)
+      .filter(col("shard") >= base && col("shard") <= shards)
       .select(cols.map(col): _*)
 
   /** Near-dup pairs for an arriving `delta` shard against a
@@ -461,14 +557,14 @@ object Dedup {
       path: String, threshold: Double = 0.5, maxBucket: Int = 0,
       checkIds: Boolean = false): DataFrame = {
     val spark = delta.sparkSession
-    val LshMeta(nGram, numHashes, bands, nBuckets, shards, _) =
+    val LshMeta(nGram, numHashes, bands, nBuckets, shards, _, base) =
       readLshMeta(spark, path)
     val r = numHashes / bands
 
     if (checkIds)
       assertDisjointIds(
         delta.select(col(idCol).as("doc_id")),
-        committedShards(spark, s"$path/sets", shards, Seq("doc_id")),
+        committedShards(spark, s"$path/sets", base, shards, Seq("doc_id")),
         s"lsh index at '$path'")
 
     // delta-side sketch: the only tokenization in the whole plan. The
@@ -482,7 +578,7 @@ object Dedup {
     val dCapped = capBuckets(dBanded, Seq("band", "band_hash"), maxBucket)
 
     val iBanded = capBuckets(
-      committedShards(spark, s"$path/bands", shards,
+      committedShards(spark, s"$path/bands", base, shards,
         Seq("doc_id", "band", "band_hash")),
       Seq("band", "band_hash"), maxBucket)
 
@@ -520,7 +616,7 @@ object Dedup {
     val idxBuckets = candidates.filter(col("__b").isNotNull)
       .select(col("__b")).distinct().collect().map(_.getInt(0)).toSeq
     val iSets = spark.read.parquet(s"$path/sets")
-      .filter(col("shard") <= shards &&
+      .filter(col("shard") >= base && col("shard") <= shards &&
         col("bucket").isin(idxBuckets: _*))
       .select("doc_id", "sh")
     verifyJaccard(candidates.drop("__b"), iSets.union(dSets), threshold)
@@ -710,16 +806,42 @@ object Dedup {
       tag: String = "", checkIds: Boolean = false): Unit = {
     val spark = fp.sparkSession
     val m = readSimhashMeta(spark, path)
-    if (tag.nonEmpty && tag == m._3) ()
+    if (tag.nonEmpty && tag == m.tag) ()
     else {
       if (checkIds)
         assertDisjointIds(
           fp.select(col("doc_id")),
-          spark.read.parquet(s"$path/sigs")
-            .filter(col("shard") <= m._2).select("doc_id"),
+          committedShards(spark, s"$path/sigs", m.base, m.shards,
+            Seq("doc_id")),
           s"simhash index at '$path'")
-      writeSimhashShard(fp, path, m._1, shard = m._2 + 1, tag = tag)
+      writeSimhashShard(fp, path, m.maxHamming, shard = m.shards + 1,
+        tag = tag, base = m.base, expect = Some(m))
     }
+  }
+
+  /** [[compactLshIndex]] for the SimHash family: merge every live
+    * `sigs/shard=G` into one dir at frontier+2, CAS-commit the meta
+    * (shards = base = frontier+2, tag preserved), sweep below base
+    * best-effort last. Fingerprints are stored values, so delta
+    * results are bit-identical post-compact (OpsSpec-pinned). */
+  def compactSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val m = readSimhashMeta(spark, path)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def sweepBelow(b: Int): Unit = (0 until b).foreach { g =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/sigs/shard=$g")
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+    if (m.base == m.shards) { sweepBelow(m.base); return }
+    val merged = m.shards + 2
+    spark.read.parquet(s"$path/sigs")
+      .filter(col("shard") >= m.base && col("shard") <= m.shards)
+      .select("doc_id", "simhash")
+      .write.mode("overwrite").parquet(s"$path/sigs/shard=$merged")
+    commitSimhashMeta(spark, path, m.maxHamming, merged, m.tag,
+      base = merged, expect = Some(m))
+    sweepBelow(merged)
   }
 
   /** Near-dup pairs of a delta's fingerprints against a
@@ -731,20 +853,20 @@ object Dedup {
   def simhashDelta(fp: DataFrame, path: String,
       maxBucket: Int = 0, checkIds: Boolean = false): DataFrame = {
     val spark = fp.sparkSession
-    val (maxHamming, shards, _) = readSimhashMeta(spark, path)
+    val m = readSimhashMeta(spark, path)
+    val maxHamming = m.maxHamming
     if (checkIds)
       assertDisjointIds(
         fp.select(col("doc_id")),
-        spark.read.parquet(s"$path/sigs")
-          .filter(col("shard") <= shards).select("doc_id"),
+        committedShards(spark, s"$path/sigs", m.base, m.shards,
+          Seq("doc_id")),
         s"simhash index at '$path'")
     val dBlocked = capBuckets(
       simhashDeltaPersist(blockKeys(fp, maxHamming)),
       Seq("block", "block_key"), maxBucket)
     val iBlocked = capBuckets(
-      blockKeys(spark.read.parquet(s"$path/sigs")
-        .filter(col("shard") <= shards).select("doc_id", "simhash"),
-        maxHamming),
+      blockKeys(committedShards(spark, s"$path/sigs", m.base, m.shards,
+        Seq("doc_id", "simhash")), maxHamming),
       Seq("block", "block_key"), maxBucket)
     val cross = iBlocked.alias("a").join(dBlocked.alias("b"),
         col("a.block") === col("b.block") &&
@@ -765,27 +887,59 @@ object Dedup {
   }
 
   private def writeSimhashShard(fp: DataFrame, path: String,
-      maxHamming: Int, shard: Int, tag: String): Unit = {
+      maxHamming: Int, shard: Int, tag: String, base: Int = 0,
+      expect: Option[SimhashMeta] = None): Unit = {
     blockLayout(maxHamming) // validates the radius loudly
-    val spark = fp.sparkSession
-    import spark.implicits._
     fp.select(col("doc_id"), col("simhash"))
       .write.mode("overwrite").parquet(s"$path/sigs/shard=$shard")
-    // swap-committed (ADVICE r14) — the previous marker survives until
-    // the new one is durable; see MetaSwap
+    commitSimhashMeta(fp.sparkSession, path, maxHamming, shard, tag, base,
+      expect)
+  }
+
+  /** The SimHash meta commit — swap-committed (ADVICE r14: the
+    * previous marker survives until the new one is durable) and
+    * CAS-guarded for appends/compacts (the [[commitLshMeta]] rule;
+    * builds pass None). */
+  private def commitSimhashMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxHamming: Int, shard: Int, tag: String, base: Int,
+      expect: Option[SimhashMeta]): Unit = {
+    import spark.implicits._
+    expect.foreach { e =>
+      graft.ops.IvfIndex.beforeCasCommit()
+      val cur = readSimhashMeta(spark, path)
+      if (cur.shards != e.shards || cur.tag != e.tag)
+        throw new java.util.ConcurrentModificationException(
+          s"simhash index write at '$path' lost the commit race: meta " +
+            s"moved from shards=${e.shards}/tag='${e.tag}' to " +
+            s"shards=${cur.shards}/tag='${cur.tag}' since this operation " +
+            "planned. A concurrent writer committed first; this writer's " +
+            "orphan shard dirs are never read and the next compact " +
+            "sweeps them - retry against the new frontier")
+    }
     graft.ops.MetaSwap.commit(
-      Seq((maxHamming, shard, tag)).toDF("max_hamming", "shards", "tag"),
+      Seq((maxHamming, shard, tag, base))
+        .toDF("max_hamming", "shards", "tag", "base"),
       s"$path/meta")
   }
 
+  private[ops] final case class SimhashMeta(maxHamming: Int, shards: Int,
+      tag: String, base: Int)
+
   private def readSimhashMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Int, Int, String) = {
+      path: String): SimhashMeta = {
     require(graft.ops.MetaSwap.committed(spark, s"$path/meta"),
       s"simhash index at '$path' is missing or incomplete " +
         "(no committed meta table - builds write it last)")
     val m = spark.read
       .parquet(graft.ops.MetaSwap.readDir(spark, s"$path/meta")).head()
-    (m.getInt(0), m.getInt(1), m.getString(2))
+    // name-based reads + default for the pre-compaction base column
+    // (the r15 StreamingSpec lesson: positional getInt silently read
+    // the wrong column when the schema grew)
+    val base = if (m.schema.fieldNames.contains("base"))
+      m.getInt(m.fieldIndex("base")) else 0
+    SimhashMeta(m.getInt(m.fieldIndex("max_hamming")),
+      m.getInt(m.fieldIndex("shards")), m.getString(m.fieldIndex("tag")),
+      base)
   }
 
   /** Benchmark decontamination: flag training docs that share at least

@@ -555,10 +555,20 @@ class OpsSpec extends SparkSpec {
       (10L, "#42 fixed the crash", "#42 fixed the crash"),
       (11L, "Title\n=====\nbody", "Title body"),
       (12L, "```\r\nsecret();\r\n```\r\nafter crlf", "after crlf"),
-      // review r12, documented limitation: kept code-span CONTENT is
-      // not protected from the later link/emphasis rules — this pins
-      // the documented behavior so a change is a conscious one
-      (13L, "use `arr[0](x)` here", "use arr0 here")
+      // r16 (VERDICT r15 #5): kept code-span content is PROTECTED from
+      // the later link/emphasis/marker rules — it survives verbatim
+      (13L, "use `arr[0](x)` here", "use arr[0](x) here"),
+      (14L, "run `ls -la *.md` and `a + b = c`, keep `# not a header`",
+        "run ls -la *.md and a + b = c, keep # not a header"),
+      // span at line start: its content must not become a bullet/header
+      (15L, "`- not a bullet`\n`## not a header` end",
+        "- not a bullet ## not a header end"),
+      // unclosed backtick stays literal; a span whose opener is split
+      // by a newline re-opens at the closer (java-regex scan parity)
+      (16L, "a ` b", "a ` b"),
+      (17L, "x `a\nb`c` y", "x `a bc y"),
+      // emphasis/links still strip OUTSIDE spans on the same line
+      (18L, "**bold** `**kept**` [a](u) `[b](v)`", "bold **kept** a [b](v)")
     ).toDF("id", "md", "expect")
     val out = cases.select(col("id"),
         TextFunctions.stripMarkdown(col("md")).as("got"), col("expect"))
@@ -581,16 +591,39 @@ class OpsSpec extends SparkSpec {
     // group substitution) disagrees with JDK semantics — the
     // DuckDB/RE2 side of the chain is separately oracle-proven
     // byte-exact by gates d47/d48.
-    def reference(s: String): String = {
-      val stripped = TextFunctions.markdownChain.foldLeft(s) {
-        case (acc, (re, repl)) =>
-          java.util.regex.Pattern.compile(re).matcher(acc).replaceAll(repl)
+    def jdkChain(s: String, chain: Seq[(String, String)]): String =
+      chain.foldLeft(s) { case (acc, (re, repl)) =>
+        java.util.regex.Pattern.compile(re).matcher(acc).replaceAll(repl)
       }
+    // the protect stage's reference IS a JDK Matcher loop over the
+    // span regex — java-regex scan semantics by construction, so the
+    // fuzz additionally proves the production segment-fold replicates
+    // them (open/close/newline/unclosed cases included)
+    def jdkProtect(s: String): String = {
+      def esc(x: String) = TextFunctions.mdCodeEscapes.foldLeft(x) {
+        case (a, (f, t)) => a.replace(f, t)
+      }
+      val m = java.util.regex.Pattern.compile("`([^`\\n]*)`").matcher(s)
+      val sb = new StringBuffer
+      while (m.find())
+        m.appendReplacement(sb,
+          java.util.regex.Matcher.quoteReplacement(esc(m.group(1))))
+      m.appendTail(sb)
+      sb.toString
+    }
+    def reference(s0: String): String = {
+      val s = s0.replaceAll("[\\uE001-\\uE00C]", "")
+      val stripped = jdkChain(jdkProtect(jdkChain(s,
+        TextFunctions.mdFenceChain)), TextFunctions.mdMarkerChain)
       val collapsed = java.util.regex.Pattern
         .compile("[ \\t\\n\\x0B\\f\\r]+").matcher(stripped).replaceAll(" ")
       // Spark trim() strips 0x20 only — String.trim would also eat
       // control chars below 0x20 and silently diverge
-      collapsed.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val trimmed =
+        collapsed.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      TextFunctions.mdCodeEscapes.foldLeft(trimmed) {
+        case (a, (f, t)) => a.replace(t, f)
+      }
     }
     val piece = Gen.oneOf("```", "~~~", "\n", "\r\n", "`code span`", "`",
       "# Title ", "#42", "=====", "> quoted", "- item", "1. item", "2) item",
@@ -2414,6 +2447,145 @@ class OpsSpec extends SparkSpec {
       "first rotated append must pin a legacy index")
   }
 
+  test("dedup-index compaction: LSH and SimHash shards merge into one - " +
+      "delta pairs bit-identical, tag preserved, bucket pruning " +
+      "survives, repeat-compact no-op, garbage swept, CAS-guarded (r16)") {
+    import graft.ops.IvfIndex
+    val corpusRows = Seq((1L, base), (3L, base.replace("jumps", "leaps")),
+      (4L, "completely different content about spark engines and shuffles"))
+    val d1 = Seq((20L, base), (21L, base + " extra tail words here"))
+    val d2 = Seq((30L, base.replace("jumps", "leaps").replace("dog", "wolf")))
+    val probeRows = Seq((40L, base), (41L, base + " extra tail words here"),
+      (42L, "nothing like anything else in this corpus at all truly"))
+
+    // --- LSH family ---
+    val dir = tmpDir("graft-lsh-compact")
+    Dedup.buildLshIndex(corpusRows.toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/idx")
+    Dedup.appendToLshIndex(d1.toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/idx", tag = "b1")
+    Dedup.appendToLshIndex(d2.toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/idx", tag = "b2")
+    val probe = probeRows.toDF("doc_id", "text")
+    def pairs() = Dedup.dedupDelta(probe, "doc_id", "text", s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def meta() = { val m = spark.read.parquet(s"$dir/idx/meta").head()
+      (m.getInt(m.fieldIndex("shards")), m.getInt(m.fieldIndex("base")),
+        m.getString(m.fieldIndex("tag"))) }
+    val before = pairs()
+    assert(before.exists(p => p._1 == 20L && p._2 == 40L),
+      s"fixture must pair against an appended shard: $before")
+    Dedup.compactLshIndex(spark, s"$dir/idx")
+    // merged shard at frontier+2 (the concurrency-guard namespace
+    // split), base raised, tag preserved for append-retry idempotence
+    assert(meta() == ((4, 4, "b2")), meta().toString)
+    // sketches are stored values: delta pairs are bit-identical
+    val afterDf = Dedup.dedupDelta(probe, "doc_id", "text", s"$dir/idx")
+    assert(afterDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == before,
+      "post-compact delta pairs must be bit-identical")
+    // the bucket-pruned verify read survives the merge (the d55 rule)
+    val plan = afterDf.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"sets read must keep its bucket partition filter post-compact:\n$plan")
+    // old dirs swept; merged dir live
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("sets", "bands").foreach { t =>
+      (0 to 3).foreach(g => assert(!fs.exists(
+        new org.apache.hadoop.fs.Path(s"$dir/idx/$t/shard=$g")), s"$t/$g"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/idx/$t/shard=4")))
+    }
+    // tag preservation keeps a crashed b2 retry a no-op post-compact
+    Dedup.appendToLshIndex(d2.toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/idx", tag = "b2")
+    assert(meta() == ((4, 4, "b2")), "same-tag retry must stay a no-op")
+    // the incremental loop continues on the merged layout
+    Dedup.appendToLshIndex(Seq((50L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx", tag = "b3")
+    assert(meta() == ((5, 4, "b3")), meta().toString)
+    val got2 = Dedup.dedupDelta(Seq((60L, base)).toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2.contains((1L, 60L)) && got2.contains((50L, 60L)),
+      s"post-compact delta must pair against merged AND new shards: $got2")
+    // repeat compact folds the new shard; a further one no-ops AND
+    // sweeps crash garbage below base (the ADVICE r15 early-return fix)
+    Dedup.compactLshIndex(spark, s"$dir/idx")
+    assert(meta() == ((7, 7, "b3")), meta().toString)
+    spark.read.parquet(s"$dir/idx/bands/shard=7").write
+      .parquet(s"$dir/idx/bands/shard=2") // crashed-cleanup garbage
+    Dedup.compactLshIndex(spark, s"$dir/idx")
+    assert(meta() == ((7, 7, "b3")), "single-live-shard compact must no-op")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/idx/bands/shard=2")), "no-op compact must sweep below base")
+    // CAS: a compact racing a committed append loses loudly; the
+    // winner's commit stands and a retried compact merges everything
+    def onceCas(f: => Unit): Unit =
+      IvfIndex.beforeCasCommit = () => {
+        IvfIndex.beforeCasCommit = () => (); f
+      }
+    try {
+      // two live shards first, or compact takes the single-shard
+      // early return and never reaches the CAS
+      Dedup.appendToLshIndex(Seq((65L, base)).toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/idx", tag = "b4")
+      assert(meta() == ((8, 7, "b4")), meta().toString)
+      onceCas { Dedup.appendToLshIndex(
+        Seq((70L, base)).toDF("doc_id", "text"), "doc_id", "text",
+        s"$dir/idx", tag = "racer") }
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        Dedup.compactLshIndex(spark, s"$dir/idx")
+      }
+      assert(ex.getMessage.contains("lost the commit race"), ex.getMessage)
+      assert(meta() == ((9, 7, "racer")),
+        s"racing append (winner) must stand: ${meta()}")
+      Dedup.compactLshIndex(spark, s"$dir/idx")
+      assert(meta() == ((11, 11, "racer")), meta().toString)
+      val got3 = Dedup.dedupDelta(Seq((80L, base)).toDF("doc_id", "text"),
+          "doc_id", "text", s"$dir/idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got3.contains((70L, 80L)) && got3.contains((1L, 80L)),
+        s"winner's rows must survive the raced compact: $got3")
+    } finally IvfIndex.beforeCasCommit = () => ()
+
+    // --- SimHash family ---
+    val sdir = tmpDir("graft-sim-compact")
+    Dedup.buildSimhashIndex(
+      Dedup.simhash(corpusRows.toDF("doc_id", "text")), s"$sdir/idx")
+    Dedup.appendToSimhashIndex(
+      Dedup.simhash(d1.toDF("doc_id", "text")), s"$sdir/idx", tag = "b1")
+    Dedup.appendToSimhashIndex(
+      Dedup.simhash(d2.toDF("doc_id", "text")), s"$sdir/idx", tag = "b2")
+    val sProbe = Dedup.simhash(probe)
+    def sPairs() = Dedup.simhashDelta(sProbe, s"$sdir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def sMeta() = { val m = spark.read.parquet(s"$sdir/idx/meta").head()
+      (m.getInt(m.fieldIndex("shards")), m.getInt(m.fieldIndex("base")),
+        m.getString(m.fieldIndex("tag"))) }
+    val sBefore = sPairs()
+    assert(sBefore.exists(p => p._1 == 20L && p._2 == 40L), sBefore.toString)
+    Dedup.compactSimhashIndex(spark, s"$sdir/idx")
+    assert(sMeta() == ((4, 4, "b2")), sMeta().toString)
+    assert(sPairs() == sBefore,
+      "post-compact simhash delta pairs must be bit-identical")
+    (0 to 3).foreach(g => assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$sdir/idx/sigs/shard=$g")), s"sigs/$g"))
+    Dedup.appendToSimhashIndex(
+      Dedup.simhash(Seq((50L, base)).toDF("doc_id", "text")),
+      s"$sdir/idx", tag = "b3")
+    assert(sMeta() == ((5, 4, "b3")), sMeta().toString)
+    val sGot = Dedup.simhashDelta(
+        Dedup.simhash(Seq((60L, base)).toDF("doc_id", "text")), s"$sdir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sGot.contains((1L, 60L)) && sGot.contains((50L, 60L)),
+      s"post-compact simhash delta must see merged AND new shards: $sGot")
+    Dedup.compactSimhashIndex(spark, s"$sdir/idx")
+    assert(sMeta() == ((7, 7, "b3")), sMeta().toString)
+    Dedup.compactSimhashIndex(spark, s"$sdir/idx")
+    assert(sMeta() == ((7, 7, "b3")), "single-live-shard compact must no-op")
+  }
+
   test("index maintenance CAS: an interleaved compact/append pair ends " +
       "with ONE winner committed and the loser raising - never a " +
       "silently clobbered shard (r16)") {
@@ -2494,6 +2666,110 @@ class OpsSpec extends SparkSpec {
           nProbe = 2, fetch = 10).collect().map(r => r.getLong(2)).toSet
       assert(hits3.contains(200L), "retried append must land")
     } finally IvfIndex.beforeCasCommit = () => ()
+  }
+
+  test("IvfIndex.maintain: in-distribution append+compact path stays " +
+      "silent; a shifted distribution triggers the rebuild flag and " +
+      "blocks the merge (r16)") {
+    import graft.ops.{IvfIndex, IvfSq}
+    def vecA(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 0) 1.0f else 0.02f * ((i + d) % 5)))
+    def vecB(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 1) 1.0f else 0.02f * ((i + d) % 5)))
+    // SHIFTED distribution: mass on axes the build corpus never used,
+    // far from every frozen centroid
+    def vecS(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 4 + (i % 2)) 1.0f else 0.01f * ((i + d) % 3)))
+    val build = ((0 until 12).map(i => (i.toLong, vecA(i))) ++
+      (50 until 62).map(i => (i.toLong, vecB(i)))).toDF("id", "vec")
+
+    // --- in-distribution: drift ~1.0, too many live shards -> compact
+    val p1 = tmpDir("maintain-quiet")
+    IvfIndex.build(build, nCells = 2, refineIters = 1,
+      persist = false).save(p1)
+    IvfIndex.append((100 until 106).map(i => (i.toLong, vecA(i)))
+      .toDF("id", "vec"), p1, tag = "d1")
+    IvfIndex.append((200 until 206).map(i => (i.toLong, vecB(i)))
+      .toDF("id", "vec"), p1, tag = "d2")
+    val r1 = IvfIndex.maintain(spark, p1, maxLiveShards = 2)
+    assert(r1.liveShards == 3 && r1.compacted && !r1.rebuildFlagged,
+      r1.toString)
+    assert(r1.maxDriftRatio < 1.5, s"in-distribution drift: $r1")
+    val m1 = spark.read.parquet(s"$p1/meta").head()
+    assert(m1.getInt(m1.fieldIndex("shards")) ==
+      m1.getInt(m1.fieldIndex("base")), "maintain must have merged")
+    // second pass: one live shard, nothing to do, still silent
+    val r2 = IvfIndex.maintain(spark, p1, maxLiveShards = 2)
+    assert(r2.liveShards == 1 && !r2.compacted && !r2.rebuildFlagged,
+      r2.toString)
+    // the optional recall probe populates the report when asked
+    val r3 = IvfIndex.maintain(spark, p1, maxLiveShards = 2,
+      recallFloor = 0.01, k = 3)
+    assert(r3.minProbeRecall >= 0.0 && r3.minProbeRecall <= 1.0, r3.toString)
+
+    // --- shifted distribution: rebuild flagged, merge BLOCKED (a
+    // compact would fold the drifted rows into the base population and
+    // self-normalize the evidence away)
+    val p2 = tmpDir("maintain-drift")
+    IvfIndex.build(build, nCells = 2, refineIters = 1,
+      persist = false).save(p2)
+    IvfIndex.append((300 until 312).map(i => (i.toLong, vecS(i)))
+      .toDF("id", "vec"), p2, tag = "d1")
+    val r4 = IvfIndex.maintain(spark, p2, maxLiveShards = 1)
+    assert(r4.rebuildFlagged && !r4.compacted, r4.toString)
+    assert(r4.maxDriftRatio > 1.5, r4.toString)
+    val m2 = spark.read.parquet(s"$p2/meta").head()
+    assert(m2.getInt(m2.fieldIndex("shards")) == 1 &&
+      m2.getInt(m2.fieldIndex("base")) == 0,
+      "a flagged pass must leave the layout untouched")
+
+    // --- the PQ/SQ families share the policy (one shifted check)
+    val p3 = tmpDir("maintain-sq")
+    IvfSq.build(build, nCells = 2, refineIters = 1,
+      persist = false).save(p3)
+    IvfSq.append((300 until 312).map(i => (i.toLong, vecS(i)))
+      .toDF("id", "vec"), p3, tag = "d1")
+    val r5 = IvfSq.maintain(spark, p3, maxLiveShards = 1)
+    assert(r5.rebuildFlagged && !r5.compacted && r5.maxDriftRatio > 1.5,
+      r5.toString)
+  }
+
+  test("driver-dict trainer cap sensitivity: on a Zipf corpus, halving " +
+      "or doubling maxWords leaves BPE merges and WordPiece vocab " +
+      "unchanged (the R13b tail argument, now a pinned property) (r16)") {
+    import graft.ops.{Bpe, WordPiece}
+    // Zipf fixture: 960 word types over a shared syllable alphabet
+    // (types must SHARE character pairs, or the cap trivially cannot
+    // matter); frequency of rank r is ~N/r, so the head carries the
+    // pair mass and the tail the type count — the regime the 50k
+    // production cap banks on. The syllable structure creates many
+    // near-tie pair scores, making this ADVERSARIAL for the cap: real
+    // corpora have larger gaps.
+    val syll = Vector("ba", "be", "bi", "bo", "ku", "ra", "ti", "zo")
+    def word(i: Int): String =
+      syll(i % 8) + syll((i / 8) % 8) + (if (i % 3 == 0) syll((i / 64) % 8) else "")
+    val corpus = (0 until 960).map { r =>
+      (r.toLong, (word(r) + " ") * math.max(1, 2880 / (r + 1)))
+    }.toDF("id", "text")
+    // MEASURED boundary (r16, recorded in NOTES): BPE (raw pair
+    // counts) is stable from cap 240 = V/4 up; WordPiece (likelihood
+    // score — unit counts in the DENOMINATOR feel every dropped tail
+    // type) needs 480 = V/2, one octave more. Both halve/double
+    // invariances hold well below the production 50k cap's margin.
+    val capsB = Seq(240, 480, 960).map(c =>
+      Bpe.train(corpus, nMerges = 12, maxWords = c))
+    assert(capsB.distinct.size == 1,
+      s"BPE merges must be cap-insensitive from V/4 up:\n${capsB.map(_.take(5))}")
+    assert(Bpe.train(corpus, nMerges = 12, maxWords = 120) != capsB.head,
+      "fixture must be adversarial enough that a too-small cap shows")
+    val capsW = Seq(480, 960).map(c =>
+      WordPiece.train(corpus, vocabSize = 40, maxWords = c).pieces)
+    assert(capsW.distinct.size == 1,
+      s"WordPiece vocab must be cap-insensitive from V/2 up:\n${capsW.map(_.take(8))}")
+    assert(WordPiece.train(corpus, vocabSize = 40, maxWords = 240).pieces
+      != capsW.head,
+      "the WordPiece boundary sits an octave above BPE's - pinned so " +
+        "a sensitivity change is a conscious one")
   }
 
   test("index completeness honors _SUCCESS when markers are on, " +
