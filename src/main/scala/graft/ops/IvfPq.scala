@@ -366,4 +366,17 @@ object IvfPq {
       path: String): Unit =
     IvfIndex.compactTables(spark, path, Seq("corpus", "encoded"),
       requireMeta(spark, path))
+
+  /** The [[IvfIndex.maintain]] policy hook over this family's
+    * telemetry, merge, and (optional) recall probe. */
+  def maintain(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxLiveShards: Int = 4, driftThreshold: Double = 1.5,
+      recallFloor: Double = 0.0, k: Int = 5): IvfIndex.Maintenance = {
+    val meta = requireMeta(spark, path)
+    IvfIndex.maintainImpl(spark, path, meta, driftStats(spark, path),
+      () => IvfIndex.compactTables(spark, path, Seq("corpus", "encoded"),
+        meta),
+      if (recallFloor > 0) Some(() => probeRecall(spark, path, k)) else None,
+      maxLiveShards, driftThreshold, recallFloor)
+  }
 }

@@ -830,6 +830,75 @@ object IvfIndex {
     compactTables(spark, path, Seq("assigned"), meta.get)
   }
 
+  /** One [[maintain]] pass's verdict. `maxDriftRatio` is the worst
+    * non-base shard's drift_ratio (1.0 when only the base shard
+    * lives); `minProbeRecall` is populated only when the pass was
+    * asked to measure it (−1.0 otherwise). */
+  final case class Maintenance(liveShards: Int, maxDriftRatio: Double,
+      minProbeRecall: Double, compacted: Boolean, rebuildFlagged: Boolean)
+
+  /** The maintenance policy hook (VERDICT r15 #7 — until now the
+    * rebuild rule lived in documentation): one call per
+    * ingest-maintenance cycle reads the drift telemetry and EITHER
+    * flags a rebuild or compacts, so operators act on the telemetry
+    * instead of eyeballing it.
+    *
+    *  - **rebuild flag** when any non-base shard's drift_ratio exceeds
+    *    `driftThreshold` (default 1.5, the documented rule: residuals
+    *    50% above the build population's mean put delta rows
+    *    materially farther from every centroid than the geometry was
+    *    trained on — probed-cell recall starts paying). Optionally
+    *    (`recallFloor` > 0) also when any shard's [[probeRecall]]@`k`
+    *    falls below the floor — the QUALITY confirmation, off by
+    *    default because it prices a brute-force pass over the corpus.
+    *    A flagged pass does NOT compact: a rebuild supersedes the
+    *    merge, and merging first would fold the drifted rows into the
+    *    base population — the ratio self-normalizes to 1.0 and the
+    *    evidence is destroyed.
+    *  - **compact** when live shards exceed `maxLiveShards` (read
+    *    amplification is linear in append count until the merge) and
+    *    nothing was flagged.
+    *
+    * Drift is always measured BEFORE any merge, for the same
+    * evidence-destruction reason. Returns what it did and saw. */
+  def maintain(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxLiveShards: Int = 4, driftThreshold: Double = 1.5,
+      recallFloor: Double = 0.0, k: Int = 5): Maintenance = {
+    val meta = metaIfComplete(spark, path)
+    require(meta.isDefined,
+      s"ivf index at '$path' is missing or incomplete " +
+        "(no committed meta table - saves write it last)")
+    maintainImpl(spark, path, meta.get, driftStats(spark, path),
+      () => compactTables(spark, path, Seq("assigned"), meta.get),
+      if (recallFloor > 0) Some(() => probeRecall(spark, path, k)) else None,
+      maxLiveShards, driftThreshold, recallFloor)
+  }
+
+  /** The decision half of [[maintain]], shared with the PQ/SQ
+    * families: `drift` is the family's telemetry frame, `doCompact`
+    * its merge, `recall` the optional quality probe. */
+  private[ops] def maintainImpl(spark: org.apache.spark.sql.SparkSession,
+      path: String, meta: IdxMeta, drift: DataFrame,
+      doCompact: () => Unit, recall: Option[() => DataFrame],
+      maxLiveShards: Int, driftThreshold: Double,
+      recallFloor: Double): Maintenance = {
+    val live = meta.shards - meta.base + 1
+    // bounded collect: one row per live shard
+    val ratios = drift.collect().map(r =>
+      r.getInt(r.fieldIndex("shard")) ->
+        r.getDouble(r.fieldIndex("drift_ratio"))).toMap
+    val maxDrift = (ratios - meta.base).values.foldLeft(1.0)(math.max)
+    val minRecall = recall.map(f => f().collect()
+      .map(r => r.getDouble(r.fieldIndex("recall"))).foldLeft(1.0)(math.min))
+      .getOrElse(-1.0)
+    val flagged = maxDrift > driftThreshold ||
+      (recallFloor > 0 && minRecall >= 0 && minRecall < recallFloor)
+    val doMerge = !flagged && live > maxLiveShards
+    if (doMerge) doCompact()
+    Maintenance(live, maxDrift, minRecall, compacted = doMerge,
+      rebuildFlagged = flagged)
+  }
+
   /** Drop `path`'s meta marker so the index reads as incomplete while
     * its data tables are being (re)written — the first step of every
     * save (review r9: overwrite-in-place kept the previous save's

@@ -234,13 +234,29 @@ object EventStream {
     * the [[dedupDeltaStream]] contract). Queries against the index
     * see each batch as soon as its meta commit lands. Caller contract:
     * ids globally unique across the stream, vectors preprocessed like
-    * the build corpus. */
-  def ivfAppendStream(vecs: DataFrame, indexPath: String)
+    * the build corpus.
+    *
+    * `maintainEvery` > 0 runs [[graft.ops.IvfIndex.maintain]] after
+    * every Nth batch's append, INSIDE the same foreachBatch — appends
+    * and compactions are then serialized by Structured Streaming
+    * itself, so the loop never races its own maintenance (the CAS
+    * guard stays as the backstop for out-of-process writers). Shards
+    * stay bounded at `maxLiveShards` for the life of the stream; a
+    * drift-flagged pass skips the merge (the maintain contract) and
+    * surfaces through `onMaintain`, the operator's hook for alerting
+    * or scheduling the rebuild. */
+  def ivfAppendStream(vecs: DataFrame, indexPath: String,
+      maintainEvery: Int = 0, maxLiveShards: Int = 4,
+      onMaintain: graft.ops.IvfIndex.Maintenance => Unit = _ => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.ops.IvfIndex.append(batch, indexPath, tag = s"batch-$batchId")
+          if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
+            onMaintain(graft.ops.IvfIndex.maintain(batch.sparkSession,
+              indexPath, maxLiveShards))
+        }
     }
 
   def decontaminateHits(docs: DataFrame, benchShingles: DataFrame,

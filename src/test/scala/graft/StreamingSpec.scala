@@ -332,6 +332,70 @@ class StreamingSpec extends SparkSpec {
       m5.getInt(m5.fieldIndex("base")) == 7, "retry lands on the new frontier")
   }
 
+  test("ivfAppendStream with maintainEvery: live shards stay bounded " +
+      "for the stream's life, maintenance reports surface, drift " +
+      "blocks the merge (r16)") {
+    import spark.implicits._
+    import graft.ops.IvfIndex
+    def vecA(i: Int) = Array.tabulate(4)(d =>
+      (if (d == 0) 1.0f else 0.01f * ((i + d) % 3)))
+    def vecS(i: Int) = Array.tabulate(4)(d =>
+      (if (d == 2) 1.0f else 0.005f * ((i + d) % 3)))
+    val dir = tmpDir("graft-ivfmaint")
+    IvfIndex.build((0 until 16).map(i => (i.toLong, vecA(i))).toDF("id", "vec"),
+      nCells = 2, refineIters = 1, persist = false).save(s"$dir/idx")
+    val reports = scala.collection.mutable.ArrayBuffer.empty[IvfIndex.Maintenance]
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = EventStream.ivfAppendStream(
+        input.toDF().toDF("id", "vec"), s"$dir/idx",
+        maintainEvery = 2, maxLiveShards = 1,
+        onMaintain = r => { reports += r; () })
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // 6 rows per batch covering the fixture's full %3 pattern cycle:
+      // a shard's mean residual then matches the build population's
+      // (a 1-row shard would read as drift — one far pattern variant
+      // alone crosses 1.5x the build mean)
+      (0 until 5).foreach { b =>
+        input.addData((0 until 6).map(j =>
+          (100L + 10 * b + j, vecA(100 + 10 * b + j))): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val m = spark.read.parquet(s"$dir/idx/meta").head()
+    val live = m.getInt(m.fieldIndex("shards")) - m.getInt(m.fieldIndex("base")) + 1
+    assert(live <= 2, s"maintenance must bound live shards: $live")
+    assert(reports.count(_.compacted) == 2 && !reports.exists(_.rebuildFlagged),
+      s"in-distribution ingest: every maintenance pass merges: $reports")
+    // one probe per batch: every batch's vectors survive the merges
+    // no row lost through any merge: all 16 build + 30 streamed ids
+    // stand in the live layout (the %3-periodic fixture makes top-k
+    // membership untestable — exact ties resolve to smallest ids)
+    val liveIds = spark.read.parquet(s"$dir/idx/assigned")
+      .filter(col("shard") >= m.getInt(m.fieldIndex("base")) &&
+        col("shard") <= m.getInt(m.fieldIndex("shards")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val wantIds = (0 until 16).map(_.toLong).toSet ++
+      (0 until 5).flatMap(b => (0 until 6).map(j => 100L + 10 * b + j))
+    assert(liveIds == wantIds,
+      s"every build and batch id must survive the maintenance merges: " +
+        s"missing=${wantIds -- liveIds} extra=${liveIds -- wantIds}")
+
+    // a DRIFTED batch flags the rebuild and leaves the layout alone
+    val q2 = EventStream.ivfAppendStream(
+        input.toDF().toDF("id", "vec"), s"$dir/idx",
+        maintainEvery = 1, maxLiveShards = 1,
+        onMaintain = r => { reports += r; () })
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData((200L, vecS(0)), (201L, vecS(1)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val last = reports.last
+    assert(last.rebuildFlagged && !last.compacted && last.maxDriftRatio > 1.5,
+      s"shifted batch must flag, not merge: $last")
+  }
+
   test("Gopher and C4 filters are stateless: streaming output equals batch") {
     val rows = Seq(
       (1L, ("the quick brown fox jumps over a lazy dog to rest " +
