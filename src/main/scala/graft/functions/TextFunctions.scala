@@ -266,28 +266,42 @@ object TextFunctions {
     * bare $ silently desynchronizes the two engines on CRLF text).
     * Pure map-side, one codegen pass.
     *
-    * KNOWN LIMITATION (review r12, documented not fixed): a regexp
-    * chain cannot scope later rules OUTSIDE kept code spans — a span
-    * whose content looks like a link (`arr[0](x)`) or carries `*` is
-    * rewritten by the link/emphasis rules after its backticks strip.
-    * Protecting spans needs placeholder extraction (a parser, not a
-    * chain); for corpus text extraction the trade-off is accepted,
-    * for rendering it would not be. Block markers cap at 3 leading
-    * spaces per CommonMark (4+ = indented code) EXCEPT list bullets,
-    * where deeper indentation means a NESTED list far more often
-    * than code in real READMEs — that one strips at any depth. */
-  /** The [[stripMarkdown]] pass list — ONE copy (package-visible so
-    * the differential fuzz spec replays it with driver-side JDK regex
-    * against Spark's codegen'd execution; the DuckDB side is replayed
-    * verbatim by the d47/d48 oracles). */
-  private[graft] val markdownChain: Seq[(String, String)] = Seq(
-      // fenced code blocks, with contents — one pass per fence
-      // delimiter (RE2 has no backreferences, the stripHtml per-tag
-      // lesson)
-      "(?s)(?m)^[ \\t]{0,3}```.*?^[ \\t]{0,3}```[ \\t]*\\r?$" -> " ",
-      "(?s)(?m)^[ \\t]{0,3}~~~.*?^[ \\t]{0,3}~~~[ \\t]*\\r?$" -> " ",
-      // inline code spans: keep the content, drop the backticks
-      "`([^`\\n]*)`" -> "$1",
+    * CODE-SPAN PROTECTION (VERDICT r15 #5, closing review r12's oldest
+    * documented trade): kept code-span CONTENT used to be rewritten by
+    * the later link/emphasis rules after its backticks stripped
+    * (`arr[0](x)` became `arr0`). A regexp chain cannot scope rules
+    * outside spans, so [[protectCodeSpans]] runs BETWEEN the fence and
+    * marker passes: a native segment-scan fold (split on backticks +
+    * `aggregate`, no UDF, no parser dependency) that drops the span
+    * backticks and rewrites each marker character inside the span to a
+    * private-use sentinel; the sentinels pass through every marker
+    * rule untouched and swap back after the whitespace collapse. The
+    * scan's open/close/newline semantics replicate a java-regex global
+    * replace of `` `([^`\n]*)` `` exactly (the differential fuzz spec
+    * pins this against a JDK Matcher loop; the d47/d48 oracles replay
+    * it as a linear recursive CTE over the same segments). Sentinel
+    * collisions are excluded up front: U+E001-U+E00C strip from the
+    * INPUT first (they are private-use codepoints with no legitimate
+    * reading in corpus text). In-span whitespace still collapses with
+    * the document's — extraction normalization, not rendering.
+    *
+    * Block markers cap at 3 leading spaces per CommonMark (4+ =
+    * indented code) EXCEPT list bullets, where deeper indentation
+    * means a NESTED list far more often than code in real READMEs —
+    * that one strips at any depth. */
+  /** Fence passes — run FIRST (fence contents drop entirely, and their
+    * ``` delimiters must never reach the backtick segment scan). One
+    * pass per fence delimiter (RE2 has no backreferences, the
+    * stripHtml per-tag lesson). */
+  private[graft] val mdFenceChain: Seq[(String, String)] = Seq(
+    "(?s)(?m)^[ \\t]{0,3}```.*?^[ \\t]{0,3}```[ \\t]*\\r?$" -> " ",
+    "(?s)(?m)^[ \\t]{0,3}~~~.*?^[ \\t]{0,3}~~~[ \\t]*\\r?$" -> " ")
+
+  /** Marker passes — run AFTER [[protectCodeSpans]]. ONE copy
+    * (package-visible so the differential fuzz spec replays it with
+    * driver-side JDK regex against Spark's codegen'd execution; the
+    * DuckDB side is replayed verbatim by the d47/d48 oracles). */
+  private[graft] val mdMarkerChain: Seq[(String, String)] = Seq(
       // images -> alt text; links -> anchor text (images FIRST)
       "!\\[([^\\]]*)\\]\\(([^)]*)\\)" -> "$1",
       "\\[([^\\]]*)\\]\\(([^)]*)\\)" -> "$1",
@@ -307,10 +321,62 @@ object TextFunctions {
       "\\*{1,3}([^*\\n]+)\\*{1,3}" -> "$1",
       "~~([^~\\n]+)~~" -> "$1")
 
+  /** In-span marker characters → private-use sentinels. Everything a
+    * [[mdMarkerChain]] rule keys on is here; `_` and `!` are excluded
+    * on purpose (underscores are never stripped, and `!` only matters
+    * glued to a `[` that IS escaped). */
+  private[graft] val mdCodeEscapes: Seq[(String, String)] = Seq(
+    "[" -> "", "]" -> "", "(" -> "", ")" -> "",
+    "*" -> "", "~" -> "", "#" -> "", ">" -> "",
+    "-" -> "", "+" -> "", "=" -> "", "." -> "")
+
+  /** The code-span pass: split on backticks, fold the segments with
+    * the java-regex scan semantics of `` `([^`\n]*)` `` — a backtick
+    * opens a candidate span; the next backtick closes it UNLESS the
+    * candidate content carries a newline, in which case the opener
+    * was literal and the closer becomes the next candidate opener; an
+    * unclosed trailing opener stays literal. Span content survives
+    * with its markers sentinel-escaped, backticks drop. All native
+    * expressions (split + aggregate + replace) — one pass, no UDF. */
+  private[graft] def protectCodeSpans(c: Column): Column = {
+    val segs = split(c, "`", -1)
+    def esc(s: Column): Column = mdCodeEscapes.foldLeft(s) {
+      case (x, (from, to)) => replace(x, lit(from), lit(to))
+    }
+    aggregate(
+      slice(segs, lit(2), greatest(size(segs) - 1, lit(0))),
+      struct(element_at(segs, 1).as("acc"), lit(false).as("open"),
+        lit("").as("cand")),
+      (st, s) => {
+        val acc = st.getField("acc")
+        val open = st.getField("open")
+        val cand = st.getField("cand")
+        when(!open, struct(acc.as("acc"), lit(true).as("open"),
+          s.as("cand")))
+        .when(cand.contains("\n"), struct(
+          concat(acc, lit("`"), cand).as("acc"), lit(true).as("open"),
+          s.as("cand")))
+        .otherwise(struct(concat(acc, esc(cand), s).as("acc"),
+          lit(false).as("open"), lit("").as("cand")))
+      },
+      st => when(st.getField("open"),
+        concat(st.getField("acc"), lit("`"), st.getField("cand")))
+        .otherwise(st.getField("acc")))
+  }
+
   def stripMarkdown(md: Column): Column = {
-    val stripped = markdownChain.foldLeft(md) { case (c, (re, repl)) =>
+    // sentinel collision guard: strip any pre-existing private-use
+    // escape codepoints so the final unescape is unambiguous
+    val clean = regexp_replace(md, lit("[-]"), lit(""))
+    val fenced = mdFenceChain.foldLeft(clean) { case (c, (re, repl)) =>
       regexp_replace(c, lit(re), lit(repl))
     }
-    trim(regexp_replace(stripped, lit(s"$wsClass+"), lit(" ")))
+    val stripped = mdMarkerChain.foldLeft(protectCodeSpans(fenced)) {
+      case (c, (re, repl)) => regexp_replace(c, lit(re), lit(repl))
+    }
+    val collapsed = trim(regexp_replace(stripped, lit(s"$wsClass+"), lit(" ")))
+    mdCodeEscapes.foldLeft(collapsed) { case (c, (from, to)) =>
+      replace(c, lit(to), lit(from))
+    }
   }
 }
