@@ -498,6 +498,28 @@ object Pipeline {
     idx.query(q, 5, nProbe = 2, fetch = 20).orderBy("qid", "rank")
   }
 
+  /** Shard compaction proven end-to-end by ORACLE, not just by spec
+    * identity (r16, the merge's own gate): e15's exact recipe —
+    * deterministic sharded IVF-SQ build plus two frozen-model appends
+    * — followed by [[graft.ops.IvfSq.compact]], querying THROUGH the
+    * merged single-shard layout. Compaction is result-invariant by
+    * contract, so the oracle IS e15's SQL verbatim: a merge that
+    * changed any byte of any result (rewrite, CAS meta commit,
+    * base-raised reads, sweep) would hash-mismatch this gate. Fresh
+    * temp dir per call (the e15 rule). */
+  def e18KnnIvfSqCompacted(s: SparkSession, dir: String): DataFrame = {
+    val (e, q) = knnInputs(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-e18")
+      .toString + "/idx"
+    graft.ops.IvfSq.build(e.filter(col("id") % 4 =!= 0), nCells = 4,
+      refineIters = 0, persist = false, md5Seeds = true).save(path)
+    graft.ops.IvfSq.append(e.filter(col("id") % 8 === 0), path, tag = "delta-a")
+    graft.ops.IvfSq.append(e.filter(col("id") % 8 === 4), path, tag = "delta-b")
+    graft.ops.IvfSq.compact(s, path)
+    val idx = graft.ops.IvfSq.load(s, path, persist = false)
+    idx.query(q, 5, nProbe = 2, fetch = 20).orderBy("qid", "rank")
+  }
+
   /** End-to-end SHARDED OPQ+IVF-PQ verification gate — the e15
     * treatment for the IVF-PQ append path (until now spec-only), with
     * the e08 FIXED signed-permutation rotation standing in for the
@@ -1881,6 +1903,7 @@ object Pipeline {
     "e14_knn_matryoshka" -> e14KnnMatryoshka _,
     "e15_knn_ivfsq_sharded" -> e15KnnIvfSqSharded _,
     "e16_drift_stats" -> e16DriftStats _,
+    "e18_knn_ivfsq_compacted" -> e18KnnIvfSqCompacted _,
     "e17_knn_opq_sharded" -> e17KnnOpqIvfPqSharded _)
 
   /** The ONE copy of the md5-simhash signature CTEs (review r11: d08/
@@ -2000,6 +2023,59 @@ object Pipeline {
       |SELECT doc_id,
       |  round(coalesce(c1, 0) + coalesce(c2, 0) + coalesce(c3, 0), 4) AS score
       |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // e13's oracle with the TRAINED state (centroid seeds + SQ min/max)
+  // restricted to the BUILD subset (id % 4 <> 0): appended rows (the
+  // two delta shards) assign and encode under the FROZEN model —
+  // including the 0/255 clamp on out-of-range residuals — exactly as
+  // IvfSq.append does, so the whole sharded layout is hash-provable.
+  // Shared by e15 (sharded read path) and e18 (the same layout after
+  // IvfSq.compact — the merge must be bit-invariant).
+  private val e15OracleSql =
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nrm AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS ss FROM e),
+        |u AS (SELECT id, CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0 / sqrt(ss))) ELSE v END AS v FROM nrm),
+        |cent AS (SELECT row_number() OVER (ORDER BY h, id) AS cell, cv FROM
+        |  (SELECT md5(CAST(id AS VARCHAR)) AS h, id, v AS cv FROM u
+        |   WHERE id % 4 <> 0 ORDER BY h, id LIMIT 4)),
+        |asg AS (SELECT id, v, cell, cv FROM
+        |  (SELECT u.id, u.v, c.cell, c.cv,
+        |     row_number() OVER (PARTITION BY u.id
+        |       ORDER BY list_sum(list_transform(range(1, 65), i -> u.v[i] * c.cv[i])) DESC, c.cell) AS rk
+        |   FROM u CROSS JOIN cent c) WHERE rk = 1),
+        |resid AS (SELECT id, cell, list_transform(range(1, 65), i -> v[i] - cv[i]) AS r FROM asg),
+        |dims AS (SELECT unnest(range(0, 64)) AS d),
+        |stat AS (SELECT d, min(r[d + 1]) AS mn, max(r[d + 1]) AS mx
+        |         FROM resid CROSS JOIN dims WHERE id % 4 <> 0 GROUP BY d),
+        |st AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM stat),
+        |enc AS (SELECT id, cell, list_transform(range(0, 64), d ->
+        |   CASE WHEN mxs[d + 1] = mns[d + 1] THEN 0.0
+        |        ELSE least(255.0, greatest(0.0,
+        |          floor((r[d + 1] - mns[d + 1]) / (mxs[d + 1] - mns[d + 1]) * 255.0 + 0.5))) END)
+        |  AS codes FROM resid CROSS JOIN st),
+        |rec AS (SELECT id, cell, list_transform(range(0, 64), d ->
+        |   mns[d + 1] + codes[d + 1] * ((mxs[d + 1] - mns[d + 1]) / 255.0)) AS recon
+        |  FROM enc CROSS JOIN st),
+        |qu AS (SELECT id AS qid, v AS qv FROM u WHERE id < 10),
+        |qp AS (SELECT qid, cell, cscore FROM
+        |  (SELECT q.qid, c.cell,
+        |     list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])) AS cscore,
+        |     row_number() OVER (PARTITION BY q.qid
+        |       ORDER BY list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])) DESC, c.cell) AS rk
+        |   FROM qu q CROSS JOIN cent c) WHERE rk <= 2),
+        |cand AS (SELECT p.qid, t.id,
+        |    p.cscore + list_sum(list_transform(range(1, 65), i -> q.qv[i] * t.recon[i])) AS score
+        |  FROM qp p JOIN rec t ON t.cell = p.cell JOIN qu q ON q.qid = p.qid
+        |  WHERE t.id <> p.qid),
+        |short AS (SELECT qid, id FROM
+        |  (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk FROM cand)
+        |  WHERE rk <= 20),
+        |rer AS (SELECT s.qid, s.id,
+        |    list_sum(list_transform(range(1, 65), i -> cu.v[i] * q.qv[i])) AS sim
+        |  FROM short s JOIN u cu ON cu.id = s.id JOIN qu q ON q.qid = s.qid)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim FROM
+        |  (SELECT qid, id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM rer)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Unigram Viterbi via FULL-path enumeration: the recursive CTE
@@ -2835,17 +2911,39 @@ object Pipeline {
     // the d44 rule battery at minWords=40/stops={the,a}, then survivor
     // stats — every intermediate replayed verbatim
     "d48_curation_pipeline" ->
-      """WITH inj AS (SELECT doc_id, lang,
+      """WITH RECURSIVE inj AS (SELECT doc_id, lang,
         |  '# Title ' || doc_id || chr(10)
         |  || '**Bold** and *em* text with `code span` here.' || chr(10)
         |  || '[link text](https://example.com/' || doc_id || ')' || chr(10)
         |  || '```' || chr(10) || 'var code = ' || doc_id || ';' || chr(10)
         |  || '```' || chr(10) || text AS md FROM documents),
-        |c1 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(md,
+        |c1 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(regexp_replace(md,
+        |  '[\x{E001}-\x{E00C}]', '', 'g'),
         |  '(?s)(?m)^[ \t]{0,3}```.*?^[ \t]{0,3}```[ \t]*\r?$', ' ', 'g'),
         |  '(?s)(?m)^[ \t]{0,3}~~~.*?^[ \t]{0,3}~~~[ \t]*\r?$', ' ', 'g') AS md FROM inj),
-        |c2 AS (SELECT doc_id, lang, regexp_replace(md,
-        |  '`([^`\n]*)`', '\1', 'g') AS md FROM c1),
+        |seg AS (SELECT doc_id, lang, string_split(md, chr(96)) AS segs FROM c1),
+        |scan AS (
+        |  SELECT doc_id, lang, segs, 1 AS i, segs[1] AS acc,
+        |    false AS open, '' AS cand FROM seg
+        |  UNION ALL
+        |  SELECT doc_id, lang, segs, i + 1,
+        |    CASE WHEN NOT open THEN acc
+        |         WHEN contains(cand, chr(10)) THEN acc || chr(96) || cand
+        |         ELSE acc || replace(replace(replace(replace(replace(replace(
+        |           replace(replace(replace(replace(replace(replace(cand,
+        |           '[', chr(57345)), ']', chr(57346)), '(', chr(57347)),
+        |           ')', chr(57348)), '*', chr(57349)), '~', chr(57350)),
+        |           '#', chr(57351)), '>', chr(57352)), '-', chr(57353)),
+        |           '+', chr(57354)), '=', chr(57355)), '.', chr(57356))
+        |           || segs[i + 1] END,
+        |    CASE WHEN open AND NOT contains(cand, chr(10))
+        |         THEN false ELSE true END,
+        |    CASE WHEN open AND NOT contains(cand, chr(10))
+        |         THEN '' ELSE segs[i + 1] END
+        |  FROM scan WHERE i < len(segs)),
+        |c2 AS (SELECT doc_id, lang,
+        |  CASE WHEN open THEN acc || chr(96) || cand ELSE acc END AS md
+        |  FROM scan WHERE i = len(segs)),
         |c3 AS (SELECT doc_id, lang, regexp_replace(regexp_replace(md,
         |  '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
         |  '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') AS md FROM c2),
@@ -2859,8 +2957,14 @@ object Pipeline {
         |  '(?m)^[ \t]*([-*+]|[0-9]+[.)])[ \t]+', '', 'g'),
         |  '\*{1,3}([^*\n]+)\*{1,3}', '\1', 'g'),
         |  '~~([^~\n]+)~~', '\1', 'g') AS md FROM c4),
-        |tx AS (SELECT doc_id, lang, trim(regexp_replace(md,
-        |  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text FROM c5),
+        |tx0 AS (SELECT doc_id, lang, trim(regexp_replace(md,
+        |  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS c0 FROM c5),
+        |tx AS (SELECT doc_id, lang, replace(replace(replace(replace(replace(replace(
+        |  replace(replace(replace(replace(replace(replace(c0,
+        |  chr(57345), '['), chr(57346), ']'), chr(57347), '('),
+        |  chr(57348), ')'), chr(57349), '*'), chr(57350), '~'),
+        |  chr(57351), '#'), chr(57352), '>'), chr(57353), '-'),
+        |  chr(57354), '+'), chr(57355), '='), chr(57356), '.') AS text FROM tx0),
         |w AS (SELECT doc_id, lang, text,
         |  list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS ws,
         |  regexp_split_to_array(text, '\n') AS lines,
@@ -2896,8 +3000,13 @@ object Pipeline {
     // verbatim (DuckDB replacement groups are \1 where Spark writes
     // $1; the 'g' flag is mandatory — DuckDB replaces first-match-only
     // by default)
+    // The protect stage (r16: code-span content survives verbatim) is
+    // replayed as a LINEAR recursive CTE over the backtick segments —
+    // the d59 oracle pattern: same fold, same java-regex scan
+    // semantics, in-span markers escaped to chr(57345)..chr(57356)
+    // (U+E001..U+E00C) and swapped back after the whitespace collapse.
     "d47_markdown_extract" ->
-      """WITH inj AS (SELECT doc_id,
+      """WITH RECURSIVE inj AS (SELECT doc_id,
         |  '# Title ' || doc_id || chr(10)
         |  || '**Bold** and *em* text with `code span` here.' || chr(10)
         |  || '> quoted wisdom line' || chr(10) || '- item one' || chr(10)
@@ -2906,11 +3015,33 @@ object Pipeline {
         |  || ') and ![alt text](img.png)' || chr(10) || '```' || chr(10)
         |  || 'var code = ' || doc_id || ';' || chr(10) || '```' || chr(10)
         |  || '---' || chr(10) || text AS md FROM documents),
-        |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(md,
+        |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(md,
+        |  '[\x{E001}-\x{E00C}]', '', 'g'),
         |  '(?s)(?m)^[ \t]{0,3}```.*?^[ \t]{0,3}```[ \t]*\r?$', ' ', 'g'),
         |  '(?s)(?m)^[ \t]{0,3}~~~.*?^[ \t]{0,3}~~~[ \t]*\r?$', ' ', 'g') AS md FROM inj),
-        |c2 AS (SELECT doc_id, regexp_replace(md,
-        |  '`([^`\n]*)`', '\1', 'g') AS md FROM c1),
+        |seg AS (SELECT doc_id, string_split(md, chr(96)) AS segs FROM c1),
+        |scan AS (
+        |  SELECT doc_id, segs, 1 AS i, segs[1] AS acc,
+        |    false AS open, '' AS cand FROM seg
+        |  UNION ALL
+        |  SELECT doc_id, segs, i + 1,
+        |    CASE WHEN NOT open THEN acc
+        |         WHEN contains(cand, chr(10)) THEN acc || chr(96) || cand
+        |         ELSE acc || replace(replace(replace(replace(replace(replace(
+        |           replace(replace(replace(replace(replace(replace(cand,
+        |           '[', chr(57345)), ']', chr(57346)), '(', chr(57347)),
+        |           ')', chr(57348)), '*', chr(57349)), '~', chr(57350)),
+        |           '#', chr(57351)), '>', chr(57352)), '-', chr(57353)),
+        |           '+', chr(57354)), '=', chr(57355)), '.', chr(57356))
+        |           || segs[i + 1] END,
+        |    CASE WHEN open AND NOT contains(cand, chr(10))
+        |         THEN false ELSE true END,
+        |    CASE WHEN open AND NOT contains(cand, chr(10))
+        |         THEN '' ELSE segs[i + 1] END
+        |  FROM scan WHERE i < len(segs)),
+        |c2 AS (SELECT doc_id,
+        |  CASE WHEN open THEN acc || chr(96) || cand ELSE acc END AS md
+        |  FROM scan WHERE i = len(segs)),
         |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(md,
         |  '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
         |  '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g') AS md FROM c2),
@@ -2925,9 +3056,15 @@ object Pipeline {
         |  '\*{1,3}([^*\n]+)\*{1,3}', '\1', 'g'),
         |  '~~([^~\n]+)~~', '\1', 'g') AS md FROM c4),
         |c6 AS (SELECT doc_id, trim(regexp_replace(md,
-        |  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS clean FROM c5)
+        |  '[ \t\n\x0B\f\r]+', ' ', 'g')) AS c0 FROM c5),
+        |c7 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(
+        |  replace(replace(replace(replace(replace(replace(c0,
+        |  chr(57345), '['), chr(57346), ']'), chr(57347), '('),
+        |  chr(57348), ')'), chr(57349), '*'), chr(57350), '~'),
+        |  chr(57351), '#'), chr(57352), '>'), chr(57353), '-'),
+        |  chr(57354), '+'), chr(57355), '='), chr(57356), '.') AS clean FROM c6)
         |SELECT doc_id, length(clean) AS n_chars, md5(clean) AS clean_md5
-        |FROM c6 ORDER BY doc_id""".stripMargin,
+        |FROM c7 ORDER BY doc_id""".stripMargin,
     "d39_url_dedup" ->
       """WITH inj AS (SELECT doc_id,
         |  'HTTPS://Site' || (doc_id % 7) || '.Example.org:443/p/' || (doc_id % 20)
@@ -3386,51 +3523,11 @@ object Pipeline {
     // two delta shards) assign and encode under the FROZEN model —
     // including the 0/255 clamp on out-of-range residuals — exactly as
     // IvfSq.append does, so the whole sharded layout is hash-provable.
-    "e15_knn_ivfsq_sharded" ->
-      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |nrm AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS ss FROM e),
-        |u AS (SELECT id, CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0 / sqrt(ss))) ELSE v END AS v FROM nrm),
-        |cent AS (SELECT row_number() OVER (ORDER BY h, id) AS cell, cv FROM
-        |  (SELECT md5(CAST(id AS VARCHAR)) AS h, id, v AS cv FROM u
-        |   WHERE id % 4 <> 0 ORDER BY h, id LIMIT 4)),
-        |asg AS (SELECT id, v, cell, cv FROM
-        |  (SELECT u.id, u.v, c.cell, c.cv,
-        |     row_number() OVER (PARTITION BY u.id
-        |       ORDER BY list_sum(list_transform(range(1, 65), i -> u.v[i] * c.cv[i])) DESC, c.cell) AS rk
-        |   FROM u CROSS JOIN cent c) WHERE rk = 1),
-        |resid AS (SELECT id, cell, list_transform(range(1, 65), i -> v[i] - cv[i]) AS r FROM asg),
-        |dims AS (SELECT unnest(range(0, 64)) AS d),
-        |stat AS (SELECT d, min(r[d + 1]) AS mn, max(r[d + 1]) AS mx
-        |         FROM resid CROSS JOIN dims WHERE id % 4 <> 0 GROUP BY d),
-        |st AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM stat),
-        |enc AS (SELECT id, cell, list_transform(range(0, 64), d ->
-        |   CASE WHEN mxs[d + 1] = mns[d + 1] THEN 0.0
-        |        ELSE least(255.0, greatest(0.0,
-        |          floor((r[d + 1] - mns[d + 1]) / (mxs[d + 1] - mns[d + 1]) * 255.0 + 0.5))) END)
-        |  AS codes FROM resid CROSS JOIN st),
-        |rec AS (SELECT id, cell, list_transform(range(0, 64), d ->
-        |   mns[d + 1] + codes[d + 1] * ((mxs[d + 1] - mns[d + 1]) / 255.0)) AS recon
-        |  FROM enc CROSS JOIN st),
-        |qu AS (SELECT id AS qid, v AS qv FROM u WHERE id < 10),
-        |qp AS (SELECT qid, cell, cscore FROM
-        |  (SELECT q.qid, c.cell,
-        |     list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])) AS cscore,
-        |     row_number() OVER (PARTITION BY q.qid
-        |       ORDER BY list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])) DESC, c.cell) AS rk
-        |   FROM qu q CROSS JOIN cent c) WHERE rk <= 2),
-        |cand AS (SELECT p.qid, t.id,
-        |    p.cscore + list_sum(list_transform(range(1, 65), i -> q.qv[i] * t.recon[i])) AS score
-        |  FROM qp p JOIN rec t ON t.cell = p.cell JOIN qu q ON q.qid = p.qid
-        |  WHERE t.id <> p.qid),
-        |short AS (SELECT qid, id FROM
-        |  (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk FROM cand)
-        |  WHERE rk <= 20),
-        |rer AS (SELECT s.qid, s.id,
-        |    list_sum(list_transform(range(1, 65), i -> cu.v[i] * q.qv[i])) AS sim
-        |  FROM short s JOIN u cu ON cu.id = s.id JOIN qu q ON q.qid = s.qid)
-        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim FROM
-        |  (SELECT qid, id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM rer)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "e15_knn_ivfsq_sharded" -> e15OracleSql,
+    // Compaction is RESULT-INVARIANT by contract, so e18's oracle IS
+    // e15's SQL verbatim (the d50/d32 sharing pattern): a merge that
+    // changed any byte of any result would hash-mismatch the gate.
+    "e18_knn_ivfsq_compacted" -> e15OracleSql,
     // e15's deterministic-assignment prefix (centroids from the BUILD
     // subset; zero vectors dropped like IvfSq.build does), then the
     // drift table itself: per-row residual norm (sequential double
