@@ -94,6 +94,7 @@ object Bench {
     // for round-over-round comparability.
     val heavyFirst = Seq("d30_dsir_scores", "d19_dedup_clusters",
       "e07_semantic_dedup", "e15_knn_ivfsq_sharded", "e17_knn_opq_sharded",
+      "e18_knn_ivfsq_compacted",
       "d54_dedup_keep_best", "d55_lsh_delta_dedup",
       "d29_substring_spans", "e13_knn_ivfsq_verify", "e06_knn_ivfpq_verify",
       "d53_bm25_index", "d14_winnow_overlap", "d23_bloom_decontaminate")
@@ -357,14 +358,28 @@ object Bench {
     // relative path would then land outside the repo
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/target/bench_latest.json")
-    try {
-      val f = new java.io.File(outPath)
-      Option(f.getParentFile).foreach(_.mkdirs())
-      val w = new java.io.PrintWriter(f, "UTF-8")
-      try w.println(json) finally w.close()
-    } catch { case e: Throwable =>
-      System.err.println(s"bench: could not write $outPath: ${e.getMessage}")
-    }
+    val wrote =
+      try {
+        val f = new java.io.File(outPath)
+        Option(f.getParentFile).foreach(_.mkdirs())
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        try w.println(json) finally w.close()
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"bench: could not write $outPath: ${e.getMessage}")
+        false
+      }
+    // Compact battery summary as the LAST stdout line (VERDICT r15 #4,
+    // second repeat of r14 #8): the full artifact is one ~6 KB line
+    // that overflows the driver's stdout-tail capture, so BENCH_r14/r15
+    // committed with "parsed": null. The tail line carries the driver
+    // contract keys (metric/value/unit/queries/sf) with "queries"
+    // limited to the 10 slowest lines, plus health + the full-artifact
+    // path — small enough that any tail window parses it.
+    val top10 = results.sortBy(r => -math.abs(r._2)).take(10)
+      .map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$top10,"failed":$failed,"probe_ratio":$probeRatio,"unhealthy":$unhealthy,"full_json":${if (wrote) "\"" + jEsc(outPath) + "\"" else "null"},"sf":"${jEsc(sfDir)}"}""")
     spark.stop()
   }
 }
