@@ -41,7 +41,9 @@ object ScaleBench {
       "d58_vocab_sketch",
       // round-15 newcomers
       "e15_knn_ivfsq_sharded", "e16_drift_stats", "d59_wordpiece",
-      "e17_knn_opq_sharded")
+      "e17_knn_opq_sharded",
+      // round-16 newcomer
+      "e18_knn_ivfsq_compacted")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -268,6 +270,35 @@ object ScaleBench {
         }
         println(f"SCALE-LSH-DELTA $dir%-28s build=${buildSec}%7.2f s  " +
           f"fixed-delta=${reps.map(_._1).min}%7.2f s  pairs=${reps.head._2}")
+        // compaction amortization (r16): 8 more single-batch appends
+        // (one shard dir each - the long-running-ingest shape), the
+        // same fixed delta BEFORE and AFTER compactLshIndex. The
+        // post-compact time is the amortized steady state; pair
+        // equality pins the merge's bit-invariance at scale.
+        (0 until 8).foreach { g =>
+          val batch = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+            .select((col("doc_id") + 20000000L + g * 100000L).as("doc_id"),
+              col("text"))
+          graft.ops.Dedup.appendToLshIndex(batch, "doc_id", "text", idx,
+            tag = s"scale-g$g")
+        }
+        def timeDelta(): (Double, Long) = {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val n = graft.ops.Dedup
+            .dedupDelta(delta, "doc_id", "text", idx).count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val (preSec, preN) = timeDelta()
+        val tc0 = System.nanoTime()
+        graft.ops.Dedup.compactLshIndex(spark, idx)
+        val compactSec = (System.nanoTime() - tc0) / 1e9
+        val (postSec, postN) = timeDelta()
+        require(postN == preN,
+          s"compaction moved delta pairs: $preN -> $postN")
+        println(f"SCALE-LSH-COMPACT $dir%-26s 9-shard=${preSec}%7.2f s  " +
+          f"compact=${compactSec}%7.2f s  1-shard=${postSec}%7.2f s  " +
+          f"pairs=$postN (equal)")
       }
     }
     // ANN recall at scale (VERDICT r6 #3): the table above rehearses

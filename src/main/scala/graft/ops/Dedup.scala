@@ -819,6 +819,22 @@ object Dedup {
     }
   }
 
+  /** Live shard counts — the [[graft.streaming.EventStream]] ingest
+    * loops' compaction trigger (the IvfIndex.maintain shape without a
+    * drift dimension: sketches are frozen functions of the documents,
+    * so the ONLY maintenance signal for the dedup indexes is read
+    * amplification). */
+  private[graft] def lshLiveShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val m = readLshMeta(spark, path); m.shards - m.base + 1
+  }
+
+  /** [[lshLiveShards]]'s SimHash twin. */
+  private[graft] def simhashLiveShards(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val m = readSimhashMeta(spark, path); m.shards - m.base + 1
+  }
+
   /** [[compactLshIndex]] for the SimHash family: merge every live
     * `sigs/shard=G` into one dir at frontier+2, CAS-commit the meta
     * (shards = base = frontier+2, tag preserved), sweep below base

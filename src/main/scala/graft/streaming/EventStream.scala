@@ -165,9 +165,15 @@ object EventStream {
     * lifetime (the dedupDelta disjointness precondition, batch to
     * batch). Returns the configured DataStreamWriter — caller picks
     * trigger/checkpoint and starts it. */
+  /** @param maintainEvery > 0 compacts the index
+    *   ([[graft.ops.Dedup.compactLshIndex]]) after every Nth batch
+    *   when live shards exceed `maxLiveShards` — INSIDE the same
+    *   foreachBatch, so ingest and maintenance are serialized by
+    *   Structured Streaming itself (the ivfAppendStream rule) and the
+    *   loop's read amplification stays bounded for its whole life. */
   def dedupDeltaStream(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, pairsDir: String, threshold: Double = 0.5,
-      maxBucket: Int = 0)
+      maxBucket: Int = 0, maintainEvery: Int = 0, maxLiveShards: Int = 4)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -190,6 +196,11 @@ object EventStream {
               .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
             graft.ops.Dedup.appendToLshIndex(batch, idCol, textCol, indexPath,
               tag = tag)
+            if (maintainEvery > 0 &&
+                batchId % maintainEvery == maintainEvery - 1 &&
+                graft.ops.Dedup.lshLiveShards(batch.sparkSession, indexPath)
+                  > maxLiveShards)
+              graft.ops.Dedup.compactLshIndex(batch.sparkSession, indexPath)
           }
         }
     }
@@ -206,8 +217,11 @@ object EventStream {
     * that is already IN the index. LEANER than the LSH loop end to
     * end: 8-byte sigs in, xor+popcount verify, no shingle storage.
     * Caller contract: globally unique doc ids across the stream. */
+  /** @param maintainEvery the [[dedupDeltaStream]] compaction trigger,
+    *   over [[graft.ops.Dedup.compactSimhashIndex]]. */
   def simhashDeltaStream(docs: DataFrame, idCol: String, textCol: String,
-      indexPath: String, pairsDir: String, maxBucket: Int = 0)
+      indexPath: String, pairsDir: String, maxBucket: Int = 0,
+      maintainEvery: Int = 0, maxLiveShards: Int = 4)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -222,6 +236,12 @@ object EventStream {
               graft.ops.Dedup.simhashDelta(fp, indexPath, maxBucket)
                 .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
               graft.ops.Dedup.appendToSimhashIndex(fp, indexPath, tag = tag)
+              if (maintainEvery > 0 &&
+                  batchId % maintainEvery == maintainEvery - 1 &&
+                  graft.ops.Dedup.simhashLiveShards(batch.sparkSession,
+                    indexPath) > maxLiveShards)
+                graft.ops.Dedup.compactSimhashIndex(batch.sparkSession,
+                  indexPath)
             } finally { fp.unpersist(blocking = false); () }
           }
         }

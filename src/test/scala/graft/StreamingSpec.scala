@@ -332,6 +332,45 @@ class StreamingSpec extends SparkSpec {
       m5.getInt(m5.fieldIndex("base")) == 7, "retry lands on the new frontier")
   }
 
+  test("dedupDeltaStream with maintainEvery: the ingest loop compacts " +
+      "its own LSH index - live shards bounded, cross-batch pairing " +
+      "intact through the merges (r16)") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "patient cat watches from the old wooden fence near the garden gate"
+    val dir = tmpDir("graft-lshmaint")
+    graft.ops.Dedup.buildLshIndex(
+      Seq((1L, base)).toDF("doc_id", "text"), "doc_id", "text", s"$dir/idx")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventStream.dedupDeltaStream(
+        input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/idx", s"$dir/pairs",
+        maintainEvery = 2, maxLiveShards = 2)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      (0 until 6).foreach { b =>
+        // every batch carries one dup of the base doc (pairs against
+        // the BUILD shard and all prior batches) + one unique doc
+        input.addData((100L + 2 * b, base + s" tail$b"),
+          (101L + 2 * b, s"unique content $b that matches nothing else here at all"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val m = spark.read.parquet(s"$dir/idx/meta").head()
+    val live = m.getInt(m.fieldIndex("shards")) - m.getInt(m.fieldIndex("base")) + 1
+    assert(live <= 3, s"ingest-loop maintenance must bound live shards: $live")
+    assert(m.getInt(m.fieldIndex("base")) > 0, "at least one compact ran")
+    // batch 5's dup pairs against the build doc AND every earlier
+    // batch's dup — all of which live in MERGED shards by now
+    val last = spark.read.parquet(s"$dir/pairs/batch=5")
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (Seq(1L) ++ (0 until 5).map(b => 100L + 2 * b))
+      .map(a => (a, 110L)).toSet
+    assert(last == expect,
+      s"cross-batch pairing must survive the merges: $last vs $expect")
+  }
+
   test("ivfAppendStream with maintainEvery: live shards stay bounded " +
       "for the stream's life, maintenance reports surface, drift " +
       "blocks the merge (r16)") {
