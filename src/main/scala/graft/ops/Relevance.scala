@@ -193,43 +193,182 @@ object Relevance {
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
     val spark = docs.sparkSession
-    import spark.implicits._
     MetaSwap.invalidate(spark, s"$path/stats")
+    // rebuild rule: the postings tree drops BEFORE any write, so a
+    // crashed rebuild can never read as old-shards-beside-new
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$path/postings")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    writePostingsShard(docs, idCol, textCol, path, shard = 0,
+      prior = None, tag = "")
+  }
+
+  /** One committed stats row: the corpus totals PLUS the shard frontier
+    * — BM25's global statistics (N, total length, and through the
+    * postings union every df) are exact integer sums, so incremental
+    * maintenance reproduces a batch rebuild EXACTLY, score for score
+    * (gate d60 proves it on the full-corpus oracle). */
+  private[ops] final case class Bm25Meta(n: Long, tot: Long, shards: Int,
+      base: Int, tag: String)
+
+  private def readBm25Meta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Bm25Meta = {
+    require(MetaSwap.committed(spark, s"$path/stats"),
+      s"bm25 index at '$path' is missing or incomplete " +
+        "(no committed stats table - builds write it last)")
+    val st = spark.read
+      .parquet(MetaSwap.readDir(spark, s"$path/stats")).head()
+    // layout-epoch guard: a pre-r16 index (unsharded postings, plain
+    // two-column stats) reads as incomplete and rebuilds once — the
+    // established one-redundant-rebuild trade
+    require(st.schema.fieldNames.contains("shards"),
+      s"bm25 index at '$path' predates the sharded-postings layout - rebuild it")
+    val base = if (st.schema.fieldNames.contains("base"))
+      st.getInt(st.fieldIndex("base")) else 0
+    Bm25Meta(st.getLong(st.fieldIndex("n")), st.getLong(st.fieldIndex("tot")),
+      st.getInt(st.fieldIndex("shards")), base,
+      st.getString(st.fieldIndex("tag")))
+  }
+
+  /** ONE shard writer shared by build (shard 0) and append (G+1):
+    * tokenize ONE pass, postings repartitioned by word within the
+    * shard, then the stats commit — swap-committed, CAS-guarded when
+    * `prior` carries a planning read (the Dedup.commitLshMeta rule;
+    * builds pass None). Corpus totals fold the delta's into the
+    * prior's — exact integer adds. */
+  private def writePostingsShard(docs: DataFrame, idCol: String,
+      textCol: String, path: String, shard: Int, prior: Option[Bm25Meta],
+      tag: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val w = docs.select(col(idCol).as("doc_id"),
         TextFunctions.words(col(textCol)).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (n, tot) = corpusStats(w)
+      val (nd, totd) = corpusStats(w)
       w.select(col("doc_id"), size(col("ws")).as("dl"),
           explode(col("ws")).as("word"))
         .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
         .repartition(col("word")).sortWithinPartitions("word", "doc_id")
-        .write.mode("overwrite").parquet(s"$path/postings")
-      // stats LAST = commit marker; store n and tot so avgdl is
-      // re-derived by the IDENTICAL division the direct path uses
-      Seq((n, tot)).toDF("n", "tot")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+        .write.mode("overwrite").parquet(s"$path/postings/shard=$shard")
+      prior.foreach { e =>
+        graft.ops.IvfIndex.beforeCasCommit()
+        val cur = readBm25Meta(spark, path)
+        if (cur.shards != e.shards || cur.tag != e.tag)
+          throw new java.util.ConcurrentModificationException(
+            s"bm25 index write at '$path' lost the commit race: meta " +
+              s"moved from shards=${e.shards}/tag='${e.tag}' to " +
+              s"shards=${cur.shards}/tag='${cur.tag}' since this " +
+              "operation planned. A concurrent writer committed first; " +
+              "this writer's orphan shard dirs are never read and the " +
+              "next compact sweeps them - retry against the new frontier")
+      }
+      val (n, tot) = prior.map(e => (e.n + nd, e.tot + totd))
+        .getOrElse((nd, totd))
+      val base = prior.map(_.base).getOrElse(0)
+      MetaSwap.commit(Seq((n, tot, shard, base, tag))
+        .toDF("n", "tot", "shards", "base", "tag"), s"$path/stats")
     } finally { w.unpersist(blocking = false); () }
   }
 
+  /** Fold new documents into a [[buildIndex]]-persisted index WITHOUT
+    * rebuilding — and WITHOUT approximation: BM25's corpus statistics
+    * are integer sums (N, total length) and per-term df is counted
+    * over the unioned postings at query time, so a query against the
+    * appended index is EXACTLY the query against a batch rebuild over
+    * the union — stale-idf drift, the usual incremental-BM25 trade,
+    * never exists here (gate d60 pins the equality on the full-corpus
+    * oracle). One tokenize pass over the delta; the standing postings
+    * are never re-read. Same `tag` idempotence and disjoint-doc-ids
+    * contract as every append in the library ([[graft.ops.Dedup
+    * .appendToLshIndex]]); `checkIds` buys the loud disjointness scan
+    * (one column-pruned pass over the postings' doc_id column). */
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, tag: String = "", checkIds: Boolean = false): Unit = {
+    val spark = docs.sparkSession
+    val m = readBm25Meta(spark, path)
+    if (tag.nonEmpty && tag == m.tag) return // retry of an applied append
+    if (checkIds) {
+      val dup = docs.select(col(idCol).as("doc_id")).join(
+          spark.read.parquet(s"$path/postings")
+            .filter(col("shard") >= m.base && col("shard") <= m.shards)
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"bm25 index at '$path' already contains delta doc_id " +
+          s"'${dup.headOption.map(_.get(0)).orNull}' - delta ids must " +
+          "be disjoint from indexed ids (a re-added doc would " +
+          "double-count df and tf); key deltas upstream")
+    }
+    writePostingsShard(docs, idCol, textCol, path, shard = m.shards + 1,
+      prior = Some(m), tag = tag)
+  }
+
+  /** Merge every live postings shard into one — the library's standard
+    * segment merge ([[graft.ops.IvfIndex.compactTables]] protocol:
+    * orphan at frontier+2, CAS-guarded stats swap with totals and tag
+    * preserved, sweep below base best-effort last). The merge
+    * re-clusters by word ACROSS the old shard boundary, restoring the
+    * row-group min/max pruning a query pays for when a term's postings
+    * are smeared over many small appended shards. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val m = readBm25Meta(spark, path)
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def sweepBelow(bnd: Int): Unit = (0 until bnd).foreach { g =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/postings/shard=$g")
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+    if (m.base == m.shards) { sweepBelow(m.base); return }
+    val merged = m.shards + 2
+    spark.read.parquet(s"$path/postings")
+      .filter(col("shard") >= m.base && col("shard") <= m.shards)
+      .select("doc_id", "dl", "word", "tf")
+      .repartition(col("word")).sortWithinPartitions("word", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/postings/shard=$merged")
+    graft.ops.IvfIndex.beforeCasCommit()
+    val cur = readBm25Meta(spark, path)
+    if (cur.shards != m.shards || cur.tag != m.tag)
+      throw new java.util.ConcurrentModificationException(
+        s"bm25 compact at '$path' lost the commit race: meta moved from " +
+          s"shards=${m.shards}/tag='${m.tag}' to shards=${cur.shards}/" +
+          s"tag='${cur.tag}' since this operation planned - retry " +
+          "against the new frontier")
+    MetaSwap.commit(Seq((m.n, m.tot, merged, merged, m.tag))
+      .toDF("n", "tot", "shards", "base", "tag"), s"$path/stats")
+    sweepBelow(merged)
+  }
+
+  /** Live shard count — the streaming ingest loop's compaction
+    * trigger (the Dedup.lshLiveShards shape). */
+  private[graft] def liveShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val m = readBm25Meta(spark, path); m.shards - m.base + 1
+  }
+
   /** Query a [[buildIndex]]-persisted index: scores are IDENTICAL to
-    * [[bm25]] over the same corpus (gate d53 proves it against d41's
-    * oracle). Driver-localized result, same as [[bm25]]. */
+    * [[bm25]] over the same corpus — including every appended shard
+    * (gates d53/d60 prove it against d41's oracle). The scan reads
+    * only LIVE shards (partition pruning on [base, frontier]) and only
+    * the query terms' row groups (the pushed isin); df/N/avgdl are
+    * global, so scores never drift from the batch answer.
+    * Driver-localized result, same as [[bm25]]. */
   def queryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 20): DataFrame = {
     validateQuery(terms, k1, b, topK)
-    // stats is the commit marker (written LAST): name the failure
-    // instead of a bare path-not-found from a crashed/partial build
-    require(Similarity.committedParquetExists(spark, s"$path/stats"),
-      s"bm25 index at '$path' is missing or incomplete " +
-        "(no committed stats table - builds write it last)")
-    val st = spark.read.parquet(s"$path/stats").head()
-    val n = st.getLong(0)
-    val avgdl = st.getLong(1).toDouble / n
+    val m = readBm25Meta(spark, path)
+    val avgdl = m.tot.toDouble / m.n
     val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("shard") >= m.base && col("shard") <= m.shards)
       .filter(col("word").isin(terms: _*)) // pushed to the parquet scan
-    val ranked = scorePlan(tf, n, avgdl, terms, k1, b, topK)
+      .select("doc_id", "dl", "word", "tf")
+    val ranked = scorePlan(tf, m.n, avgdl, terms, k1, b, topK)
     val rows = ranked.collect()
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), ranked.schema)

@@ -1553,6 +1553,29 @@ object Pipeline {
     graft.ops.Relevance.bm25(docs(s, dir), "doc_id", "text",
       Seq("join", "hash", "dup"))
 
+  /** Incremental BM25 proven end-to-end by ORACLE (r16): build the
+    * persisted index over 3/4 of the corpus, fold the rest in as TWO
+    * `Relevance.appendToIndex` shards, query through the sharded
+    * layout. The oracle is d41's FULL-corpus SQL verbatim, because
+    * incremental BM25 here is EXACT, not stale-idf approximate: N and
+    * total length are integer sums maintained in the stats commit, and
+    * per-term df counts over the unioned live postings at query time —
+    * a query against the appended index IS the query against a batch
+    * rebuild over the union. Fresh temp dir per call (the e15 rule:
+    * appends must not accumulate across bench/verify reps). */
+  def d60Bm25Delta(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-d60")
+      .toString + "/idx"
+    graft.ops.Relevance.buildIndex(d.filter(col("doc_id") % 4 =!= 0),
+      "doc_id", "text", path)
+    graft.ops.Relevance.appendToIndex(d.filter(col("doc_id") % 8 === 0),
+      "doc_id", "text", path, tag = "delta-a")
+    graft.ops.Relevance.appendToIndex(d.filter(col("doc_id") % 8 === 4),
+      "doc_id", "text", path, tag = "delta-b")
+    graft.ops.Relevance.queryIndex(s, path, Seq("join", "hash", "dup"))
+  }
+
   /** Index-backed BM25 (graft.ops.Relevance.buildIndex/queryIndex —
     * the build-once/query-many production retrieval shape): postings
     * persist word-partitioned parquet, the query's pushed `isin` reads
@@ -1821,6 +1844,7 @@ object Pipeline {
     "d51_unigram_nbest" -> d51UnigramNbest _,
     "d52_warc_tokenize" -> d52WarcTokenize _,
     "d53_bm25_index" -> d53Bm25Index _,
+    "d60_bm25_delta" -> d60Bm25Delta _,
     "d54_dedup_keep_best" -> d54DedupKeepBest _,
     "d55_lsh_delta_dedup" -> d55LshDeltaDedup _,
     "d56_langid_score" -> d56LangIdScore _,
@@ -2760,6 +2784,9 @@ object Pipeline {
     // scan, so its oracle IS d41's query — the persisted postings
     // cancel out of the compare entirely (the d50/d32 contract shape)
     "d53_bm25_index" -> d41OracleSql,
+    // incremental BM25 is EXACT (integer global stats + unioned-postings
+    // df), so the appended index answers d41's full-corpus oracle
+    "d60_bm25_delta" -> d41OracleSql,
     // d27's scoring CTEs + per-lang ntile(3) over (rounded score, id)
     // — integer rank logic, no interpolated-threshold knife-edge
     "d42_ccnet_buckets" ->

@@ -279,6 +279,32 @@ object EventStream {
         }
     }
 
+  /** Continuous retrieval-index ingestion — [[ivfAppendStream]] for
+    * the BM25 family: each micro-batch folds into a persisted
+    * [[graft.ops.Relevance.buildIndex]] index via `appendToIndex`
+    * (exact global stats, so queries between batches always equal a
+    * batch rebuild over everything ingested so far — no stale-idf
+    * window). Tag idempotence makes retried batches no-ops;
+    * `maintainEvery` compacts inside the loop when live shards exceed
+    * the cap (serialized by Structured Streaming, the ivfAppendStream
+    * rule). Caller contract: doc ids globally unique across the
+    * stream. */
+  def bm25AppendStream(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, maintainEvery: Int = 0, maxLiveShards: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Relevance.appendToIndex(batch, idCol, textCol,
+            indexPath, tag = s"batch-$batchId")
+          if (maintainEvery > 0 &&
+              batchId % maintainEvery == maintainEvery - 1 &&
+              graft.ops.Relevance.liveShards(batch.sparkSession, indexPath)
+                > maxLiveShards)
+            graft.ops.Relevance.compactIndex(batch.sparkSession, indexPath)
+        }
+    }
+
   def decontaminateHits(docs: DataFrame, benchShingles: DataFrame,
       nGram: Int = 3): DataFrame =
     docs.select(col("doc_id"),

@@ -2734,6 +2734,97 @@ class OpsSpec extends SparkSpec {
       r5.toString)
   }
 
+  test("BM25 incremental index: appends reproduce the batch rebuild " +
+      "EXACTLY (no stale idf), tag retry no-op, checkIds loud, compact " +
+      "preserves scores, CAS-guarded, legacy layout loud (r16)") {
+    import graft.ops.{IvfIndex, Relevance}
+    def doc(i: Int, extra: String) =
+      s"spark $extra pipeline with shuffle and sort keys " +
+        ("filler words pad the document length " * (1 + i % 3))
+    val a = (0 until 8).map(i => (i.toLong,
+      doc(i, if (i % 2 == 0) "join hash" else "join"))).toDF("doc_id", "text")
+    val b = (100 until 104).map(i => (i.toLong,
+      doc(i, if (i % 2 == 0) "dup hash" else "dup join"))).toDF("doc_id", "text")
+    val terms = Seq("join", "hash", "dup")
+    val path = tmpDir("bm25-delta")
+    Relevance.buildIndex(a, "doc_id", "text", path)
+    Relevance.appendToIndex(b, "doc_id", "text", path, tag = "day-1")
+    def scores() = Relevance.queryIndex(spark, path, terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // EXACT equality with the direct batch scan over the union: N,
+    // avgdl, and every df are global, so no stale-idf drift exists
+    val direct = Relevance.bm25(a.union(b), "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(scores() == direct,
+      s"appended index must equal the batch rebuild:\n${scores()}\n$direct")
+    def meta() = { val m = spark.read.parquet(s"$path/stats").head()
+      (m.getLong(m.fieldIndex("n")), m.getInt(m.fieldIndex("shards")),
+        m.getInt(m.fieldIndex("base")), m.getString(m.fieldIndex("tag"))) }
+    assert(meta() == ((12L, 1, 0, "day-1")), meta().toString)
+    // same-tag retry is a no-op
+    Relevance.appendToIndex(b, "doc_id", "text", path, tag = "day-1")
+    assert(meta() == ((12L, 1, 0, "day-1")), "retry must no-op")
+    // a re-added id fails loudly under checkIds (it would double-count
+    // df and tf in every future query)
+    val ex = intercept[IllegalArgumentException] {
+      Relevance.appendToIndex(b, "doc_id", "text", path, tag = "day-2",
+        checkIds = true)
+    }
+    assert(ex.getMessage.contains("already contains delta doc_id"),
+      ex.getMessage)
+    // compaction: scores identical, stats preserved, repeat no-op
+    Relevance.compactIndex(spark, path)
+    assert(meta() == ((12L, 3, 3, "day-1")), meta().toString)
+    assert(scores() == direct, "compaction must not move scores")
+    Relevance.compactIndex(spark, path)
+    assert(meta() == ((12L, 3, 3, "day-1")), "single-shard compact no-ops")
+    // the live-shard scan is partition-pruned: garbage below base is
+    // never read
+    spark.read.parquet(s"$path/postings/shard=3").write
+      .parquet(s"$path/postings/shard=1")
+    assert(scores() == direct, "garbage below base must be pruned")
+    // CAS: a compact racing a committed append loses loudly
+    val c = (200 until 202).map(i => (i.toLong, doc(i, "join")))
+      .toDF("doc_id", "text")
+    val d = (300 until 302).map(i => (i.toLong, doc(i, "hash")))
+      .toDF("doc_id", "text")
+    Relevance.appendToIndex(c, "doc_id", "text", path, tag = "day-3")
+    def onceCas(f: => Unit): Unit =
+      IvfIndex.beforeCasCommit = () => {
+        IvfIndex.beforeCasCommit = () => (); f
+      }
+    try {
+      onceCas { Relevance.appendToIndex(d, "doc_id", "text", path,
+        tag = "racer") }
+      val ex2 = intercept[java.util.ConcurrentModificationException] {
+        Relevance.compactIndex(spark, path)
+      }
+      assert(ex2.getMessage.contains("lost the commit race"), ex2.getMessage)
+      assert(meta() == ((16L, 5, 3, "racer")),
+        s"racing append (winner) must stand: ${meta()}")
+      // retried compact merges everything; the appended docs score
+      Relevance.compactIndex(spark, path)
+      assert(meta() == ((16L, 7, 7, "racer")), meta().toString)
+      val finalScores = Relevance.queryIndex(spark, path, terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val finalDirect = Relevance.bm25(a.union(b).union(c).union(d),
+          "doc_id", "text", terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(finalScores == finalDirect,
+        "post-race index must still equal the batch rebuild")
+    } finally IvfIndex.beforeCasCommit = () => ()
+    // a pre-r16 layout (unsharded postings, two-column stats) reads as
+    // incomplete-with-a-name, never complete-but-wrong
+    val legacy = tmpDir("bm25-legacy")
+    a.limit(2).write.parquet(s"$legacy/postings")
+    Seq((2L, 40L)).toDF("n", "tot").write.parquet(s"$legacy/stats")
+    val ex3 = intercept[IllegalArgumentException] {
+      Relevance.queryIndex(spark, legacy, terms)
+    }
+    assert(ex3.getMessage.contains("predates the sharded-postings layout"),
+      ex3.getMessage)
+  }
+
   test("driver-dict trainer cap sensitivity: on a Zipf corpus, halving " +
       "or doubling maxWords leaves BPE merges and WordPiece vocab " +
       "unchanged (the R13b tail argument, now a pinned property) (r16)") {

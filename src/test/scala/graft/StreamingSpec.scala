@@ -332,6 +332,45 @@ class StreamingSpec extends SparkSpec {
       m5.getInt(m5.fieldIndex("base")) == 7, "retry lands on the new frontier")
   }
 
+  test("bm25AppendStream: queries between batches equal a batch rebuild " +
+      "over everything ingested; maintenance bounds live shards (r16)") {
+    import spark.implicits._
+    import graft.ops.Relevance
+    def doc(i: Int, extra: String) =
+      s"spark $extra pipeline with shuffle and sort keys " +
+        ("filler words pad the document length " * (1 + i % 3))
+    val seed = (0 until 4).map(i => (i.toLong,
+      doc(i, if (i % 2 == 0) "join hash" else "join")))
+    val dir = tmpDir("graft-bm25stream")
+    Relevance.buildIndex(seed.toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/idx")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventStream.bm25AppendStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", s"$dir/idx",
+        maintainEvery = 2, maxLiveShards = 2)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val streamed = (0 until 5).map(b =>
+      (100L + b, doc(100 + b, if (b % 2 == 0) "dup hash" else "dup join")))
+    try {
+      streamed.foreach { row =>
+        input.addData(row)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val terms = Seq("join", "hash", "dup")
+    val viaIndex = Relevance.queryIndex(spark, s"$dir/idx", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = Relevance.bm25((seed ++ streamed).toDF("doc_id", "text"),
+        "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == direct,
+      s"streamed index must equal the batch rebuild:\n$viaIndex\n$direct")
+    val m = spark.read.parquet(s"$dir/idx/stats").head()
+    val live = m.getInt(m.fieldIndex("shards")) - m.getInt(m.fieldIndex("base")) + 1
+    assert(live <= 3, s"maintenance must bound live shards: $live")
+    assert(m.getInt(m.fieldIndex("base")) > 0, "at least one compact ran")
+  }
+
   test("dedupDeltaStream with maintainEvery: the ingest loop compacts " +
       "its own LSH index - live shards bounded, cross-batch pairing " +
       "intact through the merges (r16)") {
