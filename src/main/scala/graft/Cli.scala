@@ -69,8 +69,105 @@ object Cli {
     spark.sparkContext.setLogLevel("ERROR")
     try {
       if (args(0) == "curate") curateCmd(spark, args.drop(1))
+      else if (args(0) == "index") indexCmd(spark, args.drop(1))
       else run(new Platform(spark, args(0)), args.drop(1))
     } finally spark.stop()
+  }
+
+  /** `index <status|drift|compact|maintain> <kind> <path>` — the
+    * persisted-index maintenance surface (r16): the same
+    * maintain/compact/drift machinery the ops layer exposes, reachable
+    * as an operator command so production runbooks have ONE entry
+    * point per index family.
+    * {{{
+    *   graft.Cli index status   <ivf|ivfpq|ivfsq|lsh|simhash|bm25> <path>
+    *   graft.Cli index compact  <kind> <path>
+    *   graft.Cli index drift    <ivf|ivfpq|ivfsq> <path>
+    *   graft.Cli index maintain <kind> <path> [--max-live N] [--drift-max X]
+    * }}}
+    * `maintain` on the IVF family applies the drift-gated policy
+    * ([[graft.ops.IvfIndex.maintain]]) and prints the report — a
+    * REBUILD RECOMMENDED line when the frozen geometry stopped
+    * fitting; on the sketch/retrieval families (no drift dimension)
+    * it compacts when live shards exceed the cap. */
+  private[graft] def indexCmd(spark: SparkSession, args: Array[String]): Unit = {
+    val usage = "Cli index <status|drift|compact|maintain> " +
+      "<ivf|ivfpq|ivfsq|lsh|simhash|bm25> <path> [--max-live N] [--drift-max X]"
+    need(args, 3, usage)
+    val (cmd, kind, path) = (args(0), args(1), args(2))
+    var maxLive = 4
+    var driftMax = 1.5
+    args.drop(3).grouped(2).foreach {
+      case Array("--max-live", v) => maxLive = v.toInt
+      case Array("--drift-max", v) => driftMax = v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"unknown index flag '${other.mkString(" ")}' - $usage")
+    }
+    import graft.ops.{Dedup, IvfIndex, IvfPq, IvfSq, Relevance}
+    require(Seq("ivf", "ivfpq", "ivfsq", "lsh", "simhash", "bm25")
+      .contains(kind), s"unknown index kind '$kind' - $usage")
+    def live(): Int = kind match {
+      case "ivf" | "ivfpq" | "ivfsq" =>
+        val m = IvfIndex.metaIfComplete(spark, path).getOrElse(
+          throw new IllegalArgumentException(
+            s"$kind index at '$path' is missing or incomplete"))
+        m.shards - m.base + 1
+      case "lsh" => Dedup.lshLiveShards(spark, path)
+      case "simhash" => Dedup.simhashLiveShards(spark, path)
+      case "bm25" => Relevance.liveShards(spark, path)
+    }
+    def compact(): Unit = kind match {
+      case "ivf" => IvfIndex.compact(spark, path)
+      case "ivfpq" => IvfPq.compact(spark, path)
+      case "ivfsq" => IvfSq.compact(spark, path)
+      case "lsh" => Dedup.compactLshIndex(spark, path)
+      case "simhash" => Dedup.compactSimhashIndex(spark, path)
+      case "bm25" => Relevance.compactIndex(spark, path)
+    }
+    def driftDf() = kind match {
+      case "ivf" => IvfIndex.driftStats(spark, path)
+      case "ivfpq" => IvfPq.driftStats(spark, path)
+      case "ivfsq" => IvfSq.driftStats(spark, path)
+      case _ => throw new IllegalArgumentException(
+        s"drift telemetry exists only for the IVF family, not '$kind'")
+    }
+    cmd match {
+      case "status" =>
+        println(s"index $kind at $path: ${live()} live shard(s)")
+      case "compact" =>
+        compact(); println(s"index $kind at $path: compacted, " +
+          s"${live()} live shard(s)")
+      case "drift" =>
+        driftDf().collect().foreach { r =>
+          println(f"shard=${r.getInt(0)}%-4d n=${r.getLong(1)}%-8d " +
+            f"mean_residual=${r.getDouble(2)}%.6f " +
+            f"drift_ratio=${r.getDouble(3)}%.4f")
+        }
+      case "maintain" => kind match {
+        case "ivf" | "ivfpq" | "ivfsq" =>
+          val rep = kind match {
+            case "ivf" => IvfIndex.maintain(spark, path, maxLive, driftMax)
+            case "ivfpq" => IvfPq.maintain(spark, path, maxLive, driftMax)
+            case _ => IvfSq.maintain(spark, path, maxLive, driftMax)
+          }
+          println(f"maintain $kind at $path: live=${rep.liveShards} " +
+            f"max_drift_ratio=${rep.maxDriftRatio}%.4f " +
+            f"compacted=${rep.compacted}")
+          if (rep.rebuildFlagged)
+            println(s"REBUILD RECOMMENDED: drift ratio " +
+              f"${rep.maxDriftRatio}%.4f exceeds $driftMax%.2f - the " +
+              "frozen geometry no longer fits the appended distribution")
+        case _ =>
+          if (live() > maxLive) {
+            compact()
+            println(s"maintain $kind at $path: compacted to ${live()} " +
+              "live shard(s)")
+          } else println(s"maintain $kind at $path: ${live()} live " +
+            s"shard(s) <= $maxLive, nothing to do")
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown index command '$other' - $usage")
+    }
   }
 
   /** `curate <in.jsonl> <outDir> [minWords]` — the batch curation

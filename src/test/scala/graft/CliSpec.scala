@@ -10,6 +10,71 @@ import graft.model.DantzigModel
 class CliSpec extends SparkSpec {
   import spark.implicits._
 
+  test("index command group: status/drift/compact/maintain drive every " +
+      "persisted index family end to end (r16)") {
+    import graft.ops.{Dedup, IvfSq, Relevance}
+    def vecA(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 0) 1.0f else 0.02f * ((i + d) % 5)))
+    def vecS(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 4) 1.0f else 0.01f * ((i + d) % 3)))
+    def captured(f: => Unit): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8"))(f)
+      bos.toString("UTF-8")
+    }
+    // IVF-SQ: status, drift table, maintain (quiet path compacts)
+    val ivf = tmpDir("cli-idx-ivfsq")
+    IvfSq.build((0 until 24).map(i => (i.toLong, vecA(i))).toDF("id", "vec"),
+      nCells = 2, refineIters = 1, persist = false).save(ivf)
+    IvfSq.append((100 until 106).map(i => (i.toLong, vecA(i)))
+      .toDF("id", "vec"), ivf, tag = "d1")
+    val st = captured { Cli.indexCmd(spark, Array("status", "ivfsq", ivf)) }
+    assert(st.contains("2 live shard"), st)
+    val dr = captured { Cli.indexCmd(spark, Array("drift", "ivfsq", ivf)) }
+    assert(dr.contains("drift_ratio"), dr)
+    val mt = captured { Cli.indexCmd(spark,
+      Array("maintain", "ivfsq", ivf, "--max-live", "1")) }
+    assert(mt.contains("compacted=true") && !mt.contains("REBUILD"), mt)
+    // shifted append -> maintain prints the rebuild recommendation
+    IvfSq.append((200 until 212).map(i => (i.toLong, vecS(i)))
+      .toDF("id", "vec"), ivf, tag = "d2")
+    val mt2 = captured { Cli.indexCmd(spark,
+      Array("maintain", "ivfsq", ivf, "--max-live", "1")) }
+    assert(mt2.contains("REBUILD RECOMMENDED"), mt2)
+    // LSH: maintain compacts past the cap; drift is refused by name
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "patient cat watches from the old wooden fence near the gate"
+    val lsh = tmpDir("cli-idx-lsh")
+    Dedup.buildLshIndex(Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", lsh)
+    Dedup.appendToLshIndex(Seq((2L, base + " x")).toDF("doc_id", "text"),
+      "doc_id", "text", lsh, tag = "b1")
+    Dedup.appendToLshIndex(Seq((3L, base + " y")).toDF("doc_id", "text"),
+      "doc_id", "text", lsh, tag = "b2")
+    val ml = captured { Cli.indexCmd(spark,
+      Array("maintain", "lsh", lsh, "--max-live", "2")) }
+    assert(ml.contains("compacted to 1 live shard"), ml)
+    val exD = intercept[IllegalArgumentException] {
+      Cli.indexCmd(spark, Array("drift", "lsh", lsh))
+    }
+    assert(exD.getMessage.contains("only for the IVF family"), exD.getMessage)
+    // BM25: explicit compact through the CLI
+    val bm = tmpDir("cli-idx-bm25")
+    Relevance.buildIndex(Seq((1L, "join hash scan"), (2L, "join dup"))
+      .toDF("doc_id", "text"), "doc_id", "text", bm)
+    Relevance.appendToIndex(Seq((3L, "hash dup merge")).toDF("doc_id", "text"),
+      "doc_id", "text", bm, tag = "b1")
+    val cb = captured { Cli.indexCmd(spark, Array("compact", "bm25", bm)) }
+    assert(cb.contains("compacted, 1 live shard"), cb)
+    // unknown kind / flag fail loudly with usage
+    intercept[IllegalArgumentException] {
+      Cli.indexCmd(spark, Array("status", "hnsw", bm))
+    }
+    intercept[IllegalArgumentException] {
+      Cli.indexCmd(spark, Array("maintain", "bm25", bm, "--bogus", "1"))
+    }
+  }
+
   test("scenarios/list, solve, export, import, report commands") {
     val mp = new Platform(spark, tmpDir("graft-cli"))
     mp.addUnit("USD")
