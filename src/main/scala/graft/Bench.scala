@@ -94,7 +94,7 @@ object Bench {
     // for round-over-round comparability.
     val heavyFirst = Seq("d30_dsir_scores", "d19_dedup_clusters",
       "e07_semantic_dedup", "e15_knn_ivfsq_sharded", "e17_knn_opq_sharded",
-      "e18_knn_ivfsq_compacted", "d60_bm25_delta",
+      "e18_knn_ivfsq_compacted", "e19_knn_ivfsq_rebuilt", "d60_bm25_delta",
       "d54_dedup_keep_best", "d55_lsh_delta_dedup",
       "d29_substring_spans", "e13_knn_ivfsq_verify", "e06_knn_ivfpq_verify",
       "d53_bm25_index", "d14_winnow_overlap", "d23_bloom_decontaminate")

@@ -91,7 +91,7 @@ object Cli {
     * fitting; on the sketch/retrieval families (no drift dimension)
     * it compacts when live shards exceed the cap. */
   private[graft] def indexCmd(spark: SparkSession, args: Array[String]): Unit = {
-    val usage = "Cli index <status|drift|compact|maintain> " +
+    val usage = "Cli index <status|drift|compact|maintain|rebuild> " +
       "<ivf|ivfpq|ivfsq|lsh|simhash|bm25> <path> [--max-live N] [--drift-max X]"
     need(args, 3, usage)
     val (cmd, kind, path) = (args(0), args(1), args(2))
@@ -143,6 +143,20 @@ object Cli {
             f"mean_residual=${r.getDouble(2)}%.6f " +
             f"drift_ratio=${r.getDouble(3)}%.4f")
         }
+      case "rebuild" => kind match {
+        case "ivf" | "ivfpq" | "ivfsq" =>
+          kind match {
+            case "ivf" => IvfIndex.rebuild(spark, path)
+            case "ivfpq" => IvfPq.rebuild(spark, path)
+            case _ => IvfSq.rebuild(spark, path)
+          }
+          println(s"rebuild $kind at $path: retrained from the stored " +
+            s"corpus, ${live()} live shard(s)")
+        case _ => throw new IllegalArgumentException(
+          s"'$kind' has no trained geometry to rebuild - its index IS " +
+            "the data (sketches/postings); re-run its build over the " +
+            "source corpus instead")
+      }
       case "maintain" => kind match {
         case "ivf" | "ivfpq" | "ivfsq" =>
           val rep = kind match {

@@ -113,7 +113,7 @@ final class IvfPqIndex private[ops] (
     * rotation claim, so retraining the OPQ model in place can never
     * silently mix rotations in one codes table (the codes would be
     * garbage with no error anywhere). */
-  def save(path: String, rot: String = ""): Unit = {
+  def save(path: String, rot: String = "", tag: String = ""): Unit = {
     val spark = ivf.centroids.sparkSession
     import spark.implicits._
     IvfIndex.invalidateMeta(spark, path)
@@ -136,7 +136,8 @@ final class IvfPqIndex private[ops] (
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     encoded.write.mode("overwrite").parquet(s"$path/encoded/shard=0")
     corpusUnit.write.mode("overwrite").parquet(s"$path/corpus/shard=0")
-    IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells, rot = rot)
+    IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells, rot = rot,
+      tag = tag)
   }
 }
 
@@ -162,6 +163,16 @@ object IvfPq {
     val unit = corpus.select(col("id"),
         vecUnit(col("vec").cast("array<double>")).as("vec"))
       .filter(Similarity.dot(col("vec"), col("vec")) > 0)
+    buildFromUnit(unit, nCells, m, ks, pqIters, refineIters, persist,
+      md5Seeds)
+  }
+
+  /** [[build]] minus the normalization prefix — the [[rebuild]] entry
+    * (the IvfSq.buildFromUnit rule: stored corpus vectors are already
+    * unit; re-normalizing would perturb them by an ulp). */
+  private[ops] def buildFromUnit(unit: DataFrame, nCells: Int, m: Int,
+      ks: Int, pqIters: Int, refineIters: Int, persist: Boolean,
+      md5Seeds: Boolean): IvfPqIndex = {
     val ivf = IvfIndex.build(unit, nCells, refineIters, persist = false,
       md5Seeds = md5Seeds)
     // persist the residual frame (review r11): Pq.train runs three
@@ -366,6 +377,32 @@ object IvfPq {
       path: String): Unit =
     IvfIndex.compactTables(spark, path, Seq("corpus", "encoded"),
       requireMeta(spark, path))
+
+  /** Retrain the index IN PLACE from its own stored corpus (the
+    * [[graft.ops.IvfSq.rebuild]] contract: fresh coarse centroids AND
+    * a fresh residual codebook fit the union of build + appended rows;
+    * tag and the OPQ rotation pin carry through — the corpus is stored
+    * ALREADY rotated, so the rotation is unchanged by retraining the
+    * quantizers under it; append tags keep streaming retries no-ops;
+    * in-place and epoch-destructive, crash = incomplete-and-named). */
+  def rebuild(spark: org.apache.spark.sql.SparkSession, path: String,
+      nCells: Int = 0, m: Int = 8, ks: Int = 64, pqIters: Int = 2,
+      refineIters: Int = 1, md5Seeds: Boolean = false): Unit = {
+    val meta = requireMeta(spark, path)
+    val scratch = s"$path/.rebuild-src"
+    val sp = new org.apache.hadoop.fs.Path(scratch)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(sp, true)
+    try {
+      spark.read.parquet(s"$path/corpus")
+        .filter(col("shard") >= meta.base && col("shard") <= meta.shards)
+        .select("id", "vec")
+        .write.parquet(scratch)
+      buildFromUnit(spark.read.parquet(scratch), nCells, m, ks, pqIters,
+        refineIters, persist = false, md5Seeds = md5Seeds)
+        .save(path, rot = meta.rot, tag = meta.tag)
+    } finally { fs.delete(sp, true); () }
+  }
 
   /** The [[IvfIndex.maintain]] policy hook over this family's
     * telemetry, merge, and (optional) recall probe. */

@@ -86,8 +86,11 @@ final class IvfSqIndex private[ops] (
 
   /** Persist under `path` as parquet tables (the [[IvfPqIndex.save]]
     * layout with an `sqmodel` table in place of the PQ codebook); meta
-    * marker last, stale marker deleted first — crash-safe. */
-  def save(path: String): Unit = {
+    * marker last, stale marker deleted first — crash-safe. `tag`
+    * seeds the append-idempotence token ([[IvfSq.rebuild]] passes the
+    * pre-rebuild tag through so a streaming retry of the last applied
+    * batch still no-ops on the rebuilt index). */
+  def save(path: String, tag: String = ""): Unit = {
     val spark = ivf.centroids.sparkSession
     import spark.implicits._
     IvfIndex.invalidateMeta(spark, path)
@@ -108,7 +111,7 @@ final class IvfSqIndex private[ops] (
       .coalesce(1).write.mode("overwrite").parquet(s"$path/sqmodel")
     encoded.write.mode("overwrite").parquet(s"$path/encoded/shard=0")
     corpusUnit.write.mode("overwrite").parquet(s"$path/corpus/shard=0")
-    IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells)
+    IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells, tag = tag)
   }
 }
 
@@ -127,6 +130,18 @@ object IvfSq {
     val unit = corpus.select(col("id"),
         vecUnit(col("vec").cast("array<double>")).as("vec"))
       .filter(Similarity.dot(col("vec"), col("vec")) > 0)
+    buildFromUnit(unit, nCells, refineIters, persist, md5Seeds)
+  }
+
+  /** [[build]] minus the normalization prefix — the [[rebuild]] entry:
+    * a rebuild retrains from the index's OWN stored corpus, whose
+    * vectors are already unit (normalized once, at original
+    * build/append time); re-normalizing would perturb them by an ulp
+    * (1/sqrt(ss) with ss ≈ but not exactly 1.0) and break the
+    * bit-equality with a from-scratch build over the same corpus that
+    * gate e19 pins. */
+  private[ops] def buildFromUnit(unit: DataFrame, nCells: Int,
+      refineIters: Int, persist: Boolean, md5Seeds: Boolean): IvfSqIndex = {
     val ivf = IvfIndex.build(unit, nCells, refineIters, persist = false,
       md5Seeds = md5Seeds)
     val residuals = ivf.assigned
@@ -279,6 +294,42 @@ object IvfSq {
       path: String): Unit =
     IvfIndex.compactTables(spark, path, Seq("corpus", "encoded"),
       requireMeta(spark, path))
+
+  /** Retrain the index IN PLACE from its own stored corpus — the
+    * response to a [[maintain]] rebuild flag, closing the lifecycle
+    * (build → append → drift flag → rebuild): fresh centroids and a
+    * fresh SQ min/max model fit the UNION of build + appended rows, so
+    * post-rebuild [[driftStats]] reads 1.0 again. No external corpus
+    * needed — the index's `corpus` table IS the training set (already
+    * unit-normalized; [[buildFromUnit]] skips re-normalization, so a
+    * rebuild is bit-identical to a from-scratch build over the same
+    * rows — gate e19 pins this against e13's full-corpus oracle). The
+    * append tag carries through, so a streaming retry of the last
+    * applied batch still no-ops. IN PLACE and epoch-destructive by
+    * design (save invalidates the standing meta first): a crash
+    * mid-rebuild leaves the index incomplete-and-named, never
+    * stale-geometry-over-new-rows; operators wanting a zero-downtime
+    * swap rebuild to a NEW path. Live rows stage through a durable
+    * scratch dir inside the index path (a lazily-read corpus would be
+    * deleted out from under the save's own rewrite). */
+  def rebuild(spark: org.apache.spark.sql.SparkSession, path: String,
+      nCells: Int = 0, refineIters: Int = 1,
+      md5Seeds: Boolean = false): Unit = {
+    val meta = requireMeta(spark, path)
+    val scratch = s"$path/.rebuild-src"
+    val sp = new org.apache.hadoop.fs.Path(scratch)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(sp, true)
+    try {
+      spark.read.parquet(s"$path/corpus")
+        .filter(col("shard") >= meta.base && col("shard") <= meta.shards)
+        .select("id", "vec")
+        .write.parquet(scratch)
+      buildFromUnit(spark.read.parquet(scratch), nCells, refineIters,
+        persist = false, md5Seeds = md5Seeds)
+        .save(path, tag = meta.tag)
+    } finally { fs.delete(sp, true); () }
+  }
 
   /** The [[IvfIndex.maintain]] policy hook over this family's
     * telemetry, merge, and (optional) recall probe. */

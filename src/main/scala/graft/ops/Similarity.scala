@@ -533,7 +533,7 @@ final class IvfIndex private[ops] (
     * crash mid-overwrite would leave stale meta standing over partial
     * tables — exactly the state the meta-last protocol exists to make
     * unrepresentable. */
-  def save(path: String): Unit = {
+  def save(path: String, tag: String = ""): Unit = {
     val spark = centroids.sparkSession
     IvfIndex.invalidateMeta(spark, path)
     IvfIndex.clearStale(spark, path, Set("centroids", "assigned"))
@@ -550,7 +550,7 @@ final class IvfIndex private[ops] (
     }
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assigned.write.mode("overwrite").parquet(s"$path/assigned/shard=0")
-    IvfIndex.writeMeta(spark, s"$path/meta", nCells)
+    IvfIndex.writeMeta(spark, s"$path/meta", nCells, tag = tag)
   }
 }
 
@@ -828,6 +828,38 @@ object IvfIndex {
       s"ivf index at '$path' is missing or incomplete " +
         "(no committed meta table - saves write it last)")
     compactTables(spark, path, Seq("assigned"), meta.get)
+  }
+
+  /** Retrain a plain IVF index IN PLACE from its own stored vectors
+    * (the IvfSq.rebuild contract: the `assigned` table carries the
+    * original vectors, so no external corpus is needed; fresh
+    * centroids fit the union of build + appended rows and
+    * [[driftStats]] reads 1.0 again; the append tag carries through so
+    * streaming retries keep no-opping; in-place, epoch-destructive,
+    * crash = incomplete-and-named; live rows stage through a durable
+    * scratch dir — a lazily-read assigned table would be deleted out
+    * from under the save's own rewrite). */
+  def rebuild(spark: org.apache.spark.sql.SparkSession, path: String,
+      nCells: Int = 0, refineIters: Int = 1,
+      md5Seeds: Boolean = false): Unit = {
+    val meta = metaIfComplete(spark, path)
+    require(meta.isDefined,
+      s"ivf index at '$path' is missing or incomplete " +
+        "(no committed meta table - saves write it last)")
+    val m = meta.get
+    val scratch = s"$path/.rebuild-src"
+    val sp = new org.apache.hadoop.fs.Path(scratch)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(sp, true)
+    try {
+      spark.read.parquet(s"$path/assigned")
+        .filter(col("shard") >= m.base && col("shard") <= m.shards)
+        .select("id", "vec")
+        .write.parquet(scratch)
+      build(spark.read.parquet(scratch), nCells, refineIters,
+        persist = false, md5Seeds = md5Seeds)
+        .save(path, tag = m.tag)
+    } finally { fs.delete(sp, true); () }
   }
 
   /** One [[maintain]] pass's verdict. `maxDriftRatio` is the worst

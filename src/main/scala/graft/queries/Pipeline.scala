@@ -520,6 +520,31 @@ object Pipeline {
     idx.query(q, 5, nProbe = 2, fetch = 20).orderBy("qid", "rank")
   }
 
+  /** REBUILD proven end-to-end by ORACLE (r16, the lifecycle's last
+    * step): e15's recipe (deterministic build over 3/4 + two
+    * frozen-model appends), then [[graft.ops.IvfSq.rebuild]] — which
+    * retrains centroids and the SQ model from the index's own stored
+    * corpus (now the FULL corpus) — then query. A correct rebuild is
+    * bit-identical to building from scratch over the full corpus, so
+    * the oracle IS e13's SQL verbatim (the e18 sharing pattern):
+    * stored vectors re-enter training WITHOUT re-normalization
+    * (buildFromUnit — re-applying vecUnit would perturb each
+    * coordinate by an ulp and break the equality). Fresh temp dir per
+    * call (the e15 rule). */
+  def e19KnnIvfSqRebuilt(s: SparkSession, dir: String): DataFrame = {
+    val (e, q) = knnInputs(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-e19")
+      .toString + "/idx"
+    graft.ops.IvfSq.build(e.filter(col("id") % 4 =!= 0), nCells = 4,
+      refineIters = 0, persist = false, md5Seeds = true).save(path)
+    graft.ops.IvfSq.append(e.filter(col("id") % 8 === 0), path, tag = "delta-a")
+    graft.ops.IvfSq.append(e.filter(col("id") % 8 === 4), path, tag = "delta-b")
+    graft.ops.IvfSq.rebuild(s, path, nCells = 4, refineIters = 0,
+      md5Seeds = true)
+    val idx = graft.ops.IvfSq.load(s, path, persist = false)
+    idx.query(q, 5, nProbe = 2, fetch = 20).orderBy("qid", "rank")
+  }
+
   /** End-to-end SHARDED OPQ+IVF-PQ verification gate — the e15
     * treatment for the IVF-PQ append path (until now spec-only), with
     * the e08 FIXED signed-permutation rotation standing in for the
@@ -1928,6 +1953,7 @@ object Pipeline {
     "e15_knn_ivfsq_sharded" -> e15KnnIvfSqSharded _,
     "e16_drift_stats" -> e16DriftStats _,
     "e18_knn_ivfsq_compacted" -> e18KnnIvfSqCompacted _,
+    "e19_knn_ivfsq_rebuilt" -> e19KnnIvfSqRebuilt _,
     "e17_knn_opq_sharded" -> e17KnnOpqIvfPqSharded _)
 
   /** The ONE copy of the md5-simhash signature CTEs (review r11: d08/
@@ -2055,6 +2081,56 @@ object Pipeline {
   // IvfSq.append does, so the whole sharded layout is hash-provable.
   // Shared by e15 (sharded read path) and e18 (the same layout after
   // IvfSq.compact — the merge must be bit-invariant).
+  // e06's deterministic-IVF skeleton with the residual quantizer
+  // swapped to SQ8: per-dim residual min/max (exact aggregates),
+  // linear codes, inline decode, cell-dot + residual-dot score.
+  // Shared by e13 (full-corpus deterministic build) and e19 (the same
+  // corpus reached through build-3/4 + appends + REBUILD).
+  private val e13OracleSql =
+      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nrm AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS ss FROM e),
+        |u AS (SELECT id, CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0 / sqrt(ss))) ELSE v END AS v FROM nrm),
+        |cent AS (SELECT row_number() OVER (ORDER BY h, id) AS cell, cv FROM
+        |  (SELECT md5(CAST(id AS VARCHAR)) AS h, id, v AS cv FROM u ORDER BY h, id LIMIT 4)),
+        |asg AS (SELECT id, v, cell, cv FROM
+        |  (SELECT u.id, u.v, c.cell, c.cv,
+        |     row_number() OVER (PARTITION BY u.id
+        |       ORDER BY list_sum(list_transform(range(1, 65), i -> u.v[i] * c.cv[i])) DESC, c.cell) AS rk
+        |   FROM u CROSS JOIN cent c) WHERE rk = 1),
+        |resid AS (SELECT id, cell, list_transform(range(1, 65), i -> v[i] - cv[i]) AS r FROM asg),
+        |dims AS (SELECT unnest(range(0, 64)) AS d),
+        |stat AS (SELECT d, min(r[d + 1]) AS mn, max(r[d + 1]) AS mx
+        |         FROM resid CROSS JOIN dims GROUP BY d),
+        |st AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM stat),
+        |enc AS (SELECT id, cell, list_transform(range(0, 64), d ->
+        |   CASE WHEN mxs[d + 1] = mns[d + 1] THEN 0.0
+        |        ELSE least(255.0, greatest(0.0,
+        |          floor((r[d + 1] - mns[d + 1]) / (mxs[d + 1] - mns[d + 1]) * 255.0 + 0.5))) END)
+        |  AS codes FROM resid CROSS JOIN st),
+        |rec AS (SELECT id, cell, list_transform(range(0, 64), d ->
+        |   mns[d + 1] + codes[d + 1] * ((mxs[d + 1] - mns[d + 1]) / 255.0)) AS recon
+        |  FROM enc CROSS JOIN st),
+        |qu AS (SELECT id AS qid, v AS qv FROM u WHERE id < 10),
+        |qp AS (SELECT qid, cell, cscore FROM
+        |  (SELECT q.qid, c.cell,
+        |     list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])) AS cscore,
+        |     row_number() OVER (PARTITION BY q.qid
+        |       ORDER BY list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])) DESC, c.cell) AS rk
+        |   FROM qu q CROSS JOIN cent c) WHERE rk <= 2),
+        |cand AS (SELECT p.qid, t.id,
+        |    p.cscore + list_sum(list_transform(range(1, 65), i -> q.qv[i] * t.recon[i])) AS score
+        |  FROM qp p JOIN rec t ON t.cell = p.cell JOIN qu q ON q.qid = p.qid
+        |  WHERE t.id <> p.qid),
+        |short AS (SELECT qid, id FROM
+        |  (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk FROM cand)
+        |  WHERE rk <= 20),
+        |rer AS (SELECT s.qid, s.id,
+        |    list_sum(list_transform(range(1, 65), i -> cu.v[i] * q.qv[i])) AS sim
+        |  FROM short s JOIN u cu ON cu.id = s.id JOIN qu q ON q.qid = s.qid)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim FROM
+        |  (SELECT qid, id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM rer)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   private val e15OracleSql =
       """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |nrm AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS ss FROM e),
@@ -3501,50 +3577,12 @@ object Pipeline {
     // e06's deterministic-IVF skeleton with the residual quantizer
     // swapped to SQ8: per-dim residual min/max (exact aggregates),
     // linear codes, inline decode, cell-dot + residual-dot score
-    "e13_knn_ivfsq_verify" ->
-      """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |nrm AS (SELECT id, v, list_sum(list_transform(v, x -> x * x)) AS ss FROM e),
-        |u AS (SELECT id, CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0 / sqrt(ss))) ELSE v END AS v FROM nrm),
-        |cent AS (SELECT row_number() OVER (ORDER BY h, id) AS cell, cv FROM
-        |  (SELECT md5(CAST(id AS VARCHAR)) AS h, id, v AS cv FROM u ORDER BY h, id LIMIT 4)),
-        |asg AS (SELECT id, v, cell, cv FROM
-        |  (SELECT u.id, u.v, c.cell, c.cv,
-        |     row_number() OVER (PARTITION BY u.id
-        |       ORDER BY list_sum(list_transform(range(1, 65), i -> u.v[i] * c.cv[i])) DESC, c.cell) AS rk
-        |   FROM u CROSS JOIN cent c) WHERE rk = 1),
-        |resid AS (SELECT id, cell, list_transform(range(1, 65), i -> v[i] - cv[i]) AS r FROM asg),
-        |dims AS (SELECT unnest(range(0, 64)) AS d),
-        |stat AS (SELECT d, min(r[d + 1]) AS mn, max(r[d + 1]) AS mx
-        |         FROM resid CROSS JOIN dims GROUP BY d),
-        |st AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM stat),
-        |enc AS (SELECT id, cell, list_transform(range(0, 64), d ->
-        |   CASE WHEN mxs[d + 1] = mns[d + 1] THEN 0.0
-        |        ELSE least(255.0, greatest(0.0,
-        |          floor((r[d + 1] - mns[d + 1]) / (mxs[d + 1] - mns[d + 1]) * 255.0 + 0.5))) END)
-        |  AS codes FROM resid CROSS JOIN st),
-        |rec AS (SELECT id, cell, list_transform(range(0, 64), d ->
-        |   mns[d + 1] + codes[d + 1] * ((mxs[d + 1] - mns[d + 1]) / 255.0)) AS recon
-        |  FROM enc CROSS JOIN st),
-        |qu AS (SELECT id AS qid, v AS qv FROM u WHERE id < 10),
-        |qp AS (SELECT qid, cell, cscore FROM
-        |  (SELECT q.qid, c.cell,
-        |     list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])) AS cscore,
-        |     row_number() OVER (PARTITION BY q.qid
-        |       ORDER BY list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.cv[i])) DESC, c.cell) AS rk
-        |   FROM qu q CROSS JOIN cent c) WHERE rk <= 2),
-        |cand AS (SELECT p.qid, t.id,
-        |    p.cscore + list_sum(list_transform(range(1, 65), i -> q.qv[i] * t.recon[i])) AS score
-        |  FROM qp p JOIN rec t ON t.cell = p.cell JOIN qu q ON q.qid = p.qid
-        |  WHERE t.id <> p.qid),
-        |short AS (SELECT qid, id FROM
-        |  (SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rk FROM cand)
-        |  WHERE rk <= 20),
-        |rer AS (SELECT s.qid, s.id,
-        |    list_sum(list_transform(range(1, 65), i -> cu.v[i] * q.qv[i])) AS sim
-        |  FROM short s JOIN u cu ON cu.id = s.id JOIN qu q ON q.qid = s.qid)
-        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim FROM
-        |  (SELECT qid, id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM rer)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "e13_knn_ivfsq_verify" -> e13OracleSql,
+    // A correct REBUILD over the sharded layout is bit-identical to a
+    // from-scratch build over the full corpus, so e19's oracle IS
+    // e13's SQL verbatim (the e18 sharing pattern): any retrain that
+    // re-normalized, reordered seeds, or lost a row would mismatch.
+    "e19_knn_ivfsq_rebuilt" -> e13OracleSql,
     // e13's oracle with the TRAINED state (centroid seeds + SQ min/max)
     // restricted to the BUILD subset (id % 4 <> 0): appended rows (the
     // two delta shards) assign and encode under the FROZEN model —

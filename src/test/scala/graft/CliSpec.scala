@@ -41,6 +41,16 @@ class CliSpec extends SparkSpec {
     val mt2 = captured { Cli.indexCmd(spark,
       Array("maintain", "ivfsq", ivf, "--max-live", "1")) }
     assert(mt2.contains("REBUILD RECOMMENDED"), mt2)
+    // ...and the rebuild subcommand acts on the recommendation
+    val rb = captured { Cli.indexCmd(spark, Array("rebuild", "ivfsq", ivf)) }
+    assert(rb.contains("retrained from the stored corpus, 1 live shard"), rb)
+    val mt3 = captured { Cli.indexCmd(spark,
+      Array("maintain", "ivfsq", ivf, "--max-live", "1")) }
+    assert(!mt3.contains("REBUILD"), mt3)
+    val exR = intercept[IllegalArgumentException] {
+      Cli.indexCmd(spark, Array("rebuild", "lsh", ivf))
+    }
+    assert(exR.getMessage.contains("no trained geometry"), exR.getMessage)
     // LSH: maintain compacts past the cap; drift is refused by name
     val base = "the quick brown fox jumps over the lazy dog while the " +
       "patient cat watches from the old wooden fence near the gate"

@@ -297,6 +297,83 @@ class SqSpec extends SparkSpec {
     assert(ex2.getMessage.contains("not comparable"), ex2.getMessage)
   }
 
+  test("rebuild: retrains from the stored corpus - drift back to 1.0, " +
+      "maintain flag clears, ids and tag preserved, rot pin survives " +
+      "the IvfPq rebuild (r16)") {
+    import graft.ops.{IvfIndex, IvfPq, IvfSq, Pq}
+    def vecA(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 0) 1.0f else 0.02f * ((i + d) % 5)))
+    def vecS(i: Int) = Array.tabulate(8)(d =>
+      (if (d == 4 + (i % 2)) 1.0f else 0.01f * ((i + d) % 3)))
+    // build sees ONLY the vecA distribution; the append is genuinely
+    // shifted (vecS axes), so maintain flags before the rebuild and
+    // the rebuilt geometry must then cover both
+    val build = (0 until 24).map(i => (i.toLong, vecA(i))).toDF("id", "vec")
+    val shifted = (200 until 212).map(i => (i.toLong, vecS(i + 7)))
+      .toDF("id", "vec")
+
+    // --- IVF-SQ: flagged drift -> rebuild -> healthy ---
+    val p1 = java.nio.file.Files.createTempDirectory("rebuild-sq")
+      .toString + "/idx"
+    IvfSq.build(build, nCells = 2, refineIters = 1, persist = false)
+      .save(p1)
+    IvfSq.append(shifted, p1, tag = "d1")
+    val before = IvfSq.maintain(spark, p1, maxLiveShards = 1)
+    assert(before.rebuildFlagged, before.toString)
+    IvfSq.rebuild(spark, p1, nCells = 2, refineIters = 1)
+    val drift = IvfSq.driftStats(spark, p1).collect()
+    assert(drift.length == 1 && drift.head.getDouble(3) == 1.0,
+      s"rebuild must leave one self-referenced shard: ${drift.toSeq}")
+    val after = IvfSq.maintain(spark, p1, maxLiveShards = 1)
+    assert(!after.rebuildFlagged && !after.compacted, after.toString)
+    // every id survives, the appended rows are now first-class
+    val m1 = spark.read.parquet(s"$p1/stats".replace("stats", "meta")).head()
+    assert(m1.getString(m1.fieldIndex("tag")) == "d1",
+      "append tag must carry through the rebuild (streaming retries)")
+    val ids = spark.read.parquet(s"$p1/corpus").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == ((0 until 24).map(_.toLong) ++
+      (200 until 212).map(_.toLong)).toSet,
+      s"rebuild must preserve every row: ${ids.size}")
+    // a same-tag append retry on the REBUILT index still no-ops
+    IvfSq.append(shifted, p1, tag = "d1")
+    val m1b = spark.read.parquet(s"$p1/meta").head()
+    assert(m1b.getInt(m1b.fieldIndex("shards")) == 0,
+      "retry of the applied tag must stay a no-op post-rebuild")
+    // the rebuilt geometry finds shifted-space neighbors natively
+    val hit = IvfSq.load(spark, p1, persist = false)
+      .query(Seq((-1L, vecS(208))).toDF("qid", "qvec"), 3,
+        nProbe = 1, fetch = 10)
+      .collect().map(_.getLong(2)).toSet
+    assert(hit.nonEmpty && hit.forall(id => id >= 200),
+      s"one-probe query in the shifted space must hit shifted rows: $hit")
+
+    // --- IVF-PQ: the rotation pin survives the rebuild ---
+    val (cb, r) = Pq.trainOpq(build, "id", "vec", m = 4, ks = 8,
+      iters = 1, opqIters = 1)
+    val p2 = java.nio.file.Files.createTempDirectory("rebuild-pq")
+      .toString + "/idx"
+    IvfPq.build(build.select(col("id"), Pq.matVecCol(col("vec"), r, 8)
+        .as("vec")), nCells = 2, m = 4, ks = 8, pqIters = 1,
+      persist = false).save(p2, rot = Pq.rotationHash(r))
+    IvfPq.rebuild(spark, p2, nCells = 2, m = 4, ks = 8, pqIters = 1)
+    assert(IvfPq.rotationPin(spark, p2) == Pq.rotationHash(r),
+      "rebuild must preserve the rotation pin")
+    Pq.checkRotation(spark, p2, r) // and the query-path guard agrees
+
+    // --- plain IVF rebuild from the assigned table ---
+    val p3 = java.nio.file.Files.createTempDirectory("rebuild-ivf")
+      .toString + "/idx"
+    IvfIndex.build(build, nCells = 2, refineIters = 1,
+      persist = false).save(p3)
+    IvfIndex.append(shifted, p3, tag = "d1")
+    IvfIndex.rebuild(spark, p3, nCells = 2, refineIters = 1)
+    val d3 = IvfIndex.driftStats(spark, p3).collect()
+    assert(d3.length == 1 && d3.head.getDouble(3) == 1.0, d3.toSeq.toString)
+    val m3 = spark.read.parquet(s"$p3/meta").head()
+    assert(m3.getString(m3.fieldIndex("tag")) == "d1")
+  }
+
   test("IvfSq.compact + IvfIndex.compact: merged index answers " +
       "bit-identically; probe recall and e-gate layout survive (r15)") {
     import graft.ops.{IvfIndex, IvfSq}
