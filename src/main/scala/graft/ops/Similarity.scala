@@ -875,7 +875,9 @@ object IvfIndex {
     * flags a rebuild or compacts, so operators act on the telemetry
     * instead of eyeballing it.
     *
-    *  - **rebuild flag** when any non-base shard's drift_ratio exceeds
+    *  - **rebuild flag** (act on it with [[rebuild]], which retrains
+    *    from the index's own stored vectors) when any non-base
+    *    shard's drift_ratio exceeds
     *    `driftThreshold` (default 1.5, the documented rule: residuals
     *    50% above the build population's mean put delta rows
     *    materially farther from every centroid than the geometry was
