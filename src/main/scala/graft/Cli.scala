@@ -106,12 +106,13 @@ object Cli {
     import graft.ops.{Dedup, IvfIndex, IvfPq, IvfSq, Relevance}
     require(Seq("ivf", "ivfpq", "ivfsq", "lsh", "simhash", "bm25")
       .contains(kind), s"unknown index kind '$kind' - $usage")
+    // family-specific reads: ivfpq/ivfsq carry their own completeness
+    // witnesses (codebook/sqmodel + base-shard layout), so status on a
+    // wrong-kind or crashed-save path reads missing, never healthy
     def live(): Int = kind match {
-      case "ivf" | "ivfpq" | "ivfsq" =>
-        val m = IvfIndex.metaIfComplete(spark, path).getOrElse(
-          throw new IllegalArgumentException(
-            s"$kind index at '$path' is missing or incomplete"))
-        m.shards - m.base + 1
+      case "ivf" => IvfIndex.liveShards(spark, path)
+      case "ivfpq" => IvfPq.liveShards(spark, path)
+      case "ivfsq" => IvfSq.liveShards(spark, path)
       case "lsh" => Dedup.lshLiveShards(spark, path)
       case "simhash" => Dedup.simhashLiveShards(spark, path)
       case "bm25" => Relevance.liveShards(spark, path)

@@ -385,10 +385,19 @@ object IvfPq {
     * ALREADY rotated, so the rotation is unchanged by retraining the
     * quantizers under it; append tags keep streaming retries no-ops;
     * in-place and epoch-destructive, crash = incomplete-and-named). */
+  /** Negative `nCells`/`m`/`ks` (the defaults) PRESERVE the stored
+    * geometry (meta cell count; the codebook's m and ks) — a rebuild
+    * must not silently change a production index's compression
+    * format, and an incompatible default m would refuse outright on
+    * dims it doesn't divide. Explicit values override. */
   def rebuild(spark: org.apache.spark.sql.SparkSession, path: String,
-      nCells: Int = 0, m: Int = 8, ks: Int = 64, pqIters: Int = 2,
+      nCells: Int = -1, m: Int = -1, ks: Int = -1, pqIters: Int = 2,
       refineIters: Int = 1, md5Seeds: Boolean = false): Unit = {
     val meta = requireMeta(spark, path)
+    val cbRow = spark.read.parquet(s"$path/codebook").head()
+    val cells = if (nCells < 0) meta.cells else nCells
+    val mEff = if (m < 0) cbRow.getAs[Int]("m") else m
+    val ksEff = if (ks < 0) cbRow.getAs[Int]("ks") else ks
     val scratch = s"$path/.rebuild-src"
     val sp = new org.apache.hadoop.fs.Path(scratch)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -398,10 +407,20 @@ object IvfPq {
         .filter(col("shard") >= meta.base && col("shard") <= meta.shards)
         .select("id", "vec")
         .write.parquet(scratch)
-      buildFromUnit(spark.read.parquet(scratch), nCells, m, ks, pqIters,
-        refineIters, persist = false, md5Seeds = md5Seeds)
-        .save(path, rot = meta.rot, tag = meta.tag)
+      val rebuilt = buildFromUnit(spark.read.parquet(scratch), cells, mEff,
+        ksEff, pqIters, refineIters, persist = false, md5Seeds = md5Seeds)
+      // CAS re-read before the destructive save (the IvfSq.rebuild rule)
+      IvfIndex.casGuardMoved(spark, path, meta, "ivfpq rebuild")
+      rebuilt.save(path, rot = meta.rot, tag = meta.tag)
     } finally { fs.delete(sp, true); () }
+  }
+
+  /** Committed live shard count, gated on THIS family's completeness
+    * witnesses (the CLI status surface: a plain-IVF layout or a
+    * crashed save must read as missing here, not healthy). */
+  def liveShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val m = requireMeta(spark, path); m.shards - m.base + 1
   }
 
   /** The [[IvfIndex.maintain]] policy hook over this family's

@@ -312,10 +312,14 @@ object IvfSq {
     * swap rebuild to a NEW path. Live rows stage through a durable
     * scratch dir inside the index path (a lazily-read corpus would be
     * deleted out from under the save's own rewrite). */
+  /** `nCells` < 0 (the default) PRESERVES the stored cell count — a
+    * rebuild through the CLI must not silently change a production
+    * index's geometry; 0 = re-auto-size to sqrt(n), > 0 explicit. */
   def rebuild(spark: org.apache.spark.sql.SparkSession, path: String,
-      nCells: Int = 0, refineIters: Int = 1,
+      nCells: Int = -1, refineIters: Int = 1,
       md5Seeds: Boolean = false): Unit = {
     val meta = requireMeta(spark, path)
+    val cells = if (nCells < 0) meta.cells else nCells
     val scratch = s"$path/.rebuild-src"
     val sp = new org.apache.hadoop.fs.Path(scratch)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -325,10 +329,25 @@ object IvfSq {
         .filter(col("shard") >= meta.base && col("shard") <= meta.shards)
         .select("id", "vec")
         .write.parquet(scratch)
-      buildFromUnit(spark.read.parquet(scratch), nCells, refineIters,
-        persist = false, md5Seeds = md5Seeds)
-        .save(path, tag = meta.tag)
+      val rebuilt = buildFromUnit(spark.read.parquet(scratch), cells,
+        refineIters, persist = false, md5Seeds = md5Seeds)
+      // CAS re-read before the destructive save (the commitMetaCas
+      // rule, applied to rebuild's own window): a writer that
+      // committed during the staging/retrain would otherwise be
+      // silently erased by save's tree rewrite. Once save starts, its
+      // meta invalidation makes every concurrent writer fail loudly
+      // at its own planning read or CAS.
+      IvfIndex.casGuardMoved(spark, path, meta, "ivfsq rebuild")
+      rebuilt.save(path, tag = meta.tag)
     } finally { fs.delete(sp, true); () }
+  }
+
+  /** Committed live shard count, gated on THIS family's completeness
+    * witnesses (the CLI status surface: a plain-IVF layout or a
+    * crashed save must read as missing here, not healthy). */
+  def liveShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val m = requireMeta(spark, path); m.shards - m.base + 1
   }
 
   /** The [[IvfIndex.maintain]] policy hook over this family's

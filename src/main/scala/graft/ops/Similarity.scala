@@ -839,14 +839,17 @@ object IvfIndex {
     * crash = incomplete-and-named; live rows stage through a durable
     * scratch dir — a lazily-read assigned table would be deleted out
     * from under the save's own rewrite). */
+  /** `nCells` < 0 (the default) preserves the stored cell count (the
+    * IvfSq.rebuild rule); 0 = re-auto-size, > 0 explicit. */
   def rebuild(spark: org.apache.spark.sql.SparkSession, path: String,
-      nCells: Int = 0, refineIters: Int = 1,
+      nCells: Int = -1, refineIters: Int = 1,
       md5Seeds: Boolean = false): Unit = {
     val meta = metaIfComplete(spark, path)
     require(meta.isDefined,
       s"ivf index at '$path' is missing or incomplete " +
         "(no committed meta table - saves write it last)")
     val m = meta.get
+    val cells = if (nCells < 0) m.cells else nCells
     val scratch = s"$path/.rebuild-src"
     val sp = new org.apache.hadoop.fs.Path(scratch)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -856,10 +859,44 @@ object IvfIndex {
         .filter(col("shard") >= m.base && col("shard") <= m.shards)
         .select("id", "vec")
         .write.parquet(scratch)
-      build(spark.read.parquet(scratch), nCells, refineIters,
+      val rebuilt = build(spark.read.parquet(scratch), cells, refineIters,
         persist = false, md5Seeds = md5Seeds)
-        .save(path, tag = m.tag)
+      // CAS re-read before the destructive save (the IvfSq.rebuild
+      // rule): a writer that committed during the retrain must abort
+      // the rebuild, not be erased by it
+      casGuardMoved(spark, path, m, "ivf rebuild")
+      rebuilt.save(path, tag = m.tag)
     } finally { fs.delete(sp, true); () }
+  }
+
+  /** Loud abort when the committed meta moved past `expect` — the
+    * commitMetaCas comparison exposed for operations (rebuild) whose
+    * commit is a whole save, not one meta swap. */
+  private[ops] def casGuardMoved(spark: org.apache.spark.sql.SparkSession,
+      path: String, expect: IdxMeta, what: String): Unit = {
+    beforeCasCommit()
+    val cur = metaIfComplete(spark, path).getOrElse(
+      throw new java.util.ConcurrentModificationException(
+        s"$what at '$path': the committed meta vanished mid-operation " +
+          "(a concurrent rebuild invalidated the index); aborting"))
+    if (cur.shards != expect.shards || cur.tag != expect.tag)
+      throw new java.util.ConcurrentModificationException(
+        s"$what at '$path' lost the commit race: meta moved from " +
+          s"shards=${expect.shards}/tag='${expect.tag}' to " +
+          s"shards=${cur.shards}/tag='${cur.tag}' since this operation " +
+          "planned. A concurrent writer committed first - rerun against " +
+          "the new frontier")
+  }
+
+  /** Committed live shard count (frontier − base + 1) — the CLI
+    * status surface and the streaming loops' compaction trigger. */
+  def liveShards(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val m = metaIfComplete(spark, path)
+    require(m.isDefined,
+      s"ivf index at '$path' is missing or incomplete " +
+        "(no committed meta table - saves write it last)")
+    m.get.shards - m.get.base + 1
   }
 
   /** One [[maintain]] pass's verdict. `maxDriftRatio` is the worst

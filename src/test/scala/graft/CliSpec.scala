@@ -76,6 +76,12 @@ class CliSpec extends SparkSpec {
       "doc_id", "text", bm, tag = "b1")
     val cb = captured { Cli.indexCmd(spark, Array("compact", "bm25", bm)) }
     assert(cb.contains("compacted, 1 live shard"), cb)
+    // status is family-gated: an ivfpq claim over an ivfsq layout
+    // reads missing/incomplete, never healthy (r16 review)
+    val exK = intercept[IllegalArgumentException] {
+      Cli.indexCmd(spark, Array("status", "ivfpq", ivf))
+    }
+    assert(exK.getMessage.contains("missing or incomplete"), exK.getMessage)
     // unknown kind / flag fail loudly with usage
     intercept[IllegalArgumentException] {
       Cli.indexCmd(spark, Array("status", "hnsw", bm))
