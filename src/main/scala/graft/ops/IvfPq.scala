@@ -137,7 +137,7 @@ final class IvfPqIndex private[ops] (
     encoded.write.mode("overwrite").parquet(s"$path/encoded/shard=0")
     corpusUnit.write.mode("overwrite").parquet(s"$path/corpus/shard=0")
     IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells, rot = rot,
-      tag = tag)
+      tag = tag, epoch = IvfIndex.newEpoch())
   }
 }
 

@@ -111,7 +111,8 @@ final class IvfSqIndex private[ops] (
       .coalesce(1).write.mode("overwrite").parquet(s"$path/sqmodel")
     encoded.write.mode("overwrite").parquet(s"$path/encoded/shard=0")
     corpusUnit.write.mode("overwrite").parquet(s"$path/corpus/shard=0")
-    IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells, tag = tag)
+    IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells, tag = tag,
+      epoch = IvfIndex.newEpoch())
   }
 }
 

@@ -550,7 +550,8 @@ final class IvfIndex private[ops] (
     }
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     assigned.write.mode("overwrite").parquet(s"$path/assigned/shard=0")
-    IvfIndex.writeMeta(spark, s"$path/meta", nCells, tag = tag)
+    IvfIndex.writeMeta(spark, s"$path/meta", nCells, tag = tag,
+      epoch = IvfIndex.newEpoch())
   }
 }
 
@@ -650,20 +651,32 @@ object IvfIndex {
     * ([[graft.ops.Pq.rotationHash]] of the rotation the corpus was
     * encoded under; "" = unrotated / unpinned). */
   private[graft] final case class IdxMeta(cells: Int, shards: Int,
-      base: Int, tag: String, rot: String)
+      base: Int, tag: String, rot: String, epoch: Long)
 
   /** The meta commit row writer. The PQ/SQ composed indexes share it
     * (their extra columns are inert on the plain layout).
     * Swap-committed ([[MetaSwap.commit]]) so an append's meta rewrite
     * never deletes the previous marker before the new one is durable. */
+  /** `epoch` is the LAYOUT GENERATION (r16 review, the ABA fix): a
+    * save or rebuild MINTS a fresh one ([[newEpoch]]); appends and
+    * compacts carry it through; [[commitMetaCas]] compares it — so an
+    * append planned against a pre-rebuild meta can never pass the CAS
+    * against the post-rebuild one, even though a completed rebuild
+    * re-enters the same (shards, tag) the planning read saw. */
   private[ops] def writeMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String, nCells: Int, shards: Int = 0, tag: String = "",
-      base: Int = 0, rot: String = ""): Unit = {
+      base: Int = 0, rot: String = "", epoch: Long = 0L): Unit = {
     import spark.implicits._
     MetaSwap.commit(
-      Seq((nCells, shards, tag, base, rot)).toDF("n_cells", "shards", "tag",
-        "base", "rot"), dir)
+      Seq((nCells, shards, tag, base, rot, epoch))
+        .toDF("n_cells", "shards", "tag", "base", "rot", "epoch"), dir)
   }
+
+  /** A fresh layout-generation token. Wall-clock nanos + a random
+    * component: two processes minting concurrently must not collide
+    * (the whole point is telling generations apart). */
+  private[ops] def newEpoch(): Long =
+    System.nanoTime() ^ scala.util.Random.nextLong()
 
   private def metaFromRow(m: org.apache.spark.sql.Row): IdxMeta = {
     def opt[T](name: String, dflt: T, get: Int => T): T =
@@ -675,7 +688,7 @@ object IvfIndex {
     IdxMeta(m.getInt(m.fieldIndex("n_cells")),
       m.getInt(m.fieldIndex("shards")),
       opt("base", 0, m.getInt), m.getString(m.fieldIndex("tag")),
-      opt("rot", "", m.getString))
+      opt("rot", "", m.getString), opt("epoch", 0L, m.getLong))
   }
 
   /** ONE committed-meta read serving a whole operation (ADVICE r15:
@@ -743,18 +756,22 @@ object IvfIndex {
         s"$what at '$path': the committed meta vanished mid-operation " +
           "(a concurrent rebuild invalidated the index); aborting - " +
           "this writer's orphan shard dirs are invisible to readers"))
-    if (cur.shards != expect.shards || cur.tag != expect.tag)
+    if (cur.shards != expect.shards || cur.tag != expect.tag ||
+        cur.epoch != expect.epoch)
       throw new java.util.ConcurrentModificationException(
         s"$what at '$path' lost the commit race: meta moved from " +
-          s"shards=${expect.shards}/tag='${expect.tag}' to " +
-          s"shards=${cur.shards}/tag='${cur.tag}' since this operation " +
+          s"shards=${expect.shards}/tag='${expect.tag}'/" +
+          s"epoch=${expect.epoch} to shards=${cur.shards}/" +
+          s"tag='${cur.tag}'/epoch=${cur.epoch} since this operation " +
           "planned. A concurrent writer committed first; this writer's " +
           "orphan shard dirs are never read and the next compact sweeps " +
           "them - retry against the new frontier")
-    // the rotation pin survives every maintenance commit by default;
-    // only the first pinning appendOpq on a legacy index passes a value
+    // the rotation pin survives every maintenance commit by default
+    // (only the first pinning appendOpq on a legacy index passes a
+    // value), and so does the layout epoch - only save/rebuild mint one
     writeMeta(spark, s"$path/meta", expect.cells, newShards, newTag,
-      base = newBase, rot = newRot.getOrElse(expect.rot))
+      base = newBase, rot = newRot.getOrElse(expect.rot),
+      epoch = expect.epoch)
   }
 
   /** Merge every live shard of `tables` into ONE new shard — the
@@ -786,7 +803,7 @@ object IvfIndex {
     * later writer. */
   private[ops] def compactTables(spark: org.apache.spark.sql.SparkSession,
       path: String, tables: Seq[String], meta: IdxMeta): Unit = {
-    val IdxMeta(_, shards, base, tag, _) = meta
+    val IdxMeta(_, shards, base, tag, _, _) = meta
     val hconf = spark.sparkContext.hadoopConfiguration
     def sweepBelow(b: Int): Unit = tables.foreach { t =>
       (0 until b).foreach { g =>
@@ -879,11 +896,13 @@ object IvfIndex {
       throw new java.util.ConcurrentModificationException(
         s"$what at '$path': the committed meta vanished mid-operation " +
           "(a concurrent rebuild invalidated the index); aborting"))
-    if (cur.shards != expect.shards || cur.tag != expect.tag)
+    if (cur.shards != expect.shards || cur.tag != expect.tag ||
+        cur.epoch != expect.epoch)
       throw new java.util.ConcurrentModificationException(
         s"$what at '$path' lost the commit race: meta moved from " +
-          s"shards=${expect.shards}/tag='${expect.tag}' to " +
-          s"shards=${cur.shards}/tag='${cur.tag}' since this operation " +
+          s"shards=${expect.shards}/tag='${expect.tag}'/" +
+          s"epoch=${expect.epoch} to shards=${cur.shards}/" +
+          s"tag='${cur.tag}'/epoch=${cur.epoch} since this operation " +
           "planned. A concurrent writer committed first - rerun against " +
           "the new frontier")
   }

@@ -348,6 +348,30 @@ class SqSpec extends SparkSpec {
     assert(hit.nonEmpty && hit.forall(id => id >= 200),
       s"one-probe query in the shifted space must hit shifted rows: $hit")
 
+    // ABA guard (r16 review F4): an append planned BEFORE a rebuild
+    // that runs to COMPLETION sees the same (shards, tag) after it -
+    // only the minted layout epoch tells the generations apart, and
+    // the CAS compares it (without the epoch this append would pass
+    // and commit meta over dirs the rebuild deleted)
+    def onceCas(f: => Unit): Unit =
+      IvfIndex.beforeCasCommit = () => {
+        IvfIndex.beforeCasCommit = () => (); f
+      }
+    val late = (300 until 303).map(i => (i.toLong, vecA(i)))
+      .toDF("id", "vec")
+    try {
+      onceCas { IvfSq.rebuild(spark, p1) }
+      val exA = intercept[java.util.ConcurrentModificationException] {
+        IvfSq.append(late, p1, tag = "d2")
+      }
+      assert(exA.getMessage.contains("epoch"), exA.getMessage)
+      // the retry plans against the rebuilt generation and lands
+      IvfSq.append(late, p1, tag = "d2")
+      val mA = spark.read.parquet(s"$p1/meta").head()
+      assert(mA.getInt(mA.fieldIndex("shards")) == 1 &&
+        mA.getString(mA.fieldIndex("tag")) == "d2", "retry must land")
+    } finally IvfIndex.beforeCasCommit = () => ()
+
     // --- IVF-PQ: the rotation pin survives the rebuild ---
     val (cb, r) = Pq.trainOpq(build, "id", "vec", m = 4, ks = 8,
       iters = 1, opqIters = 1)
