@@ -85,6 +85,10 @@ object Cli {
     *   graft.Cli index drift    <ivf|ivfpq|ivfsq> <path>
     *   graft.Cli index maintain <kind> <path> [--max-live N] [--drift-max X]
     * }}}
+    * Mutating commands (compact/maintain/rebuild) take `--lock
+    * WAIT_MS` to serialize against other cooperating maintenance
+    * processes via [[graft.ops.WriterLock]] (advisory — the CAS
+    * remains the backstop; 0 = fail loudly at once when held).
     * `maintain` on the IVF family applies the drift-gated policy
     * ([[graft.ops.IvfIndex.maintain]]) and prints the report — a
     * REBUILD RECOMMENDED line when the frozen geometry stopped
@@ -92,18 +96,29 @@ object Cli {
     * it compacts when live shards exceed the cap. */
   private[graft] def indexCmd(spark: SparkSession, args: Array[String]): Unit = {
     val usage = "Cli index <status|drift|compact|maintain|rebuild> " +
-      "<ivf|ivfpq|ivfsq|lsh|simhash|bm25> <path> [--max-live N] [--drift-max X]"
+      "<ivf|ivfpq|ivfsq|lsh|simhash|bm25> <path> [--max-live N] " +
+      "[--drift-max X] [--lock WAIT_MS]"
     need(args, 3, usage)
     val (cmd, kind, path) = (args(0), args(1), args(2))
     var maxLive = 4
     var driftMax = 1.5
+    var lockWait: Option[Long] = None
     args.drop(3).grouped(2).foreach {
       case Array("--max-live", v) => maxLive = v.toInt
       case Array("--drift-max", v) => driftMax = v.toDouble
+      case Array("--lock", v) => lockWait = Some(v.toLong)
       case other => throw new IllegalArgumentException(
         s"unknown index flag '${other.mkString(" ")}' - $usage")
     }
-    import graft.ops.{Dedup, IvfIndex, IvfPq, IvfSq, Relevance}
+    import graft.ops.{Dedup, IvfIndex, IvfPq, IvfSq, Relevance, WriterLock}
+    // --lock: serialize this process's maintenance against other
+    // cooperating CLI/cron writers on the same index (VERDICT r16 #6;
+    // advisory - the CAS remains the backstop for writers that skip it)
+    def locked[T](body: => T): T = lockWait match {
+      case Some(w) => WriterLock.withLock(spark, path,
+        owner = s"cli-$cmd", waitMs = w)(body)
+      case None => body
+    }
     require(Seq("ivf", "ivfpq", "ivfsq", "lsh", "simhash", "bm25")
       .contains(kind), s"unknown index kind '$kind' - $usage")
     // family-specific reads: ivfpq/ivfsq carry their own completeness
@@ -136,7 +151,8 @@ object Cli {
       case "status" =>
         println(s"index $kind at $path: ${live()} live shard(s)")
       case "compact" =>
-        compact(); println(s"index $kind at $path: compacted, " +
+        locked { compact() }
+        println(s"index $kind at $path: compacted, " +
           s"${live()} live shard(s)")
       case "drift" =>
         driftDf().collect().foreach { r =>
@@ -146,11 +162,11 @@ object Cli {
         }
       case "rebuild" => kind match {
         case "ivf" | "ivfpq" | "ivfsq" =>
-          kind match {
+          locked { kind match {
             case "ivf" => IvfIndex.rebuild(spark, path)
             case "ivfpq" => IvfPq.rebuild(spark, path)
             case _ => IvfSq.rebuild(spark, path)
-          }
+          } }
           println(s"rebuild $kind at $path: retrained from the stored " +
             s"corpus, ${live()} live shard(s)")
         case _ => throw new IllegalArgumentException(
@@ -160,11 +176,14 @@ object Cli {
       }
       case "maintain" => kind match {
         case "ivf" | "ivfpq" | "ivfsq" =>
-          val rep = kind match {
+          val rep = locked { kind match {
             case "ivf" => IvfIndex.maintain(spark, path, maxLive, driftMax)
             case "ivfpq" => IvfPq.maintain(spark, path, maxLive, driftMax)
             case _ => IvfSq.maintain(spark, path, maxLive, driftMax)
-          }
+          } }
+          // rep.liveShards is the POST-pass count (ADVICE r16: the
+          // pre-compact count beside compacted=true read as "merged
+          // and still N live")
           println(f"maintain $kind at $path: live=${rep.liveShards} " +
             f"max_drift_ratio=${rep.maxDriftRatio}%.4f " +
             f"compacted=${rep.compacted}")
@@ -174,7 +193,7 @@ object Cli {
               "frozen geometry no longer fits the appended distribution")
         case _ =>
           if (live() > maxLive) {
-            compact()
+            locked { compact() }
             println(s"maintain $kind at $path: compacted to ${live()} " +
               "live shard(s)")
           } else println(s"maintain $kind at $path: ${live()} live " +

@@ -404,19 +404,22 @@ object Dedup {
     expect.foreach { e =>
       graft.ops.IvfIndex.beforeCasCommit()
       val cur = readLshMeta(spark, path)
-      if (cur.shards != e.shards || cur.tag != e.tag)
-        throw new java.util.ConcurrentModificationException(
-          s"lsh index write at '$path' lost the commit race: meta moved " +
-            s"from shards=${e.shards}/tag='${e.tag}' to " +
-            s"shards=${cur.shards}/tag='${cur.tag}' since this operation " +
-            "planned. A concurrent writer committed first; this writer's " +
-            "orphan shard dirs are never read and the next compact " +
-            "sweeps them - retry against the new frontier")
+      graft.ops.IvfIndex.casCompare("lsh index write", path,
+        e.shards, e.tag, e.epoch, cur.shards, cur.tag, cur.epoch)
     }
+    // layout epoch (r16 review F4, the ABA fix the IVF family got
+    // first): builds (expect = None) MINT a fresh generation;
+    // appends/compacts carry their planning read's through — so an
+    // append planned before an out-of-process rebuild that completes
+    // inside its window (re-entering the same shards/tag a fresh
+    // build always has) fails the CAS instead of committing stale
+    // sketch params over the replaced tables
+    val epoch = expect.map(_.epoch)
+      .getOrElse(graft.ops.IvfIndex.newEpoch())
     graft.ops.MetaSwap.commit(
-      Seq((nGram, numHashes, bands, buckets, shard, tag, base))
+      Seq((nGram, numHashes, bands, buckets, shard, tag, base, epoch))
         .toDF("n_gram", "num_hashes", "bands", "n_buckets", "shards",
-          "tag", "base"),
+          "tag", "base", "epoch"),
       s"$path/meta")
   }
 
@@ -449,35 +452,47 @@ object Dedup {
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val m = readLshMeta(spark, path)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    def sweepBelow(b: Int): Unit = Seq("sets", "bands").foreach { t =>
-      (0 until b).foreach { g =>
-        val p = new org.apache.hadoop.fs.Path(s"$path/$t/shard=$g")
-        val fs = p.getFileSystem(hconf)
-        if (fs.exists(p)) { fs.delete(p, true); () }
-      }
-    }
-    if (m.base == m.shards) { sweepBelow(m.base); return }
+    def sweep(b: Int): Unit = Seq("sets", "bands").foreach(t =>
+      graft.ops.ShardDirs.sweepBelow(spark, s"$path/$t", b))
+    if (m.base == m.shards) { sweep(m.base); return }
     val merged = m.shards + 2
-    spark.read.parquet(s"$path/sets")
-      .filter(col("shard") >= m.base && col("shard") <= m.shards)
-      .select("doc_id", "sh", "bucket")
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket")
-      .mode("overwrite").parquet(s"$path/sets/shard=$merged")
-    spark.read.parquet(s"$path/bands")
-      .filter(col("shard") >= m.base && col("shard") <= m.shards)
-      .select("doc_id", "band", "band_hash")
-      .repartition(col("band"), col("band_hash"))
-      .sortWithinPartitions("band", "band_hash")
-      .write.mode("overwrite").parquet(s"$path/bands/shard=$merged")
+    // staged in hidden tmp dirs + renamed into place (the
+    // IvfIndex.compactTables F5 protocol: a losing concurrent compact
+    // never rewrites a dir a winner just made live)
+    val moved = () => {
+      val c = readLshMeta(spark, path)
+      c.shards != m.shards || c.tag != m.tag || c.epoch != m.epoch
+    }
+    locally {
+      val tmp = graft.ops.ShardDirs.compactTmp(s"$path/sets")
+      spark.read.parquet(s"$path/sets")
+        .filter(col("shard") >= m.base && col("shard") <= m.shards)
+        .select("doc_id", "sh", "bucket")
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket")
+        .mode("overwrite").parquet(tmp)
+      graft.ops.ShardDirs.renameIntoShard(spark, tmp,
+        s"$path/sets/shard=$merged", "lsh index compact", moved)
+    }
+    locally {
+      val tmp = graft.ops.ShardDirs.compactTmp(s"$path/bands")
+      spark.read.parquet(s"$path/bands")
+        .filter(col("shard") >= m.base && col("shard") <= m.shards)
+        .select("doc_id", "band", "band_hash")
+        .repartition(col("band"), col("band_hash"))
+        .sortWithinPartitions("band", "band_hash")
+        .write.mode("overwrite").parquet(tmp)
+      graft.ops.ShardDirs.renameIntoShard(spark, tmp,
+        s"$path/bands/shard=$merged", "lsh index compact", moved)
+    }
     commitLshMeta(spark, path, m.nGram, m.numHashes, m.bands, m.nBuckets,
       merged, m.tag, base = merged, expect = Some(m))
-    sweepBelow(merged)
+    sweep(merged)
   }
 
   private[ops] final case class LshMeta(nGram: Int, numHashes: Int,
-      bands: Int, nBuckets: Int, shards: Int, tag: String, base: Int)
+      bands: Int, nBuckets: Int, shards: Int, tag: String, base: Int,
+      epoch: Long)
 
   /** Committed index parameters; loud when the commit marker is
     * missing (a crashed build never looks complete). */
@@ -499,9 +514,13 @@ object Dedup {
     // lack the column and read as base = 0 — no layout epoch
     val base = if (meta.schema.fieldNames.contains("base"))
       meta.getAs[Int]("base") else 0
+    // pre-r17 metas have no layout epoch and read as 0L (appends keep
+    // carrying 0L until the next build mints one)
+    val epoch = if (meta.schema.fieldNames.contains("epoch"))
+      meta.getAs[Long]("epoch") else 0L
     LshMeta(meta.getAs[Int]("n_gram"), meta.getAs[Int]("num_hashes"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("n_buckets"),
-      meta.getAs[Int]("shards"), meta.getAs[String]("tag"), base)
+      meta.getAs[Int]("shards"), meta.getAs[String]("tag"), base, epoch)
   }
 
   /** The LAST committed append tag of an LSH index — the streaming
@@ -557,7 +576,7 @@ object Dedup {
       path: String, threshold: Double = 0.5, maxBucket: Int = 0,
       checkIds: Boolean = false): DataFrame = {
     val spark = delta.sparkSession
-    val LshMeta(nGram, numHashes, bands, nBuckets, shards, _, base) =
+    val LshMeta(nGram, numHashes, bands, nBuckets, shards, _, base, _) =
       readLshMeta(spark, path)
     val r = numHashes / bands
 
@@ -843,21 +862,23 @@ object Dedup {
   def compactSimhashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val m = readSimhashMeta(spark, path)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    def sweepBelow(b: Int): Unit = (0 until b).foreach { g =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/sigs/shard=$g")
-      val fs = p.getFileSystem(hconf)
-      if (fs.exists(p)) { fs.delete(p, true); () }
-    }
-    if (m.base == m.shards) { sweepBelow(m.base); return }
+    def sweep(b: Int): Unit =
+      graft.ops.ShardDirs.sweepBelow(spark, s"$path/sigs", b)
+    if (m.base == m.shards) { sweep(m.base); return }
     val merged = m.shards + 2
+    val tmp = graft.ops.ShardDirs.compactTmp(s"$path/sigs")
     spark.read.parquet(s"$path/sigs")
       .filter(col("shard") >= m.base && col("shard") <= m.shards)
       .select("doc_id", "simhash")
-      .write.mode("overwrite").parquet(s"$path/sigs/shard=$merged")
+      .write.mode("overwrite").parquet(tmp)
+    graft.ops.ShardDirs.renameIntoShard(spark, tmp,
+      s"$path/sigs/shard=$merged", "simhash index compact", () => {
+        val c = readSimhashMeta(spark, path)
+        c.shards != m.shards || c.tag != m.tag || c.epoch != m.epoch
+      })
     commitSimhashMeta(spark, path, m.maxHamming, merged, m.tag,
       base = merged, expect = Some(m))
-    sweepBelow(merged)
+    sweep(merged)
   }
 
   /** Near-dup pairs of a delta's fingerprints against a
@@ -923,23 +944,21 @@ object Dedup {
     expect.foreach { e =>
       graft.ops.IvfIndex.beforeCasCommit()
       val cur = readSimhashMeta(spark, path)
-      if (cur.shards != e.shards || cur.tag != e.tag)
-        throw new java.util.ConcurrentModificationException(
-          s"simhash index write at '$path' lost the commit race: meta " +
-            s"moved from shards=${e.shards}/tag='${e.tag}' to " +
-            s"shards=${cur.shards}/tag='${cur.tag}' since this operation " +
-            "planned. A concurrent writer committed first; this writer's " +
-            "orphan shard dirs are never read and the next compact " +
-            "sweeps them - retry against the new frontier")
+      graft.ops.IvfIndex.casCompare("simhash index write", path,
+        e.shards, e.tag, e.epoch, cur.shards, cur.tag, cur.epoch)
     }
+    // layout epoch: builds mint, appends/compacts carry (the
+    // commitLshMeta ABA rationale)
+    val epoch = expect.map(_.epoch)
+      .getOrElse(graft.ops.IvfIndex.newEpoch())
     graft.ops.MetaSwap.commit(
-      Seq((maxHamming, shard, tag, base))
-        .toDF("max_hamming", "shards", "tag", "base"),
+      Seq((maxHamming, shard, tag, base, epoch))
+        .toDF("max_hamming", "shards", "tag", "base", "epoch"),
       s"$path/meta")
   }
 
   private[ops] final case class SimhashMeta(maxHamming: Int, shards: Int,
-      tag: String, base: Int)
+      tag: String, base: Int, epoch: Long)
 
   private def readSimhashMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): SimhashMeta = {
@@ -953,9 +972,11 @@ object Dedup {
     // the wrong column when the schema grew)
     val base = if (m.schema.fieldNames.contains("base"))
       m.getInt(m.fieldIndex("base")) else 0
+    val epoch = if (m.schema.fieldNames.contains("epoch"))
+      m.getLong(m.fieldIndex("epoch")) else 0L
     SimhashMeta(m.getInt(m.fieldIndex("max_hamming")),
       m.getInt(m.fieldIndex("shards")), m.getString(m.fieldIndex("tag")),
-      base)
+      base, epoch)
   }
 
   /** Benchmark decontamination: flag training docs that share at least

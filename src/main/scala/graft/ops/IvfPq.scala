@@ -429,7 +429,9 @@ object IvfPq {
       maxLiveShards: Int = 4, driftThreshold: Double = 1.5,
       recallFloor: Double = 0.0, k: Int = 5): IvfIndex.Maintenance = {
     val meta = requireMeta(spark, path)
-    IvfIndex.maintainImpl(spark, path, meta, driftStats(spark, path),
+    // ONE committed-meta read serves the whole pass (r16 review F6)
+    IvfIndex.maintainImpl(spark, path, meta,
+      IvfIndex.corpusDriftStatsFor(spark, path, meta.shards, meta.base),
       () => IvfIndex.compactTables(spark, path, Seq("corpus", "encoded"),
         meta),
       if (recallFloor > 0) Some(() => probeRecall(spark, path, k)) else None,

@@ -211,7 +211,7 @@ object Relevance {
     * maintenance reproduces a batch rebuild EXACTLY, score for score
     * (gate d60 proves it on the full-corpus oracle). */
   private[ops] final case class Bm25Meta(n: Long, tot: Long, shards: Int,
-      base: Int, tag: String)
+      base: Int, tag: String, epoch: Long)
 
   private def readBm25Meta(spark: org.apache.spark.sql.SparkSession,
       path: String): Bm25Meta = {
@@ -220,17 +220,33 @@ object Relevance {
         "(no committed stats table - builds write it last)")
     val st = spark.read
       .parquet(MetaSwap.readDir(spark, s"$path/stats")).head()
-    // layout-epoch guard: a pre-r16 index (unsharded postings, plain
-    // two-column stats) reads as incomplete and rebuilds once — the
-    // established one-redundant-rebuild trade
+    // layout guard: a pre-r16 index (unsharded postings, plain
+    // two-column stats) fails LOUDLY here and must be rebuilt by the
+    // caller — [[exists]] is the soft probe that reads such a layout
+    // as absent, the IVF-family pattern (ADVICE r16: this comment
+    // used to claim a silent one-redundant-rebuild that never
+    // happened through this hard require)
     require(st.schema.fieldNames.contains("shards"),
       s"bm25 index at '$path' predates the sharded-postings layout - rebuild it")
     val base = if (st.schema.fieldNames.contains("base"))
       st.getInt(st.fieldIndex("base")) else 0
+    val epoch = if (st.schema.fieldNames.contains("epoch"))
+      st.getLong(st.fieldIndex("epoch")) else 0L
     Bm25Meta(st.getLong(st.fieldIndex("n")), st.getLong(st.fieldIndex("tot")),
       st.getInt(st.fieldIndex("shards")), base,
-      st.getString(st.fieldIndex("tag")))
+      st.getString(st.fieldIndex("tag")), epoch)
   }
+
+  /** True when a complete CURRENT-layout index stands at `path` — the
+    * IVF-family exists() pattern (ADVICE r16): missing, uncommitted
+    * (crashed build), and pre-sharded legacy layouts all read false,
+    * so callers can branch to [[buildIndex]] instead of catching the
+    * loud readBm25Meta require. */
+  def exists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    MetaSwap.committed(spark, s"$path/stats") &&
+      spark.read.parquet(MetaSwap.readDir(spark, s"$path/stats"))
+        .schema.fieldNames.contains("shards")
 
   /** ONE shard writer shared by build (shard 0) and append (G+1):
     * tokenize ONE pass, postings repartitioned by word within the
@@ -256,20 +272,20 @@ object Relevance {
       prior.foreach { e =>
         graft.ops.IvfIndex.beforeCasCommit()
         val cur = readBm25Meta(spark, path)
-        if (cur.shards != e.shards || cur.tag != e.tag)
-          throw new java.util.ConcurrentModificationException(
-            s"bm25 index write at '$path' lost the commit race: meta " +
-              s"moved from shards=${e.shards}/tag='${e.tag}' to " +
-              s"shards=${cur.shards}/tag='${cur.tag}' since this " +
-              "operation planned. A concurrent writer committed first; " +
-              "this writer's orphan shard dirs are never read and the " +
-              "next compact sweeps them - retry against the new frontier")
+        graft.ops.IvfIndex.casCompare("bm25 index write", path,
+          e.shards, e.tag, e.epoch, cur.shards, cur.tag, cur.epoch)
       }
       val (n, tot) = prior.map(e => (e.n + nd, e.tot + totd))
         .getOrElse((nd, totd))
       val base = prior.map(_.base).getOrElse(0)
-      MetaSwap.commit(Seq((n, tot, shard, base, tag))
-        .toDF("n", "tot", "shards", "base", "tag"), s"$path/stats")
+      // layout epoch: builds (prior = None) mint, appends carry (the
+      // Dedup.commitLshMeta ABA rationale — without it an append
+      // planned before an out-of-process rebuild commits stale corpus
+      // totals n/tot over the fresh build)
+      val epoch = prior.map(_.epoch)
+        .getOrElse(graft.ops.IvfIndex.newEpoch())
+      MetaSwap.commit(Seq((n, tot, shard, base, tag, epoch))
+        .toDF("n", "tot", "shards", "base", "tag", "epoch"), s"$path/stats")
     } finally { w.unpersist(blocking = false); () }
   }
 
@@ -318,30 +334,31 @@ object Relevance {
       path: String): Unit = {
     val m = readBm25Meta(spark, path)
     import spark.implicits._
-    val hconf = spark.sparkContext.hadoopConfiguration
-    def sweepBelow(bnd: Int): Unit = (0 until bnd).foreach { g =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/postings/shard=$g")
-      val fs = p.getFileSystem(hconf)
-      if (fs.exists(p)) { fs.delete(p, true); () }
-    }
-    if (m.base == m.shards) { sweepBelow(m.base); return }
+    def sweep(b: Int): Unit =
+      graft.ops.ShardDirs.sweepBelow(spark, s"$path/postings", b)
+    if (m.base == m.shards) { sweep(m.base); return }
     val merged = m.shards + 2
+    // staged + renamed into place (the IvfIndex.compactTables F5
+    // protocol: a losing concurrent compact never rewrites a dir a
+    // winner just made live)
+    val tmp = graft.ops.ShardDirs.compactTmp(s"$path/postings")
     spark.read.parquet(s"$path/postings")
       .filter(col("shard") >= m.base && col("shard") <= m.shards)
       .select("doc_id", "dl", "word", "tf")
       .repartition(col("word")).sortWithinPartitions("word", "doc_id")
-      .write.mode("overwrite").parquet(s"$path/postings/shard=$merged")
+      .write.mode("overwrite").parquet(tmp)
+    graft.ops.ShardDirs.renameIntoShard(spark, tmp,
+      s"$path/postings/shard=$merged", "bm25 compact", () => {
+        val c = readBm25Meta(spark, path)
+        c.shards != m.shards || c.tag != m.tag || c.epoch != m.epoch
+      })
     graft.ops.IvfIndex.beforeCasCommit()
     val cur = readBm25Meta(spark, path)
-    if (cur.shards != m.shards || cur.tag != m.tag)
-      throw new java.util.ConcurrentModificationException(
-        s"bm25 compact at '$path' lost the commit race: meta moved from " +
-          s"shards=${m.shards}/tag='${m.tag}' to shards=${cur.shards}/" +
-          s"tag='${cur.tag}' since this operation planned - retry " +
-          "against the new frontier")
-    MetaSwap.commit(Seq((m.n, m.tot, merged, merged, m.tag))
-      .toDF("n", "tot", "shards", "base", "tag"), s"$path/stats")
-    sweepBelow(merged)
+    graft.ops.IvfIndex.casCompare("bm25 compact", path,
+      m.shards, m.tag, m.epoch, cur.shards, cur.tag, cur.epoch)
+    MetaSwap.commit(Seq((m.n, m.tot, merged, merged, m.tag, m.epoch))
+      .toDF("n", "tot", "shards", "base", "tag", "epoch"), s"$path/stats")
+    sweep(merged)
   }
 
   /** Live shard count — the streaming ingest loop's compaction

@@ -642,6 +642,105 @@ private[ops] object MetaSwap {
   }
 }
 
+/** Shard-directory plumbing shared by every sharded index family
+  * (IVF/IVF-PQ/IVF-SQ, LSH, SimHash, BM25): the one sweep
+  * implementation and the compact-merge temp-write + rename-into-place
+  * protocol (r16 review F5/F6 — four hand-copied sweeps probed
+  * `0 until base` per shard NUMBER, O(total shards ever) FS round
+  * trips on object stores, and every compact's `mode("overwrite")`
+  * write could transiently rewrite a dir a concurrent winning compact
+  * had just made live). */
+private[graft] object ShardDirs {
+
+  private def hfs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** A compact's merged-shard staging dir: dot-prefixed so Spark's
+    * partition discovery (and every reader) never sees it, and
+    * UNIQUE per attempt so two concurrent compacts can never
+    * overwrite each other's staging mid-write (the rename step below
+    * is what arbitrates the destination); a crashed compact's
+    * leftover is reclaimed by the next [[sweepBelow]]. */
+  def compactTmp(tableDir: String): String =
+    s"$tableDir/.compact-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Delete every `shard=G` dir with G < `base`, plus crashed-compact
+    * staging dirs, in ONE directory listing (r16 review F6: the
+    * hand-rolled sweeps probed each shard number with its own
+    * exists() — O(total shards ever) round trips on object stores;
+    * a listing is one call and touches only entries that exist).
+    * Best-effort by contract: dirs below base are garbage readers
+    * never select (every scan filters shard >= base). */
+  def sweepBelow(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, base: Int): Unit = {
+    val (fs, p) = hfs(spark, tableDir)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      val dead =
+        if (name.startsWith("shard="))
+          scala.util.Try(name.stripPrefix("shard=").toInt)
+            .toOption.exists(_ < base)
+        else name.startsWith(".compact-tmp")
+      if (dead) { fs.delete(st.getPath, true); () }
+    }
+  }
+
+  /** Move a compact's staged merge into its destination shard dir —
+    * the F5 fix: the write lands in [[compactTmp]] (invisible), then
+    * RENAMES here via [[org.apache.hadoop.fs.FileContext]] with the
+    * default no-overwrite option, which FAILS when the destination
+    * exists instead of (a) rewriting a dir a concurrent winning
+    * compact just made live or (b) Hadoop FileSystem.rename's
+    * move-INTO-existing-directory surprise. On failure:
+    *   - the meta moved past the planning read → a concurrent compact
+    *     won; this loser deletes its own staging dir and aborts
+    *     loudly WITHOUT ever having touched the winner's tables;
+    *   - the meta did not move → the destination is a CRASHED
+    *     compact's orphan (above the committed frontier, invisible to
+    *     readers — deleting it is reader-safe), reclaimed and retried
+    *     once.
+    * Residual window, stated honestly: a winner committing between
+    * this probe and the orphan delete is the same irreducible
+    * re-read→act window commitMetaCas documents; even then the
+    * loser's CAS aborts it one step later and the dir it deleted was
+    * not yet named by any committed meta. */
+  def renameIntoShard(spark: org.apache.spark.sql.SparkSession,
+      tmp: String, dest: String, what: String,
+      metaMoved: () => Boolean): Unit = {
+    val (fs, destP) = hfs(spark, dest)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
+      destP.toUri, spark.sparkContext.hadoopConfiguration)
+    def attempt(): Boolean =
+      try { ctx.rename(tmpP, destP); true }
+      catch { case _: java.io.IOException => false }
+    if (!attempt()) {
+      if (metaMoved()) {
+        fs.delete(tmpP, true)
+        throw new java.util.ConcurrentModificationException(
+          s"$what at '$dest' lost the commit race: a concurrent " +
+            "compact committed first (its merged shard already stands " +
+            "and the meta moved past this operation's planning read). " +
+            "This loser's staged merge was discarded without touching " +
+            "the winner's tables - retry against the new frontier")
+      }
+      // unchanged meta: the standing dest is a crashed compact's
+      // uncommitted orphan - reclaim and retry once
+      fs.delete(destP, true)
+      if (!attempt()) {
+        fs.delete(tmpP, true)
+        throw new java.util.ConcurrentModificationException(
+          s"$what at '$dest': rename into the merged shard dir failed " +
+            "twice (a concurrent writer re-created it mid-heal); " +
+            "staged merge discarded - retry against the new frontier")
+      }
+    }
+  }
+}
+
 object IvfIndex {
 
   /** One committed meta row of the sharded index family. `shards`
@@ -672,11 +771,13 @@ object IvfIndex {
         .toDF("n_cells", "shards", "tag", "base", "rot", "epoch"), dir)
   }
 
-  /** A fresh layout-generation token. Wall-clock nanos + a random
-    * component: two processes minting concurrently must not collide
-    * (the whole point is telling generations apart). */
+  /** A fresh layout-generation token. Wall-clock millis (comparable
+    * ACROSS processes — nanoTime has an arbitrary per-JVM origin,
+    * ADVICE r16) shifted to leave 20 low bits, xor'd with a random
+    * long so two processes minting in the same millisecond still
+    * differ: the whole point is telling generations apart. */
   private[ops] def newEpoch(): Long =
-    System.nanoTime() ^ scala.util.Random.nextLong()
+    (System.currentTimeMillis() << 20) ^ scala.util.Random.nextLong()
 
   private def metaFromRow(m: org.apache.spark.sql.Row): IdxMeta = {
     def opt[T](name: String, dflt: T, get: Int => T): T =
@@ -756,16 +857,8 @@ object IvfIndex {
         s"$what at '$path': the committed meta vanished mid-operation " +
           "(a concurrent rebuild invalidated the index); aborting - " +
           "this writer's orphan shard dirs are invisible to readers"))
-    if (cur.shards != expect.shards || cur.tag != expect.tag ||
-        cur.epoch != expect.epoch)
-      throw new java.util.ConcurrentModificationException(
-        s"$what at '$path' lost the commit race: meta moved from " +
-          s"shards=${expect.shards}/tag='${expect.tag}'/" +
-          s"epoch=${expect.epoch} to shards=${cur.shards}/" +
-          s"tag='${cur.tag}'/epoch=${cur.epoch} since this operation " +
-          "planned. A concurrent writer committed first; this writer's " +
-          "orphan shard dirs are never read and the next compact sweeps " +
-          "them - retry against the new frontier")
+    casCompare(what, path, expect.shards, expect.tag, expect.epoch,
+      cur.shards, cur.tag, cur.epoch)
     // the rotation pin survives every maintenance commit by default
     // (only the first pinning appendOpq on a legacy index passes a
     // value), and so does the layout epoch - only save/rebuild mint one
@@ -773,6 +866,26 @@ object IvfIndex {
       base = newBase, rot = newRot.getOrElse(expect.rot),
       epoch = expect.epoch)
   }
+
+  /** The ONE CAS comparison every index-meta family shares (r16
+    * review F6: the compare block was hand-copied in five places —
+    * IVF commit, IVF rebuild guard, LSH, SimHash, BM25 — so a meta
+    * field added to one compare could silently be missed in the other
+    * four, which is exactly how the LSH/SimHash/BM25 copies shipped
+    * without the layout epoch the IVF copy gained). Compares the
+    * planning read's (shards, tag, epoch) against the current commit
+    * and aborts loudly naming both. */
+  private[ops] def casCompare(what: String, path: String,
+      expShards: Int, expTag: String, expEpoch: Long,
+      curShards: Int, curTag: String, curEpoch: Long): Unit =
+    if (curShards != expShards || curTag != expTag || curEpoch != expEpoch)
+      throw new java.util.ConcurrentModificationException(
+        s"$what at '$path' lost the commit race: meta moved from " +
+          s"shards=$expShards/tag='$expTag'/epoch=$expEpoch to " +
+          s"shards=$curShards/tag='$curTag'/epoch=$curEpoch since this " +
+          "operation planned. A concurrent writer committed first; this " +
+          "writer's orphan shard dirs are never read and the next " +
+          "compact sweeps them - retry against the new frontier")
 
   /** Merge every live shard of `tables` into ONE new shard — the
     * segment-merge of the incremental-index story (appends accumulate
@@ -804,28 +917,32 @@ object IvfIndex {
   private[ops] def compactTables(spark: org.apache.spark.sql.SparkSession,
       path: String, tables: Seq[String], meta: IdxMeta): Unit = {
     val IdxMeta(_, shards, base, tag, _, _) = meta
-    val hconf = spark.sparkContext.hadoopConfiguration
-    def sweepBelow(b: Int): Unit = tables.foreach { t =>
-      (0 until b).foreach { g =>
-        val p = new org.apache.hadoop.fs.Path(s"$path/$t/shard=$g")
-        val fs = p.getFileSystem(hconf)
-        if (fs.exists(p)) { fs.delete(p, true); () }
-      }
-    }
+    def sweep(b: Int): Unit =
+      tables.foreach(t => ShardDirs.sweepBelow(spark, s"$path/$t", b))
     if (base == shards) {
       // single live shard - nothing to merge; still sweep garbage a
       // crash between a previous compact's meta commit and its cleanup
       // left below base (ADVICE r15: the early return skipped the
       // delete loop, so a compact retry never reclaimed those dirs -
       // correctly unread, but persisting forever)
-      sweepBelow(base)
+      sweep(base)
       return
     }
+    // r16 review F5: each merged table stages in a hidden unique tmp
+    // dir and RENAMES into shard=frontier+2 — a losing concurrent
+    // compact's rename fails on the existing dir and aborts without
+    // ever rewriting the winner's now-live data (the old overwrite
+    // write could transiently delete it mid-merge)
+    val moved = () => metaIfComplete(spark, path).forall(c =>
+      c.shards != shards || c.tag != tag || c.epoch != meta.epoch)
     tables.foreach { t =>
+      val tmp = ShardDirs.compactTmp(s"$path/$t")
       spark.read.parquet(s"$path/$t")
         .filter(col("shard") >= base && col("shard") <= shards)
         .drop("shard")
-        .write.mode("overwrite").parquet(s"$path/$t/shard=${shards + 2}")
+        .write.mode("overwrite").parquet(tmp)
+      ShardDirs.renameIntoShard(spark, tmp, s"$path/$t/shard=${shards + 2}",
+        "index compact", moved)
     }
     commitMetaCas(spark, path, shards + 2, tag, newBase = shards + 2,
       expect = meta, what = "index compact")
@@ -834,7 +951,7 @@ object IvfIndex {
     // shard >= base), reclaimed by the next compact's sweep. The sweep
     // range includes frontier+1: only a CAS-aborted concurrent append
     // can have written there, and its rows were never committed.
-    sweepBelow(shards + 2)
+    sweep(shards + 2)
   }
 
   /** [[compactTables]] for a plain IVF index (the `assigned` table). */
@@ -896,15 +1013,8 @@ object IvfIndex {
       throw new java.util.ConcurrentModificationException(
         s"$what at '$path': the committed meta vanished mid-operation " +
           "(a concurrent rebuild invalidated the index); aborting"))
-    if (cur.shards != expect.shards || cur.tag != expect.tag ||
-        cur.epoch != expect.epoch)
-      throw new java.util.ConcurrentModificationException(
-        s"$what at '$path' lost the commit race: meta moved from " +
-          s"shards=${expect.shards}/tag='${expect.tag}'/" +
-          s"epoch=${expect.epoch} to shards=${cur.shards}/" +
-          s"tag='${cur.tag}'/epoch=${cur.epoch} since this operation " +
-          "planned. A concurrent writer committed first - rerun against " +
-          "the new frontier")
+    casCompare(what, path, expect.shards, expect.tag, expect.epoch,
+      cur.shards, cur.tag, cur.epoch)
   }
 
   /** Committed live shard count (frontier − base + 1) — the CLI
@@ -918,8 +1028,11 @@ object IvfIndex {
     m.get.shards - m.get.base + 1
   }
 
-  /** One [[maintain]] pass's verdict. `maxDriftRatio` is the worst
-    * non-base shard's drift_ratio (1.0 when only the base shard
+  /** One [[maintain]] pass's verdict. `liveShards` is the count AFTER
+    * the pass (ADVICE r16: reporting the pre-compact count beside
+    * `compacted=true` read as "merged and still N live" — a compact
+    * always merges to exactly one live shard); `maxDriftRatio` is the
+    * worst non-base shard's drift_ratio (1.0 when only the base shard
     * lives); `minProbeRecall` is populated only when the pass was
     * asked to measure it (−1.0 otherwise). */
   final case class Maintenance(liveShards: Int, maxDriftRatio: Double,
@@ -958,7 +1071,10 @@ object IvfIndex {
     require(meta.isDefined,
       s"ivf index at '$path' is missing or incomplete " +
         "(no committed meta table - saves write it last)")
-    maintainImpl(spark, path, meta.get, driftStats(spark, path),
+    // ONE committed-meta read serves the whole pass (r16 review F6):
+    // the planning read above also feeds the drift scan's shard range
+    maintainImpl(spark, path, meta.get,
+      driftStatsFor(spark, path, meta.get.shards, meta.get.base),
       () => compactTables(spark, path, Seq("assigned"), meta.get),
       if (recallFloor > 0) Some(() => probeRecall(spark, path, k)) else None,
       maxLiveShards, driftThreshold, recallFloor)
@@ -985,8 +1101,10 @@ object IvfIndex {
       (recallFloor > 0 && minRecall >= 0 && minRecall < recallFloor)
     val doMerge = !flagged && live > maxLiveShards
     if (doMerge) doCompact()
-    Maintenance(live, maxDrift, minRecall, compacted = doMerge,
-      rebuildFlagged = flagged)
+    // post-pass live count (ADVICE r16): a compact merges every live
+    // shard into exactly one by contract (base == shards after it)
+    Maintenance(if (doMerge) 1 else live, maxDrift, minRecall,
+      compacted = doMerge, rebuildFlagged = flagged)
   }
 
   /** Drop `path`'s meta marker so the index reads as incomplete while
@@ -1133,6 +1251,14 @@ object IvfIndex {
       s"ivf index at '$path' is missing or incomplete " +
         "(no committed meta table - saves write it last)")
     val (_, shards, base, _) = readMetaNamed(spark, path)
+    driftStatsFor(spark, path, shards, base)
+  }
+
+  /** [[driftStats]] body for callers that already hold the committed
+    * meta (r16 review F6: maintain() read the meta three times per
+    * pass — its own planning read, exists(), and readMetaNamed). */
+  private[ops] def driftStatsFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, shards: Int, base: Int): DataFrame = {
     val cent = spark.read.parquet(s"$path/centroids")
     val res = spark.read.parquet(s"$path/assigned")
       .filter(col("shard") >= base && col("shard") <= shards)
@@ -1239,6 +1365,14 @@ object IvfIndex {
   private[ops] def corpusDriftStats(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val (_, shards, base, _) = readMetaNamed(spark, path)
+    corpusDriftStatsFor(spark, path, shards, base)
+  }
+
+  /** [[corpusDriftStats]] for callers already holding the committed
+    * meta (the maintain() one-read rule, r16 review F6). */
+  private[ops] def corpusDriftStatsFor(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, shards: Int, base: Int): DataFrame = {
     val cent = spark.read.parquet(s"$path/centroids")
     val centMat = spark.createDataFrame(
       java.util.Arrays.asList(cent.collect(): _*), cent.schema)

@@ -202,6 +202,35 @@ object WordPiece {
     ExpressionUtils.column(WordPieceEncodeExpr(
       ExpressionUtils.expression(ws), vocab))
 
+  /** [[encodeWord]] with byte fallback (the Unigram.viterbiBytes
+    * twin, VERDICT r16 #7): a word the greedy matcher cannot segment
+    * — BERT's whole-word [UNK] — expands into its UTF-8 `<0xXX>`
+    * byte pieces instead ([[Unigram.bytePiece]]'s rendering), so the
+    * output draws only from vocab ∪ the 256 byte pieces and
+    * [[Unigram.decodePieces]] inverts it losslessly. The fallback
+    * granularity is the WORD — exactly the unit BERT's [UNK]
+    * collapses — never per character of a word the vocab can
+    * partially cover, so plain-encode and byte-encode agree on every
+    * word that segments. (A literal "[UNK]" input word under a vocab
+    * containing the 5-char piece "[UNK]" byte-expands too — content
+    * the decode still round-trips exactly.) */
+  def encodeWordBytes(w: String, vocab: WordPieceVocab): Array[String] = {
+    val ps = encodeWord(w, vocab)
+    if (ps.length == 1 && ps(0) == Unk)
+      w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => Unigram.bytePiece(b.toInt))
+    else ps
+  }
+
+  /** [[encodeCol]] with byte fallback: same struct schema, `toks`
+    * renders `<0xXX>` pieces inline for unsegmentable words — a
+    * closed-vocabulary encode, no [UNK] ever reaches training data.
+    * The BERT-contract [[encodeCol]] (and gate d59 over it) is
+    * untouched. */
+  def encodeBytesCol(ws: Column, vocab: WordPieceVocab): Column =
+    ExpressionUtils.column(WordPieceEncodeExpr(
+      ExpressionUtils.expression(ws), vocab, byteFallback = true))
+
   /** Persist a vocabulary (swap-committed like every trained-model
     * save — see MetaSwap). The ordinal column preserves insertion
     * order for inspection; the encode contract itself is order-free. */
@@ -223,7 +252,8 @@ object WordPiece {
 /** Greedy longest-match WordPiece encode of a words array — see
   * [[WordPiece.encodeCol]]. */
 final case class WordPieceEncodeExpr(child: Expression,
-    vocab: WordPieceVocab) extends UnaryExpression {
+    vocab: WordPieceVocab,
+    byteFallback: Boolean = false) extends UnaryExpression {
 
   // loud at ANALYSIS, not a per-task cast failure (the BpeEncodeExpr
   // contract): raw text is the easy mistake — words() is required
@@ -243,13 +273,14 @@ final case class WordPieceEncodeExpr(child: Expression,
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    WordPieceEncodeExpr.compute(input.asInstanceOf[ArrayData], vocab)
+    WordPieceEncodeExpr.compute(input.asInstanceOf[ArrayData], vocab,
+      byteFallback)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("wpvocab", vocab,
       classOf[WordPieceVocab].getName)
     defineCodeGen(ctx, ev, c =>
-      s"graft.ops.WordPieceEncodeExpr.compute($c, $ref)")
+      s"graft.ops.WordPieceEncodeExpr.compute($c, $ref, $byteFallback)")
   }
 
   override protected def withNewChildInternal(
@@ -262,15 +293,18 @@ object WordPieceEncodeExpr {
     StructField("n_wp", IntegerType, nullable = false),
     StructField("toks", StringType, nullable = false)))
 
-  def compute(arr: ArrayData, vocab: WordPieceVocab): InternalRow = {
+  def compute(arr: ArrayData, vocab: WordPieceVocab,
+      byteFallback: Boolean = false): InternalRow = {
     val nw = arr.numElements()
     val sb = new java.lang.StringBuilder
     var total = 0
     var wi = 0
     while (wi < nw) {
       require(!arr.isNullAt(wi), s"wordpiece: null word at index $wi")
+      val word = arr.getUTF8String(wi).toString
       val pieces =
-        WordPiece.encodeWord(arr.getUTF8String(wi).toString, vocab)
+        if (byteFallback) WordPiece.encodeWordBytes(word, vocab)
+        else WordPiece.encodeWord(word, vocab)
       if (wi > 0) sb.append(" | ")
       var j = 0
       while (j < pieces.length) {

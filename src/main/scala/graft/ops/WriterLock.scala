@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Best-effort multi-process writer lock for index maintenance
+  * (VERDICT r16 #6): the per-family CAS commits turn concurrent
+  * writers into one-winner-one-loud-loser, but out-of-process APPENDS
+  * still need caller serialization, and a CLI-driven maintenance
+  * story (cron compacts beside a streaming ingest) wants writers to
+  * BLOCK or fail before doing work, not to race and discard it. This
+  * closes that operational gap: a rename-arbitrated lock file under
+  * the index path, a heartbeat that keeps it visibly alive, and a
+  * stale-lock takeover so a crashed holder never wedges maintenance
+  * forever.
+  *
+  * Semantics, stated honestly — ADVISORY, opt-in:
+  *  - correctness still rests on the CAS. A writer that bypasses the
+  *    lock races the holder and loses loudly at its meta commit; the
+  *    lock only serializes the cooperating writers that opt in.
+  *  - mutual exclusion rests on the filesystem's atomic
+  *    no-overwrite RENAME (each contender stages its own token file
+  *    and renames it onto the lock path): exact on HDFS and POSIX
+  *    local filesystems; object stores that fake rename as
+  *    copy+delete get best-effort semantics (two near-simultaneous
+  *    acquirers can both believe they won — the CAS remains the
+  *    backstop).
+  *  - staleness compares the lock's mtime (refreshed every
+  *    `heartbeatMs` by the holder) against the acquirer's clock:
+  *    cross-host clock skew must stay well under `staleAfterMs`.
+  *  - a holder whose lock was taken over (it stalled past
+  *    `staleAfterMs`, e.g. a long GC pause) keeps running — its CAS
+  *    commit is what aborts it if the new holder got there first; on
+  *    release it never deletes a lock it no longer owns (the token is
+  *    re-read before the delete). */
+object WriterLock {
+
+  /** Loud acquisition failure: the lock is held and `waitMs` ran out
+    * (or was 0). Carries the holder token so operators can see WHO. */
+  final class LockHeldException(msg: String) extends IllegalStateException(msg)
+
+  private def fsPath(spark: SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  /** The lock file's location for an index rooted at `indexPath` —
+    * dot-prefixed, so no reader's partition discovery ever sees it. */
+  def lockPath(indexPath: String): String = s"$indexPath/.writer-lock"
+
+  /** Run `f` holding the index's writer lock; always releases.
+    *
+    *  - `owner`: operator-readable holder name (host/pid make good
+    *    ones); a random token is appended so release can verify
+    *    ownership after a takeover.
+    *  - `waitMs` = 0: one attempt, then a loud [[LockHeldException]]
+    *    naming the holder. > 0: poll (4 Hz) until acquired or the
+    *    deadline passes, then throw.
+    *  - `staleAfterMs`: a lock whose mtime is older than this is a
+    *    crashed holder's leftover — deleted and re-raced (two
+    *    takeover racers: the no-overwrite rename arbitrates).
+    *  - `heartbeatMs`: the holder's mtime refresh period; keep it
+    *    several times smaller than every cooperating process's
+    *    `staleAfterMs`. */
+  def withLock[T](spark: SparkSession, indexPath: String,
+      owner: String = "writer", staleAfterMs: Long = 60000L,
+      heartbeatMs: Long = 5000L, waitMs: Long = 0L)(f: => T): T = {
+    require(staleAfterMs > heartbeatMs * 2,
+      s"staleAfterMs ($staleAfterMs) must be well above heartbeatMs " +
+        s"($heartbeatMs), or a healthy holder reads as stale between beats")
+    val (fs, lock) = fsPath(spark, lockPath(indexPath))
+    val token = owner + "#" + java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + waitMs
+
+    def holderToken(): String =
+      try {
+        val in = fs.open(lock)
+        try {
+          val buf = new Array[Byte](256)
+          val n = math.max(0, in.read(buf))
+          new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      } catch { case _: java.io.IOException => "<unreadable>" }
+
+    // Arbitration primitive: each contender writes its token to its
+    // OWN unique temp file, then renames it onto the lock path with
+    // the no-overwrite option — rename fails when the lock exists, so
+    // exactly one rename lands and the lock's content is always one
+    // intact token. (A shared-file create-exclusive was the first
+    // design; Hadoop's checksummed LocalFileSystem lets two
+    // near-simultaneous create(overwrite=false) calls through and the
+    // interleaved closes leave a CRC-corrupt lock NOBODY owns — a
+    // deadlock until staleness. Rename is the primitive MetaSwap and
+    // ShardDirs already trust.)
+    def tryAcquire(allowTakeover: Boolean = true): Boolean = {
+      val tmp = new org.apache.hadoop.fs.Path(
+        lockPath(indexPath) + ".acquire-" + token.replace('#', '-'))
+      val out = fs.create(tmp, true)
+      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
+        lock.toUri, spark.sparkContext.hadoopConfiguration)
+      try {
+        ctx.rename(tmp, lock)
+        // a checksummed local fs pairs the temp with a .crc sibling
+        // the raw rename leaves behind - best-effort sweep
+        fs.delete(new org.apache.hadoop.fs.Path(
+          tmp.getParent, "." + tmp.getName + ".crc"), false)
+        true
+      } catch {
+        case _: java.io.IOException =>
+          fs.delete(tmp, false)
+          // held - or a crashed holder's leftover past its heartbeat
+          val stale =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(lock).getModificationTime > staleAfterMs
+            catch { case _: java.io.IOException => false } // vanished: re-race
+          if (stale && allowTakeover) {
+            // takeover: reclaim and re-race the rename IMMEDIATELY
+            // (waitMs = 0 callers must still win a stale lock - the
+            // deadline check would otherwise fire first); one level
+            // only, so live contention never recurses
+            fs.delete(lock, false)
+            tryAcquire(allowTakeover = false)
+          } else false
+      }
+    }
+
+    while (!tryAcquire()) {
+      if (System.currentTimeMillis() >= deadline)
+        throw new LockHeldException(
+          s"writer lock at '${lockPath(indexPath)}' is held by " +
+            s"'${holderToken()}' and waitMs ran out - another maintenance " +
+            "process is active on this index (pass a larger waitMs to " +
+            "block, or let it finish)")
+      Thread.sleep(250L)
+    }
+
+    // heartbeat: keep the lock's mtime fresh so cooperating acquirers
+    // never read a LIVE holder as stale
+    val beat = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(heartbeatMs)
+        val now = System.currentTimeMillis()
+        try fs.setTimes(lock, now, now)
+        catch { case _: java.io.IOException => () } // taken over: CAS backstops
+      } catch { case _: InterruptedException => () }
+    }, s"graft-writer-lock-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
+    try f
+    finally {
+      beat.interrupt()
+      // delete only what we still own: after a stale takeover the
+      // file carries the NEW holder's token and must survive
+      try if (fs.exists(lock) && holderToken() == token) {
+        fs.delete(lock, false); ()
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+}

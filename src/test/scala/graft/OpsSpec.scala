@@ -2692,7 +2692,9 @@ class OpsSpec extends SparkSpec {
     IvfIndex.append((200 until 206).map(i => (i.toLong, vecB(i)))
       .toDF("id", "vec"), p1, tag = "d2")
     val r1 = IvfIndex.maintain(spark, p1, maxLiveShards = 2)
-    assert(r1.liveShards == 3 && r1.compacted && !r1.rebuildFlagged,
+    // liveShards reports the POST-pass count (ADVICE r16): 3 live
+    // shards triggered the merge, 1 lives after it
+    assert(r1.liveShards == 1 && r1.compacted && !r1.rebuildFlagged,
       r1.toString)
     assert(r1.maxDriftRatio < 1.5, s"in-distribution drift: $r1")
     val m1 = spark.read.parquet(s"$p1/meta").head()
@@ -3097,5 +3099,250 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"model joins must not shuffle the corpus:\n$plan")
+  }
+
+  test("layout epoch (r17): the ABA window is closed for LSH, SimHash, " +
+      "and BM25 index metas - an append planned before a completed " +
+      "rebuild fails naming epochs, the retry lands") {
+    import graft.ops.{IvfIndex, Relevance}
+    def onceCas(f: => Unit): Unit =
+      IvfIndex.beforeCasCommit = () => {
+        IvfIndex.beforeCasCommit = () => (); f
+      }
+    val corpus = Seq((1L, base),
+      (2L, "completely different content about spark engines and shuffles"))
+      .toDF("doc_id", "text")
+    // exact-duplicate delta: every family pairs it deterministically
+    // (disjoint IDS are the contract, not distinct texts)
+    val delta = Seq((20L, base)).toDF("doc_id", "text")
+
+    // --- LSH: a completed rebuild re-enters (shards=0, tag="") - the
+    // exact state the append's planning read saw; only the minted
+    // epoch tells the generations apart
+    val lsh = tmpDir("lsh-aba")
+    try {
+      Dedup.buildLshIndex(corpus, "doc_id", "text", s"$lsh/idx")
+      def epoch() = { val m = spark.read.parquet(s"$lsh/idx/meta").head()
+        m.getLong(m.fieldIndex("epoch")) }
+      val e0 = epoch()
+      assert(e0 != 0L, "a build must mint a nonzero layout epoch")
+      onceCas { Dedup.buildLshIndex(corpus, "doc_id", "text", s"$lsh/idx") }
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        Dedup.appendToLshIndex(delta, "doc_id", "text", s"$lsh/idx",
+          tag = "d1")
+      }
+      assert(ex.getMessage.contains("epoch"), ex.getMessage)
+      assert(epoch() != e0, "the rebuild must have minted a new epoch")
+      // the retry plans against the rebuilt generation and lands
+      Dedup.appendToLshIndex(delta, "doc_id", "text", s"$lsh/idx",
+        tag = "d1")
+      val m = spark.read.parquet(s"$lsh/idx/meta").head()
+      assert(m.getInt(m.fieldIndex("shards")) == 1 &&
+        m.getString(m.fieldIndex("tag")) == "d1", "retry must land")
+      val got = Dedup.dedupDelta(Seq((40L, base)).toDF("doc_id", "text"),
+          "doc_id", "text", s"$lsh/idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 40L)) && got.contains((20L, 40L)),
+        s"post-ABA index must pair against build AND retried shard: $got")
+    } finally IvfIndex.beforeCasCommit = () => ()
+
+    // --- SimHash twin
+    val sim = tmpDir("simhash-aba")
+    try {
+      Dedup.buildSimhashIndex(Dedup.simhash(corpus), s"$sim/idx")
+      def epoch() = { val m = spark.read.parquet(s"$sim/idx/meta").head()
+        m.getLong(m.fieldIndex("epoch")) }
+      val e0 = epoch()
+      assert(e0 != 0L)
+      onceCas { Dedup.buildSimhashIndex(Dedup.simhash(corpus), s"$sim/idx") }
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        Dedup.appendToSimhashIndex(Dedup.simhash(delta), s"$sim/idx",
+          tag = "d1")
+      }
+      assert(ex.getMessage.contains("epoch"), ex.getMessage)
+      assert(epoch() != e0)
+      Dedup.appendToSimhashIndex(Dedup.simhash(delta), s"$sim/idx",
+        tag = "d1")
+      val m = spark.read.parquet(s"$sim/idx/meta").head()
+      assert(m.getInt(m.fieldIndex("shards")) == 1 &&
+        m.getString(m.fieldIndex("tag")) == "d1", "retry must land")
+      val got = Dedup.simhashDelta(
+          Dedup.simhash(Seq((40L, base)).toDF("doc_id", "text")),
+          s"$sim/idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((1L, 40L)) && got.contains((20L, 40L)), got.toString)
+    } finally IvfIndex.beforeCasCommit = () => ()
+
+    // --- BM25: without the epoch the stale append would commit its
+    // planning read's corpus totals n/tot over the fresh build
+    val bm = tmpDir("bm25-aba")
+    try {
+      val path = s"$bm/idx"
+      assert(!Relevance.exists(spark, path),
+        "exists() must read a missing index as absent (ADVICE r16)")
+      Relevance.buildIndex(corpus, "doc_id", "text", path)
+      assert(Relevance.exists(spark, path))
+      def epoch() = { val m = spark.read.parquet(s"$path/stats").head()
+        m.getLong(m.fieldIndex("epoch")) }
+      val e0 = epoch()
+      assert(e0 != 0L)
+      onceCas { Relevance.buildIndex(corpus, "doc_id", "text", path) }
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        Relevance.appendToIndex(delta, "doc_id", "text", path, tag = "d1")
+      }
+      assert(ex.getMessage.contains("epoch"), ex.getMessage)
+      assert(epoch() != e0)
+      Relevance.appendToIndex(delta, "doc_id", "text", path, tag = "d1")
+      val terms = Seq("quick", "fox")
+      val got = Relevance.queryIndex(spark, path, terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val direct = Relevance.bm25(corpus.union(delta), "doc_id", "text",
+          terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == direct,
+        s"post-ABA appended index must equal the batch answer:\n$got\n$direct")
+      // exists() reads a pre-sharded legacy layout as absent instead
+      // of the loud readBm25Meta require (the IVF-family pattern)
+      val legacy = tmpDir("bm25-exists-legacy")
+      corpus.limit(1).write.parquet(s"$legacy/postings")
+      Seq((1L, 10L)).toDF("n", "tot").write.parquet(s"$legacy/stats")
+      assert(!Relevance.exists(spark, legacy))
+    } finally IvfIndex.beforeCasCommit = () => ()
+  }
+
+  test("compact-vs-compact (r17, F5): the loser's staged merge never " +
+      "rewrites the winner's live tables - reader succeeds at every " +
+      "seam, loser aborts loudly, no staging garbage survives") {
+    import graft.ops.IvfIndex
+    val corpusRows = Seq((1L, base), (3L, base.replace("jumps", "leaps")),
+      (4L, "completely different content about spark engines and shuffles"))
+    val dir = tmpDir("lsh-ccrace")
+    Dedup.buildLshIndex(corpusRows.toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/idx")
+    Dedup.appendToLshIndex(Seq((20L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx", tag = "b1")
+    Dedup.appendToLshIndex(
+      Seq((21L, base + " extra tail words here")).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx", tag = "b2")
+    val probe = Seq((40L, base), (41L, base + " extra tail words here"))
+      .toDF("doc_id", "text")
+    def pairs() = Dedup.dedupDelta(probe, "doc_id", "text", s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def meta() = { val m = spark.read.parquet(s"$dir/idx/meta").head()
+      (m.getInt(m.fieldIndex("shards")), m.getInt(m.fieldIndex("base")),
+        m.getString(m.fieldIndex("tag"))) }
+    val before = pairs()
+    assert(before.exists(_._2 == 40L) && meta() == ((2, 0, "b2")))
+    // the loser stages + renames its merge, then at its CAS seam the
+    // winner runs to completion (healing the loser's uncommitted
+    // orphan dest via the rename protocol, never touching live dirs)
+    var seamBefore: Set[(Long, Long)] = null
+    var seamAfter: Set[(Long, Long)] = null
+    try {
+      IvfIndex.beforeCasCommit = () => {
+        IvfIndex.beforeCasCommit = () => ()
+        seamBefore = pairs() // loser renamed, nothing committed yet
+        Dedup.compactLshIndex(spark, s"$dir/idx") // the winner
+        seamAfter = pairs()
+      }
+      val ex = intercept[java.util.ConcurrentModificationException] {
+        Dedup.compactLshIndex(spark, s"$dir/idx") // the loser
+      }
+      assert(ex.getMessage.contains("lost the commit race"), ex.getMessage)
+    } finally IvfIndex.beforeCasCommit = () => ()
+    assert(seamBefore == before,
+      s"reader at the pre-winner seam must see the committed frontier")
+    assert(seamAfter == before,
+      s"reader right after the winner's commit must see identical pairs")
+    assert(pairs() == before, "reader after the loser's abort")
+    assert(meta() == ((4, 4, "b2")), s"winner's commit stands: ${meta()}")
+    // no staging garbage: every .compact-tmp dir was renamed or healed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("sets", "bands").foreach { t =>
+      val leftovers = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/idx/$t"))
+        .map(_.getPath.getName).filter(_.startsWith(".compact-tmp"))
+      assert(leftovers.isEmpty, s"$t staging leftovers: ${leftovers.toSeq}")
+    }
+    // a CRASHED compact's orphan dest (uncommitted, invisible to
+    // readers) heals on the next compact: rename fails, the meta
+    // re-read proves no winner, the orphan is reclaimed and the
+    // retry rename lands
+    Dedup.appendToLshIndex(Seq((50L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx", tag = "b3")
+    assert(meta() == ((5, 4, "b3")))
+    // fake the crash leftover exactly where the next merge lands (a
+    // real crashed compact's orphan preserves each table's layout -
+    // it was staged with it and renamed whole)
+    spark.read.parquet(s"$dir/idx/sets/shard=4").write
+      .partitionBy("bucket").parquet(s"$dir/idx/sets/shard=7")
+    spark.read.parquet(s"$dir/idx/bands/shard=4").write
+      .parquet(s"$dir/idx/bands/shard=7")
+    Dedup.compactLshIndex(spark, s"$dir/idx")
+    assert(meta() == ((7, 7, "b3")), meta().toString)
+    val got = Dedup.dedupDelta(Seq((60L, base)).toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 60L)) && got.contains((50L, 60L)),
+      s"healed merge must carry every live row: $got")
+  }
+
+  test("ShardDirs.sweepBelow (r17, F6): ONE listing reclaims " +
+      "below-base shards and crashed staging dirs - cost is " +
+      "O(live entries), not O(total shards ever)") {
+    import graft.ops.ShardDirs
+    val dir = tmpDir("sharddirs-sweep") + "/table"
+    def mk(name: String): Unit = {
+      val d = new java.io.File(dir, name); d.mkdirs()
+      new java.io.File(d, "part-0.parquet").createNewFile(); ()
+    }
+    Seq("shard=0", "shard=3", "shard=11", "shard=weird",
+      ".compact-tmp-dead1", ".compact-tmp-dead2").foreach(mk)
+    ShardDirs.sweepBelow(spark, dir, 11)
+    def names() = new java.io.File(dir).list().toSet
+    assert(names() == Set("shard=11", "shard=weird"),
+      s"sweep(11) must drop shard<11 and staging dirs only: ${names()}")
+    // the old implementation probed 0 until base per shard NUMBER -
+    // with this base it would issue two billion exists() calls and
+    // never return; the listing-based sweep is instant
+    ShardDirs.sweepBelow(spark, dir, Int.MaxValue)
+    assert(names() == Set("shard=weird"), names().toString)
+    // a missing table dir is a quiet no-op (first compact of a
+    // single-table family)
+    ShardDirs.sweepBelow(spark, dir + "-absent", 5)
+  }
+
+  test("wordpiece byte fallback (r17): unsegmentable words expand to " +
+      "<0xXX> pieces - closed vocab, lossless round-trip, the BERT " +
+      "[UNK] contract (and d59) untouched") {
+    import graft.ops.{Unigram, WordPiece}
+    val vocab = WordPiece.train(
+      Seq((1L, base)).toDF("doc_id", "text"), vocabSize = 60)
+    // a word with a char the corpus never saw: plain encode keeps the
+    // BERT whole-word [UNK]; byte fallback expands the WORD to bytes
+    assert(WordPiece.encodeWord("na\u00efve", vocab).toSeq ==
+      Seq(WordPiece.Unk))
+    val bp = WordPiece.encodeWordBytes("na\u00efve", vocab)
+    assert(bp.forall(_.startsWith("<0x")), bp.toSeq.toString)
+    assert(Unigram.decodePieces(bp.toSeq) == "na\u00efve",
+      "byte pieces must round-trip the original word")
+    // segmentable words: both encoders agree piece for piece
+    assert(WordPiece.encodeWordBytes("quick", vocab).toSeq ==
+      WordPiece.encodeWord("quick", vocab).toSeq)
+    // an astral codepoint (two UTF-16 surrogates) survives as UTF-8
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(Unigram.decodePieces(
+      WordPiece.encodeWordBytes(emoji, vocab).toSeq) == emoji)
+    // the column twin: same struct schema, no [UNK] ever rendered,
+    // n_wp counts the byte pieces
+    val enc = Seq((1L, Seq("fox", "na\u00efve"))).toDF("id", "ws")
+      .select(WordPiece.encodeBytesCol(col("ws"), vocab).as("e"))
+      .select(col("e.n_wp"), col("e.toks")).head()
+    assert(!enc.getString(1).contains("[UNK]"), enc.getString(1))
+    assert(enc.getString(1).contains("<0x"), enc.getString(1))
+    assert(enc.getInt(0) ==
+      WordPiece.encodeWord("fox", vocab).length + 6,
+      s"n_wp must count byte pieces: $enc")
   }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops.WriterLock
+
+/** The multi-process writer-lock protocol (VERDICT r16 #6): two
+  * racing writers serialize or fail LOUDLY — never CAS-race silently;
+  * a crashed holder's stale lock is taken over; release never deletes
+  * a lock it no longer owns. Threads stand in for processes (the
+  * protocol's state lives entirely in the filesystem — nothing
+  * in-JVM is shared between the two `withLock` calls). */
+class WriterLockSpec extends SparkSpec {
+
+  test("mutual exclusion: two racing writers never overlap; the " +
+      "waiting one blocks until the holder releases") {
+    val dir = tmpDir("wlock-mutex") + "/idx"
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    def work(): Unit = WriterLock.withLock(spark, dir, owner = "t",
+        staleAfterMs = 60000L, heartbeatMs = 1000L, waitMs = 30000L) {
+      val n = inside.incrementAndGet()
+      maxInside.updateAndGet(m => math.max(m, n))
+      Thread.sleep(400L)
+      inside.decrementAndGet()
+      ran.incrementAndGet()
+      ()
+    }
+    val threads = (1 to 3).map(_ => new Thread(() => work()))
+    threads.foreach(_.start()); threads.foreach(_.join(60000L))
+    assert(ran.get() == 3, s"all cooperating writers must eventually run")
+    assert(maxInside.get() == 1,
+      s"writers overlapped: max concurrent = ${maxInside.get()}")
+    // released: the lock file is gone and a fresh acquire is instant
+    val lock = new java.io.File(WriterLock.lockPath(dir))
+    assert(!lock.exists(), "release must delete the lock")
+  }
+
+  test("waitMs = 0 loser fails loudly naming the holder instead of " +
+      "racing; stale locks are taken over; release leaves a " +
+      "taken-over lock alone") {
+    val dir = tmpDir("wlock-stale") + "/idx"
+    val holding = new java.util.concurrent.CountDownLatch(1)
+    val releaseIt = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      WriterLock.withLock(spark, dir, owner = "holder",
+          heartbeatMs = 500L, staleAfterMs = 60000L) {
+        holding.countDown()
+        releaseIt.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      })
+    holder.start()
+    assert(holding.await(15, java.util.concurrent.TimeUnit.SECONDS))
+    val ex = intercept[WriterLock.LockHeldException] {
+      WriterLock.withLock(spark, dir, owner = "late")(())
+    }
+    assert(ex.getMessage.contains("holder#"),
+      s"the loud failure must name the holder: ${ex.getMessage}")
+    releaseIt.countDown(); holder.join(30000L)
+
+    // stale takeover: a crashed holder's lock (old mtime, no
+    // heartbeat refreshing it) must not wedge maintenance forever
+    val lock = new java.io.File(WriterLock.lockPath(dir))
+    assert(!lock.exists())
+    java.nio.file.Files.createDirectories(lock.getParentFile.toPath)
+    java.nio.file.Files.write(lock.toPath, "crashed#dead".getBytes("UTF-8"))
+    assert(lock.setLastModified(System.currentTimeMillis() - 120000L))
+    var ranAfterTakeover = false
+    WriterLock.withLock(spark, dir, owner = "medic",
+      staleAfterMs = 60000L) { ranAfterTakeover = true }
+    assert(ranAfterTakeover, "stale lock must be taken over")
+    assert(!lock.exists(), "the takeover's own release must clean up")
+
+    // ownership check on release: a holder whose lock was replaced
+    // (it read as stale mid-run) must NOT delete the new owner's lock
+    java.nio.file.Files.write(lock.toPath, "newowner#alive".getBytes("UTF-8"))
+    WriterLock.withLock(spark, dir + "-other", owner = "bystander")(())
+    // simulate: acquire on dir2, then swap the file under a DIFFERENT
+    // token before release - exercised via the public surface by
+    // replacing the lock mid-critical-section
+    val dir3 = tmpDir("wlock-swap") + "/idx"
+    val lock3 = new java.io.File(WriterLock.lockPath(dir3))
+    WriterLock.withLock(spark, dir3, owner = "victim",
+        heartbeatMs = 400L, staleAfterMs = 2000L) {
+      // a takeover replaces the file with someone else's token
+      java.nio.file.Files.write(lock3.toPath,
+        "usurper#token".getBytes("UTF-8"))
+    }
+    assert(new String(java.nio.file.Files.readAllBytes(lock3.toPath),
+        "UTF-8") == "usurper#token",
+      "release must leave a lock it no longer owns in place")
+  }
+}
