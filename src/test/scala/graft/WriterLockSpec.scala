@@ -89,4 +89,37 @@ class WriterLockSpec extends SparkSpec {
         "UTF-8") == "usurper#token",
       "release must leave a lock it no longer owns in place")
   }
+
+  test("end-to-end: two lock-wrapped index appends serialize - both " +
+      "land, no CAS loser, no discarded work (the out-of-process " +
+      "append trade the lock closes)") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val dir = tmpDir("wlock-appends") + "/idx"
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat sleeps"
+    Dedup.buildLshIndex(Seq((1L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    // UNLOCKED concurrent appends are the documented CAS race: one
+    // wins, one throws. LOCKED appends must BOTH land - the loser
+    // blocks, re-plans against the winner's frontier, and commits.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def append(id: Long, tag: String): Unit =
+      try WriterLock.withLock(spark, dir, owner = tag, waitMs = 60000L) {
+        Dedup.appendToLshIndex(Seq((id, base)).toDF("doc_id", "text"),
+          "doc_id", "text", dir, tag = tag)
+      } catch { case t: Throwable => errs.add(t); () }
+    val ts = Seq(new Thread(() => append(10L, "w1")),
+      new Thread(() => append(11L, "w2")))
+    ts.foreach(_.start()); ts.foreach(_.join(120000L))
+    assert(errs.isEmpty, s"locked appends must not race: ${errs}")
+    val m = spark.read.parquet(s"$dir/meta").head()
+    assert(m.getInt(m.fieldIndex("shards")) == 2,
+      "both appends must have committed, one per frontier step")
+    val got = Dedup.dedupDelta(Seq((40L, base)).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((1L, 40L), (10L, 40L), (11L, 40L)).subsetOf(got),
+      s"every appended doc must be queryable: $got")
+  }
 }
