@@ -43,7 +43,9 @@ object ScaleBench {
       "e15_knn_ivfsq_sharded", "e16_drift_stats", "d59_wordpiece",
       "e17_knn_opq_sharded",
       // round-16 newcomers
-      "e18_knn_ivfsq_compacted", "e19_knn_ivfsq_rebuilt", "d60_bm25_delta")
+      "e18_knn_ivfsq_compacted", "e19_knn_ivfsq_rebuilt", "d60_bm25_delta",
+      // round-17 newcomer
+      "d61_wordpiece_bytes")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -1250,6 +1250,37 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** WordPiece BYTE-FALLBACK encode (r17, [[graft.ops.WordPiece
+    * .encodeBytesCol]]): the d59 greedy matcher under a DELIBERATELY
+    * GAPPED vocabulary — consonant singles only, so a word whose
+    * vowels/digits fall outside a multi-piece match cannot segment —
+    * and each such word (BERT's whole-word [UNK] unit) expands to its
+    * UTF-8 `<0xXX>` byte pieces instead. The oracle replays the d59
+    * greedy walk WITHOUT the always-present-single fallback: a stuck
+    * walk never reaches the end position, and exactly those words
+    * byte-expand via hex() — words() emits [a-z0-9]+ runs, so every
+    * char is one UTF-8 byte. Proves the closed-vocabulary contract
+    * (no [UNK] ever reaches training data) at the ORACLE level; the
+    * round-trip/astral cases are OpsSpec's. */
+  // consonants + a/e: most corpus words segment (exercising the
+  // shared greedy walk), words holding i/o/u/digits outside a
+  // multi-piece byte-expand (exercising the fallback) - both paths
+  // carry real weight in the hash
+  private val d61Singles =
+    "abcdefghjklmnpqrstvwxyz".toSeq.map(_.toString)
+  private val d61Vocab = graft.ops.WordPieceVocab(
+    d61Singles.flatMap(c => Seq(c, "##" + c)).toVector ++ d59Multis)
+
+  def d61WordpieceBytes(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.ops.WordPiece.encodeBytesCol(TextFunctions.words(col("text")),
+          d61Vocab).as("b"))
+      .select(col("doc_id"), col("b.n_wp").as("n_wp"),
+        md5(col("b.toks").cast("binary")).as("toks_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Linear quality-classifier scoring (the fastText-shaped apply
     * path, graft.ops.QualityClassifier.scoreSparse) under a FIXED
     * sparse weight table: weights are dyadic rationals keyed by words
@@ -1917,6 +1948,7 @@ object Pipeline {
     "d32_html_extract" -> d32HtmlExtract _,
     "d33_bpe_encode" -> d33BpeEncode _,
     "d59_wordpiece" -> d59Wordpiece _,
+    "d61_wordpiece_bytes" -> d61WordpieceBytes _,
     "d34_quality_score" -> d34QualityScore _,
     "d35_cluster_sample" -> d35ClusterSample _,
     "d36_fix_encoding" -> d36FixEncoding _,
@@ -2757,6 +2789,50 @@ object Pipeline {
         |  WHERE g.pos <= length(g.w)),
         |seg AS (SELECT w, toks, np FROM g WHERE pos = length(w) + 1),
         |j AS (SELECT wp.doc_id, wp.wi, s.toks, s.np FROM wpos wp JOIN seg s ON s.w = wp.w),
+        |agg AS (SELECT doc_id, sum(np) AS n_wp,
+        |    string_agg(toks, ' | ' ORDER BY wi) AS toks FROM j GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(agg.n_wp, 0) AS INTEGER) AS n_wp,
+        |  md5(coalesce(agg.toks, '')) AS toks_md5
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    },
+    // d59's walk under the gapped vocab, WITHOUT the single-char
+    // fallback: vm carries the consonant singles explicitly, step is
+    // an INNER join on best, and a walk that gets stuck never reaches
+    // pos = len+1 - those words land in ub and byte-expand (hex() of
+    // each [a-z0-9] char = its one UTF-8 byte, uppercase, matching
+    // Unigram.bytePiece's %02X rendering).
+    "d61_wordpiece_bytes" -> {
+      val pieces = d61Singles.flatMap(c => Seq(c, s"##$c")) ++ d59Multis
+      val vmRows = pieces.map(p => s"('$p')").mkString(",")
+      s"""WITH RECURSIVE
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |wpos AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wi, unnest(ws) AS w FROM t),
+        |dw AS (SELECT DISTINCT w FROM wpos),
+        |vm(piece) AS (VALUES $vmRows),
+        |pp AS (SELECT w, unnest(range(1, length(w) + 1)) AS pos FROM dw),
+        |cand AS (SELECT pp.w, pp.pos, v.piece,
+        |    CASE WHEN v.piece LIKE '##%' THEN length(v.piece) - 2 ELSE length(v.piece) END AS clen
+        |  FROM pp JOIN vm v
+        |    ON ((pp.pos = 1) = (v.piece NOT LIKE '##%'))
+        |   AND substr(pp.w, pp.pos, CASE WHEN v.piece LIKE '##%' THEN length(v.piece) - 2 ELSE length(v.piece) END)
+        |       = CASE WHEN v.piece LIKE '##%' THEN substr(v.piece, 3) ELSE v.piece END),
+        |best AS (SELECT w, pos, piece, clen FROM (SELECT w, pos, piece, clen,
+        |    row_number() OVER (PARTITION BY w, pos ORDER BY clen DESC) AS rk FROM cand) WHERE rk = 1),
+        |g AS (
+        |  SELECT w, 1 AS pos, CAST('' AS VARCHAR) AS toks, 0 AS np FROM dw
+        |  UNION ALL
+        |  SELECT g.w, g.pos + b.clen,
+        |    g.toks || CASE WHEN g.pos = 1 THEN '' ELSE ' ' END || b.piece, g.np + 1
+        |  FROM g JOIN best b ON b.w = g.w AND b.pos = g.pos
+        |  WHERE g.pos <= length(g.w)),
+        |seg AS (SELECT w, toks, np FROM g WHERE pos = length(w) + 1),
+        |ub AS (SELECT w,
+        |    string_agg('<0x' || hex(substr(w, pos, 1)) || '>', ' ' ORDER BY pos) AS toks,
+        |    length(w) AS np
+        |  FROM pp WHERE w NOT IN (SELECT w FROM seg) GROUP BY w),
+        |allseg AS (SELECT w, toks, np FROM seg UNION ALL SELECT w, toks, np FROM ub),
+        |j AS (SELECT wp.doc_id, wp.wi, s.toks, s.np FROM wpos wp JOIN allseg s ON s.w = wp.w),
         |agg AS (SELECT doc_id, sum(np) AS n_wp,
         |    string_agg(toks, ' | ' ORDER BY wi) AS toks FROM j GROUP BY doc_id)
         |SELECT d.doc_id, CAST(coalesce(agg.n_wp, 0) AS INTEGER) AS n_wp,
