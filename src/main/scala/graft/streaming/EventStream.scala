@@ -145,6 +145,19 @@ object EventStream {
     * shared n-gram contributes exactly one row.
     * Shares ShingleHashes identity with batch d20/d23, so a backfill
     * and the incremental path agree on what is contaminated. */
+  /** Opt-in cross-process serialization for the ingest loops (the
+    * [[graft.ops.WriterLock]] story, r17): `waitMs` < 0 runs the
+    * batch body bare — in-process ordering is Structured Streaming's
+    * job and the CAS backstops out-of-process writers; >= 0 holds the
+    * index's writer lock across the batch's plan+commit so a
+    * cooperating locked maintenance process (CLI/cron `--lock`) and
+    * this stream never discard each other's work. */
+  private def locked(batch: DataFrame, indexPath: String, batchId: Long,
+      waitMs: Long)(body: => Unit): Unit =
+    if (waitMs < 0) body
+    else graft.ops.WriterLock.withLock(batch.sparkSession, indexPath,
+      owner = s"stream-batch-$batchId", waitMs = waitMs)(body)
+
   /** Continuous near-dup dedup of an arriving document stream against
     * a persisted LSH index — the full incremental-crawl loop
     * ([[graft.ops.Dedup.buildLshIndex]] once, then this) as ONE
@@ -170,14 +183,23 @@ object EventStream {
     *   when live shards exceed `maxLiveShards` — INSIDE the same
     *   foreachBatch, so ingest and maintenance are serialized by
     *   Structured Streaming itself (the ivfAppendStream rule) and the
-    *   loop's read amplification stays bounded for its whole life. */
+    *   loop's read amplification stays bounded for its whole life.
+    * @param lockWaitMs >= 0 wraps each batch's plan+commit in the
+    *   index's [[graft.ops.WriterLock]] (owner `stream-batch-<id>`,
+    *   blocking up to the given wait) — opt-in serialization against
+    *   CROSS-PROCESS cooperating writers (a cron `Cli index compact
+    *   --lock` beside this stream): neither side's work is ever
+    *   CAS-discarded. Default −1 = off; in-process ordering is
+    *   already Structured Streaming's job, and lockless writers
+    *   still fall back to the CAS contract. */
   def dedupDeltaStream(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, pairsDir: String, threshold: Double = 0.5,
-      maxBucket: Int = 0, maintainEvery: Int = 0, maxLiveShards: Int = 4)
+      maxBucket: Int = 0, maintainEvery: Int = 0, maxLiveShards: Int = 4,
+      lockWaitMs: Long = -1L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) locked(batch, indexPath, batchId, lockWaitMs) {
           val tag = s"batch-$batchId"
           // retry guard (ADVICE r14): a batch that crashed AFTER the
           // append's meta commit is already IN the index — re-pairing
@@ -221,11 +243,12 @@ object EventStream {
     *   over [[graft.ops.Dedup.compactSimhashIndex]]. */
   def simhashDeltaStream(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, pairsDir: String, maxBucket: Int = 0,
-      maintainEvery: Int = 0, maxLiveShards: Int = 4)
+      maintainEvery: Int = 0, maxLiveShards: Int = 4,
+      lockWaitMs: Long = -1L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) locked(batch, indexPath, batchId, lockWaitMs) {
           val tag = s"batch-$batchId"
           if (graft.ops.Dedup.simhashIndexTag(batch.sparkSession, indexPath)
               != tag) {
@@ -267,11 +290,12 @@ object EventStream {
     * or scheduling the rebuild. */
   def ivfAppendStream(vecs: DataFrame, indexPath: String,
       maintainEvery: Int = 0, maxLiveShards: Int = 4,
-      onMaintain: graft.ops.IvfIndex.Maintenance => Unit = _ => ())
+      onMaintain: graft.ops.IvfIndex.Maintenance => Unit = _ => (),
+      lockWaitMs: Long = -1L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) locked(batch, indexPath, batchId, lockWaitMs) {
           graft.ops.IvfIndex.append(batch, indexPath, tag = s"batch-$batchId")
           if (maintainEvery > 0 && batchId % maintainEvery == maintainEvery - 1)
             onMaintain(graft.ops.IvfIndex.maintain(batch.sparkSession,
@@ -290,11 +314,12 @@ object EventStream {
     * rule). Caller contract: doc ids globally unique across the
     * stream. */
   def bm25AppendStream(docs: DataFrame, idCol: String, textCol: String,
-      indexPath: String, maintainEvery: Int = 0, maxLiveShards: Int = 4)
+      indexPath: String, maintainEvery: Int = 0, maxLiveShards: Int = 4,
+      lockWaitMs: Long = -1L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        if (!batch.isEmpty) locked(batch, indexPath, batchId, lockWaitMs) {
           graft.ops.Relevance.appendToIndex(batch, idCol, textCol,
             indexPath, tag = s"batch-$batchId")
           if (maintainEvery > 0 &&

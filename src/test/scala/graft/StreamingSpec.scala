@@ -1034,4 +1034,48 @@ class StreamingSpec extends SparkSpec {
       assert(last.getLong(0) == 3L && last.getDouble(1) == 10.0)
     } finally q.stop()
   }
+
+  test("ingest loop with lockWaitMs (r17): a batch arriving while a " +
+      "maintenance process holds the index writer lock WAITS for the " +
+      "release instead of CAS-racing, then lands; the lock is clean " +
+      "after") {
+    import spark.implicits._
+    import graft.ops.{IvfIndex, WriterLock}
+    def vecA(i: Int) = Array.tabulate(4)(d =>
+      (if (d == 0) 1.0f else 0.01f * ((i + d) % 3)))
+    val dir = tmpDir("graft-ivflock")
+    IvfIndex.build((0 until 8).map(i => (i.toLong, vecA(i))).toDF("id", "vec"),
+      nCells = 2, refineIters = 1, persist = false).save(s"$dir/idx")
+    // a cooperating "CLI maintenance process" holds the lock
+    val holding = new java.util.concurrent.CountDownLatch(1)
+    val releaseIt = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      WriterLock.withLock(spark, s"$dir/idx", owner = "cli-compact") {
+        holding.countDown()
+        releaseIt.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      })
+    holder.start()
+    assert(holding.await(15, java.util.concurrent.TimeUnit.SECONDS))
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = EventStream.ivfAppendStream(
+        input.toDF().toDF("id", "vec"), s"$dir/idx", lockWaitMs = 60000L)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData((100 until 104).map(i => (i.toLong, vecA(i))): _*)
+      // while the lock is held the batch must not have committed
+      Thread.sleep(2000L)
+      val m0 = spark.read.parquet(s"$dir/idx/meta").head()
+      assert(m0.getInt(m0.fieldIndex("shards")) == 0,
+        "the locked batch must wait, not commit")
+      releaseIt.countDown(); holder.join(30000L)
+      q.processAllAvailable()
+      val m1 = spark.read.parquet(s"$dir/idx/meta").head()
+      assert(m1.getInt(m1.fieldIndex("shards")) == 1 &&
+        m1.getString(m1.fieldIndex("tag")) == "batch-0",
+        "the batch must land once the maintenance process releases")
+    } finally { q.stop(); releaseIt.countDown() }
+    assert(!new java.io.File(WriterLock.lockPath(s"$dir/idx")).exists(),
+      "the stream's per-batch lock must release")
+  }
 }
