@@ -150,6 +150,27 @@ object Cli {
     cmd match {
       case "status" =>
         println(s"index $kind at $path: ${live()} live shard(s)")
+        // operational visibility: a standing writer lock (holder +
+        // age) tells the operator WHO is maintaining before they
+        // reach for --lock themselves
+        locally {
+          val lp = new org.apache.hadoop.fs.Path(WriterLock.lockPath(path))
+          val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(lp)) {
+            val age = (System.currentTimeMillis() -
+              fs.getFileStatus(lp).getModificationTime) / 1000
+            val holder = try {
+              val in = fs.open(lp)
+              try {
+                val buf = new Array[Byte](256)
+                val n = math.max(0, in.read(buf))
+                new String(buf, 0, n, "UTF-8")
+              } finally in.close()
+            } catch { case _: java.io.IOException => "<unreadable>" }
+            println(s"writer lock HELD by '$holder' " +
+              s"(heartbeat ${age}s ago)")
+          }
+        }
       case "compact" =>
         locked { compact() }
         println(s"index $kind at $path: compacted, " +

@@ -27,6 +27,11 @@ import org.apache.spark.sql.SparkSession
   *  - staleness compares the lock's mtime (refreshed every
   *    `heartbeatMs` by the holder) against the acquirer's clock:
   *    cross-host clock skew must stay well under `staleAfterMs`.
+  *    A filesystem whose setTimes is unsupported degrades the
+  *    heartbeat to a FIXED LEASE of `staleAfterMs` from acquisition —
+  *    size it above the longest expected critical section there, or
+  *    a live holder can be taken over mid-run (its CAS still
+  *    backstops correctness; the takeover only wastes its work).
   *  - a holder whose lock was taken over (it stalled past
   *    `staleAfterMs`, e.g. a long GC pause) keeps running — its CAS
   *    commit is what aborts it if the new holder got there first; on

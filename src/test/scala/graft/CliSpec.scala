@@ -30,6 +30,19 @@ class CliSpec extends SparkSpec {
       .toDF("id", "vec"), ivf, tag = "d1")
     val st = captured { Cli.indexCmd(spark, Array("status", "ivfsq", ivf)) }
     assert(st.contains("2 live shard"), st)
+    assert(!st.contains("writer lock"), "no lock -> no lock line")
+    // a standing writer lock surfaces in status (holder + age), and a
+    // --lock'd command while it stands fails loudly naming the holder
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      graft.ops.WriterLock.lockPath(ivf)), "ops-team#abc".getBytes("UTF-8"))
+    val stL = captured { Cli.indexCmd(spark, Array("status", "ivfsq", ivf)) }
+    assert(stL.contains("writer lock HELD by 'ops-team#abc'"), stL)
+    val exL = intercept[graft.ops.WriterLock.LockHeldException] {
+      Cli.indexCmd(spark, Array("compact", "ivfsq", ivf, "--lock", "0"))
+    }
+    assert(exL.getMessage.contains("ops-team#abc"), exL.getMessage)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(
+      graft.ops.WriterLock.lockPath(ivf)))
     val dr = captured { Cli.indexCmd(spark, Array("drift", "ivfsq", ivf)) }
     assert(dr.contains("drift_ratio"), dr)
     val mt = captured { Cli.indexCmd(spark,

@@ -35,6 +35,7 @@ class CodegenSpec extends SparkSpec {
         "d15_repetition",           // RepetitionStatsExpr
         "d33_bpe_encode",           // BpeEncodeExpr
         "d59_wordpiece",            // WordPieceEncodeExpr
+        "d61_wordpiece_bytes",      // WordPieceEncodeExpr byteFallback
         "d44_gopher_rules",         // GopherStatsExpr (the r14 find)
         "d49_unigram_encode",       // UnigramEncodeExpr
         "d51_unigram_nbest",        // UnigramNbestExpr
