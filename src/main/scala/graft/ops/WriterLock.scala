@@ -72,6 +72,10 @@ object WriterLock {
     require(staleAfterMs > heartbeatMs * 2,
       s"staleAfterMs ($staleAfterMs) must be well above heartbeatMs " +
         s"($heartbeatMs), or a healthy holder reads as stale between beats")
+    // the token must fit holderToken()'s read buffer or the release
+    // ownership compare breaks and the lock leaks until staleness
+    require(owner.length <= 128,
+      s"owner name too long (${owner.length} > 128 chars)")
     val (fs, lock) = fsPath(spark, lockPath(indexPath))
     val token = owner + "#" + java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + waitMs
@@ -97,8 +101,12 @@ object WriterLock {
     // deadlock until staleness. Rename is the primitive MetaSwap and
     // ShardDirs already trust.)
     def tryAcquire(allowTakeover: Boolean = true): Boolean = {
+      // staged under the UUID alone: the operator-chosen owner half
+      // of the token may hold path-hostile chars ('/', spaces) and
+      // belongs in the CONTENT, not the filename
       val tmp = new org.apache.hadoop.fs.Path(
-        lockPath(indexPath) + ".acquire-" + token.replace('#', '-'))
+        lockPath(indexPath) + ".acquire-" +
+          token.substring(token.lastIndexOf('#') + 1))
       val out = fs.create(tmp, true)
       try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
