@@ -3311,6 +3311,36 @@ class OpsSpec extends SparkSpec {
     // a missing table dir is a quiet no-op (first compact of a
     // single-table family)
     ShardDirs.sweepBelow(spark, dir + "-absent", 5)
+
+    // renameIntoShard arbitration branches, driven directly:
+    val tdir = tmpDir("sharddirs-rename") + "/table"
+    def stage(name: String): String = {
+      val p = s"$tdir/$name"
+      Seq((1L, "x")).toDF("id", "v").write.mode("overwrite").parquet(p)
+      p
+    }
+    // 1. clean rename lands
+    ShardDirs.renameIntoShard(spark, stage(".compact-tmp-a"),
+      s"$tdir/shard=5", "t", () => false)
+    assert(spark.read.parquet(s"$tdir/shard=5").count() == 1)
+    // 2. dest exists + meta moved -> the loser aborts loudly, its
+    // staging dir is discarded, the standing dest is untouched
+    val tmpB = stage(".compact-tmp-b")
+    val exR = intercept[java.util.ConcurrentModificationException] {
+      ShardDirs.renameIntoShard(spark, tmpB, s"$tdir/shard=5", "t",
+        () => true)
+    }
+    assert(exR.getMessage.contains("lost the commit race"), exR.getMessage)
+    assert(!new java.io.File(tmpB).exists(), "loser's staging must go")
+    assert(spark.read.parquet(s"$tdir/shard=5").count() == 1,
+      "winner's dest must be untouched")
+    // 3. dest exists + meta NOT moved -> crashed orphan: healed,
+    // retry rename lands the new content
+    val tmpC = stage(".compact-tmp-c")
+    ShardDirs.renameIntoShard(spark, tmpC, s"$tdir/shard=5", "t",
+      () => false)
+    assert(spark.read.parquet(s"$tdir/shard=5").count() == 1 &&
+      !new java.io.File(tmpC).exists())
   }
 
   test("wordpiece byte fallback (r17): unsegmentable words expand to " +
