@@ -44,8 +44,8 @@ object ScaleBench {
       "e17_knn_opq_sharded",
       // round-16 newcomers
       "e18_knn_ivfsq_compacted", "e19_knn_ivfsq_rebuilt", "d60_bm25_delta",
-      // round-17 newcomer
-      "d61_wordpiece_bytes")
+      // round-17 newcomers
+      "d61_wordpiece_bytes", "e20_knn_bq")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -318,7 +318,7 @@ object ScaleBench {
     // carries CAN shift with corpus density), even though the gate
     // itself is deterministic and oracle-proven.
     val annGates = Seq("e02_knn_ivf", "e05_knn_ivfpq", "e10_knn_opq_ivfpq",
-      "e12_knn_sq8", "e14_knn_matryoshka")
+      "e12_knn_sq8", "e14_knn_matryoshka", "e20_knn_bq")
     val skipRecall = ccOnly ||
       (names0 != names && !names0.exists(annGates.contains))
     for (dir <- if (skipRecall) Seq.empty[String] else dirs) {

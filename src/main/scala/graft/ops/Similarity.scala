@@ -145,6 +145,47 @@ object Similarity {
     rerankShortlist(cu, shortlist, qu, k)
   }
 
+  /** Binary-quantization kNN (the 1-bit-per-dimension family modern
+    * vector stores ship as "BQ": sign-quantize, hamming shortlist,
+    * exact rescore). Each vector codes to ONE long
+    * ([[graft.functions.SignBitsExpr]], bit j = vec[j] > 0, dim <=
+    * 64), the shortlist pass scans (id, sig) — 16 bytes/row, 32× less
+    * than the raw floats, distance = one xor + popcount — and only
+    * the `fetch` best-hamming candidates per query are reranked with
+    * the exact unit-vector dot ([[rerankShortlist]], the matryoshka
+    * funnel's second half). Wholly deterministic: hamming ties break
+    * to the smaller id, rerank ties (4dp-rounded sim) likewise — so
+    * unlike IVF/PQ there is NO trained state and gate e20 proves the
+    * whole path against the DuckDB oracle, shortlist included.
+    * Same query convention as [[bruteForceKnn]] (qids drawn from the
+    * corpus id space; the self-match is excluded). */
+  def bqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+      fetch: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val f = if (fetch <= 0) math.max(4 * k, 30) else fetch
+    require(f >= k, s"fetch ($f) must be >= k ($k)")
+    val sb = (c: org.apache.spark.sql.Column) =>
+      graft.functions.CatalystFunctions.signBits(asDouble(c))
+    val cs = spread(corpus).select(col("id"), sb(col("vec")).as("sig"))
+    val qs = queries.select(col("qid"), sb(col("qvec")).as("qsig"))
+    val wh = Window.partitionBy("qid")
+      .orderBy(col("hamming"), col("id"))
+    // narrow shuffle: (qid, id, hamming) rows only - the full vectors
+    // are touched again only for the fetch-sized shortlist
+    val shortlist = cs.crossJoin(broadcast(qs))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("hamming",
+        bit_count(col("sig").bitwiseXOR(col("qsig"))))
+      .withColumn("rk", row_number().over(wh))
+      .filter(col("rk") <= f)
+      .select("qid", "id")
+    val cu = spread(corpus).select(col("id"), unitVec(col("vec")).as("vec"))
+      .filter(col("vec").isNotNull)
+    val qu = queries.select(col("qid"), unitVec(col("qvec")).as("qvec"))
+      .filter(col("qvec").isNotNull)
+    rerankShortlist(cu, shortlist, qu, k)
+  }
+
   /** IVF ANN: coarse-quantize the corpus to `nCells` centroids, then
     * search only the `nProbe` best cells per query.
     *

@@ -206,6 +206,16 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  /** Binary-quantization kNN (Similarity.bqKnn, r17): 1-bit-per-dim
+    * sign codes, hamming shortlist (fetch 32), exact unit-dot rerank
+    * to top-5. Like e14 there is NO trained state anywhere in the
+    * path, so the whole funnel — sign rule, hamming ranks, rerank
+    * scores — is fully oracle-proven. */
+  def e20KnnBq(s: SparkSession, dir: String): DataFrame = {
+    val (e, q) = knnInputs(s, dir)
+    Similarity.bqKnn(e, q, k = 5, fetch = 32).orderBy("qid", "rank")
+  }
+
   /** IVF-bucketed ANN over the same queries (approximate; rows-only).
     * Build-once/query-many like e05: the index persists as parquet
     * keyed by the data directory, so the gate measures probe cost —
@@ -1986,7 +1996,8 @@ object Pipeline {
     "e16_drift_stats" -> e16DriftStats _,
     "e18_knn_ivfsq_compacted" -> e18KnnIvfSqCompacted _,
     "e19_knn_ivfsq_rebuilt" -> e19KnnIvfSqRebuilt _,
-    "e17_knn_opq_sharded" -> e17KnnOpqIvfPqSharded _)
+    "e17_knn_opq_sharded" -> e17KnnOpqIvfPqSharded _,
+    "e20_knn_bq" -> e20KnnBq _)
 
   /** The ONE copy of the md5-simhash signature CTEs (review r11: d08/
     * d11/d12/d19 carried four hand-synced copies — a change to the
@@ -3547,6 +3558,32 @@ object Pipeline {
         |short AS (SELECT qid, id FROM (SELECT qid, id,
         |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rk FROM s1)
         |  WHERE rk <= 30),
+        |u AS (SELECT id, list_transform(vec,
+        |    x -> x / sqrt(list_sum(list_transform(vec, y -> y * y)))) AS uv FROM v
+        |  WHERE list_sum(list_transform(vec, y -> y * y)) > 0),
+        |uq AS (SELECT qid, list_transform(qvec,
+        |    x -> x / sqrt(list_sum(list_transform(qvec, y -> y * y)))) AS uqv FROM q
+        |  WHERE list_sum(list_transform(qvec, y -> y * y)) > 0),
+        |rr AS (SELECT s.qid, s.id,
+        |  list_sum(list_transform(range(1, len(uv) + 1), i -> uv[i] * uqv[i])) AS sim
+        |  FROM short s JOIN u ON s.id = u.id JOIN uq ON s.qid = uq.qid),
+        |ranked AS (SELECT qid, id, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM rr)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // BQ funnel: strict x > 0 sign bits, hamming = count of differing
+    // signs (ties to the smaller id), e14's unit-dot rerank verbatim
+    "e20_knn_bq" ->
+      """WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+        |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 10),
+        |sgn AS (SELECT id, list_transform(vec, x -> x > 0) AS sg FROM v),
+        |sgq AS (SELECT qid, list_transform(qvec, x -> x > 0) AS sq FROM q),
+        |h AS (SELECT qid, id,
+        |  len(list_filter(range(1, len(sg) + 1), i -> sg[i] <> sq[i])) AS hamming
+        |  FROM sgn CROSS JOIN sgq WHERE id <> qid),
+        |short AS (SELECT qid, id FROM (SELECT qid, id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS rk FROM h)
+        |  WHERE rk <= 32),
         |u AS (SELECT id, list_transform(vec,
         |    x -> x / sqrt(list_sum(list_transform(vec, y -> y * y)))) AS uv FROM v
         |  WHERE list_sum(list_transform(vec, y -> y * y)) > 0),

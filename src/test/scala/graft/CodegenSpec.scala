@@ -45,6 +45,7 @@ class CodegenSpec extends SparkSpec {
         "e08_pq_rotated",           // OPQ rotate + sign-permute exprs
         "e11_sq_codes",             // SQ encode + codeAsInt
         "e13_knn_ivfsq_verify",     // SqDotExpr (fused decode+dot) + VecSub
+        "e20_knn_bq",               // SignBitsExpr
         "m01_multimodal",           // ByteStatsExpr
         "m03_byte_simhash")         // ByteSimhash64
       gates.foreach { g =>

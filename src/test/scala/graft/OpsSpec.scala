@@ -3375,4 +3375,44 @@ class OpsSpec extends SparkSpec {
       WordPiece.encodeWord("fox", vocab).length + 6,
       s"n_wp must count byte pieces: $enc")
   }
+
+  test("binary-quantization kNN (r17): full-fetch bq equals brute " +
+      "force exactly, small-fetch keeps real recall, sign rule and " +
+      "dim cap are pinned") {
+    import graft.ops.Similarity
+    def vec(i: Int) = Array.tabulate(12)(d =>
+      math.sin(0.7 * i + 1.3 * d).toFloat)
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i))).toDF("id", "vec")
+    val queries = (0 until 6).map(i => (i.toLong, vec(i))).toDF("qid", "qvec")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    // fetch >= corpus: the hamming shortlist keeps everything, so the
+    // rerank IS brute force - identical rows, scores, ranks
+    val brute = rows(Similarity.bruteForceKnn(corpus, queries, 5))
+    val full = rows(Similarity.bqKnn(corpus, queries, 5, fetch = 40))
+    assert(full == brute, s"full-fetch bq must equal brute force")
+    // small fetch: approximate but sane - per-query top-5 overlap
+    // with brute force stays above half on this smooth fixture
+    val approx = rows(Similarity.bqKnn(corpus, queries, 5, fetch = 10))
+    val recall = (0 until 6).map { q =>
+      val b = brute.filter(_._1 == q).map(_._3).toSet
+      val a = approx.filter(_._1 == q).map(_._3).toSet
+      b.intersect(a).size.toDouble / b.size
+    }.sum / 6
+    assert(recall >= 0.5, s"bq recall@5 collapsed: $recall")
+    // sign rule: strictly positive only - zeros code 0
+    val sig = corpus.sparkSession.range(1).select(
+      graft.functions.CatalystFunctions.signBits(
+        typedLit(Array(1.0, 0.0, -2.0, 3.0))).as("s"))
+      .head().getLong(0)
+    assert(sig == ((1L << 0) | (1L << 3)), s"sign bits: $sig")
+    // dim > 64 fails loudly, not silently truncated
+    val ex = intercept[Exception] {
+      corpus.sparkSession.range(1).select(
+        graft.functions.CatalystFunctions.signBits(
+          typedLit(Array.fill(65)(1.0))).as("s")).collect()
+    }
+    assert(ex.getMessage.contains("64"), ex.getMessage)
+  }
 }
