@@ -17,13 +17,15 @@ import org.apache.spark.sql.SparkSession
   *  - correctness still rests on the CAS. A writer that bypasses the
   *    lock races the holder and loses loudly at its meta commit; the
   *    lock only serializes the cooperating writers that opt in.
-  *  - mutual exclusion rests on the filesystem's atomic
-  *    no-overwrite RENAME (each contender stages its own token file
-  *    and renames it onto the lock path): exact on HDFS and POSIX
-  *    local filesystems; object stores that fake rename as
-  *    copy+delete get best-effort semantics (two near-simultaneous
-  *    acquirers can both believe they won — the CAS remains the
-  *    backstop).
+  *  - mutual exclusion rests on the filesystem's no-overwrite RENAME
+  *    (each contender stages its own token file and renames it onto
+  *    the lock path) plus a readback VERIFY of the landed token:
+  *    exact on HDFS (server-side atomic rename); local checksummed
+  *    filesystems and object stores get best-effort semantics — the
+  *    verify demotes a lost rename race to a retry, an unreadable
+  *    (crc-corrupt) lock is reclaimed as garbage, and in the residual
+  *    overwrite-after-verify window two acquirers can briefly both
+  *    believe they won — the CAS remains the backstop.
   *  - staleness compares the lock's mtime (refreshed every
   *    `heartbeatMs` by the holder) against the acquirer's clock:
   *    cross-host clock skew must stay well under `staleAfterMs`.
@@ -118,16 +120,32 @@ object WriterLock {
         // the raw rename leaves behind - best-effort sweep
         fs.delete(new org.apache.hadoop.fs.Path(
           tmp.getParent, "." + tmp.getName + ".crc"), false)
-        true
+        // VERIFY by readback (full-suite race, r17): the local
+        // FileContext filesystem is ChecksumFs, whose no-overwrite
+        // rename is check-then-act over TWO files (data + .crc) - two
+        // near-simultaneous renames can interleave into an overwrite
+        // or a crc-mismatched lock NOBODY can read or release. The
+        // settle pause + token readback demotes both to a retry: a
+        // foreign token means a racer's rename landed over ours (they
+        // hold - poll on); an unreadable one is corrupt garbage the
+        // failure path below reclaims on the next poll. Never delete
+        // here - the file may be a healthy racer's.
+        Thread.sleep(50L)
+        holderToken() == token
       } catch {
         case _: java.io.IOException =>
           fs.delete(tmp, false)
-          // held - or a crashed holder's leftover past its heartbeat
-          val stale =
-            try System.currentTimeMillis() -
-              fs.getFileStatus(lock).getModificationTime > staleAfterMs
-            catch { case _: java.io.IOException => false } // vanished: re-race
-          if (stale && allowTakeover) {
+          // held - or a crashed holder's leftover past its heartbeat,
+          // or crc-corrupt garbage (exists + fresh mtime + unreadable:
+          // its "owner" can never pass the release ownership compare,
+          // so nobody else will ever delete it - reclaim it here)
+          val status =
+            try Some(fs.getFileStatus(lock))
+            catch { case _: java.io.IOException => None } // vanished: re-race
+          val stale = status.exists(st =>
+            System.currentTimeMillis() - st.getModificationTime > staleAfterMs)
+          val corrupt = status.isDefined && holderToken() == "<unreadable>"
+          if ((stale || corrupt) && allowTakeover) {
             // takeover: reclaim and re-race the rename IMMEDIATELY
             // (waitMs = 0 callers must still win a stale lock - the
             // deadline check would otherwise fire first); one level
