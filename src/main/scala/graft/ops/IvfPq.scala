@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CatalystFunctions.{vecSub, vecUnit}
@@ -73,20 +72,20 @@ final class IvfPqIndex private[ops] (
       graft.ops.Pq.lutCol(col("qvec"), cb).as("__lut"))
     val qProbes = Similarity.topCells(ivf.centroids, q, "qid", "qvec",
       probes, keepScore = true)
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
     val take = if (f > 0) f else k
-    val adcTop = encoded
+    val scored = encoded
       // probe side explicitly broadcast (review r12): it is |q|·nProbe
-      // tiny rows, but its crossJoin+window lineage defeats size
-      // estimation — left to chance, a sort-merge plan would shuffle
-      // the ENTIRE codes table by cell per query batch
+      // tiny rows, but its crossJoin lineage defeats size estimation —
+      // left to chance, a sort-merge plan would shuffle the ENTIRE
+      // codes table by cell per query batch
       .join(broadcast(qProbes.drop("qvec").join(broadcast(qlut), "qid")),
         "cell")
       .filter(col("id") =!= col("qid"))
       .withColumn("score",
         col("__score") + graft.ops.Pq.adcCol(col("codes"), col("__lut"), cb.ks))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= take)
+      .select(col("qid"), col("id"), col("score"))
+    val adcTop = Similarity.topKByKey(scored, "qid", "id", "score",
+      metricDesc = true, take)
     if (f == 0)
       adcTop.select(col("qid"), col("rank"), col("id"),
         round(col("score"), 4).as("sim"))

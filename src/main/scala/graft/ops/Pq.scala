@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{GraftExprBridge => ExpressionUtils}
@@ -430,13 +429,12 @@ object Pq {
       normalize: Boolean = true): DataFrame = {
     val q = queries.select(col("qid"),
       lutCol(col("qvec"), cb, normalize).as("__lut"))
-    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("id"))
-    encoded.select(col("id"), col("codes"))
+    val scored = encoded.select(col("id"), col("codes"))
       .crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .withColumn("score", adcCol(col("codes"), col("__lut"), cb.ks))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("score"))
+    Similarity.topKByKey(scored, "qid", "id", "score", metricDesc = true, k)
       .select(col("qid"), col("rank"), col("id"), round(col("score"), 4).as("score"))
   }
 
@@ -456,8 +454,7 @@ object Pq {
     val q = queries.select(col("qid"),
         col("qvec").cast("array<double>").as("qvec"))
       .withColumn("qnrm", Similarity.norm(col("qvec")))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    c.join(broadcast(shortlist), "id")
+    val scored = c.join(broadcast(shortlist), "id")
       .join(broadcast(q), "qid")
       // the shared zero-norm guard (review r12): the raw division gave
       // a zero-norm vector sim = NaN, which sorts ABOVE every real
@@ -467,8 +464,8 @@ object Pq {
       .withColumn("sim", Similarity.cosineSim(
         Similarity.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm")))
       .filter(col("sim").isNotNull) // zero-norm rows have no cosine rank
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("sim"))
+    Similarity.topKByKey(scored, "qid", "id", "sim", metricDesc = true, k)
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
   }
 }

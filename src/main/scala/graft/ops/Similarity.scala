@@ -74,14 +74,13 @@ object Similarity {
       .withColumn("nrm", norm(col("vec")))
     val q = queries.select(col("qid"), asDouble(col("qvec")).as("qvec"))
       .withColumn("qnrm", norm(col("qvec")))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .withColumn("sim",
         cosineSim(dot(col("vec"), col("qvec")), col("nrm"), col("qnrm")))
       .filter(col("sim").isNotNull) // zero-norm rows have no cosine rank
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("sim"))
+    topKByKey(scored, "qid", "id", "sim", metricDesc = true, k)
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
   }
 
@@ -168,17 +167,16 @@ object Similarity {
       graft.functions.CatalystFunctions.signBits(asDouble(c))
     val cs = spread(corpus).select(col("id"), sb(col("vec")).as("sig"))
     val qs = queries.select(col("qid"), sb(col("qvec")).as("qsig"))
-    val wh = Window.partitionBy("qid")
-      .orderBy(col("hamming"), col("id"))
-    // narrow shuffle: (qid, id, hamming) rows only - the full vectors
-    // are touched again only for the fetch-sized shortlist
-    val shortlist = cs.crossJoin(broadcast(qs))
+    // bounded map-side top-fetch (VERDICT r17 #1): only k-row heap
+    // buffers ever shuffle - the full vectors are touched again only
+    // for the fetch-sized shortlist
+    val ham = cs.crossJoin(broadcast(qs))
       .filter(col("id") =!= col("qid"))
       .withColumn("hamming",
         bit_count(col("sig").bitwiseXOR(col("qsig"))))
-      .withColumn("rk", row_number().over(wh))
-      .filter(col("rk") <= f)
-      .select("qid", "id")
+      .select(col("qid"), col("id"), col("hamming"))
+    val shortlist = topKByKey(ham, "qid", "id", "hamming",
+      metricDesc = false, f).select("qid", "id")
     val cu = spread(corpus).select(col("id"), unitVec(col("vec")).as("vec"))
       .filter(col("vec").isNotNull)
     val qu = queries.select(col("qid"), unitVec(col("qvec")).as("qvec"))
@@ -258,6 +256,35 @@ object Similarity {
         s"corpus id type ${it.simpleString}")
   }
 
+  /** Distributed per-query top-k over narrow (key, id, metric) rows —
+    * the shared shortlist/rank tail of EVERY broadcast-kNN path
+    * (VERDICT r17 #1). The old shape, `row_number() over (partition
+    * by qid order by metric, id) <= k`, funneled ALL n corpus
+    * candidates for one query into ONE window task's sort — a
+    * single-reducer billion-row sort at corpus scale. This shape is a
+    * [[graft.functions.TopKStructs]] aggregation instead: a bounded
+    * k-row heap per (query, partition) fills MAP-SIDE, only those
+    * heaps shuffle, and the reduce-side merge per query touches
+    * ≤ partitions × k rows. No per-group sort of the candidate set
+    * exists anywhere in the plan (OpsSpec pins the routed plans
+    * Window-free).
+    *
+    * Results are bit-identical to the window it replaces: (metric,
+    * id) is a TOTAL order per query group (ids unique), compared with
+    * Spark's own per-type sort orderings inside the aggregator.
+    * Returns (key, rank, id, metric) rows, rank 1-based best-first;
+    * callers round/rename the metric. */
+  private[graft] def topKByKey(scored: DataFrame, key: String, id: String,
+      metric: String, metricDesc: Boolean, k: Int): DataFrame = {
+    val entry = struct(col(metric), col(id))
+    scored.groupBy(col(key))
+      .agg(graft.functions.TopKFunctions.topKStructs(entry, k, metricDesc)
+        .as("__top"))
+      .select(col(key), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col(key), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e").getField(id).as(id), col("__e").getField(metric).as(metric))
+  }
+
   /** Exact-cosine rescore of a (qid, id) shortlist against raw UNIT
     * vectors — the shared rerank tail of IvfPq/IvfSq.query: the
     * shortlist and query set broadcast, so the rescore is one map-side
@@ -265,12 +292,11 @@ object Similarity {
     * cosine. Callers guarantee zero-norm rows were dropped at build. */
   private[ops] def rerankShortlist(corpusUnit: DataFrame,
       shortlist: DataFrame, q: DataFrame, k: Int): DataFrame = {
-    val wr = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    corpusUnit.join(broadcast(shortlist), "id")
+    val scored = corpusUnit.join(broadcast(shortlist), "id")
       .join(broadcast(q), "qid")
       .withColumn("sim", dot(col("vec"), col("qvec")))
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("sim"))
+    topKByKey(scored, "qid", "id", "sim", metricDesc = true, k)
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
   }
 
@@ -548,14 +574,13 @@ final class IvfIndex private[ops] (
     val q = queries.select(col("qid"), Similarity.toDouble(col("qvec")).as("qvec"))
     val qProbes = Similarity.topCells(centroids, q, "qid", "qvec", probes)
       .withColumn("qnrm", Similarity.norm(col("qvec")))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    assigned.join(qProbes, "cell")
+    val scored = assigned.join(qProbes, "cell")
       .filter(col("id") =!= col("qid"))
       .withColumn("sim", Similarity.cosineSim(
         Similarity.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm")))
       .filter(col("sim").isNotNull) // zero-norm rows have no cosine rank
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("sim"))
+    Similarity.topKByKey(scored, "qid", "id", "sim", metricDesc = true, k)
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
   }
 
@@ -703,28 +728,44 @@ private[graft] object ShardDirs {
     * UNIQUE per attempt so two concurrent compacts can never
     * overwrite each other's staging mid-write (the rename step below
     * is what arbitrates the destination); a crashed compact's
-    * leftover is reclaimed by the next [[sweepBelow]]. */
+    * leftover is reclaimed by the first [[sweepBelow]] after it ages
+    * past [[tmpReclaimAfterMs]]. */
   def compactTmp(tableDir: String): String =
     s"$tableDir/.compact-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
 
+  /** Staging dirs younger than this survive [[sweepBelow]] (ADVICE
+    * r17): a CONCURRENT in-flight compact's live `.compact-tmp-*` is
+    * indistinguishable from a crashed one's orphan by name alone, and
+    * reclaiming it mid-write made the CAS-doomed loser die with an
+    * arbitrary Spark write error instead of the intended loud
+    * ConcurrentModificationException. Age arbitrates: no compact's
+    * staging write runs for 30 minutes at any sane shard size, while
+    * a crashed orphan only grows older — it is reclaimed by the first
+    * sweep after the window. */
+  private[graft] val tmpReclaimAfterMs: Long = 30L * 60 * 1000
+
   /** Delete every `shard=G` dir with G < `base`, plus crashed-compact
-    * staging dirs, in ONE directory listing (r16 review F6: the
-    * hand-rolled sweeps probed each shard number with its own
+    * staging dirs OLDER than `tmpTtlMs` (age-gated — see
+    * [[tmpReclaimAfterMs]]), in ONE directory listing (r16 review F6:
+    * the hand-rolled sweeps probed each shard number with its own
     * exists() — O(total shards ever) round trips on object stores;
     * a listing is one call and touches only entries that exist).
     * Best-effort by contract: dirs below base are garbage readers
     * never select (every scan filters shard >= base). */
   def sweepBelow(spark: org.apache.spark.sql.SparkSession,
-      tableDir: String, base: Int): Unit = {
+      tableDir: String, base: Int,
+      tmpTtlMs: Long = tmpReclaimAfterMs): Unit = {
     val (fs, p) = hfs(spark, tableDir)
     if (!fs.exists(p)) return
+    val now = System.currentTimeMillis()
     fs.listStatus(p).foreach { st =>
       val name = st.getPath.getName
       val dead =
         if (name.startsWith("shard="))
           scala.util.Try(name.stripPrefix("shard=").toInt)
             .toOption.exists(_ < base)
-        else name.startsWith(".compact-tmp")
+        else name.startsWith(".compact-tmp") &&
+          now - st.getModificationTime > tmpTtlMs
       if (dead) { fs.delete(st.getPath, true); () }
     }
   }
@@ -1162,9 +1203,9 @@ object IvfIndex {
 
   /** Every table name any index layout under one path may write —
     * plain IVF (centroids/assigned), IVF-PQ (codebook/encoded/corpus),
-    * IVF-SQ (sqmodel/encoded/corpus). */
+    * IVF-SQ (sqmodel/encoded/corpus), BQ (sigs/corpus). */
   private[ops] val layoutTables = Seq("centroids", "assigned",
-    "codebook", "encoded", "corpus", "sqmodel")
+    "codebook", "encoded", "corpus", "sqmodel", "sigs")
 
   /** Delete the sibling layout tables a save will NOT rewrite (review
     * r12): the index family shares one path layout, and a path

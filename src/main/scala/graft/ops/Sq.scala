@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{GraftExprBridge => ExpressionUtils}
@@ -153,13 +152,12 @@ object Sq {
     Similarity.requireComparableIds(queries, encoded)
     val q = queries.select(col("qid"),
       col("qvec").cast("array<double>").as("qvec"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("id"))
-    encoded.select(col("id"), col("codes")).crossJoin(broadcast(q))
+    val scored = encoded.select(col("id"), col("codes")).crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .withColumn("sim", cosineCol(col("codes"), col("qvec"), model))
       .filter(col("sim").isNotNull) // zero-norm rows have no cosine rank
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("qid"), col("id"), col("sim"))
+    Similarity.topKByKey(scored, "qid", "id", "sim", metricDesc = true, k)
       .select(col("qid"), col("rank"), col("id"), round(col("sim"), 4).as("sim"))
   }
 }
