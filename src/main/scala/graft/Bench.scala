@@ -388,9 +388,12 @@ object Bench {
     // via write-temp + atomic rename, so the handshake no longer
     // depends on stdout cosmetics at all.
     try {
-      val sumPath = java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_SUMMARY",
-        "/root/repo/target/bench_summary.json"))
+      // cwd-relative fallback (ADVICE r17): the bench runs from the
+      // build tree, so the default lands in ITS target dir on any
+      // machine instead of a hardcoded absolute path
+      val sumPath = sys.env.get("SPARK_GRAFT_BENCH_SUMMARY")
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse(java.nio.file.Paths.get("target", "bench_summary.json"))
       Option(sumPath.getParent).foreach(p =>
         java.nio.file.Files.createDirectories(p))
       val tmp = sumPath.resolveSibling(sumPath.getFileName.toString + ".tmp")

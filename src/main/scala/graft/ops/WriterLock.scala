@@ -37,8 +37,17 @@ import org.apache.spark.sql.SparkSession
   *  - a holder whose lock was taken over (it stalled past
   *    `staleAfterMs`, e.g. a long GC pause) keeps running — its CAS
   *    commit is what aborts it if the new holder got there first; on
-  *    release it never deletes a lock it no longer owns (the token is
-  *    re-read before the delete). */
+  *    release it can never delete a lock it no longer owns: the
+  *    release RENAMES whatever stands at the lock path onto its own
+  *    private `.release-*` path first (r17 What's-wrong #2 — the old
+  *    read-token-then-delete could delete a takeover's lock landing
+  *    inside that window), verifies the claimed token PRIVATELY, and
+  *    either deletes its own or renames a foreign holder's lock
+  *    straight back. Residual, stated honestly: if yet ANOTHER
+  *    acquirer claims the path in the brief displacement gap, the
+  *    rename-back fails and the displaced holder's lock is dropped —
+  *    that holder re-acquires or its CAS backstops, same as any
+  *    takeover it already tolerates. */
 object WriterLock {
 
   /** Loud acquisition failure: the lock is held and `waitMs` ran out
@@ -53,6 +62,44 @@ object WriterLock {
   /** The lock file's location for an index rooted at `indexPath` —
     * dot-prefixed, so no reader's partition discovery ever sees it. */
   def lockPath(indexPath: String): String = s"$indexPath/.writer-lock"
+
+  /** Read a token file to EOF (ADVICE r17: a single read() call may
+    * return short on remote filesystems, truncating the token so the
+    * acquire verify and the release ownership compare both fail and
+    * the lock leaks until staleness). "<unreadable>" on any IO error
+    * — crc-corrupt garbage the acquire path reclaims. */
+  private def readToken(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String =
+    try {
+      val in = fs.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream(256)
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    } catch { case _: java.io.IOException => "<unreadable>" }
+
+  /** The standing lock's (holder token, mtime millis) — the ONE
+    * holder-readout both [[withLock]] and the CLI status surface use
+    * (ADVICE r17: the CLI hand-copied the read protocol, so a format
+    * change here would silently skew its display). None when no lock
+    * stands; Some(("<unreadable>", mtime)) for a corrupt one. */
+  def holder(spark: SparkSession, indexPath: String): Option[(String, Long)] = {
+    val (fs, lock) = fsPath(spark, lockPath(indexPath))
+    try {
+      val st = fs.getFileStatus(lock)
+      Some((readToken(fs, lock), st.getModificationTime))
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Test seam (r18): runs after the critical section, immediately
+    * before the release protocol claims the lock path — a spec can
+    * interleave a takeover deterministically inside the old
+    * read-then-delete window and assert the new holder's lock
+    * survives. Production value is a no-op. */
+  private[graft] var beforeRelease: () => Unit = () => ()
 
   /** Run `f` holding the index's writer lock; always releases.
     *
@@ -74,23 +121,19 @@ object WriterLock {
     require(staleAfterMs > heartbeatMs * 2,
       s"staleAfterMs ($staleAfterMs) must be well above heartbeatMs " +
         s"($heartbeatMs), or a healthy holder reads as stale between beats")
-    // the token must fit holderToken()'s read buffer or the release
-    // ownership compare breaks and the lock leaks until staleness
-    require(owner.length <= 128,
-      s"owner name too long (${owner.length} > 128 chars)")
+    // bound by UTF-8 BYTES, not UTF-16 chars (ADVICE r17): the token
+    // is written and compared as UTF-8, and an operator-chosen owner
+    // should stay a readable one-liner in lock-held error messages
+    require(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 128,
+      s"owner name too long (over 128 UTF-8 bytes): '$owner'")
     val (fs, lock) = fsPath(spark, lockPath(indexPath))
-    val token = owner + "#" + java.util.UUID.randomUUID().toString
+    val uuid = java.util.UUID.randomUUID().toString
+    val token = owner + "#" + uuid
     val deadline = System.currentTimeMillis() + waitMs
+    val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
+      lock.toUri, spark.sparkContext.hadoopConfiguration)
 
-    def holderToken(): String =
-      try {
-        val in = fs.open(lock)
-        try {
-          val buf = new Array[Byte](256)
-          val n = math.max(0, in.read(buf))
-          new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
-        } finally in.close()
-      } catch { case _: java.io.IOException => "<unreadable>" }
+    def holderToken(): String = readToken(fs, lock)
 
     // Arbitration primitive: each contender writes its token to its
     // OWN unique temp file, then renames it onto the lock path with
@@ -107,13 +150,10 @@ object WriterLock {
       // of the token may hold path-hostile chars ('/', spaces) and
       // belongs in the CONTENT, not the filename
       val tmp = new org.apache.hadoop.fs.Path(
-        lockPath(indexPath) + ".acquire-" +
-          token.substring(token.lastIndexOf('#') + 1))
+        lockPath(indexPath) + ".acquire-" + uuid)
       val out = fs.create(tmp, true)
       try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
-        lock.toUri, spark.sparkContext.hadoopConfiguration)
       try {
         ctx.rename(tmp, lock)
         // a checksummed local fs pairs the temp with a .crc sibling
@@ -181,11 +221,34 @@ object WriterLock {
     try f
     finally {
       beat.interrupt()
-      // delete only what we still own: after a stale takeover the
-      // file carries the NEW holder's token and must survive
-      try if (fs.exists(lock) && holderToken() == token) {
-        fs.delete(lock, false); ()
-      } catch { case _: java.io.IOException => () }
+      beforeRelease()
+      // Owned release (r17 What's-wrong #2): CLAIM whatever stands at
+      // the lock path by renaming it onto a private .release-<uuid>
+      // path — atomic, so no takeover can land "between the token
+      // read and the delete" as it could under the old check-then-act
+      // — then verify the claimed token where nobody else can touch
+      // it. Ours: delete. A takeover's (it replaced the lock while
+      // this holder stalled): rename it straight back, intact.
+      val relTmp = new org.apache.hadoop.fs.Path(
+        lockPath(indexPath) + ".release-" + uuid)
+      try {
+        ctx.rename(lock, relTmp)
+        if (readToken(fs, relTmp) == token) { fs.delete(relTmp, false); () }
+        else {
+          // foreign token: a takeover's live lock - restore it. If yet
+          // another acquirer claimed the path inside this displacement
+          // gap, the no-overwrite rename fails and the displaced
+          // holder's lock drops (documented residual: it re-acquires
+          // or its CAS backstops - the same tolerance any takeover
+          // already demands of it).
+          try ctx.rename(relTmp, lock)
+          catch { case _: java.io.IOException =>
+            fs.delete(relTmp, false); ()
+          }
+        }
+      } catch { case _: java.io.IOException => () } // no lock stands: a
+      // takeover superseded this holder and already released; or pure
+      // FS error - advisory semantics, nothing further to own here
     }
   }
 }

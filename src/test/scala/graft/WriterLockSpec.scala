@@ -90,6 +90,57 @@ class WriterLockSpec extends SparkSpec {
       "release must leave a lock it no longer owns in place")
   }
 
+  test("owned release (r18, VERDICT #4): a takeover landing INSIDE " +
+      "the release window survives - release claims the path by " +
+      "rename, verifies privately, and restores a foreign lock intact") {
+    val dir = tmpDir("wlock-release-race") + "/idx"
+    val lock = new java.io.File(WriterLock.lockPath(dir))
+    try {
+      WriterLock.beforeRelease = () => {
+        // deterministic interleave: the instant the critical section
+        // ends - INSIDE the old protocol's read-token-then-delete
+        // window - a takeover replaces the lock with a new holder's
+        java.nio.file.Files.write(lock.toPath,
+          "takeover#mid".getBytes("UTF-8")); ()
+      }
+      WriterLock.withLock(spark, dir, owner = "slow",
+        heartbeatMs = 400L, staleAfterMs = 2000L)(())
+    } finally WriterLock.beforeRelease = () => ()
+    assert(new String(java.nio.file.Files.readAllBytes(lock.toPath),
+        "UTF-8") == "takeover#mid",
+      "the mid-release takeover's lock must survive the old holder's release")
+    // the restore is by rename: no stray .release-* claim files remain
+    val strays = lock.getParentFile.list().filter(_.contains(".release-"))
+    assert(strays.isEmpty, strays.toSeq.toString)
+    // and the release seam off, a normal hold still cleans up fully
+    WriterLock.withLock(spark, dir, owner = "medic",
+      staleAfterMs = 60000L, waitMs = 0L)(())
+    assert(!lock.exists(), "normal release must delete the lock")
+  }
+
+  test("owner bound is UTF-8 BYTES and the readback reads to EOF " +
+      "(ADVICE r17): a multi-byte owner acquires, verifies, shows in " +
+      "holder(), and releases; an over-long one refuses loudly") {
+    val dir = tmpDir("wlock-utf8") + "/idx"
+    val owner = "ведущий-писатель" // multi-byte UTF-8, well under 128 B
+    var seen: Option[(String, Long)] = None
+    WriterLock.withLock(spark, dir, owner = owner) {
+      seen = WriterLock.holder(spark, dir)
+    }
+    assert(seen.exists(_._1.startsWith(owner + "#")),
+      s"holder() must read the full multi-byte token: $seen")
+    assert(!new java.io.File(WriterLock.lockPath(dir)).exists(),
+      "a multi-byte owner must still pass the release ownership compare")
+    assert(WriterLock.holder(spark, dir).isEmpty, "no lock - no holder")
+    // 70 chars but 140 UTF-8 bytes: the old UTF-16 char bound let it
+    // through and the truncated readback leaked the lock until stale
+    val big = "я" * 70
+    val ex = intercept[IllegalArgumentException] {
+      WriterLock.withLock(spark, dir, owner = big)(())
+    }
+    assert(ex.getMessage.contains("UTF-8"), ex.getMessage)
+  }
+
   test("end-to-end: two lock-wrapped index appends serialize - both " +
       "land, no CAS loser, no discarded work (the out-of-process " +
       "append trade the lock closes)") {
