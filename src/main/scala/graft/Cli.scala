@@ -80,7 +80,7 @@ object Cli {
     * as an operator command so production runbooks have ONE entry
     * point per index family.
     * {{{
-    *   graft.Cli index status   <ivf|ivfpq|ivfsq|lsh|simhash|bm25> <path>
+    *   graft.Cli index status   <ivf|ivfpq|ivfsq|bq|lsh|simhash|bm25> <path>
     *   graft.Cli index compact  <kind> <path>
     *   graft.Cli index drift    <ivf|ivfpq|ivfsq> <path>
     *   graft.Cli index maintain <kind> <path> [--max-live N] [--drift-max X]
@@ -96,7 +96,7 @@ object Cli {
     * it compacts when live shards exceed the cap. */
   private[graft] def indexCmd(spark: SparkSession, args: Array[String]): Unit = {
     val usage = "Cli index <status|drift|compact|maintain|rebuild> " +
-      "<ivf|ivfpq|ivfsq|lsh|simhash|bm25> <path> [--max-live N] " +
+      "<ivf|ivfpq|ivfsq|bq|lsh|simhash|bm25> <path> [--max-live N] " +
       "[--drift-max X] [--lock WAIT_MS]"
     need(args, 3, usage)
     val (cmd, kind, path) = (args(0), args(1), args(2))
@@ -110,7 +110,7 @@ object Cli {
       case other => throw new IllegalArgumentException(
         s"unknown index flag '${other.mkString(" ")}' - $usage")
     }
-    import graft.ops.{Dedup, IvfIndex, IvfPq, IvfSq, Relevance, WriterLock}
+    import graft.ops.{BqIndex, Dedup, IvfIndex, IvfPq, IvfSq, Relevance, WriterLock}
     // --lock: serialize this process's maintenance against other
     // cooperating CLI/cron writers on the same index (VERDICT r16 #6;
     // advisory - the CAS remains the backstop for writers that skip it)
@@ -119,7 +119,7 @@ object Cli {
         owner = s"cli-$cmd", waitMs = w)(body)
       case None => body
     }
-    require(Seq("ivf", "ivfpq", "ivfsq", "lsh", "simhash", "bm25")
+    require(Seq("ivf", "ivfpq", "ivfsq", "bq", "lsh", "simhash", "bm25")
       .contains(kind), s"unknown index kind '$kind' - $usage")
     // family-specific reads: ivfpq/ivfsq carry their own completeness
     // witnesses (codebook/sqmodel + base-shard layout), so status on a
@@ -128,6 +128,7 @@ object Cli {
       case "ivf" => IvfIndex.liveShards(spark, path)
       case "ivfpq" => IvfPq.liveShards(spark, path)
       case "ivfsq" => IvfSq.liveShards(spark, path)
+      case "bq" => BqIndex.liveShards(spark, path)
       case "lsh" => Dedup.lshLiveShards(spark, path)
       case "simhash" => Dedup.simhashLiveShards(spark, path)
       case "bm25" => Relevance.liveShards(spark, path)
@@ -136,6 +137,7 @@ object Cli {
       case "ivf" => IvfIndex.compact(spark, path)
       case "ivfpq" => IvfPq.compact(spark, path)
       case "ivfsq" => IvfSq.compact(spark, path)
+      case "bq" => BqIndex.compact(spark, path)
       case "lsh" => Dedup.compactLshIndex(spark, path)
       case "simhash" => Dedup.compactSimhashIndex(spark, path)
       case "bm25" => Relevance.compactIndex(spark, path)
@@ -152,24 +154,13 @@ object Cli {
         println(s"index $kind at $path: ${live()} live shard(s)")
         // operational visibility: a standing writer lock (holder +
         // age) tells the operator WHO is maintaining before they
-        // reach for --lock themselves
-        locally {
-          val lp = new org.apache.hadoop.fs.Path(WriterLock.lockPath(path))
-          val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(lp)) {
-            val age = (System.currentTimeMillis() -
-              fs.getFileStatus(lp).getModificationTime) / 1000
-            val holder = try {
-              val in = fs.open(lp)
-              try {
-                val buf = new Array[Byte](256)
-                val n = math.max(0, in.read(buf))
-                new String(buf, 0, n, "UTF-8")
-              } finally in.close()
-            } catch { case _: java.io.IOException => "<unreadable>" }
-            println(s"writer lock HELD by '$holder' " +
-              s"(heartbeat ${age}s ago)")
-          }
+        // reach for --lock themselves. ONE read protocol (ADVICE
+        // r17): WriterLock.holder is the same accessor the lock's own
+        // verify/release path trusts, so a token-format change can
+        // never silently skew this display.
+        WriterLock.holder(spark, path).foreach { case (tok, mtime) =>
+          val age = (System.currentTimeMillis() - mtime) / 1000
+          println(s"writer lock HELD by '$tok' (heartbeat ${age}s ago)")
         }
       case "compact" =>
         locked { compact() }
