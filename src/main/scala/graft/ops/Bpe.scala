@@ -128,6 +128,28 @@ object Bpe {
   def encodeCol(ws: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeEncodeExpr(ExpressionUtils.expression(ws),
       merges.flatMap(p => Seq(p._1, p._2)).toVector))
+
+  /** [[encodeCol]] with byte fallback (VERDICT r17 missing #3 — the
+    * last of the big-three tokenizers to close the [UNK]-class gap;
+    * unigram and WordPiece gained theirs in r16/r17): BPE itself
+    * never fails a word — every character becomes a base symbol — but
+    * a character outside the TRAINING alphabet is an out-of-vocabulary
+    * symbol downstream vocabularies have no id for. Here each maximal
+    * run of characters outside `[a-z0-9]` (the [[graft.functions
+    * .TextFunctions.words]] alphabet [[train]] consumes) expands into
+    * its UTF-8 `<0xXX>` pieces ([[Unigram.bytePiece]]'s rendering), so
+    * the output draws only from merge-producible symbols ∪ the 256
+    * byte pieces and [[Unigram.decodePieces]] inverts it losslessly.
+    * Runs expand as ONE string (the [[Unigram]] `expandBytes` astral
+    * rule): a surrogate pair is two adjacent out-of-alphabet chars,
+    * and encoding each lone surrogate alone would mangle it to '?'
+    * bytes. In-alphabet words encode IDENTICALLY to [[encodeCol]] —
+    * the parity contract — and merges never straddle a byte piece
+    * (their sides are alphabet strings; a trained merge can never
+    * equal a `<0xXX>` literal). */
+  def encodeBytesCol(ws: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeEncodeExpr(ExpressionUtils.expression(ws),
+      merges.flatMap(p => Seq(p._1, p._2)).toVector, byteFallback = true))
 }
 
 /** Sennrich-order BPE encode of a words array — see [[Bpe.encodeCol]].
@@ -135,7 +157,8 @@ object Bpe {
   * order; per-word scan-merge left-to-right is exactly equivalent to
   * non-overlapping string replacement on a boundary-delimited stream,
   * which is what makes the encoder SQL-oracle-checkable. */
-final case class BpeEncodeExpr(child: Expression, merges: Seq[String])
+final case class BpeEncodeExpr(child: Expression, merges: Seq[String],
+    byteFallback: Boolean = false)
     extends UnaryExpression {
   // Seq, not Array (review r11): case-class equality over an Array is
   // by REFERENCE, so two structurally identical encodeCol calls never
@@ -164,11 +187,12 @@ final case class BpeEncodeExpr(child: Expression, merges: Seq[String])
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    BpeEncodeExpr.compute(input.asInstanceOf[ArrayData], mergesArr)
+    BpeEncodeExpr.compute(input.asInstanceOf[ArrayData], mergesArr, byteFallback)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpemerges", mergesArr, "java.lang.String[]")
-    defineCodeGen(ctx, ev, c => s"graft.ops.BpeEncodeExpr.compute($c, $ref)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.ops.BpeEncodeExpr.compute($c, $ref, $byteFallback)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
@@ -180,17 +204,37 @@ object BpeEncodeExpr {
     StructField("n_bpe", IntegerType, nullable = false),
     StructField("toks", StringType, nullable = false)))
 
-  def compute(arr: ArrayData, merges: Array[String]): InternalRow = {
+  /** The BPE training alphabet ([[graft.functions.TextFunctions.words]]
+    * feeds [[Bpe.train]] only these): the byte-fallback boundary. */
+  private def inAlphabet(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  def compute(arr: ArrayData, merges: Array[String],
+      byteFallback: Boolean): InternalRow = {
     val nw = arr.numElements()
     val sb = new java.lang.StringBuilder
     var total = 0
     var wi = 0
     while (wi < nw) {
       val w = arr.getUTF8String(wi).toString
-      // tokenizer alphabet is [a-z0-9]: one UTF-16 unit per symbol
+      // tokenizer alphabet is [a-z0-9]: one UTF-16 unit per symbol.
+      // byteFallback: a maximal run OUTSIDE the alphabet expands to
+      // its UTF-8 <0xXX> pieces as ONE string (surrogate pairs must
+      // travel together - the Unigram.expandBytes astral rule)
       var syms = new java.util.ArrayList[String](w.length)
       var i = 0
-      while (i < w.length) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+      while (i < w.length) {
+        val c = w.charAt(i)
+        if (!byteFallback || inAlphabet(c)) {
+          syms.add(String.valueOf(c)); i += 1
+        } else {
+          val start = i
+          while (i < w.length && !inAlphabet(w.charAt(i))) i += 1
+          w.substring(start, i)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .foreach(b => syms.add(Unigram.bytePiece(b.toInt)))
+        }
+      }
       var mi = 0
       while (mi < merges.length) {
         val a = merges(mi); val b = merges(mi + 1)

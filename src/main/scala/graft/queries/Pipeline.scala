@@ -216,6 +216,26 @@ object Pipeline {
     Similarity.bqKnn(e, q, k = 5, fetch = 32).orderBy("qid", "rank")
   }
 
+  /** Sharded BQ index lifecycle proven end-to-end by ORACLE (r18,
+    * VERDICT #2): build over 3/4 of the corpus, two appends covering
+    * the rest, query through the committed shards. BQ has NO trained
+    * state — a row's stored signature is independent of WHEN it
+    * arrived — so appends are exact by construction and the sharded
+    * lifecycle answers bit-identically to the one-shot
+    * [[graft.ops.Similarity.bqKnn]]: the oracle IS e20's SQL
+    * verbatim (the e18 sharing pattern). Fresh temp dir per call
+    * (the e15 rule: appends must not accumulate across reps). */
+  def e21KnnBqSharded(s: SparkSession, dir: String): DataFrame = {
+    val (e, q) = knnInputs(s, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft-e21")
+      .toString + "/idx"
+    graft.ops.BqIndex.build(e.filter(col("id") % 4 =!= 0), path)
+    graft.ops.BqIndex.append(e.filter(col("id") % 8 === 0), path, tag = "delta-a")
+    graft.ops.BqIndex.append(e.filter(col("id") % 8 === 4), path, tag = "delta-b")
+    graft.ops.BqIndex.query(s, path, q, k = 5, fetch = 32)
+      .orderBy("qid", "rank")
+  }
+
   /** IVF-bucketed ANN over the same queries (approximate; rows-only).
     * Build-once/query-many like e05: the index persists as parquet
     * keyed by the data directory, so the gate measures probe cost —
@@ -1232,6 +1252,29 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** BPE byte fallback (graft.ops.Bpe.encodeBytesCol, r18): the d33
+    * merge chain over `bpeTokens` of the text plus an injected
+    * out-of-alphabet suffix (uppercase, accents, a combining-free °,
+    * a Greek letter, an astral emoji — the d36 injection pattern), so
+    * every document exercises the `<0xXX>` expansion: characters
+    * outside the [a-z0-9] training alphabet byte-expand in maximal
+    * runs (astral pair kept whole), in-alphabet runs merge exactly as
+    * d33. The oracle re-derives the expansion per CODEPOINT from
+    * DuckDB's hex() — equivalent to the run rule, since a run's UTF-8
+    * is the concatenation of its codepoints' UTF-8. */
+  def d62BpeBytes(s: SparkSession, dir: String): DataFrame = {
+    val suffix = " Café 90° straße λ " +
+      new String(Character.toChars(0x1F600))
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.ops.Bpe.encodeBytesCol(
+          TextFunctions.bpeTokens(concat(col("text"), lit(suffix))),
+          demoMerges).as("b"))
+      .select(col("doc_id"), col("b.n_bpe").as("n_bpe"),
+        md5(col("b.toks").cast("binary")).as("toks_md5"))
+      .orderBy("doc_id")
+  }
+
   /** WordPiece greedy longest-match encode (graft.ops.WordPiece — the
     * BERT tokenizer, completing the big-three subword family next to
     * BPE d33 and unigram-LM d49) under a FIXED demo vocabulary: all
@@ -1957,6 +2000,7 @@ object Pipeline {
     "d31_remove_spans" -> d31RemoveSpans _,
     "d32_html_extract" -> d32HtmlExtract _,
     "d33_bpe_encode" -> d33BpeEncode _,
+    "d62_bpe_bytes" -> d62BpeBytes _,
     "d59_wordpiece" -> d59Wordpiece _,
     "d61_wordpiece_bytes" -> d61WordpieceBytes _,
     "d34_quality_score" -> d34QualityScore _,
@@ -1997,7 +2041,8 @@ object Pipeline {
     "e18_knn_ivfsq_compacted" -> e18KnnIvfSqCompacted _,
     "e19_knn_ivfsq_rebuilt" -> e19KnnIvfSqRebuilt _,
     "e17_knn_opq_sharded" -> e17KnnOpqIvfPqSharded _,
-    "e20_knn_bq" -> e20KnnBq _)
+    "e20_knn_bq" -> e20KnnBq _,
+    "e21_knn_bq_sharded" -> e21KnnBqSharded _)
 
   /** The ONE copy of the md5-simhash signature CTEs (review r11: d08/
     * d11/d12/d19 carried four hand-synced copies — a change to the
@@ -2173,6 +2218,36 @@ object Pipeline {
         |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim FROM
         |  (SELECT qid, id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM rer)
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** The BQ-funnel oracle (strict x > 0 sign bits, per-query hamming
+    * shortlist of 32 with ties to the smaller id, e14's unit-dot
+    * rerank): gate e20 (one-shot bqKnn) and gate e21 (the sharded
+    * BqIndex lifecycle — exact appends make build+appends answer
+    * bit-identically over the same corpus) both hash against it. */
+  private val e20OracleSql =
+      """WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
+        |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 10),
+        |sgn AS (SELECT id, list_transform(vec, x -> x > 0) AS sg FROM v),
+        |sgq AS (SELECT qid, list_transform(qvec, x -> x > 0) AS sq FROM q),
+        |h AS (SELECT qid, id,
+        |  len(list_filter(range(1, len(sg) + 1), i -> sg[i] <> sq[i])) AS hamming
+        |  FROM sgn CROSS JOIN sgq WHERE id <> qid),
+        |short AS (SELECT qid, id FROM (SELECT qid, id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS rk FROM h)
+        |  WHERE rk <= 32),
+        |u AS (SELECT id, list_transform(vec,
+        |    x -> x / sqrt(list_sum(list_transform(vec, y -> y * y)))) AS uv FROM v
+        |  WHERE list_sum(list_transform(vec, y -> y * y)) > 0),
+        |uq AS (SELECT qid, list_transform(qvec,
+        |    x -> x / sqrt(list_sum(list_transform(qvec, y -> y * y)))) AS uqv FROM q
+        |  WHERE list_sum(list_transform(qvec, y -> y * y)) > 0),
+        |rr AS (SELECT s.qid, s.id,
+        |  list_sum(list_transform(range(1, len(uv) + 1), i -> uv[i] * uqv[i])) AS sim
+        |  FROM short s JOIN u ON s.id = u.id JOIN uq ON s.qid = uq.qid),
+        |ranked AS (SELECT qid, id, sim,
+        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM rr)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   private val e15OracleSql =
       """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2761,6 +2836,32 @@ object Pipeline {
         |   CAST(coalesce(list_sum(list_transform(enc, s -> len(str_split(trim(s, '·'), '··')))), 0) AS INTEGER) AS n_bpe,
         |   array_to_string(list_transform(enc, s -> array_to_string(str_split(trim(s, '·'), '··'), ' ')), ' | ') AS toks
         | FROM e)
+        |SELECT doc_id, n_bpe, md5(toks) AS toks_md5 FROM r ORDER BY doc_id""".stripMargin,
+    // d33's replace chain over bpeTokens + the injected OOV suffix;
+    // out-of-alphabet codepoints expand to '<0x'||hex-byte||'>' pieces
+    // (hex() is uppercase, matching Unigram.bytePiece's %02X), then
+    // the SAME delimited-stream merges — byte pieces can never match a
+    // merge pattern, so they pass through like the Scala symbols do
+    "d62_bpe_bytes" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(text || ' Café 90° straße λ ' || chr(128512),
+        |      '[a-zA-Z0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wi, unnest(ws) AS w FROM t),
+        |sy AS (SELECT doc_id, wi, flatten(list_transform(range(1, length(w) + 1), i ->
+        |    CASE WHEN regexp_matches(w[i], '^[a-z0-9]$') THEN [w[i]]
+        |         ELSE list_transform(range(1, length(hex(w[i])) // 2 + 1),
+        |           j -> '<0x' || substr(hex(w[i]), 2 * j - 1, 2) || '>') END)) AS syms
+        |  FROM tok),
+        |e AS (SELECT doc_id, wi,
+        |   replace(replace(replace(replace(replace(replace(replace(replace(
+        |     '·' || array_to_string(syms, '··') || '·',
+        |     '·t··h·', '·th·'), '·th··e·', '·the·'), '·i··n·', '·in·'), '·a··n·', '·an·'),
+        |     '·an··d·', '·and·'), '·e··r·', '·er·'), '·o··n·', '·on·'), '·r··e·', '·re·') AS enc
+        | FROM sy),
+        |r AS (SELECT doc_id,
+        |   CAST(coalesce(sum(len(str_split(trim(enc, '·'), '··'))), 0) AS INTEGER) AS n_bpe,
+        |   string_agg(array_to_string(str_split(trim(enc, '·'), '··'), ' '), ' | ' ORDER BY wi) AS toks
+        | FROM e GROUP BY doc_id)
         |SELECT doc_id, n_bpe, md5(toks) AS toks_md5 FROM r ORDER BY doc_id""".stripMargin,
     // Greedy longest-match replay: `best` precomputes the longest
     // multi-piece match per (word, position) — position 1 takes
@@ -3572,31 +3673,11 @@ object Pipeline {
         |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     // BQ funnel: strict x > 0 sign bits, hamming = count of differing
-    // signs (ties to the smaller id), e14's unit-dot rerank verbatim
-    "e20_knn_bq" ->
-      """WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
-        |q AS (SELECT id AS qid, vec AS qvec FROM v WHERE id < 10),
-        |sgn AS (SELECT id, list_transform(vec, x -> x > 0) AS sg FROM v),
-        |sgq AS (SELECT qid, list_transform(qvec, x -> x > 0) AS sq FROM q),
-        |h AS (SELECT qid, id,
-        |  len(list_filter(range(1, len(sg) + 1), i -> sg[i] <> sq[i])) AS hamming
-        |  FROM sgn CROSS JOIN sgq WHERE id <> qid),
-        |short AS (SELECT qid, id FROM (SELECT qid, id,
-        |  row_number() OVER (PARTITION BY qid ORDER BY hamming, id) AS rk FROM h)
-        |  WHERE rk <= 32),
-        |u AS (SELECT id, list_transform(vec,
-        |    x -> x / sqrt(list_sum(list_transform(vec, y -> y * y)))) AS uv FROM v
-        |  WHERE list_sum(list_transform(vec, y -> y * y)) > 0),
-        |uq AS (SELECT qid, list_transform(qvec,
-        |    x -> x / sqrt(list_sum(list_transform(qvec, y -> y * y)))) AS uqv FROM q
-        |  WHERE list_sum(list_transform(qvec, y -> y * y)) > 0),
-        |rr AS (SELECT s.qid, s.id,
-        |  list_sum(list_transform(range(1, len(uv) + 1), i -> uv[i] * uqv[i])) AS sim
-        |  FROM short s JOIN u ON s.id = u.id JOIN uq ON s.qid = uq.qid),
-        |ranked AS (SELECT qid, id, sim,
-        |  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id) AS rank FROM rr)
-        |SELECT qid, CAST(rank AS INTEGER) AS rank, id, round(sim, 4) AS sim
-        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // signs (ties to the smaller id), e14's unit-dot rerank verbatim.
+    // e21 (sharded index over build + exact appends covering the SAME
+    // corpus) shares it verbatim — the e18 sharing pattern
+    "e20_knn_bq" -> e20OracleSql,
+    "e21_knn_bq_sharded" -> e20OracleSql,
     "e03_cosine_near_dup" ->
       """WITH v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec FROM embeddings),
         |n AS (SELECT id, vec, sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm FROM v)

@@ -34,6 +34,7 @@ class CodegenSpec extends SparkSpec {
         "d13_winnow_fingerprint",   // WinnowHashes
         "d15_repetition",           // RepetitionStatsExpr
         "d33_bpe_encode",           // BpeEncodeExpr
+        "d62_bpe_bytes",            // BpeEncodeExpr byteFallback
         "d59_wordpiece",            // WordPieceEncodeExpr
         "d61_wordpiece_bytes",      // WordPieceEncodeExpr byteFallback
         "d44_gopher_rules",         // GopherStatsExpr (the r14 find)

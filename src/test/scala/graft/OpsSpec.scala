@@ -679,6 +679,40 @@ class OpsSpec extends SparkSpec {
     assert(m1.length < 50)
   }
 
+  test("bpe byte fallback (r18, VERDICT #3): out-of-alphabet chars " +
+      "expand to <0xXX> runs, decodePieces round-trips incl. astral, " +
+      "in-alphabet words encode identically to plain encode") {
+    import graft.ops.{Bpe, Unigram}
+    val merges = Seq("t" -> "h", "th" -> "e")
+    def enc(ws: Seq[String], bytes: Boolean) =
+      Seq((1L, ws)).toDF("id", "ws")
+        .select((if (bytes) Bpe.encodeBytesCol(col("ws"), merges)
+                 else Bpe.encodeCol(col("ws"), merges)).as("b"))
+        .select(col("b.n_bpe"), col("b.toks")).head()
+    // parity: a fully in-alphabet words column is byte-for-byte the
+    // plain encode (the fallback must never perturb the d33 contract)
+    val plain = enc(Seq("the", "other"), bytes = false)
+    assert(enc(Seq("the", "other"), bytes = true) == plain, plain.toString)
+    assert(plain.getString(1) == "the | o the r")
+    // a mixed token: in-alphabet chars merge, OOV chars byte-expand
+    // ('é' = C3 A9, uppercase 'T' = 54 - case is OUTSIDE the training
+    // alphabet), and the piece stream round-trips through decodePieces
+    val emoji = new String(Character.toChars(0x1F600))
+    val word = "Thé" + emoji
+    val got = enc(Seq(word), bytes = true)
+    val pieces = got.getString(1).split(" ").toSeq
+    assert(pieces == Seq("<0x54>", "h", "<0xC3>", "<0xA9>",
+      "<0xF0>", "<0x9F>", "<0x98>", "<0x80>"), pieces.toString)
+    assert(got.getInt(0) == pieces.length)
+    assert(Unigram.decodePieces(pieces) == word,
+      "byte pieces must round-trip the original token")
+    // merges never straddle a byte piece: 't'+'h' merges only when the
+    // chars are REAL alphabet symbols, and an OOV run between two
+    // alphabet chars keeps them apart
+    val sep = enc(Seq("téh"), bytes = true).getString(1)
+    assert(sep == "t <0xC3> <0xA9> h", sep)
+  }
+
   test("bpe encode: scan-merge equals delimited-replace semantics") {
     // "aaa" under merge (a,a): left-to-right non-overlapping -> [aa, a]
     val out = Seq((1L, "aaa banana")).toDF("doc_id", "text")
@@ -3298,11 +3332,23 @@ class OpsSpec extends SparkSpec {
       new java.io.File(d, "part-0.parquet").createNewFile(); ()
     }
     Seq("shard=0", "shard=3", "shard=11", "shard=weird",
-      ".compact-tmp-dead1", ".compact-tmp-dead2").foreach(mk)
+      ".compact-tmp-dead1", ".compact-tmp-dead2",
+      ".compact-tmp-live").foreach(mk)
+    // age-gate (ADVICE r17): a FRESH .compact-tmp is a concurrent
+    // compact's live staging and must survive the sweep; only one
+    // older than the reclaim window is a crashed orphan
+    Seq("dead1", "dead2").foreach { d =>
+      new java.io.File(dir, s".compact-tmp-$d").setLastModified(
+        System.currentTimeMillis() - graft.ops.ShardDirs.tmpReclaimAfterMs
+          - 60000L); ()
+    }
     ShardDirs.sweepBelow(spark, dir, 11)
     def names() = new java.io.File(dir).list().toSet
-    assert(names() == Set("shard=11", "shard=weird"),
-      s"sweep(11) must drop shard<11 and staging dirs only: ${names()}")
+    assert(names() == Set("shard=11", "shard=weird", ".compact-tmp-live"),
+      s"sweep(11) must drop shard<11 and AGED staging dirs only: ${names()}")
+    // the in-flight staging dir reclaims once it ages past the window
+    ShardDirs.sweepBelow(spark, dir, 11, tmpTtlMs = 0L)
+    assert(names() == Set("shard=11", "shard=weird"), names().toString)
     // the old implementation probed 0 until base per shard NUMBER -
     // with this base it would issue two billion exists() calls and
     // never return; the listing-based sweep is instant
@@ -3414,5 +3460,160 @@ class OpsSpec extends SparkSpec {
           typedLit(Array.fill(65)(1.0))).as("s")).collect()
     }
     assert(ex.getMessage.contains("64"), ex.getMessage)
+  }
+
+  test("topKByKey (r18, VERDICT #1): the bounded-heap aggregate equals " +
+      "the window recipe exactly - ties, k boundary, both directions - " +
+      "and the routed kNN plans are Window-free") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.expressions.Window
+    // tie-heavy frame: the metric collides across ids within every
+    // group (7 distinct values over 97 rows), spread over partitions
+    // so map-side partial heaps, serialization, and the reduce-side
+    // merge all run
+    val data = for { g <- 0 until 5; i <- 0 until 97 }
+      yield (g.toLong, (g * 97 + i).toLong, (i % 7).toDouble)
+    val df = data.toDF("qid", "id", "m").repartition(7)
+    def windowed(desc: Boolean, k: Int) = {
+      val ord =
+        if (desc) Seq(col("m").desc, col("id")) else Seq(col("m"), col("id"))
+      df.withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(ord: _*)))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("rank"), col("id"), col("m"))
+    }
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for (desc <- Seq(true, false); k <- Seq(1, 6, 97, 200)) {
+      val got = canon(Similarity.topKByKey(df, "qid", "id", "m", desc, k))
+      assert(got == canon(windowed(desc, k)), s"desc=$desc k=$k")
+    }
+    // the routed plans: bounded map-side heaps (ObjectHashAggregate
+    // partials - only partitions x k rows ever reach one reducer),
+    // never a per-query window sort of the WHOLE candidate set
+    def vecs(n: Int) = (0 until n).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i + 0.3 * d).toFloat)))
+    val corpus = vecs(30).toDF("id", "vec")
+    val queries = vecs(3).toDF("qid", "qvec")
+    Seq(
+      Similarity.bruteForceKnn(corpus, queries, 3),
+      Similarity.bqKnn(corpus, queries, 3, fetch = 8),
+      Similarity.matryoshkaKnn(corpus, queries, 3, dims = 4, fetch = 8)
+    ).foreach { knn =>
+      val plan = knn.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        "kNN shortlist/rank must not single-reducer window-sort")
+      assert(plan.contains("ObjectHashAggregate"), plan.take(400))
+    }
+  }
+
+  test("BqIndex (r18, VERDICT #2): sharded build+append answers " +
+      "bit-identically to one-shot bqKnn (appends are EXACT - no " +
+      "trained state), retry-tag no-ops, compact is result-invariant") {
+    import graft.ops.{BqIndex, Similarity}
+    def vec(i: Int) = Array.tabulate(12)(d =>
+      math.sin(0.7 * i + 1.3 * d).toFloat)
+    val all = (0 until 48).map(i => (i.toLong, vec(i)))
+    val corpus = all.toDF("id", "vec")
+    val queries = (0 until 5).map(i => (i.toLong, vec(i))).toDF("qid", "qvec")
+    val path = tmpDir("bq-idx") + "/idx"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    // build over 2/3, append the rest in two tagged deltas
+    BqIndex.build(all.filter(_._1 % 3 != 0L).toDF("id", "vec"), path)
+    assert(BqIndex.exists(spark, path))
+    BqIndex.append(all.filter(_._1 % 6 == 0L).toDF("id", "vec"), path,
+      tag = "day-1")
+    BqIndex.append(all.filter(_._1 % 6 == 3L).toDF("id", "vec"), path,
+      tag = "day-2")
+    assert(BqIndex.liveShards(spark, path) == 3)
+    // the exactness law: a row's signature does not depend on when it
+    // arrived, so the sharded lifecycle IS the one-shot operator
+    val oneShot = rows(Similarity.bqKnn(corpus, queries, 4, fetch = 12))
+    val sharded = rows(BqIndex.query(spark, path, queries, 4, fetch = 12))
+    assert(sharded == oneShot,
+      s"sharded BQ must equal one-shot bqKnn:\n$sharded\n$oneShot")
+    // same-tag retry no-op (the streaming foreachBatch contract)
+    def meta() = { val m = spark.read.parquet(s"$path/meta").head()
+      (m.getInt(m.fieldIndex("shards")), m.getInt(m.fieldIndex("base")),
+        m.getString(m.fieldIndex("tag"))) }
+    val f1 = meta()
+    BqIndex.append(all.filter(_._1 % 6 == 3L).toDF("id", "vec"), path,
+      tag = "day-2")
+    assert(meta() == f1, "same-tag append must be a no-op")
+    // compact: merged shard at frontier+2 (the concurrency namespace
+    // split), base raised, tag preserved, results bit-identical
+    BqIndex.compact(spark, path)
+    assert(meta() == ((4, 4, "day-2")), s"post-compact meta: ${meta()}")
+    assert(BqIndex.liveShards(spark, path) == 1)
+    assert(rows(BqIndex.query(spark, path, queries, 4, fetch = 12)) ==
+      oneShot, "compact must not change any result byte")
+    // appends continue against the merged layout
+    BqIndex.append(Seq((1000L, vec(1000))).toDF("id", "vec"), path,
+      tag = "day-3")
+    assert(meta() == ((5, 4, "day-3")), meta().toString)
+    val q1000 = Seq((999L, vec(1000))).toDF("qid", "qvec")
+    val hit = BqIndex.query(spark, path, q1000, 3, fetch = 8).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(hit(1) == 1000L, s"appended vector must rank first: $hit")
+  }
+
+  test("BqIndex: crashed-append orphan dirs are invisible, a CAS race " +
+      "aborts the later writer loudly, and a plain-IVF path reads as " +
+      "missing (family witness)") {
+    import graft.ops.{BqIndex, IvfIndex}
+    import java.util.ConcurrentModificationException
+    def vec(i: Int) = Array.tabulate(12)(d =>
+      math.sin(0.7 * i + 1.3 * d).toFloat)
+    val all = (0 until 30).map(i => (i.toLong, vec(i)))
+    val queries = (0 until 4).map(i => (i.toLong, vec(i))).toDF("qid", "qvec")
+    val path = tmpDir("bq-orphan") + "/idx"
+    BqIndex.build(all.toDF("id", "vec"), path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val before = rows(BqIndex.query(spark, path, queries, 3, fetch = 10))
+    // a crashed append: data dirs landed above the frontier, meta
+    // commit never happened - queries must not see a single row of it
+    Seq((500L, vec(0))).toDF("id", "vec")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("vec").cast("array<double>")
+          .as("vec"))
+      .select(org.apache.spark.sql.functions.col("id"),
+        graft.functions.CatalystFunctions.signBits(
+          org.apache.spark.sql.functions.col("vec")).as("sig"))
+      .write.parquet(s"$path/sigs/shard=1")
+    assert(rows(BqIndex.query(spark, path, queries, 3, fetch = 10)) ==
+      before, "orphan shard above the frontier must be invisible")
+    // CAS: an append planned against a meta a competing writer then
+    // moved must abort loudly, never overwrite the winner's commit
+    val prev = IvfIndex.beforeCasCommit
+    try {
+      var fired = false
+      IvfIndex.beforeCasCommit = () => if (!fired) {
+        fired = true
+        BqIndex.append(Seq((600L, vec(600))).toDF("id", "vec"), path,
+          tag = "winner")
+      }
+      val ex = intercept[ConcurrentModificationException] {
+        BqIndex.append(Seq((601L, vec(601))).toDF("id", "vec"), path,
+          tag = "loser")
+      }
+      assert(ex.getMessage.contains("lost the commit race"), ex.getMessage)
+    } finally IvfIndex.beforeCasCommit = prev
+    // the winner's append stands and is queryable
+    val q600 = Seq((999L, vec(600))).toDF("qid", "qvec")
+    assert(BqIndex.query(spark, path, q600, 1, fetch = 5).collect()
+      .head.getLong(2) == 600L)
+    // family witness: a plain-IVF save at another path has a committed
+    // meta but no sigs table - BqIndex must read it as missing
+    val ivfPath = tmpDir("bq-not-ivf") + "/idx"
+    IvfIndex.build(all.toDF("id", "vec"), nCells = 2, persist = false)
+      .save(ivfPath)
+    assert(IvfIndex.exists(spark, ivfPath))
+    assert(!BqIndex.exists(spark, ivfPath),
+      "a plain-IVF layout must not read as a complete BQ index")
   }
 }
