@@ -45,7 +45,9 @@ object ScaleBench {
       // round-16 newcomers
       "e18_knn_ivfsq_compacted", "e19_knn_ivfsq_rebuilt", "d60_bm25_delta",
       // round-17 newcomers
-      "d61_wordpiece_bytes", "e20_knn_bq")
+      "d61_wordpiece_bytes", "e20_knn_bq",
+      // round-18 newcomers
+      "e21_knn_bq_sharded", "d62_bpe_bytes")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

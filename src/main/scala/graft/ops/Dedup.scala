@@ -1358,6 +1358,107 @@ object Dedup {
     j.withColumn("keep", row_number().over(w) === 1).drop("__score")
   }
 
+  /** Fold the streaming dedup loop's per-batch pair dirs into a
+    * COMMITTED (doc_id, cluster_id, is_canonical) table (VERDICT r17
+    * next #6 — the last "rerun a global job" step in the streaming
+    * lifecycle): [[graft.streaming.EventStream.dedupDeltaStream]] and
+    * its SimHash twin accumulate `pairsDir/batch=<id>` dirs forever,
+    * and until now the keep-set came from re-running [[clusterPairs]]
+    * over ALL pairs ever. Each pass here is INCREMENTAL in the pair
+    * set: the previously committed assignment re-enters as contracted
+    * edges — (doc_id, cluster_id) for every non-canonical row, which
+    * spans exactly the old component partition — unioned with only
+    * the batch dirs NEWER than the committed fold watermark, so CC
+    * runs over O(prev components + new pairs) edges, never all pairs
+    * ever. CC of a CC-contracted graph plus new edges equals CC of
+    * the full graph, so the committed keep-set is always identical to
+    * a from-scratch [[clusterPairs]] over every pair (StreamingSpec
+    * pins this across two folds).
+    *
+    * Commit protocol — the index families' verbatim: the new
+    * assignment lands as the next `clusters/shard=G` (a FULL rewrite:
+    * labels move globally, so shards replace rather than accumulate —
+    * base always equals the frontier), the meta swap-commits LAST
+    * with the fold watermark in its tag (`upto-<maxBatch>`) and the
+    * layout epoch minted on first fold and carried after; the CAS
+    * aborts a concurrent folder loudly, and old shards sweep
+    * best-effort after the commit. A crash at any point leaves the
+    * previous committed fold standing.
+    *
+    * Caller contract: `docs` is the CURRENT doc universe (every id
+    * appearing in any pair must be in it — e.g. the streamed corpus
+    * or the LSH index's stored ids); unpaired docs come back as
+    * canonical singletons, the [[clusterPairs]] rule.
+    *
+    * @return the number of new batch dirs folded (0 = nothing new,
+    *         committed table untouched) */
+  def compactPairs(docs: DataFrame, idCol: String, pairsDir: String,
+      clustersDir: String, driverThreshold: Long = 0L): Int = {
+    val spark = docs.sparkSession
+    val pp = new org.apache.hadoop.fs.Path(pairsDir)
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchIds: Seq[Int] =
+      if (!fs.exists(pp)) Seq.empty
+      else fs.listStatus(pp).toSeq.flatMap(st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("batch=").toInt)
+          .toOption.filter(_ => st.getPath.getName.startsWith("batch=")))
+    val meta = IvfIndex.metaIfComplete(spark, clustersDir)
+    val upTo = meta.flatMap(m =>
+      scala.util.Try(m.tag.stripPrefix("upto-").toInt).toOption)
+      .getOrElse(-1)
+    val fresh = batchIds.filter(_ > upTo).sorted
+    require(meta.isDefined || fresh.nonEmpty,
+      s"compactPairs: no committed fold at '$clustersDir' and no " +
+        s"batch dirs under '$pairsDir' - nothing to fold")
+    if (fresh.isEmpty) return 0
+    val newPairs = fresh.map(i =>
+        spark.read.parquet(s"$pairsDir/batch=$i").select("id_a", "id_b"))
+      .reduce(_.unionByName(_))
+    // the committed assignment as contracted edges: one edge per
+    // non-canonical member to its cluster label (labels ARE doc ids -
+    // the clusterPairs min-id rule - so the edge space is the id space)
+    val pairs = meta match {
+      case Some(m) =>
+        spark.read.parquet(s"$clustersDir/clusters")
+          .filter(col("shard") >= m.base && col("shard") <= m.shards)
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+          .unionByName(newPairs)
+      case None => newPairs
+    }
+    val assigned = clusterPairs(pairs, docs.select(col(idCol)), idCol,
+      driverThreshold = driverThreshold)
+    val next = meta.map(_.shards + 1).getOrElse(0)
+    val tag = s"upto-${fresh.max}"
+    assigned.write.mode("overwrite")
+      .parquet(s"$clustersDir/clusters/shard=$next")
+    meta match {
+      case Some(m) =>
+        IvfIndex.commitMetaCas(spark, clustersDir, next, tag,
+          newBase = next, expect = m, what = "pairs compact")
+      case None =>
+        IvfIndex.writeMeta(spark, s"$clustersDir/meta", 0, shards = 0,
+          tag = tag, base = 0, epoch = IvfIndex.newEpoch())
+    }
+    // old folds below the new base delete best-effort LAST (the
+    // compactTables rule - readers never select them)
+    ShardDirs.sweepBelow(spark, s"$clustersDir/clusters", next)
+    fresh.size
+  }
+
+  /** The committed [[compactPairs]] assignment: (doc_id, cluster_id,
+    * is_canonical) live rows. Keep-set = `is_canonical = 1`. */
+  def loadClusters(spark: org.apache.spark.sql.SparkSession,
+      clustersDir: String): DataFrame = {
+    val meta = IvfIndex.metaIfComplete(spark, clustersDir)
+    require(meta.isDefined,
+      s"no committed pairs fold at '$clustersDir' (compactPairs " +
+        "writes its meta last)")
+    spark.read.parquet(s"$clustersDir/clusters")
+      .filter(col("shard") >= meta.get.base && col("shard") <= meta.get.shards)
+      .select("doc_id", "cluster_id", "is_canonical")
+  }
+
   /** Partial-overlap (containment) pairs via winnowed rolling-hash
     * fingerprints (MOSS): docs sharing at least `threshold` of the
     * smaller doc's fingerprints. Complements Jaccard near-dup — a

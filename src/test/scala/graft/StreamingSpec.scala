@@ -190,6 +190,83 @@ class StreamingSpec extends SparkSpec {
     assert(shards() == before + 1, "new-tag append must land")
   }
 
+  test("compactPairs (r18, VERDICT #6): the streaming loop's batch pair " +
+      "dirs fold into a committed cluster table whose keep-set equals " +
+      "the global clusterPairs over ALL pairs - incrementally, across " +
+      "folds, with a watermark no-op") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "patient cat watches from the old wooden fence near the garden gate"
+    val dir = tmpDir("graft-pairfold")
+    Dedup.buildLshIndex(
+      Seq((1L, base),
+        (2L, "completely different content about spark engines and shuffles"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventStream.dedupDeltaStream(
+        input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/idx", s"$dir/pairs")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData((10L, base),
+        (11L, "nothing matching anything else in this corpus at all truly"))
+      q.processAllAvailable()
+      input.addData((20L, base + " extra tail"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def docsDf(ids: Seq[Long]) = ids.toDF("doc_id")
+    def keepSet(df: org.apache.spark.sql.DataFrame) = df
+      .filter(org.apache.spark.sql.functions.col("is_canonical") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def labelMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs1 = Seq(1L, 2L, 10L, 11L, 20L)
+    // first fold: both batch dirs
+    assert(Dedup.compactPairs(docsDf(docs1), "doc_id",
+      s"$dir/pairs", s"$dir/clusters") == 2)
+    val global1 = Dedup.clusterPairs(
+      spark.read.parquet(s"$dir/pairs").select("id_a", "id_b"),
+      docsDf(docs1), "doc_id")
+    val got1 = Dedup.loadClusters(spark, s"$dir/clusters")
+    assert(labelMap(got1) == labelMap(global1),
+      "committed fold must equal the global clusterPairs")
+    assert(keepSet(got1) == keepSet(global1))
+    assert(keepSet(got1) == Set(1L, 2L, 11L),
+      s"dups of doc 1 collapse onto it: ${keepSet(got1)}")
+    // watermark: nothing new -> no-op, table untouched
+    assert(Dedup.compactPairs(docsDf(docs1), "doc_id",
+      s"$dir/pairs", s"$dir/clusters") == 0)
+    // a later batch arrives (30 dups batch-0's 11) - the second fold
+    // consumes ONLY batch=2, re-entering the previous fold as
+    // contracted edges, and still equals the from-scratch collapse
+    Dedup.dedupDelta(
+        Seq((30L, "nothing matching anything else in this corpus at all " +
+          "truly yes")).toDF("doc_id", "text"),
+        "doc_id", "text", s"$dir/idx", threshold = 0.5)
+      .write.mode("overwrite").parquet(s"$dir/pairs/batch=2")
+    val docs2 = docs1 :+ 30L
+    assert(Dedup.compactPairs(docsDf(docs2), "doc_id",
+      s"$dir/pairs", s"$dir/clusters") == 1)
+    val global2 = Dedup.clusterPairs(
+      spark.read.parquet(s"$dir/pairs").select("id_a", "id_b"),
+      docsDf(docs2), "doc_id")
+    val got2 = Dedup.loadClusters(spark, s"$dir/clusters")
+    assert(labelMap(got2) == labelMap(global2),
+      "incremental fold must equal the global collapse over all pairs")
+    assert(keepSet(got2).contains(11L) && !keepSet(got2).contains(30L),
+      s"the new dup must collapse onto its batch-0 canonical: ${keepSet(got2)}")
+    // commit hygiene: exactly one live shard dir survives the sweep,
+    // and the meta carries the fold watermark
+    val shardDirs = new java.io.File(s"$dir/clusters/clusters").list()
+      .filter(_.startsWith("shard=")).toSet
+    assert(shardDirs == Set("shard=1"), shardDirs.toString)
+    val m = spark.read.parquet(s"$dir/clusters/meta").head()
+    assert(m.getAs[String]("tag") == "upto-2", m.toString)
+  }
+
   test("simhashDeltaStream: the lean fingerprint twin of the LSH loop " +
       "pairs batches against the index and each other") {
     import spark.implicits._
