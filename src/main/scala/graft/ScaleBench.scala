@@ -47,7 +47,7 @@ object ScaleBench {
       // round-17 newcomers
       "d61_wordpiece_bytes", "e20_knn_bq",
       // round-18 newcomers
-      "e21_knn_bq_sharded", "d62_bpe_bytes")
+      "e21_knn_bq_sharded", "d62_bpe_bytes", "d63_pairs_fold")
     val spark = Tables.withScratch(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -1411,9 +1411,14 @@ object Dedup {
       s"compactPairs: no committed fold at '$clustersDir' and no " +
         s"batch dirs under '$pairsDir' - nothing to fold")
     if (fresh.isEmpty) return 0
-    val newPairs = fresh.map(i =>
-        spark.read.parquet(s"$pairsDir/batch=$i").select("id_a", "id_b"))
-      .reduce(_.unionByName(_))
+    // ONE multi-path scan, not a per-dir union chain: a catch-up fold
+    // over a large backlog would otherwise pay planner cost linear in
+    // dir count. Only (id_a, id_b) project - extra per-family columns
+    // (jaccard/hamming) prune at the reader, so mixed batch schemas
+    // from different loop families under one pairsDir still read.
+    val newPairs = spark.read
+      .parquet(fresh.map(i => s"$pairsDir/batch=$i"): _*)
+      .select("id_a", "id_b")
     // the committed assignment as contracted edges: one edge per
     // non-canonical member to its cluster label (labels ARE doc ids -
     // the clusterPairs min-id rule - so the edge space is the id space)

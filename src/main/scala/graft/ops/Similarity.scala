@@ -574,7 +574,12 @@ final class IvfIndex private[ops] (
     val q = queries.select(col("qid"), Similarity.toDouble(col("qvec")).as("qvec"))
     val qProbes = Similarity.topCells(centroids, q, "qid", "qvec", probes)
       .withColumn("qnrm", Similarity.norm(col("qvec")))
-    val scored = assigned.join(qProbes, "cell")
+    // probe side explicitly broadcast (r18, closing the family gap -
+    // IvfPq/IvfSq gained the hint in r12): |q|·nProbe tiny rows whose
+    // crossJoin+window lineage defeats size estimation; left to
+    // chance, a sort-merge plan would shuffle the ENTIRE assigned
+    // corpus by cell per query batch
+    val scored = assigned.join(broadcast(qProbes), "cell")
       .filter(col("id") =!= col("qid"))
       .withColumn("sim", Similarity.cosineSim(
         Similarity.dot(col("vec"), col("qvec")), col("nrm"), col("qnrm")))

@@ -1275,6 +1275,34 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Streaming pairs fold proven end-to-end by ORACLE (r18, the
+    * compactPairs lifecycle): d07's exact n-gram-Jaccard pairs split
+    * into two "micro-batch" dirs by id parity, folded in TWO
+    * `Dedup.compactPairs` passes — the second consumes ONLY batch=1,
+    * re-entering the first fold's committed assignment as contracted
+    * edges — then the committed table read back through
+    * `loadClusters`. CC over the contracted graph + new edges equals
+    * CC over all pairs, so the oracle is d07's pair SQL + d19's
+    * recursive-CTE collapse over the SAME documents slice: a fold
+    * that dropped an edge, mis-carried the watermark, or broke the
+    * contracted-edge algebra would hash-mismatch. Fresh temp dir per
+    * call (the e15 rule). */
+  def d63PairsFold(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 500)
+    val pairs = Dedup.ngramJaccardExact(d)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d63")
+      .toString
+    pairs.filter(col("id_b") % 2 === 0)
+      .write.parquet(s"$tmp/pairs/batch=0")
+    Dedup.compactPairs(d.select("doc_id"), "doc_id",
+      s"$tmp/pairs", s"$tmp/clusters")
+    pairs.filter(col("id_b") % 2 =!= 0)
+      .write.parquet(s"$tmp/pairs/batch=1")
+    Dedup.compactPairs(d.select("doc_id"), "doc_id",
+      s"$tmp/pairs", s"$tmp/clusters")
+    Dedup.loadClusters(s, s"$tmp/clusters").orderBy("doc_id")
+  }
+
   /** WordPiece greedy longest-match encode (graft.ops.WordPiece — the
     * BERT tokenizer, completing the big-three subword family next to
     * BPE d33 and unigram-LM d49) under a FIXED demo vocabulary: all
@@ -2001,6 +2029,7 @@ object Pipeline {
     "d32_html_extract" -> d32HtmlExtract _,
     "d33_bpe_encode" -> d33BpeEncode _,
     "d62_bpe_bytes" -> d62BpeBytes _,
+    "d63_pairs_fold" -> d63PairsFold _,
     "d59_wordpiece" -> d59Wordpiece _,
     "d61_wordpiece_bytes" -> d61WordpieceBytes _,
     "d34_quality_score" -> d34QualityScore _,
@@ -2863,6 +2892,36 @@ object Pipeline {
         |   string_agg(array_to_string(str_split(trim(enc, '·'), '··'), ' '), ' | ' ORDER BY wi) AS toks
         | FROM e GROUP BY doc_id)
         |SELECT doc_id, n_bpe, md5(toks) AS toks_md5 FROM r ORDER BY doc_id""".stripMargin,
+    // compactPairs fold: d07's exact-Jaccard pairs (same slice, same
+    // unrounded threshold), then d19's recursive-CTE collapse - the
+    // committed two-fold incremental assignment must equal CC over
+    // ALL pairs, canonical = min id, singletons via the LEFT JOIN
+    "d63_pairs_fold" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents WHERE doc_id < 500),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT id_a AS eu, id_b AS ev FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT eu, ev FROM edges
+        |  UNION
+        |  SELECT r.src, g.ev FROM reach r JOIN edges g ON g.eu = r.dst),
+        |lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |        FROM reach GROUP BY src)
+        |SELECT d.doc_id,
+        | coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+        | CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id
+        |      THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+        |LEFT JOIN lab l USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // Greedy longest-match replay: `best` precomputes the longest
     // multi-piece match per (word, position) — position 1 takes
     // word-initial pieces, later positions ##-continuations; two

@@ -3508,6 +3508,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF probe join broadcasts the probe side (r18, closing the " +
+      "family gap with IvfPq/IvfSq r12): the assigned corpus never " +
+      "sort-merge shuffles by cell per query batch") {
+    import graft.ops.IvfIndex
+    def vec(i: Int) = Array.tabulate(8)(d =>
+      math.cos(0.4 * i + 0.9 * d).toFloat)
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i))).toDF("id", "vec")
+    val idx = IvfIndex.build(corpus, nCells = 8, refineIters = 0,
+      persist = false)
+    val q = (0 until 4).map(i => (i.toLong, vec(i))).toDF("qid", "qvec")
+    val plan = idx.query(q, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"probe join must broadcast, got:\n${plan.take(600)}")
+  }
+
   test("BqIndex (r18, VERDICT #2): sharded build+append answers " +
       "bit-identically to one-shot bqKnn (appends are EXACT - no " +
       "trained state), retry-tag no-ops, compact is result-invariant") {
