@@ -330,6 +330,33 @@ object EventStream {
         }
     }
 
+  /** Continuous BQ-index ingestion — [[ivfAppendStream]] for the
+    * binary-quantization family (r18): each micro-batch of (id, vec)
+    * rows folds into a persisted [[graft.ops.BqIndex]] via `append`.
+    * BQ appends are EXACT (no trained state — a row's signature does
+    * not depend on when it arrived), so queries between batches
+    * always equal a batch rebuild over everything ingested so far,
+    * with no drift dimension to monitor: `maintainEvery` compacts
+    * when live shards exceed the cap (serialized by Structured
+    * Streaming, the ivfAppendStream rule) and that is the family's
+    * ENTIRE maintenance story. Tag idempotence makes retried batches
+    * no-ops; same unique-ids caller contract as the other loops. */
+  def bqAppendStream(vecs: DataFrame, indexPath: String,
+      maintainEvery: Int = 0, maxLiveShards: Int = 4,
+      lockWaitMs: Long = -1L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) locked(batch, indexPath, batchId, lockWaitMs) {
+          graft.ops.BqIndex.append(batch, indexPath, tag = s"batch-$batchId")
+          if (maintainEvery > 0 &&
+              batchId % maintainEvery == maintainEvery - 1 &&
+              graft.ops.BqIndex.liveShards(batch.sparkSession, indexPath)
+                > maxLiveShards)
+            graft.ops.BqIndex.compact(batch.sparkSession, indexPath)
+        }
+    }
+
   def decontaminateHits(docs: DataFrame, benchShingles: DataFrame,
       nGram: Int = 3): DataFrame =
     docs.select(col("doc_id"),

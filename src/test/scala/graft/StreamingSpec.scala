@@ -311,6 +311,63 @@ class StreamingSpec extends SparkSpec {
       .getAs[Int]("shards") == before, "same-tag append must be a no-op")
   }
 
+  test("bqAppendStream (r18): micro-batched vectors fold into the " +
+      "persisted BQ index exactly; compaction interleaves with the " +
+      "loop and the post-compact append carries the raised base") {
+    import spark.implicits._
+    import graft.ops.BqIndex
+    def vec(i: Int) = Array.tabulate(12)(d =>
+      math.sin(0.7 * i + 1.3 * d).toFloat)
+    val dir = tmpDir("graft-bqstream")
+    BqIndex.build((0 until 16).map(i => (i.toLong, vec(i)))
+      .toDF("id", "vec"), s"$dir/idx")
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    def loop() = EventStream.bqAppendStream(
+        input.toDF().toDF("id", "vec"), s"$dir/idx")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val q = loop()
+    try {
+      input.addData((100L, vec(100)), (101L, vec(101)))
+      q.processAllAvailable()
+      input.addData((102L, vec(102)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def top(qv: Int, k: Int) = BqIndex.query(spark, s"$dir/idx",
+        Seq((-1L, vec(qv))).toDF("qid", "qvec"), k, fetch = 8)
+      .collect().map(r => r.getLong(2)).toSet
+    assert(top(102, 1) == Set(102L),
+      "a streamed vector must be queryable as its batch commits")
+    def meta() = { val m = spark.read.parquet(s"$dir/idx/meta").head()
+      (m.getInt(m.fieldIndex("shards")), m.getInt(m.fieldIndex("base"))) }
+    assert(meta() == ((2, 0)), "one shard per batch")
+    // compact between stream runs; the next append carries the base
+    BqIndex.compact(spark, s"$dir/idx")
+    val q2 = loop()
+    try {
+      input.addData((103L, vec(103)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(meta() == ((5, 4)),
+      "stream append after compact must carry base forward")
+    assert(top(103, 1) == Set(103L),
+      "pre- and post-compaction vectors must coexist")
+    // exactness law across the whole streamed lifecycle: the sharded
+    // index answers exactly as one-shot bqKnn over everything ingested
+    val all = ((0 until 16).map(i => (i.toLong, vec(i))) ++
+      (100 to 103).map(i => (i.toLong, vec(i)))).toDF("id", "vec")
+    val queries = Seq((0L, vec(0)), (102L, vec(102))).toDF("qid", "qvec")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(rows(BqIndex.query(spark, s"$dir/idx", queries, 4, fetch = 10)) ==
+      rows(graft.ops.Similarity.bqKnn(all, queries, 4, fetch = 10)),
+      "streamed BQ lifecycle must equal the one-shot operator")
+    // retried tag (the LAST committed batch) is a no-op on the frontier
+    BqIndex.append(Seq((103L, vec(103))).toDF("id", "vec"), s"$dir/idx",
+      tag = "batch-2")
+    assert(meta() == ((5, 4)), "same-tag append must be a no-op")
+  }
+
   test("ivfAppendStream: micro-batched vectors become queryable as " +
       "their batch commits; frozen centroids") {
     import spark.implicits._
