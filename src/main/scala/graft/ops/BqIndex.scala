@@ -68,9 +68,31 @@ object BqIndex {
   private def encodeDelta(delta: DataFrame): (DataFrame, DataFrame) = {
     val d = Similarity.spreadDf(delta)
       .select(col("id"), col("vec").cast("array<double>").as("vec"))
-    (d.select(col("id"), sigOf(col("vec")).as("sig")),
-      d.select(col("id"), Similarity.unitVec(col("vec")).as("vec"))
-        .filter(col("vec").isNotNull))
+    (sizedForWrite(d.select(col("id"), sigOf(col("vec")).as("sig"))),
+      sizedForWrite(d.select(col("id"),
+          Similarity.unitVec(col("vec")).as("vec"))
+        .filter(col("vec").isNotNull)))
+  }
+
+  /** Size the shard write from the PLAN's size estimate instead of
+    * inheriting the spread's defaultParallelism (guide §6: aim for
+    * 128 MB-1 GB output files; the spread exists for encode-compute
+    * parallelism, but letting the write inherit it emitted
+    * `defaultParallelism` near-empty files per shard PER TABLE at any
+    * small delta size — and every query then paid the per-file open
+    * cost on all of them). `coalesce` (narrow — no extra shuffle)
+    * drops the write to ceil(bytes / 128 MB) partitions, floor 1; a
+    * large delta keeps every spread partition. Scale-adaptive by
+    * construction: the estimate grows with the input, not with the
+    * local core count. */
+  private def sizedForWrite(df: DataFrame): DataFrame = {
+    val target = 128L << 20
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts =
+      if (!est.isValidLong) Int.MaxValue
+      else math.max(1L, (est.toLong + target - 1) / target)
+    if (parts >= df.sparkSession.sparkContext.defaultParallelism) df
+    else df.coalesce(parts.toInt)
   }
 
   /** Index `corpus` (id, vec) rows under `path`. Dimensions cap at 64
@@ -89,8 +111,10 @@ object BqIndex {
       }
     }
     val (sigs, unit) = encodeDelta(corpus)
-    sigs.write.mode("overwrite").parquet(s"$path/sigs/shard=0")
-    unit.write.mode("overwrite").parquet(s"$path/corpus/shard=0")
+    // independent sibling writes overlap (guide §2.6); meta still last
+    ParActions.run(
+      () => sigs.write.mode("overwrite").parquet(s"$path/sigs/shard=0"),
+      () => unit.write.mode("overwrite").parquet(s"$path/corpus/shard=0"))
     IvfIndex.writeMeta(spark, s"$path/meta", 0, tag = tag,
       epoch = IvfIndex.newEpoch())
   }
@@ -104,10 +128,13 @@ object BqIndex {
     val meta = requireMeta(spark, path)
     if (tag.nonEmpty && tag == meta.tag) return // retry of an applied append
     val (sigs, unit) = encodeDelta(delta)
-    // sigs shard first, corpus second, meta LAST — a crash at any
-    // point leaves only orphan dirs the frontier never selects
-    sigs.write.mode("overwrite").parquet(s"$path/sigs/shard=${meta.shards + 1}")
-    unit.write.mode("overwrite").parquet(s"$path/corpus/shard=${meta.shards + 1}")
+    // both shard writes are orphans until the meta commit (LAST) — a
+    // crash leaves only dirs the frontier never selects; overlap them
+    ParActions.run(
+      () => sigs.write.mode("overwrite")
+        .parquet(s"$path/sigs/shard=${meta.shards + 1}"),
+      () => unit.write.mode("overwrite")
+        .parquet(s"$path/corpus/shard=${meta.shards + 1}"))
     IvfIndex.commitMetaCas(spark, path, meta.shards + 1, tag,
       newBase = meta.base, expect = meta, what = "bq append")
   }

@@ -374,15 +374,22 @@ object Dedup {
       // writes from one task, so pick `buckets` >= the cluster's
       // parallelism when building huge corpora (the default 64 suits
       // up to ~64-way write parallelism; the knob is on buildLshIndex).
-      sets.withColumn("bucket", setBucket(col("doc_id"), buckets))
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket")
-        .mode("overwrite").parquet(s"$path/sets/shard=$shard")
-      val sig = sets.withColumn("sig", minhashSignature(col("sh"), numHashes))
-      bandKeys(sig, bands, r)
-        .repartition(col("band"), col("band_hash"))
-        .sortWithinPartitions("band", "band_hash")
-        .write.mode("overwrite").parquet(s"$path/bands/shard=$shard")
+      // the two sibling table writes both read the persisted `sets`
+      // and are independent (readers gate on the meta commit below,
+      // which still lands strictly last) — overlap them (guide §2.6)
+      graft.ops.ParActions.run(
+        () => sets.withColumn("bucket", setBucket(col("doc_id"), buckets))
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket")
+          .mode("overwrite").parquet(s"$path/sets/shard=$shard"),
+        () => {
+          val sig = sets.withColumn("sig",
+            minhashSignature(col("sh"), numHashes))
+          bandKeys(sig, bands, r)
+            .repartition(col("band"), col("band_hash"))
+            .sortWithinPartitions("band", "band_hash")
+            .write.mode("overwrite").parquet(s"$path/bands/shard=$shard")
+        })
       commitLshMeta(spark, path, nGram, numHashes, bands, buckets, shard,
         tag, base, expect)
     } finally { sets.unpersist(blocking = false); () }
@@ -463,28 +470,32 @@ object Dedup {
       val c = readLshMeta(spark, path)
       c.shards != m.shards || c.tag != m.tag || c.epoch != m.epoch
     }
-    locally {
-      val tmp = graft.ops.ShardDirs.compactTmp(s"$path/sets")
-      spark.read.parquet(s"$path/sets")
-        .filter(col("shard") >= m.base && col("shard") <= m.shards)
-        .select("doc_id", "sh", "bucket")
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket")
-        .mode("overwrite").parquet(tmp)
-      graft.ops.ShardDirs.renameIntoShard(spark, tmp,
-        s"$path/sets/shard=$merged", "lsh index compact", moved)
-    }
-    locally {
-      val tmp = graft.ops.ShardDirs.compactTmp(s"$path/bands")
-      spark.read.parquet(s"$path/bands")
-        .filter(col("shard") >= m.base && col("shard") <= m.shards)
-        .select("doc_id", "band", "band_hash")
-        .repartition(col("band"), col("band_hash"))
-        .sortWithinPartitions("band", "band_hash")
-        .write.mode("overwrite").parquet(tmp)
-      graft.ops.ShardDirs.renameIntoShard(spark, tmp,
-        s"$path/bands/shard=$merged", "lsh index compact", moved)
-    }
+    // the two per-table merges are independent (each stages in its own
+    // hidden tmp dir and renames into its own table) — overlap them;
+    // the CAS commit below still runs strictly after both (guide §2.6)
+    graft.ops.ParActions.run(
+      () => {
+        val tmp = graft.ops.ShardDirs.compactTmp(s"$path/sets")
+        spark.read.parquet(s"$path/sets")
+          .filter(col("shard") >= m.base && col("shard") <= m.shards)
+          .select("doc_id", "sh", "bucket")
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket")
+          .mode("overwrite").parquet(tmp)
+        graft.ops.ShardDirs.renameIntoShard(spark, tmp,
+          s"$path/sets/shard=$merged", "lsh index compact", moved)
+      },
+      () => {
+        val tmp = graft.ops.ShardDirs.compactTmp(s"$path/bands")
+        spark.read.parquet(s"$path/bands")
+          .filter(col("shard") >= m.base && col("shard") <= m.shards)
+          .select("doc_id", "band", "band_hash")
+          .repartition(col("band"), col("band_hash"))
+          .sortWithinPartitions("band", "band_hash")
+          .write.mode("overwrite").parquet(tmp)
+        graft.ops.ShardDirs.renameIntoShard(spark, tmp,
+          s"$path/bands/shard=$merged", "lsh index compact", moved)
+      })
     commitLshMeta(spark, path, m.nGram, m.numHashes, m.bands, m.nBuckets,
       merged, m.tag, base = merged, expect = Some(m))
     sweep(merged)

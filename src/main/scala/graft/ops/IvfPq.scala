@@ -129,12 +129,18 @@ final class IvfPqIndex private[ops] (
         p.getFileSystem(conf).delete(p, true)
       }
     }
-    ivf.centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Seq((cb.m, cb.ks, cb.dsub, cb.centroids.toSeq))
-      .toDF("m", "ks", "dsub", "centroids")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    encoded.write.mode("overwrite").parquet(s"$path/encoded/shard=0")
-    corpusUnit.write.mode("overwrite").parquet(s"$path/corpus/shard=0")
+    // the four sibling table writes are independent — overlap them
+    // (guide §2.6; meta still lands strictly last, so every crash
+    // window is unchanged: some subset of uncommitted dirs)
+    ParActions.run(
+      () => ivf.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/centroids"),
+      () => Seq((cb.m, cb.ks, cb.dsub, cb.centroids.toSeq))
+        .toDF("m", "ks", "dsub", "centroids")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook"),
+      () => encoded.write.mode("overwrite").parquet(s"$path/encoded/shard=0"),
+      () => corpusUnit.write.mode("overwrite")
+        .parquet(s"$path/corpus/shard=0"))
     IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells, rot = rot,
       tag = tag, epoch = IvfIndex.newEpoch())
   }
@@ -213,12 +219,20 @@ object IvfPq {
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       persist: Boolean = true): IvfPqIndex = {
     val (cells, shards, base, _) = IvfIndex.readMetaNamed(spark, path)
-    val cent = spark.read.parquet(s"$path/centroids")
-    val centMat = spark.createDataFrame(
-      java.util.Arrays.asList(cent.collect(): _*), cent.schema)
-    val cbRow = spark.read.parquet(s"$path/codebook").head()
-    val cb = PqCodebook(cbRow.getAs[Int]("m"), cbRow.getAs[Int]("ks"),
-      cbRow.getAs[Int]("dsub"), cbRow.getAs[Seq[Double]]("centroids").toArray)
+    // the two driver-side artifact reads are independent — overlap
+    // them (guide §2.6)
+    val (centMat, cb) = ParActions.run2(
+      () => {
+        val cent = spark.read.parquet(s"$path/centroids")
+        spark.createDataFrame(
+          java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+      },
+      () => {
+        val cbRow = spark.read.parquet(s"$path/codebook").head()
+        PqCodebook(cbRow.getAs[Int]("m"), cbRow.getAs[Int]("ks"),
+          cbRow.getAs[Int]("dsub"),
+          cbRow.getAs[Seq[Double]]("centroids").toArray)
+      })
     // committed LIVE shards only (the IvfIndex frontier + base rule)
     val corpusUnit = spark.read.parquet(s"$path/corpus")
       .filter(col("shard") >= base && col("shard") <= shards)
@@ -298,25 +312,35 @@ object IvfPq {
           "matching model")
     if (tag.nonEmpty && tag == meta.tag) return // retry of an applied append
     val shards = meta.shards
-    val cent = spark.read.parquet(s"$path/centroids")
-    val centMat = spark.createDataFrame(
-      java.util.Arrays.asList(cent.collect(): _*), cent.schema)
-    val cbRow = spark.read.parquet(s"$path/codebook").head()
-    val cb = PqCodebook(cbRow.getAs[Int]("m"), cbRow.getAs[Int]("ks"),
-      cbRow.getAs[Int]("dsub"), cbRow.getAs[Seq[Double]]("centroids").toArray)
+    // overlap the two independent driver-side artifact reads (§2.6)
+    val (centMat, cb) = ParActions.run2(
+      () => {
+        val cent = spark.read.parquet(s"$path/centroids")
+        spark.createDataFrame(
+          java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+      },
+      () => {
+        val cbRow = spark.read.parquet(s"$path/codebook").head()
+        PqCodebook(cbRow.getAs[Int]("m"), cbRow.getAs[Int]("ks"),
+          cbRow.getAs[Int]("dsub"),
+          cbRow.getAs[Seq[Double]]("centroids").toArray)
+      })
     val unit = delta.select(col("id"),
         vecUnit(col("vec").cast("array<double>")).as("vec"))
       .filter(Similarity.dot(col("vec"), col("vec")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // corpus shard first, encoded second, meta LAST — a crash at any
-      // point leaves only orphan dirs the frontier never selects
-      unit.write.mode("overwrite").parquet(s"$path/corpus/shard=${shards + 1}")
-      Similarity.assignCell(centMat, unit, "id", "vec")
-        .join(broadcast(centMat), "cell")
-        .select(col("id"), col("cell"),
-          Pq.encodeCol(vecSub(col("vec"), col("cvec")), cb).as("codes"))
-        .write.mode("overwrite").parquet(s"$path/encoded/shard=${shards + 1}")
+      // both shard writes are orphans until the meta commit (LAST) —
+      // overlap them (guide §2.6; the persisted `unit` computes once)
+      ParActions.run(
+        () => unit.write.mode("overwrite")
+          .parquet(s"$path/corpus/shard=${shards + 1}"),
+        () => Similarity.assignCell(centMat, unit, "id", "vec")
+          .join(broadcast(centMat), "cell")
+          .select(col("id"), col("cell"),
+            Pq.encodeCol(vecSub(col("vec"), col("cvec")), cb).as("codes"))
+          .write.mode("overwrite")
+          .parquet(s"$path/encoded/shard=${shards + 1}"))
       // base carries through (the IvfIndex.append rule); CAS commit
       // aborts loudly if a concurrent writer moved the frontier
       IvfIndex.commitMetaCas(spark, path, shards + 1, tag,

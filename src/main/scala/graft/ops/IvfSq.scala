@@ -105,11 +105,17 @@ final class IvfSqIndex private[ops] (
         p.getFileSystem(conf).delete(p, true)
       }
     }
-    ivf.centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Seq((model.vmin.toSeq, model.vmax.toSeq)).toDF("vmin", "vmax")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/sqmodel")
-    encoded.write.mode("overwrite").parquet(s"$path/encoded/shard=0")
-    corpusUnit.write.mode("overwrite").parquet(s"$path/corpus/shard=0")
+    // the four sibling table writes are independent — overlap them
+    // (guide §2.6; meta still lands strictly last, so every crash
+    // window is unchanged: some subset of uncommitted dirs)
+    ParActions.run(
+      () => ivf.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/centroids"),
+      () => Seq((model.vmin.toSeq, model.vmax.toSeq)).toDF("vmin", "vmax")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/sqmodel"),
+      () => encoded.write.mode("overwrite").parquet(s"$path/encoded/shard=0"),
+      () => corpusUnit.write.mode("overwrite")
+        .parquet(s"$path/corpus/shard=0"))
     IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells, tag = tag,
       epoch = IvfIndex.newEpoch())
   }
@@ -171,12 +177,19 @@ object IvfSq {
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       persist: Boolean = true): IvfSqIndex = {
     val (cells, shards, base, _) = IvfIndex.readMetaNamed(spark, path)
-    val cent = spark.read.parquet(s"$path/centroids")
-    val centMat = spark.createDataFrame(
-      java.util.Arrays.asList(cent.collect(): _*), cent.schema)
-    val mRow = spark.read.parquet(s"$path/sqmodel").head()
-    val model = SqModel(mRow.getSeq[Double](mRow.fieldIndex("vmin")).toArray,
-      mRow.getSeq[Double](mRow.fieldIndex("vmax")).toArray)
+    // the two driver-side artifact reads are independent — overlap
+    // them (guide §2.6)
+    val (centMat, model) = ParActions.run2(
+      () => {
+        val cent = spark.read.parquet(s"$path/centroids")
+        spark.createDataFrame(
+          java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+      },
+      () => {
+        val mRow = spark.read.parquet(s"$path/sqmodel").head()
+        SqModel(mRow.getSeq[Double](mRow.fieldIndex("vmin")).toArray,
+          mRow.getSeq[Double](mRow.fieldIndex("vmax")).toArray)
+      })
     // committed LIVE shards only (the IvfIndex frontier + base rule)
     val corpusUnit = spark.read.parquet(s"$path/corpus")
       .filter(col("shard") >= base && col("shard") <= shards)
@@ -208,23 +221,35 @@ object IvfSq {
     val meta = requireMeta(spark, path)
     if (tag.nonEmpty && tag == meta.tag) return // retry of an applied append
     val shards = meta.shards
-    val cent = spark.read.parquet(s"$path/centroids")
-    val centMat = spark.createDataFrame(
-      java.util.Arrays.asList(cent.collect(): _*), cent.schema)
-    val mRow = spark.read.parquet(s"$path/sqmodel").head()
-    val model = SqModel(mRow.getSeq[Double](mRow.fieldIndex("vmin")).toArray,
-      mRow.getSeq[Double](mRow.fieldIndex("vmax")).toArray)
+    // overlap the two independent driver-side artifact reads (§2.6)
+    val (centMat, model) = ParActions.run2(
+      () => {
+        val cent = spark.read.parquet(s"$path/centroids")
+        spark.createDataFrame(
+          java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+      },
+      () => {
+        val mRow = spark.read.parquet(s"$path/sqmodel").head()
+        SqModel(mRow.getSeq[Double](mRow.fieldIndex("vmin")).toArray,
+          mRow.getSeq[Double](mRow.fieldIndex("vmax")).toArray)
+      })
     val unit = delta.select(col("id"),
         vecUnit(col("vec").cast("array<double>")).as("vec"))
       .filter(Similarity.dot(col("vec"), col("vec")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      unit.write.mode("overwrite").parquet(s"$path/corpus/shard=${shards + 1}")
-      Similarity.assignCell(centMat, unit, "id", "vec")
-        .join(broadcast(centMat), "cell")
-        .select(col("id"), col("cell"),
-          Sq.encodeCol(vecSub(col("vec"), col("cvec")), model).as("codes"))
-        .write.mode("overwrite").parquet(s"$path/encoded/shard=${shards + 1}")
+      // both shard writes are orphans until the meta commit below —
+      // overlap them (guide §2.6; the persisted `unit` is computed
+      // once, later-arriving partitions read the cached blocks)
+      ParActions.run(
+        () => unit.write.mode("overwrite")
+          .parquet(s"$path/corpus/shard=${shards + 1}"),
+        () => Similarity.assignCell(centMat, unit, "id", "vec")
+          .join(broadcast(centMat), "cell")
+          .select(col("id"), col("cell"),
+            Sq.encodeCol(vecSub(col("vec"), col("cvec")), model).as("codes"))
+          .write.mode("overwrite")
+          .parquet(s"$path/encoded/shard=${shards + 1}"))
       // base carries through (the IvfIndex.append rule); CAS commit
       // aborts loudly if a concurrent writer moved the frontier
       IvfIndex.commitMetaCas(spark, path, shards + 1, tag,

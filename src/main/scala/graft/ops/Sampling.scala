@@ -124,17 +124,36 @@ object Sampling {
 
   /** EXACT per-group quota: keep the `cap` rows with the smallest
     * id-hash in each group — a deterministic "random cap docs per
-    * domain". One shuffle on the group key + a per-group top-cap sort.
-    * Correct at any cap, but a single pathological group sorts on one
-    * task — for billion-row groups use [[groupQuotaApprox]]. */
+    * domain". Optimization r18 (the VERDICT r17 #1 bounded-heap shape,
+    * applied to the last remaining per-group ranking sort): the old
+    * `row_number() over (partition by group order by hash)` sorted
+    * every group's FULL membership in one window task — a single
+    * pathological group was a billion-row single-task sort. Now the
+    * keep-set is decided on NARROW (group, hash, id) rows through the
+    * [[graft.functions.TopKStructs]] bounded-heap aggregate (map-side
+    * partials, only cap-row heaps shuffle — the identical
+    * (hashBucket, id) total order), and the full rows join to the
+    * keep-set — so no per-group sort exists anywhere in the plan and a
+    * hot group costs the same as a cold one. Results are unchanged
+    * (d16/d48 hash gates); caller contract (as before, now load-
+    * bearing for the join): ids are unique within a group — the
+    * deterministic rank already required it.
+    * For corpora where even the keep-set join is unwelcome, the
+    * hash-filter [[groupQuotaApprox]] stays the shuffle-free twin. */
   def groupQuota(df: DataFrame, idCol: String, groupCol: String,
       cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
-    val w = Window.partitionBy(groupCol)
-      .orderBy(hashBucket(col(idCol)), col(idCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= cap)
-      .drop("__rk")
+    val entry = struct(hashBucket(col(idCol)).as("__hb"), col(idCol))
+    val kept = df.select(col(groupCol).as("__g"), entry.as("__e"))
+      .groupBy(col("__g"))
+      .agg(graft.functions.TopKFunctions.topKStructs(col("__e"), cap,
+        descFirst = false).as("__top"))
+      .select(col("__g"), explode(col("__top")).as("__e"))
+      .select(col("__g"), col("__e").getField(idCol).as("__kid"))
+    // null-safe on the group (a null group is one quota group, the
+    // window-partition semantics this replaces)
+    df.join(kept, col(groupCol) <=> col("__g") && col(idCol) === col("__kid"),
+        "left_semi")
   }
 
   /** APPROXIMATE per-group quota for heavy-group corpora: count each

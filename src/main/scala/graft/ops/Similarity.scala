@@ -363,17 +363,29 @@ object Similarity {
     val cent = centroids.select(col("cell"),
       graft.functions.CatalystFunctions.vecUnit(asDouble(col("cvec"))).as("cvec"))
     val asg = assignCell(cent, u, "id", "uvec").select("id", "cell")
-    val wc = Window.partitionBy("cell")
     // the quota rank MUST stay identical to Sampling.groupQuota's
     // (hashBucket, id) recipe — the d16 and d35 oracles both re-derive
-    // it; if the sampling order ever changes, change BOTH (review r11)
-    val wr = wc.orderBy(Sampling.hashBucket(col("id")), col("id"))
-    asg
-      .withColumn("n_members", count(lit(1)).over(wc))
-      .withColumn("rk", row_number().over(wr))
-      .filter(col("rk") <= cap)
-      .select(col("cell").as("cluster"), col("n_members"), col("id"),
-        col("rk").cast("int").as("rk"))
+    // it; if the sampling order ever changes, change BOTH (review r11).
+    // ONE aggregation yields the member count AND the per-cluster
+    // top-cap (optimization r18, the VERDICT r17 #1 shape applied to
+    // the cell window): the old `count().over(cell)` +
+    // `row_number().over(cell order by hash)` sorted every cell's FULL
+    // membership in one window task — a billion-row single-task sort
+    // for a hot cell. The bounded-heap TopKStructs aggregate keeps the
+    // identical (hashBucket, id) total order (struct compares
+    // field-by-field with Spark's own orderings), fills map-side, and
+    // shuffles only cap-row heaps + a count per cell; no per-cell sort
+    // exists anywhere in the plan.
+    val entry = struct(Sampling.hashBucket(col("id")).as("__hb"), col("id"))
+    asg.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        graft.functions.TopKFunctions.topKStructs(entry, cap,
+          descFirst = false).as("__top"))
+      .select(col("cell").as("cluster"), col("n_members"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("cluster"), col("n_members"),
+        col("__e").getField("id").as("id"),
+        (col("__pos") + 1).cast("int").as("rk"))
   }
 
   /** Exact cosine near-duplicate pairs: blocked all-pairs comparison.
@@ -619,8 +631,13 @@ final class IvfIndex private[ops] (
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       ()
     }
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    assigned.write.mode("overwrite").parquet(s"$path/assigned/shard=0")
+    // independent sibling writes overlap (guide §2.6; see ParActions —
+    // the meta below still lands strictly after both)
+    ParActions.run(
+      () => centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/centroids"),
+      () => assigned.write.mode("overwrite")
+        .parquet(s"$path/assigned/shard=0"))
     IvfIndex.writeMeta(spark, s"$path/meta", nCells, tag = tag,
       epoch = IvfIndex.newEpoch())
   }
@@ -828,6 +845,52 @@ private[graft] object ShardDirs {
   }
 }
 
+/** Overlap INDEPENDENT Spark actions of one commit step (optimization
+  * guide §2.6 — the scheduler happily runs several jobs at once;
+  * actions are only sequential because driver code calls them
+  * sequentially). Every use here overlaps the data-table writes that
+  * precede a meta commit: readers gate on the meta marker (written
+  * LAST, after every action below completes), so the ORDER between the
+  * sibling data writes was never load-bearing in any crash window —
+  * a crash mid-step leaves some subset of orphan dirs the frontier
+  * never selects, exactly as before. Failures propagate: the first
+  * failure rethrows (with its original exception) after all actions
+  * finish, so the caller's abort path sees the same states it would
+  * have sequentially. */
+private[graft] object ParActions {
+  /** Two independent VALUE-returning actions overlapped — the
+    * driver-side artifact reads (centroids + quantizer model) every
+    * append/load pays back-to-back. */
+  def run2[A, B](fa: () => A, fb: () => B): (A, B) = {
+    var a: Option[A] = None
+    var b: Option[B] = None
+    run(() => { a = Some(fa()) }, () => { b = Some(fb()) })
+    (a.get, b.get) // run() rethrows the first failure before this line
+  }
+
+  def run(actions: (() => Unit)*): Unit = {
+    if (actions.sizeIs <= 1) { actions.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(actions.size)
+    try {
+      val futs = actions.map { a =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = a()
+        })
+      }
+      var firstFailure: Option[Throwable] = None
+      futs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstFailure.isEmpty)
+              firstFailure = Some(Option(e.getCause).getOrElse(e))
+        }
+      }
+      firstFailure.foreach(throw _)
+    } finally { pool.shutdown(); () }
+  }
+}
+
 object IvfIndex {
 
   /** One committed meta row of the sharded index family. `shards`
@@ -1022,7 +1085,10 @@ object IvfIndex {
     // write could transiently delete it mid-merge)
     val moved = () => metaIfComplete(spark, path).forall(c =>
       c.shards != shards || c.tag != tag || c.epoch != meta.epoch)
-    tables.foreach { t =>
+    // per-table merges are independent (each stages in its own hidden
+    // tmp dir and renames into its own table); overlap them — the CAS
+    // commit below still runs strictly after every rename (guide §2.6)
+    ParActions.run(tables.map { t => () => {
       val tmp = ShardDirs.compactTmp(s"$path/$t")
       spark.read.parquet(s"$path/$t")
         .filter(col("shard") >= base && col("shard") <= shards)
@@ -1030,7 +1096,7 @@ object IvfIndex {
         .write.mode("overwrite").parquet(tmp)
       ShardDirs.renameIntoShard(spark, tmp, s"$path/$t/shard=${shards + 2}",
         "index compact", moved)
-    }
+    }}: _*)
     commitMetaCas(spark, path, shards + 2, tag, newBase = shards + 2,
       expect = meta, what = "index compact")
     // old dirs below the new base delete best-effort LAST - a crash
