@@ -263,12 +263,17 @@ object Relevance {
         TextFunctions.words(col(textCol)).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val (nd, totd) = corpusStats(w)
-      w.select(col("doc_id"), size(col("ws")).as("dl"),
-          explode(col("ws")).as("word"))
-        .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
-        .repartition(col("word")).sortWithinPartitions("word", "doc_id")
-        .write.mode("overwrite").parquet(s"$path/postings/shard=$shard")
+      // the stats aggregate and the postings write both read the
+      // persisted `w` and are independent — overlap them (guide §2.6;
+      // the stats only feed the meta commit below, which still lands
+      // strictly after both)
+      val ((nd, totd), _) = ParActions.run2(
+        () => corpusStats(w),
+        () => w.select(col("doc_id"), size(col("ws")).as("dl"),
+            explode(col("ws")).as("word"))
+          .groupBy("doc_id", "dl", "word").agg(count(lit(1)).as("tf"))
+          .repartition(col("word")).sortWithinPartitions("word", "doc_id")
+          .write.mode("overwrite").parquet(s"$path/postings/shard=$shard"))
       prior.foreach { e =>
         graft.ops.IvfIndex.beforeCasCommit()
         val cur = readBm25Meta(spark, path)
