@@ -3631,4 +3631,84 @@ class OpsSpec extends SparkSpec {
     assert(!BqIndex.exists(spark, ivfPath),
       "a plain-IVF layout must not read as a complete BQ index")
   }
+
+  test("clusterBalancedSample (optimization r18): one-pass count+heap " +
+      "aggregation equals the window recipe exactly and the plan is " +
+      "Window-free") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.{Sampling, Similarity}
+    val corpus = spark.range(0, 300, 1, 7).select(col("id"),
+      array((0 until 4).map(d =>
+        (cos(col("id") * (d + 1)) * 10).cast("float")): _*).as("vec"))
+    val cent = corpus.filter(col("id") < 3)
+      .select(col("id").as("cell"), col("vec").as("cvec"))
+    val got = Similarity.clusterBalancedSample(corpus, cent, cap = 7)
+    // the window recipe this replaced, over the SAME assignment rows
+    // (recomputed here through the public output: per-cluster members
+    // are got's rows only when cap >= members, so derive the expected
+    // ranks from an uncapped call)
+    val allRows = Similarity.clusterBalancedSample(corpus, cent,
+      cap = 1000) // > corpus size: keeps every member, rank intact
+    val w = Window.partitionBy("cluster")
+      .orderBy(Sampling.hashBucket(col("id")), col("id"))
+    val expect = allRows.select(col("cluster"), col("n_members"), col("id"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getInt(3))).toSet
+    assert(gotSet == expect,
+      "rows/ranks must match the row_number recipe bit-for-bit")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "the balanced sample must not per-cell window-sort")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(400))
+  }
+
+  test("ParActions (optimization r18): runs every action, returns both " +
+      "values, and rethrows the FIRST failure's original exception") {
+    import graft.ops.ParActions
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val (a, b) = ParActions.run2(
+      () => { ran.incrementAndGet(); 41 },
+      () => { ran.incrementAndGet(); "x" })
+    assert((a, b) == ((41, "x")) && ran.get() == 2)
+    // one failing action: the others still complete (the writes of a
+    // commit step must reach their terminal state before the caller's
+    // abort path runs), and the original exception surfaces
+    val survived = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ex = intercept[IllegalStateException] {
+      ParActions.run(
+        () => throw new IllegalStateException("boom-first"),
+        () => { Thread.sleep(50); survived.set(true) })
+    }
+    assert(ex.getMessage == "boom-first")
+    assert(survived.get(), "sibling actions must run to completion")
+  }
+
+  test("BqIndex write sizing (optimization r18): a small delta lands " +
+      "ONE parquet file per table per shard, not defaultParallelism " +
+      "near-empty ones") {
+    import graft.ops.BqIndex
+    def vec(i: Long) = Array.tabulate(8)(d => math.sin(i + d).toFloat)
+    val all = (0L until 64L).map(i => (i, vec(i)))
+    val path = tmpDir("bq-sized") + "/idx"
+    BqIndex.build(all.filter(_._1 % 2 == 0).toDF("id", "vec"), path)
+    BqIndex.append(all.filter(_._1 % 2 == 1).toDF("id", "vec"), path,
+      tag = "d1")
+    Seq("sigs/shard=0", "sigs/shard=1", "corpus/shard=0", "corpus/shard=1")
+      .foreach { t =>
+        val files = new java.io.File(s"$path/$t").listFiles()
+          .count(f => f.getName.startsWith("part-"))
+        assert(files == 1, s"$t has $files part files, expected 1")
+      }
+    // and the sharded query still answers identically to the one-shot
+    val q = all.take(3).map { case (i, v) => (i, v) }.toDF("qid", "qvec")
+    val viaIndex = BqIndex.query(spark, path, q, k = 3, fetch = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val oneShot = graft.ops.Similarity.bqKnn(all.toDF("id", "vec"), q,
+      k = 3, fetch = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaIndex == oneShot)
+  }
 }

@@ -600,4 +600,30 @@ class SamplingSpec extends SparkSpec {
       plan(Seq(("a", Long.MaxValue / 3), ("b", 10L)), e = 2)
     }
   }
+
+  test("groupQuota (optimization r18): bounded-heap keep-set equals the " +
+      "window recipe exactly - null group included - and the plan is " +
+      "Window-free") {
+    import org.apache.spark.sql.expressions.Window
+    // null-group rows form ONE quota group (the window-partition
+    // semantics the semi-join must preserve via <=>)
+    val withNull = (1L to 400L).map(i =>
+      (i, if (i % 3 == 0) null else if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang").repartition(7)
+    val w = Window.partitionBy("lang")
+      .orderBy(Sampling.hashBucket(col("id")), col("id"))
+    val windowed = withNull
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 10).drop("__rk")
+      .select("id").as[Long].collect().toSet
+    val got = Sampling.groupQuota(withNull, "id", "lang", cap = 10)
+    assert(got.select("id").as[Long].collect().toSet == windowed,
+      "keep-set must match the row_number recipe bit-for-bit")
+    // output schema is the input's, untouched
+    assert(got.columns.toSeq == Seq("id", "lang"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "the exact quota must not per-group window-sort")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(400))
+  }
 }
