@@ -74,26 +74,12 @@ object BqIndex {
         .filter(col("vec").isNotNull)))
   }
 
-  /** Size the shard write from the PLAN's size estimate instead of
-    * inheriting the spread's defaultParallelism (guide §6: aim for
-    * 128 MB-1 GB output files; the spread exists for encode-compute
-    * parallelism, but letting the write inherit it emitted
-    * `defaultParallelism` near-empty files per shard PER TABLE at any
-    * small delta size — and every query then paid the per-file open
-    * cost on all of them). `coalesce` (narrow — no extra shuffle)
-    * drops the write to ceil(bytes / 128 MB) partitions, floor 1; a
-    * large delta keeps every spread partition. Scale-adaptive by
-    * construction: the estimate grows with the input, not with the
-    * local core count. */
-  private def sizedForWrite(df: DataFrame): DataFrame = {
-    val target = 128L << 20
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts =
-      if (!est.isValidLong) Int.MaxValue
-      else math.max(1L, (est.toLong + target - 1) / target)
-    if (parts >= df.sparkSession.sparkContext.defaultParallelism) df
-    else df.coalesce(parts.toInt)
-  }
+  /** Size the shard writes from the plan's size estimate instead of
+    * inheriting the spread's defaultParallelism — the shared
+    * [[IvfIndex.sizedForWrite]] (guide §6 rationale documented
+    * there). */
+  private def sizedForWrite(df: DataFrame): DataFrame =
+    IvfIndex.sizedForWrite(df)
 
   /** Index `corpus` (id, vec) rows under `path`. Dimensions cap at 64
     * (one long of sign bits — [[graft.functions.SignBitsExpr]]'s

@@ -893,6 +893,27 @@ private[graft] object ParActions {
 
 object IvfIndex {
 
+  /** Size a shard WRITE from the plan's size estimate instead of
+    * letting it inherit the spread's defaultParallelism (guide §6:
+    * aim for 128 MB-1 GB output files — a spread exists for
+    * compute parallelism, but a write inheriting it emits
+    * `defaultParallelism` near-empty files per shard at any small
+    * delta size, and every later scan pays the per-file open cost).
+    * `coalesce` (narrow, no extra shuffle) drops the write to
+    * ceil(bytes / 128 MB) partitions, floor 1; a large delta keeps
+    * every partition. Scale-adaptive by construction: the estimate
+    * grows with the input, not with the local core count. */
+  private[graft] def sizedForWrite(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val target = 128L << 20
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts =
+      if (!est.isValidLong) Int.MaxValue
+      else math.max(1L, (est.toLong + target - 1) / target)
+    if (parts >= df.sparkSession.sparkContext.defaultParallelism) df
+    else df.coalesce(parts.toInt)
+  }
+
   /** One committed meta row of the sharded index family. `shards`
     * names the committed frontier, `base` the lowest LIVE shard
     * ([[compactTables]] raises it past merged-away dirs), `tag` the
@@ -1367,8 +1388,10 @@ object IvfIndex {
       java.util.Arrays.asList(cent.collect(): _*), cent.schema)
     val d = Similarity.spreadDf(delta)
       .select(col("id"), Similarity.toDouble(col("vec")).as("vec"))
-    Similarity.assignCell(centMat, d, "id", "vec")
-      .withColumn("nrm", Similarity.norm(col("vec")))
+    // write sized from the plan estimate, not the spread's core count
+    // (guide §6; the BqIndex.sizedForWrite rationale)
+    sizedForWrite(Similarity.assignCell(centMat, d, "id", "vec")
+        .withColumn("nrm", Similarity.norm(col("vec"))))
       .write.mode("overwrite").parquet(s"$path/assigned/shard=${meta.shards + 1}")
     // base carries through: resetting it would re-select compacted-away
     // dirs a crashed cleanup left behind. CAS commit: abort loudly if a
