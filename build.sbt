@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-parsable stdout (optimization r19, VERDICT r18 #2 — the
+// "parsed": null symptom in every BENCH_r* since r01): sbt's default
+// LoggedOutput strategy for forked runs prefixes every program line
+// with "[info] ", so the bench's one-line JSON contract never parsed
+// on the driver side. StdoutOutput passes the forked JVM's stdout
+// through RAW; suppressing the "[success] Total time" epilogue makes
+// the bench's compact summary the LITERAL last stdout line. Timing
+// methodology, query set, and JSON keys are untouched — this only
+// fixes how the bytes reach the caller.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -381,6 +381,15 @@ object Bench {
       .mkString("{", ",", "}")
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$top10,"failed":$failed,"probe_ratio":$probeRatio,"unhealthy":$unhealthy,"full_json":${if (wrote) "\"" + jEsc(outPath) + "\"" else "null"},"sf":"${jEsc(sfDir)}"}"""
     println(summary)
+    // The summary FILE carries the FULL per-query dict plus the
+    // retime/contention diagnostics (VERDICT r18 #2: two rounds of
+    // driver PERF comparisons were lost because only the top-10
+    // compact line survived the stdout-tail window; a file has no
+    // line-length constraint). Purely ADDITIVE: the stdout compact
+    // line above is byte-compatible with every prior round, and
+    // "queries" in the FILE is the same full dict the durable artifact
+    // (full_json) has always carried.
+    val summaryFull = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"best":$best,"failed":$failed,"reps":$reps,"retimed":$retimedJson,"retimed_best":$retimedBestJson,"contended":$contendedJson,"recall_at5":$recallJson,"recall_at5_prod":$recallProdJson,"probe_ratio":$probeRatio,"unhealthy":$unhealthy,"full_json":${if (wrote) "\"" + jEsc(outPath) + "\"" else "null"},"sf":"${jEsc(sfDir)}"}"""
     // File-based handshake (VERDICT r16 #4, third round of the
     // "parsed": null symptom): the tail line above parses as JSON but
     // arrives through sbt with an "[info] " prefix the driver's parser
@@ -398,7 +407,7 @@ object Bench {
         java.nio.file.Files.createDirectories(p))
       val tmp = sumPath.resolveSibling(sumPath.getFileName.toString + ".tmp")
       java.nio.file.Files.write(tmp,
-        (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (summaryFull + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.nio.file.Files.move(tmp, sumPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)

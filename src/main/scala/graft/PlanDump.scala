@@ -31,6 +31,7 @@ object PlanDump {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    var failures = 0
     names.foreach { n =>
       try {
         spark.catalog.clearCache()
@@ -43,8 +44,12 @@ object PlanDump {
         println(s"plandump: $n ok")
       } catch { case e: Throwable =>
         System.err.println(s"plandump: $n FAILED: ${e.getMessage}")
+        failures += 1
       }
     }
     spark.stop()
+    // loud exit on ANY failed dump (ADVICE r18): automation must not
+    // mistake an incomplete plans/ directory for refreshed evidence
+    if (failures > 0) sys.exit(1)
   }
 }

@@ -114,10 +114,13 @@ object Bpe {
 
   /** Reload a [[saveMerges]]d list in learned order. */
   def loadMerges(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[(String, String)] =
-    spark.read.parquet(MetaSwap.readDir(spark, path)).orderBy("ord")
-      .collect().map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
-      .toSeq
+      path: String): Seq[(String, String)] = {
+    // direct driver-side read (MetaIo, r19); learned order restored by
+    // the ord column, exactly as the orderBy it replaces
+    val (_, rows) = MetaIo.readRows(spark, MetaSwap.readDir(spark, path))
+    rows.sortBy(_.getAs[Int]("ord"))
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+  }
 
   /** Encode a words column under a merge list:
     * struct(n_bpe int, toks string) where `toks` renders each word's

@@ -512,8 +512,9 @@ object Dedup {
     require(graft.ops.MetaSwap.committed(spark, s"$path/meta"),
       s"lsh index at '$path' is missing or incomplete " +
         "(no committed meta table - builds write it last)")
-    val meta = spark.read
-      .parquet(graft.ops.MetaSwap.readDir(spark, s"$path/meta")).head()
+    // direct driver-side read (MetaIo, r19): genuine every call, no job
+    val meta = graft.ops.MetaIo.readHead(spark,
+      graft.ops.MetaSwap.readDir(spark, s"$path/meta"))
     // layout-epoch guard (r15: the sets table went id-bucketed) — an
     // index persisted under the old layout reads as incomplete and is
     // rebuilt once, instead of the delta path failing on the missing
@@ -976,8 +977,9 @@ object Dedup {
     require(graft.ops.MetaSwap.committed(spark, s"$path/meta"),
       s"simhash index at '$path' is missing or incomplete " +
         "(no committed meta table - builds write it last)")
-    val m = spark.read
-      .parquet(graft.ops.MetaSwap.readDir(spark, s"$path/meta")).head()
+    // direct driver-side read (MetaIo, r19): genuine every call, no job
+    val m = graft.ops.MetaIo.readHead(spark,
+      graft.ops.MetaSwap.readDir(spark, s"$path/meta"))
     // name-based reads + default for the pre-compaction base column
     // (the r15 StreamingSpec lesson: positional getInt silently read
     // the wrong column when the schema grew)

@@ -219,20 +219,11 @@ object IvfPq {
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       persist: Boolean = true): IvfPqIndex = {
     val (cells, shards, base, _) = IvfIndex.readMetaNamed(spark, path)
-    // the two driver-side artifact reads are independent — overlap
-    // them (guide §2.6)
-    val (centMat, cb) = ParActions.run2(
-      () => {
-        val cent = spark.read.parquet(s"$path/centroids")
-        spark.createDataFrame(
-          java.util.Arrays.asList(cent.collect(): _*), cent.schema)
-      },
-      () => {
-        val cbRow = spark.read.parquet(s"$path/codebook").head()
-        PqCodebook(cbRow.getAs[Int]("m"), cbRow.getAs[Int]("ks"),
-          cbRow.getAs[Int]("dsub"),
-          cbRow.getAs[Seq[Double]]("centroids").toArray)
-      })
+    // direct driver-side artifact reads (MetaIo, r19): centroids and
+    // codebook are kilobyte tables read footer+page with zero Spark
+    // jobs — supersedes the r18 run2 overlap of two scan jobs
+    val centMat = IvfIndex.centroidsLocal(spark, path)
+    val cb = readCodebook(spark, path)
     // committed LIVE shards only (the IvfIndex frontier + base rule)
     val corpusUnit = spark.read.parquet(s"$path/corpus")
       .filter(col("shard") >= base && col("shard") <= shards)
@@ -312,19 +303,9 @@ object IvfPq {
           "matching model")
     if (tag.nonEmpty && tag == meta.tag) return // retry of an applied append
     val shards = meta.shards
-    // overlap the two independent driver-side artifact reads (§2.6)
-    val (centMat, cb) = ParActions.run2(
-      () => {
-        val cent = spark.read.parquet(s"$path/centroids")
-        spark.createDataFrame(
-          java.util.Arrays.asList(cent.collect(): _*), cent.schema)
-      },
-      () => {
-        val cbRow = spark.read.parquet(s"$path/codebook").head()
-        PqCodebook(cbRow.getAs[Int]("m"), cbRow.getAs[Int]("ks"),
-          cbRow.getAs[Int]("dsub"),
-          cbRow.getAs[Seq[Double]]("centroids").toArray)
-      })
+    // direct driver-side artifact reads (MetaIo, r19 — zero jobs)
+    val centMat = IvfIndex.centroidsLocal(spark, path)
+    val cb = readCodebook(spark, path)
     val unit = delta.select(col("id"),
         vecUnit(col("vec").cast("array<double>")).as("vec"))
       .filter(Similarity.dot(col("vec"), col("vec")) > 0)
@@ -377,6 +358,16 @@ object IvfPq {
     finally idx.close()
   }
 
+  /** The saved PQ codebook, read directly on the driver
+    * ([[MetaIo.readHead]] — one small part file, zero Spark jobs). */
+  private def readCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqCodebook = {
+    val cbRow = MetaIo.readHead(spark, s"$path/codebook")
+    PqCodebook(cbRow.getAs[Int]("m"), cbRow.getAs[Int]("ks"),
+      cbRow.getAs[Int]("dsub"),
+      cbRow.getAs[Seq[Double]]("centroids").toArray)
+  }
+
   /** True when `path` holds a complete saved IVF-PQ index. The meta
     * marker alone is ambiguous (IvfIndex.save writes the identical
     * layout, review r11): a plain-IVF path would read as complete here
@@ -417,7 +408,7 @@ object IvfPq {
       nCells: Int = -1, m: Int = -1, ks: Int = -1, pqIters: Int = 2,
       refineIters: Int = 1, md5Seeds: Boolean = false): Unit = {
     val meta = requireMeta(spark, path)
-    val cbRow = spark.read.parquet(s"$path/codebook").head()
+    val cbRow = MetaIo.readHead(spark, s"$path/codebook")
     val cells = if (nCells < 0) meta.cells else nCells
     val mEff = if (m < 0) cbRow.getAs[Int]("m") else m
     val ksEff = if (ks < 0) cbRow.getAs[Int]("ks") else ks

@@ -177,19 +177,12 @@ object IvfSq {
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
       persist: Boolean = true): IvfSqIndex = {
     val (cells, shards, base, _) = IvfIndex.readMetaNamed(spark, path)
-    // the two driver-side artifact reads are independent — overlap
-    // them (guide §2.6)
-    val (centMat, model) = ParActions.run2(
-      () => {
-        val cent = spark.read.parquet(s"$path/centroids")
-        spark.createDataFrame(
-          java.util.Arrays.asList(cent.collect(): _*), cent.schema)
-      },
-      () => {
-        val mRow = spark.read.parquet(s"$path/sqmodel").head()
-        SqModel(mRow.getSeq[Double](mRow.fieldIndex("vmin")).toArray,
-          mRow.getSeq[Double](mRow.fieldIndex("vmax")).toArray)
-      })
+    // direct driver-side artifact reads (MetaIo, r19): centroids and
+    // the SQ model are kilobyte tables a footer+page read serves with
+    // zero Spark jobs — the r18 run2 overlap of two scan jobs is
+    // superseded by not scheduling jobs at all
+    val centMat = IvfIndex.centroidsLocal(spark, path)
+    val model = IvfSq.readSqModel(spark, path)
     // committed LIVE shards only (the IvfIndex frontier + base rule)
     val corpusUnit = spark.read.parquet(s"$path/corpus")
       .filter(col("shard") >= base && col("shard") <= shards)
@@ -221,18 +214,9 @@ object IvfSq {
     val meta = requireMeta(spark, path)
     if (tag.nonEmpty && tag == meta.tag) return // retry of an applied append
     val shards = meta.shards
-    // overlap the two independent driver-side artifact reads (§2.6)
-    val (centMat, model) = ParActions.run2(
-      () => {
-        val cent = spark.read.parquet(s"$path/centroids")
-        spark.createDataFrame(
-          java.util.Arrays.asList(cent.collect(): _*), cent.schema)
-      },
-      () => {
-        val mRow = spark.read.parquet(s"$path/sqmodel").head()
-        SqModel(mRow.getSeq[Double](mRow.fieldIndex("vmin")).toArray,
-          mRow.getSeq[Double](mRow.fieldIndex("vmax")).toArray)
-      })
+    // direct driver-side artifact reads (MetaIo, r19 — zero jobs)
+    val centMat = IvfIndex.centroidsLocal(spark, path)
+    val model = readSqModel(spark, path)
     val unit = delta.select(col("id"),
         vecUnit(col("vec").cast("array<double>")).as("vec"))
       .filter(Similarity.dot(col("vec"), col("vec")) > 0)
@@ -284,6 +268,15 @@ object IvfSq {
     try IvfIndex.recallByShard(spark, corpus,
       q => idx.query(q, k, nProbe, fetch), k, perShard)
     finally idx.close()
+  }
+
+  /** The saved SQ min/max model, read directly on the driver
+    * ([[MetaIo.readRows]] — one small part file, zero Spark jobs). */
+  private def readSqModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): SqModel = {
+    val mRow = MetaIo.readHead(spark, s"$path/sqmodel")
+    SqModel(mRow.getSeq[Double](mRow.fieldIndex("vmin")).toArray,
+      mRow.getSeq[Double](mRow.fieldIndex("vmax")).toArray)
   }
 
   /** ONE committed-meta read + completeness check serving a whole

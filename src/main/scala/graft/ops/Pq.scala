@@ -342,10 +342,12 @@ object Pq {
     * driver-local values; nothing distributed is materialized). */
   def loadOpq(spark: org.apache.spark.sql.SparkSession,
       path: String): (PqCodebook, Array[Double]) = {
-    val cbRow = spark.read.parquet(s"$path/codebook").head()
+    // direct driver-side artifact reads (MetaIo, r19 — zero jobs; both
+    // are single-row kilobyte tables)
+    val cbRow = MetaIo.readHead(spark, s"$path/codebook")
     val cb = PqCodebook(cbRow.getInt(0), cbRow.getInt(1), cbRow.getInt(2),
       cbRow.getSeq[Double](3).toArray)
-    val rRow = spark.read.parquet(s"$path/rotation").head()
+    val rRow = MetaIo.readHead(spark, s"$path/rotation")
     val r = rRow.getSeq[Double](1).toArray
     require(r.length == cb.dim * cb.dim, "rotation shape mismatch")
     (cb, r)

@@ -169,7 +169,8 @@ object QualityClassifier {
   /** Reload a [[save]]d binary model — margins bit-identical to the
     * in-memory original (doubles round-trip parquet exactly). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
-    val r = spark.read.parquet(MetaSwap.readDir(spark, path)).head()
+    // direct driver-side read (MetaIo, r19 — single-row artifact)
+    val r = MetaIo.readHead(spark, MetaSwap.readDir(spark, path))
     Model(r.getSeq[Double](0).toArray, r.getDouble(1))
   }
 

@@ -218,8 +218,9 @@ object Relevance {
     require(MetaSwap.committed(spark, s"$path/stats"),
       s"bm25 index at '$path' is missing or incomplete " +
         "(no committed stats table - builds write it last)")
-    val st = spark.read
-      .parquet(MetaSwap.readDir(spark, s"$path/stats")).head()
+    // direct driver-side read (MetaIo, r19): genuine every call, no job
+    val st = MetaIo.readHead(spark,
+      MetaSwap.readDir(spark, s"$path/stats"))
     // layout guard: a pre-r16 index (unsharded postings, plain
     // two-column stats) fails LOUDLY here and must be rebuilt by the
     // caller — [[exists]] is the soft probe that reads such a layout
@@ -245,7 +246,7 @@ object Relevance {
   def exists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean =
     MetaSwap.committed(spark, s"$path/stats") &&
-      spark.read.parquet(MetaSwap.readDir(spark, s"$path/stats"))
+      MetaIo.readHead(spark, MetaSwap.readDir(spark, s"$path/stats"))
         .schema.fieldNames.contains("shards")
 
   /** ONE shard writer shared by build (shard 0) and append (G+1):

@@ -151,8 +151,15 @@ object Sampling {
       .select(col("__g"), explode(col("__top")).as("__e"))
       .select(col("__g"), col("__e").getField(idCol).as("__kid"))
     // null-safe on the group (a null group is one quota group, the
-    // window-partition semantics this replaces)
-    df.join(kept, col(groupCol) <=> col("__g") && col(idCol) === col("__kid"),
+    // window-partition semantics this replaces) AND on the id (ADVICE
+    // r18 / VERDICT r18 #7: `===` silently DROPPED null-id rows the
+    // window recipe ranked — hashBucket(null) orders first, so a
+    // null-id row was kept whenever cap >= 1). With `<=>` a single
+    // null-id row per group survives exactly as the window kept it;
+    // several null-id rows in one group match as one identity (the
+    // same documented caveat as duplicate ids — the window's tie order
+    // among equal (hash, id) pairs was never deterministic either).
+    df.join(kept, col(groupCol) <=> col("__g") && col(idCol) <=> col("__kid"),
         "left_semi")
   }
 

@@ -866,7 +866,8 @@ object Unigram {
     * the unk floor round-trip exactly through parquet doubles). */
   def load(spark: org.apache.spark.sql.SparkSession,
       path: String): UnigramModel = {
-    val r = spark.read.parquet(MetaSwap.readDir(spark, path)).head()
+    // direct driver-side read (MetaIo, r19 — single-row artifact)
+    val r = MetaIo.readHead(spark, MetaSwap.readDir(spark, path))
     UnigramModel(r.getSeq[String](0).toVector,
       r.getSeq[Double](1).toVector, r.getDouble(2))
   }

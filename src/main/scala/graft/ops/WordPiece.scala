@@ -244,9 +244,13 @@ object WordPiece {
 
   /** Reload a [[saveVocab]]d vocabulary in saved order. */
   def loadVocab(spark: org.apache.spark.sql.SparkSession,
-      path: String): WordPieceVocab =
-    WordPieceVocab(spark.read.parquet(MetaSwap.readDir(spark, path))
-      .orderBy("ord").collect().map(_.getAs[String]("piece")).toVector)
+      path: String): WordPieceVocab = {
+    // direct driver-side read (MetaIo, r19); saved order restored by
+    // the ord column, exactly as the orderBy it replaces
+    val (_, rows) = MetaIo.readRows(spark, MetaSwap.readDir(spark, path))
+    WordPieceVocab(rows.sortBy(_.getAs[Int]("ord"))
+      .map(_.getAs[String]("piece")).toVector)
+  }
 }
 
 /** Greedy longest-match WordPiece encode of a words array — see

@@ -3711,4 +3711,101 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(viaIndex == oneShot)
   }
+
+  test("MetaIo (optimization r19): direct driver-side reads equal " +
+      "spark.read for Spark-written artifacts, and MetaSwap's direct " +
+      "scalar commit round-trips through BOTH readers") {
+    import graft.ops.{MetaIo, MetaSwap}
+    import spark.implicits._
+    // (a) Spark-written single-row artifact with arrays (the
+    // sqmodel/codebook shape) reads back identically through MetaIo
+    val arrDir = tmpDir("metaio-arr") + "/t"
+    Seq((Seq(1.5, -2.0), Seq(0.25, 3.0), 7, 42L, "tag-x"))
+      .toDF("vmin", "vmax", "m", "epoch", "tag")
+      .coalesce(1).write.parquet(arrDir)
+    val viaSpark = spark.read.parquet(arrDir).head()
+    val viaDirect = MetaIo.readHead(spark, arrDir)
+    assert(viaDirect.schema.fieldNames.toSeq ==
+      viaSpark.schema.fieldNames.toSeq)
+    assert(viaDirect.getSeq[Double](0) == viaSpark.getSeq[Double](0))
+    assert(viaDirect.getSeq[Double](1) == viaSpark.getSeq[Double](1))
+    assert(viaDirect.getInt(2) == 7 && viaDirect.getLong(3) == 42L &&
+      viaDirect.getString(4) == "tag-x")
+    // (b) multi-row table (the centroids shape): rows + schema match
+    val multiDir = tmpDir("metaio-multi") + "/t"
+    Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)), (2, Seq(0.5, 0.5)))
+      .toDF("cell", "cvec").coalesce(1).write.parquet(multiDir)
+    val (schema, rows) = MetaIo.readRows(spark, multiDir)
+    val expect = spark.read.parquet(multiDir).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toList)).toSet
+    assert(rows.map(r => (r.getInt(0), r.getSeq[Double](1).toList)).toSet
+      == expect)
+    assert(schema.fieldNames.toSeq == Seq("cell", "cvec"))
+    // (c) MetaSwap.commit's direct scalar fast path: layout has a
+    // part file + _SUCCESS (committedParquetExists grades it), and
+    // the row reads back identically through spark.read AND MetaIo —
+    // including a second commit (the swap/heal path)
+    val metaDir = tmpDir("metaio-meta") + "/meta"
+    MetaSwap.commit(Seq((4, 2, "t1", 0, "", 99L))
+      .toDF("n_cells", "shards", "tag", "base", "rot", "epoch"), metaDir)
+    assert(MetaSwap.committed(spark, metaDir))
+    val m1 = spark.read.parquet(metaDir).head()
+    assert(m1.getAs[Int]("n_cells") == 4 && m1.getAs[String]("tag") == "t1"
+      && m1.getAs[Long]("epoch") == 99L)
+    MetaSwap.commit(Seq((4, 3, "t2", 0, "", 99L))
+      .toDF("n_cells", "shards", "tag", "base", "rot", "epoch"), metaDir)
+    val m2 = MetaIo.readHead(spark, MetaSwap.readDir(spark, metaDir))
+    assert(m2.getAs[Int]("shards") == 3 && m2.getAs[String]("tag") == "t2")
+    // (d) nulls round-trip (an optional field with no value)
+    val nullDir = tmpDir("metaio-null") + "/t"
+    Seq((Some(1), None: Option[String]), (None: Option[Int], Some("b")))
+      .toDF("a", "b").coalesce(1).write.parquet(nullDir)
+    val (_, nrows) = MetaIo.readRows(spark, nullDir)
+    assert(nrows.map(r => (Option(r.get(0)), Option(r.get(1)))).toSet ==
+      Set((Some(1), None), (None, Some("b"))))
+  }
+
+  test("sizedForWrite (ADVICE r18, overflow): an unknown-size estimate " +
+      "(Long.MaxValue stats fallback) keeps the spread instead of " +
+      "funneling the write through coalesce(1)") {
+    import org.apache.spark.sql.functions.col
+    // an RDD-backed frame has no stats beyond the default fallback
+    val rdd = spark.sparkContext.parallelize(1L to 64L, 8)
+    val df = spark.createDataFrame(rdd.map(org.apache.spark.sql.Row(_)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assume(!est.isValidLong || est.toLong > (128L << 20) * 32,
+      s"precondition: estimate must be unknown/huge, got $est")
+    val sized = graft.ops.IvfIndex.sizedForWrite(df)
+    assert(sized.rdd.getNumPartitions == df.rdd.getNumPartitions,
+      "unknown-size input must keep its partitioning")
+    // and a tiny KNOWN estimate still coalesces to one part
+    val tiny = spark.range(0, 10).select(col("id"))
+    assert(graft.ops.IvfIndex.sizedForWrite(tiny).rdd.getNumPartitions == 1)
+  }
+
+  test("ParActions (ADVICE r18): an interrupt mid-await drains every " +
+      "action to a terminal state before rethrowing") {
+    import graft.ops.ParActions
+    val finished = new java.util.concurrent.atomic.AtomicInteger(0)
+    val started = new java.util.concurrent.CountDownLatch(2)
+    @volatile var thrown: Throwable = null
+    val runner = new Thread(() => {
+      try ParActions.run(
+        () => { started.countDown(); Thread.sleep(300); finished.incrementAndGet(); () },
+        () => { started.countDown(); Thread.sleep(300); finished.incrementAndGet(); () })
+      catch { case t: Throwable => thrown = t }
+    })
+    runner.start()
+    started.await()
+    runner.interrupt() // lands in the awaiting f.get()
+    runner.join(5000)
+    assert(!runner.isAlive, "runner must finish")
+    assert(finished.get() == 2,
+      "both actions must reach a terminal state despite the interrupt")
+    assert(thrown.isInstanceOf[InterruptedException],
+      s"the interrupt must surface after the drain, got: $thrown")
+  }
 }

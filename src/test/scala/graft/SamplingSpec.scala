@@ -103,6 +103,22 @@ class SamplingSpec extends SparkSpec {
       again.select("id").as[Long].collect().toSet)
   }
 
+  test("groupQuota keeps a null-id row the window recipe ranked " +
+    "(VERDICT r18 #7: the r18 semi-join silently dropped it)") {
+    val withNull = Seq((Some(1L), "en"), (Some(2L), "en"),
+      (None: Option[Long], "en"), (Some(4L), "de"))
+      .toDF("id", "lang")
+    // cap above the group sizes: EVERY row must survive, null id
+    // included — exactly what row_number over (partition by lang) kept
+    val kept = Sampling.groupQuota(withNull, "id", "lang", cap = 10)
+    assert(kept.count() == 4, "null-id row must not be silently dropped")
+    assert(kept.filter(col("id").isNull).count() == 1)
+    // and a sub-cap quota still holds with the null ranked first
+    // (hashBucket(null) orders before any non-null hash)
+    val capped = Sampling.groupQuota(withNull, "id", "lang", cap = 1)
+    assert(capped.count() == 2, "one row per group at cap=1")
+  }
+
   test("groupQuota keeps under-quota groups whole") {
     val capped = Sampling.groupQuota(rows, "id", "lang", cap = 5000)
     assert(capped.count() == 2000L)
