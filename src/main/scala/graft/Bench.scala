@@ -41,6 +41,33 @@ object Bench {
     * pass stays a bounded fraction of the battery cost. */
   val RetimeCap = 15
 
+  /** Extra quiesced re-timings granted to the rolling-best net below
+    * (on top of [[RetimeCap]]), so a wide contention window cannot
+    * starve the heavy-line retimes. */
+  val RollingRetimeCap = 10
+
+  /** Rolling-best contention net (VERDICT r18 #5 — the r18 battery
+    * flagged only 3 lines while d57/d48/d50/d20 moved 20-70% between
+    * same-box runs): the committed per-query quiet-best seconds
+    * (`tools/bench_rolling_best.json`, regenerated each optimization
+    * round from healthy runs; SPARK_GRAFT_BENCH_ROLLING overrides the
+    * path). Any line whose battery median exceeds 1.5× its rolling
+    * best joins the quiesced re-time pass — SELECTION ONLY: battery
+    * medians in "queries" are untouched, exactly as for the
+    * floor/spike selections. Missing or unparseable file = empty map
+    * (the net degrades to the r18 behavior, never fails the bench). */
+  def rollingBest(): Map[String, Double] = {
+    val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROLLING",
+      "tools/bench_rolling_best.json")
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+      val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+      entry.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+        .toMap
+    } catch { case _: Throwable => Map.empty }
+  }
+
   /** Fixed 2-shuffle micro-probe (repartition + aggregate over 2M
     * longs): measures per-stage shuffle overhead — scratch-disk and
     * scheduler health — independent of any query's plan. */
@@ -206,7 +233,15 @@ object Bench {
         val spiky = results.collect {
           case (k, med, best) if med > 0 && best > 0 && med / best > 2.0 => k
         }
-        (heavy ++ spiky).distinct
+        // rolling-best net (r19): lines far above their committed
+        // quiet best get adjudicated too, worst overshoot first
+        val rb = rollingBest()
+        val rolling = results.collect {
+          case (k, med, _) if med > 0 &&
+            rb.get(k).exists(b => b > 0 && med > 1.5 * b) =>
+            k -> (med / rb(k))
+        }.sortBy(-_._2).take(RollingRetimeCap).map(_._1)
+        (heavy ++ spiky ++ rolling).distinct
       }
     val probeRetime =
       if (retimeSet.isEmpty) -1.0

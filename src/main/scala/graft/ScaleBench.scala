@@ -48,9 +48,13 @@ object ScaleBench {
       "d61_wordpiece_bytes", "e20_knn_bq",
       // round-18 newcomers
       "e21_knn_bq_sharded", "d62_bpe_bytes", "d63_pairs_fold")
+    // core count honors SPARK_GRAFT_CPUS (r19, VERDICT r18 #8: the
+    // scaling story needs lifecycle rows at TWO core counts on the
+    // 10x corpus; a hard-coded master made that unmeasurable here)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.withScratch(SparkSession.builder())
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1509,9 +1509,18 @@ object Dedup {
     val inv =
       if (stopDocFreq <= 0) inv0
       else persistBounded {
-        val keep = inv0.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= stopDocFreq).select("fp")
-        inv0.join(keep, "fp")
+        // STOP set, not keep set (optimization r19, VERDICT r18 #6;
+        // guide §3.1): fingerprints with df > cap are the boilerplate
+        // MINORITY — each one stands for MORE than `stopDocFreq` docs,
+        // so their count is bounded by rows/cap and the set broadcasts
+        // at any corpus size — and a broadcast LEFT ANTI join drops
+        // them without shuffling the inverted index at all. The old
+        // keep-set INNER join could never broadcast (the keep side is
+        // MOST fps) and shuffled every (fp, doc_id) row by fp. Exact
+        // complement, so results are bit-identical (d14 hash gate).
+        val stop = inv0.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > stopDocFreq).select("fp")
+        inv0.join(broadcast(stop), Seq("fp"), "left_anti")
       }
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val a = inv.alias("a")

@@ -129,20 +129,26 @@ final class IvfPqIndex private[ops] (
         p.getFileSystem(conf).delete(p, true)
       }
     }
-    // the four sibling table writes are independent — overlap them
-    // (guide §2.6; meta still lands strictly last, so every crash
-    // window is unchanged: some subset of uncommitted dirs)
-    ParActions.run(
-      () => ivf.centroids.coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/centroids"),
-      () => Seq((cb.m, cb.ks, cb.dsub, cb.centroids.toSeq))
-        .toDF("m", "ks", "dsub", "centroids")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook"),
-      () => encoded.write.mode("overwrite").parquet(s"$path/encoded/shard=0"),
-      () => corpusUnit.write.mode("overwrite")
-        .parquet(s"$path/corpus/shard=0"))
+    writeTables(path)
     IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells, rot = rot,
       tag = tag, epoch = IvfIndex.newEpoch())
+  }
+
+  /** The four sibling table writes of a save, under `root` — shared by
+    * [[save]] and [[IvfPq.rebuild]]'s staging (the IvfSqIndex rule).
+    * Independent, so overlapped (guide §2.6). */
+  private[ops] def writeTables(root: String): Unit = {
+    val spark = ivf.centroids.sparkSession
+    import spark.implicits._
+    ParActions.run(
+      () => ivf.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/centroids"),
+      () => Seq((cb.m, cb.ks, cb.dsub, cb.centroids.toSeq))
+        .toDF("m", "ks", "dsub", "centroids")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/codebook"),
+      () => encoded.write.mode("overwrite").parquet(s"$root/encoded/shard=0"),
+      () => corpusUnit.write.mode("overwrite")
+        .parquet(s"$root/corpus/shard=0"))
   }
 }
 
@@ -412,21 +418,34 @@ object IvfPq {
     val cells = if (nCells < 0) meta.cells else nCells
     val mEff = if (m < 0) cbRow.getAs[Int]("m") else m
     val ksEff = if (ks < 0) cbRow.getAs[Int]("ks") else ks
-    val scratch = s"$path/.rebuild-src"
-    val sp = new org.apache.hadoop.fs.Path(scratch)
+    // rename-based rebuild (r19, VERDICT r18 #3 — the IvfSq.rebuild
+    // protocol): retrain reads the LIVE dirs, stages the new layout
+    // beside them, CAS-guards, then promotes by rename — no scratch
+    // corpus copy
+    val stage = s"$path/${IvfIndex.RebuildStage}"
+    val sp = new org.apache.hadoop.fs.Path(stage)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(sp, true)
+    fs.delete(sp, true) // reclaim a crashed rebuild's staging
+    var promoting = false
     try {
-      spark.read.parquet(s"$path/corpus")
+      val live = spark.read.parquet(s"$path/corpus")
         .filter(col("shard") >= meta.base && col("shard") <= meta.shards)
         .select("id", "vec")
-        .write.parquet(scratch)
-      val rebuilt = buildFromUnit(spark.read.parquet(scratch), cells, mEff,
+      val rebuilt = buildFromUnit(live, cells, mEff,
         ksEff, pqIters, refineIters, persist = false, md5Seeds = md5Seeds)
-      // CAS re-read before the destructive save (the IvfSq.rebuild rule)
+      rebuilt.writeTables(stage)
+      // CAS re-read before the destructive promote (the IvfSq rule)
       IvfIndex.casGuardMoved(spark, path, meta, "ivfpq rebuild")
-      rebuilt.save(path, rot = meta.rot, tag = meta.tag)
-    } finally { fs.delete(sp, true); () }
+      promoting = true
+      IvfIndex.promoteStaged(spark, path,
+        Seq("centroids", "codebook", "encoded", "corpus"))
+      IvfIndex.writeMeta(spark, s"$path/meta", rebuilt.nCells,
+        rot = meta.rot, tag = meta.tag, epoch = IvfIndex.newEpoch())
+      fs.delete(sp, true)
+      ()
+    } finally {
+      if (!promoting) { fs.delete(sp, true); () }
+    }
   }
 
   /** Committed live shard count, gated on THIS family's completeness

@@ -105,19 +105,27 @@ final class IvfSqIndex private[ops] (
         p.getFileSystem(conf).delete(p, true)
       }
     }
-    // the four sibling table writes are independent — overlap them
-    // (guide §2.6; meta still lands strictly last, so every crash
-    // window is unchanged: some subset of uncommitted dirs)
-    ParActions.run(
-      () => ivf.centroids.coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/centroids"),
-      () => Seq((model.vmin.toSeq, model.vmax.toSeq)).toDF("vmin", "vmax")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/sqmodel"),
-      () => encoded.write.mode("overwrite").parquet(s"$path/encoded/shard=0"),
-      () => corpusUnit.write.mode("overwrite")
-        .parquet(s"$path/corpus/shard=0"))
+    writeTables(path)
     IvfIndex.writeMeta(spark, s"$path/meta", ivf.nCells, tag = tag,
       epoch = IvfIndex.newEpoch())
+  }
+
+  /** The four sibling table writes of a save, under `root` — shared by
+    * [[save]] (root = the index path) and [[IvfSq.rebuild]]'s staging
+    * (root = the hidden [[IvfIndex.RebuildStage]] dir). Independent, so
+    * overlapped (guide §2.6; the caller's meta commit still lands
+    * strictly after all four). */
+  private[ops] def writeTables(root: String): Unit = {
+    val spark = ivf.centroids.sparkSession
+    import spark.implicits._
+    ParActions.run(
+      () => ivf.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/centroids"),
+      () => Seq((model.vmin.toSeq, model.vmax.toSeq)).toDF("vmin", "vmax")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/sqmodel"),
+      () => encoded.write.mode("overwrite").parquet(s"$root/encoded/shard=0"),
+      () => corpusUnit.write.mode("overwrite")
+        .parquet(s"$root/corpus/shard=0"))
   }
 }
 
@@ -338,26 +346,46 @@ object IvfSq {
       md5Seeds: Boolean = false): Unit = {
     val meta = requireMeta(spark, path)
     val cells = if (nCells < 0) meta.cells else nCells
-    val scratch = s"$path/.rebuild-src"
-    val sp = new org.apache.hadoop.fs.Path(scratch)
+    // Rename-based rebuild (optimization r19, VERDICT r18 #3): the
+    // retrain reads the LIVE corpus dirs directly and stages the new
+    // layout BESIDE them — the old protocol's scratch copy (one full
+    // extra corpus write + read) existed only because save() deleted
+    // the dirs the retrain's lazy plans read, which the staging-then-
+    // promote order makes moot. Result identity is pinned by gate e19
+    // (rebuild ≡ from-scratch build, full-hash oracle) and SqSpec.
+    val stage = s"$path/${IvfIndex.RebuildStage}"
+    val sp = new org.apache.hadoop.fs.Path(stage)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(sp, true)
+    fs.delete(sp, true) // reclaim a crashed rebuild's staging
+    var promoting = false
     try {
-      spark.read.parquet(s"$path/corpus")
+      val live = spark.read.parquet(s"$path/corpus")
         .filter(col("shard") >= meta.base && col("shard") <= meta.shards)
         .select("id", "vec")
-        .write.parquet(scratch)
-      val rebuilt = buildFromUnit(spark.read.parquet(scratch), cells,
+      val rebuilt = buildFromUnit(live, cells,
         refineIters, persist = false, md5Seeds = md5Seeds)
-      // CAS re-read before the destructive save (the commitMetaCas
+      rebuilt.writeTables(stage) // live layout untouched while staging
+      // CAS re-read before the destructive promote (the commitMetaCas
       // rule, applied to rebuild's own window): a writer that
       // committed during the staging/retrain would otherwise be
-      // silently erased by save's tree rewrite. Once save starts, its
-      // meta invalidation makes every concurrent writer fail loudly
-      // at its own planning read or CAS.
+      // silently erased by the swap. Until the promote below, the
+      // standing index is COMMITTED and whole — an abort here costs
+      // nothing but the staged bytes.
       IvfIndex.casGuardMoved(spark, path, meta, "ivfsq rebuild")
-      rebuilt.save(path, tag = meta.tag)
-    } finally { fs.delete(sp, true); () }
+      promoting = true
+      IvfIndex.promoteStaged(spark, path,
+        Seq("centroids", "sqmodel", "encoded", "corpus"))
+      IvfIndex.writeMeta(spark, s"$path/meta", rebuilt.nCells,
+        tag = meta.tag, epoch = IvfIndex.newEpoch())
+      fs.delete(sp, true) // empty staging root
+      ()
+    } finally {
+      // failed BEFORE the promote: the standing index is intact —
+      // discard the staging. A failure DURING the promote keeps the
+      // remaining staged tables on disk for recovery (the next
+      // rebuild's opening sweep reclaims them).
+      if (!promoting) { fs.delete(sp, true); () }
+    }
   }
 
   /** Committed live shard count, gated on THIS family's completeness

@@ -631,16 +631,21 @@ final class IvfIndex private[ops] (
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       ()
     }
-    // independent sibling writes overlap (guide §2.6; see ParActions —
-    // the meta below still lands strictly after both)
-    ParActions.run(
-      () => centroids.coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/centroids"),
-      () => assigned.write.mode("overwrite")
-        .parquet(s"$path/assigned/shard=0"))
+    writeTables(path)
     IvfIndex.writeMeta(spark, s"$path/meta", nCells, tag = tag,
       epoch = IvfIndex.newEpoch())
   }
+
+  /** The two sibling table writes of a save, under `root` — shared by
+    * [[save]] and [[IvfIndex.rebuild]]'s staging. Independent, so
+    * overlapped (guide §2.6; the caller's meta commit still lands
+    * strictly after both). */
+  private[ops] def writeTables(root: String): Unit =
+    ParActions.run(
+      () => centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/centroids"),
+      () => assigned.write.mode("overwrite")
+        .parquet(s"$root/assigned/shard=0"))
 }
 
 /** Durable meta-marker rewrite for the persisted-index family (ADVICE
@@ -1210,23 +1215,83 @@ object IvfIndex {
         "(no committed meta table - saves write it last)")
     val m = meta.get
     val cells = if (nCells < 0) m.cells else nCells
-    val scratch = s"$path/.rebuild-src"
-    val sp = new org.apache.hadoop.fs.Path(scratch)
+    // rename-based rebuild (r19, VERDICT r18 #3 — see promoteStaged):
+    // retrain reads the LIVE assigned dirs, stages the new layout
+    // beside them, CAS-guards, then promotes by rename — no scratch
+    // corpus copy
+    val stage = s"$path/$RebuildStage"
+    val sp = new org.apache.hadoop.fs.Path(stage)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(sp, true)
+    fs.delete(sp, true) // reclaim a crashed rebuild's staging
+    var promoting = false
     try {
-      spark.read.parquet(s"$path/assigned")
+      val live = spark.read.parquet(s"$path/assigned")
         .filter(col("shard") >= m.base && col("shard") <= m.shards)
         .select("id", "vec")
-        .write.parquet(scratch)
-      val rebuilt = build(spark.read.parquet(scratch), cells, refineIters,
+      val rebuilt = build(live, cells, refineIters,
         persist = false, md5Seeds = md5Seeds)
-      // CAS re-read before the destructive save (the IvfSq.rebuild
+      rebuilt.writeTables(stage)
+      // CAS re-read before the destructive promote (the IvfSq.rebuild
       // rule): a writer that committed during the retrain must abort
-      // the rebuild, not be erased by it
+      // the rebuild, not be erased by it — and until the promote the
+      // standing index is committed and whole
       casGuardMoved(spark, path, m, "ivf rebuild")
-      rebuilt.save(path, tag = m.tag)
-    } finally { fs.delete(sp, true); () }
+      promoting = true
+      promoteStaged(spark, path, Seq("centroids", "assigned"))
+      writeMeta(spark, s"$path/meta", rebuilt.nCells, tag = m.tag,
+        epoch = newEpoch())
+      fs.delete(sp, true)
+      ()
+    } finally {
+      if (!promoting) { fs.delete(sp, true); () }
+    }
+  }
+
+  /** Name of the hidden staging root a rebuild writes its NEW tables
+    * under — dot-prefixed, so readers and partition discovery never
+    * see it; inside the index path, so the rename below is one-FS. */
+  private[graft] val RebuildStage = ".rebuild-new"
+
+  /** Promote a rebuild's completed staging root into the live layout
+    * (optimization r19, VERDICT r18 #3 — rename-based rebuild): the
+    * old protocol staged the live CORPUS to a scratch dir (a full
+    * extra corpus write + read) because save() deletes the very dirs
+    * the retrain's lazy plans read. Now the retrain reads the LIVE
+    * dirs directly and writes the new layout BESIDE them under
+    * [[RebuildStage]]; this promotion then invalidates the meta,
+    * clears the other layouts' stale tables, and swaps each staged
+    * table into place by rename — metadata-only operations.
+    *
+    * Crash windows, stated against the old protocol's:
+    *   - crash while STAGING (before this runs): the standing index is
+    *     fully intact and committed — strictly better than the old
+    *     protocol, whose save had already invalidated the meta before
+    *     its first table write; the orphan staging root is reclaimed
+    *     by the next rebuild's opening sweep (or the finally).
+    *   - crash anywhere in here: incomplete-and-named (the meta is
+    *     invalidated FIRST), with every staged byte still on disk
+    *     under the index path — the same recovery class as the old
+    *     protocol's crash-mid-save (scratch dir held the corpus).
+    * The CAS guard runs BEFORE this (caller contract), so a writer
+    * that committed during the retrain aborts the rebuild while the
+    * standing index is still whole. */
+  private[ops] def promoteStaged(spark: org.apache.spark.sql.SparkSession,
+      path: String, tables: Seq[String]): Unit = {
+    invalidateMeta(spark, path)
+    clearStale(spark, path, tables.toSet)
+    val conf = spark.sparkContext.hadoopConfiguration
+    tables.foreach { t =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$t")
+      val fs = dst.getFileSystem(conf)
+      fs.delete(dst, true)
+      if (!fs.rename(
+          new org.apache.hadoop.fs.Path(s"$path/$RebuildStage/$t"), dst))
+        throw new java.io.IOException(
+          s"rebuild promote: rename of staged '$t' into '$path' failed " +
+            "- the index reads as incomplete (meta invalidated); the " +
+            "staged tables are intact under " +
+            s"'$path/$RebuildStage' for inspection")
+    }
   }
 
   /** Loud abort when the committed meta moved past `expect` — the

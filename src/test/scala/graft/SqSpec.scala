@@ -398,6 +398,53 @@ class SqSpec extends SparkSpec {
     assert(m3.getString(m3.fieldIndex("tag")) == "d1")
   }
 
+  test("staged rebuild (optimization r19): an abort at the CAS guard " +
+      "— AFTER the full retrain and staging — leaves the standing " +
+      "index committed, whole, and answering identically; the staging " +
+      "dir is discarded") {
+    import graft.ops.{IvfIndex, IvfSq}
+    def vec(i: Int) = Array.tabulate(8)(d => 0.1f * ((i + d) % 7) + 0.01f)
+    val build = (0 until 24).map(i => (i.toLong, vec(i))).toDF("id", "vec")
+    val delta = (100 until 112).map(i => (i.toLong, vec(i + 3)))
+      .toDF("id", "vec")
+    val p = java.nio.file.Files.createTempDirectory("rebuild-abort")
+      .toString + "/idx"
+    IvfSq.build(build, nCells = 2, refineIters = 1, persist = false).save(p)
+    IvfSq.append(delta, p, tag = "d1")
+    val q = Seq((-1L, vec(5)), (-2L, vec(105))).toDF("qid", "qvec")
+    def answers() = IvfSq.load(spark, p, persist = false)
+      .query(q, 3, nProbe = 2, fetch = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val before = answers()
+    val metaBefore = spark.read.parquet(s"$p/meta").head().toSeq
+    // fail the rebuild at its CAS guard — the retrain AND the staged
+    // table writes have fully completed by then (the guard runs last
+    // before the promote)
+    IvfIndex.beforeCasCommit = () => {
+      IvfIndex.beforeCasCommit = () => ()
+      throw new IllegalStateException("injected-pre-promote-crash")
+    }
+    try {
+      val ex = intercept[IllegalStateException] { IvfSq.rebuild(spark, p) }
+      assert(ex.getMessage == "injected-pre-promote-crash")
+    } finally IvfIndex.beforeCasCommit = () => ()
+    // the standing index is untouched: still committed, same meta row,
+    // identical answers, and no staging residue
+    assert(IvfSq.exists(spark, p), "index must still read as complete")
+    assert(spark.read.parquet(s"$p/meta").head().toSeq == metaBefore,
+      "the committed meta must be byte-identical after the abort")
+    assert(answers() == before, "answers must be unchanged")
+    assert(!new java.io.File(s"$p/${IvfIndex.RebuildStage}").exists(),
+      "aborted staging must be discarded")
+    // and a rebuild WITHOUT the injected failure still lands: one live
+    // shard, drift 1.0, tag preserved
+    IvfSq.rebuild(spark, p)
+    val drift = IvfSq.driftStats(spark, p).collect()
+    assert(drift.length == 1 && drift.head.getDouble(3) == 1.0)
+    val m = spark.read.parquet(s"$p/meta").head()
+    assert(m.getString(m.fieldIndex("tag")) == "d1")
+  }
+
   test("IvfSq.compact + IvfIndex.compact: merged index answers " +
       "bit-identically; probe recall and e-gate layout survive (r15)") {
     import graft.ops.{IvfIndex, IvfSq}
